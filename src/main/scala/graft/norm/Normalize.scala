@@ -1,0 +1,205 @@
+package graft.norm
+
+import java.text.{Normalizer => JNormalizer}
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar normalization layer — re-expression of the reference's text/date
+  * helpers (survey §2.7, C1-C16; reference
+  * src/barrazueta_pipeline_etl_crossref.py:97-205) as Spark `Column`
+  * functions. Everything that CAN be a built-in expression chain is one
+  * (codegen'd, no UDF tax); only Unicode normalization + HTML unescape need
+  * JVM helpers (Spark has no NFC/NFKD or entity-decode builtin).
+  */
+object Normalize {
+
+  // ---------------------------------------------------------------------
+  // JVM-side string kernels (used by the UDFs and by unit tests directly).
+  // ---------------------------------------------------------------------
+
+  /** Minimal HTML entity decode covering the named entities that occur in
+    * bibliographic metadata plus all numeric forms (&#123; / &#x1F;).
+    * Mirrors Python `html.unescape` for this domain
+    * (reference PIPE:98 uses html.unescape).
+    */
+  private val namedEntities: Map[String, String] = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "apos" -> "'", "nbsp" -> " ", "ndash" -> "–",
+    "mdash" -> "—", "hellip" -> "…", "rsquo" -> "’",
+    "lsquo" -> "‘", "rdquo" -> "”", "ldquo" -> "“",
+    "eacute" -> "é", "aacute" -> "á", "iacute" -> "í",
+    "oacute" -> "ó", "uacute" -> "ú", "ntilde" -> "ñ",
+    "Eacute" -> "É", "Aacute" -> "Á", "Ntilde" -> "Ñ",
+    "uuml" -> "ü", "ouml" -> "ö", "auml" -> "ä",
+    "copy" -> "©", "reg" -> "®", "deg" -> "°",
+    "plusmn" -> "±", "times" -> "×", "middot" -> "·",
+    "sect" -> "§", "para" -> "¶", "micro" -> "µ",
+  )
+
+  private val entityRe = "&(#x?[0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]*);".r
+
+  def unescapeHtml(s: String): String =
+    if (s == null || s.indexOf('&') < 0) s
+    else entityRe.replaceAllIn(s, m => {
+      val body = m.group(1)
+      val repl =
+        if (body.startsWith("#x") || body.startsWith("#X"))
+          try new String(Character.toChars(Integer.parseInt(body.drop(2), 16)))
+          catch { case _: Exception => m.matched }
+        else if (body.startsWith("#"))
+          try new String(Character.toChars(Integer.parseInt(body.drop(1))))
+          catch { case _: Exception => m.matched }
+        else namedEntities.getOrElse(body, m.matched)
+      java.util.regex.Matcher.quoteReplacement(repl)
+    })
+
+  private val wsRe = "\\s+".r
+  private def collapseWs(s: String): String = wsRe.replaceAllIn(s, " ").trim
+
+  /** C1 — unescape → Unicode NFC → collapse whitespace → trim.
+    * Null/empty → empty string, matching the reference (PIPE:97-103).
+    */
+  def normNfcJvm(s: String): String =
+    if (s == null) ""
+    else collapseWs(JNormalizer.normalize(unescapeHtml(s), JNormalizer.Form.NFC))
+
+  private val marksRe = "\\p{M}+".r
+
+  /** C2 — unescape → NFKD → strip combining marks (accent fold) → collapse
+    * whitespace → trim → lowercase. The canonical search key used for
+    * author/affiliation identity and the UPS substring test (PIPE:105-112).
+    */
+  def normKeyJvm(s: String): String =
+    if (s == null) ""
+    else {
+      val nfkd = JNormalizer.normalize(unescapeHtml(s), JNormalizer.Form.NFKD)
+      collapseWs(marksRe.replaceAllIn(nfkd, "")).toLowerCase
+    }
+
+  // ---------------------------------------------------------------------
+  // Column functions
+  // ---------------------------------------------------------------------
+
+  private val normNfcUdf = udf(normNfcJvm _)
+  private val normKeyUdf = udf(normKeyJvm _)
+
+  /** C1 as a Column. */
+  def normNfc(c: Column): Column = normNfcUdf(c)
+
+  /** C2 as a Column. */
+  def normKey(c: Column): Column = normKeyUdf(c)
+
+  /** Register the two UDFs for `spark.sql` use. */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("norm_nfc", normNfcJvm _)
+    spark.udf.register("norm_key", normKeyJvm _)
+  }
+
+  /** C3 — DOI standardization: trim → strip `https?://(dx.)?doi.org/` or
+    * `doi:` prefix (case-insensitive) → trim → lowercase (PIPE:115-122).
+    * Pure builtins, stays in whole-stage codegen.
+    */
+  def standardizeDoi(c: Column): Column =
+    lower(trim(regexp_replace(
+      trim(c), "(?i)^(https?://(dx\\.)?doi\\.org/|doi:\\s*)", "")))
+
+  /** F6/C4 guard — year valid iff within [1600, 2100] (PIPE:136,162). */
+  def validYear(y: Column): Column = when(y.between(1600, 2100), y)
+
+  /** C4 — first valid year over the priority list
+    * published-online → published-print → issued → created, reading
+    * `date-parts[0][0]` (PIPE:125-138). `item` is the work struct column.
+    */
+  def extractYearAny(item: Column): Column = {
+    val keys = Seq("published-online", "published-print", "issued", "created")
+    coalesce(keys.map(k => validYear(item.getField(k)
+      .getField("date-parts").getItem(0).getItem(0))): _*)
+  }
+
+  /** C5 — same priority list, to a real DateType with month/day default 1
+    * (PIPE:153-164; reference keeps an ISO string, we keep a date).
+    */
+  def extractDateAny(item: Column): Column = {
+    val keys = Seq("published-online", "published-print", "issued", "created")
+    coalesce(keys.map { k =>
+      val dp = item.getField(k).getField("date-parts").getItem(0)
+      val y = dp.getItem(0)
+      when(validYear(y).isNotNull,
+        make_date(y, coalesce(dp.getItem(1), lit(1)),
+          coalesce(dp.getItem(2), lit(1))))
+    }: _*)
+  }
+
+  /** C6 — author display name: `given family`, fallback `name`, then C1
+    * (PIPE:141-145).
+    */
+  def authorFullName(given: Column, family: Column, name: Column): Column =
+    normNfc(coalesce(nullif(concat_ws(" ",
+      coalesce(given, lit("")), coalesce(family, lit(""))), lit("")), name))
+
+  /** C8 — ordered country patterns; dict order = priority (PIPE:167-195).
+    * Patterns are applied to the C2-normalized (lowercased, accent-folded)
+    * affiliation text with word boundaries.
+    */
+  val countryPatterns: Seq[(String, String, String)] = Seq(
+    ("ecuador", "EC", "Ecuador"),
+    ("colombia", "CO", "Colombia"),
+    ("peru", "PE", "Perú"),
+    ("chile", "CL", "Chile"),
+    ("argentina", "AR", "Argentina"),
+    ("brasil|brazil", "BR", "Brasil"),
+    ("mexico", "MX", "México"),
+    ("espana|spain", "ES", "España"),
+    ("united states|usa|u\\.s\\.a\\.", "US", "Estados Unidos"),
+    ("united kingdom|uk|england", "GB", "Reino Unido"),
+    ("germany|deutschland|alemania", "DE", "Alemania"),
+    ("france|francia", "FR", "Francia"),
+    ("italy|italia", "IT", "Italia"),
+    ("china", "CN", "China"),
+    ("canada", "CA", "Canadá"),
+    ("india", "IN", "India"),
+  )
+
+  /** C8 — returns ISO2 code from normalized text, null when no match. */
+  def guessCountryCode(normText: Column): Column =
+    countryPatterns.foldRight(lit(null).cast("string")) {
+      case ((pat, code, _), acc) =>
+        when(normText.rlike(s"\\b($pat)\\b"), lit(code)).otherwise(acc)
+    }
+
+  /** C8 — ISO2 code → display name (same priority order). */
+  def countryName(code: Column): Column =
+    countryPatterns.foldRight(lit(null).cast("string")) {
+      case ((_, c, name), acc) => when(code === c, lit(name)).otherwise(acc)
+    }
+
+  /** C9 — sede classification: for UPS affiliations, first of
+    * cuenca→1, quito→2, guayaquil→3 contained in the normalized text,
+    * else 4 ("Otra") (PIPE:632-637). Non-UPS → null.
+    */
+  def sedeFromText(isUps: Column, normText: Column): Column =
+    when(isUps && normText.contains("cuenca"), 1)
+      .when(isUps && normText.contains("quito"), 2)
+      .when(isUps && normText.contains("guayaquil"), 3)
+      .when(isUps, 4)
+
+  /** C12 — ORCID URL strip (PIPE:317). */
+  def orcidBare(c: Column): Column =
+    nullif(trim(regexp_replace(c, "^https?://orcid\\.org/", "")), lit(""))
+
+  /** C13 — empty-string → null discipline. */
+  def emptyToNull(c: Column): Column = nullif(trim(c), lit(""))
+
+  /** C15 — ";"-packed keyword cell → trimmed, non-empty, lowercased array
+    * (PIPE:436-437).
+    */
+  def keywordSplit(c: Column): Column =
+    filter(transform(split(lower(c), ";"), x => trim(x)), x => x =!= "")
+
+  /** F4 — UPS membership predicate: normalized target substring of the
+    * normalized affiliation (PIPE:20-21,625-629).
+    */
+  val UpsTargetNorm = "universidad politecnica salesiana"
+  def isUps(normText: Column): Column = normText.contains(UpsTargetNorm)
+}
