@@ -1,0 +1,199 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. Everything is expression-based and
+  * shuffle-conscious:
+  *
+  *  - exact dedup is one hash-groupBy (a single shuffle on the digest);
+  *  - MinHash/LSH turns the quadratic all-pairs problem into a band-key
+  *    equi-join: signatures are computed map-side, candidates come from a
+  *    shuffle on (band, signature-slice), and only candidates are verified;
+  *  - SimHash packs a document into one 64-bit key; near-dup search joins
+  *    on 16-bit chunks (pigeonhole: hamming<=3 ⇒ one of 4 chunks equal).
+  *
+  * Two hash families are provided: `md5`-based (engine-portable, used by
+  * the DuckDB-checked graded queries) and `xxhash64`-based (the fast path
+  * for production — stays in codegen, no hex strings).
+  */
+object Dedup {
+
+  // ------------------------------------------------------------------
+  // Shingling
+  // ------------------------------------------------------------------
+
+  /** Word n-gram shingles of the whitespace-tokenized text. */
+  def shingles(text: Column, n: Int): Column = {
+    val w = split(trim(text), "\\s+")
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
+      .otherwise(array(concat_ws(" ", w)))
+  }
+
+  /** Character n-gram shingles. */
+  def charShingles(text: Column, n: Int): Column = {
+    val s = trim(text)
+    when(length(s) >= n,
+      transform(sequence(lit(1), length(s) - (n - 1)),
+        i => s.substr(i, lit(n))))
+      .otherwise(array(s))
+  }
+
+  // ------------------------------------------------------------------
+  // MinHash
+  // ------------------------------------------------------------------
+
+  /** Portable MinHash signature component k: lexicographic min of
+    * md5(k || shingle). Identical in Spark and DuckDB.
+    */
+  def minhashMd5(sh: Column, k: Int): Column =
+    array_min(transform(sh, s => md5(concat(lit(k.toString), s))))
+
+  /** Fast MinHash component: numeric min of xxhash64(shingle, seed=k) —
+    * codegen'd, no hex materialization. Production path.
+    */
+  def minhashFast(sh: Column, k: Int): Column =
+    array_min(transform(sh, s => xxhash64(lit(k), s)))
+
+  /** df + K fast-minhash signature columns `mh0..mh{k-1}` over word
+    * n-gram shingles of `textCol`.
+    */
+  def withMinhashSignature(df: DataFrame, textCol: String, n: Int,
+      k: Int): DataFrame = {
+    val sh = array_distinct(shingles(col(textCol), n))
+    (0 until k).foldLeft(df)((d, i) =>
+      d.withColumn(s"mh$i", minhashFast(sh, i)))
+  }
+
+  /** LSH candidate pairs: signatures split into `bands` bands of
+    * `k/bands` rows; docs agreeing on any full band meet in a shuffle
+    * bucket. Output: (id_a, id_b) with id_a < id_b, distinct.
+    * The only shuffle is the band-key repartition — no cross join.
+    */
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
+    val sigs = withMinhashSignature(
+      df.select(idCol, textCol), textCol, n, k)
+    val rowsPerBand = k / bands
+    val banded = sigs.select(
+      col(idCol),
+      posexplode(array((0 until bands).map { b =>
+        hash((b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"mh$i")) :+ lit(b): _*)
+      }: _*)).as(Seq("band", "bkey")))
+    val a = banded.select(col("band"), col("bkey"), col(idCol).as("id_a"))
+    val b = banded.select(col("band"), col("bkey"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard over distinct word n-gram shingles for a candidate
+    * pair set — the verify stage after LSH.
+    */
+  def verifyJaccard(df: DataFrame, pairs: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol),
+      array_distinct(shingles(col(textCol), n)).as("sh"))
+    pairs
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Full fuzzy-dedup pipeline: shingle → minhash → LSH bucket join →
+    * Jaccard verify. One narrow scan, one band shuffle, one candidate
+    * join — scales to billions of documents.
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 8, bands: Int = 4,
+      threshold: Double = 0.7): DataFrame =
+    verifyJaccard(df, lshCandidatePairs(df, idCol, textCol, n, k, bands),
+      idCol, textCol, n, threshold)
+
+  // ------------------------------------------------------------------
+  // SimHash
+  // ------------------------------------------------------------------
+
+  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of
+    * xxhash64(token). Computed as one fold with a 64-long accumulator
+    * array — a pure projection, no shuffle.
+    */
+  def simhash64(text: Column): Column = {
+    val toks = array_distinct(split(trim(text), "\\s+"))
+    val bitIdx = sequence(lit(0), lit(63))
+    val votes = aggregate(
+      toks,
+      transform(bitIdx, _ => lit(0L)),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, bitIdx, (a, i) =>
+          a + when(call_function("shiftright", h, i.cast("int"))
+            .bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      })
+    aggregate(
+      zip_with(votes, bitIdx, (v, i) =>
+        when(v > 0, call_function("shiftleft", lit(1L), i.cast("int")))
+          .otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming (< 16):
+    * pigeonhole on four 16-bit chunks — pairs agreeing on >=1 chunk meet
+    * in an equi-join bucket, then exact hamming filters.
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol), simhash64(col(textCol)).as("sig"))
+    val chunked = sigs.select(col(idCol), col("sig"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("chunk", "ckey")))
+    val a = chunked.select(col("chunk"), col("ckey"),
+      col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val b = chunked.select(col("chunk"), col("ckey"),
+      col(idCol).as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming").distinct()
+  }
+
+  // ------------------------------------------------------------------
+  // Exact + embedding dedup
+  // ------------------------------------------------------------------
+
+  /** Exact dedup groups: digest → (survivor id = min, group size). */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Embedding-cosine near-dup pairs above `threshold`, prefiltered by a
+    * sign-random-projection bucket so the join is equi- not cross-.
+    * `nBits=0` disables the prefilter (exact, quadratic — small inputs).
+    */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int = 8): DataFrame = {
+    val withB =
+      if (nBits == 0) df.withColumn("bucket", lit(0))
+      else df.withColumn("bucket",
+        Similarity.rpBucket(col(vecCol), nBits))
+    val a = withB.select(col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("v_a"))
+    val b = withB.select(col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Two paths:
+  *  - `bruteTopK`: exact — broadcast the query vector, one projection
+  *    computing cosine, `TakeOrderedAndProject` for the top-k. The
+  *    baseline and the verifier for the approximate path.
+  *  - `lshTopK`: scale path — sign-random-projection buckets computed
+  *    map-side; the search touches only rows whose bucket is within
+  *    `probeHamming` of the query's bucket (multi-probe), then reranks
+  *    exactly. At 100 TB the bucket column is a partition/cluster key, so
+  *    probing prunes partitions instead of scanning them.
+  *
+  * All arithmetic is sequential-fold double math (`aggregate`), which is
+  * deterministic and engine-portable (matches DuckDB `list_reduce`).
+  */
+object Similarity {
+
+  /** Deterministic sequential dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Truncate (not round) to `d` decimals — identical on identical bits in
+    * any engine; no half-way ambiguity like round().
+    */
+  def trunc(c: Column, d: Int): Column = {
+    val p = math.pow(10, d)
+    floor(c * p) / p
+  }
+
+  /** Fixed integer-weight "random" projection row j: weights
+    * w_j[i] = ((i*31 + j*17) mod 7) - 3 ∈ [-3, 3]. Deterministic across
+    * engines and sessions (no RNG at plan time), good enough for sign-LSH.
+    */
+  def rpDot(v: Column, j: Int, dim: Int): Column =
+    aggregate(
+      zip_with(v, lit((0 until dim).map(i => ((i * 31 + j * 17) % 7) - 3).toArray),
+        (x, w) => x.cast("double") * w.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Sign-LSH bucket id: nBits sign bits packed into a long. */
+  def rpBucket(v: Column, nBits: Int, dim: Int = 64): Column =
+    (0 until nBits).map(j =>
+      when(rpDot(v, j, dim) > 0, shiftleft(lit(1L), j)).otherwise(0L))
+      .reduce((a, b) => a.bitwiseOR(b))
+
+  /** Exact top-k by cosine against the embedding of `queryId`. */
+  def bruteTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val q = df.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"))
+    df.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("score", trunc(cosine(col(vecCol), col("q_vec")), 6))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+
+  /** ANN top-k: restrict to buckets within hamming distance
+    * `probeHamming` of the query bucket (multi-probe LSH), rerank exactly.
+    * Recall < 1 by construction; verified against bruteTopK in tests.
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, nBits: Int = 8,
+      probeHamming: Int = 2): DataFrame = {
+    val bucketed = df.withColumn("bucket", rpBucket(col(vecCol), nBits))
+    val q = bucketed.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"), col("bucket").as("q_bucket"))
+    bucketed.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .filter(bit_count(col("bucket").bitwiseXOR(col("q_bucket")))
+        <= probeHamming)
+      .withColumn("score", trunc(cosine(col(vecCol), col("q_vec")), 6))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, language ID, quality scoring, document fingerprinting.
+  * All pure `Column` expression chains (whole-stage codegen, no UDFs) —
+  * they scale linearly with the scan and never shuffle by themselves.
+  */
+object TextStats {
+
+  /** Whitespace tokenization. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish token estimate: letter runs, digit runs, and single
+    * punctuation marks each count as one token (a cheap stand-in for a
+    * real BPE vocab; deliberately deterministic and engine-portable).
+    */
+  def bpeishTokens(c: Column): Column =
+    size(regexp_extract_all(c, lit("\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]"), lit(0)))
+
+  /** Count of tokens that appear in `words`. */
+  def markerCount(c: Column, words: Seq[String]): Column =
+    size(filter(tokens(lower(c)), t =>
+      array_contains(lit(words.toArray), t)))
+
+  /** Stopword marker lists per language (top function words). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "a"),
+    "es" -> Seq("el", "la", "de", "que", "los", "las", "una", "por", "con"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans", "pour"),
+  )
+
+  /** Language ID: CJK-character ratio short-circuit, else the language
+    * whose stopword list matches most tokens; "und" when nothing matches.
+    * An n-gram-free heuristic that is a single projection at scale.
+    */
+  def langId(c: Column): Column = {
+    val cjk = length(regexp_replace(c, "[^\\x{4e00}-\\x{9fff}]", ""))
+    val scores = stopwords.toSeq.sortBy(_._1)
+      .map { case (lang, words) => lang -> markerCount(c, words) }
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    val pick = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    when(cjk * 2 > length(c), lit("zh")).otherwise(pick)
+  }
+
+  /** Quality score in [0,1]: blend of length band, mean-token-length band,
+    * alphabetic ratio, and distinct-token ratio. Deterministic arithmetic
+    * (exact integer divisions), no data-dependent branching.
+    */
+  def qualityScore(c: Column): Column = {
+    val n = tokenCount(c).cast("double")
+    val len = length(c).cast("double")
+    val meanTok = (len - (n - 1)) / n // chars per token (single-space text)
+    val alpha = length(regexp_replace(c, "[^\\p{L}]", "")).cast("double") / len
+    val uniq = size(array_distinct(tokens(c))).cast("double") / n
+    val lenScore = least(n / lit(100.0), lit(1.0))
+    val tokScore = when(meanTok.between(3.0, 10.0), 1.0).otherwise(0.5)
+    (lenScore * 0.25 + tokScore * 0.25 + alpha * 0.25 + uniq * 0.25)
+  }
+
+  /** Polynomial rolling-hash fingerprint over whitespace tokens, mod
+    * 1e9+7. Engine-portable (the per-token proxy uses only `ascii` and
+    * `length`) and order-sensitive — token swaps change the fingerprint,
+    * unlike a bag-of-words hash.
+    */
+  def fingerprint(c: Column): Column =
+    aggregate(
+      transform(tokens(c), w => (ascii(w) * 31 + length(w)).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 131 + x) % 1000000007L)
+}

@@ -1,0 +1,374 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.ext.{Dedup, Similarity, TextStats}
+import graft.streaming.EventsOps
+
+/** Graded queries for the training-data-pipeline extensions
+  * (BASELINE.json north star): dedup, similarity search, text analysis,
+  * event windows. Each delegates to the library module and keeps the
+  * deterministic-output discipline of CoreQueries. Hash functions in
+  * oracle-checked queries are md5-based (portable); the xxhash64 fast
+  * paths are covered by unit tests and rows-only checks.
+  */
+object ExtQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    // Exact dedup: one shuffle on the content digest.
+    "q21_dedup_exact" -> ((s, d) => {
+      Dedup.exactGroups(documents(s, d), "doc_id", "text")
+        .orderBy("content_hash")
+    }),
+
+    // Token statistics — pure projection.
+    "q22_text_tokens" -> ((s, d) => {
+      val t = col("text")
+      documents(s, d).select(
+        col("doc_id"),
+        TextStats.tokenCount(t).as("n_tokens"),
+        TextStats.bpeishTokens(t).as("n_bpeish"),
+        ((length(t) - (TextStats.tokenCount(t) - 1)).cast("double") /
+          TextStats.tokenCount(t).cast("double")).as("mean_token_len"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring — length band, token shape, alpha & distinct ratios.
+    "q23_text_quality" -> ((s, d) => {
+      documents(s, d).select(
+        col("doc_id"),
+        TextStats.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Language ID heuristic + agreement with the labeled lang column.
+    "q24_lang_id" -> ((s, d) => {
+      documents(s, d)
+        .select(TextStats.langId(col("text")).as("guess"), col("lang"))
+        .groupBy("guess", "lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("guess", "lang")
+    }),
+
+    // Order-sensitive polynomial fingerprint.
+    "q25_fingerprint" -> ((s, d) => {
+      documents(s, d).select(
+        col("doc_id"),
+        TextStats.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // Portable MinHash signature (K=4, 3-word shingles, md5 family).
+    "q26_minhash_sig" -> ((s, d) => {
+      val sh = Dedup.shingles(col("text"), 3)
+      documents(s, d).select(
+        col("doc_id"),
+        Dedup.minhashMd5(sh, 0).as("mh0"),
+        Dedup.minhashMd5(sh, 1).as("mh1"),
+        Dedup.minhashMd5(sh, 2).as("mh2"),
+        Dedup.minhashMd5(sh, 3).as("mh3"))
+        .orderBy("doc_id")
+    }),
+
+    // LSH band join on the portable signature: 2 bands × 2 rows.
+    // Candidates = docs agreeing on a full band (equi-join, no cross).
+    "q27_minhash_bands" -> ((s, d) => {
+      val sh = Dedup.shingles(col("text"), 3)
+      val sigs = documents(s, d).select(
+        col("doc_id"),
+        Dedup.minhashMd5(sh, 0).as("mh0"),
+        Dedup.minhashMd5(sh, 1).as("mh1"),
+        Dedup.minhashMd5(sh, 2).as("mh2"),
+        Dedup.minhashMd5(sh, 3).as("mh3"))
+      val b1 = sigs.select(col("doc_id"), col("mh0").as("k1"), col("mh1").as("k2"))
+      val b2 = sigs.select(col("doc_id"), col("mh2").as("k1"), col("mh3").as("k2"))
+      val banded = b1.unionByName(b2)
+      banded.as("a").join(banded.as("b"), Seq("k1", "k2"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Exact brute-force cosine top-k against vec_id=0 (the ANN baseline).
+    "q28_cosine_topk" -> ((s, d) => {
+      Similarity.bruteTopK(embeddings(s, d), "vec_id", "embedding", 0L, 10)
+    }),
+
+    // Sign-random-projection bucketing (the ANN scale path's partition key).
+    "q29_rp_bucket" -> ((s, d) => {
+      embeddings(s, d).select(
+        col("vec_id"),
+        Similarity.rpBucket(col("embedding"), 8).as("bucket"))
+        .orderBy("vec_id")
+    }),
+
+    // Multi-probe LSH ANN top-k (bucket hamming <= 2), exact rerank.
+    "q30_ann_topk" -> ((s, d) => {
+      Similarity.lshTopK(embeddings(s, d), "vec_id", "embedding", 0L, 10,
+        nBits = 8, probeHamming = 2)
+    }),
+
+    // Tumbling 1-hour windows (stream-shaped aggregation, batch run).
+    "q31_events_tumbling" -> ((s, d) => {
+      EventsOps.tumbling(events(s, d), "1 hour")
+        .orderBy("window_start", "event_type")
+    }),
+
+    // Sliding 1-hour/30-minute windows (TimeWindow Expand).
+    "q32_events_sliding" -> ((s, d) => {
+      EventsOps.sliding(events(s, d), "1 hour", "30 minutes")
+        .orderBy("window_start", "event_type")
+    }),
+
+    // Event-time-bounded dedup (dropDuplicatesWithinWatermark analog).
+    "q33_watermark_dedup" -> ((s, d) => {
+      EventsOps.bucketDedup(events(s, d), "10 minutes")
+        .orderBy("user_id", "event_type", "bucket_start")
+    }),
+
+    // Session windows, 30-minute gap.
+    "q34_events_session" -> ((s, d) => {
+      EventsOps.sessions(events(s, d), "30 minutes")
+        .orderBy("user_id", "session_start")
+    }),
+
+    // Embedding-cosine near-dup pairs (exact pass; embeddings are
+    // near-orthogonal random so the demo threshold is 0.35).
+    "q35_embedding_neardup" -> ((s, d) => {
+      Dedup.embeddingNearDups(embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.35, nBits = 0)
+        .select(col("id_a"), col("id_b"),
+          Similarity.trunc(col("cosine"), 6).as("cos6"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Fast-path fuzzy dedup (xxhash64 minhash + LSH + Jaccard verify).
+    // Engine-specific hashes → rows-only check; semantics unit-tested.
+    "q36_minhash_fast" -> ((s, d) => {
+      Dedup.minhashNearDups(documents(s, d), "doc_id", "text",
+        n = 3, k = 8, bands = 4, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Fast-path SimHash near-dups — rows-only check; unit-tested.
+    "q37_simhash" -> ((s, d) => {
+      Dedup.simhashNearDups(documents(s, d), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+  )
+
+  private val dotSql = (v: String, q: String) =>
+    s"""list_reduce(list_prepend(0.0, list_transform(range(len($v)),
+       |  i -> cast($v[i+1] AS double) * cast($q[i+1] AS double))),
+       |  (a, b) -> a + b)""".stripMargin
+
+  private val cosineSql = (v: String, q: String) =>
+    s"(${dotSql(v, q)}) / (sqrt(${dotSql(v, v)}) * sqrt(${dotSql(q, q)}))"
+
+  private val shinglesSql =
+    """CASE WHEN len(w) >= 3 THEN
+      |  list_transform(range(len(w) - 2),
+      |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+      |ELSE [array_to_string(w, ' ')] END""".stripMargin
+
+  private def markerSql(words: Seq[String]): String = {
+    val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> list_contains($arr, t)))"
+  }
+
+  private def rpDotSql(j: Int): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(len(embedding)),
+       |  i -> cast(embedding[i+1] AS double) * (((i*31 + $j*17) % 7) - 3))),
+       |  (a, b) -> a + b)""".stripMargin
+
+  private val bucketSql: String =
+    (0 until 8).map(j =>
+      s"(CASE WHEN (${rpDotSql(j)}) > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "q21_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+    "q22_text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]')) AS n_bpeish,
+        |  cast(length(text) - (len(string_split_regex(trim(text), '\s+')) - 1) AS double)
+        |    / cast(len(string_split_regex(trim(text), '\s+')) AS double) AS mean_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q23_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    cast(len(string_split_regex(trim(text), '\s+')) AS double) AS n,
+        |    cast(length(text) AS double) AS len,
+        |    cast(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS double) AS n_alpha,
+        |    cast(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS double) AS n_uniq
+        |  FROM documents)
+        |SELECT doc_id,
+        |  least(n / 100.0, 1.0) * 0.25
+        |  + (CASE WHEN ((len - (n - 1)) / n) BETWEEN 3.0 AND 10.0
+        |          THEN 1.0 ELSE 0.5 END) * 0.25
+        |  + (n_alpha / len) * 0.25
+        |  + (n_uniq / n) * 0.25 AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q24_lang_id" -> {
+      val de = markerSql(TextStats.stopwords("de"))
+      val en = markerSql(TextStats.stopwords("en"))
+      val es = markerSql(TextStats.stopwords("es"))
+      val fr = markerSql(TextStats.stopwords("fr"))
+      s"""WITH scored AS (
+         |  SELECT lang,
+         |    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
+         |    length(text) AS len,
+         |    $de AS s_de, $en AS s_en, $es AS s_es, $fr AS s_fr
+         |  FROM documents),
+         |guessed AS (
+         |  SELECT lang, CASE
+         |    WHEN cjk * 2 > len THEN 'zh'
+         |    WHEN s_de = greatest(s_de, s_en, s_es, s_fr)
+         |      AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'de'
+         |    WHEN s_en = greatest(s_de, s_en, s_es, s_fr)
+         |      AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'en'
+         |    WHEN s_es = greatest(s_de, s_en, s_es, s_fr)
+         |      AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'es'
+         |    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr)
+         |      AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'fr'
+         |    ELSE 'und' END AS guess
+         |  FROM scored)
+         |SELECT guess, lang, count(*) AS n FROM guessed
+         |GROUP BY guess, lang ORDER BY guess, lang""".stripMargin
+    },
+
+    "q25_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(cast(0 AS bigint),
+        |    list_transform(string_split_regex(trim(text), '\s+'),
+        |      w -> cast(ascii(w) * 31 + length(w) AS bigint))),
+        |    (acc, x) -> (acc * 131 + x) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q26_minhash_sig" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |sh AS (SELECT doc_id, ($shinglesSql) AS shingles FROM t)
+         |SELECT doc_id,
+         |  list_min(list_transform(shingles, s -> md5('0' || s))) AS mh0,
+         |  list_min(list_transform(shingles, s -> md5('1' || s))) AS mh1,
+         |  list_min(list_transform(shingles, s -> md5('2' || s))) AS mh2,
+         |  list_min(list_transform(shingles, s -> md5('3' || s))) AS mh3
+         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q27_minhash_bands" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |sh AS (SELECT doc_id, ($shinglesSql) AS shingles FROM t),
+         |sig AS (SELECT doc_id,
+         |  list_min(list_transform(shingles, s -> md5('0' || s))) AS mh0,
+         |  list_min(list_transform(shingles, s -> md5('1' || s))) AS mh1,
+         |  list_min(list_transform(shingles, s -> md5('2' || s))) AS mh2,
+         |  list_min(list_transform(shingles, s -> md5('3' || s))) AS mh3
+         |  FROM sh),
+         |banded AS (
+         |  SELECT doc_id, mh0 AS k1, mh1 AS k2 FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, mh2 AS k1, mh3 AS k2 FROM sig)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM banded a JOIN banded b ON a.k1 = b.k1 AND a.k2 = b.k2
+         |WHERE a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q28_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  floor((${cosineSql("embedding", "q_vec")}) * 1000000) / 1000000
+         |    AS score
+         |FROM embeddings, q
+         |WHERE vec_id <> 0
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "q29_rp_bucket" ->
+      s"""SELECT vec_id, cast($bucketSql AS bigint) AS bucket
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q30_ann_topk" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, cast($bucketSql AS bigint) AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT embedding AS q_vec, bucket AS q_bucket FROM b
+         |      WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  floor((${cosineSql("embedding", "q_vec")}) * 1000000) / 1000000
+         |    AS score
+         |FROM b, q
+         |WHERE vec_id <> 0 AND bit_count(xor(bucket, q_bucket)) <= 2
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "q31_events_tumbling" ->
+      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events)
+        |SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n_events,
+        |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
+        |FROM e GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q32_events_sliding" ->
+      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events)
+        |SELECT ws AS window_start, event_type, count(*) AS n_events
+        |FROM (
+        |  SELECT event_type,
+        |    make_timestamp(cast(floor(epoch(ts)/1800)*1800 AS bigint) * 1000000
+        |      - k * 1800000000) AS ws
+        |  FROM e, (SELECT unnest([0, 1]) AS k))
+        |GROUP BY ws, event_type ORDER BY window_start, event_type""".stripMargin,
+
+    "q33_watermark_dedup" ->
+      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events)
+        |SELECT user_id, event_type,
+        |  make_timestamp(cast(floor(epoch(ts)/600)*600 AS bigint) * 1000000)
+        |    AS bucket_start,
+        |  min(event_id) AS keep_event_id, count(*) AS n_dups
+        |FROM e GROUP BY 1, 2, 3
+        |ORDER BY user_id, event_type, bucket_start""".stripMargin,
+
+    "q34_events_session" ->
+      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
+        |l AS (
+        |  SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, ts, value,
+        |    sum(CASE WHEN p IS NULL
+        |             OR epoch_us(ts) - epoch_us(p) >= 1800000000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts
+        |            ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM l)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events,
+        |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q35_embedding_neardup" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  floor((${cosineSql("a.embedding", "b.embedding")}) * 1000000)
+         |    / 1000000 AS cos6
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE (${cosineSql("a.embedding", "b.embedding")}) >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin,
+    // q36/q37: xxhash64-based fast paths — not oracle-expressible;
+    // driver records rows-only, semantics covered by DedupSpec.
+  )
+}
