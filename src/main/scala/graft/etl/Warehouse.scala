@@ -1,0 +1,70 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet warehouse with idempotent keyed appends (reference K1:
+  * `INSERT OR IGNORE`, PIPE:675-706) and full-replace writes (K2).
+  *
+  * K1 semantics set-at-a-time: dedup the batch on its key, anti-join
+  * against the existing table, append only the novel keys — re-running
+  * the same ingest is a no-op (the reference's "run 4-5×" convergence,
+  * TECHDOC p.obj34, without row-at-a-time probes).
+  */
+object Warehouse {
+
+  def path(dir: String, table: String): String = s"$dir/$table"
+
+  def exists(spark: SparkSession, dir: String, table: String): Boolean =
+    new java.io.File(path(dir, table)).exists()
+
+  def read(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read.parquet(path(dir, table))
+
+  /** K2 — full replace. */
+  def overwrite(df: DataFrame, dir: String, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path(dir, table))
+
+  /** Full replace of a table the plan also READS: write to a side
+    * directory first, then swap — a lazy plan reading `table` while
+    * overwriting `table` would otherwise truncate its own input.
+    */
+  def overwriteSwap(spark: SparkSession, df: DataFrame, dir: String,
+      table: String): Unit = {
+    val tmp = path(dir, table + "__tmp")
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val dst = new java.io.File(path(dir, table))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (dst.exists()) rm(dst)
+    new java.io.File(tmp).renameTo(dst)
+    ()
+  }
+
+  /** K1 — keyed idempotent append. */
+  def idempotentAppend(spark: SparkSession, df: DataFrame, dir: String,
+      table: String, keys: Seq[String]): Unit = {
+    val deduped = df.dropDuplicates(keys)
+    if (!exists(spark, dir, table)) {
+      deduped.write.mode(SaveMode.Overwrite).parquet(path(dir, table))
+    } else {
+      val existing = read(spark, dir, table).select(keys.map(col): _*)
+      deduped.join(existing, keys, "left_anti")
+        .write.mode(SaveMode.Append).parquet(path(dir, table))
+    }
+  }
+
+  /** K4 — append-only audit log (Runs, PIPE:289-300,552-557,736-738):
+    * event-sourced start/finish rows instead of update-in-place.
+    */
+  def logRun(spark: SparkSession, dir: String, runId: String,
+      phase: String, query: String, rowsIngested: Long): Unit = {
+    import spark.implicits._
+    Seq((runId, phase, query, rowsIngested,
+      java.time.Instant.now().toString))
+      .toDF("runId", "phase", "query", "rowsIngested", "at")
+      .write.mode(SaveMode.Append).parquet(path(dir, "runs"))
+  }
+}

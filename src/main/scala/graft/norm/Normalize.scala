@@ -96,13 +96,19 @@ object Normalize {
     spark.udf.register("norm_key", normKeyJvm _)
   }
 
-  /** C3 — DOI standardization: trim → strip `https?://(dx.)?doi.org/` or
-    * `doi:` prefix (case-insensitive) → trim → lowercase (PIPE:115-122).
-    * Pure builtins, stays in whole-stage codegen.
+  /** C3 — DOI standardization: trim → unescape common HTML entities →
+    * strip `https?://(dx.)?doi.org/` or `doi:` prefix (case-insensitive)
+    * → trim → lowercase (PIPE:115-122). Pure builtins, stays in
+    * whole-stage codegen; the entity set covers what occurs in DOIs
+    * (&amp;, &lt;, &gt;, and numeric slash escapes).
     */
-  def standardizeDoi(c: Column): Column =
+  def standardizeDoi(c: Column): Column = {
+    val unescaped = Seq("&#x2F;" -> "/", "&#47;" -> "/", "&amp;" -> "&",
+      "&lt;" -> "<", "&gt;" -> ">")
+      .foldLeft(trim(c)) { case (acc, (e, r)) => replace(acc, lit(e), lit(r)) }
     lower(trim(regexp_replace(
-      trim(c), "(?i)^(https?://(dx\\.)?doi\\.org/|doi:\\s*)", "")))
+      unescaped, "(?i)^(https?://(dx\\.)?doi\\.org/|doi:\\s*)", "")))
+  }
 
   /** F6/C4 guard — year valid iff within [1600, 2100] (PIPE:136,162). */
   def validYear(y: Column): Column = when(y.between(1600, 2100), y)
@@ -113,8 +119,10 @@ object Normalize {
     */
   def extractYearAny(item: Column): Column = {
     val keys = Seq("published-online", "published-print", "issued", "created")
-    coalesce(keys.map(k => validYear(item.getField(k)
-      .getField("date-parts").getItem(0).getItem(0))): _*)
+    // get() (not getItem) — tolerant out-of-bounds access matching the
+    // reference's defensive list reads (PIPE:127-131)
+    coalesce(keys.map(k => validYear(get(get(item.getField(k)
+      .getField("date-parts"), lit(0)), lit(0)))): _*)
   }
 
   /** C5 — same priority list, to a real DateType with month/day default 1
@@ -123,11 +131,11 @@ object Normalize {
   def extractDateAny(item: Column): Column = {
     val keys = Seq("published-online", "published-print", "issued", "created")
     coalesce(keys.map { k =>
-      val dp = item.getField(k).getField("date-parts").getItem(0)
-      val y = dp.getItem(0)
+      val dp = get(item.getField(k).getField("date-parts"), lit(0))
+      val y = get(dp, lit(0))
       when(validYear(y).isNotNull,
-        make_date(y, coalesce(dp.getItem(1), lit(1)),
-          coalesce(dp.getItem(2), lit(1))))
+        make_date(y, coalesce(get(dp, lit(1)), lit(1)),
+          coalesce(get(dp, lit(2)), lit(1))))
     }: _*)
   }
 
@@ -135,30 +143,33 @@ object Normalize {
     * (PIPE:141-145).
     */
   def authorFullName(given: Column, family: Column, name: Column): Column =
-    normNfc(coalesce(nullif(concat_ws(" ",
-      coalesce(given, lit("")), coalesce(family, lit(""))), lit("")), name))
+    normNfc(coalesce(nullif(trim(concat_ws(" ",
+      coalesce(given, lit("")), coalesce(family, lit("")))), lit("")), name))
 
   /** C8 — ordered country patterns; dict order = priority (PIPE:167-195).
     * Patterns are applied to the C2-normalized (lowercased, accent-folded)
     * affiliation text with word boundaries.
     */
+  // Verbatim from PIPE:167-185 — dict order is match priority. The
+  // accented alternations (españa, perú, …) can never match the
+  // NFKD-folded input; that is reference behavior, preserved knowingly.
   val countryPatterns: Seq[(String, String, String)] = Seq(
     ("ecuador", "EC", "Ecuador"),
+    ("spain|españa", "ES", "Spain"),
+    ("peru|perú", "PE", "Peru"),
     ("colombia", "CO", "Colombia"),
-    ("peru", "PE", "Perú"),
     ("chile", "CL", "Chile"),
     ("argentina", "AR", "Argentina"),
-    ("brasil|brazil", "BR", "Brasil"),
-    ("mexico", "MX", "México"),
-    ("espana|spain", "ES", "España"),
-    ("united states|usa|u\\.s\\.a\\.", "US", "Estados Unidos"),
-    ("united kingdom|uk|england", "GB", "Reino Unido"),
-    ("germany|deutschland|alemania", "DE", "Alemania"),
-    ("france|francia", "FR", "Francia"),
-    ("italy|italia", "IT", "Italia"),
+    ("mexico|méxico", "MX", "Mexico"),
+    ("brazil|brasil", "BR", "Brazil"),
+    ("united states|usa|u\\.s\\.a\\.|u\\.s\\.|estados unidos", "US", "United States"),
+    ("canada|canadá", "CA", "Canada"),
+    ("united kingdom|uk|u\\.k\\.|inglaterra|reino unido", "GB", "United Kingdom"),
+    ("france|francia", "FR", "France"),
+    ("germany|alemania", "DE", "Germany"),
+    ("italy|italia", "IT", "Italy"),
     ("china", "CN", "China"),
-    ("canada", "CA", "Canadá"),
-    ("india", "IN", "India"),
+    ("japan|japón", "JP", "Japan"),
   )
 
   /** C8 — returns ISO2 code from normalized text, null when no match. */
@@ -175,14 +186,15 @@ object Normalize {
     }
 
   /** C9 — sede classification: for UPS affiliations, first of
-    * cuenca→1, quito→2, guayaquil→3 contained in the normalized text,
-    * else 4 ("Otra") (PIPE:632-637). Non-UPS → null.
+    * cuenca→1, quito→2, guayaquil→3 contained in the normalized text;
+    * everything else (incl. all non-UPS affiliations) → 4 "Otra"
+    * (PIPE:630-637: `sede_id = 4` default before the UPS city loop).
     */
   def sedeFromText(isUps: Column, normText: Column): Column =
     when(isUps && normText.contains("cuenca"), 1)
       .when(isUps && normText.contains("quito"), 2)
       .when(isUps && normText.contains("guayaquil"), 3)
-      .when(isUps, 4)
+      .otherwise(4)
 
   /** C12 — ORCID URL strip (PIPE:317). */
   def orcidBare(c: Column): Column =

@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.EventsOps
+
+/** Session/tumbling semantics on planted timelines + a Structured
+  * Streaming smoke run proving the same EventsOps code executes under
+  * readStream (memory sink, processAllAvailable).
+  */
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val planted = Seq(
+    // user 1: two sessions separated by a 40-minute gap
+    (1L, ts("2024-01-01 10:00:00"), "click", 1.0, 100L),
+    (1L, ts("2024-01-01 10:10:00"), "click", 2.0, 101L),
+    (1L, ts("2024-01-01 10:50:00"), "view", 3.0, 102L),
+    // user 2: one session, events 29 minutes apart (inside the gap)
+    (2L, ts("2024-01-01 09:00:00"), "click", 4.0, 103L),
+    (2L, ts("2024-01-01 09:29:00"), "click", 5.0, 104L),
+  ).toDF("user_id", "ts", "event_type", "value", "event_id")
+
+  test("session windows: 30-minute gap islands") {
+    val s = EventsOps.sessions(planted, "30 minutes")
+      .orderBy("user_id", "session_start")
+      .select($"user_id", $"session_start".cast("string"),
+        $"session_end".cast("string"), $"n_events")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(s == Seq(
+      (1L, "2024-01-01 10:00:00", "2024-01-01 10:40:00", 2L),
+      (1L, "2024-01-01 10:50:00", "2024-01-01 11:20:00", 1L),
+      (2L, "2024-01-01 09:00:00", "2024-01-01 09:59:00", 2L)))
+  }
+
+  test("tumbling windows align to the hour") {
+    val t = EventsOps.tumbling(planted, "1 hour")
+      .orderBy("window_start", "event_type")
+      .select($"window_start".cast("string"), $"event_type", $"n_events")
+      .as[(String, String, Long)].collect().toSeq
+    assert(t == Seq(
+      ("2024-01-01 09:00:00", "click", 2L),
+      ("2024-01-01 10:00:00", "click", 2L),
+      ("2024-01-01 10:00:00", "view", 1L)))
+  }
+
+  test("sliding windows double-count into overlapping windows") {
+    val rows = EventsOps.sliding(planted, "1 hour", "30 minutes")
+    // each event lands in exactly 2 windows
+    assert(rows.agg(sum("n_events")).head().getLong(0) == planted.count() * 2)
+  }
+
+  test("bucket dedup keeps one row per (user, type, bucket)") {
+    val dup = planted.unionByName(planted) // replay everything
+    val d = EventsOps.bucketDedup(dup, "10 minutes")
+    assert(d.count() == 5)
+    assert(d.agg(sum("n_dups")).head().getLong(0) == 10)
+  }
+
+  test("streaming: same EventsOps code under readStream") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    planted.write.mode("overwrite").parquet(dir.toString + "/in")
+    val stream = spark.readStream
+      .schema(planted.schema)
+      .parquet(dir.toString + "/in")
+      .withWatermark("ts", "1 hour")
+    val q = EventsOps.tumbling(stream, "1 hour")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("graft_stream_test")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.sql(
+      "SELECT count(*) FROM graft_stream_test").head().getLong(0)
+    assert(got == 3)
+  }
+}

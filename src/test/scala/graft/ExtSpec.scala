@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Similarity, TextStats}
+
+/** Semantics tests for the training-data-pipeline operators on planted
+  * inputs (the synthetic TESTDATA has no real near-duplicates, so the
+  * fuzzy-dedup behavior is asserted here on constructed corpora).
+  */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    // near-dup of 1: one word changed
+    (2L, "the quick brown fox jumps over the lazy cat near the river bank"),
+    // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    // unrelated
+    (4L, "completely different content about spark query engines and joins"),
+    (5L, "another unrelated document mentioning vectors and embeddings"),
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups by content hash") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(g.count() == 4)
+    assert(g.filter($"n_copies" === 2).select("keep_id").as[Long].head() == 1L)
+  }
+
+  test("minhash LSH finds the planted near-dup pair and the exact pair") {
+    val dups = Dedup.minhashNearDups(docs, "doc_id", "text",
+      n = 3, k = 8, bands = 4, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(dups.contains((1L, 3L))) // exact dup: jaccard 1.0
+    assert(dups.contains((1L, 2L)) || dups.contains((2L, 3L)))
+    assert(!dups.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash near-dups: low hamming for near-dups only") {
+    // SimHash needs enough tokens for majority votes to be stable; use
+    // ~60-token docs with a single-word edit.
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val edited = base.replace("token30", "changed")
+    val longDocs = Seq((1L, base), (2L, edited), (3L, base),
+      (4L, (100 to 160).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sigs = longDocs
+      .select($"doc_id", Dedup.simhash64($"text").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(3L)) == 0) // identical text
+    assert(hamming(sigs(1L), sigs(2L)) < 16) // one-word edit → few bits
+    assert(hamming(sigs(1L), sigs(4L)) > 16) // unrelated → far
+    val pairs = Dedup.simhashNearDups(longDocs, "doc_id", "text",
+      maxHamming = 15)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("shingles: word n-grams with short-text fallback") {
+    val sh = Seq("a b c d", "x y").toDF("t")
+      .select(Dedup.shingles($"t", 3)).as[Seq[String]].collect()
+    assert(sh(0) == Seq("a b c", "b c d"))
+    assert(sh(1) == Seq("x y"))
+  }
+
+  test("char shingles") {
+    val sh = Seq("abcd").toDF("t")
+      .select(Dedup.charShingles($"t", 3)).as[Seq[String]].collect()
+    assert(sh(0) == Seq("abc", "bcd"))
+  }
+
+  test("cosine + brute top-k + lsh top-k agreement") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),  // closest
+      (2L, Array(0.5f, 0.5f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),  // orthogonal
+      (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f)), // opposite
+    ).toDF("vec_id", "embedding")
+    val cos = Seq((Array(1.0f, 0f), Array(1.0f, 0f))).toDF("a", "b")
+      .select(Similarity.cosine($"a", $"b")).as[Double].head()
+    assert(math.abs(cos - 1.0) < 1e-12)
+    val topk = Similarity.bruteTopK(vecs, "vec_id", "embedding", 0L, 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(topk == Seq(1L, 2L, 3L))
+    // exact search on the real embeddings: lsh with full probe == brute
+    val emb = Tables.embeddings(spark, sf0001).limit(100).cache()
+    val brute = Similarity.bruteTopK(emb, "vec_id", "embedding", 0L, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    val lshFull = Similarity.lshTopK(emb, "vec_id", "embedding", 0L, 5,
+      nBits = 8, probeHamming = 8) // probe everything → exact
+    assert(lshFull.select("vec_id").as[Long].collect().toSeq == brute)
+    // restricted probe: valid (<=k, unique) approximate result
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", 0L, 5,
+      nBits = 8, probeHamming = 2).select("vec_id").as[Long].collect().toSeq
+    assert(lsh.size <= 5 && lsh.distinct.size == lsh.size)
+  }
+
+  test("embedding near-dups finds planted duplicate vector") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)),
+      (1L, Array(1.0f, 2.0f, 3.0f)),   // exact dup
+      (2L, Array(1.01f, 2.0f, 3.0f)),  // near dup
+      (3L, Array(-3.0f, 1.0f, -2.0f)),
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
+      threshold = 0.999, nBits = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("language id on real-language sentences") {
+    val got = Seq(
+      ("the cat is on the mat and it is happy", "en"),
+      ("el perro de la casa que ladra por las noches", "es"),
+      ("der Hund ist nicht ein Freund und das ist gut", "de"),
+      ("le chat est dans la maison et les oiseaux", "fr"),
+      ("这是一个中文句子", "zh"),
+      ("xyzzy plugh", "und"),
+    ).toDF("text", "expected")
+      .select(TextStats.langId($"text").as("got"), $"expected")
+      .as[(String, String)].collect()
+    got.foreach { case (g, e) => assert(g == e, s"expected $e got $g") }
+  }
+
+  test("fingerprint is order-sensitive; token counts sane") {
+    val fp = Seq("a b c", "c b a", "a b c").toDF("t")
+      .select(TextStats.fingerprint($"t")).as[Long].collect()
+    assert(fp(0) == fp(2) && fp(0) != fp(1))
+    val tc = Seq("hello world, it's 42 degrees").toDF("t")
+      .select(TextStats.tokenCount($"t"), TextStats.bpeishTokens($"t"))
+      .as[(Int, Int)].head()
+    assert(tc._1 == 5)
+    assert(tc._2 == 8) // hello world , it ' s 42 degrees
+  }
+
+  test("quality score ranges and ranking") {
+    val q = Seq(
+      ("a a a a a a a a a a", "rep"), // repetitive → low uniq ratio
+      ("the weather today is pleasant and mildly warm with light winds", "good"),
+    ).toDF("text", "tag")
+      .select($"tag", TextStats.qualityScore($"text").as("q"))
+      .as[(String, Double)].collect().toMap
+    assert(q("rep") < q("good"))
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+}

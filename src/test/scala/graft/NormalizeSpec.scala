@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.norm.Normalize
+
+/** Golden I/O for the scalar layer C1-C12, taken from the reference's
+  * semantics (PIPE:97-195), plus property-based idempotence checks
+  * (plain ScalaCheck generators, sampled manually — no scalatestplus
+  * bridge in the offline dependency set).
+  */
+class NormalizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forAll[A](gen: Gen[A], n: Int = 200)(f: A => Unit): Unit =
+    Iterator.continually(gen.sample).flatten.take(n).foreach(f)
+
+  // --- C1 normNfc (JVM kernel) ---
+  test("C1: html unescape + NFC + whitespace collapse") {
+    assert(Normalize.normNfcJvm("  Ávila  &amp; Co  ") == "Ávila & Co")
+    assert(Normalize.normNfcJvm(null) == "")
+    assert(Normalize.normNfcJvm("") == "")
+    // NFC composes decomposed é (e + combining acute)
+    assert(Normalize.normNfcJvm("José") == "José")
+    assert(Normalize.normNfcJvm("a\t\n b") == "a b")
+    assert(Normalize.normNfcJvm("&lt;x&gt; &#65; &#x42;") == "<x> A B")
+  }
+
+  // --- C2 normKey ---
+  test("C2: NFKD accent fold + lower") {
+    assert(Normalize.normKeyJvm("Universidad Politécnica  SALESIANA") ==
+      "universidad politecnica salesiana")
+    assert(Normalize.normKeyJvm("Müller") == "muller")
+    assert(Normalize.normKeyJvm("España") == "espana")
+    assert(Normalize.normKeyJvm(null) == "")
+  }
+
+  test("C2 property: idempotent") {
+    forAll(Gen.asciiPrintableStr) { s =>
+      val once = Normalize.normKeyJvm(s)
+      assert(Normalize.normKeyJvm(once) == once)
+    }
+  }
+
+  // --- C3 standardizeDoi ---
+  test("C3: DOI prefix strip + lower, idempotent") {
+    val df = Seq(
+      "https://doi.org/10.5678/ABC.DEF",
+      "http://dx.doi.org/10.1/X",
+      "DOI: 10.2/Y",
+      "doi:10.3/Z",
+      "  10.4/W  ",
+      "not-a-doi").toDF("raw")
+    val got = df.select(Normalize.standardizeDoi($"raw")).as[String].collect()
+    assert(got.toSeq == Seq("10.5678/abc.def", "10.1/x", "10.2/y", "10.3/z",
+      "10.4/w", "not-a-doi"))
+    // idempotence: standardize(standardize(x)) == standardize(x)
+    val twice = df.select(Normalize.standardizeDoi(
+      Normalize.standardizeDoi($"raw"))).as[String].collect()
+    assert(twice.toSeq == got.toSeq)
+  }
+
+  // --- C4/C5 date extraction over the priority list ---
+  test("C4/C5: year + date from date-parts priority chain") {
+    val json = Seq(
+      // published-online wins
+      """{"item":{"published-online":{"date-parts":[[2023,5]]},"issued":{"date-parts":[[2020,1,2]]}}}""",
+      // invalid year falls through to issued
+      """{"item":{"published-online":{"date-parts":[[9999]]},"issued":{"date-parts":[[2022,7,9]]}}}""",
+      // nothing valid
+      """{"item":{"created":{"date-parts":[[1500]]}}}""").toDS()
+    // schema-on-read with the full declared work schema (absent fields
+    // become nulls — the ingest contract; see Crossref.envelopeSchema)
+    val df = spark.read.schema(new org.apache.spark.sql.types.StructType()
+      .add("item", graft.ingest.Crossref.workSchema)).json(json)
+    val got = df.select(
+      Normalize.extractYearAny($"item").as("y"),
+      Normalize.extractDateAny($"item").cast("string").as("d"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1))))
+    assert(got(0) == (Some(2023), Some("2023-05-01")))
+    assert(got(1) == (Some(2022), Some("2022-07-09")))
+    assert(got(2) == (None, None))
+  }
+
+  // --- C6 authorFullName ---
+  test("C6: given+family with name fallback") {
+    val df = Seq(
+      ("José", "Pérez", null),
+      (null, "Solo", null),
+      ("", "", "Grupo de Investigación"),
+      (null, null, null),
+    ).toDF("given", "family", "name")
+    val got = df.select(
+      Normalize.authorFullName($"given", $"family", $"name")).as[String]
+      .collect()
+    assert(got.toSeq == Seq("José Pérez", "Solo",
+      "Grupo de Investigación", ""))
+  }
+
+  // --- C8 country patterns ---
+  test("C8: ordered country regex on normalized text") {
+    val cases = Seq(
+      "universidad politecnica salesiana, cuenca, ecuador" -> "EC",
+      "university of california, u.s.a." -> "US",
+      "mit, united states" -> "US",
+      "technische universitat, germany" -> "DE",
+      "espana" -> null, // accented pattern can't match folded text (ref bug kept)
+      "madrid, spain" -> "ES",
+      "no country here" -> null)
+    val df = cases.map(_._1).toDF("t")
+    val got = df.select(Normalize.guessCountryCode($"t")).as[String].collect()
+    assert(got.toSeq == cases.map(_._2).toSeq)
+  }
+
+  // --- C9 sede ---
+  test("C9: sede classification with Otra default") {
+    val df = Seq(
+      (true, "ups cuenca"), (true, "ups quito x"), (true, "ups guayaquil"),
+      (true, "ups elsewhere"), (false, "cuenca but not ups"))
+      .toDF("ups", "t")
+    val got = df.select(Normalize.sedeFromText($"ups", $"t")).as[Int].collect()
+    assert(got.toSeq == Seq(1, 2, 3, 4, 4))
+  }
+
+  // --- C12 orcid ---
+  test("C12: ORCID URL strip") {
+    val df = Seq("https://orcid.org/0000-0001", "0000-0002", " ", null)
+      .toDF("o")
+    val got = df.select(Normalize.orcidBare($"o")).as[String].collect()
+    assert(got.toSeq == Seq("0000-0001", "0000-0002", null, null))
+  }
+
+  // --- C15 keyword split ---
+  test("C15: keyword split trims and drops empties") {
+    val df = Seq("Cuenca; azuay ;;", "").toDF("k")
+    val got = df.select(Normalize.keywordSplit($"k")).as[Seq[String]].collect()
+    assert(got(0) == Seq("cuenca", "azuay"))
+    assert(got(1) == Seq.empty)
+  }
+
+  // --- A2 ordering invariance (property) ---
+  test("A2: string rollup is input-order invariant") {
+    val base = Seq("b", "a", "c", "a", "b")
+    val agg = (xs: Seq[String]) => xs.toDF("v")
+      .agg(concat_ws("; ", array_sort(collect_set($"v")))).as[String].head()
+    assert(agg(base) == "a; b; c")
+    assert(agg(base.reverse) == "a; b; c")
+  }
+}

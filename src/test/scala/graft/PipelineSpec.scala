@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.Warehouse
+import graft.query.Dashboard
+
+/** End-to-end golden test of the reference pipeline over the CrossRef
+  * JSONL fixture (src/test/resources/crossref): ingest → catalog →
+  * flat view → dashboard aggregations, plus idempotence (K1) and
+  * incremental-dimension-merge invariants.
+  *
+  * Golden values derived by hand from the fixture + the reference's rules
+  * (see scaladoc in each module). Known deterministic divergence: entity
+  * display names pick the lexicographic min across unified spellings
+  * ("J. Pérez" < "José Pérez"), not the arrival-order-first.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir() =
+    Files.createTempDirectory("graft_wh").toString
+
+  private lazy val pages = resource("crossref")
+  private lazy val csv = resource("ups_institucional.csv")
+
+  test("e2e: ingest + catalog + flat view golden") {
+    val dir = freshDir()
+    val vista = Pipeline.runAll(spark, pages, csv, dir).cache()
+
+    // 4 UPS-gated works (non-UPS and empty-DOI items dropped; in-batch
+    // duplicate DOI collapsed).
+    assert(vista.count() == 4)
+    assert(vista.select("doi").as[String].collect().sorted.toSeq ==
+      Seq("10.1/aaa", "10.2/bbb", "10.5/eee", "10.6/fff"))
+
+    // Dimensions cover ALL scanned works (incl. the rejected non-UPS one);
+    // the two ORCID-unified Pérez spellings are one entity; the
+    // zero-affiliation author is absent.
+    val autores = Warehouse.read(spark, dir, "autores")
+    assert(autores.count() == 5)
+    assert(autores.filter($"orcid" === "0000-0001-0000-0001").count() == 1)
+    assert(autores.filter($"nombreBusqueda" === "zero aff").count() == 0)
+    val afil = Warehouse.read(spark, dir, "afiliaciones")
+    assert(afil.count() == 7)
+    // non-UPS affiliation from the rejected work is present, got
+    // country EC and the keyword relabel to sede 1 ("cuenca").
+    val udc = afil.filter($"afiliacionBusqueda" === "universidad de cuenca, ecuador")
+      .select("esUps", "countryCode", "sedeId").head()
+    assert(udc.getBoolean(0) == false)
+    assert(udc.getString(1) == "EC")
+    assert(udc.getInt(2) == 1)
+
+    // per-work rollups
+    val row1 = vista.filter($"doi" === "10.1/aaa").head()
+    def s(n: String) = row1.getAs[String](n)
+    assert(s("titulo") == "Análisis & Diseño de Sistemas")
+    assert(row1.getAs[Int]("anio") == 2023)
+    assert(s("editorial") == "Editorial \"Andina\"")
+    assert(s("autores") == "Anna Müller; J. Pérez")
+    assert(s("paisesCodigo") == "EC; US")
+    assert(s("paises") == "Ecuador; United States")
+    assert(s("sedes") == "Otra; Sede Cuenca")
+    assert(s("areas") == "Ciencias de la Vida; No definida")
+    assert(s("temas") == "Computer Science; Engineering")
+    assert(row1.getAs[Boolean]("upsFlag"))
+
+    val row6 = vista.filter($"doi" === "10.6/fff").head()
+    assert(row6.getAs[String]("paisesCodigo") == "DE; EC")
+    assert(row6.getAs[String]("sedes") == "Otra")
+    assert(row6.getAs[java.sql.Date]("fechaPublicacion").toString ==
+      "2025-01-03")
+
+    // dashboard aggregations (A9-A11)
+    val byYear = Dashboard.worksPerYear(vista)
+      .as[(Int, Long)].collect().toSeq
+    assert(byYear == Seq((2022, 1L), (2023, 1L), (2024, 1L), (2025, 1L)))
+    val byCountry = Dashboard.worksPerCountry(vista)
+      .as[(String, Long)].collect().toSeq
+    assert(byCountry == Seq(("DE", 1L), ("EC", 4L), ("US", 1L)))
+    val byArea = Dashboard.worksPerArea(vista)
+      .as[(String, Long)].collect().toSeq
+    assert(byArea == Seq(("Ciencias Sociales y Humanas", 1L),
+      ("Ciencias de la Vida", 1L), ("Ingenierías y Arquitectura", 1L),
+      ("No definida", 2L)))
+
+    // dashboard filter pushdown surface
+    assert(Dashboard.worksPerYear(vista,
+      Dashboard.Filters(anioFrom = Some(2024))).count() == 2)
+    assert(Dashboard.worksPerCountry(vista,
+      Dashboard.Filters(sede = Some("Sede Quito")))
+      .as[(String, Long)].collect().toSeq == Seq(("EC", 1L)))
+  }
+
+  test("K1 idempotence: re-running ingest is a no-op") {
+    val dir = freshDir()
+    Pipeline.ingest(spark, pages, dir)
+    val obras1 = Warehouse.read(spark, dir, "obras").count()
+    val oaa1 = Warehouse.read(spark, dir, "obra_autor_afiliacion")
+      .orderBy("doi", "autorId", "afiliacionId").collect().toSeq
+    Pipeline.ingest(spark, pages, dir)
+    assert(Warehouse.read(spark, dir, "obras").count() == obras1)
+    assert(Warehouse.read(spark, dir, "obra_autor_afiliacion")
+      .orderBy("doi", "autorId", "afiliacionId").collect().toSeq == oaa1)
+    assert(Warehouse.read(spark, dir, "obra_tema").count() == 5)
+  }
+
+  test("incremental ingest preserves dimension ids") {
+    val dir = freshDir()
+    Pipeline.ingest(spark, pages + "/page1.jsonl", dir)
+    val idsBefore = Warehouse.read(spark, dir, "autores")
+      .select("nombreBusqueda", "autorId").as[(String, Long)].collect().toMap
+    Pipeline.ingest(spark, pages + "/page2.jsonl", dir)
+    val after = Warehouse.read(spark, dir, "autores")
+    val idsAfter = after
+      .select("nombreBusqueda", "autorId").as[(String, Long)].collect().toMap
+    // every pre-existing entity kept its id
+    idsBefore.foreach { case (k, id) => assert(idsAfter(k) == id) }
+    // the page2 "J. Pérez" occurrence resolved to the existing ORCID
+    // entity (no new author row for it)
+    assert(after.filter($"nombreBusqueda" === "j. perez").count() == 0)
+    // full pipeline over the incremental warehouse matches the one-shot run
+    Pipeline.integrateCatalog(spark, csv, dir)
+    val vista = Pipeline.buildFlatView(spark, dir)
+    assert(vista.count() == 4)
+    assert(vista.filter($"doi" === "10.5/eee").head()
+      .getAs[String]("autores") == "José Pérez")
+  }
+}

@@ -1,0 +1,30 @@
+package graft
+
+/** Smoke coverage: every graded query runs at sf0.001 and produces a
+  * well-formed result (schema non-empty; rows > 0 except the queries whose
+  * correct result is legitimately empty on this synthetic data).
+  */
+class QueriesSpec extends SparkSpec {
+
+  private val mayBeEmpty = Set(
+    "q08_anti_join",       // every customer has orders at tiny SF
+    "q27_minhash_bands",   // no near-dup documents in synthetic data
+    "q36_minhash_fast", "q37_simhash")
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001") {
+      val df = fn(spark, sf0001)
+      assert(df.schema.fields.nonEmpty)
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
