@@ -61,28 +61,19 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
-    // Portable MinHash signature (K=4, 3-word shingles, md5 family).
+    // Portable MinHash signature (K=4, 3-word shingles, md5 family),
+    // computed explode-side with partial-aggregated min (codegen'd).
     "q26_minhash_sig" -> ((s, d) => {
-      val sh = Dedup.shingles(col("text"), 3)
-      documents(s, d).select(
-        col("doc_id"),
-        Dedup.minhashMd5(sh, 0).as("mh0"),
-        Dedup.minhashMd5(sh, 1).as("mh1"),
-        Dedup.minhashMd5(sh, 2).as("mh2"),
-        Dedup.minhashMd5(sh, 3).as("mh3"))
+      Dedup.minhashSignatures(documents(s, d), "doc_id", "text",
+        n = 3, k = 4, portable = true)
         .orderBy("doc_id")
     }),
 
     // LSH band join on the portable signature: 2 bands × 2 rows.
     // Candidates = docs agreeing on a full band (equi-join, no cross).
     "q27_minhash_bands" -> ((s, d) => {
-      val sh = Dedup.shingles(col("text"), 3)
-      val sigs = documents(s, d).select(
-        col("doc_id"),
-        Dedup.minhashMd5(sh, 0).as("mh0"),
-        Dedup.minhashMd5(sh, 1).as("mh1"),
-        Dedup.minhashMd5(sh, 2).as("mh2"),
-        Dedup.minhashMd5(sh, 3).as("mh3"))
+      val sigs = Dedup.minhashSignatures(documents(s, d), "doc_id", "text",
+        n = 3, k = 4, portable = true)
       val b1 = sigs.select(col("doc_id"), col("mh0").as("k1"), col("mh1").as("k2"))
       val b2 = sigs.select(col("doc_id"), col("mh2").as("k1"), col("mh3").as("k2"))
       val banded = b1.unionByName(b2)
