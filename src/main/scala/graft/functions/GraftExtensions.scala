@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+/** Optimizer rule: rewrite the declarative higher-order-function dot
+  * product
+  * {{{ aggregate(zip_with(a, b, (x, y) -> x * y), 0.0, (acc, v) -> acc + v) }}}
+  * into the codegen'd `VecDot(a, b)` kernel when both inputs are
+  * `array<float>`. Users (and our own older call sites) writing the
+  * idiomatic HOF form get kernel performance without changing code; the
+  * accumulation order is identical (left-to-right double adds), so the
+  * rewrite is result-preserving bit-for-bit.
+  */
+object VecDotRewrite extends Rule[LogicalPlan] {
+
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** x (a lambda variable), possibly wrapped in a cast to double. */
+  private def isVarOrDoubleCast(e: Expression, v: NamedLambdaVariable): Boolean =
+    e match {
+      case nv: NamedLambdaVariable => nv.exprId == v.exprId
+      case Cast(nv: NamedLambdaVariable, DoubleType, _, _) =>
+        nv.exprId == v.exprId
+      case _ => false
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case agg @ ArrayAggregate(
+          ZipWith(a, b, LambdaFunction(Multiply(mx, my, _),
+            Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
+          Literal(0.0, DoubleType),
+          LambdaFunction(Add(macc, mv, _),
+            Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
+          finish @ LambdaFunction(fin: NamedLambdaVariable,
+            Seq(fv: NamedLambdaVariable), _))
+          if isFloatArray(a) && isFloatArray(b) &&
+            isVarOrDoubleCast(mx, x) && isVarOrDoubleCast(my, y) &&
+            isVarOrDoubleCast(macc, acc) && isVarOrDoubleCast(mv, v) &&
+            fin.exprId == fv.exprId =>
+        VecDot(a, b)
+    }
+}
+
+/** Session extension entry point:
+  * {{{ spark.sql.extensions=graft.functions.GraftExtensions }}}
+  * (or `SparkSession.builder().withExtensions(new GraftExtensions)`).
+  * Injects the VecDot optimizer rule and the engine's SQL functions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => VecDotRewrite)
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (exprs: Seq[Expression]) => WordShingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Int])))
+  }
+}

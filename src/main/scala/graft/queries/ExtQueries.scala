@@ -150,6 +150,27 @@ object ExtQueries {
       Dedup.simhashNearDups(documents(s, d), "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")
     }),
+
+    // Multimodal plumbing: synthetic media table → mapPartitions decode
+    // (stubbed kernel) → per-item frame/byte accounting. The metadata
+    // rules are pure functions of the documents table, so the oracle can
+    // replay them without the binary column.
+    "q38_media_features" -> ((s, d) => {
+      val media = graft.ext.Multimodal.syntheticMedia(s, documents(s, d))
+      graft.ext.Multimodal.extractFeatures(media)
+        .groupBy(col("mediaId").as("media_id"), col("kind"))
+        .agg(count(lit(1)).as("n_frames"), min("byteLen").as("byte_len"))
+        .orderBy("media_id")
+    }),
+
+    // Multimodal near-dup composition (stub features) — rows-only check;
+    // semantics covered by MultimodalSpec.
+    "q39_media_neardup" -> ((s, d) => {
+      graft.ext.Multimodal.nearDupMedia(
+        graft.ext.Multimodal.syntheticMedia(s, documents(s, d)),
+        threshold = 0.9999)
+        .orderBy("id_a", "id_b")
+    }),
   )
 
   private val dotSql = (v: String, q: String) =>
@@ -359,7 +380,16 @@ object ExtQueries {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE (${cosineSql("a.embedding", "b.embedding")}) >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
-    // q36/q37: xxhash64-based fast paths — not oracle-expressible;
-    // driver records rows-only, semantics covered by DedupSpec.
+    "q38_media_features" ->
+      """SELECT doc_id AS media_id,
+        |  CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'image'
+        |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CASE WHEN doc_id % 3 = 2
+        |    THEN greatest(1, least(16, (n_chars * 100) // 1000))
+        |    ELSE 1 END AS n_frames,
+        |  cast(length(text) AS bigint) AS byte_len
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // q36/q37/q39: stub-hash / xxhash64 fast paths — not oracle-
+    // expressible; driver records rows-only, semantics covered by specs.
   )
 }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VecDot, VecDotRewrite, VectorFunctions}
+
+/** The VecDot custom expression and the HOF→kernel optimizer rule. */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+    (Array(0.5f, -1.5f, 2.5f), Array(-2.0f, 0.25f, 8.0f)),
+  ).toDF("a", "b")
+
+  private def hofDot = aggregate(
+    zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+    lit(0.0), (acc, v) => acc + v)
+
+  test("VecDot equals the interpreted HOF fold bit-for-bit") {
+    val kernel = vecs.select(VectorFunctions.vecDot($"a", $"b"))
+      .as[Double].collect().toSeq
+    val hof = vecs.select(hofDot).as[Double].collect().toSeq
+    assert(kernel == hof)
+    assert(kernel(0) == 32.0)
+  }
+
+  test("VecDot null and length-mismatch behavior") {
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f)), Some(Array(3.0f))), // min-length semantics
+      (None, Some(Array(1.0f)))).toDF("a", "b")
+    val got = df.select(VectorFunctions.vecDot($"a", $"b"))
+      .collect().map(r => Option(r.get(0)))
+    assert(got(0).contains(3.0))
+    assert(got(1).isEmpty)
+  }
+
+  test("VecDotRewrite rewrites the declarative pattern in the plan") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ VecDotRewrite
+    try {
+      // parquet-backed source — a literal-backed frame would be fully
+      // constant-folded before the rule could be observed
+      val emb = Tables.embeddings(spark, sf0001).limit(20)
+        .select($"vec_id", $"embedding".as("a"), $"embedding".as("b"))
+      val q = emb.select($"vec_id", hofDot.as("d"))
+      val optimized = q.queryExecution.optimizedPlan
+      val hasKernel = optimized.collect { case n => n }
+        .flatMap(_.expressions).exists(_.exists {
+          case _: VecDot => true; case _ => false
+        })
+      assert(hasKernel, s"no VecDot in:\n$optimized")
+      val viaRule = q.orderBy("vec_id").select("d").as[Double].collect().toSeq
+      val direct = emb.select($"vec_id",
+        VectorFunctions.vecDot($"a", $"b").as("d"))
+        .orderBy("vec_id").select("d").as[Double].collect().toSeq
+      assert(viaRule == direct)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == VecDotRewrite)
+    }
+  }
+
+  test("word_shingles SQL function via extensions class") {
+    // register through the same injection path the extensions class uses
+    new graft.functions.GraftExtensions()
+    val sh = Seq("a b c d").toDF("t")
+      .select(graft.functions.ShingleFunctions.wordShingles($"t", 2))
+      .as[Seq[String]].head()
+    assert(sh == Seq("a b", "b c", "c d"))
+  }
+}

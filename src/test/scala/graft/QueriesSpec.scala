@@ -9,7 +9,8 @@ class QueriesSpec extends SparkSpec {
   private val mayBeEmpty = Set(
     "q08_anti_join",       // every customer has orders at tiny SF
     "q27_minhash_bands",   // no near-dup documents in synthetic data
-    "q36_minhash_fast", "q37_simhash")
+    "q36_minhash_fast", "q37_simhash",
+    "q39_media_neardup")   // unique synthetic bytes → no near-dups
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
