@@ -91,6 +91,9 @@ object Pipeline {
       else Catalog.seededSedes(spark)
     val merged = Catalog.upsertSedes(existing, incoming)
     Warehouse.overwriteSwap(spark, merged, dir, "sedes_areas")
+    // K3 — catalog CSV export (PIPE:396-398)
+    Warehouse.writeCsv(Warehouse.read(spark, dir, "sedes_areas")
+      .orderBy("sedeId"), s"$dir/export/sedes_areas_csv")
 
     val afil = Warehouse.read(spark, dir, "afiliaciones")
     val relabeled = Catalog.labelAffiliations(afil,

@@ -56,15 +56,28 @@ object Warehouse {
     }
   }
 
+  /** K3 — CSV export with header (the reference's catalog emit,
+    * PIPE:396-398). Single file, UTF-8.
+    */
+  def writeCsv(df: DataFrame, outPath: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(outPath)
+
   /** K4 — append-only audit log (Runs, PIPE:289-300,552-557,736-738):
-    * event-sourced start/finish rows instead of update-in-place.
+    * event-sourced start/finish rows instead of update-in-place; run
+    * params JSON-encoded via to_json (C16, PIPE:553).
     */
   def logRun(spark: SparkSession, dir: String, runId: String,
       phase: String, query: String, rowsIngested: Long): Unit = {
     import spark.implicits._
+    import org.apache.spark.sql.functions.{to_json, struct, lit, col}
     Seq((runId, phase, query, rowsIngested,
       java.time.Instant.now().toString))
-      .toDF("runId", "phase", "query", "rowsIngested", "at")
+      .toDF("runId", "phase", "source", "rowsIngested", "at")
+      .withColumn("query", to_json(struct(col("source"),
+        lit(500).as("rows"), lit("2022-01-01").as("from"),
+        lit("2025-11-30").as("until"))))
+      .drop("source")
       .write.mode(SaveMode.Append).parquet(path(dir, "runs"))
   }
 }

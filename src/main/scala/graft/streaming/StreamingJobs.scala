@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming entry points over the events stream. The
+  * transforms are the SAME EventsOps code used in batch — these wrappers
+  * add the streaming-only concerns: source schema, watermarks, output
+  * modes, and custom state (flatMapGroupsWithState) for the one shape the
+  * built-in windows can't express (emit-on-close sessions with per-user
+  * running aggregates).
+  */
+object StreamingJobs {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream of event parquet/json drops. */
+  def readEvents(spark: SparkSession, path: String,
+      format: String = "parquet"): DataFrame = {
+    val r = spark.readStream.schema(eventSchema)
+    (format match {
+      case "parquet" => r.parquet(path)
+      case "json" => r.json(path)
+      case other => sys.error(s"unsupported stream format: $other")
+    }).withWatermark("ts", "1 hour")
+  }
+
+  /** Watermarked tumbling aggregation (append mode downstream). */
+  def tumbling(events: DataFrame, width: String): DataFrame =
+    EventsOps.tumbling(events, width)
+
+  /** Watermarked session windows per user. */
+  def sessions(events: DataFrame, gap: String): DataFrame =
+    EventsOps.sessions(events, gap)
+
+  /** Event-time-bounded streaming dedup: one row per (user, type) within
+    * the watermark horizon — state is dropped once the watermark passes.
+    */
+  def dedup(events: DataFrame): DataFrame =
+    events.dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+
+  // ------------------------------------------------------------------
+  // Custom state: emit-on-close sessions
+  // ------------------------------------------------------------------
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionState(start: Long, lastTs: Long, nEvents: Long,
+      total: Double)
+
+  case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Per-user sessionization with custom state: a session closes after
+    * `gapMs` of inactivity (processing-time timeout) and is emitted
+    * exactly once. This is the `flatMapGroupsWithState` surface —
+    * arbitrary per-key state the built-in session_window can't carry
+    * (e.g. running totals exposed mid-session, enrichment, caps).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long)
+      : Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[Event],
+            state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(userId,
+              new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.lastTs), s.nEvents, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs < gapMs =>
+                  cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= ClosedSession(userId,
+                    new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.lastTs), s.nEvents, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -86,6 +86,14 @@ class PipelineSpec extends SparkSpec {
       ("Ciencias de la Vida", 1L), ("Ingenierías y Arquitectura", 1L),
       ("No definida", 2L)))
 
+    // K3 csv export + K4 run log
+    val csvOut = spark.read.option("header", "true")
+      .csv(s"$dir/export/sedes_areas_csv")
+    assert(csvOut.count() == 4)
+    val runs = Warehouse.read(spark, dir, "runs")
+    assert(runs.filter($"phase" === "finish").count() == 1)
+    assert(runs.select("query").as[String].head().startsWith("{"))
+
     // dashboard filter pushdown surface
     assert(Dashboard.worksPerYear(vista,
       Dashboard.Filters(anioFrom = Some(2024))).count() == 2)

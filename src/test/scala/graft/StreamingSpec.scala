@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamingJobs
+import graft.streaming.StreamingJobs.Event
+
+/** Streaming surface: watermarked dedup, session windows under
+  * readStream, and the custom flatMapGroupsWithState sessionizer.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val events = Seq(
+    Event(1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+    Event(2L, ts("2024-01-01 10:10:00"), 1L, "click", 2.0),
+    Event(3L, ts("2024-01-01 11:30:00"), 1L, "view", 3.0),
+    Event(4L, ts("2024-01-01 09:00:00"), 2L, "click", 4.0),
+    // duplicate of event 4's (user, type) within the horizon
+    Event(5L, ts("2024-01-01 09:10:00"), 2L, "click", 5.0),
+  )
+
+  private def streamDir(): String = {
+    val dir = Files.createTempDirectory("graft_sj").toString
+    events.toDF()
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    s"$dir/in"
+  }
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String): Unit = {
+    val q = df.writeStream.outputMode(mode).format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    ()
+  }
+
+  test("streaming dedup within watermark") {
+    val in = StreamingJobs.readEvents(spark, streamDir())
+    runToMemory(StreamingJobs.dedup(in), "sj_dedup", "append")
+    // 3 distinct (user, type) pairs survive from 5 events:
+    // (1,click), (1,view), (2,click)
+    assert(spark.table("sj_dedup").count() == 3)
+  }
+
+  test("streaming session windows emit after watermark passes") {
+    val in = StreamingJobs.readEvents(spark, streamDir())
+    runToMemory(StreamingJobs.sessions(in, "30 minutes"),
+      "sj_sessions", "append")
+    // watermark after the single batch = max(ts) - 1h = 10:30; only
+    // sessions that END before it are final and emitted in append mode:
+    // user 2's 09:00-09:40 session. The others stay in state (would emit
+    // on a later batch).
+    val got = spark.table("sj_sessions")
+      .orderBy("user_id", "session_start")
+      .select($"user_id", $"n_events").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 2L)))
+  }
+
+  test("flatMapGroupsWithState sessionizer closes sessions on gap") {
+    // batch Dataset drive of the same state function shape: sessions
+    // close inline when a later event arrives past the gap
+    val ds = events.toDS()
+    val closed = StreamingJobs.sessionize(ds, gapMs = 30 * 60 * 1000L)
+    val got = closed.orderBy("user_id", "session_start")
+      .select($"user_id", $"n_events", $"total_value")
+      .as[(Long, Long, Double)].collect().toSeq
+    // only sessions closed by a subsequent event appear in batch mode
+    // (the final open session per user stays in state)
+    assert(got == Seq((1L, 2L, 3.0)))
+  }
+}
