@@ -50,7 +50,8 @@ object Pipeline {
 
     // Facts — idempotent keyed appends (K1).
     val obras = gated.drop("author", "subject")
-    Warehouse.idempotentAppend(spark, obras, dir, "obras", Seq("doi"))
+    Warehouse.idempotentAppend(spark, obras, dir, "obras", Seq("doi"),
+      partitionCols = Seq("anio"))
     Warehouse.idempotentAppend(spark, Crossref.obraTema(gated), dir,
       "obra_tema", Seq("doi", "tema"))
 

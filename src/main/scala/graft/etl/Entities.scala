@@ -29,11 +29,32 @@ import graft.norm.Normalize
   */
 object Entities {
 
-  /** Deterministic dense surrogate ids 1..n over `keyCol` (+ `offset`). */
+  /** Deterministic dense surrogate ids 1..n over `keyCol` (+ `offset`).
+    * Single-partition window — fine for small increments (the incremental
+    * merge's novel set); use `surrogateIdsDistributed` for full builds.
+    */
   def surrogateIds(df: DataFrame, keyCol: String, idCol: String,
       offset: Long = 0L): DataFrame =
     df.withColumn(idCol,
       (row_number().over(Window.orderBy(col(keyCol))) + offset))
+
+  /** Same ids as `surrogateIds` (dense, ordered by `keyCol`), computed
+    * distributed: range-partitioned sort + `zipWithIndex` (one extra
+    * count job for partition offsets, no single-partition stage). This is
+    * the 100 TB-safe path for full dimension builds.
+    */
+  def surrogateIdsDistributed(df: DataFrame, keyCol: String, idCol: String,
+      offset: Long = 0L): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(col(keyCol))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        idCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L + offset))
+    }
+    spark.createDataFrame(indexed, schema)
+  }
 
   /** Author dimension from (work, author) occurrences
     * (`Crossref.authorOccurrences` shape: nombreLimpio, nombreBusqueda,
@@ -52,7 +73,7 @@ object Entities {
       .agg(min(col("nombreBusqueda")).as("nombreBusqueda"),
         min(col("nombreLimpio")).as("nombreLimpio"),
         min(col("orcidProp")).as("orcid"))
-    surrogateIds(entities, "entityKey", "autorId")
+    surrogateIdsDistributed(entities, "entityKey", "autorId")
       .select("autorId", "nombreLimpio", "nombreBusqueda", "orcid",
         "entityKey")
   }
@@ -159,7 +180,7 @@ object Entities {
       .withColumn("sedeId",
         Normalize.sedeFromText(col("esUps"), col("afiliacionBusqueda")))
       .drop("countryCode0")
-    surrogateIds(entities, "afiliacionBusqueda", "afiliacionId")
+    surrogateIdsDistributed(entities, "afiliacionBusqueda", "afiliacionId")
       .select("afiliacionId", "cadenaLiteral", "afiliacionBusqueda",
         "sedeId", "countryCode", "countryName", "esUps")
   }

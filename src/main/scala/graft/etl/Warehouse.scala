@@ -43,16 +43,24 @@ object Warehouse {
     ()
   }
 
-  /** K1 — keyed idempotent append. */
+  /** K1 — keyed idempotent append. `partitionCols` (e.g. `anio` on obras)
+    * lay the table out for partition pruning of the dashboard's year
+    * filters — at scale the anti-join also prunes to touched partitions.
+    */
   def idempotentAppend(spark: SparkSession, df: DataFrame, dir: String,
-      table: String, keys: Seq[String]): Unit = {
+      table: String, keys: Seq[String],
+      partitionCols: Seq[String] = Nil): Unit = {
     val deduped = df.dropDuplicates(keys)
+    def writer(d: DataFrame, mode: SaveMode) = {
+      val w = d.write.mode(mode)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(path(dir, table))
+    }
     if (!exists(spark, dir, table)) {
-      deduped.write.mode(SaveMode.Overwrite).parquet(path(dir, table))
+      writer(deduped, SaveMode.Overwrite)
     } else {
       val existing = read(spark, dir, table).select(keys.map(col): _*)
-      deduped.join(existing, keys, "left_anti")
-        .write.mode(SaveMode.Append).parquet(path(dir, table))
+      writer(deduped.join(existing, keys, "left_anti"), SaveMode.Append)
     }
   }
 

@@ -145,15 +145,17 @@ object CoreQueries {
     }),
 
     // J8 — batch entity resolution with deterministic surrogate IDs:
-    // group by natural key, first-non-null attribute, row_number surrogate
-    // (replaces the reference's row-at-a-time upsert PIPE:312-340).
+    // group by natural key, first-non-null attribute, dense ids via
+    // distributed sort+zipWithIndex (same values as a global row_number,
+    // no single-partition stage; replaces the reference's row-at-a-time
+    // upsert PIPE:312-340).
     "q11_entity_resolution" -> ((s, d) => {
       val byKey = customer(s, d)
         .groupBy(lower(col("c_name")).as("name_key"))
         .agg(min("c_mktsegment").as("segment"),
           count(lit(1)).as("n_records"))
-      byKey.withColumn("entity_id",
-          row_number().over(Window.orderBy("name_key")))
+      graft.etl.Entities
+        .surrogateIdsDistributed(byKey, "name_key", "entity_id")
         .select("entity_id", "name_key", "segment", "n_records")
         .orderBy("entity_id")
     }),
