@@ -163,6 +163,23 @@ object ExtQueries {
         .orderBy("media_id")
     }),
 
+    // Semi-structured JSON column: schema-on-read of events.props with
+    // from_json (the engine's JSON-path surface; CrossRef ingest uses the
+    // same declared-schema approach at the envelope level).
+    "q40_props_json" -> ((s, d) => {
+      events(s, d)
+        .select(from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType))))
+          .getField("k").as("k"), col("value"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+        .orderBy("k_bucket")
+    }),
+
     // Multimodal near-dup composition (stub features) — rows-only check;
     // semantics covered by MultimodalSpec.
     "q39_media_neardup" -> ((s, d) => {
@@ -389,6 +406,11 @@ object ExtQueries {
         |    ELSE 1 END AS n_frames,
         |  cast(length(text) AS bigint) AS byte_len
         |FROM documents ORDER BY media_id""".stripMargin,
+    "q40_props_json" ->
+      """SELECT cast(json_extract(props, '$.k') AS int) % 10 AS k_bucket,
+        |  count(*) AS n,
+        |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
+        |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
     // q36/q37/q39: stub-hash / xxhash64 fast paths — not oracle-
     // expressible; driver records rows-only, semantics covered by specs.
   )

@@ -1,0 +1,68 @@
+package graft
+
+import scala.util.Random
+
+import graft.etl.Entities
+
+/** Entity-resolution determinism properties (SURVEY §5.3): identical input
+  * multisets produce identical id assignments regardless of row order or
+  * partitioning; ORCID propagation and unification behave like the
+  * reference's probe chain.
+  */
+class EntitiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val baseOcc = Seq(
+    // (doi, nombreLimpio, nombreBusqueda, orcid, autorSecuencia)
+    ("10.1/a", "José Pérez", "jose perez", "0001", "first"),
+    ("10.2/b", "J. Pérez", "j. perez", "0001", "first"), // same ORCID
+    ("10.3/c", "Anna Müller", "anna muller", null, "additional"),
+    ("10.3/c", "Anna Müller", "anna muller", "0002", "first"), // backfill
+    ("10.4/d", "Solo Name", "solo name", null, "first"),
+  )
+
+  private def toDf(rows: Seq[(String, String, String, String, String)]) =
+    rows.toDF("doi", "nombreLimpio", "nombreBusqueda", "orcid",
+      "autorSecuencia")
+
+  test("ER stability: shuffled input ⇒ identical entities and ids") {
+    val expected = Entities.resolveAuthors(toDf(baseOcc))
+      .select("autorId", "nombreBusqueda", "orcid")
+      .collect().map(_.toSeq).toSet
+    val rnd = new Random(7)
+    (1 to 5).foreach { i =>
+      val shuffled = rnd.shuffle(baseOcc)
+      val got = Entities.resolveAuthors(
+        toDf(shuffled).repartition(1 + i % 4))
+        .select("autorId", "nombreBusqueda", "orcid")
+        .collect().map(_.toSeq).toSet
+      assert(got == expected, s"divergence on shuffle $i")
+    }
+  }
+
+  test("ORCID unification and backfill") {
+    val autores = Entities.resolveAuthors(toDf(baseOcc)).cache()
+    // two Pérez spellings unified under the shared ORCID
+    assert(autores.count() == 3)
+    // Anna's null-orcid occurrence got the propagated ORCID
+    assert(autores.filter($"nombreBusqueda" === "anna muller")
+      .select("orcid").as[String].head() == "0002")
+    // mapping probes ORCID first: the j. perez occurrence maps to the
+    // unified entity
+    val mapped = Entities.mapOccurrencesToAuthors(toDf(baseOcc), autores)
+    assert(mapped.filter($"doi" === "10.2/b").select("autorId")
+      .as[Long].head() ==
+      autores.filter($"orcid" === "0001").select("autorId").as[Long].head())
+  }
+
+  test("distributed surrogate ids equal the window formulation") {
+    val df = (1 to 500).map(i => (s"key_${"%03d".format(i)}", i))
+      .toDF("k", "payload")
+    val viaWindow = Entities.surrogateIds(df, "k", "id")
+      .select("k", "id").as[(String, Long)].collect().toMap
+    val viaZip = Entities.surrogateIdsDistributed(
+      df.repartition(8), "k", "id")
+      .select("k", "id").as[(String, Long)].collect().toMap
+    assert(viaZip == viaWindow)
+  }
+}
