@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline:
@@ -34,6 +34,39 @@ object TextStats {
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
     "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans", "pour"),
   )
+
+  /** Dataset-level language ID: same decision rule as `langId`, computed
+    * via one token explode + broadcast marker join + conditional sums —
+    * fully codegen'd, one shuffle (vs 4 interpreted list filters per row).
+    * Returns the input plus a `lang_guess` column.
+    */
+  def withLangId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val markers = broadcast(stopwords.toSeq
+      .flatMap { case (lang, ws) => ws.map(w => (w, lang)) }
+      .toDF("t", "marker_lang"))
+    val aggs = stopwords.keys.toSeq.sorted.map(l =>
+      sum(when(col("marker_lang") === l, 1).otherwise(0)).as(s"s_$l"))
+    val counts = df
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("t"))
+      .join(markers, Seq("t"))
+      .groupBy(idCol)
+      .agg(aggs.head, aggs.tail: _*)
+    val joined = df.join(counts, Seq(idCol), "left")
+      .na.fill(0, stopwords.keys.toSeq.sorted.map(l => s"s_$l"))
+    val scores = stopwords.keys.toSeq.sorted.map(l => l -> col(s"s_$l"))
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    val pick = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    val cjk = length(regexp_replace(col(textCol),
+      "[^\\x{4e00}-\\x{9fff}]", ""))
+    joined
+      .withColumn("lang_guess",
+        when(cjk * 2 > length(col(textCol)), lit("zh")).otherwise(pick))
+      .drop(stopwords.keys.toSeq.sorted.map(l => s"s_$l"): _*)
+  }
 
   /** Language ID: CJK-character ratio short-circuit, else the language
     * whose stopword list matches most tokens; "und" when nothing matches.

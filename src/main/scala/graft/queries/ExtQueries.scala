@@ -44,10 +44,11 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
-    // Language ID heuristic + agreement with the labeled lang column.
+    // Language ID heuristic + agreement with the labeled lang column
+    // (explode + broadcast marker join — one shuffle, all codegen).
     "q24_lang_id" -> ((s, d) => {
-      documents(s, d)
-        .select(TextStats.langId(col("text")).as("guess"), col("lang"))
+      TextStats.withLangId(documents(s, d), "doc_id", "text")
+        .select(col("lang_guess").as("guess"), col("lang"))
         .groupBy("guess", "lang")
         .agg(count(lit(1)).as("n"))
         .orderBy("guess", "lang")

@@ -128,6 +128,23 @@ class ExtSpec extends SparkSpec {
     got.foreach { case (g, e) => assert(g == e, s"expected $e got $g") }
   }
 
+  test("withLangId (dataset form) agrees with the langId column form") {
+    val df = Seq(
+      (1L, "the cat is on the mat and it is happy"),
+      (2L, "el perro de la casa que ladra por las noches"),
+      (3L, "der Hund ist nicht ein Freund und das ist gut"),
+      (4L, "le chat est dans la maison et les oiseaux"),
+      (5L, "这是一个中文句子"),
+      (6L, "xyzzy plugh"),
+    ).toDF("doc_id", "text")
+    val viaDs = TextStats.withLangId(df, "doc_id", "text")
+      .select("doc_id", "lang_guess").as[(Long, String)].collect().toMap
+    val viaCol = df.select($"doc_id", TextStats.langId($"text"))
+      .as[(Long, String)].collect().toMap
+    assert(viaDs == viaCol)
+    assert(viaDs(5L) == "zh" && viaDs(6L) == "und")
+  }
+
   test("fingerprint is order-sensitive; token counts sane") {
     val fp = Seq("a b c", "c b a", "a b c").toDF("t")
       .select(TextStats.fingerprint($"t")).as[Long].collect()
