@@ -10,6 +10,13 @@ import org.apache.spark.sql.types.LongType
   * happen at the scan because every query builds a declarative plan on top.
   */
 object Tables {
+  /** The full TESTDATA table list (single source of truth for view
+    * registration and tooling).
+    */
+  val testdataNames: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

@@ -15,8 +15,13 @@ object Warehouse {
 
   def path(dir: String, table: String): String = s"$dir/$table"
 
-  def exists(spark: SparkSession, dir: String, table: String): Boolean =
-    new java.io.File(path(dir, table)).exists()
+  /** Existence probe through the Hadoop FileSystem API — works for any
+    * supported scheme (file://, hdfs://, s3a://), not just local paths.
+    */
+  def exists(spark: SparkSession, dir: String, table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path(dir, table))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   def read(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(path(dir, table))

@@ -35,10 +35,35 @@ object TextStats {
     "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans", "pour"),
   )
 
+  private def langNames: Seq[String] = stopwords.keys.toSeq.sorted
+
+  /** Shared decision rule for both language-ID forms: CJK-ratio
+    * short-circuit, else argmax over per-language marker scores with
+    * lexicographic tie-break, "und" when no marker matched. Single source
+    * of truth so the Column and Dataset forms cannot desynchronize.
+    */
+  private def decideLang(text: Column,
+      scores: Seq[(String, Column)]): Column = {
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    val pick = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    val cjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+    when(cjk * 2 > length(text), lit("zh")).otherwise(pick)
+  }
+
   /** Dataset-level language ID: same decision rule as `langId`, computed
-    * via one token explode + broadcast marker join + conditional sums —
-    * fully codegen'd, one shuffle (vs 4 interpreted list filters per row).
-    * Returns the input plus a `lang_guess` column.
+    * via token explode + broadcast marker join + conditional sums — all
+    * codegen'd. Costs two scans of `df` and two shuffles (count agg +
+    * join-back on `idCol`); the Column form `langId` is a zero-shuffle
+    * single-scan projection with interpreted list filters. Measure per
+    * workload — on wide stopword sets the join wins, on narrow ones the
+    * projection can.
+    *
+    * Contract: `idCol` must be a unique, non-null key (rows with null
+    * ids would miss the join-back; duplicate ids would pool counts).
+    * Column names `s_<lang>` are reserved internally; an existing
+    * `lang_guess` column is replaced.
     */
   def withLangId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -46,42 +71,27 @@ object TextStats {
     val markers = broadcast(stopwords.toSeq
       .flatMap { case (lang, ws) => ws.map(w => (w, lang)) }
       .toDF("t", "marker_lang"))
-    val aggs = stopwords.keys.toSeq.sorted.map(l =>
+    val aggs = langNames.map(l =>
       sum(when(col("marker_lang") === l, 1).otherwise(0)).as(s"s_$l"))
     val counts = df
       .select(col(idCol), explode(tokens(lower(col(textCol)))).as("t"))
       .join(markers, Seq("t"))
       .groupBy(idCol)
       .agg(aggs.head, aggs.tail: _*)
-    val joined = df.join(counts, Seq(idCol), "left")
-      .na.fill(0, stopwords.keys.toSeq.sorted.map(l => s"s_$l"))
-    val scores = stopwords.keys.toSeq.sorted.map(l => l -> col(s"s_$l"))
-    val best = scores.map(_._2).reduce(greatest(_, _))
-    val pick = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
-      when(s === best && best > 0, lit(lang)).otherwise(acc)
-    }
-    val cjk = length(regexp_replace(col(textCol),
-      "[^\\x{4e00}-\\x{9fff}]", ""))
-    joined
-      .withColumn("lang_guess",
-        when(cjk * 2 > length(col(textCol)), lit("zh")).otherwise(pick))
-      .drop(stopwords.keys.toSeq.sorted.map(l => s"s_$l"): _*)
+    df.join(counts, Seq(idCol), "left")
+      .na.fill(0, langNames.map(l => s"s_$l"))
+      .withColumn("lang_guess", decideLang(col(textCol),
+        langNames.map(l => l -> col(s"s_$l"))))
+      .drop(langNames.map(l => s"s_$l"): _*)
   }
 
   /** Language ID: CJK-character ratio short-circuit, else the language
     * whose stopword list matches most tokens; "und" when nothing matches.
     * An n-gram-free heuristic that is a single projection at scale.
     */
-  def langId(c: Column): Column = {
-    val cjk = length(regexp_replace(c, "[^\\x{4e00}-\\x{9fff}]", ""))
-    val scores = stopwords.toSeq.sortBy(_._1)
-      .map { case (lang, words) => lang -> markerCount(c, words) }
-    val best = scores.map(_._2).reduce(greatest(_, _))
-    val pick = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
-      when(s === best && best > 0, lit(lang)).otherwise(acc)
-    }
-    when(cjk * 2 > length(c), lit("zh")).otherwise(pick)
-  }
+  def langId(c: Column): Column =
+    decideLang(c, stopwords.toSeq.sortBy(_._1)
+      .map { case (lang, words) => lang -> markerCount(c, words) })
 
   /** Quality score in [0,1]: blend of length band, mean-token-length band,
     * alphabetic ratio, and distinct-token ratio. Deterministic arithmetic

@@ -65,7 +65,7 @@ object Model {
 
   private val warehouseTables = Seq("obras", "autores", "afiliaciones",
     "obra_autor_afiliacion", "obra_tema", "sedes_areas", "vista_analisis",
-    "runs")
+    "runs", "obras_clean", "oaa_clean")
 
   /** Register every existing warehouse table as a temp view (plus the
     * normalization UDFs) so `spark.sql` works over the warehouse — the
@@ -83,10 +83,10 @@ object Model {
   /** Register the driver TESTDATA tables as temp views. */
   def registerTestdataViews(spark: SparkSession, sfDir: String): Unit = {
     graft.norm.Normalize.register(spark)
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "documents", "embeddings").foreach { t =>
+    graft.Tables.testdataNames.filterNot(_ == "events").foreach { t =>
       graft.Tables.table(spark, sfDir, t).createOrReplaceTempView(t)
     }
+    // events goes through its loader (TIMESTAMP(NANOS) handling)
     graft.Tables.events(spark, sfDir).createOrReplaceTempView("events")
   }
 }
