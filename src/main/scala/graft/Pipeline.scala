@@ -14,14 +14,19 @@ import graft.ingest.Crossref
   */
 object Pipeline {
 
-  /** Ingest one batch of CrossRef JSONL page files into the warehouse. */
-  def ingest(spark: SparkSession, pagesPath: String, dir: String): Long = {
+  /** Ingest one batch of CrossRef JSONL page files into the warehouse.
+    * `maxWorks` is the F8 ingest cap (reference MAX_WORKS, PIPE:27):
+    * like the reference's arrival-order cutoff, the surviving subset is
+    * arbitrary-but-capped, via `limit`.
+    */
+  def ingest(spark: SparkSession, pagesPath: String, dir: String,
+      maxWorks: Int = 1000000): Long = {
     val runId = java.util.UUID.randomUUID().toString
     Warehouse.logRun(spark, dir, runId, "start", pagesPath, 0L)
 
     val items = Crossref.readPages(spark, pagesPath)
     val allWorks = Crossref.works(items).cache()
-    val gated = Crossref.upsGate(allWorks).cache()
+    val gated = Crossref.upsGate(allWorks).limit(maxWorks).cache()
 
     // Dimensions resolve over ALL scanned works — the reference upserts
     // authors/affiliations while parsing, BEFORE the work-level UPS gate

@@ -210,8 +210,20 @@ object Normalize {
     filter(transform(split(lower(c), ";"), x => trim(x)), x => x =!= "")
 
   /** F4 — UPS membership predicate: normalized target substring of the
-    * normalized affiliation (PIPE:20-21,625-629).
+    * normalized affiliation (PIPE:20-21,625-629). With
+    * `useVariants=true`, the reference's variant list is ORed in
+    * (PIPE:30-35; default off there too). The variants are matched as
+    * the reference does — raw, un-normalized — so the accented spelling
+    * never fires against folded text (quirk preserved).
     */
   val UpsTargetNorm = "universidad politecnica salesiana"
-  def isUps(normText: Column): Column = normText.contains(UpsTargetNorm)
+  val UpsVariants: Seq[String] = Seq(
+    "universidad politécnica salesiana",
+    "universidad politecnica salesiana",
+    "salesian polytechnic university")
+  def isUps(normText: Column, useVariants: Boolean = false): Column = {
+    val base = normText.contains(UpsTargetNorm)
+    if (!useVariants) base
+    else UpsVariants.map(v => normText.contains(v)).foldLeft(base)(_ || _)
+  }
 }

@@ -59,6 +59,29 @@ class ExtSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("signatures are partitioning-invariant (determinism at scale)") {
+    val docsDf = Tables.documents(spark, sf0001).limit(100)
+    def mh(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignatures(df, "doc_id", "text", 3, 4, portable = true)
+        .collect().map(_.toSeq).toSet
+    def sh(df: org.apache.spark.sql.DataFrame) =
+      Dedup.simhashSignatures(df, "doc_id", "text")
+        .collect().map(_.toSeq).toSet
+    assert(mh(docsDf.repartition(1)) == mh(docsDf.repartition(7)))
+    assert(sh(docsDf.repartition(1)) == sh(docsDf.repartition(7)))
+  }
+
+  test("jaccard verify is symmetric and bounded") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val j = Dedup.verifyJaccard(docs, pairs, "doc_id", "text", 3, 0.0)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(j.forall(p => p._3 >= 0.0 && p._3 <= 1.0))
+    val m = j.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 3L)) == 1.0) // exact dup
+    assert(m((1L, 2L)) == m((2L, 3L))) // same one-word edit distance
+  }
+
   test("shingles: word n-grams with short-text fallback") {
     val sh = Seq("a b c d", "x y").toDF("t")
       .select(Dedup.shingles($"t", 3)).as[Seq[String]].collect()

@@ -139,6 +139,19 @@ class NormalizeSpec extends SparkSpec {
     assert(got(1) == Seq.empty)
   }
 
+  // --- F4 UPS predicate with variants ---
+  test("F4: UPS membership, default and variant matching") {
+    val df = Seq(
+      "universidad politecnica salesiana, cuenca",
+      "salesian polytechnic university, quito",
+      "universidad de cuenca").toDF("t")
+    val base = df.select(Normalize.isUps($"t")).as[Boolean].collect()
+    assert(base.toSeq == Seq(true, false, false))
+    val variants = df.select(Normalize.isUps($"t", useVariants = true))
+      .as[Boolean].collect()
+    assert(variants.toSeq == Seq(true, true, false))
+  }
+
   // --- A2 ordering invariance (property) ---
   test("A2: string rollup is input-order invariant") {
     val base = Seq("b", "a", "c", "a", "b")
