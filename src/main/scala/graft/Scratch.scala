@@ -14,15 +14,9 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.1"
-    val names = if (args.nonEmpty) args.toSeq
-      else Seq("q06_flat_join", "q13_topk", "q07_semi_join",
-        "q01_agg_sum", "q28_cosine_topk")
-    names.foreach { n =>
-      println(s"========== $n ==========")
-      println(SparkEntry.queries(n)(spark, d).queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
-    }
+    val d = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("q19_rollup_explode")(spark, d)
+    println(q.queryExecution.optimizedPlan.treeString)
     spark.stop()
   }
 }

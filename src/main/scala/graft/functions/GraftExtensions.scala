@@ -57,6 +57,7 @@ object VecDotRewrite extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => VecDotRewrite)
+    e.injectOptimizerRule(_ => CollapseRollupExplode) // flag-gated, see doc
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

@@ -61,6 +61,34 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("CollapseRollupExplode removes the generator when enabled") {
+    import graft.functions.CollapseRollupExplode
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ CollapseRollupExplode
+    try {
+      def roundTrip = Tables.lineitem(spark, sf0001)
+        .groupBy("l_orderkey")
+        .agg(concat_ws("; ",
+          array_sort(collect_set($"l_returnflag"))).as("flags"))
+        .select(explode(split($"flags", "; ")).as("flag"))
+        .groupBy("flag").count().orderBy("flag")
+      val expected = roundTrip.as[(String, Long)].collect().toSeq
+
+      spark.conf.set("spark.graft.collapseRollupExplode", "true")
+      val optimized = roundTrip
+      val hasGenerate = optimized.queryExecution.optimizedPlan
+        .collect { case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }
+      assert(hasGenerate.isEmpty,
+        s"generator survived:\n${optimized.queryExecution.optimizedPlan}")
+      assert(optimized.as[(String, Long)].collect().toSeq == expected)
+    } finally {
+      spark.conf.set("spark.graft.collapseRollupExplode", "false")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.functions.CollapseRollupExplode)
+    }
+  }
+
   test("word_shingles SQL function via extensions class") {
     // register through the same injection path the extensions class uses
     new graft.functions.GraftExtensions()
