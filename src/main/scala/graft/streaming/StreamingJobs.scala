@@ -47,6 +47,30 @@ object StreamingJobs {
   def dedup(events: DataFrame): DataFrame =
     events.dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
 
+  /** Stream-stream join: each purchase paired with the user's clicks in
+    * the preceding hour — an event-time interval join with watermarks on
+    * both sides, so join state is bounded by interval + watermark and
+    * evicted as the watermark advances. Inner matches emit immediately
+    * (no watermark wait); downstream aggregation is the consumer's
+    * choice (chaining a second stateful operator brings its own
+    * watermark-propagation semantics).
+    */
+  def purchaseContext(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"),
+      "inner")
+      .select("user_id", "p_ts", "p_value", "c_ts")
+  }
+
   // ------------------------------------------------------------------
   // Custom state: emit-on-close sessions
   // ------------------------------------------------------------------

@@ -64,6 +64,33 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((2L, 2L)))
   }
 
+  test("stream-stream interval join: purchases see prior clicks") {
+    val rows = Seq(
+      Event(1L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0),
+      Event(2L, ts("2024-01-01 10:20:00"), 1L, "click", 0.0),
+      Event(3L, ts("2024-01-01 10:30:00"), 1L, "purchase", 99.0),
+      Event(4L, ts("2024-01-01 12:00:00"), 1L, "purchase", 5.0), // no clicks in prior hour
+      Event(5L, ts("2024-01-01 09:00:00"), 2L, "click", 0.0),
+      Event(6L, ts("2024-01-01 09:59:00"), 2L, "purchase", 7.0),
+    )
+    val dir = Files.createTempDirectory("graft_ssj").toString
+    rows.toDF()
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val in = spark.readStream.schema(StreamingJobs.eventSchema)
+      .parquet(s"$dir/in")
+    runToMemory(StreamingJobs.purchaseContext(in), "sj_ssj", "append")
+    val got = spark.table("sj_ssj")
+      .groupBy("user_id", "p_ts", "p_value")
+      .count()
+      .orderBy("user_id", "p_ts")
+      .select($"user_id", $"p_value", $"count")
+      .as[(Long, Double, Long)].collect().toSeq
+    // inner join: the no-prior-click purchase produces no row
+    assert(got == Seq((1L, 99.0, 2L), (2L, 7.0, 1L)))
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions on gap") {
     // batch Dataset drive of the same state function shape: sessions
     // close inline when a later event arrives past the gap
