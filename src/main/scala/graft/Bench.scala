@@ -12,11 +12,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: JVM/codegen/parquet-footer costs land here, not on
-    // whichever query happens to run first.
+    // Untimed warmup: JVM/codegen warmup plus one pass over each bench
+    // table (parquet footers + OS page cache), so those one-time costs
+    // don't land on whichever query happens to run first.
     try {
       SparkEntry.entry(spark).count()
       spark.range(1000).selectExpr("sum(id)").collect()
+      Tables.testdataNames.foreach { t =>
+        try Tables.table(spark, sfDir, t).count()
+        catch { case _: Throwable => () }
+      }
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>

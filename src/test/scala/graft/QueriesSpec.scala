@@ -25,6 +25,20 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // The driver hash-compares values — a nondeterministic query would
+  // flake between the Spark dump and the oracle run. Re-run a sample of
+  // shapes prone to nondeterminism (limits, windows, floats, ids) and
+  // require identical collected output.
+  Seq("q13_topk", "q14_window_rank", "q11_entity_resolution",
+    "q28_cosine_topk", "q30_ann_topk", "q34_events_session",
+    "q35_embedding_neardup").foreach { name =>
+    test(s"$name is run-to-run deterministic") {
+      val fn = SparkEntry.queries(name)
+      def run() = fn(spark, sf0001).collect().map(_.toString).toSeq
+      assert(run() == run())
+    }
+  }
+
   test("every oracle key has a query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
