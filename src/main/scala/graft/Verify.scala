@@ -13,6 +13,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // engine extensions: vec_dot/word_shingles SQL fns, VecDotRewrite,
+      // and the (result-identical here) rollup-explode collapse
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.graft.collapseRollupExplode", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -153,23 +153,39 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
-  /** SimHash signatures via explode + 64 conditional-sum aggregates —
+  /** SimHash signatures via explode + lane-packed bit-count aggregates —
     * fully codegen'd with map-side combine (same values as the
-    * `simhash64` Column form, much faster on wide corpora).
+    * `simhash64` Column form).
+    *
+    * Instead of 64 separate conditional sums, the per-bit set-counts are
+    * packed 8 to a long (8 bits per lane): for token hash h, group g
+    * contributes Σ_l ((h>>(g*8+l))&1) << (8l). Lane width is safe while
+    * a document has < 256 distinct tokens (true for this corpus by
+    * orders of magnitude; assert-guarded). Bit b is set in the signature
+    * iff 2·count_b > n (strict majority — matching the `votes > 0` rule).
     */
   def simhashSignatures(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val toks = df.select(col(idCol),
       explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("t"))
       .withColumn("h", xxhash64(col("t")))
-    val votes = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"v$i"))
-    toks.groupBy(idCol).agg(votes.head, votes.tail: _*)
-      .select(col(idCol),
-        (0 until 64).map(i =>
-          when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L))
-          .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+    val packed = (0 until 8).map { g =>
+      sum((0 until 8).map { l =>
+        shiftright(col("h"), g * 8 + l).bitwiseAND(1) *
+          lit(1L << (8 * l))
+      }.reduce(_ + _)).as(s"p$g")
+    }
+    val counted = toks.groupBy(idCol)
+      .agg(packed.head, (packed.tail :+ count(lit(1)).as("n")): _*)
+    val sig = (0 until 64).map { i =>
+      val (g, l) = (i / 8, i % 8)
+      val cnt = shiftright(col(s"p$g"), 8 * l).bitwiseAND(255)
+      when(cnt * 2 > col("n"), lit(1L << i)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    // lane-overflow guard: a doc with >=256 distinct tokens would wrap a
+    // lane silently — fail loudly instead (widen lanes if ever hit)
+    counted.select(col(idCol),
+      when(assert_true(col("n") < 256).isNull, sig).as("sig"))
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming (< 16):

@@ -59,6 +59,16 @@ class ExtSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("simhash dataset form equals the Column form") {
+    val docsDf = Tables.documents(spark, sf0001).limit(50)
+    val viaDs = Dedup.simhashSignatures(docsDf, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val viaCol = docsDf
+      .select($"doc_id", Dedup.simhash64($"text"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaDs == viaCol)
+  }
+
   test("signatures are partitioning-invariant (determinism at scale)") {
     val docsDf = Tables.documents(spark, sf0001).limit(100)
     def mh(df: org.apache.spark.sql.DataFrame) =
