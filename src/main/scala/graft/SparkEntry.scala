@@ -13,10 +13,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.CoreQueries.defs ++ graft.queries.ExtQueries.defs
+    graft.queries.CoreQueries.defs ++ graft.queries.ExtQueries.defs ++
+      graft.queries.OlapQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.CoreQueries.oracles ++ graft.queries.ExtQueries.oracles
+    graft.queries.CoreQueries.oracles ++ graft.queries.ExtQueries.oracles ++
+      graft.queries.OlapQueries.oracles
 }
