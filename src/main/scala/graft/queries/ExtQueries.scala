@@ -164,6 +164,22 @@ object ExtQueries {
         .orderBy("media_id")
     }),
 
+    // As-of join: each purchase paired with the user's latest
+    // prior-or-same click timestamp and value (union+window composition;
+    // no range cross-join).
+    "q45_events_asof" -> ((s, d) => {
+      val e = events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      val clicks = e.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      EventsOps.asofJoin(purchases, clicks, "user_id", "ts", "ts", "value")
+        .select(col("user_id"), col("event_id"),
+          col("asof_ts").as("last_click_ts"),
+          col("asof_value").as("last_click_value"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // Semi-structured JSON column: schema-on-read of events.props with
     // from_json (the engine's JSON-path surface; CrossRef ingest uses the
     // same declared-schema approach at the envelope level).
@@ -407,6 +423,21 @@ object ExtQueries {
         |    ELSE 1 END AS n_frames,
         |  cast(length(text) AS bigint) AS byte_len
         |FROM documents ORDER BY media_id""".stripMargin,
+    "q45_events_asof" ->
+      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
+        |p AS (SELECT user_id, ts, event_id FROM e
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, value FROM e WHERE event_type = 'click')
+        |SELECT p.user_id, p.event_id,
+        |  (SELECT max(c.ts) FROM c
+        |   WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS last_click_ts,
+        |  (SELECT max(c.value) FROM c
+        |   WHERE c.user_id = p.user_id AND c.ts =
+        |     (SELECT max(c2.ts) FROM c c2
+        |      WHERE c2.user_id = p.user_id AND c2.ts <= p.ts))
+        |    AS last_click_value
+        |FROM p ORDER BY user_id, event_id""".stripMargin,
+
     "q40_props_json" ->
       """SELECT cast(json_extract(props, '$.k') AS int) % 10 AS k_bucket,
         |  count(*) AS n,

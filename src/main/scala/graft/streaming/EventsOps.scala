@@ -48,6 +48,55 @@ object EventsOps {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("total_value"))
 
+  /** As-of join — an operator Spark has no builtin for: for every left
+    * row, attach the latest right row with `rightTs <= leftTs` for the
+    * same key (optionally within `toleranceSec`). Composed from
+    * built-ins (preference (a) of the custom-operator ladder): tag +
+    * union + one window pass with `last_value(ignoreNulls)` ordered by
+    * (ts, right-before-left on ties) — a single shuffle on the key,
+    * no range cross-join, streaming-friendly ordering semantics.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, rightVal: String,
+      toleranceSec: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = left.withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(
+        right.schema(rightVal).dataType))
+      .withColumn("__rts", lit(null).cast("timestamp"))
+    val r = right.select(col(keyCol), col(rightTs).as("__ts"),
+        col(rightVal).as("__rv"))
+      .withColumn("__side", lit(0))
+      .withColumn("__rts", col("__ts"))
+    val unioned = l.select((l.columns.filter(c => !c.startsWith("__"))
+      .map(col) ++ Seq(col("__ts"), col("__side"), col("__rv"),
+      col("__rts"))): _*)
+      .unionByName(r, allowMissingColumns = true)
+    // tertiary __rv sort makes tied-timestamp right rows deterministic
+    // (the max value among ties wins)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__rv").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = unioned
+      .withColumn("__asof_v", last(col("__rv"), ignoreNulls = true).over(w))
+      .withColumn("__asof_ts", last(col("__rts"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val bounded = toleranceSec match {
+      case Some(t) => carried.withColumn("__asof_v",
+        when(col("__ts").cast("long") - col("__asof_ts").cast("long") <= t,
+          col("__asof_v")))
+        .withColumn("__asof_ts",
+          when(col("__ts").cast("long") - col("__asof_ts").cast("long") <= t,
+            col("__asof_ts")))
+      case None => carried
+    }
+    bounded
+      .withColumnRenamed("__asof_v", s"asof_$rightVal")
+      .withColumnRenamed("__asof_ts", "asof_ts")
+      .drop("__ts", "__side", "__rv", "__rts")
+  }
+
   /** Event-time-bounded dedup: one row per (user, type, time bucket) —
     * the batch analog of `dropDuplicatesWithinWatermark`.
     */

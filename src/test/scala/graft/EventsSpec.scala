@@ -62,6 +62,35 @@ class EventsSpec extends SparkSpec {
     assert(d.agg(sum("n_dups")).head().getLong(0) == 10)
   }
 
+  test("as-of join: latest prior right row per key, with tolerance") {
+    val purchases = Seq(
+      (1L, ts("2024-01-01 10:30:00"), 900L),
+      (1L, ts("2024-01-01 09:00:00"), 901L), // before any click
+      (2L, ts("2024-01-01 12:00:00"), 902L),
+    ).toDF("user_id", "ts", "event_id")
+    val clicks = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:15:00"), 2.0),
+      (1L, ts("2024-01-01 11:00:00"), 3.0), // after the purchase
+      (2L, ts("2024-01-01 08:00:00"), 4.0), // 4h before purchase
+    ).toDF("user_id", "ts", "value")
+    val joined = EventsOps.asofJoin(purchases, clicks, "user_id",
+      "ts", "ts", "value")
+      .select($"event_id", $"asof_ts".cast("string"), $"asof_value")
+      .as[(Long, Option[String], Option[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(joined(900L) == (Some("2024-01-01 10:15:00"), Some(2.0)))
+    assert(joined(901L) == (None, None))
+    assert(joined(902L) == (Some("2024-01-01 08:00:00"), Some(4.0)))
+    // 1-hour tolerance: user 2's stale click falls out
+    val tol = EventsOps.asofJoin(purchases, clicks, "user_id",
+      "ts", "ts", "value", toleranceSec = Some(3600L))
+      .select($"event_id", $"asof_value")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(tol(900L).contains(2.0))
+    assert(tol(902L).isEmpty)
+  }
+
   test("streaming: same EventsOps code under readStream") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
     planted.write.mode("overwrite").parquet(dir.toString + "/in")
