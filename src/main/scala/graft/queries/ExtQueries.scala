@@ -164,6 +164,34 @@ object ExtQueries {
         .orderBy("media_id")
     }),
 
+    // Typed Aggregator UDAF: per-label top-3 vectors by cosine vs the
+    // query vector — bounded top-k buffers merged map/reduce-side, then
+    // exploded to rows. Oracle replays via a row_number window.
+    "q46_topk_udaf" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.{ScoredId, TopKAggregator}
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding").as("q_vec"),
+          Similarity.l2norm(col("embedding")).as("q_nrm"))
+      val scored = emb.filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(q))
+        .select(col("label"), col("vec_id"),
+          Similarity.trunc(Similarity.dot(col("embedding"), col("q_vec")) /
+            (Similarity.l2norm(col("embedding")) * col("q_nrm")), 6)
+            .as("score"))
+      val topk = new TopKAggregator(3).toColumn
+      scored.as[(Int, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues(r => ScoredId(r._2, r._3))
+        .agg(topk.name("top"))
+        .toDF("label", "top")
+        .select(col("label"), posexplode(col("top")).as(Seq("rank", "s")))
+        .select(col("label"), (col("rank") + 1).as("rank"),
+          col("s.id").as("vec_id"), col("s.score").as("score"))
+        .orderBy("label", "rank")
+    }),
+
     // As-of join: each purchase paired with the user's latest
     // prior-or-same click timestamp and value (union+window composition;
     // no range cross-join).
@@ -423,6 +451,21 @@ object ExtQueries {
         |    ELSE 1 END AS n_frames,
         |  cast(length(text) AS bigint) AS byte_len
         |FROM documents ORDER BY media_id""".stripMargin,
+    "q46_topk_udaf" ->
+      s"""WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+         |scored AS (
+         |  SELECT label, vec_id,
+         |    floor((${cosineSql("embedding", "q_vec")}) * 1000000) / 1000000
+         |      AS score
+         |  FROM embeddings, q WHERE vec_id <> 0),
+         |ranked AS (
+         |  SELECT label, vec_id, score,
+         |    row_number() OVER (PARTITION BY label
+         |      ORDER BY score DESC, vec_id ASC) AS rank
+         |  FROM scored)
+         |SELECT label, rank, vec_id, score FROM ranked
+         |WHERE rank <= 3 ORDER BY label, rank""".stripMargin,
+
     "q45_events_asof" ->
       """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
         |p AS (SELECT user_id, ts, event_id FROM e
