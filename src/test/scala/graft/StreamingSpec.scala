@@ -91,6 +91,35 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, 99.0, 2L), (2L, 7.0, 1L)))
   }
 
+  test("transformWithState: running per-user stats across batches") {
+    // the new API requires the RocksDB state store
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = Files.createTempDirectory("graft_tws").toString
+      events.toDF()
+        .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/in")
+      val in = spark.readStream.schema(StreamingJobs.eventSchema)
+        .parquet(s"$dir/in")
+        .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+        .as[Event]
+      runToMemory(StreamingJobs.runningStats(in).toDF(), "sj_tws", "append")
+      val got = spark.table("sj_tws").orderBy("user_id")
+        .select($"user_id", $"n_events", $"total_value", $"max_value")
+        .as[(Long, Long, Double, Double)].collect().toSeq
+      assert(got == Seq((1L, 3L, 6.0, 3.0), (2L, 2L, 9.0, 5.0)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions on gap") {
     // batch Dataset drive of the same state function shape: sessions
     // close inline when a later event arrives past the gap
