@@ -54,8 +54,12 @@ object Normalize {
       java.util.regex.Matcher.quoteReplacement(repl)
     })
 
-  private val wsRe = "\\s+".r
-  private def collapseWs(s: String): String = wsRe.replaceAllIn(s, " ").trim
+  // (?U) makes \s Unicode-aware (U+00A0 etc.), matching Python's re —
+  // Java's default \s is ASCII-only (found by the reference differential
+  // test, NormalizeDiffSpec)
+  private val wsRe = "(?U)\\s+".r
+  private def collapseWs(s: String): String =
+    wsRe.replaceAllIn(s, " ").stripPrefix(" ").stripSuffix(" ")
 
   /** C1 — unescape → Unicode NFC → collapse whitespace → trim.
     * Null/empty → empty string, matching the reference (PIPE:97-103).
@@ -81,14 +85,15 @@ object Normalize {
   // Column functions
   // ---------------------------------------------------------------------
 
-  private val normNfcUdf = udf(normNfcJvm _)
-  private val normKeyUdf = udf(normKeyJvm _)
+  /** C1 as a Column — codegen'd custom expression (no UDF round-trip);
+    * null → "" matching the reference's falsy handling.
+    */
+  def normNfc(c: Column): Column =
+    coalesce(graft.functions.NormalizeFunctions.nfcClean(c), lit(""))
 
-  /** C1 as a Column. */
-  def normNfc(c: Column): Column = normNfcUdf(c)
-
-  /** C2 as a Column. */
-  def normKey(c: Column): Column = normKeyUdf(c)
+  /** C2 as a Column — codegen'd custom expression; null → "". */
+  def normKey(c: Column): Column =
+    coalesce(graft.functions.NormalizeFunctions.nfkdKey(c), lit(""))
 
   /** Register the two UDFs for `spark.sql` use. */
   def register(spark: SparkSession): Unit = {
@@ -102,11 +107,16 @@ object Normalize {
     * whole-stage codegen; the entity set covers what occurs in DOIs
     * (&amp;, &lt;, &gt;, and numeric slash escapes).
     */
+  /** Unicode-aware trim (Python str.strip parity — Spark's trim() only
+    * removes ASCII space).
+    */
+  private def uniTrim(c: Column): Column =
+    regexp_replace(c, "(?U)^\\s+|(?U)\\s+$", "")
+
   def standardizeDoi(c: Column): Column = {
-    val unescaped = Seq("&#x2F;" -> "/", "&#47;" -> "/", "&amp;" -> "&",
-      "&lt;" -> "<", "&gt;" -> ">")
-      .foldLeft(trim(c)) { case (acc, (e, r)) => replace(acc, lit(e), lit(r)) }
-    lower(trim(regexp_replace(
+    val unescaped =
+      graft.functions.NormalizeFunctions.htmlUnescape(uniTrim(c))
+    lower(uniTrim(regexp_replace(
       unescaped, "(?i)^(https?://(dx\\.)?doi\\.org/|doi:\\s*)", "")))
   }
 

@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Differential-test fixture generator (dev tool).
+
+Imports the reference pipeline's pure normalization functions (its main is
+__name__-guarded) and records input→output pairs for a corpus of tricky
+strings. The resulting JSON is consumed by NormalizeDiffSpec, which asserts
+the engine's JVM kernels agree byte-for-byte. No reference code is copied —
+only behavior is captured as data.
+
+Usage: python3 tools/gen_norm_fixture.py > src/test/resources/norm_fixture.json
+"""
+import importlib.util
+import json
+import sys
+
+spec = importlib.util.spec_from_file_location(
+    "refpipe", "/root/reference/src/barrazueta_pipeline_etl_crossref.py")
+ref = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(ref)
+
+CASES = [
+    "", " ", "plain ascii", "  collapse   me  ",
+    "a\tb\nc\r\nd", " nbsp padded ",
+    "Ávila &amp; Co", "José Pérez",  # decomposed é vs composed
+    "&lt;tag&gt; &quot;q&quot; &#65; &#x42; &apos;",
+    "&ntilde;o&ntilde;o", "&unknown; &amp;amp;",
+    "ESPAÑA Straße Müller ﬁancée",  # ñ, ß, ligature fi (NFKD expands)
+    "ＦＵＬＬＷＩＤＴＨ ｔｅｘｔ",  # NFKD folds fullwidth
+    "中文 text mixed 日本語",
+    "Universidad Politécnica  SALESIANA,  Cuenca",
+    "ÅHÉJ ÖLJY i̇stanbul",
+    "é́ double-combining",
+    "ROMAN Ⅻ numeral",  # NFKD expands to XII
+    "¼ fraction ½",
+    "https://doi.org/10.1234/ABC.DEF",
+    "HTTP://DX.DOI.ORG/10.1/X",
+    "doi: 10.5/Y", "DOI:10.6/Z", "  10.7/W  ", "not a doi",
+    "https://doi.org/10.1000/j.x&amp;y",
+    "doi:  10.8/spaced",
+]
+
+out = []
+for s in CASES:
+    out.append({
+        "input": s,
+        "nfc": ref.norm_text_nfc(s),
+        "key": ref.norm_text_nfkd_lower(s),
+        "doi": ref.standardize_doi(s),
+    })
+
+# country detection cases
+COUNTRY_CASES = [
+    "Universidad Politécnica Salesiana, Cuenca, Ecuador",
+    "University of California, U.S.A.",
+    "MIT, United States", "Oxford, UK", "Sorbonne, France",
+    "TU München, Germany", "Universidad de Madrid, España",
+    "Universidad de Madrid, Spain", "PUCP, Perú", "PUCP, Peru",
+    "Tsinghua, China", "Tokyo University, Japan", "No country here",
+    "Univ do Brasil", "Canadá proper", "canada lower",
+]
+countries = []
+for s in COUNTRY_CASES:
+    cc, name = ref.guess_country_from_text(s)
+    countries.append({"input": s, "cc": cc, "name": name})
+
+json.dump({"norm": out, "country": countries}, sys.stdout,
+          ensure_ascii=False, indent=1)
