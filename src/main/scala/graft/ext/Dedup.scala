@@ -158,10 +158,11 @@ object Dedup {
     * `simhash64` Column form).
     *
     * Instead of 64 separate conditional sums, the per-bit set-counts are
-    * packed 8 to a long (8 bits per lane): for token hash h, group g
-    * contributes Σ_l ((h>>(g*8+l))&1) << (8l). Lane width is safe while
-    * a document has < 256 distinct tokens (true for this corpus by
-    * orders of magnitude; assert-guarded). Bit b is set in the signature
+    * packed 4 to a long (16 bits per lane, 16 packed sums): for token
+    * hash h, group g contributes Σ_l ((h>>(g*4+l))&1) << (16l). The
+    * running sum's top lane stays below 2^63 while a document has
+    * < 2^15 distinct tokens (ANSI-mode long sums throw on overflow, so
+    * the bound matters; assert-guarded). Bit b is set in the signature
     * iff 2·count_b > n (strict majority — matching the `votes > 0` rule).
     */
   def simhashSignatures(df: DataFrame, idCol: String,
@@ -169,23 +170,23 @@ object Dedup {
     val toks = df.select(col(idCol),
       explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("t"))
       .withColumn("h", xxhash64(col("t")))
-    val packed = (0 until 8).map { g =>
-      sum((0 until 8).map { l =>
-        shiftright(col("h"), g * 8 + l).bitwiseAND(1) *
-          lit(1L << (8 * l))
+    val packed = (0 until 16).map { g =>
+      sum((0 until 4).map { l =>
+        shiftright(col("h"), g * 4 + l).bitwiseAND(1) *
+          lit(1L << (16 * l))
       }.reduce(_ + _)).as(s"p$g")
     }
     val counted = toks.groupBy(idCol)
       .agg(packed.head, (packed.tail :+ count(lit(1)).as("n")): _*)
     val sig = (0 until 64).map { i =>
-      val (g, l) = (i / 8, i % 8)
-      val cnt = shiftright(col(s"p$g"), 8 * l).bitwiseAND(255)
+      val (g, l) = (i / 4, i % 4)
+      val cnt = shiftright(col(s"p$g"), 16 * l).bitwiseAND(0xFFFFL)
       when(cnt * 2 > col("n"), lit(1L << i)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
-    // lane-overflow guard: a doc with >=256 distinct tokens would wrap a
-    // lane silently — fail loudly instead (widen lanes if ever hit)
+    // lane-overflow guard: >= 2^15 distinct tokens would overflow the
+    // top lane's running sum — fail loudly instead (widen if ever hit)
     counted.select(col(idCol),
-      when(assert_true(col("n") < 256).isNull, sig).as("sig"))
+      when(assert_true(col("n") < 32768).isNull, sig).as("sig"))
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming (< 16):

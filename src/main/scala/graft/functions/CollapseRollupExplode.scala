@@ -41,12 +41,18 @@ object CollapseRollupExplode extends Rule[LogicalPlan] {
           Explode(StringSplit(splitChild: Attribute,
             Literal(sep: UTF8String, StringType),
             Literal(-1, _))),
-          _, false, _, Seq(outAttr),
+          unrequired, false, _, Seq(outAttr),
           Aggregate(groupExprs,
             Seq(Alias(ConcatWs(Seq(Literal(sep2: UTF8String, StringType),
               ArraySort(ae: AggregateExpression, _, _))), aliasName)),
             child, _))
           if sep == sep2 &&
+            // the aggregate's string column must not be needed upstream
+            // (otherwise the rewrite would drop a referenced attribute)
+            unrequired == Seq(0) &&
+            // split() treats the separator as a REGEX — only collapse
+            // when it has no metacharacters, else semantics differ
+            sep.toString.matches("[A-Za-z0-9;,_/: -]+") &&
             ae.aggregateFunction.isInstanceOf[CollectSet] &&
             !ae.isDistinct =>
         val x = ae.aggregateFunction.asInstanceOf[CollectSet].child

@@ -18,9 +18,16 @@ class TopKAggregator(k: Int)
   private def keep(xs: Seq[ScoredId]): Seq[ScoredId] =
     xs.sortBy(x => (-x.score, x.id)).take(k)
 
+  private def beats(a: ScoredId, b: ScoredId): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+
   override def zero: Seq[ScoredId] = Seq.empty
+  // buffer invariant: sorted best-first; the common full-buffer
+  // non-qualifying row is an O(1) skip, not a re-sort
   override def reduce(b: Seq[ScoredId], a: ScoredId): Seq[ScoredId] =
-    keep(b :+ a)
+    if (b.size < k) keep(b :+ a)
+    else if (beats(a, b.last)) keep(b.init :+ a)
+    else b
   override def merge(b1: Seq[ScoredId], b2: Seq[ScoredId]): Seq[ScoredId] =
     keep(b1 ++ b2)
   override def finish(r: Seq[ScoredId]): Seq[ScoredId] = r

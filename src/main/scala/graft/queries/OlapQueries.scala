@@ -89,9 +89,9 @@ object OlapQueries {
 
     "q43_pivot" ->
       """SELECT year(o_orderdate) AS anio,
-        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS "F",
-        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS "O",
-        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS "P"
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
         |FROM orders GROUP BY 1 ORDER BY anio""".stripMargin,
 
     "q44_setops" ->

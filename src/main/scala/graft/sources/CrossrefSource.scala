@@ -36,24 +36,27 @@ class CrossrefSource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new CrossrefTable(properties.get("path"))
+    // honor a user-supplied read schema (fields must be a subset of the
+    // work schema — the reader materializes by name)
+    new CrossrefTable(properties.get("path"), schema)
 }
 
-class CrossrefTable(path: String) extends Table with SupportsRead {
+class CrossrefTable(path: String, schema0: StructType)
+    extends Table with SupportsRead {
   override def name(): String = s"crossref($path)"
-  override def schema(): StructType = Crossref.workSchema
+  override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new CrossrefScanBuilder(
-      Option(options.get("path")).getOrElse(path))
+      Option(options.get("path")).getOrElse(path), schema0)
 }
 
-class CrossrefScanBuilder(path: String)
+class CrossrefScanBuilder(path: String, full: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = Crossref.workSchema
+  private var required: StructType = full
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // the engine asks only for what the query needs; keep field order
@@ -82,16 +85,24 @@ class CrossrefScan(path: String, required: StructType)
     files.sorted.map(CrossrefPagePartition(_): InputPartition)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new CrossrefReaderFactory(required)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // ship the session's Hadoop settings to the reader tasks — a bare
+    // `new Configuration()` there would drop spark.hadoop.* (fs creds,
+    // custom schemes) and fail on non-default filesystems
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val confMap = conf.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toMap
+    new CrossrefReaderFactory(required, confMap)
+  }
 }
 
-class CrossrefReaderFactory(required: StructType)
-    extends PartitionReaderFactory {
+class CrossrefReaderFactory(required: StructType,
+    confMap: Map[String, String]) extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
     new CrossrefPageReader(
-      partition.asInstanceOf[CrossrefPagePartition].file, required)
+      partition.asInstanceOf[CrossrefPagePartition].file, required,
+      confMap)
 }
 
 /** Reads one JSONL page file, parses each envelope line with Jackson
@@ -99,11 +110,15 @@ class CrossrefReaderFactory(required: StructType)
   * projected to the required schema. Absent fields → null, matching the
   * reference's defensive `.get` reads.
   */
-class CrossrefPageReader(file: String, required: StructType)
-    extends PartitionReader[InternalRow] {
+class CrossrefPageReader(file: String, required: StructType,
+    confMap: Map[String, String]) extends PartitionReader[InternalRow] {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-  private val conf = new org.apache.hadoop.conf.Configuration()
+  private val conf = {
+    val c = new org.apache.hadoop.conf.Configuration()
+    confMap.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
   private val stream = {
     val p = new Path(file)
     p.getFileSystem(conf).open(p)

@@ -74,13 +74,18 @@ object EventsOps {
       col("__rts"))): _*)
       .unionByName(r, allowMissingColumns = true)
     // tertiary __rv sort makes tied-timestamp right rows deterministic
-    // (the max value among ties wins)
+    // (the max value among ties wins). Carry (ts, value) as ONE struct so
+    // both fields always come from the same right row — two independent
+    // last(ignoreNulls) calls could mix rows when a value is null.
     val w = Window.partitionBy(keyCol)
       .orderBy(col("__ts").asc, col("__side").asc, col("__rv").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val carried = unioned
-      .withColumn("__asof_v", last(col("__rv"), ignoreNulls = true).over(w))
-      .withColumn("__asof_ts", last(col("__rts"), ignoreNulls = true).over(w))
+      .withColumn("__r",
+        when(col("__side") === 0, struct(col("__rts"), col("__rv"))))
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__asof_v", col("__asof.__rv"))
+      .withColumn("__asof_ts", col("__asof.__rts"))
       .filter(col("__side") === 1)
     val bounded = toleranceSec match {
       case Some(t) => carried.withColumn("__asof_v",
@@ -94,7 +99,7 @@ object EventsOps {
     bounded
       .withColumnRenamed("__asof_v", s"asof_$rightVal")
       .withColumnRenamed("__asof_ts", "asof_ts")
-      .drop("__ts", "__side", "__rv", "__rts")
+      .drop("__ts", "__side", "__rv", "__rts", "__r", "__asof")
   }
 
   /** Event-time-bounded dedup: one row per (user, type, time bucket) —

@@ -91,6 +91,22 @@ class EventsSpec extends SparkSpec {
     assert(tol(902L).isEmpty)
   }
 
+  test("as-of join: ts and value always come from the same right row") {
+    // latest right row has a NULL value — both asof fields must come
+    // from that row (a pair of independent last(ignoreNulls) would mix)
+    val purchases = Seq((1L, ts("2024-01-01 10:30:00"), 900L))
+      .toDF("user_id", "ts", "event_id")
+    val clicks = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(5.0)),
+      (1L, ts("2024-01-01 10:15:00"), None),
+    ).toDF("user_id", "ts", "value")
+    val got = EventsOps.asofJoin(purchases, clicks, "user_id",
+      "ts", "ts", "value")
+      .select($"asof_ts".cast("string"), $"asof_value")
+      .as[(String, Option[Double])].head()
+    assert(got == ("2024-01-01 10:15:00", None))
+  }
+
   test("streaming: same EventsOps code under readStream") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
     planted.write.mode("overwrite").parquet(dir.toString + "/in")
