@@ -70,6 +70,79 @@ object Normalize {
 
   private val marksRe = "\\p{M}+".r
 
+  // --- Python-parity lowercasing -----------------------------------------
+  // Both CPython and the JVM implement the Unicode Final_Sigma rule for
+  // U+03A3, but they disagree on the context test: CPython (unicodeobject.c
+  // handle_capital_sigma) looks only at the adjacent non-Case_Ignorable
+  // code points ("ςΣ0te" → final, digit follows), while the JVM uses
+  // BreakIterator word boundaries ("ςΣ0te" → not final, cased 'te' in the
+  // same word). We resolve every Σ with CPython's rule first, so the JVM's
+  // contextual mapping never fires.
+
+  /** Unicode `Cased`: Ll ∪ Lu ∪ Lt ∪ Other_Lowercase ∪ Other_Uppercase
+    * (Character.isLower/UpperCase include the Other_* contributory props).
+    */
+  private def isCased(cp: Int): Boolean =
+    Character.isLowerCase(cp) || Character.isUpperCase(cp) ||
+      Character.getType(cp) == Character.TITLECASE_LETTER
+
+  /** Word_Break ∈ {MidLetter, MidNumLet, Single_Quote} code points — the
+    * non-general-category part of Unicode `Case_Ignorable`.
+    */
+  private val midWordCps: Set[Int] = Set(
+    0x003A, 0x00B7, 0x0387, 0x055F, 0x05F4, 0x2027, 0xFE13, 0xFE55, 0xFF1A, // MidLetter
+    0x002E, 0x2018, 0x2019, 0x2024, 0xFE52, 0xFF07, 0xFF0E, // MidNumLet
+    0x0027) // Single_Quote
+
+  /** Unicode `Case_Ignorable`: Mn ∪ Me ∪ Cf ∪ Lm ∪ Sk ∪ mid-word breaks. */
+  private def isCaseIgnorable(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t == Character.NON_SPACING_MARK || t == Character.ENCLOSING_MARK ||
+      t == Character.FORMAT || t == Character.MODIFIER_LETTER ||
+      t == Character.MODIFIER_SYMBOL || midWordCps.contains(cp)
+  }
+
+  /** CPython's Final_Sigma test for the Σ at index `i`: a cased code point
+    * precedes (skipping Case_Ignorable) and none follows (ditto).
+    */
+  private def finalSigmaAt(s: String, i: Int): Boolean = {
+    var j = i
+    var prevCased = false
+    var scanning = true
+    while (j > 0 && scanning) {
+      val cp = s.codePointBefore(j)
+      if (isCaseIgnorable(cp)) j -= Character.charCount(cp)
+      else { prevCased = isCased(cp); scanning = false }
+    }
+    if (!prevCased) return false
+    var k = i + 1
+    while (k < s.length) {
+      val cp = s.codePointAt(k)
+      if (isCaseIgnorable(cp)) k += Character.charCount(cp)
+      else return !isCased(cp)
+    }
+    true
+  }
+
+  /** Lowercase with CPython semantics: resolve each U+03A3 per
+    * `finalSigmaAt`, then apply the JVM's unconditional mappings.
+    */
+  private[norm] def lowerPy(s: String): String = {
+    val resolved =
+      if (s.indexOf('Σ') < 0) s
+      else {
+        val sb = new java.lang.StringBuilder(s.length)
+        var i = 0
+        while (i < s.length) {
+          val c = s.charAt(i)
+          sb.append(if (c == 'Σ') (if (finalSigmaAt(s, i)) 'ς' else 'σ') else c)
+          i += 1
+        }
+        sb.toString
+      }
+    resolved.toLowerCase(java.util.Locale.ROOT)
+  }
+
   /** C2 — unescape → NFKD → strip combining marks (accent fold) → collapse
     * whitespace → trim → lowercase. The canonical search key used for
     * author/affiliation identity and the UPS substring test (PIPE:105-112).
@@ -78,7 +151,7 @@ object Normalize {
     if (s == null) ""
     else {
       val nfkd = JNormalizer.normalize(unescapeHtml(s), JNormalizer.Form.NFKD)
-      collapseWs(marksRe.replaceAllIn(nfkd, "")).toLowerCase
+      lowerPy(collapseWs(marksRe.replaceAllIn(nfkd, "")))
     }
 
   // ---------------------------------------------------------------------

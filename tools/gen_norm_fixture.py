@@ -39,6 +39,26 @@ CASES = [
     "doi:  10.8/spaced",
 ]
 
+CASES += [
+    # final-sigma context battery (CPython vs JVM rule divergence)
+    "ΑΣ", "ΑΣ0", "ΑΣ0τε", "Σ", "ΣΑ", "Α.Σ.", "O'Σ", "ΑΣ'τ", "ΑΣ τ",
+    "Σ0", "0Σ", "ΑΣ·τ", "ΑΣ:τ", "ΑΣ,τ", "x́Σ", "Σ́x",
+]
+
+# seeded random corpus over an adversarial alphabet (entities, combining
+# marks, unicode spaces, fullwidth, CJK, controls)
+import random
+rng = random.Random(42)
+ALPHABET = (list("abcXYZ09 .,-_/") +
+            ["&amp;", "&lt;", "&#65;", "&#x42;", "&nbsp;", "&bogus;",
+             "é", "é", "ñ", "ß", "ﬁ", "Ⅻ", "¼", "中", "文",
+             " ", " ", "　", "\t", "\n", "́", "̃",
+             "Ｆ", "ｔ", "İ", "ı", "Σ", "σ", "ς"])
+ALPHABET += ["Σ", "Α", "τ", "ά"]
+for _ in range(800):
+    CASES.append("".join(rng.choice(ALPHABET)
+                         for _ in range(rng.randint(0, 24))))
+
 out = []
 for s in CASES:
     out.append({
