@@ -12,6 +12,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.graft.collapseRollupExplode", "true")
+      .config("spark.graft.vecDotRewrite.assumeNoNullElements", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JVM/codegen warmup plus one pass over each bench
@@ -26,20 +27,37 @@ object Bench {
       }
     } catch { case _: Throwable => () }
     // best of 2 runs per query: the host is shared and noisy (±25%
-    // observed); the minimum measures the engine, not the neighbors
+    // observed); the minimum measures the engine, not the neighbors.
+    // A failing query reports time -1 plus an `errors` entry — it must
+    // never read as a near-zero (i.e. fast) measurement.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        def once(): Double = {
+        def once(): (Double, Option[String]) = {
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
+          val err =
+            try { fn(spark, sfDir).count(); None }
+            catch { case e: Throwable =>
+              Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
+            }
+          ((System.nanoTime() - t0) / 1e9, err)
         }
-        name -> math.min(once(), once())
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+        val (t1, e1) = once()
+        val (t2, e2) = once()
+        val ok = Seq((t1, e1), (t2, e2)).collect { case (t, None) => t }
+        if (ok.nonEmpty) name -> (ok.min, None)
+        else name -> (-1.0, e1.orElse(e2))
+    }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, (v, _)) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, (_, Some(e))) => jstr(k) + ":" + jstr(e) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,6 +17,7 @@ object Verify {
       // and the (result-identical here) rollup-explode collapse
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.graft.collapseRollupExplode", "true")
+      .config("spark.graft.vecDotRewrite.assumeNoNullElements", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

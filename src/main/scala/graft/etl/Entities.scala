@@ -93,20 +93,27 @@ object Entities {
     val byName = batch
       .select(col("nombreBusqueda"), col("orcid").as("bOrcid"),
         col("entityKey").as("kN"))
-    val matched = e
+    val joined = e
       .join(byOrcid, Seq("orcid"), "left")
       .join(byName, Seq("nombreBusqueda"), "left")
+    val matched = joined
       .select(col("autorId"), col("nombreLimpio"), col("nombreBusqueda"),
-        coalesce(col("orcid"), col("bOrcid")).as("orcid"),
-        coalesce(col("kO"), col("kN")).as("matchedKey"))
-    val maxId = matched.agg(max("autorId")).head().getLong(0)
-    val novel = batch.join(
-      matched.filter(col("matchedKey").isNotNull)
-        .select(col("matchedKey").as("entityKey")),
-      Seq("entityKey"), "left_anti")
+        coalesce(col("orcid"), col("bOrcid")).as("orcid"))
+    // A batch key is "claimed" if it matched an existing entity on EITHER
+    // probe: an entity matched via ORCID may also name-match a different
+    // batch key, and that key must not re-enter as novel (it would mint a
+    // duplicate autorId for the same nombreBusqueda).
+    val claimedKeys = joined.select(col("kO").as("entityKey"))
+      .filter(col("entityKey").isNotNull)
+      .union(joined.select(col("kN").as("entityKey"))
+        .filter(col("entityKey").isNotNull))
+      .distinct()
+    val maxId = matched.agg(coalesce(max("autorId"), lit(0L)).cast("long"))
+      .head().getLong(0)
+    val novel = batch.join(claimedKeys, Seq("entityKey"), "left_anti")
     val novelWithIds = surrogateIds(novel.drop("autorId"), "entityKey",
       "autorId", maxId)
-    matched.drop("matchedKey")
+    matched
       .unionByName(novelWithIds
         .select("autorId", "nombreLimpio", "nombreBusqueda", "orcid"))
   }
@@ -127,7 +134,8 @@ object Entities {
         coalesce(col("countryCode"), col("b_cc")).as("countryCode"),
         coalesce(col("countryName"), col("b_cn")).as("countryName"),
         (col("esUps") || coalesce(col("b_ups"), lit(false))).as("esUps"))
-    val maxId = existing.agg(max("afiliacionId")).head().getLong(0)
+    val maxId = existing.agg(coalesce(max("afiliacionId"), lit(0L))
+      .cast("long")).head().getLong(0)
     val novel = batch.join(existing.select("afiliacionBusqueda"),
       Seq("afiliacionBusqueda"), "left_anti").drop("afiliacionId")
     merged.unionByName(

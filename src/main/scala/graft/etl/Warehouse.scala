@@ -36,15 +36,25 @@ object Warehouse {
     */
   def overwriteSwap(spark: SparkSession, df: DataFrame, dir: String,
       table: String): Unit = {
-    val tmp = path(dir, table + "__tmp")
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val dst = new java.io.File(path(dir, table))
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(path(dir, table + "__tmp"))
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val dst = new Path(path(dir, table))
+    val old = new Path(path(dir, table + "__old"))
+    // Hadoop FileSystem throughout (file://, hdfs://, s3a:// all work):
+    // move the live table aside, promote tmp, drop the old copy. On a
+    // failed promote the old table is restored — never a deleted table
+    // with the new data stranded in __tmp.
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(old)) fs.delete(old, true)
+    val hadDst = fs.exists(dst)
+    if (hadDst && !fs.rename(dst, old))
+      throw new java.io.IOException(s"overwriteSwap: rename $dst -> $old failed")
+    if (!fs.rename(tmp, dst)) {
+      if (hadDst) fs.rename(old, dst)
+      throw new java.io.IOException(s"overwriteSwap: rename $tmp -> $dst failed")
     }
-    if (dst.exists()) rm(dst)
-    new java.io.File(tmp).renameTo(dst)
+    if (hadDst) fs.delete(old, true)
     ()
   }
 

@@ -12,13 +12,26 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * into the codegen'd `VecDot(a, b)` kernel when both inputs are
   * `array<float>`. Users (and our own older call sites) writing the
   * idiomatic HOF form get kernel performance without changing code; the
-  * accumulation order is identical (left-to-right double adds), so the
-  * rewrite is result-preserving bit-for-bit.
+  * accumulation order is identical (left-to-right double adds).
+  *
+  * Semantics guards (the HOF form null-pads unequal lengths and
+  * null-propagates null elements, while VecDot folds over min(length)
+  * and reads raw floats):
+  *  - the replacement is wrapped in `If(size(a) = size(b), VecDot, null)`
+  *    so unequal-length (and null) inputs still yield null, exactly like
+  *    the zip_with form;
+  *  - when either element type is nullable (`containsNull=true`) the
+  *    rewrite only fires under
+  *    `spark.graft.vecDotRewrite.assumeNoNullElements=true` — the flag is
+  *    the user's assertion that the vectors carry no null elements (our
+  *    sessions set it; embeddings/features never hold nulls).
   */
 object VecDotRewrite extends Rule[LogicalPlan] {
 
   private def isFloatArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
+    case ArrayType(FloatType, containsNull) =>
+      !containsNull || org.apache.spark.sql.internal.SQLConf.get.getConfString(
+        "spark.graft.vecDotRewrite.assumeNoNullElements", "false") == "true"
     case _ => false
   }
 
@@ -45,7 +58,8 @@ object VecDotRewrite extends Rule[LogicalPlan] {
             isVarOrDoubleCast(mx, x) && isVarOrDoubleCast(my, y) &&
             isVarOrDoubleCast(macc, acc) && isVarOrDoubleCast(mv, v) &&
             fin.exprId == fv.exprId =>
-        VecDot(a, b)
+        If(EqualTo(Size(a), Size(b)), VecDot(a, b),
+          Literal(null, DoubleType))
     }
 }
 

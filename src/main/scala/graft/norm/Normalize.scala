@@ -255,11 +255,15 @@ object Normalize {
     ("japan|japón", "JP", "Japan"),
   )
 
-  /** C8 — returns ISO2 code from normalized text, null when no match. */
+  /** C8 — returns ISO2 code from normalized text, null when no match.
+    * (?U) makes Java's \b Unicode-aware like Python's re.\b — without it
+    * a pattern adjacent to non-ASCII letters (CJK around "china") matches
+    * where the reference does not.
+    */
   def guessCountryCode(normText: Column): Column =
     countryPatterns.foldRight(lit(null).cast("string")) {
       case ((pat, code, _), acc) =>
-        when(normText.rlike(s"\\b($pat)\\b"), lit(code)).otherwise(acc)
+        when(normText.rlike(s"(?U)\\b($pat)\\b"), lit(code)).otherwise(acc)
     }
 
   /** C8 — ISO2 code → display name (same priority order). */
