@@ -62,6 +62,23 @@ object Multimodal {
         (((h >>> (i * 8)) & 0xFF).toInt - 128) / 128.0f)
     }
 
+    /** Portable stub feature: digit i of md5(bytes ++ ":frame") hex,
+      * affinely mapped to [-15/16, +17/16] in exact 1/16 steps. Every
+      * value is a dyadic rational, so float/double arithmetic over it is
+      * bit-identical in any engine — DuckDB replays it as
+      * `(strpos('0123456789abcdef', substr(md5(text || ':f'), i+1, 1)) - 8.5) / 8.0`,
+      * which is what makes the media near-dup query oracle-checkable.
+      */
+    def portableFeature(bytes: Array[Byte], frame: Int): Array[Float] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(bytes)
+      md.update(s":$frame".getBytes("UTF-8"))
+      val hex = md.digest().take((FeatureDim + 1) / 2)
+        .map(b => f"$b%02x").mkString
+      Array.tabulate(FeatureDim)(i =>
+        ((Character.digit(hex.charAt(i), 16) - 7.5) / 8.0).toFloat)
+    }
+
     /** Frames to sample: 1 for still media, duration-based for video. */
     def frameCount(kind: String, durationMs: Option[Long]): Int =
       if (kind == "video") math.max(1,
@@ -74,17 +91,21 @@ object Multimodal {
     * per-partition setup (the `kernelReady` line) runs once, which is
     * where a real codec would load its native libs / model weights.
     */
-  def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
+  def extractFeatures(items: Dataset[MediaItem],
+      portable: Boolean = false): Dataset[MediaFeatures] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
       val kernelReady = true // real codec: load native libs once here
       require(kernelReady)
+      val feature: (Array[Byte], Int) => Array[Float] =
+        if (portable) DecodeKernel.portableFeature
+        else DecodeKernel.fakeFeature
       it.flatMap { m =>
         val frames = DecodeKernel.frameCount(m.kind, m.durationMs)
         (0 until frames).iterator.map { f =>
           MediaFeatures(m.mediaId, m.kind, f, m.content.length.toLong,
             DecodeKernel.contentHash(m.content),
-            DecodeKernel.fakeFeature(m.content, f))
+            feature(m.content, f))
         }
       }
     }
@@ -101,15 +122,17 @@ object Multimodal {
 
   /** Near-duplicate media via the ANN path: extract features, then reuse
     * the embedding near-dup operator — multimodal dedup composes from the
-    * same primitives as text/embedding dedup.
+    * same primitives as text/embedding dedup. The sign-RP bucket
+    * prefilter (`nBits`, default 8) keeps the pair join equi-keyed —
+    * identical features always share a bucket, so true duplicates are
+    * never lost and the join never degenerates to all-pairs.
     */
-  def nearDupMedia(items: Dataset[MediaItem],
-      threshold: Double): DataFrame = {
-    val feats = extractFeatures(items)
+  def nearDupMedia(items: Dataset[MediaItem], threshold: Double,
+      nBits: Int = 8, portable: Boolean = false): DataFrame = {
+    val feats = extractFeatures(items, portable)
       .filter(col("frameIdx") === 0)
       .select(col("mediaId"), col("feature"))
-    Dedup.embeddingNearDups(feats, "mediaId", "feature", threshold,
-      nBits = 0)
+    Dedup.embeddingNearDups(feats, "mediaId", "feature", threshold, nBits)
   }
 
   /** Synthesize a deterministic media table from the documents corpus

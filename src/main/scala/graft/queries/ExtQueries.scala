@@ -128,11 +128,15 @@ object ExtQueries {
         .orderBy("user_id", "session_start")
     }),
 
-    // Embedding-cosine near-dup pairs (exact pass; embeddings are
-    // near-orthogonal random so the demo threshold is 0.35).
+    // Embedding-cosine near-dup pairs with the sign-RP bucket prefilter
+    // (nBits=8): the pair join is equi-keyed on the bucket, never a
+    // single-key all-pairs cross — the shape that survives 100 TB.
+    // Identical vectors always share a bucket, so exact duplicates are
+    // never lost; the graded semantics are "same-bucket pairs above the
+    // threshold" and the oracle replays the bucket.
     "q35_embedding_neardup" -> ((s, d) => {
       Dedup.embeddingNearDups(embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.35, nBits = 0)
+        threshold = 0.35, nBits = 8)
         .select(col("id_a"), col("id_b"),
           Similarity.trunc(col("cosine"), 6).as("cos6"))
         .orderBy("id_a", "id_b")
@@ -225,12 +229,16 @@ object ExtQueries {
         .orderBy("k_bucket")
     }),
 
-    // Multimodal near-dup composition (stub features) — rows-only check;
-    // semantics covered by MultimodalSpec.
+    // Multimodal near-dup composition with the portable (md5-derived)
+    // stub feature and the bucketed pair join — fully oracle-checked:
+    // DuckDB replays feature extraction, sign-RP bucketing and the
+    // cosine verify over the documents table.
     "q39_media_neardup" -> ((s, d) => {
       graft.ext.Multimodal.nearDupMedia(
         graft.ext.Multimodal.syntheticMedia(s, documents(s, d)),
-        threshold = 0.9999)
+        threshold = 0.9, nBits = 8, portable = true)
+        .select(col("id_a"), col("id_b"),
+          Similarity.trunc(col("cosine"), 6).as("cos6"))
         .orderBy("id_a", "id_b")
     }),
   )
@@ -254,15 +262,25 @@ object ExtQueries {
     s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> list_contains($arr, t)))"
   }
 
-  private def rpDotSql(j: Int): String =
-    s"""list_reduce(list_prepend(0.0, list_transform(range(len(embedding)),
-       |  i -> cast(embedding[i+1] AS double) * (((i*31 + $j*17) % 7) - 3))),
+  private def rpDotSqlFor(v: String, j: Int): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(len($v)),
+       |  i -> cast($v[i+1] AS double) * (((i*31 + $j*17) % 7) - 3))),
        |  (a, b) -> a + b)""".stripMargin
 
-  private val bucketSql: String =
+  private def bucketSqlFor(v: String): String =
     (0 until 8).map(j =>
-      s"(CASE WHEN (${rpDotSql(j)}) > 0 THEN ${1L << j} ELSE 0 END)")
+      s"(CASE WHEN (${rpDotSqlFor(v, j)}) > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
+
+  private val bucketSql: String = bucketSqlFor("embedding")
+
+  /** DuckDB replay of `Multimodal.DecodeKernel.portableFeature` over the
+    * synthetic media table (content = UTF-8 of documents.text, frame 0).
+    */
+  private val mediaFeatureSql: String =
+    """list_transform(range(8), i ->
+      |  (strpos('0123456789abcdef', substr(md5(text || ':0'), i+1, 1))
+      |    - 8.5) / 8.0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q21_dedup_exact" ->
@@ -436,11 +454,31 @@ object ExtQueries {
         |ORDER BY user_id, session_start""".stripMargin,
 
     "q35_embedding_neardup" ->
-      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      s"""WITH bk AS (
+         |  SELECT vec_id, embedding, cast($bucketSql AS bigint) AS bucket
+         |  FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  floor((${cosineSql("a.embedding", "b.embedding")}) * 1000000)
          |    / 1000000 AS cos6
-         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |FROM bk a JOIN bk b
+         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE (${cosineSql("a.embedding", "b.embedding")}) >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q39_media_neardup" ->
+      s"""WITH f AS (
+         |  SELECT doc_id AS media_id, ($mediaFeatureSql) AS feature
+         |  FROM documents),
+         |bk AS (
+         |  SELECT media_id, feature,
+         |    cast(${bucketSqlFor("feature")} AS bigint) AS bucket
+         |  FROM f)
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  floor((${cosineSql("a.feature", "b.feature")}) * 1000000)
+         |    / 1000000 AS cos6
+         |FROM bk a JOIN bk b
+         |  ON a.bucket = b.bucket AND a.media_id < b.media_id
+         |WHERE (${cosineSql("a.feature", "b.feature")}) >= 0.9
          |ORDER BY id_a, id_b""".stripMargin,
     "q38_media_features" ->
       """SELECT doc_id AS media_id,
@@ -486,7 +524,7 @@ object ExtQueries {
         |  count(*) AS n,
         |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
         |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
-    // q36/q37/q39: stub-hash / xxhash64 fast paths — not oracle-
-    // expressible; driver records rows-only, semantics covered by specs.
+    // q36/q37: xxhash64 fast paths — not oracle-expressible; driver
+    // records rows-only, semantics covered by specs.
   )
 }

@@ -59,6 +59,25 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L))) // identical bytes → identical features
   }
 
+  test("portable feature: md5-derived, engine-replayable, dedup-stable") {
+    val bytes = "samebytes".getBytes("UTF-8")
+    val f = Multimodal.DecodeKernel.portableFeature(bytes, 0)
+    assert(f.length == Multimodal.DecodeKernel.FeatureDim)
+    // digit i of md5("samebytes:0") mapped as (v - 7.5) / 8 — replayed
+    // here from first principles, same rule as the q39 DuckDB oracle
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("samebytes:0".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val expect = (0 until 8)
+      .map(i => ((Character.digit(hex.charAt(i), 16) - 7.5) / 8.0).toFloat)
+    assert(f.toSeq == expect)
+    // identical bytes still collapse through the portable path
+    val pairs = Multimodal
+      .nearDupMedia(items, threshold = 0.999, portable = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
   test("synthetic media from documents keeps schema + metadata rules") {
     val docs = Tables.documents(spark, sf0001)
     val media = Multimodal.syntheticMedia(spark, docs).cache()
