@@ -79,19 +79,29 @@ object Dedup {
     * bucket. Output: (id_a, id_b) with id_a < id_b, distinct.
     * The only shuffles are the signature aggregation and the band-key
     * join — no cross join.
+    *
+    * `portable=true` uses the md5 signature family and a band key that is
+    * the literal `band|mh_i|mh_j` concatenation — collision-free and
+    * byte-replayable by any engine (the DuckDB oracle joins on the same
+    * string). The default fast path hashes the band slice to a 32-bit
+    * Murmur3 key (smaller shuffle; engine-specific).
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
+      n: Int = 3, k: Int = 8, bands: Int = 4,
+      portable: Boolean = false): DataFrame = {
     val sigs = minhashSignatures(
-      df.select(idCol, textCol), idCol, textCol, n, k, portable = false)
+      df.select(idCol, textCol), idCol, textCol, n, k, portable)
       .cache()
     val rowsPerBand = k / bands
+    val bandKeys = (0 until bands).map { b =>
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"mh$i"))
+      if (portable) concat_ws("|", lit(b.toString) +: slice: _*)
+      else hash(slice :+ lit(b): _*)
+    }
     val banded = sigs.select(
       col(idCol),
-      posexplode(array((0 until bands).map { b =>
-        hash((b * rowsPerBand until (b + 1) * rowsPerBand)
-          .map(i => col(s"mh$i")) :+ lit(b): _*)
-      }: _*)).as(Seq("band", "bkey")))
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
     val a = banded.select(col("band"), col("bkey"), col(idCol).as("id_a"))
     val b = banded.select(col("band"), col("bkey"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "bkey"))
@@ -118,12 +128,15 @@ object Dedup {
 
   /** Full fuzzy-dedup pipeline: shingle → minhash → LSH bucket join →
     * Jaccard verify. One narrow scan, one band shuffle, one candidate
-    * join — scales to billions of documents.
+    * join — scales to billions of documents. `portable=true` grades the
+    * whole pipeline against a DuckDB replay (md5 family, literal band
+    * keys); the default xxhash64 path is the production fast path.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 8, bands: Int = 4,
-      threshold: Double = 0.7): DataFrame =
-    verifyJaccard(df, lshCandidatePairs(df, idCol, textCol, n, k, bands),
+      threshold: Double = 0.7, portable: Boolean = false): DataFrame =
+    verifyJaccard(df,
+      lshCandidatePairs(df, idCol, textCol, n, k, bands, portable),
       idCol, textCol, n, threshold)
 
   // ------------------------------------------------------------------

@@ -142,11 +142,14 @@ object ExtQueries {
         .orderBy("id_a", "id_b")
     }),
 
-    // Fast-path fuzzy dedup (xxhash64 minhash + LSH + Jaccard verify).
-    // Engine-specific hashes → rows-only check; semantics unit-tested.
-    "q36_minhash_fast" -> ((s, d) => {
+    // End-to-end fuzzy dedup — the flagship LLM-pipeline operator:
+    // shingle → minhash → LSH band join → Jaccard verify, graded with
+    // the portable md5 family + literal band keys so DuckDB replays the
+    // ENTIRE pipeline (banding included). The xxhash64 fast path keeps
+    // identical plan shape and is covered by ExtSpec.
+    "q36_minhash_neardup" -> ((s, d) => {
       Dedup.minhashNearDups(documents(s, d), "doc_id", "text",
-        n = 3, k = 8, bands = 4, threshold = 0.5)
+        n = 3, k = 8, bands = 4, threshold = 0.5, portable = true)
         .orderBy("id_a", "id_b")
     }),
 
@@ -464,6 +467,39 @@ object ExtQueries {
          |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE (${cosineSql("a.embedding", "b.embedding")}) >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q36_minhash_neardup" -> {
+      val mh = (0 until 8).map(i =>
+        s"list_min(list_transform(shingles, s -> md5('$i' || s))) AS mh$i")
+        .mkString(",\n  ")
+      val bandRows = (0 until 4).map(b =>
+        s"SELECT doc_id, '$b|' || mh${2 * b} || '|' || mh${2 * b + 1} AS bkey FROM sig")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |sh AS (SELECT doc_id, ($shinglesSql) AS shingles FROM t),
+         |sig AS (SELECT doc_id,
+         |  $mh
+         |  FROM sh),
+         |banded AS (
+         |  $bandRows),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b ON a.bkey = b.bkey
+         |  WHERE a.doc_id < b.doc_id),
+         |dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh)
+         |SELECT * FROM (
+         |  SELECT c.id_a, c.id_b,
+         |    cast(len(list_intersect(a.s, b.s)) AS double)
+         |      / cast(len(list_distinct(list_concat(a.s, b.s))) AS double)
+         |      AS jaccard
+         |  FROM cand c
+         |  JOIN dsh a ON a.doc_id = c.id_a
+         |  JOIN dsh b ON b.doc_id = c.id_b)
+         |WHERE jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q39_media_neardup" ->
       s"""WITH f AS (
