@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   *  - MinHash/LSH turns the quadratic all-pairs problem into a band-key
   *    equi-join: signatures are computed map-side, candidates come from a
   *    shuffle on (band, signature-slice), and only candidates are verified;
-  *  - SimHash packs a document into one 64-bit key; near-dup search joins
-  *    on 16-bit chunks (pigeonhole: hamming<=3 ⇒ one of 4 chunks equal).
+  *  - SimHash packs a document into one 64-bit key; near-dup search
+  *    joins on two-block combinations of a (maxHamming+2)-way split
+  *    (pigeonhole: hamming<=m ⇒ >=2 of m+2 blocks equal), giving >=25-bit
+  *    join keys whose cardinality grows with the corpus.
   *
   * Two hash families are provided: `md5`-based (engine-portable, used by
   * the DuckDB-checked graded queries) and `xxhash64`-based (the fast path
@@ -166,27 +168,24 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
-  /** SimHash signatures via explode + lane-packed bit-count aggregates —
-    * fully codegen'd with map-side combine (same values as the
-    * `simhash64` Column form).
+  /** Shared lane-packed majority-vote aggregation for both SimHash
+    * families. `toks` is one row per (doc, distinct token) with whatever
+    * hash columns the family needs; `bitOf(g, l)` yields bit `4g+l` of
+    * the token hash as a 0/1 long Column.
     *
     * Instead of 64 separate conditional sums, the per-bit set-counts are
-    * packed 4 to a long (16 bits per lane, 16 packed sums): for token
-    * hash h, group g contributes Σ_l ((h>>(g*4+l))&1) << (16l). The
-    * running sum's top lane stays below 2^63 while a document has
-    * < 2^15 distinct tokens (ANSI-mode long sums throw on overflow, so
-    * the bound matters; assert-guarded). Bit b is set in the signature
-    * iff 2·count_b > n (strict majority — matching the `votes > 0` rule).
+    * packed 4 to a long (16 bits per lane, 16 packed sums): group g
+    * accumulates Σ_l bitOf(g, l) << (16l). The running sum's top lane
+    * stays below 2^63 while a document has < 2^15 distinct tokens
+    * (ANSI-mode long sums throw on overflow, so the bound matters;
+    * assert-guarded). Bit b is set in the signature iff 2·count_b > n
+    * (strict majority — matching the `votes > 0` rule of `simhash64`).
     */
-  def simhashSignatures(df: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+  private def simhashPacked(toks: DataFrame, idCol: String,
+      bitOf: (Int, Int) => Column): DataFrame = {
     val packed = (0 until 16).map { g =>
       sum((0 until 4).map { l =>
-        shiftright(col("h"), g * 4 + l).bitwiseAND(1) *
-          lit(1L << (16 * l))
+        bitOf(g, l) * lit(1L << (16 * l))
       }.reduce(_ + _)).as(s"p$g")
     }
     val counted = toks.groupBy(idCol)
@@ -202,22 +201,72 @@ object Dedup {
       when(assert_true(col("n") < 32768).isNull, sig).as("sig"))
   }
 
-  /** SimHash near-dup pairs with hamming distance <= maxHamming (< 16):
-    * pigeonhole on four 16-bit chunks — pairs agreeing on >=1 chunk meet
-    * in an equi-join bucket, then exact hamming filters.
+  /** SimHash signatures via explode + lane-packed bit-count aggregates —
+    * fully codegen'd with map-side combine (same values as the
+    * `simhash64` Column form). xxhash64 token hashes — the fast path.
+    */
+  def simhashSignatures(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    simhashPacked(toks, idCol,
+      (g, l) => shiftright(col("h"), g * 4 + l).bitwiseAND(1))
+  }
+
+  /** Portable SimHash signatures: bit `4g+l` of a token is bit `l` of
+    * hex digit `g` of md5(token) — any engine can replay it from the md5
+    * hex string (the DuckDB oracle does). Same packed aggregation and
+    * majority rule as the fast path.
+    */
+  def simhashSignaturesPortable(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("t"))
+      .withColumn("m", md5(col("t")))
+    simhashPacked(toks, idCol, (g, l) =>
+      shiftright(conv(substring(col("m"), g + 1, 1), 16, 10).cast("long"), l)
+        .bitwiseAND(1))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming.
+    *
+    * Candidate generation is Manku-style (WWW'07) block pigeonholing
+    * sized for the distance bound: the 64-bit signature splits into
+    * `maxHamming + 2` near-equal blocks, so any pair within the bound
+    * has at most `maxHamming` differing blocks and therefore agrees on
+    * at least TWO — it meets in one of the C(B,2) two-block tables. The
+    * join key concatenates two blocks (≥25 bits for maxHamming=3),
+    * so key cardinality grows with the corpus instead of saturating at
+    * 2^16 the way a single-chunk join does: expected bucket size stays
+    * O(N/2^25) and the within-bucket pairing never goes quadratic.
+    * Exact `bit_count` on the full signatures then filters candidates —
+    * the pair set is exactly {pairs : hamming <= maxHamming}, same as
+    * brute force (the pigeonhole is lossless, ExtSpec asserts equality).
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(df, idCol, textCol).cache()
-    val chunked = sigs.select(col(idCol), col("sig"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL)): _*))
-        .as(Seq("chunk", "ckey")))
-    val a = chunked.select(col("chunk"), col("ckey"),
+      maxHamming: Int = 3, portable: Boolean = false): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 62,
+      s"maxHamming must be in [0, 62], got $maxHamming")
+    val sigs =
+      (if (portable) simhashSignaturesPortable(df, idCol, textCol)
+       else simhashSignatures(df, idCol, textCol)).cache()
+    val nBlocks = maxHamming + 2
+    val bounds = (0 to nBlocks).map(i => i * 64 / nBlocks)
+    def block(i: Int): Column =
+      shiftrightunsigned(col("sig"), bounds(i))
+        .bitwiseAND(lit((1L << (bounds(i + 1) - bounds(i))) - 1))
+    val pairKeys = for {
+      i <- 0 until nBlocks
+      j <- i + 1 until nBlocks
+    } yield shiftleft(block(i), 32).bitwiseOR(block(j))
+    val keyed = sigs.select(col(idCol), col("sig"),
+      posexplode(array(pairKeys: _*)).as(Seq("tbl", "bkey")))
+    val a = keyed.select(col("tbl"), col("bkey"),
       col(idCol).as("id_a"), col("sig").as("sig_a"))
-    val b = chunked.select(col("chunk"), col("ckey"),
+    val b = keyed.select(col("tbl"), col("bkey"),
       col(idCol).as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("chunk", "ckey"))
+    a.join(b, Seq("tbl", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)

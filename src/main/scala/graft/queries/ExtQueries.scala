@@ -153,9 +153,14 @@ object ExtQueries {
         .orderBy("id_a", "id_b")
     }),
 
-    // Fast-path SimHash near-dups — rows-only check; unit-tested.
+    // SimHash near-dups, portable md5 bit family: the 2-of-5 block join
+    // is lossless for hamming<=3, so the DuckDB oracle replays the
+    // semantics as a brute-force per-bit-majority + hamming filter.
+    // The xxhash64 fast path shares every operator except the token
+    // hash and is asserted pair-set-equal to brute force in ExtSpec.
     "q37_simhash" -> ((s, d) => {
-      Dedup.simhashNearDups(documents(s, d), "doc_id", "text", maxHamming = 3)
+      Dedup.simhashNearDups(documents(s, d), "doc_id", "text",
+        maxHamming = 3, portable = true)
         .orderBy("id_a", "id_b")
     }),
 
@@ -500,6 +505,34 @@ object ExtQueries {
          |WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin
     },
+
+    // Brute-force replay of the portable SimHash semantics: per-bit
+    // majority over md5 hex-digit bits, signature as two 32-bit halves,
+    // exact hamming filter. Valid as the oracle for the blocked-LSH
+    // implementation because the 2-of-(m+2) pigeonhole is lossless.
+    "q37_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id, md5(t) AS m FROM toks),
+        |sigbits AS (
+        |  SELECT doc_id, b,
+        |    CASE WHEN 2 * sum(((strpos('0123456789abcdef',
+        |        substr(m, cast(b // 4 AS int) + 1, 1)) - 1) >> (b % 4)) & 1)
+        |      > count(*) THEN 1 ELSE 0 END AS bit
+        |  FROM h, (SELECT unnest(range(64)) AS b) bs
+        |  GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN b < 32 THEN bit * (1::BIGINT << b) ELSE 0 END) AS lo,
+        |    sum(CASE WHEN b >= 32 THEN bit * (1::BIGINT << (b - 32)) ELSE 0 END) AS hi
+        |  FROM sigbits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q39_media_neardup" ->
       s"""WITH f AS (

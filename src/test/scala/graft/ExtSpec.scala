@@ -81,6 +81,27 @@ class ExtSpec extends SparkSpec {
     assert(sh(docsDf.repartition(1)) == sh(docsDf.repartition(7)))
   }
 
+  test("blocked simhash LSH pair set equals brute force (both families)") {
+    // 2-of-(m+2) block pigeonholing is lossless for hamming <= m: the
+    // candidate join must yield EXACTLY the brute-force pair set.
+    val docsDf = Tables.documents(spark, sf0001).limit(200)
+    for (portable <- Seq(false, true)) {
+      val sigs =
+        (if (portable) Dedup.simhashSignaturesPortable(docsDf, "doc_id", "text")
+         else Dedup.simhashSignatures(docsDf, "doc_id", "text"))
+          .as[(Long, Long)].collect().sortBy(_._1)
+      val brute = (for {
+        i <- sigs.indices; j <- (i + 1) until sigs.length
+        h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+        if h <= 3
+      } yield (sigs(i)._1, sigs(j)._1, h)).toSet
+      val lsh = Dedup.simhashNearDups(docsDf, "doc_id", "text",
+        maxHamming = 3, portable = portable)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(lsh == brute, s"portable=$portable")
+    }
+  }
+
   test("jaccard verify is symmetric and bounded") {
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
     val j = Dedup.verifyJaccard(docs, pairs, "doc_id", "text", 3, 0.0)
