@@ -68,7 +68,41 @@ object Normalize {
     if (s == null) ""
     else collapseWs(JNormalizer.normalize(unescapeHtml(s), JNormalizer.Form.NFC))
 
-  private val marksRe = "\\p{M}+".r
+  // --- Canonical-combining-class strip ----------------------------------
+  // The reference drops exactly the characters with nonzero canonical
+  // combining class (`unicodedata.combining(c)`, PIPE:110) — NOT all of
+  // \p{M}: ccc=0 marks (Mc vowel signs, U+0901-style candrabindus) stay.
+  // The JVM has no ccc API, so ccc != 0 is probed via the canonical
+  // reordering algorithm itself: a code point reorders around a ccc=1
+  // anchor (U+0334) iff its ccc >= 2, and a ccc=240 anchor (U+0345)
+  // moves past it iff 0 < ccc < 240 — together covering every nonzero
+  // class. Probes are two tiny NFD calls, memoized per code point; the
+  // first nonzero-ccc code point is U+0300, so ASCII/Latin-1 shortcuts.
+
+  private val cccMemo =
+    new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Boolean]()
+
+  private val Ccc1Anchor = "\u0334" // COMBINING TILDE OVERLAY, ccc=1
+  private val Ccc240Anchor = "\u0345" // COMBINING GREEK YPOGEGRAMMENI, ccc=240
+
+  private[graft] def cccNonZero(cp: Int): Boolean =
+    cp >= 0x0300 && cccMemo.computeIfAbsent(cp, _ => {
+      val s = new String(Character.toChars(cp))
+      val p1 = JNormalizer.normalize(s + Ccc1Anchor, JNormalizer.Form.NFD)
+      val p2 = JNormalizer.normalize(Ccc240Anchor + s, JNormalizer.Form.NFD)
+      p1.startsWith(Ccc1Anchor) || !p2.startsWith(Ccc240Anchor)
+    })
+
+  private def stripCombining(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (!cccNonZero(cp)) sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
 
   // --- Python-parity lowercasing -----------------------------------------
   // Both CPython and the JVM implement the Unicode Final_Sigma rule for
@@ -143,15 +177,16 @@ object Normalize {
     resolved.toLowerCase(java.util.Locale.ROOT)
   }
 
-  /** C2 — unescape → NFKD → strip combining marks (accent fold) → collapse
-    * whitespace → trim → lowercase. The canonical search key used for
-    * author/affiliation identity and the UPS substring test (PIPE:105-112).
+  /** C2 — unescape → NFKD → strip nonzero-ccc combining marks (accent
+    * fold) → collapse whitespace → trim → lowercase. The canonical search
+    * key used for author/affiliation identity and the UPS substring test
+    * (PIPE:105-112).
     */
   def normKeyJvm(s: String): String =
     if (s == null) ""
     else {
       val nfkd = JNormalizer.normalize(unescapeHtml(s), JNormalizer.Form.NFKD)
-      lowerPy(collapseWs(marksRe.replaceAllIn(nfkd, "")))
+      lowerPy(collapseWs(stripCombining(nfkd)))
     }
 
   // ---------------------------------------------------------------------

@@ -265,7 +265,29 @@ object CoreQueries {
           count(lit(1)).as("n_customers"))
         .orderBy("c_nationkey")
     }),
+
+    // C1/C2/C3 over the FULL Unicode differential corpus: the committed
+    // fixture parquet holds 843 (input, expected) pairs generated from
+    // the reference's own Python functions (tools/gen_norm_fixture.py) —
+    // entities, combining marks (incl. ccc=0 matras that must survive
+    // the fold), fullwidth, final-sigma contexts, CJK. The engine
+    // recomputes nfc/key/doi from `input`; the oracle reads the expected
+    // columns — a hash match means byte-for-byte parity on every case,
+    // visible to the driver (not just to unit tests).
+    "q47_norm_unicode" -> ((s, d) => {
+      s.read.parquet(NormFixturePath)
+        .select(col("id"),
+          graft.norm.Normalize.normNfc(col("input")).as("nfc"),
+          graft.norm.Normalize.normKey(col("input")).as("key"),
+          graft.norm.Normalize.standardizeDoi(col("input")).as("doi"))
+        .orderBy("id")
+    }),
   )
+
+  /** Committed differential-fixture parquet (golden pairs from the
+    * reference implementation; see tools/gen_norm_fixture.py).
+    */
+  val NormFixturePath = "/root/repo/data/norm_fixture.parquet"
 
   val oracles: Map[String, String] = Map(
     "q01_agg_sum" ->
@@ -410,5 +432,13 @@ object CoreQueries {
         |  cast(sum(cast(c_acctbal AS decimal(18,2))) AS double) AS total_bal,
         |  count(*) AS n_customers
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    // The oracle reads the EXPECTED columns of the committed fixture —
+    // generated from the reference's Python functions — while the Spark
+    // query recomputes them from `input`; value-hash equality is the
+    // full-Unicode parity claim.
+    "q47_norm_unicode" ->
+      s"""SELECT id, nfc, key, doi FROM '$NormFixturePath'
+         |ORDER BY id""".stripMargin,
   )
 }

@@ -160,4 +160,35 @@ class NormalizeSpec extends SparkSpec {
     assert(agg(base) == "a; b; c")
     assert(agg(base.reverse) == "a; b; c")
   }
+
+  // --- C2 ccc probe vs CPython's unicodedata.combining ---
+  test("C2: nonzero-ccc probe agrees with CPython over all code points") {
+    // ccc_nonzero.txt = every cp with unicodedata.combining != 0
+    // (CPython, Unicode 14.0). Two exclusions, both outside what the
+    // pipeline can observe:
+    //  - marks ASSIGNED in Unicode 14.0 — this JVM is 13.0, the probe
+    //    cannot know them (and 13.0-era reference data never holds them);
+    //  - canonically DECOMPOSABLE code points (NFD(c) != c): the strip
+    //    runs on NFKD output, where they cannot occur by construction.
+    val newer = ((0x0898 to 0x089F) ++ (0x08CA to 0x08D2) ++
+      Seq(0x0C3C, 0x1715, 0x1DFA) ++ (0x1AC1 to 0x1ACE) ++
+      (0x10F82 to 0x10F85) ++ Seq(0x11070, 0x1E2AE)).toSet
+    val pyNonZero = scala.io.Source.fromFile(resource("ccc_nonzero.txt"))
+      .getLines().map(Integer.parseInt(_, 16)).toSet -- newer
+    def nfdInert(cp: Int): Boolean = {
+      val s = new String(Character.toChars(cp))
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD) == s
+    }
+    // exhaustive sweep of the planes that contain combining marks
+    val disagree = (0 until 0x20000)
+      .filterNot(cp => 0xD800 <= cp && cp <= 0xDFFF)
+      .filterNot(newer)
+      .filter(nfdInert)
+      .filter(cp => Normalize.cccNonZero(cp) != pyNonZero.contains(cp))
+    // every remaining listed cp (higher planes) must probe true
+    val missed = pyNonZero.filter(_ >= 0x20000).filter(nfdInert)
+      .filterNot(Normalize.cccNonZero)
+    assert(disagree.isEmpty && missed.isEmpty,
+      (disagree ++ missed).map(cp => f"U+$cp%04X").mkString(", "))
+  }
 }

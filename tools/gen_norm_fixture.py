@@ -55,6 +55,13 @@ ALPHABET = (list("abcXYZ09 .,-_/") +
              " ", " ", "　", "\t", "\n", "́", "̃",
              "Ｆ", "ｔ", "İ", "ı", "Σ", "σ", "ς"])
 ALPHABET += ["Σ", "Α", "τ", "ά"]
+# ccc=0 marks (must SURVIVE the combining strip: unicodedata.combining=0
+# even though they are \p{M}) and nonzero-ccc marks beyond Latin
+ALPHABET += ["ँ", "ि", "া",   # candrabindu + matras, ccc=0
+             "्",                        # devanagari virama, ccc=9
+             "ָ", "ً",              # hebrew/arabic points, ccc>0
+             "ุ", "゙",              # thai sara u, kana voicing
+             "क", "ह", "ก", "א", "ب"]        # base letters for the marks
 for _ in range(800):
     CASES.append("".join(rng.choice(ALPHABET)
                          for _ in range(rng.randint(0, 24))))
@@ -77,6 +84,10 @@ COUNTRY_CASES = [
     "Universidad de Madrid, Spain", "PUCP, Perú", "PUCP, Peru",
     "Tsinghua, China", "Tokyo University, Japan", "No country here",
     "Univ do Brasil", "Canadá proper", "canada lower",
+    # mixed-script word boundaries: Python \b is Unicode-aware, so a
+    # pattern glued to CJK/Thai letters must NOT match
+    "北京china研究所", "中国 china 大学", "chinaการศึกษา",
+    "ukไทย", "เมืองuk", "日本japan東京", "多伦多canada研究院",
 ]
 countries = []
 for s in COUNTRY_CASES:
