@@ -26,6 +26,26 @@ object Warehouse {
   def read(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(path(dir, table))
 
+  /** Schema-evolution read (the reference's `_ensure_column` analog,
+    * PIPE:200-205, moved to the read path): Parquet footer merge across
+    * batches written under older, narrower schemas — missing columns
+    * surface as nulls, no ALTER TABLE.
+    */
+  def readMerged(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path(dir, table))
+
+  /** Write-side evolution: align a batch to `target` — missing columns
+    * become typed nulls, present ones cast — so old writers can keep
+    * appending after the schema widened (the other `_ensure_column`
+    * direction).
+    */
+  def ensureColumns(df: DataFrame,
+      target: org.apache.spark.sql.types.StructType): DataFrame =
+    df.select(target.fields.toSeq.map { f =>
+      (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+       else lit(null).cast(f.dataType)).as(f.name)
+    }: _*)
+
   /** K2 — full replace. */
   def overwrite(df: DataFrame, dir: String, table: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path(dir, table))

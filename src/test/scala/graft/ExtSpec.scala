@@ -153,6 +153,26 @@ class ExtSpec extends SparkSpec {
     assert(lsh.size <= 5 && lsh.distinct.size == lsh.size)
   }
 
+  test("ANN at rest: bucket-partitioned layout prunes partitions") {
+    val emb = Tables.embeddings(spark, sf0001).limit(200).cache()
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ann").toString + "/emb"
+    Similarity.writeBucketed(emb, "embedding", path, nBits = 8)
+    val atRest = Similarity.lshTopKAtRest(spark, path, "vec_id",
+      "embedding", queryId = 0L, k = 5, nBits = 8, probeHamming = 2)
+    // the probe IN-list must land in the scan's PartitionFilters —
+    // directory pruning, not a post-scan filter
+    val plan = atRest.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"no bucket PartitionFilters in:\n$plan")
+    // same results as the in-memory multi-probe path
+    val inMem = Similarity.lshTopK(emb, "vec_id", "embedding", 0L, 5,
+      nBits = 8, probeHamming = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(atRest.as[(Long, Double)].collect().toSeq == inMem)
+  }
+
   test("embedding near-dups finds planted duplicate vector") {
     val vecs = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f)),

@@ -102,6 +102,37 @@ class PipelineSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq == Seq(("EC", 1L)))
   }
 
+  test("schema evolution: narrow v1 batches merge under a widened schema") {
+    val dir = freshDir()
+    // v1 writer: the obras table before `citas`/`referencias` existed
+    val v1 = Seq(("10.1/a", "Work A", 2020), ("10.2/b", "Work B", 2021))
+      .toDF("doi", "titulo", "anio")
+    Warehouse.overwrite(v1, dir, "obras")
+    // v2 writer appends with two extra columns (the reference would
+    // ALTER TABLE via _ensure_column; Parquet just writes the new footer)
+    val v2 = Seq(("10.3/c", "Work C", 2022, 5, 40))
+      .toDF("doi", "titulo", "anio", "citas", "referencias")
+    Warehouse.idempotentAppend(spark, v2, dir, "obras", Seq("doi"))
+    // merged read: union schema, nulls where v1 had no column
+    val merged = Warehouse.readMerged(spark, dir, "obras").cache()
+    assert(merged.columns.toSet ==
+      Set("doi", "titulo", "anio", "citas", "referencias"))
+    assert(merged.count() == 3)
+    assert(merged.filter($"doi" === "10.1/a").select("citas")
+      .as[Option[Int]].head().isEmpty)
+    assert(merged.filter($"doi" === "10.3/c").select("citas")
+      .as[Option[Int]].head().contains(5))
+    // a LATE narrow writer aligns to the widened schema via ensureColumns
+    val v1Late = Seq(("10.4/d", "Work D", 2023)).toDF("doi", "titulo", "anio")
+    Warehouse.idempotentAppend(spark,
+      Warehouse.ensureColumns(v1Late, merged.schema), dir, "obras",
+      Seq("doi"))
+    val again = Warehouse.readMerged(spark, dir, "obras")
+    assert(again.count() == 4)
+    assert(again.filter($"doi" === "10.4/d").select("referencias")
+      .as[Option[Int]].head().isEmpty)
+  }
+
   test("K1 idempotence: re-running ingest is a no-op") {
     val dir = freshDir()
     Pipeline.ingest(spark, pages, dir)
