@@ -55,6 +55,47 @@ class EntitiesSpec extends SparkSpec {
       autores.filter($"orcid" === "0001").select("autorId").as[Long].head())
   }
 
+  test("merge: key name-matching an ORCID-claimed entity is not novel") {
+    // existing entity claimed by the batch TWICE: one batch key via
+    // ORCID, a different batch key via name. Neither may re-enter as
+    // novel — the name-matched key minting a fresh autorId would create
+    // a duplicate id for the same nombreBusqueda (ADVICE r01).
+    val existing = Seq((7L, "José Pérez", "jose perez", "0001"))
+      .toDF("autorId", "nombreLimpio", "nombreBusqueda", "orcid")
+    val batch = Seq(
+      ("0001", "J. Pérez", "j. perez", "0001"),       // ORCID match
+      ("jose perez", "José Pérez", "jose perez", null) // name match
+    ).toDF("entityKey", "nombreLimpio", "nombreBusqueda", "orcid")
+    val merged = Entities.mergeAuthors(existing, batch).cache()
+    assert(merged.count() == 1)
+    assert(merged.select("autorId", "nombreBusqueda")
+      .as[(Long, String)].head() == ((7L, "jose perez")))
+    // per-name uniqueness invariant
+    assert(merged.groupBy("nombreBusqueda").count()
+      .filter($"count" > 1).count() == 0)
+  }
+
+  test("merge against an empty dimension starts ids at 1 (no NPE)") {
+    val noAuthors = Seq.empty[(Long, String, String, String)]
+      .toDF("autorId", "nombreLimpio", "nombreBusqueda", "orcid")
+    val batch = Seq(("solo name", "Solo Name", "solo name", null))
+      .toDF("entityKey", "nombreLimpio", "nombreBusqueda", "orcid")
+    val merged = Entities.mergeAuthors(noAuthors, batch)
+    assert(merged.select("autorId").as[Long].collect().toSeq == Seq(1L))
+
+    val noAffs = Seq.empty[(Long, String, String, Int, String, String, Boolean)]
+      .toDF("afiliacionId", "cadenaLiteral", "afiliacionBusqueda",
+        "sedeId", "countryCode", "countryName", "esUps")
+    val affBatch = Seq((null.asInstanceOf[Long], "UPS, Cuenca",
+      "ups, cuenca", 1, "EC", "Ecuador", true))
+      .toDF("afiliacionId", "cadenaLiteral", "afiliacionBusqueda",
+        "sedeId", "countryCode", "countryName", "esUps")
+      .drop("afiliacionId")
+    val mergedAff = Entities.mergeAffiliations(noAffs, affBatch)
+    assert(mergedAff.select("afiliacionId").as[Long].collect().toSeq ==
+      Seq(1L))
+  }
+
   test("distributed surrogate ids equal the window formulation") {
     val df = (1 to 500).map(i => (s"key_${"%03d".format(i)}", i))
       .toDF("k", "payload")
