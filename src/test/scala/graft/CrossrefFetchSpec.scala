@@ -1,0 +1,135 @@
+package graft
+
+import scala.collection.mutable
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.CrossrefFetch
+import graft.sources.CrossrefFetch.{Fetched, Response, RetryPolicy}
+
+/** S2 policy tests with scripted transports (zero-egress container — the
+  * transport is the injected seam). Asserts the reference's exact
+  * degradation ladder, backoff schedule, Retry-After precedence, and the
+  * cursor-pagination stop conditions.
+  */
+class CrossrefFetchSpec extends AnyFunSuite {
+
+  private val datesOnly = "from-pub-date:2022-01-01,until-pub-date:2025-11-30"
+  private val fullParams = Map(
+    "select" -> "DOI,title,author",
+    "sort" -> "indexed", "order" -> "asc",
+    "filter" -> s"has-affiliation:true,$datesOnly",
+    "rows" -> "500")
+
+  private def noSleep: Double => Unit = _ => ()
+
+  test("400 ladder degrades select -> sort/order -> dates-only filter") {
+    val seen = mutable.Buffer.empty[Map[String, String]]
+    val transport: CrossrefFetch.Transport = (_, p) => {
+      seen += p
+      if (p.contains("select") || p.contains("sort") || p.contains("order")
+        || p("filter").contains("has-affiliation:true"))
+        Response(400, """{"status":"failed"}""")
+      else Response(200, """{"message":{"items":[{}]}}""")
+    }
+    val Fetched(resp, params) = CrossrefFetch.getWithRetry(
+      transport, "u", fullParams, datesOnly, sleep = noSleep)
+    assert(resp.status == 200)
+    // final params: no select/sort/order, filter reduced to dates-only
+    assert(!params.contains("select") && !params.contains("sort") &&
+      !params.contains("order"))
+    assert(params("filter") == datesOnly)
+    assert(params("rows") == "500") // untouched params survive
+    // ladder order: full -> -select -> -sort/order -> dates-only
+    assert(seen.map(_.contains("select")).toSeq ==
+      Seq(true, false, false, false))
+    assert(seen.map(_.contains("sort")).toSeq ==
+      Seq(true, true, false, false))
+    assert(seen.map(_("filter").contains("has-affiliation")).toSeq ==
+      Seq(true, true, true, false))
+  }
+
+  test("retryable statuses back off 1,2,4... capped, Retry-After wins") {
+    val sleeps = mutable.Buffer.empty[Double]
+    var calls = 0
+    val transport: CrossrefFetch.Transport = (_, _) => {
+      calls += 1
+      calls match {
+        case 1 => Response(503, "")
+        case 2 => Response(429, "", retryAfter = Some(7.5))
+        case 3 => Response(502, "")
+        case _ => Response(200, "ok")
+      }
+    }
+    val got = CrossrefFetch.getWithRetry(transport, "u", Map(), datesOnly,
+      sleep = sleeps += _)
+    assert(got.response.status == 200)
+    // backoff doubles only as scheduled waits are consumed; Retry-After
+    // overrides the wait but not the progression
+    assert(sleeps.toSeq == Seq(1.0, 7.5, 4.0))
+  }
+
+  test("gives up after maxTries retryable responses") {
+    var calls = 0
+    val transport: CrossrefFetch.Transport = (_, _) => {
+      calls += 1; Response(503, "overloaded")
+    }
+    val e = intercept[CrossrefFetch.FetchFailedException] {
+      CrossrefFetch.getWithRetry(transport, "u", Map(), datesOnly,
+        policy = RetryPolicy(maxTries = 3), sleep = noSleep)
+    }
+    assert(calls == 3)
+    assert(e.getMessage.contains("giving up"))
+  }
+
+  test("non-retryable status fails immediately") {
+    intercept[CrossrefFetch.FetchFailedException] {
+      CrossrefFetch.getWithRetry((_, _) => Response(404, "nope"), "u",
+        Map(), datesOnly, sleep = noSleep)
+    }
+  }
+
+  test("cursor pagination follows next-cursor and stops on empty page") {
+    def page(items: Int, next: String) =
+      s"""{"message":{"items":[${Seq.fill(items)("{}").mkString(",")}],
+         |"next-cursor":"$next"}}""".stripMargin
+    val transport: CrossrefFetch.Transport = (_, p) =>
+      p("cursor") match {
+        case "*"  => Response(200, page(2, "c1"))
+        case "c1" => Response(200, page(1, "c2"))
+        case "c2" => Response(200, """{"message":{"items":[]}}""")
+        case c    => fail(s"unexpected cursor $c")
+      }
+    val pages = CrossrefFetch.fetchPages(transport, "u", Map(), datesOnly,
+      sleep = noSleep)
+    assert(pages.size == 2)
+  }
+
+  test("cursor pagination stops on a repeated cursor (no infinite loop)") {
+    val transport: CrossrefFetch.Transport = (_, _) =>
+      Response(200,
+        """{"message":{"items":[{}],"next-cursor":"same"}}""")
+    val pages = CrossrefFetch.fetchPages(transport, "u", Map(), datesOnly,
+      sleep = noSleep)
+    assert(pages.size == 2) // "*" page + one "same" page, then stop
+  }
+
+  test("degraded params persist across subsequent pages") {
+    val cursorsWithSelect = mutable.Buffer.empty[(String, Boolean)]
+    val transport: CrossrefFetch.Transport = (_, p) => {
+      cursorsWithSelect += ((p("cursor"), p.contains("select")))
+      if (p.contains("select")) Response(400, "bad select")
+      else p("cursor") match {
+        case "*"  => Response(200,
+          """{"message":{"items":[{}],"next-cursor":"c1"}}""")
+        case _    => Response(200, """{"message":{"items":[]}}""")
+      }
+    }
+    val pages = CrossrefFetch.fetchPages(transport, "u",
+      Map("select" -> "DOI"), datesOnly, sleep = noSleep)
+    assert(pages.size == 1)
+    // select was dropped on page 1 and never re-sent on page 2
+    assert(cursorsWithSelect.toSeq ==
+      Seq(("*", true), ("*", false), ("c1", false)))
+  }
+}
