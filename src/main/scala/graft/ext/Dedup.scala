@@ -46,11 +46,32 @@ object Dedup {
   // MinHash
   // ------------------------------------------------------------------
 
-  /** Portable MinHash signature component k: lexicographic min of
-    * md5(k || shingle). Identical in Spark and DuckDB.
+  /** Portable MinHash signature component k: lexicographic min of an
+    * 8-hex-char slice of md5((k/4) || shingle) — one digest feeds four
+    * components (disjoint 32-bit slices of a strong hash are independent
+    * enough for min-wise hashing, and 4× cheaper than a digest per
+    * component). Identical in Spark and DuckDB
+    * (`substr(md5(prefix || s), off, 8)`).
     */
   def minhashMd5(sh: Column, k: Int): Column =
-    array_min(transform(sh, s => md5(concat(lit(k.toString), s))))
+    array_min(transform(sh, s => portableSlice(s, k)))
+
+  /** The 8-hex-char component-k slice of the shared digest family:
+    * digest j = md5(s) for j = 0, md5(j || s) for j > 0; component k
+    * lives in digest k/4 at hex offset (k%4)*8.
+    */
+  private def portableSlice(s: Column, k: Int): Column = {
+    val j = k / 4
+    val digest = md5(if (j == 0) s else concat(lit(j.toString), s))
+    substring(digest, (k % 4) * 8 + 1, 8)
+  }
+
+  /** DuckDB replay of `portableSlice` (used to assemble oracle SQL). */
+  def portableSliceSql(s: String, k: Int): String = {
+    val j = k / 4
+    val digest = if (j == 0) s"md5($s)" else s"md5('$j' || $s)"
+    s"substr($digest, ${(k % 4) * 8 + 1}, 8)"
+  }
 
   /** Fast MinHash component: numeric min of xxhash64(shingle, seed=k) —
     * codegen'd, no hex materialization. Production path.
@@ -69,11 +90,21 @@ object Dedup {
       n: Int, k: Int, portable: Boolean): DataFrame = {
     val exploded = df.select(col(idCol),
       explode(shingles(col(textCol), n)).as("s"))
-    val aggs = (0 until k).map { i =>
-      if (portable) min(md5(concat(lit(i.toString), col("s")))).as(s"mh$i")
-      else min(xxhash64(lit(i), col("s"))).as(s"mh$i")
+    if (portable) {
+      // materialize each shared digest once per shingle row, then take
+      // component mins over its slices — ceil(k/4) md5 calls, not k
+      val nDigests = (k + 3) / 4
+      val withDigests = exploded.select(col(idCol) +: (0 until nDigests)
+        .map(j => md5(if (j == 0) col("s")
+                      else concat(lit(j.toString), col("s"))).as(s"md$j")): _*)
+      val aggs = (0 until k).map(i =>
+        min(substring(col(s"md${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"mh$i"))
+      withDigests.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+    } else {
+      val aggs = (0 until k).map(i =>
+        min(xxhash64(lit(i), col("s"))).as(s"mh$i"))
+      exploded.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
     }
-    exploded.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH candidate pairs: signatures split into `bands` bands of

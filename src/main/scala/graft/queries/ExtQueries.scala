@@ -356,28 +356,29 @@ object ExtQueries {
         |    (acc, x) -> (acc * 131 + x) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "q26_minhash_sig" ->
+    "q26_minhash_sig" -> {
+      val mh = (0 until 4).map(i =>
+        s"list_min(list_transform(shingles, s -> " +
+          s"${Dedup.portableSliceSql("s", i)})) AS mh$i").mkString(",\n  ")
       s"""WITH t AS (
          |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
          |  FROM documents),
          |sh AS (SELECT doc_id, ($shinglesSql) AS shingles FROM t)
          |SELECT doc_id,
-         |  list_min(list_transform(shingles, s -> md5('0' || s))) AS mh0,
-         |  list_min(list_transform(shingles, s -> md5('1' || s))) AS mh1,
-         |  list_min(list_transform(shingles, s -> md5('2' || s))) AS mh2,
-         |  list_min(list_transform(shingles, s -> md5('3' || s))) AS mh3
-         |FROM sh ORDER BY doc_id""".stripMargin,
+         |  $mh
+         |FROM sh ORDER BY doc_id""".stripMargin
+    },
 
-    "q27_minhash_bands" ->
+    "q27_minhash_bands" -> {
+      val mh = (0 until 4).map(i =>
+        s"list_min(list_transform(shingles, s -> " +
+          s"${Dedup.portableSliceSql("s", i)})) AS mh$i").mkString(",\n  ")
       s"""WITH t AS (
          |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
          |  FROM documents),
          |sh AS (SELECT doc_id, ($shinglesSql) AS shingles FROM t),
          |sig AS (SELECT doc_id,
-         |  list_min(list_transform(shingles, s -> md5('0' || s))) AS mh0,
-         |  list_min(list_transform(shingles, s -> md5('1' || s))) AS mh1,
-         |  list_min(list_transform(shingles, s -> md5('2' || s))) AS mh2,
-         |  list_min(list_transform(shingles, s -> md5('3' || s))) AS mh3
+         |  $mh
          |  FROM sh),
          |banded AS (
          |  SELECT doc_id, mh0 AS k1, mh1 AS k2 FROM sig
@@ -386,7 +387,8 @@ object ExtQueries {
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM banded a JOIN banded b ON a.k1 = b.k1 AND a.k2 = b.k2
          |WHERE a.doc_id < b.doc_id
-         |ORDER BY id_a, id_b""".stripMargin,
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q28_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0)
@@ -475,8 +477,8 @@ object ExtQueries {
 
     "q36_minhash_neardup" -> {
       val mh = (0 until 8).map(i =>
-        s"list_min(list_transform(shingles, s -> md5('$i' || s))) AS mh$i")
-        .mkString(",\n  ")
+        s"list_min(list_transform(shingles, s -> " +
+          s"${Dedup.portableSliceSql("s", i)})) AS mh$i").mkString(",\n  ")
       val bandRows = (0 until 4).map(b =>
         s"SELECT doc_id, '$b|' || mh${2 * b} || '|' || mh${2 * b + 1} AS bkey FROM sig")
         .mkString("\n  UNION ALL\n  ")
