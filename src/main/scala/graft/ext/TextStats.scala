@@ -118,4 +118,16 @@ object TextStats {
       transform(tokens(c), w => (ascii(w) * 31 + length(w)).cast("long")),
       lit(0L),
       (acc, x) => (acc * 131 + x) % 1000000007L)
+
+  /** Repetition score in [0, 1): the fraction of duplicated word
+    * n-grams, `1 - distinct/total` — the Gopher/RefinedWeb-style
+    * repetition filter signal for LLM training data (looping generations
+    * and boilerplate score high, natural prose near 0). Reuses the
+    * codegen'd shingle kernel; a pure projection, no shuffle.
+    */
+  def repetitionScore(c: Column, n: Int): Column = {
+    val sh = Dedup.shingles(c, n)
+    (size(sh) - size(array_distinct(sh))).cast("double") /
+      size(sh).cast("double")
+  }
 }

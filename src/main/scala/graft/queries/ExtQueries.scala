@@ -176,6 +176,16 @@ object ExtQueries {
         .orderBy("media_id")
     }),
 
+    // Repetition scoring (Gopher/RefinedWeb-style duplicate-n-gram
+    // fraction) at 2- and 3-gram granularity — pure projection.
+    "q48_repetition" -> ((s, d) => {
+      documents(s, d).select(
+        col("doc_id"),
+        TextStats.repetitionScore(col("text"), 2).as("rep2"),
+        TextStats.repetitionScore(col("text"), 3).as("rep3"))
+        .orderBy("doc_id")
+    }),
+
     // Typed Aggregator UDAF: per-label top-3 vectors by cosine vs the
     // query vector — bounded top-k buffers merged map/reduce-side, then
     // exploded to rows. Oracle replays via a row_number window.
@@ -259,11 +269,17 @@ object ExtQueries {
   private val cosineSql = (v: String, q: String) =>
     s"(${dotSql(v, q)}) / (sqrt(${dotSql(v, v)}) * sqrt(${dotSql(q, q)}))"
 
-  private val shinglesSql =
-    """CASE WHEN len(w) >= 3 THEN
-      |  list_transform(range(len(w) - 2),
-      |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
-      |ELSE [array_to_string(w, ' ')] END""".stripMargin
+  /** DuckDB replay of `Dedup.shingles` for word n-grams over the token
+    * list `w` (same short-text fallback).
+    */
+  private def shinglesSqlN(n: Int): String = {
+    val gram = (1 to n).map(i => s"w[i+$i]").mkString(" || ' ' || ")
+    s"""CASE WHEN len(w) >= $n THEN
+       |  list_transform(range(len(w) - ${n - 1}), i -> $gram)
+       |ELSE [array_to_string(w, ' ')] END""".stripMargin
+  }
+
+  private val shinglesSql = shinglesSqlN(3)
 
   private def markerSql(words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -507,6 +523,19 @@ object ExtQueries {
          |WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin
     },
+
+    "q48_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |sh AS (SELECT doc_id, (${shinglesSqlN(2)}) AS s2,
+         |              (${shinglesSqlN(3)}) AS s3 FROM t)
+         |SELECT doc_id,
+         |  cast(len(s2) - len(list_distinct(s2)) AS double)
+         |    / cast(len(s2) AS double) AS rep2,
+         |  cast(len(s3) - len(list_distinct(s3)) AS double)
+         |    / cast(len(s3) AS double) AS rep3
+         |FROM sh ORDER BY doc_id""".stripMargin,
 
     // Brute-force replay of the portable SimHash semantics: per-bit
     // majority over md5 hex-digit bits, signature as two 32-bit halves,

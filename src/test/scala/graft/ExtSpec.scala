@@ -113,6 +113,18 @@ class ExtSpec extends SparkSpec {
     assert(m((1L, 2L)) == m((2L, 3L))) // same one-word edit distance
   }
 
+  test("repetition score: duplicated n-gram fraction") {
+    val got = Seq(
+      "a b a b a b",        // bigrams: ab,ba,ab,ba,ab → 5 total, 2 distinct
+      "all distinct words here now",
+      "x y").toDF("t")
+      .select(TextStats.repetitionScore($"t", 2).as("r"))
+      .as[Double].collect()
+    assert(got(0) == 3.0 / 5.0)
+    assert(got(1) == 0.0)
+    assert(got(2) == 0.0) // short-text fallback: one 'x y' shingle
+  }
+
   test("shingles: word n-grams with short-text fallback") {
     val sh = Seq("a b c d", "x y").toDF("t")
       .select(Dedup.shingles($"t", 3)).as[Seq[String]].collect()
