@@ -305,6 +305,56 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Cluster assignment (pairs -> dedup groups)
+  // ------------------------------------------------------------------
+
+  /** Connected components over an undirected near-dup pair set: every
+    * node gets `cluster` = the minimum id reachable from it, so "keep
+    * one per cluster" is `filter(id === cluster)`. Each round does
+    * (1) min-label propagation along edges and (2) pointer jumping
+    * (cluster := cluster of the cluster node) — the shortcutting step
+    * halves label-chain depth, giving O(log n) rounds on any topology
+    * (a bare neighbor-propagation loop is O(diameter) and dies on long
+    * chains). Every round is two equi-joins + one min-aggregate;
+    * lineage is truncated with `localCheckpoint` so the plan does not
+    * grow with the iteration count. For adversarial billion-edge graphs
+    * the same fixpoint can be computed with alternating large-star /
+    * small-star rounds (Kiveris et al., "Connected Components in
+    * MapReduce", SoCC'14) with fewer skewed shuffles.
+    */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).localCheckpoint()
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIter) {
+      // 1. each node takes the min of its own and its neighbors' labels
+      val msgs = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("cluster"))
+      val propagated = labels.unionByName(msgs)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+      // 2. pointer jumping: follow the label one hop (cluster values are
+      // node ids, and cluster(x) <= x, so the parent's label is <= ours)
+      val parents = propagated
+        .select(col("id").as("p_id"), col("cluster").as("p_cluster"))
+      val next = propagated
+        .join(parents, propagated("cluster") === parents("p_id"))
+        .select(col("id"), col("p_cluster").as("cluster"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.select(col("id"), col("cluster").as("old")), "id")
+        .filter(col("cluster") =!= col("old"))
+        .limit(1).count() > 0
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  // ------------------------------------------------------------------
   // Exact + embedding dedup
   // ------------------------------------------------------------------
 

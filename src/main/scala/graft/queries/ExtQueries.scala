@@ -176,6 +176,17 @@ object ExtQueries {
         .orderBy("media_id")
     }),
 
+    // Pairs -> dedup groups: connected components over the verified
+    // near-dup pair graph (min-label propagation; "keep one per
+    // cluster" = id == cluster). Oracle replays the fixpoint as a
+    // recursive transitive closure.
+    "q49_dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.minhashNearDups(documents(s, d), "doc_id", "text",
+        n = 3, k = 8, bands = 4, threshold = 0.5, portable = true)
+      Dedup.dedupClusters(pairs.select("id_a", "id_b"))
+        .orderBy("id")
+    }),
+
     // Repetition scoring (Gopher/RefinedWeb-style duplicate-n-gram
     // fraction) at 2- and 3-gram granularity — pure projection.
     "q48_repetition" -> ((s, d) => {
@@ -280,6 +291,43 @@ object ExtQueries {
   }
 
   private val shinglesSql = shinglesSqlN(3)
+
+  /** CTE chain replaying the portable fuzzy-dedup pipeline end-to-end
+    * (q36 semantics: shingle → sliced-md5 minhash → literal band keys →
+    * Jaccard >= 0.5); terminal CTE `pairs(id_a, id_b, jaccard)`. Shared
+    * by the q36 and q49 oracles.
+    */
+  private lazy val fuzzyPairsCtes: String = {
+    val mh = (0 until 8).map(i =>
+      s"list_min(list_transform(shingles, s -> " +
+        s"${Dedup.portableSliceSql("s", i)})) AS mh$i").mkString(",\n  ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, '$b|' || mh${2 * b} || '|' || mh${2 * b + 1} AS bkey FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    s"""t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |sh AS (SELECT doc_id, ($shinglesSql) AS shingles FROM t),
+       |sig AS (SELECT doc_id,
+       |  $mh
+       |  FROM sh),
+       |banded AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b ON a.bkey = b.bkey
+       |  WHERE a.doc_id < b.doc_id),
+       |dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+       |pairs AS (SELECT * FROM (
+       |  SELECT c.id_a, c.id_b,
+       |    cast(len(list_intersect(a.s, b.s)) AS double)
+       |      / cast(len(list_distinct(list_concat(a.s, b.s))) AS double)
+       |      AS jaccard
+       |  FROM cand c
+       |  JOIN dsh a ON a.doc_id = c.id_a
+       |  JOIN dsh b ON b.doc_id = c.id_b)
+       |  WHERE jaccard >= 0.5)""".stripMargin
+  }
 
   private def markerSql(words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -491,38 +539,28 @@ object ExtQueries {
          |WHERE (${cosineSql("a.embedding", "b.embedding")}) >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
 
-    "q36_minhash_neardup" -> {
-      val mh = (0 until 8).map(i =>
-        s"list_min(list_transform(shingles, s -> " +
-          s"${Dedup.portableSliceSql("s", i)})) AS mh$i").mkString(",\n  ")
-      val bandRows = (0 until 4).map(b =>
-        s"SELECT doc_id, '$b|' || mh${2 * b} || '|' || mh${2 * b + 1} AS bkey FROM sig")
-        .mkString("\n  UNION ALL\n  ")
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-         |  FROM documents),
-         |sh AS (SELECT doc_id, ($shinglesSql) AS shingles FROM t),
-         |sig AS (SELECT doc_id,
-         |  $mh
-         |  FROM sh),
-         |banded AS (
-         |  $bandRows),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM banded a JOIN banded b ON a.bkey = b.bkey
-         |  WHERE a.doc_id < b.doc_id),
-         |dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh)
-         |SELECT * FROM (
-         |  SELECT c.id_a, c.id_b,
-         |    cast(len(list_intersect(a.s, b.s)) AS double)
-         |      / cast(len(list_distinct(list_concat(a.s, b.s))) AS double)
-         |      AS jaccard
-         |  FROM cand c
-         |  JOIN dsh a ON a.doc_id = c.id_a
-         |  JOIN dsh b ON b.doc_id = c.id_b)
-         |WHERE jaccard >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+    "q36_minhash_neardup" ->
+      s"""WITH $fuzzyPairsCtes
+         |SELECT id_a, id_b, jaccard FROM pairs
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Recursive-closure replay of the cluster assignment: transitive
+    // reachability over the (tiny, verified) pair graph, cluster = min
+    // reachable id — the declarative fixpoint the iterative Spark
+    // propagation converges to.
+    "q49_dedup_clusters" ->
+      s"""WITH RECURSIVE $fuzzyPairsCtes,
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges)
+         |SELECT n.id, least(n.id, min(r.b)) AS cluster
+         |FROM nodes n JOIN reach r ON r.a = n.id
+         |GROUP BY n.id ORDER BY id""".stripMargin,
 
     "q48_repetition" ->
       s"""WITH t AS (

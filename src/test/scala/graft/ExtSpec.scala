@@ -113,6 +113,28 @@ class ExtSpec extends SparkSpec {
     assert(m((1L, 2L)) == m((2L, 3L))) // same one-word edit distance
   }
 
+  test("dedup clusters: min-label propagation = transitive closure") {
+    // chain 1-2-3, chain 10-11, triangle 20-21-22 (+ redundant edge),
+    // isolated pair 30-31
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
+      (21L, 22L), (20L, 22L), (30L, 31L)).toDF("id_a", "id_b")
+    val got = Dedup.dedupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L))
+    // keep-one-per-cluster survivor rule
+    val keep = Dedup.dedupClusters(pairs)
+      .filter($"id" === $"cluster").select("id").as[Long].collect().toSet
+    assert(keep == Set(1L, 10L, 20L, 30L))
+    // long path exercises multiple propagation rounds
+    val path = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val pathClusters = Dedup.dedupClusters(path)
+      .select("cluster").distinct().as[Long].collect().toSeq
+    assert(pathClusters == Seq(1L))
+  }
+
   test("repetition score: duplicated n-gram fraction") {
     val got = Seq(
       "a b a b a b",        // bigrams: ab,ba,ab,ba,ab → 5 total, 2 distinct
