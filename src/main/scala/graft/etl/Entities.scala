@@ -90,8 +90,17 @@ object Entities {
       col("nombreBusqueda"), col("orcid"))
     val byOrcid = batch.filter(col("orcid").isNotNull)
       .select(col("orcid"), col("entityKey").as("kO"))
+    // ORCID backfill through the NAME probe only when the batch ORCID
+    // matched no existing entity (the reference backfills on the name
+    // probe only after the ORCID probe MISSED, PIPE:326-335) — otherwise
+    // a batch row carrying e1's ORCID but e2's name would copy the ORCID
+    // onto e2 and leave two entities sharing one ORCID.
+    val claimedOrcids = e.filter(col("orcid").isNotNull)
+      .select(col("orcid").as("claimedOrcid")).distinct()
     val byName = batch
-      .select(col("nombreBusqueda"), col("orcid").as("bOrcid"),
+      .join(claimedOrcids, col("orcid") === col("claimedOrcid"), "left")
+      .select(col("nombreBusqueda"),
+        when(col("claimedOrcid").isNull, col("orcid")).as("bOrcid"),
         col("entityKey").as("kN"))
     val joined = e
       .join(byOrcid, Seq("orcid"), "left")

@@ -71,8 +71,11 @@ object Warehouse {
     if (hadDst && !fs.rename(dst, old))
       throw new java.io.IOException(s"overwriteSwap: rename $dst -> $old failed")
     if (!fs.rename(tmp, dst)) {
-      if (hadDst) fs.rename(old, dst)
-      throw new java.io.IOException(s"overwriteSwap: rename $tmp -> $dst failed")
+      val restored = !hadDst || fs.rename(old, dst)
+      throw new java.io.IOException(
+        s"overwriteSwap: rename $tmp -> $dst failed" +
+          (if (restored) " (previous table restored)"
+           else s" AND restoring $old -> $dst failed — data preserved at $old"))
     }
     if (hadDst) fs.delete(old, true)
     ()

@@ -63,9 +63,10 @@ object Multimodal {
     }
 
     /** Portable stub feature: digit i of md5(bytes ++ ":frame") hex,
-      * affinely mapped to [-15/16, +17/16] in exact 1/16 steps. Every
-      * value is a dyadic rational, so float/double arithmetic over it is
-      * bit-identical in any engine — DuckDB replays it as
+      * affinely mapped as (digit - 7.5) / 8 — the range [-15/16, +15/16]
+      * in exact 1/8 steps. Every value is a dyadic rational, so
+      * float/double arithmetic over it is bit-identical in any engine —
+      * DuckDB replays it as
       * `(strpos('0123456789abcdef', substr(md5(text || ':f'), i+1, 1)) - 8.5) / 8.0`,
       * which is what makes the media near-dup query oracle-checkable.
       */

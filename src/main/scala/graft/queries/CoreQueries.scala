@@ -285,9 +285,16 @@ object CoreQueries {
   )
 
   /** Committed differential-fixture parquet (golden pairs from the
-    * reference implementation; see tools/gen_norm_fixture.py).
+    * reference implementation; see tools/gen_norm_fixture.py). Resolved
+    * relative to the working directory when the checkout is there (any
+    * clone location works), with the canonical absolute path as the
+    * fallback for driver processes running from elsewhere.
     */
-  val NormFixturePath = "/root/repo/data/norm_fixture.parquet"
+  val NormFixturePath: String = {
+    val rel = new java.io.File("data/norm_fixture.parquet")
+    if (rel.isFile) rel.getAbsolutePath
+    else "/root/repo/data/norm_fixture.parquet"
+  }
 
   val oracles: Map[String, String] = Map(
     "q01_agg_sum" ->

@@ -114,6 +114,13 @@ object CrossrefFetch {
         policy, sleep)
       params = got.params // keep any degradation for subsequent pages
       val msg = mapper.readTree(got.response.body).path("message")
+      // a 2xx body without message.items is NOT end-of-data — treating
+      // it as such would silently truncate the crawl (the reference's
+      // r.json()["message"]["items"] raises loudly there too)
+      if (!msg.path("items").isArray)
+        throw new FetchFailedException(
+          s"2xx response without message.items array: " +
+            got.response.body.take(500))
       val n = msg.path("items").size()
       if (n == 0) done = true
       else {

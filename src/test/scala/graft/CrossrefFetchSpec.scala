@@ -114,6 +114,16 @@ class CrossrefFetchSpec extends AnyFunSuite {
     assert(pages.size == 2) // "*" page + one "same" page, then stop
   }
 
+  test("2xx body without message.items fails loudly, not as end-of-data") {
+    val transport: CrossrefFetch.Transport = (_, _) =>
+      Response(200, """{"status":"error","detail":"proxy hiccup"}""")
+    val e = intercept[CrossrefFetch.FetchFailedException] {
+      CrossrefFetch.fetchPages(transport, "u", Map(), datesOnly,
+        sleep = noSleep)
+    }
+    assert(e.getMessage.contains("without message.items"))
+  }
+
   test("degraded params persist across subsequent pages") {
     val cursorsWithSelect = mutable.Buffer.empty[(String, Boolean)]
     val transport: CrossrefFetch.Transport = (_, p) => {

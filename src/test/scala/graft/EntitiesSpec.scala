@@ -75,6 +75,29 @@ class EntitiesSpec extends SparkSpec {
       .filter($"count" > 1).count() == 0)
   }
 
+  test("merge: name probe never backfills an ORCID already claimed") {
+    // e1 owns ORCID O; e2 shares the batch row's NAME but has no ORCID.
+    // The reference's probe chain resolves the row via ORCID (e1) and
+    // never touches e2 — so e2 must NOT receive O via the name probe
+    // (two entities sharing one ORCID would break unification).
+    val existing = Seq(
+      (1L, "José Pérez", "jose perez", "O"),
+      (2L, "J. Pérez", "j. perez", null)
+    ).toDF("autorId", "nombreLimpio", "nombreBusqueda", "orcid")
+    val batch = Seq(("O", "J. Pérez", "j. perez", "O"))
+      .toDF("entityKey", "nombreLimpio", "nombreBusqueda", "orcid")
+    val merged = Entities.mergeAuthors(existing, batch).cache()
+    assert(merged.count() == 2)
+    assert(merged.filter($"autorId" === 2L).select("orcid")
+      .as[Option[String]].head().isEmpty)
+    // a genuinely unclaimed ORCID still backfills through the name probe
+    val batch2 = Seq(("P", "J. Pérez", "j. perez", "P"))
+      .toDF("entityKey", "nombreLimpio", "nombreBusqueda", "orcid")
+    val merged2 = Entities.mergeAuthors(existing, batch2)
+    assert(merged2.filter($"autorId" === 2L).select("orcid")
+      .as[Option[String]].head().contains("P"))
+  }
+
   test("merge against an empty dimension starts ids at 1 (no NPE)") {
     val noAuthors = Seq.empty[(Long, String, String, String)]
       .toDF("autorId", "nombreLimpio", "nombreBusqueda", "orcid")
