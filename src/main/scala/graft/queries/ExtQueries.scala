@@ -197,6 +197,23 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Int8 quantization round-trip audit: per vector, the shared scale,
+    // a checksum of the codes, and the max reconstruction error — all
+    // exact IEEE arithmetic, hash-compared against the DuckDB replay.
+    "q50_embedding_quant" -> ((s, d) => {
+      val qs = Similarity.quantizeInt8(col("embedding"))
+      embeddings(s, d).select(col("vec_id"), qs.as("qs"), col("embedding"))
+        .select(
+          col("vec_id"),
+          col("qs.scale").as("scale"),
+          aggregate(col("qs.q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          array_max(zip_with(Similarity.dequantInt8(col("qs")),
+            col("embedding"),
+            (dq, x) => abs(dq.cast("double") - x.cast("double"))))
+            .as("max_err"))
+        .orderBy("vec_id")
+    }),
+
     // Typed Aggregator UDAF: per-label top-3 vectors by cosine vs the
     // query vector — bounded top-k buffers merged map/reduce-side, then
     // exploded to rows. Oracle replays via a row_number window.
@@ -561,6 +578,26 @@ object ExtQueries {
          |SELECT n.id, least(n.id, min(r.b)) AS cluster
          |FROM nodes n JOIN reach r ON r.a = n.id
          |GROUP BY n.id ORDER BY id""".stripMargin,
+
+    "q50_embedding_quant" ->
+      """WITH t AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(cast(x AS double))))
+        |      AS mx
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, embedding,
+        |    CASE WHEN mx > 0 THEN mx / 127.0 ELSE 1.0 END AS scale FROM t),
+        |q AS (SELECT vec_id, embedding, scale,
+        |    list_transform(embedding, x ->
+        |      cast(floor(cast(x AS double) / scale + 0.5) AS bigint)) AS qv
+        |  FROM s)
+        |SELECT vec_id, scale,
+        |  list_reduce(list_prepend(cast(0 AS bigint), qv), (a, b) -> a + b)
+        |    AS q_sum,
+        |  list_max(list_transform(range(len(qv)), i ->
+        |    abs(cast(cast(qv[i+1] * scale AS float) AS double)
+        |        - cast(embedding[i+1] AS double)))) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "q48_repetition" ->
       s"""WITH t AS (

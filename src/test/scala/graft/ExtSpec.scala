@@ -207,6 +207,31 @@ class ExtSpec extends SparkSpec {
     assert(atRest.as[(Long, Double)].collect().toSeq == inMem)
   }
 
+  test("int8 quantization: bounded error, zero-vector safe, 4x smaller") {
+    val vecs = Seq(
+      (1L, Array(1.0f, -2.0f, 63.5f, -127.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector: scale 1, q 0
+      (3L, Array(0.001f, -0.002f, 0.0005f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val rt = vecs.select($"vec_id",
+      Similarity.quantizeInt8($"embedding").as("qs"), $"embedding")
+    val rows = rt.select($"vec_id", $"qs.scale", $"qs.q",
+      Similarity.dequantInt8($"qs").as("dq"), $"embedding")
+      .as[(Long, Double, Seq[Int], Seq[Float], Seq[Float])]
+      .collect().sortBy(_._1)
+    rows.foreach { case (_, scale, q, dq, orig) =>
+      assert(q.forall(v => v >= -127 && v <= 127))
+      // reconstruction error bounded by half a quantization step
+      dq.zip(orig).foreach { case (d, o) =>
+        assert(math.abs(d - o) <= scale / 2 + 1e-9)
+      }
+    }
+    val (_, zScale, zQ, _, _) = rows(1)
+    assert(zScale == 1.0 && zQ.forall(_ == 0))
+    // extreme magnitudes map to the code range ends
+    assert(rows(0)._3.last == -127)
+  }
+
   test("embedding near-dups finds planted duplicate vector") {
     val vecs = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f)),
