@@ -47,6 +47,23 @@ object StreamingJobs {
   def dedup(events: DataFrame): DataFrame =
     events.dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
 
+  /** Streaming → warehouse sink with effective exactly-once-by-key
+    * semantics: every micro-batch lands through the K1 idempotent keyed
+    * append (dedup + anti-join + append), so batches replayed after a
+    * checkpoint recovery — Structured Streaming's at-least-once
+    * `foreachBatch` contract — are no-ops on the table. The same
+    * convergence property as the reference's re-runnable ingest
+    * (TECHDOC "run 4-5×"), now under a stream.
+    */
+  def sinkToWarehouse(events: DataFrame, dir: String, table: String,
+      keys: Seq[String])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        graft.etl.Warehouse.idempotentAppend(
+          batch.sparkSession, batch, dir, table, keys)
+    }
+
   /** Stream-stream join: each purchase paired with the user's clicks in
     * the preceding hour — an event-time interval join with watermarks on
     * both sides, so join state is bounded by interval + watermark and
