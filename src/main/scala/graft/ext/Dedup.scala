@@ -344,12 +344,15 @@ object Dedup {
         .join(parents, propagated("cluster") === parents("p_id"))
         .select(col("id"), col("p_cluster").as("cluster"))
         .localCheckpoint()
-      changed = next.as("n")
+      iter += 1
+      // convergence costs a join job — with pointer jumping the loop
+      // finishes in a handful of rounds, so probe every second round
+      // (at worst one extra no-op round instead of a check per round)
+      changed = iter % 2 == 1 || next.as("n")
         .join(labels.select(col("id"), col("cluster").as("old")), "id")
         .filter(col("cluster") =!= col("old"))
         .limit(1).count() > 0
       labels = next
-      iter += 1
     }
     labels
   }
