@@ -130,4 +130,35 @@ object TextStats {
     (size(sh) - size(array_distinct(sh))).cast("double") /
       size(sh).cast("double")
   }
+
+  /** Top-k characteristic terms per document by tf·idf with a LINEAR
+    * idf (`tf · N / df` — rational arithmetic, so the weights are
+    * bit-identical across engines; a log idf reorders nothing for a
+    * fixed tf since log is monotone, but its last-ulp rounding is
+    * libm-dependent and would break hash comparison). Two shuffles:
+    * term counts, then the document-frequency join — the df table is
+    * bounded by the vocabulary, which is broadcastable for natural
+    * corpora (drop the hint for web-scale vocabularies). Ties break on
+    * the term string, so output is total-order deterministic.
+    */
+  def tfIdfTopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+      explode(split(trim(col(textCol)), "\\s+")).as("t"))
+    val tf = toks.groupBy(idCol, "t").agg(count(lit(1)).as("tf"))
+    val docFreq = toks.groupBy("t")
+      .agg(count_distinct(col(idCol)).as("df"))
+    val n = df.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(docFreq), "t")
+      .crossJoin(broadcast(n))
+      .withColumn("weight",
+        (col("tf") * col("n_docs")).cast("double") / col("df"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("weight").desc, col("t").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("t").as("term"),
+        Similarity.trunc(col("weight"), 6).as("weight"))
+  }
 }

@@ -197,6 +197,13 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Characteristic terms per doc: tf * N / df (linear idf — exact
+    // rational weights), top-3 with term tie-break.
+    "q51_tfidf_terms" -> ((s, d) => {
+      TextStats.tfIdfTopK(documents(s, d), "doc_id", "text", 3)
+        .orderBy("doc_id", "rank")
+    }),
+
     // Int8 quantization round-trip audit: per vector, the shared scale,
     // a checksum of the codes, and the max reconstruction error — all
     // exact IEEE arithmetic, hash-compared against the DuckDB replay.
@@ -578,6 +585,27 @@ object ExtQueries {
          |SELECT n.id, least(n.id, min(r.b)) AS cluster
          |FROM nodes n JOIN reach r ON r.a = n.id
          |GROUP BY n.id ORDER BY id""".stripMargin,
+
+    "q51_tfidf_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT t, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.t,
+        |    cast(tf.tf * n.n_docs AS double) / df.df AS w
+        |  FROM tf JOIN df ON tf.t = df.t, n),
+        |ranked AS (
+        |  SELECT doc_id, t, w,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY w DESC, t ASC) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, t AS term,
+        |  floor(w * 1000000) / 1000000 AS weight
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "q50_embedding_quant" ->
       """WITH t AS (

@@ -135,6 +135,21 @@ class ExtSpec extends SparkSpec {
     assert(pathClusters == Seq(1L))
   }
 
+  test("tf-idf top terms: rare terms outrank common ones, ties on term") {
+    val corpus = Seq(
+      (1L, "common common rare1"),
+      (2L, "common zebra"),
+      (3L, "common alpha")).toDF("doc_id", "text")
+    val top = TextStats.tfIdfTopK(corpus, "doc_id", "text", 2)
+      .orderBy("doc_id", "rank")
+      .as[(Long, Int, String, Double)].collect().toSeq
+    // doc 1: rare1 (1*3/1=3) beats common (2*3/3=2)
+    assert(top.filter(_._1 == 1L).map(_._3) == Seq("rare1", "common"))
+    // doc 2: zebra (3) beats common (1)
+    assert(top.filter(_._1 == 2L).map(_._3) == Seq("zebra", "common"))
+    assert(top.filter(_._1 == 1L).map(_._4) == Seq(3.0, 2.0))
+  }
+
   test("repetition score: duplicated n-gram fraction") {
     val got = Seq(
       "a b a b a b",        // bigrams: ab,ba,ab,ba,ab → 5 total, 2 distinct
