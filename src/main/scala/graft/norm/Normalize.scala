@@ -245,16 +245,33 @@ object Normalize {
 
   /** C5 — same priority list, to a real DateType with month/day default 1
     * (PIPE:153-164; reference keeps an ISO string, we keep a date).
+    *
+    * Matches the reference's control flow exactly: the FIRST key with a
+    * valid year wins — a later key is never consulted, even when the
+    * winning key's month/day are garbage. Divergence (documented): for
+    * garbage month/day the reference emits an impossible ISO string
+    * ("2023-00-01"); a DateType engine yields null instead — guarded
+    * month/day checks keep ANSI-mode `make_date` from throwing on them.
     */
   def extractDateAny(item: Column): Column = {
     val keys = Seq("published-online", "published-print", "issued", "created")
-    coalesce(keys.map { k =>
+    // pick the first key with a valid year (reference stops there too)
+    val picked = coalesce(keys.map { k =>
       val dp = get(item.getField(k).getField("date-parts"), lit(0))
       val y = get(dp, lit(0))
-      when(validYear(y).isNotNull,
-        make_date(y, coalesce(get(dp, lit(1)), lit(1)),
-          coalesce(get(dp, lit(2)), lit(1))))
+      when(validYear(y).isNotNull, struct(
+        y.as("y"),
+        coalesce(get(dp, lit(1)), lit(1)).as("m"),
+        coalesce(get(dp, lit(2)), lit(1)).as("d")))
     }: _*)
+    val (y, m, d) =
+      (picked.getField("y"), picked.getField("m"), picked.getField("d"))
+    val mOk = m.between(1, 12)
+    // day bound checked against the real month length (leap-aware);
+    // make_date only evaluates on valid input, so ANSI mode never throws
+    val dOk = d.between(1,
+      dayofmonth(last_day(when(mOk, make_date(y, m, lit(1))))))
+    when(mOk && dOk, make_date(y, m, d))
   }
 
   /** C6 — author display name: `given family`, fallback `name`, then C1

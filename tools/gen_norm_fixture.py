@@ -94,5 +94,60 @@ for s in COUNTRY_CASES:
     cc, name = ref.guess_country_from_text(s)
     countries.append({"input": s, "cc": cc, "name": name})
 
-json.dump({"norm": out, "country": countries}, sys.stdout,
+# date extraction cases (C4/C5): priority fallthrough, falsy years,
+# window bounds, short date-parts, garbage month/day
+DATE_CASES = [
+    {},
+    {"issued": {}},
+    {"issued": {"date-parts": []}},
+    {"issued": {"date-parts": [[]]}},
+    {"issued": {"date-parts": [[None]]}},
+    {"issued": {"date-parts": [[0]]}},
+    {"issued": {"date-parts": [[2023]]}},
+    {"issued": {"date-parts": [[2023, 7]]}},
+    {"issued": {"date-parts": [[2023, 7, 15]]}},
+    {"issued": {"date-parts": [[1599, 1, 1]]},
+     "created": {"date-parts": [[1600, 2, 3]]}},
+    {"published-online": {"date-parts": [[2101]]},
+     "published-print": {"date-parts": [[2100, 12, 31]]}},
+    {"published-online": {"date-parts": [[2020, 1, 2]]},
+     "issued": {"date-parts": [[2019, 3]]}},
+    {"created": {"date-parts": [[1995]]}},
+    {"issued": {"date-parts": [[2024, 2, 29]]}},   # leap day, valid
+    {"issued": {"date-parts": [[2023, 2, 29]]}},   # Feb 29 non-leap
+    {"issued": {"date-parts": [[2023, 0, 5]]}},    # month 0
+    {"issued": {"date-parts": [[2023, 13, 1]]}},   # month 13
+    {"issued": {"date-parts": [[2023, 4, 31]]}},   # April 31
+    # first valid-year key wins even with garbage m/d; later valid
+    # keys must NOT be consulted
+    {"published-online": {"date-parts": [[2022, 0, 1]]},
+     "issued": {"date-parts": [[2018, 5, 6]]}},
+    {"published-online": {"date-parts": [[15, 1, 1]]},
+     "issued": {"date-parts": [[2018, 5, 6]]}},
+]
+dates = [{"msg": json.dumps(c), "year": ref.extract_year_any(c),
+          "iso": ref.extract_date_iso(c)} for c in DATE_CASES]
+
+# author display-name cases (C6)
+AUTHOR_CASES = [
+    {"given": "José", "family": "Pérez"},
+    {"given": "", "family": "Smith"},
+    {"given": None, "family": "Smith"},
+    {"family": "Solo"},
+    {"given": "Only"},
+    {"name": "Collaboration XYZ"},
+    {"given": "", "family": "", "name": "  ATLAS Team  "},
+    {},
+    {"given": "  J.  ", "family": "  Smith "},
+    {"given": "Ana&amp;María", "family": "Ñáñez"},
+    {"name": "ＦＵＬＬ Ｗidth"},
+    {"given": "A", "family": "B", "name": "ignored"},
+    {"given": None, "family": None, "name": None},
+]
+authors = [{"given": a.get("given"), "family": a.get("family"),
+            "name": a.get("name"), "out": ref.author_full_name(a)}
+           for a in AUTHOR_CASES]
+
+json.dump({"norm": out, "country": countries, "dates": dates,
+           "authors": authors}, sys.stdout,
           ensure_ascii=False, indent=1)
