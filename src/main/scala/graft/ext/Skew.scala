@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for shuffles whose key distribution is pathological.
+  *
+  * First resort at runtime is AQE (`spark.sql.adaptive.skewJoin.enabled`,
+  * on by default) — it splits oversized sort-merge partitions after the
+  * fact. The explicit salting here is for the shapes AQE does not cover:
+  * a hot key feeding a non-splittable aggregation, or a join the planner
+  * chose a non-splittable strategy for; it also makes the spread
+  * deterministic instead of threshold-dependent.
+  */
+object Skew {
+
+  /** Skew-safe equi-join of a big, skew-keyed left side against a right
+    * side that is modest but still too big (or too dynamic) to
+    * broadcast: left rows are salted into `salt` shards by a
+    * deterministic hash of `saltFrom` (pick a high-cardinality column —
+    * a row id, an event id), the right side is replicated once per
+    * shard, and the join key becomes (keys…, shard). A hot key's rows
+    * land on `salt` reducers instead of one; the result is exactly the
+    * plain equi-join (asserted in SkewSpec). Cost: right side is
+    * shuffled `salt`×.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      saltFrom: Column, salt: Int = 16): DataFrame = {
+    require(salt > 0, s"salt must be positive, got $salt")
+    val b = big.withColumn("__shard",
+      pmod(xxhash64(saltFrom), lit(salt)).cast("int"))
+    val s = small.withColumn("__shard",
+      explode(sequence(lit(0), lit(salt - 1))))
+    b.join(s, keys :+ "__shard").drop("__shard")
+  }
+
+  /** Two-phase skew-safe aggregation for aggregates WITHOUT map-side
+    * combine (exact distincts, collect_set/list): phase 1 aggregates
+    * per (keys…, shard) so a hot key's state is built on `salt`
+    * reducers, phase 2 merges the per-shard results per key. For
+    * algebraic aggregates (sum/count/min/max) Spark's partial
+    * aggregation already does this — use plain groupBy there.
+    *
+    * `phase1`/`phase2` are the per-shard and merge aggregate lists,
+    * e.g. `collect_set(x) as s` then
+    * `array_distinct(flatten(collect_list(s)))`.
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], saltFrom: Column,
+      phase1: Seq[Column], phase2: Seq[Column],
+      salt: Int = 16): DataFrame = {
+    require(salt > 0, s"salt must be positive, got $salt")
+    require(phase1.nonEmpty && phase2.nonEmpty, "need aggregate lists")
+    df.withColumn("__shard",
+      pmod(xxhash64(saltFrom), lit(salt)).cast("int"))
+      .groupBy((keys :+ "__shard").map(col): _*)
+      .agg(phase1.head, phase1.tail: _*)
+      .groupBy(keys.map(col): _*)
+      .agg(phase2.head, phase2.tail: _*)
+  }
+}
