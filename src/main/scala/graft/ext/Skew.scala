@@ -24,9 +24,18 @@ object Skew {
     * plain equi-join (asserted in SkewSpec). Cost: right side is
     * shuffled `salt`×.
     */
+  /** `__shard` is reserved by these utilities. */
+  private def checkShardFree(df: DataFrame, keys: Seq[String]): Unit = {
+    require(!df.columns.contains("__shard"),
+      "column name __shard is reserved by Skew utilities")
+    require(!keys.contains("__shard"), "__shard cannot be a join/group key")
+  }
+
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       saltFrom: Column, salt: Int = 16): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")
+    checkShardFree(big, keys)
+    checkShardFree(small, keys)
     val b = big.withColumn("__shard",
       pmod(xxhash64(saltFrom), lit(salt)).cast("int"))
     val s = small.withColumn("__shard",
@@ -50,6 +59,7 @@ object Skew {
       salt: Int = 16): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")
     require(phase1.nonEmpty && phase2.nonEmpty, "need aggregate lists")
+    checkShardFree(df, keys)
     df.withColumn("__shard",
       pmod(xxhash64(saltFrom), lit(salt)).cast("int"))
       .groupBy((keys :+ "__shard").map(col): _*)

@@ -139,13 +139,16 @@ object TextStats {
     * term counts, then the document-frequency join — the df table is
     * bounded by the vocabulary, which is broadcastable for natural
     * corpora (drop the hint for web-scale vocabularies). Ties break on
-    * the term string, so output is total-order deterministic.
+    * the term string, so output is total-order deterministic. The
+    * source feeds three branches (tf, document frequency, corpus
+    * count); on parquet the count is footer-metadata-only, and the
+    * token explode is recomputed rather than cached — persist `toks`
+    * upstream if the source scan dominates.
     */
   def tfIdfTopK(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol),
-      explode(split(trim(col(textCol)), "\\s+")).as("t"))
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("t"))
     val tf = toks.groupBy(idCol, "t").agg(count(lit(1)).as("tf"))
     val docFreq = toks.groupBy("t")
       .agg(count_distinct(col(idCol)).as("df"))
