@@ -1,0 +1,65 @@
+package graft
+
+/** Executable version of the PLANS.md audit: the scale-critical physical
+  * plan properties are asserted, not just documented, so a future change
+  * that silently degrades a plan (broadcast lost to a shuffle join,
+  * top-k falling back to a global sort, a pruned scan widening) fails
+  * the build rather than the next 100 TB run.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.executedPlan.toString()
+
+  test("q06 flat join broadcasts the dimension sides") {
+    val p = plan("q06_flat_join")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
+  test("q13 top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("q13_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$p")
+  }
+
+  test("q01 aggregation is partial before the shuffle (map-side combine)") {
+    val p = plan("q01_agg_sum")
+    assert(p.contains("partial_"), s"no partial aggregate in:\n$p")
+  }
+
+  test("q22 scan prunes to the referenced columns only") {
+    val p = plan("q22_text_tokens")
+    // documents carries lang/n_chars etc. — a projection of doc_id+text
+    // must not read them
+    assert(p.contains("ReadSchema"), p)
+    assert(!"ReadSchema[^\\n]*lang".r.findFirstIn(p).isDefined,
+      s"unpruned scan reads lang:\n$p")
+  }
+
+  test("q35 near-dup pair join is keyed on the RP bucket") {
+    val p = plan("q35_embedding_neardup")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\\n]*bucket".r
+      .findFirstIn(p).isDefined || p.contains("bucket#"),
+      s"no bucket-keyed join in:\n$p")
+  }
+
+  test("q37 simhash candidates join on tbl+block-pair keys") {
+    val p = plan("q37_simhash")
+    assert(p.contains("bkey"), s"no block-pair key in:\n$p")
+  }
+
+  test("q28 similarity scoring stays on the codegen'd kernel") {
+    val p = plan("q28_cosine_topk")
+    assert(p.toLowerCase.contains("vecdot"), s"no VecDot kernel in:\n$p")
+  }
+
+  test("q07 RI filter is a semi-join, not a distinct+inner join") {
+    val p = plan("q07_semi_join")
+    assert(p.contains("LeftSemi"), s"no semi join in:\n$p")
+  }
+
+  test("q08 warehouse novelty probe is an anti-join") {
+    val p = plan("q08_anti_join")
+    assert(p.contains("LeftAnti"), s"no anti join in:\n$p")
+  }
+}
