@@ -265,6 +265,19 @@ object ExtQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // Row-frame window aggregate: per-user 3-row moving average over
+    // the event stream (decimal-exact sum cast to double BEFORE the
+    // division so both engines round identically).
+    "q52_moving_avg" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-2, 0)
+      events(s, d).select(col("user_id"), col("event_id"),
+        (sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
+          count(lit(1)).over(w)).as("mavg3"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // Semi-structured JSON column: schema-on-read of events.props with
     // from_json (the engine's JSON-path surface; CrossRef ingest uses the
     // same declared-schema approach at the envelope level).
@@ -721,6 +734,16 @@ object ExtQueries {
         |      WHERE c2.user_id = p.user_id AND c2.ts <= p.ts))
         |    AS last_click_value
         |FROM p ORDER BY user_id, event_id""".stripMargin,
+
+    "q52_moving_avg" ->
+      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events)
+        |SELECT user_id, event_id,
+        |  cast(sum(cast(value AS decimal(18,2))) OVER w AS double)
+        |    / (count(*) OVER w) AS mavg3
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q40_props_json" ->
       """SELECT cast(json_extract(props, '$.k') AS int) % 10 AS k_bucket,
