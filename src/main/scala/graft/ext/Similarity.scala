@@ -124,11 +124,20 @@ object Similarity {
     val probes = (0L until (1L << nBits))
       .filter(b => java.lang.Long.bitCount(b ^ qBucket) <= probeHamming)
     // literal type matches the (inferred) partition column type so the
-    // IN list lands in PartitionFilters untouched by casts
+    // IN list lands in PartitionFilters untouched by casts. StringType
+    // (partition-type inference disabled) gets string literals; anything
+    // else fails loudly — a silent cast would degrade directory pruning
+    // to a full scan, which at 100 TB is the difference between reading
+    // ~14% and 100% of the table.
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
     val probeLits: Seq[Any] =
       all.schema("bucket").dataType match {
-        case org.apache.spark.sql.types.LongType => probes
-        case _ => probes.map(_.toInt)
+        case LongType    => probes
+        case IntegerType => probes.map(_.toInt)
+        case StringType  => probes.map(_.toString)
+        case other => throw new IllegalStateException(
+          s"lshTopKAtRest: partition column 'bucket' read back as $other; " +
+            "expected long/int/string — pruning contract would silently break")
       }
     all.filter(col(idCol) =!= queryId)
       .filter(col("bucket").isin(probeLits: _*))

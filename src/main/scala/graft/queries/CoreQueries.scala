@@ -285,15 +285,19 @@ object CoreQueries {
   )
 
   /** Committed differential-fixture parquet (golden pairs from the
-    * reference implementation; see tools/gen_norm_fixture.py). Resolved
-    * relative to the working directory when the checkout is there (any
-    * clone location works), with the canonical absolute path as the
-    * fallback for driver processes running from elsewhere.
+    * reference implementation; see tools/gen_norm_fixture.py). Resolution
+    * order: `graft.normFixture` system property, `GRAFT_NORM_FIXTURE` env
+    * var, the checkout-relative path (any clone location works when the
+    * working directory is the repo root), then the canonical container
+    * path as the last-resort fallback for driver processes running from
+    * elsewhere.
     */
   val NormFixturePath: String = {
     val rel = new java.io.File("data/norm_fixture.parquet")
-    if (rel.isFile) rel.getAbsolutePath
-    else "/root/repo/data/norm_fixture.parquet"
+    sys.props.get("graft.normFixture")
+      .orElse(sys.env.get("GRAFT_NORM_FIXTURE"))
+      .orElse(if (rel.isFile) Some(rel.getAbsolutePath) else None)
+      .getOrElse("/root/repo/data/norm_fixture.parquet")
   }
 
   val oracles: Map[String, String] = Map(

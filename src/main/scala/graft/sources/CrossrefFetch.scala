@@ -21,7 +21,9 @@ import com.fasterxml.jackson.databind.ObjectMapper
   *    immediately, no backoff (PIPE:52-74).
   *  - Retryable statuses 429/500/502/503/504: wait `Retry-After` when
   *    the server sent it, else exponential backoff from 1s doubling to a
-  *    30s cap; fail after `maxTries` waits (PIPE:80-91).
+  *    30s cap; fails on the `maxTries`-th retryable response — `maxTries`
+  *    requests, `maxTries - 1` waits (the reference's final sleep before
+  *    giving up is skipped; request count matches PIPE:80-91).
   *  - Any other non-2xx fails immediately (`raise_for_status`).
   *  - Cursor pagination: start at `*`, follow `message.next-cursor`,
   *    stop on an empty `message.items`, a repeated cursor, or the page
