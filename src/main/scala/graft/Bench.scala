@@ -26,26 +26,36 @@ object Bench {
         catch { case _: Throwable => () }
       }
     } catch { case _: Throwable => () }
-    // best of 2 runs per query: the host is shared and noisy (±25%
-    // observed); the minimum measures the engine, not the neighbors.
+    // Two INTERLEAVED full-suite passes, min per query: back-to-back
+    // repeats of one query put both samples inside the same transient
+    // host stall, so best-of-2 still manufactured 2-6x "regressions" on
+    // unchanged code (rounds 2 and 3 each produced one). Interleaving
+    // separates a query's two samples by a whole suite pass — noise now
+    // has to persist for minutes to poison a minimum. clearCache()
+    // before every measurement drops anything a previous query pinned
+    // (e.g. dedup signature caches), so no query is timed against
+    // another query's leftover memory state and the CacheManager
+    // "already cached" re-registration warnings are gone.
     // A failing query reports time -1 plus an `errors` entry — it must
     // never read as a near-zero (i.e. fast) measurement.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        def once(): (Double, Option[String]) = {
-          val t0 = System.nanoTime()
-          val err =
-            try { fn(spark, sfDir).count(); None }
-            catch { case e: Throwable =>
-              Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
-            }
-          ((System.nanoTime() - t0) / 1e9, err)
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
         }
-        val (t1, e1) = once()
-        val (t2, e2) = once()
-        val ok = Seq((t1, e1), (t2, e2)).collect { case (t, None) => t }
-        if (ok.nonEmpty) name -> (ok.min, None)
-        else name -> (-1.0, e1.orElse(e2))
+      ((System.nanoTime() - t0) / 1e9, err)
+    }
+    val passes = Seq.fill(2)(ordered.map { case (name, fn) => name -> once(fn) })
+    val results = ordered.map { case (name, _) =>
+      val samples = passes.map(_.find(_._1 == name).get._2)
+      val ok = samples.collect { case (t, None) => t }
+      if (ok.nonEmpty) name -> (ok.min, None)
+      else name -> (-1.0, samples.head._2)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
