@@ -107,11 +107,29 @@ object Dedup {
     }
   }
 
+  /** Unordered within-bucket pairs from a collected member array:
+    * (x_i, x_j) for i < j, normalized so the smaller value is first.
+    * Pair volume equals the bucket's candidate count — the same
+    * quadratic blowup a bucket-keyed self-join would buffer for a
+    * single hot key, so neither shape is worse on degenerate buckets;
+    * this one computes its input once instead of twice.
+    */
+  private def bucketPairs(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        y => struct(least(x, y).as("id_a"), greatest(x, y).as("id_b")))))
+
   /** LSH candidate pairs: signatures split into `bands` bands of
     * `k/bands` rows; docs agreeing on any full band meet in a shuffle
     * bucket. Output: (id_a, id_b) with id_a < id_b, distinct.
-    * The only shuffles are the signature aggregation and the band-key
-    * join — no cross join.
+    *
+    * Single-pass shape: one signature aggregation, one shuffle on
+    * (band, band-key) collecting each bucket's members, pairs emitted
+    * locally per bucket. A bucket-keyed self-join would plan the
+    * signature pipeline TWICE (Spark does not reuse the exchange across
+    * the differently-aliased sides — measured, not assumed) or force an
+    * unmanaged `.cache()` pinned past the query's lifetime; this shape
+    * needs neither.
     *
     * `portable=true` uses the md5 signature family and a band key that is
     * the literal `band|mh_i|mh_j` concatenation — collision-free and
@@ -124,7 +142,6 @@ object Dedup {
       portable: Boolean = false): DataFrame = {
     val sigs = minhashSignatures(
       df.select(idCol, textCol), idCol, textCol, n, k, portable)
-      .cache()
     val rowsPerBand = k / bands
     val bandKeys = (0 until bands).map { b =>
       val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
@@ -132,14 +149,13 @@ object Dedup {
       if (portable) concat_ws("|", lit(b.toString) +: slice: _*)
       else hash(slice :+ lit(b): _*)
     }
-    val banded = sigs.select(
+    sigs.select(
       col(idCol),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
-    val a = banded.select(col("band"), col("bkey"), col(idCol).as("id_a"))
-    val b = banded.select(col("band"), col("bkey"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "bkey"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .groupBy("band", "bkey")
+      .agg(collect_list(col(idCol)).as("ids"))
+      .select(explode(bucketPairs(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
   }
 
   /** Exact Jaccard over distinct word n-gram shingles for a candidate
@@ -280,8 +296,8 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming <= 62,
       s"maxHamming must be in [0, 62], got $maxHamming")
     val sigs =
-      (if (portable) simhashSignaturesPortable(df, idCol, textCol)
-       else simhashSignatures(df, idCol, textCol)).cache()
+      if (portable) simhashSignaturesPortable(df, idCol, textCol)
+      else simhashSignatures(df, idCol, textCol)
     val nBlocks = maxHamming + 2
     val bounds = (0 to nBlocks).map(i => i * 64 / nBlocks)
     def block(i: Int): Column =
@@ -291,17 +307,25 @@ object Dedup {
       i <- 0 until nBlocks
       j <- i + 1 until nBlocks
     } yield shiftleft(block(i), 32).bitwiseOR(block(j))
-    val keyed = sigs.select(col(idCol), col("sig"),
+    // Same single-pass bucket shape as lshCandidatePairs: one signature
+    // aggregation, one shuffle on (table, block-pair key), exact
+    // bit_count verify inside the bucket — no self-join (which would
+    // compute the signatures twice) and no pinned cache.
+    val members = sigs.select(col(idCol), col("sig"),
       posexplode(array(pairKeys: _*)).as(Seq("tbl", "bkey")))
-    val a = keyed.select(col("tbl"), col("bkey"),
-      col(idCol).as("id_a"), col("sig").as("sig_a"))
-    val b = keyed.select(col("tbl"), col("bkey"),
-      col(idCol).as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("tbl", "bkey"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming").distinct()
+      .groupBy("tbl", "bkey")
+      .agg(collect_list(struct(col(idCol).as("id"), col("sig"))).as("ms"))
+    val pairs = flatten(transform(col("ms"), (x, i) =>
+      filter(
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))), y =>
+          struct(
+            least(x.getField("id"), y.getField("id")).as("id_a"),
+            greatest(x.getField("id"), y.getField("id")).as("id_b"),
+            bit_count(x.getField("sig").bitwiseXOR(y.getField("sig")))
+              .as("hamming"))),
+        p => p.getField("hamming") <= maxHamming)))
+    members.select(explode(pairs).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming")).distinct()
   }
 
   // ------------------------------------------------------------------
@@ -322,38 +346,81 @@ object Dedup {
     * small-star rounds (Kiveris et al., "Connected Components in
     * MapReduce", SoCC'14) with fewer skewed shuffles.
     */
+  /** Release a localCheckpoint'd frame's executor blocks. A local
+    * checkpoint pins its materialized RDD for the lifetime of the driver
+    * reference — in an iterative loop the superseded rounds would pile
+    * up in the block store. Only call once nothing can re-read the frame
+    * (a local checkpoint cannot be recomputed).
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def dedupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id")).localCheckpoint()
-    var changed = true
-    var iter = 0
-    while (changed && iter < maxIter) {
-      // 1. each node takes the min of its own and its neighbors' labels
-      val msgs = edges.join(labels, edges("src") === labels("id"))
+
+    // one round: (1) min-label propagation along edges, (2) pointer
+    // jumping (cluster := cluster of the cluster node — label values are
+    // node ids and cluster(x) <= x, so the hop never increases a label)
+    def round(cur: DataFrame): DataFrame = {
+      val msgs = edges.join(cur, edges("src") === cur("id"))
         .select(col("dst").as("id"), col("cluster"))
-      val propagated = labels.unionByName(msgs)
+      val propagated = cur.unionByName(msgs)
         .groupBy("id").agg(min("cluster").as("cluster"))
-      // 2. pointer jumping: follow the label one hop (cluster values are
-      // node ids, and cluster(x) <= x, so the parent's label is <= ours)
       val parents = propagated
         .select(col("id").as("p_id"), col("cluster").as("p_cluster"))
-      val next = propagated
+      propagated
         .join(parents, propagated("cluster") === parents("p_id"))
         .select(col("id"), col("p_cluster").as("cluster"))
         .localCheckpoint()
-      iter += 1
-      // convergence costs a join job — with pointer jumping the loop
-      // finishes in a handful of rounds, so probe every second round
-      // (at worst one extra no-op round instead of a check per round)
-      changed = iter % 2 == 1 || next.as("n")
-        .join(labels.select(col("id"), col("cluster").as("old")), "id")
-        .filter(col("cluster") =!= col("old"))
-        .limit(1).count() > 0
+    }
+    def step(): Unit = {
+      val next = round(labels)
+      freeCheckpoint(labels)
       labels = next
     }
+    // At the fixpoint every component is uniformly labeled with its min
+    // id, so convergence == no edge still sees a smaller label across it
+    // (labels only ever hold ids reachable within the component, and a
+    // per-component-constant label that small must BE the min). One
+    // limit(1) probe job — not one per round.
+    def unconverged(): Boolean =
+      edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("cluster").as("nb"))
+        .join(labels, "id")
+        .filter(col("nb") < col("cluster"))
+        .limit(1).count() > 0
+
+    // Geometric probe schedule: run rounds blind, checking convergence
+    // only at rounds 2, 4, 8, ... — probes stay O(log rounds) while the
+    // round count stays within 2x of optimal. Strictly cheaper than both
+    // a check-every-round loop (probe job per round) and a blind
+    // ceil(log2 n) budget (n-derived bounds overshoot badly: real
+    // near-dup graphs converge in the diameter-driven 2-4 rounds, not
+    // log2(nodes), and the upfront count job is saved too). maxIter
+    // exhaustion throws — a silent partial clustering would merge too
+    // little and pass unnoticed downstream.
+    var iter = 0
+    var nextProbe = 2
+    var converged = labels.isEmpty // empty pair graph: nothing to do
+    while (!converged && iter < maxIter) {
+      step(); iter += 1
+      if (iter == nextProbe || iter == maxIter) {
+        converged = !unconverged() // probe ran at maxIter too, so a
+        nextProbe *= 2             // !converged exit is definitive
+      }
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupClusters: not converged after $maxIter rounds — raise maxIter")
+    freeCheckpoint(edges)
     labels
   }
 

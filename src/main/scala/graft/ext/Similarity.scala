@@ -153,21 +153,29 @@ object Similarity {
   /** ANN top-k: restrict to buckets within hamming distance
     * `probeHamming` of the query bucket (multi-probe LSH), rerank exactly.
     * Recall < 1 by construction; verified against bruteTopK in tests.
+    *
+    * The query vector/bucket are fetched with one driver-side one-row
+    * lookup (like `lshTopKAtRest`) and inlined as literals, so the plan
+    * is scan → bucket prefilter → score → TakeOrderedAndProject — no
+    * crossJoin, and the hamming predicate runs BEFORE the cosine kernel
+    * instead of after a join. The driver-side norm is the same
+    * left-to-right double fold as the VecDot kernel, so scores are
+    * bit-identical to the joined form. Throws if `queryId` is absent.
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, nBits: Int = 8,
       probeHamming: Int = 2): DataFrame = {
     val bucketed = df.withColumn("bucket", rpBucket(col(vecCol), nBits))
     val q = bucketed.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("q_vec"), l2norm(col(vecCol)).as("q_nrm"),
-        col("bucket").as("q_bucket"))
+      .select(col(vecCol), col("bucket")).head()
+    val qVec = q.getSeq[Float](0).toArray
+    val qBucket = q.getLong(1)
+    val qNrm = math.sqrt(qVec.map(x => x.toDouble * x).sum)
     bucketed.filter(col(idCol) =!= queryId)
-      .crossJoin(broadcast(q))
-      .filter(bit_count(col("bucket").bitwiseXOR(col("q_bucket")))
+      .filter(bit_count(col("bucket").bitwiseXOR(lit(qBucket)))
         <= probeHamming)
       .withColumn("score", trunc(
-        dot(col(vecCol), col("q_vec")) /
-          (l2norm(col(vecCol)) * col("q_nrm")), 6))
+        dot(col(vecCol), lit(qVec)) / (l2norm(col(vecCol)) * lit(qNrm)), 6))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("score"))

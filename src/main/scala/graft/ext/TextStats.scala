@@ -136,24 +136,37 @@ object TextStats {
     * bit-identical across engines; a log idf reorders nothing for a
     * fixed tf since log is monotone, but its last-ulp rounding is
     * libm-dependent and would break hash comparison). Two shuffles:
-    * term counts, then the document-frequency join — the df table is
-    * bounded by the vocabulary, which is broadcastable for natural
-    * corpora (drop the hint for web-scale vocabularies). Ties break on
+    * term counts, then the document-frequency join. Ties break on
     * the term string, so output is total-order deterministic. The
     * source feeds three branches (tf, document frequency, corpus
     * count); on parquet the count is footer-metadata-only, and the
     * token explode is recomputed rather than cached — persist `toks`
     * upstream if the source scan dominates.
+    *
+    * The df-table join strategy is size-gated, not hard-coded:
+    * `broadcastDf = None` (default) leaves the join unhinted so AQE
+    * picks broadcast vs shuffle from the ACTUAL runtime size of the
+    * aggregated vocabulary — a natural-corpus vocab broadcasts, a
+    * web-scale one shuffle-joins, and no upfront count job is spent
+    * deciding (a row-count gate would have to re-aggregate the whole
+    * vocab just to count it). `Some(true)`/`Some(false)` force a branch
+    * (both produce identical results; ExtSpec asserts it).
     */
   def tfIdfTopK(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+      textCol: String, k: Int,
+      broadcastDf: Option[Boolean] = None): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("t"))
     val tf = toks.groupBy(idCol, "t").agg(count(lit(1)).as("tf"))
     val docFreq = toks.groupBy("t")
       .agg(count_distinct(col(idCol)).as("df"))
+    val dfSide = broadcastDf match {
+      case Some(true)  => broadcast(docFreq)
+      case Some(false) => docFreq.hint("shuffle_merge")
+      case None        => docFreq
+    }
     val n = df.select(count(lit(1)).as("n_docs"))
-    val scored = tf.join(broadcast(docFreq), "t")
+    val scored = tf.join(dfSide, "t")
       .crossJoin(broadcast(n))
       .withColumn("weight",
         (col("tf") * col("n_docs")).cast("double") / col("df"))

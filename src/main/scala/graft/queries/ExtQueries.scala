@@ -104,6 +104,21 @@ object ExtQueries {
         nBits = 8, probeHamming = 2)
     }),
 
+    // The ANN scale path, graded end-to-end: build the bucket-partitioned
+    // index (writeBucketed), then answer the same top-k via partition
+    // pruning — the probe IN-list lands in the scan's PartitionFilters,
+    // touching ~14% of the directories instead of scanning everything
+    // (the 100 TB difference vs q30's in-memory form). Probe set ==
+    // {buckets within hamming 2}, so results — and the oracle — are
+    // exactly q30's.
+    "q53_ann_at_rest" -> ((s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_q53")
+        .toString + "/emb"
+      Similarity.writeBucketed(embeddings(s, d), "embedding", path, nBits = 8)
+      Similarity.lshTopKAtRest(s, path, "vec_id", "embedding", 0L, 10,
+        nBits = 8, probeHamming = 2)
+    }),
+
     // Tumbling 1-hour windows (stream-shaped aggregation, batch run).
     "q31_events_tumbling" -> ((s, d) => {
       EventsOps.tumbling(events(s, d), "1 hour")
@@ -505,6 +520,21 @@ object ExtQueries {
          |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q30_ann_topk" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, cast($bucketSql AS bigint) AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT embedding AS q_vec, bucket AS q_bucket FROM b
+         |      WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  floor((${cosineSql("embedding", "q_vec")}) * 1000000) / 1000000
+         |    AS score
+         |FROM b, q
+         |WHERE vec_id <> 0 AND bit_count(xor(bucket, q_bucket)) <= 2
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // q53 probes exactly the hamming<=2 bucket set q30 filters to, so
+    // the partition-pruned at-rest result must equal q30's.
+    "q53_ann_at_rest" ->
       s"""WITH b AS (
          |  SELECT vec_id, embedding, cast($bucketSql AS bigint) AS bucket
          |  FROM embeddings),

@@ -150,6 +150,38 @@ class ExtSpec extends SparkSpec {
     assert(top.filter(_._1 == 1L).map(_._4) == Seq(3.0, 2.0))
   }
 
+  test("dedup clusters: bounded driver chatter (jobs, not per-round probes)") {
+    // 40-node path — the worst propagation topology for its size. The
+    // geometric probe schedule must keep the TOTAL job count bounded:
+    // ~1 checkpoint job per round (+AQE stages), probes only at rounds
+    // 2,4,8,... A regression to per-round convergence counts or to a
+    // blind log2(n)-node budget shows up as a job-count jump.
+    val path = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val clusters = Dedup.dedupClusters(path)
+      assert(clusters.select("cluster").distinct().as[Long]
+        .collect().toSeq == Seq(1L))
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs <= 60, s"dedupClusters scheduled $jobs jobs on a 40-node path")
+  }
+
+  test("tf-idf broadcast and shuffle join branches are equivalent") {
+    val docsDf = Tables.documents(spark, sf0001).limit(100)
+    def run(b: Option[Boolean]) =
+      TextStats.tfIdfTopK(docsDf, "doc_id", "text", 3, b)
+        .orderBy("doc_id", "rank").collect().map(_.toSeq).toSeq
+    val viaBroadcast = run(Some(true))
+    assert(run(Some(false)) == viaBroadcast)
+    assert(run(None) == viaBroadcast)
+  }
+
   test("repetition score: duplicated n-gram fraction") {
     val got = Seq(
       "a b a b a b",        // bigrams: ab,ba,ab,ba,ab → 5 total, 2 distinct

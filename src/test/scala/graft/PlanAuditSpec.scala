@@ -53,6 +53,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.toLowerCase.contains("vecdot"), s"no VecDot kernel in:\n$p")
   }
 
+  test("q30 ANN probe is a pre-score filter, not a post-join one") {
+    val p = plan("q30_ann_topk")
+    assert(!p.contains("NestedLoop"), s"crossJoin shape in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$p")
+  }
+
+  test("q53 at-rest ANN scan prunes partitions via the probe IN-list") {
+    val p = plan("q53_ann_at_rest")
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p).isDefined,
+      s"no bucket PartitionFilters in:\n$p")
+  }
+
   test("q07 RI filter is a semi-join, not a distinct+inner join") {
     val p = plan("q07_semi_join")
     assert(p.contains("LeftSemi"), s"no semi join in:\n$p")

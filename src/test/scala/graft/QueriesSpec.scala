@@ -33,7 +33,7 @@ class QueriesSpec extends SparkSpec {
   // require identical collected output.
   Seq("q13_topk", "q14_window_rank", "q11_entity_resolution",
     "q28_cosine_topk", "q30_ann_topk", "q34_events_session",
-    "q35_embedding_neardup").foreach { name =>
+    "q35_embedding_neardup", "q53_ann_at_rest").foreach { name =>
     test(s"$name is run-to-run deterministic") {
       val fn = SparkEntry.queries(name)
       def run() = fn(spark, sf0001).collect().map(_.toString).toSeq
