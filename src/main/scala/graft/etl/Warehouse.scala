@@ -102,6 +102,102 @@ object Warehouse {
     }
   }
 
+  /** MERGE-semantics keyed upsert, copy-on-write (the reference's
+    * UPDATE-join + INSERT upsert, PIPE:417-428, without the full
+    * recompute-and-swap): batch rows REPLACE existing rows with the same
+    * key, novel keys are inserted, and only the partition directories the
+    * batch touches are read, rewritten and swapped — every other
+    * partition's files are left byte-identical on disk (asserted in
+    * PipelineSpec). At 100 TB this is the difference between rewriting a
+    * handful of `anio=` directories and rewriting the warehouse.
+    *
+    * Mechanics: the merged rows for the touched partitions (batch ∪
+    * existing-anti-batch, partition-pruned read) are staged to a
+    * `__delta` side directory — fully materialized BEFORE any live file
+    * moves — then each staged partition directory is swapped in with the
+    * same aside/promote/restore discipline as `overwriteSwap`. Aside
+    * copies live OUTSIDE the table root so a crashed merge can never be
+    * misread as an extra partition value.
+    *
+    * Contract: partition values must be stable under updates (derive
+    * them from the key, or include them in it) — a key that MOVED
+    * partitions would leave its stale row in the old, untouched
+    * partition. Un-partitioned tables degrade to a full
+    * `overwriteSwap` rewrite (no finer copy-on-write unit exists).
+    * Partition values must be non-null.
+    */
+  def mergeByKey(spark: SparkSession, batch: DataFrame, dir: String,
+      table: String, keys: Seq[String],
+      partitionCols: Seq[String] = Nil): Unit = {
+    import org.apache.hadoop.fs.Path
+    val deduped = batch.dropDuplicates(keys)
+    def antiMerged(existing: DataFrame): DataFrame =
+      deduped.unionByName(
+        existing.join(deduped.select(keys.map(col): _*), keys, "left_anti"),
+        allowMissingColumns = true)
+    if (!exists(spark, dir, table)) {
+      val w = deduped.write.mode(SaveMode.Overwrite)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(path(dir, table))
+    } else if (partitionCols.isEmpty) {
+      overwriteSwap(spark, antiMerged(read(spark, dir, table)), dir, table)
+    } else {
+      // touched partitions: the batch's distinct partition tuples. A
+      // driver-side list by design — an incremental batch touches few
+      // partitions; the list becomes the partition-pruning predicate on
+      // the existing-side read.
+      val touched = deduped.select(partitionCols.map(col): _*)
+        .distinct().collect()
+      if (touched.nonEmpty) {
+        val pruned = read(spark, dir, table).filter(
+          touched.map(r => partitionCols.zipWithIndex
+            .map { case (c, i) => col(c) === lit(r.get(i)) }
+            .reduce(_ && _)).reduce(_ || _))
+        val delta = new Path(path(dir, table + "__delta"))
+        val dst = new Path(path(dir, table))
+        val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // stage: materializes the pruned existing read before any move
+        antiMerged(pruned).write.mode(SaveMode.Overwrite)
+          .partitionBy(partitionCols: _*).parquet(delta.toString)
+        // enumerate the staged leaf partition dirs (depth = #partition
+        // cols) — Spark already encoded the values, so relative paths
+        // transfer verbatim to the live table
+        def leaves(base: Path, depth: Int): Seq[Path] =
+          if (depth == 0) Seq(base)
+          else fs.listStatus(base).toSeq
+            .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+            .flatMap(st => leaves(st.getPath, depth - 1))
+        val aside = new Path(path(dir, table + "__mergeold"))
+        if (fs.exists(aside)) fs.delete(aside, true)
+        // listStatus returns fully-qualified paths (scheme + authority);
+        // strip the equally-qualified delta prefix to get the relative
+        // partition path
+        val deltaPrefix = fs.makeQualified(delta).toString
+        leaves(delta, partitionCols.size).foreach { d =>
+          val rel = d.toString.stripPrefix(deltaPrefix).stripPrefix("/")
+          val target = new Path(dst, rel)
+          val asideDir = new Path(aside, rel)
+          fs.mkdirs(asideDir.getParent)
+          fs.mkdirs(target.getParent)
+          val had = fs.exists(target)
+          if (had && !fs.rename(target, asideDir))
+            throw new java.io.IOException(
+              s"mergeByKey: rename $target -> $asideDir failed")
+          if (!fs.rename(d, target)) {
+            val restored = !had || fs.rename(asideDir, target)
+            throw new java.io.IOException(
+              s"mergeByKey: rename $d -> $target failed" +
+                (if (restored) " (previous partition restored)"
+                 else s" AND restore failed — data preserved at $asideDir"))
+          }
+        }
+        fs.delete(delta, true)
+        fs.delete(aside, true)
+        ()
+      }
+    }
+  }
+
   /** K3 — CSV export with header (the reference's catalog emit,
     * PIPE:396-398). Single file, UTF-8.
     */

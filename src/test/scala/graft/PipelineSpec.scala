@@ -133,6 +133,64 @@ class PipelineSpec extends SparkSpec {
       .as[Option[Int]].head().isEmpty)
   }
 
+  test("mergeByKey: update+insert in one pass, untouched partitions kept") {
+    val dir = freshDir()
+    val base = Seq(
+      ("10.1/a", "Work A", 2020, 1),
+      ("10.2/b", "Work B", 2020, 2),
+      ("10.3/c", "Work C", 2021, 3),
+      ("10.4/d", "Work D", 2022, 4))
+      .toDF("doi", "titulo", "anio", "citas")
+    Warehouse.mergeByKey(spark, base, dir, "obras", Seq("doi"), Seq("anio"))
+
+    def files(part: String) = {
+      val d = new java.io.File(s"$dir/obras/$part")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified(), f.length())).toSeq.sorted
+    }
+    val untouched2021 = files("anio=2021")
+    val untouched2022 = files("anio=2022")
+
+    // one pass: update 10.1/a (2020), insert 10.5/e into existing 2020,
+    // insert 10.6/f into brand-new partition 2023
+    val batch = Seq(
+      ("10.1/a", "Work A v2", 2020, 99),
+      ("10.5/e", "Work E", 2020, 5),
+      ("10.6/f", "Work F", 2023, 6))
+      .toDF("doi", "titulo", "anio", "citas")
+    Warehouse.mergeByKey(spark, batch, dir, "obras", Seq("doi"), Seq("anio"))
+
+    val got = Warehouse.read(spark, dir, "obras")
+      .select("doi", "titulo", "anio", "citas")
+      .as[(String, String, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("10.1/a", "Work A v2", 2020, 99), // updated in place
+      ("10.2/b", "Work B", 2020, 2),     // same partition, untouched key
+      ("10.3/c", "Work C", 2021, 3),     // untouched partition
+      ("10.4/d", "Work D", 2022, 4),     // untouched partition
+      ("10.5/e", "Work E", 2020, 5),     // insert, existing partition
+      ("10.6/f", "Work F", 2023, 6)))    // insert, new partition
+    // copy-on-write: untouched partition directories byte-identical
+    // (same files, same mtimes) — they were never read or rewritten
+    assert(files("anio=2021") == untouched2021)
+    assert(files("anio=2022") == untouched2022)
+    // staging/aside dirs cleaned up
+    assert(!new java.io.File(s"$dir/obras__delta").exists())
+    assert(!new java.io.File(s"$dir/obras__mergeold").exists())
+
+    // re-running the same merge is idempotent on content
+    Warehouse.mergeByKey(spark, batch, dir, "obras", Seq("doi"), Seq("anio"))
+    assert(Warehouse.read(spark, dir, "obras").count() == 6)
+
+    // un-partitioned degrade: full-rewrite merge keeps MERGE semantics
+    val dir2 = freshDir()
+    Warehouse.mergeByKey(spark, base, dir2, "obras", Seq("doi"))
+    Warehouse.mergeByKey(spark, batch, dir2, "obras", Seq("doi"))
+    val flat = Warehouse.read(spark, dir2, "obras")
+      .select("doi", "titulo").as[(String, String)].collect().toMap
+    assert(flat.size == 6 && flat("10.1/a") == "Work A v2")
+  }
+
   test("K1 idempotence: re-running ingest is a no-op") {
     val dir = freshDir()
     Pipeline.ingest(spark, pages, dir)
