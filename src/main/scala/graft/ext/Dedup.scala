@@ -424,6 +424,83 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the adversarial-graph escape hatch behind the
+    * same (id, cluster) contract as `dedupClusters`. Where min-label
+    * propagation re-ships every component's full frontier each round,
+    * star contraction rewires each edge toward its neighborhood minimum,
+    * shrinking hot vertices geometrically: O(log n) rounds with per-round
+    * work proportional to the CURRENT edge set (which collapses toward
+    * one edge per node), no per-component skew pileup.
+    *
+    * Edges are kept in (u > v) canonical form between rounds.
+    *  - large-star (on the symmetrized set): every neighbor v > u is
+    *    re-pointed at m = min(N(u) ∪ u);
+    *  - small-star (on the canonical set, so N(u) < u): u and all its
+    *    smaller neighbors re-point at m = min(N(u)).
+    * The fixpoint is a forest of min-rooted stars, read out as
+    * (child → root) plus (root → root). Convergence = the canonical
+    * edge set is unchanged by a full round, checked exactly (anti-join
+    * + count) on the same geometric probe schedule as `dedupClusters`;
+    * maxIter exhaustion throws.
+    */
+  def dedupClustersStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val init = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .filter(col("u") =!= col("v"))
+    var edges = init
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint()
+
+    def round(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mLarge = sym.groupBy("u")
+        .agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val afterLarge = sym.join(mLarge, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // afterLarge is already (u > v): m <= anchor < re-pointed v
+      val mSmall = afterLarge.groupBy("u").agg(min("v").as("m"))
+      val children = afterLarge.join(mSmall, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mSmall.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+      children.localCheckpoint()
+    }
+
+    var iter = 0
+    var nextProbe = 2
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      val next = round(edges)
+      iter += 1
+      if (iter == nextProbe || iter == maxIter) {
+        // exact set equality: next ⊆ edges (anti-join empty) and equal
+        // distinct cardinality
+        converged =
+          next.join(edges, Seq("u", "v"), "left_anti").limit(1).count() == 0 &&
+            next.count() == edges.count()
+        nextProbe *= 2
+      }
+      freeCheckpoint(edges)
+      edges = next
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupClustersStar: not converged after $maxIter rounds — raise maxIter")
+    val labels = edges.groupBy("u").agg(min("v").as("cluster"))
+      .select(col("u").as("id"), col("cluster"))
+      .unionByName(edges.select(col("v").as("cluster")).distinct()
+        .select(col("cluster").as("id"), col("cluster")))
+    // materialize before freeing the edge blocks the plan reads
+    val out = labels.localCheckpoint()
+    freeCheckpoint(edges)
+    out
+  }
+
   // ------------------------------------------------------------------
   // Exact + embedding dedup
   // ------------------------------------------------------------------

@@ -202,6 +202,16 @@ object ExtQueries {
         .orderBy("id")
     }),
 
+    // Same cluster assignment via alternating large-star/small-star
+    // contraction (Kiveris SoCC'14) — the skew-safe CC variant; must
+    // reach the identical fixpoint, so it shares q49's recursive oracle.
+    "q54_dedup_clusters_star" -> ((s, d) => {
+      val pairs = Dedup.minhashNearDups(documents(s, d), "doc_id", "text",
+        n = 3, k = 8, bands = 4, threshold = 0.5, portable = true)
+      Dedup.dedupClustersStar(pairs.select("id_a", "id_b"))
+        .orderBy("id")
+    }),
+
     // Repetition scoring (Gopher/RefinedWeb-style duplicate-n-gram
     // fraction) at 2- and 3-gram granularity — pure projection.
     "q48_repetition" -> ((s, d) => {
@@ -380,6 +390,26 @@ object ExtQueries {
        |  JOIN dsh b ON b.doc_id = c.id_b)
        |  WHERE jaccard >= 0.5)""".stripMargin
   }
+
+  /** Recursive-closure replay of cluster assignment: transitive
+    * reachability over the (tiny, verified) pair graph, cluster = min
+    * reachable id — the declarative fixpoint BOTH iterative Spark
+    * implementations (min-label propagation q49, star contraction q54)
+    * converge to.
+    */
+  private lazy val dedupClustersOracle: String =
+    s"""WITH RECURSIVE $fuzzyPairsCtes,
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges)
+       |SELECT n.id, least(n.id, min(r.b)) AS cluster
+       |FROM nodes n JOIN reach r ON r.a = n.id
+       |GROUP BY n.id ORDER BY id""".stripMargin
 
   private def markerSql(words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -615,19 +645,8 @@ object ExtQueries {
     // reachability over the (tiny, verified) pair graph, cluster = min
     // reachable id — the declarative fixpoint the iterative Spark
     // propagation converges to.
-    "q49_dedup_clusters" ->
-      s"""WITH RECURSIVE $fuzzyPairsCtes,
-         |edges AS (
-         |  SELECT id_a AS a, id_b AS b FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM edges
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         |nodes AS (SELECT DISTINCT a AS id FROM edges)
-         |SELECT n.id, least(n.id, min(r.b)) AS cluster
-         |FROM nodes n JOIN reach r ON r.a = n.id
-         |GROUP BY n.id ORDER BY id""".stripMargin,
+    "q49_dedup_clusters" -> dedupClustersOracle,
+    "q54_dedup_clusters_star" -> dedupClustersOracle,
 
     "q51_tfidf_terms" ->
       """WITH toks AS (

@@ -172,6 +172,50 @@ class ExtSpec extends SparkSpec {
     assert(jobs <= 60, s"dedupClusters scheduled $jobs jobs on a 40-node path")
   }
 
+  test("star-contraction CC equals min-label propagation on random graphs") {
+    // seeded randomized property check: both algorithms must produce the
+    // identical (id -> component-min) map on arbitrary topologies
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val n = 2 + rnd.nextInt(28)
+      val m = 1 + rnd.nextInt(50)
+      val pairs = Seq.fill(m)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      if (pairs.nonEmpty) {
+        val df = pairs.toDF("id_a", "id_b")
+        val viaProp = Dedup.dedupClusters(df)
+          .as[(Long, Long)].collect().toMap
+        val viaStar = Dedup.dedupClustersStar(df)
+          .as[(Long, Long)].collect().toMap
+        assert(viaStar == viaProp, s"trial $trial: $pairs")
+      }
+    }
+  }
+
+  test("star-contraction CC: skewed long-chain graph, bounded rounds") {
+    // one 60-node chain + a 30-spoke hub — the skew shape that punishes
+    // frontier-based propagation. Must converge (no maxIter throw) with
+    // bounded driver chatter, and label everything with the component min.
+    val chain = (1L until 60L).map(i => (i, i + 1))
+    val hub = (1L to 30L).map(i => (100L, 100L + i))
+    val df = (chain ++ hub).toDF("id_a", "id_b")
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val got = try Dedup.dedupClustersStar(df).as[(Long, Long)].collect().toMap
+    finally spark.sparkContext.removeSparkListener(listener)
+    assert((1L to 60L).forall(got(_) == 1L))
+    assert((100L to 130L).forall(got(_) == 100L))
+    // ~7 contraction rounds x ~11 AQE stage-jobs each; the bound guards
+    // against gross regressions (per-round probing, extra materializations)
+    assert(jobs <= 110, s"dedupClustersStar scheduled $jobs jobs")
+  }
+
   test("tf-idf broadcast and shuffle join branches are equivalent") {
     val docsDf = Tables.documents(spark, sf0001).limit(100)
     def run(b: Option[Boolean]) =

@@ -12,7 +12,8 @@ class QueriesSpec extends SparkSpec {
     "q35_embedding_neardup", // bucket prefilter may isolate all vectors
     "q36_minhash_neardup", "q37_simhash",
     "q39_media_neardup",   // unique synthetic bytes → no near-dups
-    "q49_dedup_clusters")  // empty when q36's pair graph is empty
+    "q49_dedup_clusters",  // empty when q36's pair graph is empty
+    "q54_dedup_clusters_star")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
