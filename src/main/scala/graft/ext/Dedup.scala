@@ -114,7 +114,7 @@ object Dedup {
     * single hot key, so neither shape is worse on degenerate buckets;
     * this one computes its input once instead of twice.
     */
-  private def bucketPairs(ids: Column): Column =
+  private[graft] def bucketPairs(ids: Column): Column =
     flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + lit(2), size(ids)),
         y => struct(least(x, y).as("id_a"), greatest(x, y).as("id_b")))))
@@ -265,15 +265,23 @@ object Dedup {
     * hex digit `g` of md5(token) — any engine can replay it from the md5
     * hex string (the DuckDB oracle does). Same packed aggregation and
     * majority rule as the fast path.
+    *
+    * That bit layout (digit g at bits 4g..4g+3) is exactly a
+    * LITTLE-endian parse of the first 16 hex digits, so the whole
+    * 64-bit token hash is one `conv(reverse(hex), 16, -10)` (signed
+    * radix: top-bit digits must not overflow the long) instead of 64
+    * per-digit conv+substring calls — same bits, ~64x less string work
+    * per token.
     */
   def simhashSignaturesPortable(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val toks = df.select(col(idCol),
       explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("t"))
-      .withColumn("m", md5(col("t")))
-    simhashPacked(toks, idCol, (g, l) =>
-      shiftright(conv(substring(col("m"), g + 1, 1), 16, 10).cast("long"), l)
-        .bitwiseAND(1))
+      .withColumn("h",
+        conv(reverse(substring(md5(col("t")), 1, 16)), 16, -10)
+          .cast("long"))
+    simhashPacked(toks, idCol,
+      (g, l) => shiftright(col("h"), g * 4 + l).bitwiseAND(1))
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming.

@@ -100,10 +100,17 @@ object Similarity {
     * `bucket=<b>/part-*.parquet` makes the bucket a PARTITION key, so a
     * multi-probe search prunes whole directories at planning time
     * instead of scanning and filtering (see `lshTopKAtRest`).
+    *
+    * The shuffle on `bucket` before the write is load-bearing: without
+    * it every write task fans out a file into up to 2^nBits partition
+    * directories — tasks × buckets small files, the layout that kills
+    * listing and scan throughput at 100 TB. Repartitioned, each
+    * directory receives one file per owning task.
     */
   def writeBucketed(df: DataFrame, vecCol: String, path: String,
       nBits: Int = 8): Unit =
     df.withColumn("bucket", rpBucket(col(vecCol), nBits))
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
   /** Multi-probe ANN top-k over a `writeBucketed` table: the probe set

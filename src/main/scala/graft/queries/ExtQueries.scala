@@ -70,18 +70,21 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
-    // LSH band join on the portable signature: 2 bands × 2 rows.
-    // Candidates = docs agreeing on a full band (equi-join, no cross).
+    // LSH banding on the portable signature: 2 bands × 2 rows.
+    // Candidates = docs agreeing on a full band slice (cross-band
+    // collisions included — the bucket key is the slice VALUES, no band
+    // index, matching the oracle's band-less join). Single-pass bucket
+    // shape: one signature aggregation, one shuffle, local pair
+    // emission — not a self-join that would compute signatures twice.
     "q27_minhash_bands" -> ((s, d) => {
-      val sigs = Dedup.minhashSignatures(documents(s, d), "doc_id", "text",
+      Dedup.minhashSignatures(documents(s, d), "doc_id", "text",
         n = 3, k = 4, portable = true)
-      val b1 = sigs.select(col("doc_id"), col("mh0").as("k1"), col("mh1").as("k2"))
-      val b2 = sigs.select(col("doc_id"), col("mh2").as("k1"), col("mh3").as("k2"))
-      val banded = b1.unionByName(b2)
-      banded.as("a").join(banded.as("b"), Seq("k1", "k2"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
+        .select(col("doc_id"), explode(array(
+          struct(col("mh0").as("k1"), col("mh1").as("k2")),
+          struct(col("mh2").as("k1"), col("mh3").as("k2")))).as("b"))
+        .groupBy("b.k1", "b.k2").agg(collect_list(col("doc_id")).as("ids"))
+        .select(explode(Dedup.bucketPairs(col("ids"))).as("p"))
+        .select(col("p.id_a"), col("p.id_b")).distinct()
         .orderBy("id_a", "id_b")
     }),
 
