@@ -519,25 +519,50 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Embedding-cosine near-dup pairs above `threshold`, prefiltered by a
-    * sign-random-projection bucket so the join is equi- not cross-.
-    * `nBits=0` disables the prefilter (exact, quadratic — small inputs).
+    * sign-random-projection bucket so candidates are bucket-local, never
+    * all-pairs. Same single-pass bucket shape as the text dedup
+    * operators: one upstream computation (this matters when the input is
+    * an EXPENSIVE pipeline — `nearDupMedia` feeds a mapPartitions decode
+    * here; a bucket self-join would run it twice), one shuffle, pairs
+    * scored locally per bucket (VecDot evaluates interpreted inside the
+    * lambda; pair volume is bucket-bounded so the per-pair overhead is
+    * noise next to the avoided recompute).
+    *
+    * `nBits=0` disables the prefilter (exact, quadratic — small inputs
+    * only); that mode keeps a plain self-join, since one all-rows bucket
+    * must stream rather than collect.
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 8): DataFrame = {
-    val withB =
-      (if (nBits == 0) df.withColumn("bucket", lit(0))
-       else df.withColumn("bucket", Similarity.rpBucket(col(vecCol), nBits)))
-        .withColumn("nrm", Similarity.l2norm(col(vecCol)))
-    val a = withB.select(col("bucket"), col(idCol).as("id_a"),
-      col(vecCol).as("v_a"), col("nrm").as("nrm_a"))
-    val b = withB.select(col("bucket"), col(idCol).as("id_b"),
-      col(vecCol).as("v_b"), col("nrm").as("nrm_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      // one codegen'd dot per pair; norms precomputed per row
-      .withColumn("cosine", Similarity.dot(col("v_a"), col("v_b")) /
-        (col("nrm_a") * col("nrm_b")))
-      .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
+    val withNrm = df.withColumn("nrm", Similarity.l2norm(col(vecCol)))
+    if (nBits == 0) {
+      val a = withNrm.select(col(idCol).as("id_a"),
+        col(vecCol).as("v_a"), col("nrm").as("nrm_a"))
+      val b = withNrm.select(col(idCol).as("id_b"),
+        col(vecCol).as("v_b"), col("nrm").as("nrm_b"))
+      a.crossJoin(b)
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", Similarity.dot(col("v_a"), col("v_b")) /
+          (col("nrm_a") * col("nrm_b")))
+        .filter(col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    } else {
+      val members = withNrm
+        .withColumn("bucket", Similarity.rpBucket(col(vecCol), nBits))
+        .groupBy("bucket")
+        .agg(collect_list(struct(col(idCol).as("id"),
+          col(vecCol).as("v"), col("nrm"))).as("ms"))
+      val pairs = flatten(transform(col("ms"), (x, i) =>
+        filter(
+          transform(slice(col("ms"), i + lit(2), size(col("ms"))), y =>
+            struct(
+              least(x.getField("id"), y.getField("id")).as("id_a"),
+              greatest(x.getField("id"), y.getField("id")).as("id_b"),
+              (Similarity.dot(x.getField("v"), y.getField("v")) /
+                (x.getField("nrm") * y.getField("nrm"))).as("cosine"))),
+          p => p.getField("cosine") >= threshold)))
+      members.select(explode(pairs).as("p"))
+        .select(col("p.id_a"), col("p.id_b"), col("p.cosine").as("cosine"))
+    }
   }
 }

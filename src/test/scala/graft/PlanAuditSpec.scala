@@ -36,11 +36,12 @@ class PlanAuditSpec extends SparkSpec {
       s"unpruned scan reads lang:\n$p")
   }
 
-  test("q35 near-dup pair join is keyed on the RP bucket") {
+  test("q35 near-dup candidates are bucket-local, single upstream pass") {
     val p = plan("q35_embedding_neardup")
-    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\\n]*bucket".r
-      .findFirstIn(p).isDefined || p.contains("bucket#"),
-      s"no bucket-keyed join in:\n$p")
+    // one shuffle keyed on the RP bucket, no self-join (which would
+    // compute the upstream feature pipeline twice)
+    assert(p.contains("bucket#"), s"no bucket key in:\n$p")
+    assert(!p.contains("Join"), s"self-join shape in:\n$p")
   }
 
   test("q37 simhash candidates join on tbl+block-pair keys") {
