@@ -319,21 +319,44 @@ object Dedup {
     // aggregation, one shuffle on (table, block-pair key), exact
     // bit_count verify inside the bucket — no self-join (which would
     // compute the signatures twice) and no pinned cache.
+    //
+    // Exactly-once emission: a near-dup pair agrees on >= 2 blocks, so
+    // it meets in EVERY agreeing two-block table (up to C(B,2) copies).
+    // Both signatures are in the bucket, so which tables agree is
+    // locally computable from the XOR — each bucket emits a pair only
+    // when its own table is the FIRST agreeing one. No duplicates are
+    // ever produced, so the distinct() shuffle over the (dense) pair
+    // output disappears.
+    def blockAgrees(i: Int, xor: Column): Column =
+      shiftrightunsigned(xor, bounds(i))
+        .bitwiseAND(lit((1L << (bounds(i + 1) - bounds(i))) - 1)) === 0
+    val tableBlocks = for {
+      i <- 0 until nBlocks
+      j <- i + 1 until nBlocks
+    } yield (i, j)
+    def firstAgreeingTable(xor: Column): Column =
+      tableBlocks.zipWithIndex.foldRight(lit(-1): Column) {
+        case (((i, j), t), acc) =>
+          when(blockAgrees(i, xor) && blockAgrees(j, xor), lit(t))
+            .otherwise(acc)
+      }
     val members = sigs.select(col(idCol), col("sig"),
       posexplode(array(pairKeys: _*)).as(Seq("tbl", "bkey")))
       .groupBy("tbl", "bkey")
       .agg(collect_list(struct(col(idCol).as("id"), col("sig"))).as("ms"))
     val pairs = flatten(transform(col("ms"), (x, i) =>
       filter(
-        transform(slice(col("ms"), i + lit(2), size(col("ms"))), y =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))), y => {
+          val xor = x.getField("sig").bitwiseXOR(y.getField("sig"))
           struct(
             least(x.getField("id"), y.getField("id")).as("id_a"),
             greatest(x.getField("id"), y.getField("id")).as("id_b"),
-            bit_count(x.getField("sig").bitwiseXOR(y.getField("sig")))
-              .as("hamming"))),
-        p => p.getField("hamming") <= maxHamming)))
+            bit_count(xor).as("hamming"),
+            (firstAgreeingTable(xor) === col("tbl")).as("first"))
+        }),
+        p => p.getField("hamming") <= maxHamming && p.getField("first"))))
     members.select(explode(pairs).as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.hamming")).distinct()
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
   }
 
   // ------------------------------------------------------------------
