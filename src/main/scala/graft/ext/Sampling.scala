@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation sampling operators for a training-data pipeline:
+  * deterministic splits and per-group quotas. Everything is a pure
+  * projection or a single window — no RNG anywhere, because at 100 TB a
+  * split must be REPRODUCIBLE: re-running the pipeline, re-reading a
+  * partition after a task retry, or recomputing on a different cluster
+  * must put every row in the same split. Hash-of-key assignment gives
+  * that for free where `rand()`-based sampling silently does not
+  * (Spark re-draws on recompute unless the seed AND partitioning are
+  * pinned).
+  */
+object Sampling {
+
+  /** Uniform [0,1) coordinate from the md5 of `key` — the first 8 hex
+    * digits as a 32-bit integer over 2^32. Engine-portable (DuckDB:
+    * `cast(('0x' || substr(md5(k),1,8))::... ` or conv-equivalent) and
+    * stable under repartitioning, retries, and re-runs.
+    */
+  def hashCoord(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+
+  /** Deterministic split assignment: `fractions` = (name, weight) in
+    * order; weights need not sum to 1 (normalized internally). A row
+    * lands in the split whose cumulative-weight interval contains its
+    * hash coordinate — so splits are disjoint, exhaustive, and any
+    * subset of the data (a partition, a day, a retry) shows the same
+    * per-row assignment.
+    */
+  def withHashSplit(df: DataFrame, keyCol: String,
+      fractions: Seq[(String, Double)],
+      splitCol: String = "split"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0),
+      "fractions must be non-empty and positive")
+    val total = fractions.map(_._2).sum
+    val cuts = fractions.map(_._2 / total).scanLeft(0.0)(_ + _).tail
+    val u = hashCoord(col(keyCol))
+    // CASE u < cut1 THEN name1 WHEN u < cut2 THEN name2 ... ELSE last
+    val expr = fractions.init.zip(cuts.init)
+      .foldRight(lit(fractions.last._1)) { case (((name, _), cut), acc) =>
+        when(u < cut, lit(name)).otherwise(acc)
+      }
+    df.withColumn(splitCol, expr)
+  }
+
+  /** Per-group quota: keep the top `quota` rows of each group by
+    * `orderBy` (ties MUST be broken to a total order by the caller —
+    * append a unique key column — or the kept set is nondeterministic).
+    * One shuffle on the group key; rank never materializes beyond the
+    * window operator. The dataset-mixing primitive: cap documents per
+    * language/domain/source before unioning a training mix.
+    */
+  def quotaPerGroup(df: DataFrame, groupCols: Seq[String],
+      orderBy: Seq[Column], quota: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quota > 0, "quota must be positive")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= quota)
+      .drop("__rank")
+  }
+}

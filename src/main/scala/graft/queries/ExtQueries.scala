@@ -215,6 +215,27 @@ object ExtQueries {
         .orderBy("id")
     }),
 
+    // Deterministic hash split (train/val/test by md5 coordinate of the
+    // key): reproducible across engines, re-runs, retries, partitionings
+    // — the property rand()-sampling lacks. Pure projection + one agg.
+    "q55_hash_split" -> ((s, d) => {
+      graft.ext.Sampling.withHashSplit(documents(s, d), "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("split")
+    }),
+
+    // Per-group quota sampling (dataset mixing): top-3 docs per language
+    // by quality score, total-order tie-break — one window shuffle.
+    "q56_quota_sample" -> ((s, d) => {
+      val scored = documents(s, d).select(col("doc_id"), col("lang"),
+        TextStats.qualityScore(col("text")).as("quality"))
+      graft.ext.Sampling.quotaPerGroup(scored, Seq("lang"),
+        Seq(col("quality").desc, col("doc_id").asc), 3)
+        .orderBy("lang", "doc_id")
+    }),
+
     // Repetition scoring (Gopher/RefinedWeb-style duplicate-n-gram
     // fraction) at 2- and 3-gram granularity — pure projection.
     "q48_repetition" -> ((s, d) => {
@@ -650,6 +671,46 @@ object ExtQueries {
     // propagation converges to.
     "q49_dedup_clusters" -> dedupClustersOracle,
     "q54_dedup_clusters_star" -> dedupClustersOracle,
+
+    "q55_hash_split" -> {
+      // hash coordinate: first 8 md5 hex digits as a 32-bit int / 2^32,
+      // parsed digit-by-digit (no hex-cast dependence)
+      val u = (0 until 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5(cast(doc_id AS varchar)), ${i + 1}, 1)) - 1) * ${math.pow(16, 7 - i).toLong}")
+        .mkString("(", " + ", ")") + " / 4294967296.0"
+      s"""WITH s AS (
+         |  SELECT n_chars,
+         |    CASE WHEN $u < 0.8 THEN 'train'
+         |         WHEN $u < 0.9 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT split, count(*) AS n, cast(sum(n_chars) AS bigint) AS chars
+         |FROM s GROUP BY split ORDER BY split""".stripMargin
+    },
+
+    "q56_quota_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    cast(len(string_split_regex(trim(text), '\s+')) AS double) AS n,
+        |    cast(length(text) AS double) AS len,
+        |    cast(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS double) AS n_alpha,
+        |    cast(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS double) AS n_uniq
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang,
+        |    least(n / 100.0, 1.0) * 0.25
+        |    + (CASE WHEN ((len - (n - 1)) / n) BETWEEN 3.0 AND 10.0
+        |            THEN 1.0 ELSE 0.5 END) * 0.25
+        |    + (n_alpha / len) * 0.25
+        |    + (n_uniq / n) * 0.25 AS quality
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, lang, quality,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY quality DESC, doc_id ASC) AS rk
+        |  FROM q)
+        |SELECT doc_id, lang, quality FROM r WHERE rk <= 3
+        |ORDER BY lang, doc_id""".stripMargin,
 
     "q51_tfidf_terms" ->
       """WITH toks AS (

@@ -226,6 +226,42 @@ class ExtSpec extends SparkSpec {
     assert(run(None) == viaBroadcast)
   }
 
+  test("hash split: deterministic, disjoint, partitioning-invariant") {
+    import graft.ext.Sampling
+    val docsDf = Tables.documents(spark, sf0001).limit(300)
+    val fr = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      Sampling.withHashSplit(df, "doc_id", fr)
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val a = assign(docsDf.repartition(1))
+    val b = assign(docsDf.repartition(7))
+    assert(a == b) // same assignment under any partitioning
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    // every row assigned exactly once (disjoint+exhaustive by construction)
+    assert(a.size == 300)
+    // fractions roughly respected (md5 is uniform; 300 rows, loose bands)
+    val n = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(n("train") > 200 && n("train") < 280, n.toString)
+    // weights normalize: (8,1,1) must equal (0.8,0.1,0.1)
+    val c = Sampling.withHashSplit(docsDf, "doc_id",
+      Seq(("train", 8.0), ("val", 1.0), ("test", 1.0)))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(c == a)
+  }
+
+  test("quota per group keeps top-N by total order") {
+    import graft.ext.Sampling
+    val df = Seq(
+      (1L, "en", 0.9), (2L, "en", 0.8), (3L, "en", 0.7), (4L, "en", 0.6),
+      (5L, "es", 0.5), (6L, "es", 0.5), (7L, "es", 0.5), (8L, "es", 0.4),
+      (9L, "de", 0.3)).toDF("doc_id", "lang", "quality")
+    val kept = Sampling.quotaPerGroup(df, Seq("lang"),
+      Seq($"quality".desc, $"doc_id".asc), 2)
+      .select("doc_id").as[Long].collect().toSet
+    // en: top-2 by quality; es: tie on 0.5 broken by doc_id; de: all (< quota)
+    assert(kept == Set(1L, 2L, 5L, 6L, 9L))
+  }
+
   test("repetition score: duplicated n-gram fraction") {
     val got = Seq(
       "a b a b a b",        // bigrams: ab,ba,ab,ba,ab → 5 total, 2 distinct
