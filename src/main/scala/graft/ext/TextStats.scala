@@ -131,6 +131,21 @@ object TextStats {
       size(sh).cast("double")
   }
 
+  /** PII-style redaction for training corpora: emails, then URLs, then
+    * long digit runs (phone/account-shaped) are replaced with typed
+    * placeholder tokens, in that fixed order (an email contains no
+    * whitespace, so the URL pass cannot split it; digit runs inside
+    * already-placed placeholders are gone). Pure projection — three
+    * codegen'd regexp passes, no shuffle; patterns are RE2-compatible so
+    * any engine replays them (DuckDB needs the 'g' flag).
+    */
+  def redactPii(c: Column): Column = {
+    val noEmail = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val noUrl = regexp_replace(noEmail, "https?://[^\\s]+", "<URL>")
+    regexp_replace(noUrl, "[0-9][0-9 ()+.-]{5,}[0-9]", "<NUM>")
+  }
+
   /** Top-k characteristic terms per document by tf·idf with a LINEAR
     * idf (`tf · N / df` — rational arithmetic, so the weights are
     * bit-identical across engines; a log idf reorders nothing for a

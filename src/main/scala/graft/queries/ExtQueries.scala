@@ -236,6 +236,14 @@ object ExtQueries {
         .orderBy("lang", "doc_id")
     }),
 
+    // PII-style redaction (emails → <EMAIL>, URLs → <URL>, long digit
+    // runs → <NUM>): three codegen'd regexp passes, no shuffle.
+    "q57_redact" -> ((s, d) => {
+      documents(s, d).select(col("doc_id"),
+        TextStats.redactPii(col("text")).as("clean"))
+        .orderBy("doc_id")
+    }),
+
     // Repetition scoring (Gopher/RefinedWeb-style duplicate-n-gram
     // fraction) at 2- and 3-gram granularity — pure projection.
     "q48_repetition" -> ((s, d) => {
@@ -752,6 +760,16 @@ object ExtQueries {
         |    abs(cast(cast(qv[i+1] * scale AS float) AS double)
         |        - cast(embedding[i+1] AS double)))) AS max_err
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q57_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |    '[0-9][0-9 ()+.-]{5,}[0-9]', '<NUM>', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q48_repetition" ->
       s"""WITH t AS (

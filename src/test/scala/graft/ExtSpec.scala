@@ -416,6 +416,22 @@ class ExtSpec extends SparkSpec {
     assert(tc._2 == 8) // hello world , it ' s 42 degrees
   }
 
+  test("pii redaction: emails, urls, digit runs") {
+    val got = Seq(
+      "contact me at jane.doe+spam@example.co.uk for details",
+      "see https://example.com/a?b=c#d and http://x.io",
+      "call +1 (555) 123-4567 or 5551234567 now",
+      "year 2024 stays, pi 3.14 stays, zip 12345 stays",
+      "plain text untouched").toDF("t")
+      .select(TextStats.redactPii($"t")).as[String].collect()
+    assert(got(0) == "contact me at <EMAIL> for details")
+    assert(got(1) == "see <URL> and <URL>")
+    assert(got(2) == "call +<NUM> or <NUM> now")
+    // short digit groups are not phone-shaped and survive
+    assert(got(3) == "year 2024 stays, pi 3.14 stays, zip 12345 stays")
+    assert(got(4) == "plain text untouched")
+  }
+
   test("quality score ranges and ranking") {
     val q = Seq(
       ("a a a a a a a a a a", "rep"), // repetitive → low uniq ratio
