@@ -47,6 +47,31 @@ object Sampling {
     df.withColumn(splitCol, expr)
   }
 
+  /** Sequence packing (concat-and-chunk): assign each document a
+    * (shard, bin, offset) under a token budget per bin — the layout step
+    * that turns a curated corpus into fixed-width pretraining rows. The
+    * running token sum is computed PER SHARD (`shard = key % nShards`),
+    * not globally: a single global running sum is an inherently
+    * sequential one-partition window, while per-shard packing is how
+    * real pipelines parallelize it (each shard's bins are independent).
+    * Documents longer than `windowTokens` simply span bins, as
+    * concat-and-chunk does. Deterministic: shard assignment and the
+    * within-shard order are pure functions of the key.
+    */
+  def packByTokens(df: DataFrame, idCol: String, tokenCol: String,
+      windowTokens: Int, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowTokens > 0 && nShards > 0,
+      "windowTokens and nShards must be positive")
+    val shard = pmod(col(idCol), lit(nShards))
+    val w = Window.partitionBy(shard).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val before = coalesce(sum(col(tokenCol)).over(w), lit(0L))
+    df.select(col(idCol), shard.as("shard"),
+      floor(before / windowTokens).as("bin"),
+      (before % windowTokens).as("offset"))
+  }
+
   /** Per-group quota: keep the top `quota` rows of each group by
     * `orderBy` (ties MUST be broken to a total order by the caller —
     * append a unique key column — or the kept set is nondeterministic).

@@ -236,6 +236,16 @@ object ExtQueries {
         .orderBy("lang", "doc_id")
     }),
 
+    // Sequence packing: per-shard concat-and-chunk token binning (the
+    // pretraining-batch layout step) — one window shuffle on the shard.
+    "q58_pack" -> ((s, d) => {
+      val withTok = documents(s, d).select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tok"))
+      graft.ext.Sampling.packByTokens(withTok, "doc_id", "n_tok",
+        windowTokens = 512, nShards = 8)
+        .orderBy("doc_id")
+    }),
+
     // PII-style redaction (emails → <EMAIL>, URLs → <URL>, long digit
     // runs → <NUM>): three codegen'd regexp passes, no shuffle.
     "q57_redact" -> ((s, d) => {
@@ -760,6 +770,22 @@ object ExtQueries {
         |    abs(cast(cast(qv[i+1] * scale AS float) AS double)
         |        - cast(embedding[i+1] AS double)))) AS max_err
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q58_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    cast(len(string_split_regex(trim(text), '\s+')) AS bigint)
+        |      AS n_tok,
+        |    doc_id % 8 AS shard
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, shard,
+        |    coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS before
+        |  FROM t)
+        |SELECT doc_id, shard, before // 512 AS bin, before % 512 AS offset
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q57_redact" ->
       """SELECT doc_id,

@@ -249,6 +249,28 @@ class ExtSpec extends SparkSpec {
     assert(c == a)
   }
 
+  test("packByTokens: per-shard concat-and-chunk binning") {
+    import graft.ext.Sampling
+    // one shard (nShards=1) for hand-checkable packing at window 10:
+    // docs of 4,4,4 tokens -> offsets 0,4,8 (doc 3 spans into bin 1)
+    val df = Seq((0L, 4L), (1L, 4L), (2L, 4L), (3L, 7L))
+      .toDF("doc_id", "n_tok")
+    val got = Sampling.packByTokens(df, "doc_id", "n_tok", 10, 1)
+      .orderBy("doc_id")
+      .select("doc_id", "shard", "bin", "offset")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 0L, 0L), (1L, 0L, 0L, 4L), (2L, 0L, 0L, 8L),
+      (3L, 0L, 1L, 2L)))
+    // sharded: running sums independent per shard
+    val sharded = Sampling.packByTokens(df, "doc_id", "n_tok", 10, 2)
+      .orderBy("doc_id")
+      .select("doc_id", "shard", "offset").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(sharded == Seq((0L, 0L, 0L), (1L, 1L, 0L), (2L, 0L, 4L),
+      (3L, 1L, 4L)))
+  }
+
   test("quota per group keeps top-N by total order") {
     import graft.ext.Sampling
     val df = Seq(
