@@ -68,6 +68,22 @@ object OlapQueries {
       both.unionByName(richOnly)
         .orderBy("which", "c_custkey")
     }),
+
+    // CUBE over (event_type, hour-of-day): all four grouping sets in one
+    // pass (Expand + two-phase aggregate). SQL surface for the same
+    // reason as q42; NULLS FIRST makes the marker rows order-stable.
+    "q59_cube" -> ((s, d) => {
+      events(s, d)
+        .select(col("event_type"), hour(col("ts")).as("hr"), col("value"))
+        .createOrReplaceTempView("graft_q59_src")
+      s.sql(
+        """SELECT event_type, hr, count(*) AS n,
+          |  cast(sum(cast(value AS decimal(18,2))) AS double)
+          |    AS total_value
+          |FROM graft_q59_src
+          |GROUP BY CUBE (event_type, hr)
+          |ORDER BY event_type ASC NULLS FIRST, hr ASC NULLS FIRST""".stripMargin)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -106,5 +122,14 @@ object OlapQueries {
         |FROM (SELECT c_custkey FROM rich EXCEPT
         |      SELECT c_custkey FROM building)
         |ORDER BY which, c_custkey""".stripMargin,
+
+    "q59_cube" ->
+      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events)
+        |SELECT event_type, cast(extract(hour FROM ts) AS int) AS hr,
+        |  count(*) AS n,
+        |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
+        |FROM e
+        |GROUP BY CUBE (event_type, hr)
+        |ORDER BY event_type ASC NULLS FIRST, hr ASC NULLS FIRST""".stripMargin,
   )
 }
