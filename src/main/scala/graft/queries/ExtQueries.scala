@@ -236,6 +236,25 @@ object ExtQueries {
         .orderBy("lang", "doc_id")
     }),
 
+    // End-to-end curation pipeline — the composition a corpus team
+    // actually runs: exact-dedup survivor gate (semi-join against the
+    // keep set), quality floor, PII redaction, deterministic split
+    // assignment. One scan feeds the gate and the projection; every
+    // stage is an operator graded standalone elsewhere.
+    "q60_curation_pipeline" -> ((s, d) => {
+      val docs = documents(s, d)
+      val keep = Dedup.exactGroups(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val gated = docs.join(keep, Seq("doc_id"), "left_semi")
+        .filter(TextStats.qualityScore(col("text")) >= 0.5)
+      graft.ext.Sampling.withHashSplit(gated, "doc_id",
+        Seq(("train", 0.9), ("val", 0.1)))
+        .select(col("doc_id"), col("lang"), col("split"),
+          TextStats.redactPii(col("text")).as("clean"),
+          TextStats.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Sequence packing: per-shard concat-and-chunk token binning (the
     // pretraining-batch layout step) — one window shuffle on the shard.
     "q58_pack" -> ((s, d) => {
@@ -770,6 +789,38 @@ object ExtQueries {
         |    abs(cast(cast(qv[i+1] * scale AS float) AS double)
         |        - cast(embedding[i+1] AS double)))) AS max_err
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q60_curation_pipeline" -> {
+      val u = (0 until 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5(cast(doc_id AS varchar)), ${i + 1}, 1)) - 1) * ${math.pow(16, 7 - i).toLong}")
+        .mkString("(", " + ", ")") + " / 4294967296.0"
+      s"""WITH keep AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |t AS (
+         |  SELECT doc_id, lang, text,
+         |    cast(len(string_split_regex(trim(text), '\\s+')) AS double) AS n,
+         |    cast(length(text) AS double) AS len,
+         |    cast(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS double) AS n_alpha,
+         |    cast(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS double) AS n_uniq
+         |  FROM documents WHERE doc_id IN (SELECT doc_id FROM keep)),
+         |g AS (
+         |  SELECT doc_id, lang, text FROM t
+         |  WHERE least(n / 100.0, 1.0) * 0.25
+         |    + (CASE WHEN ((len - (n - 1)) / n) BETWEEN 3.0 AND 10.0
+         |            THEN 1.0 ELSE 0.5 END) * 0.25
+         |    + (n_alpha / len) * 0.25
+         |    + (n_uniq / n) * 0.25 >= 0.5)
+         |SELECT doc_id, lang,
+         |  CASE WHEN $u < 0.9 THEN 'train' ELSE 'val' END AS split,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(text,
+         |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |      'https?://[^\\s]+', '<URL>', 'g'),
+         |    '[0-9][0-9 ()+.-]{5,}[0-9]', '<NUM>', 'g') AS clean,
+         |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
 
     "q58_pack" ->
       """WITH t AS (
