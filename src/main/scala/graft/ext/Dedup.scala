@@ -113,11 +113,19 @@ object Dedup {
     * quadratic blowup a bucket-keyed self-join would buffer for a
     * single hot key, so neither shape is worse on degenerate buckets;
     * this one computes its input once instead of twice.
+    *
+    * Long ids take the `LongBucketPairs` kernel (one JVM loop per
+    * bucket); other id types fall back to the higher-order-function
+    * form (interpreted per pair — correct for any orderable type).
     */
-  private[graft] def bucketPairs(ids: Column): Column =
-    flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + lit(2), size(ids)),
-        y => struct(least(x, y).as("id_a"), greatest(x, y).as("id_b")))))
+  private[graft] def bucketPairs(ids: Column,
+      idType: org.apache.spark.sql.types.DataType): Column =
+    if (idType == org.apache.spark.sql.types.LongType)
+      graft.functions.PairFunctions.longBucketPairs(ids)
+    else
+      flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + lit(2), size(ids)),
+          y => struct(least(x, y).as("id_a"), greatest(x, y).as("id_b")))))
 
   /** LSH candidate pairs: signatures split into `bands` bands of
     * `k/bands` rows; docs agreeing on any full band meet in a shuffle
@@ -154,7 +162,8 @@ object Dedup {
       posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
       .groupBy("band", "bkey")
       .agg(collect_list(col(idCol)).as("ids"))
-      .select(explode(bucketPairs(col("ids"))).as("p"))
+      .select(explode(bucketPairs(col("ids"),
+        df.schema(idCol).dataType)).as("p"))
       .select(col("p.id_a"), col("p.id_b")).distinct()
   }
 
@@ -327,34 +336,43 @@ object Dedup {
     // when its own table is the FIRST agreeing one. No duplicates are
     // ever produced, so the distinct() shuffle over the (dense) pair
     // output disappears.
-    def blockAgrees(i: Int, xor: Column): Column =
-      shiftrightunsigned(xor, bounds(i))
-        .bitwiseAND(lit((1L << (bounds(i + 1) - bounds(i))) - 1)) === 0
-    val tableBlocks = for {
-      i <- 0 until nBlocks
-      j <- i + 1 until nBlocks
-    } yield (i, j)
-    def firstAgreeingTable(xor: Column): Column =
-      tableBlocks.zipWithIndex.foldRight(lit(-1): Column) {
-        case (((i, j), t), acc) =>
-          when(blockAgrees(i, xor) && blockAgrees(j, xor), lit(t))
-            .otherwise(acc)
-      }
     val members = sigs.select(col(idCol), col("sig"),
       posexplode(array(pairKeys: _*)).as(Seq("tbl", "bkey")))
       .groupBy("tbl", "bkey")
       .agg(collect_list(struct(col(idCol).as("id"), col("sig"))).as("ms"))
-    val pairs = flatten(transform(col("ms"), (x, i) =>
-      filter(
-        transform(slice(col("ms"), i + lit(2), size(col("ms"))), y => {
-          val xor = x.getField("sig").bitwiseXOR(y.getField("sig"))
-          struct(
-            least(x.getField("id"), y.getField("id")).as("id_a"),
-            greatest(x.getField("id"), y.getField("id")).as("id_b"),
-            bit_count(xor).as("hamming"),
-            (firstAgreeingTable(xor) === col("tbl")).as("first"))
-        }),
-        p => p.getField("hamming") <= maxHamming && p.getField("first"))))
+    val pairs =
+      if (df.schema(idCol).dataType == org.apache.spark.sql.types.LongType)
+        // JVM-loop kernel: verify + exactly-once emission per bucket row
+        graft.functions.PairFunctions.simhashBucketPairs(
+          col("ms"), col("tbl"), maxHamming, nBlocks)
+      else {
+        // generic-id fallback: same semantics as the kernel, expressed
+        // with higher-order functions (interpreted per candidate pair)
+        def blockAgrees(i: Int, xor: Column): Column =
+          shiftrightunsigned(xor, bounds(i))
+            .bitwiseAND(lit((1L << (bounds(i + 1) - bounds(i))) - 1)) === 0
+        val tableBlocks = for {
+          i <- 0 until nBlocks
+          j <- i + 1 until nBlocks
+        } yield (i, j)
+        def firstAgreeingTable(xor: Column): Column =
+          tableBlocks.zipWithIndex.foldRight(lit(-1): Column) {
+            case (((i, j), t), acc) =>
+              when(blockAgrees(i, xor) && blockAgrees(j, xor), lit(t))
+                .otherwise(acc)
+          }
+        flatten(transform(col("ms"), (x, i) =>
+          filter(
+            transform(slice(col("ms"), i + lit(2), size(col("ms"))), y => {
+              val xor = x.getField("sig").bitwiseXOR(y.getField("sig"))
+              struct(
+                least(x.getField("id"), y.getField("id")).as("id_a"),
+                greatest(x.getField("id"), y.getField("id")).as("id_b"),
+                bit_count(xor).as("hamming"),
+                (firstAgreeingTable(xor) === col("tbl")).as("first"))
+            }),
+            p => p.getField("hamming") <= maxHamming && p.getField("first"))))
+      }
     members.select(explode(pairs).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
   }

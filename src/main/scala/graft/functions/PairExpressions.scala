@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/** Within-bucket pair-emission kernels for the dedup operators. The
+  * higher-order-function formulation (`flatten(transform(filter(...)))`)
+  * interprets a Catalyst expression tree per candidate PAIR — on a dense
+  * near-dup corpus that is millions of interpreted evals. These kernels
+  * do the same work as one flat JVM loop per bucket row
+  * (`CodegenFallback`: one interpreted call per ROW, loop inside).
+  * Long-id fast path only; `Dedup` falls back to the lambda shape for
+  * non-long keys.
+  */
+object PairKernel {
+
+  /** All unordered pairs (min, max) of a long-id array — the LSH
+    * candidate emission. Output size is exactly the bucket's candidate
+    * count, same as the lambda shape.
+    */
+  def allPairs(ids: ArrayData): ArrayData = {
+    val n = ids.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val a = ids.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        val b = ids.getLong(j)
+        out(k) =
+          if (a <= b) new GenericInternalRow(Array[Any](a, b))
+          else new GenericInternalRow(Array[Any](b, a))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** SimHash bucket pairs with exact hamming verify and exactly-once
+    * emission (emit only when `tbl` is the first block-pair table the
+    * two signatures agree on — same rule as the lambda shape in
+    * `Dedup.simhashNearDups`). `ms` is array<struct<id: long, sig: long>>.
+    */
+  def simhashPairs(ms: ArrayData, tbl: Int, maxHamming: Int,
+      nBlocks: Int): ArrayData = {
+    val n = ms.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val idArr = new Array[Long](n)
+    val sigArr = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val r = ms.getStruct(i, 2)
+      idArr(i) = r.getLong(0)
+      sigArr(i) = r.getLong(1)
+      i += 1
+    }
+    val bounds = Array.tabulate(nBlocks + 1)(k => k * 64 / nBlocks)
+    def agrees(xor: Long, b: Int): Boolean =
+      ((xor >>> bounds(b)) & ((1L << (bounds(b + 1) - bounds(b))) - 1)) == 0
+    val out = new java.util.ArrayList[Any]()
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val xor = sigArr(i) ^ sigArr(j)
+        val h = java.lang.Long.bitCount(xor)
+        if (h <= maxHamming) {
+          // first agreeing table in the (bi < bj) lexicographic order —
+          // must match Dedup's pairKeys enumeration exactly
+          var t = 0
+          var first = -1
+          var bi = 0
+          while (bi < nBlocks && first < 0) {
+            var bj = bi + 1
+            while (bj < nBlocks && first < 0) {
+              if (agrees(xor, bi) && agrees(xor, bj)) first = t
+              t += 1
+              bj += 1
+            }
+            bi += 1
+          }
+          if (first == tbl) {
+            val a = idArr(i)
+            val b = idArr(j)
+            out.add(new GenericInternalRow(Array[Any](
+              math.min(a, b), math.max(a, b), h)))
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** array<long> → array<struct<id_a, id_b>>: all unordered within-bucket
+  * pairs. Interpreted once per bucket row; the pair loop is plain JVM.
+  */
+case class LongBucketPairs(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id_a", LongType, nullable = false),
+    StructField("id_b", LongType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(in: Any): Any =
+    PairKernel.allPairs(in.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(newChild: Expression)
+      : LongBucketPairs = copy(child = newChild)
+}
+
+/** (array<struct<id,sig>>, tbl) → array<struct<id_a, id_b, hamming>>:
+  * hamming-verified, exactly-once simhash bucket pairs.
+  */
+case class SimhashBucketPairs(left: Expression, right: Expression,
+    maxHamming: Int, nBlocks: Int)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id_a", LongType, nullable = false),
+    StructField("id_b", LongType, nullable = false),
+    StructField("hamming", IntegerType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(ms: Any, tbl: Any): Any =
+    PairKernel.simhashPairs(ms.asInstanceOf[ArrayData],
+      tbl.asInstanceOf[Int], maxHamming, nBlocks)
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SimhashBucketPairs =
+    copy(left = newLeft, right = newRight)
+}
+
+object PairFunctions {
+  def longBucketPairs(ids: Column): Column =
+    Bridge.column(LongBucketPairs(Bridge.expression(ids)))
+  def simhashBucketPairs(ms: Column, tbl: Column, maxHamming: Int,
+      nBlocks: Int): Column =
+    Bridge.column(SimhashBucketPairs(Bridge.expression(ms),
+      Bridge.expression(tbl), maxHamming, nBlocks))
+}

@@ -83,7 +83,8 @@ object ExtQueries {
           struct(col("mh0").as("k1"), col("mh1").as("k2")),
           struct(col("mh2").as("k1"), col("mh3").as("k2")))).as("b"))
         .groupBy("b.k1", "b.k2").agg(collect_list(col("doc_id")).as("ids"))
-        .select(explode(Dedup.bucketPairs(col("ids"))).as("p"))
+        .select(explode(Dedup.bucketPairs(col("ids"),
+          org.apache.spark.sql.types.LongType)).as("p"))
         .select(col("p.id_a"), col("p.id_b")).distinct()
         .orderBy("id_a", "id_b")
     }),

@@ -102,6 +102,29 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("minhash/simhash pair kernels agree with the generic-id fallback") {
+    // string ids route through the higher-order-function fallback; the
+    // pair sets must match the long-id kernel path on the same corpus
+    val longIds = docs
+    val strIds = docs.select(concat(lit("d"), $"doc_id").as("doc_id"), $"text")
+    val viaKernel = Dedup.minhashNearDups(longIds, "doc_id", "text",
+      n = 3, k = 8, bands = 4, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      .map((p: (Long, Long)) => (s"d${p._1}", s"d${p._2}"))
+    val viaFallback = Dedup.minhashNearDups(strIds, "doc_id", "text",
+      n = 3, k = 8, bands = 4, threshold = 0.5)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    assert(viaFallback == viaKernel)
+    val simKernel = Dedup.simhashNearDups(longIds, "doc_id", "text",
+      maxHamming = 20)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      .map((p: (Long, Long)) => (s"d${p._1}", s"d${p._2}"))
+    val simFallback = Dedup.simhashNearDups(strIds, "doc_id", "text",
+      maxHamming = 20)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    assert(simFallback == simKernel)
+  }
+
   test("jaccard verify is symmetric and bounded") {
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
     val j = Dedup.verifyJaccard(docs, pairs, "doc_id", "text", 3, 0.0)
