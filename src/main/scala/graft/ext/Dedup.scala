@@ -408,7 +408,65 @@ object Dedup {
       case _ => ()
     }
 
-  def dedupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  /** Min-rooted union-find over a collected edge list — the local fast
+    * path for cluster assignment. Near-dup pair graphs are TINY relative
+    * to the corpus (edges ≈ duplicate pairs, not documents), so the
+    * common case fits the driver with room to spare; uniting under the
+    * smaller root makes every final root the component minimum, matching
+    * the distributed fixpoint exactly.
+    */
+  private def localClusters(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
+    val parent = new scala.collection.mutable.LongMap[Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) {
+        val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    import spark.implicits._
+    parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      .toDF("id", "cluster")
+  }
+
+  /** Collect up to `threshold` edges with ONE execution of the pair
+    * pipeline (limit threshold+1 — no separate count job). Returns None
+    * when the graph exceeds the threshold or ids are not longs.
+    */
+  private def tryCollectEdges(pairs: DataFrame,
+      threshold: Int): Option[Array[(Long, Long)]] = {
+    if (pairs.schema("id_a").dataType !=
+      org.apache.spark.sql.types.LongType) return None
+    val rows = pairs.select(col("id_a"), col("id_b"))
+      .limit(threshold + 1).collect()
+    if (rows.length > threshold) None
+    else Some(rows.map(r => (r.getLong(0), r.getLong(1))))
+  }
+
+  /** `localEdgeThreshold`: pair graphs at or below this many edges (and
+    * with long ids) are solved with driver-side union-find — a near-dup
+    * graph is edges ≈ duplicate pairs, so even a billion-document corpus
+    * with 2M duplicate pairs resolves locally in milliseconds instead of
+    * O(log n) distributed rounds of scheduler latency. Larger graphs (or
+    * non-long ids) run the distributed min-label loop below; 0 forces it
+    * (the specs do, to exercise both paths).
+    */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 50,
+      localEdgeThreshold: Int = 2000000): DataFrame = {
+    tryCollectEdges(pairs, localEdgeThreshold) match {
+      case Some(es) => return localClusters(pairs.sparkSession, es)
+      case None => ()
+    }
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().localCheckpoint()
@@ -494,7 +552,13 @@ object Dedup {
     * + count) on the same geometric probe schedule as `dedupClusters`;
     * maxIter exhaustion throws.
     */
-  def dedupClustersStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def dedupClustersStar(pairs: DataFrame, maxIter: Int = 50,
+      localEdgeThreshold: Int = 2000000): DataFrame = {
+    tryCollectEdges(pairs, localEdgeThreshold) match {
+      case Some(es) =>
+        return localClusters(pairs.sparkSession, es.filter(p => p._1 != p._2))
+      case None => ()
+    }
     val init = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .filter(col("u") =!= col("v"))
     var edges = init

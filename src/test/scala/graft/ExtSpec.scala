@@ -141,21 +141,25 @@ class ExtSpec extends SparkSpec {
     // isolated pair 30-31
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
       (21L, 22L), (20L, 22L), (30L, 31L)).toDF("id_a", "id_b")
-    val got = Dedup.dedupClusters(pairs)
-      .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
-      10L -> 10L, 11L -> 10L,
-      20L -> 20L, 21L -> 20L, 22L -> 20L,
-      30L -> 30L, 31L -> 30L))
-    // keep-one-per-cluster survivor rule
-    val keep = Dedup.dedupClusters(pairs)
-      .filter($"id" === $"cluster").select("id").as[Long].collect().toSet
-    assert(keep == Set(1L, 10L, 20L, 30L))
-    // long path exercises multiple propagation rounds
-    val path = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val pathClusters = Dedup.dedupClusters(path)
-      .select("cluster").distinct().as[Long].collect().toSeq
-    assert(pathClusters == Seq(1L))
+    // both the local union-find (default) and the distributed loop
+    // (threshold 0) must produce the closure labels
+    for (thr <- Seq(2000000, 0)) {
+      val got = Dedup.dedupClusters(pairs, localEdgeThreshold = thr)
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+        10L -> 10L, 11L -> 10L,
+        20L -> 20L, 21L -> 20L, 22L -> 20L,
+        30L -> 30L, 31L -> 30L), s"threshold=$thr")
+      // keep-one-per-cluster survivor rule
+      val keep = Dedup.dedupClusters(pairs, localEdgeThreshold = thr)
+        .filter($"id" === $"cluster").select("id").as[Long].collect().toSet
+      assert(keep == Set(1L, 10L, 20L, 30L))
+      // long path exercises multiple propagation rounds
+      val path = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val pathClusters = Dedup.dedupClusters(path, localEdgeThreshold = thr)
+        .select("cluster").distinct().as[Long].collect().toSeq
+      assert(pathClusters == Seq(1L))
+    }
   }
 
   test("tf-idf top terms: rare terms outrank common ones, ties on term") {
@@ -188,7 +192,7 @@ class ExtSpec extends SparkSpec {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      val clusters = Dedup.dedupClusters(path)
+      val clusters = Dedup.dedupClusters(path, localEdgeThreshold = 0)
       assert(clusters.select("cluster").distinct().as[Long]
         .collect().toSeq == Seq(1L))
     } finally spark.sparkContext.removeSparkListener(listener)
@@ -207,11 +211,16 @@ class ExtSpec extends SparkSpec {
         .filter(p => p._1 != p._2)
       if (pairs.nonEmpty) {
         val df = pairs.toDF("id_a", "id_b")
-        val viaProp = Dedup.dedupClusters(df)
+        // threshold 0 forces the distributed loops; default takes the
+        // driver-side union-find — all three must agree
+        val viaProp = Dedup.dedupClusters(df, localEdgeThreshold = 0)
           .as[(Long, Long)].collect().toMap
-        val viaStar = Dedup.dedupClustersStar(df)
+        val viaStar = Dedup.dedupClustersStar(df, localEdgeThreshold = 0)
+          .as[(Long, Long)].collect().toMap
+        val viaLocal = Dedup.dedupClusters(df)
           .as[(Long, Long)].collect().toMap
         assert(viaStar == viaProp, s"trial $trial: $pairs")
+        assert(viaLocal == viaProp, s"trial $trial (local): $pairs")
       }
     }
   }
@@ -230,7 +239,8 @@ class ExtSpec extends SparkSpec {
         jobs += 1
     }
     spark.sparkContext.addSparkListener(listener)
-    val got = try Dedup.dedupClustersStar(df).as[(Long, Long)].collect().toMap
+    val got = try Dedup.dedupClustersStar(df, localEdgeThreshold = 0)
+      .as[(Long, Long)].collect().toMap
     finally spark.sparkContext.removeSparkListener(listener)
     assert((1L to 60L).forall(got(_) == 1L))
     assert((100L to 130L).forall(got(_) == 100L))
