@@ -237,6 +237,45 @@ object ExtQueries {
         .orderBy("lang", "doc_id")
     }),
 
+    // Frame-level multimodal near-dup: videos sharing ANY near-dup
+    // sampled frame (not just frame 0) — the frame explode rides the
+    // same single-pass bucketed pair search, then rolls up to media
+    // pairs. Frame ids pack as mediaId*100+frame (frames < 100 by the
+    // sampler's cap of 16).
+    "q62_frame_neardup" -> ((s, d) => {
+      val media = graft.ext.Multimodal.syntheticMedia(s, documents(s, d))
+      val feats = graft.ext.Multimodal.extractFeatures(media, portable = true)
+        .filter(col("kind") === "video")
+        .select((col("mediaId") * 100 + col("frameIdx")).as("fid"),
+          col("feature"))
+      Dedup.embeddingNearDups(feats, "fid", "feature",
+        threshold = 0.9, nBits = 8)
+        .select((col("id_a") / 100).cast("long").as("media_a"),
+          (col("id_b") / 100).cast("long").as("media_b"), col("cosine"))
+        .filter(col("media_a") =!= col("media_b"))
+        .groupBy("media_a", "media_b")
+        .agg(count(lit(1)).as("n_frame_pairs"),
+          graft.ext.Similarity.trunc(max(col("cosine")), 6).as("max_cos6"))
+        .orderBy("media_a", "media_b")
+    }),
+
+    // Corpus length-distribution stats per language — the numbers a
+    // curation team sets its thresholds from. Exact interpolated
+    // percentiles (Spark `percentile` == DuckDB `quantile_cont`
+    // definition); integer inputs keep the interpolation arithmetic
+    // bit-identical across engines.
+    "q61_length_quantiles" -> ((s, d) => {
+      documents(s, d)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n"),
+          percentile(col("n_chars"), lit(0.25)).as("p25"),
+          percentile(col("n_chars"), lit(0.5)).as("p50"),
+          percentile(col("n_chars"), lit(0.75)).as("p75"),
+          percentile(col("n_chars"), lit(0.95)).as("p95"))
+        .orderBy("lang")
+    }),
+
     // End-to-end curation pipeline — the composition a corpus team
     // actually runs: exact-dedup survivor gate (semi-join against the
     // keep set), quality floor, PII redaction, deterministic split
@@ -790,6 +829,42 @@ object ExtQueries {
         |    abs(cast(cast(qv[i+1] * scale AS float) AS double)
         |        - cast(embedding[i+1] AS double)))) AS max_err
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q62_frame_neardup" ->
+      s"""WITH v AS (
+         |  SELECT doc_id AS media_id, text,
+         |    greatest(1, least(16, (n_chars * 100) // 1000)) AS n_frames
+         |  FROM documents WHERE doc_id % 3 = 2),
+         |fr AS (
+         |  SELECT media_id, text, unnest(range(n_frames)) AS f FROM v),
+         |feat AS (
+         |  SELECT media_id * 100 + f AS fid,
+         |    list_transform(range(8), i ->
+         |      (strpos('0123456789abcdef',
+         |         substr(md5(text || ':' || cast(f AS varchar)), i+1, 1))
+         |       - 8.5) / 8.0) AS feature
+         |  FROM fr),
+         |bk AS (
+         |  SELECT fid, feature,
+         |    cast(${bucketSqlFor("feature")} AS bigint) AS bucket
+         |  FROM feat),
+         |p AS (
+         |  SELECT a.fid // 100 AS media_a, b.fid // 100 AS media_b,
+         |    (${cosineSql("a.feature", "b.feature")}) AS cosine
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.fid < b.fid
+         |  WHERE (${cosineSql("a.feature", "b.feature")}) >= 0.9)
+         |SELECT media_a, media_b, count(*) AS n_frame_pairs,
+         |  floor(max(cosine) * 1000000) / 1000000 AS max_cos6
+         |FROM p WHERE media_a <> media_b
+         |GROUP BY media_a, media_b ORDER BY media_a, media_b""".stripMargin,
+
+    "q61_length_quantiles" ->
+      """SELECT lang, count(*) AS n,
+        |  quantile_cont(n_chars, 0.25) AS p25,
+        |  quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.75) AS p75,
+        |  quantile_cont(n_chars, 0.95) AS p95
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q60_curation_pipeline" -> {
       val u = (0 until 8).map(i =>
