@@ -237,6 +237,27 @@ object ExtQueries {
         .orderBy("lang", "doc_id")
     }),
 
+    // Benchmark-contamination check — the standard decontamination op:
+    // which training documents contain any 13-gram from the eval set
+    // (here: docs 0-19 as the stand-in benchmark)? The benchmark
+    // shingle set is small by construction → broadcast to the training
+    // scan; at 100 TB this is a map-side probe, no shuffle of the
+    // corpus.
+    "q63_contamination" -> ((s, d) => {
+      val docs = documents(s, d)
+      val benchGrams = docs.filter(col("doc_id") < 20)
+        .select(explode(array_distinct(
+          Dedup.shingles(col("text"), 13))).as("s"))
+        .distinct()
+      docs.filter(col("doc_id") >= 20)
+        .select(col("doc_id"),
+          explode(array_distinct(Dedup.shingles(col("text"), 13))).as("s"))
+        .join(broadcast(benchGrams), "s")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_contaminated_grams"))
+        .orderBy("doc_id")
+    }),
+
     // Frame-level multimodal near-dup: videos sharing ANY near-dup
     // sampled frame (not just frame 0) — the frame explode rides the
     // same single-pass bucketed pair search, then rolls up to media
@@ -829,6 +850,20 @@ object ExtQueries {
         |    abs(cast(cast(qv[i+1] * scale AS float) AS double)
         |        - cast(embedding[i+1] AS double)))) AS max_err
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q63_contamination" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |sh AS (SELECT doc_id,
+         |  list_distinct(${shinglesSqlN(13)}) AS s FROM t),
+         |bench AS (
+         |  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 20),
+         |train AS (
+         |  SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 20)
+         |SELECT doc_id, count(*) AS n_contaminated_grams
+         |FROM train JOIN bench USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q62_frame_neardup" ->
       s"""WITH v AS (

@@ -14,7 +14,8 @@ class QueriesSpec extends SparkSpec {
     "q39_media_neardup",   // unique synthetic bytes → no near-dups
     "q49_dedup_clusters",  // empty when q36's pair graph is empty
     "q54_dedup_clusters_star",
-    "q62_frame_neardup")   // unique synthetic frames may share no bucket
+    "q62_frame_neardup",   // unique synthetic frames may share no bucket
+    "q63_contamination")   // synthetic corpus may share no 13-grams
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
