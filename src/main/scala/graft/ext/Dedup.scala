@@ -657,15 +657,27 @@ object Dedup {
         .groupBy("bucket")
         .agg(collect_list(struct(col(idCol).as("id"),
           col(vecCol).as("v"), col("nrm"))).as("ms"))
-      val pairs = flatten(transform(col("ms"), (x, i) =>
-        filter(
-          transform(slice(col("ms"), i + lit(2), size(col("ms"))), y =>
-            struct(
-              least(x.getField("id"), y.getField("id")).as("id_a"),
-              greatest(x.getField("id"), y.getField("id")).as("id_b"),
-              (Similarity.dot(x.getField("v"), y.getField("v")) /
-                (x.getField("nrm") * y.getField("nrm"))).as("cosine"))),
-          p => p.getField("cosine") >= threshold)))
+      import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+      val vecElem = df.schema(vecCol).dataType match {
+        case ArrayType(et, _) => et
+        case other => other
+      }
+      val pairs =
+        if (df.schema(idCol).dataType == LongType && vecElem == FloatType)
+          // JVM-loop kernel: same left-to-right double fold as VecDot,
+          // one interpreted call per bucket row instead of per pair
+          graft.functions.PairFunctions.cosineBucketPairs(
+            col("ms"), threshold)
+        else
+          flatten(transform(col("ms"), (x, i) =>
+            filter(
+              transform(slice(col("ms"), i + lit(2), size(col("ms"))), y =>
+                struct(
+                  least(x.getField("id"), y.getField("id")).as("id_a"),
+                  greatest(x.getField("id"), y.getField("id")).as("id_b"),
+                  (Similarity.dot(x.getField("v"), y.getField("v")) /
+                    (x.getField("nrm") * y.getField("nrm"))).as("cosine"))),
+              p => p.getField("cosine") >= threshold)))
       members.select(explode(pairs).as("p"))
         .select(col("p.id_a"), col("p.id_b"), col("p.cosine").as("cosine"))
     }

@@ -102,6 +102,67 @@ object PairKernel {
   }
 }
 
+object CosinePairKernel {
+  /** Cosine-verified bucket pairs over float embeddings. `ms` is
+    * array<struct<id: long, v: array<float>, nrm: double>>; emits
+    * struct<id_a, id_b, cosine> for pairs at or above `threshold`.
+    * The dot product is the same left-to-right double fold as the
+    * VecDot kernel, so scores are bit-identical to the lambda shape.
+    */
+  def cosinePairs(ms: ArrayData, threshold: Double): ArrayData = {
+    val n = ms.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val idArr = new Array[Long](n)
+    val vArr = new Array[Array[Float]](n)
+    val nrmArr = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val r = ms.getStruct(i, 3)
+      idArr(i) = r.getLong(0)
+      vArr(i) = r.getArray(1).toFloatArray()
+      nrmArr(i) = r.getDouble(2)
+      i += 1
+    }
+    val out = new java.util.ArrayList[Any]()
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val a = vArr(i); val b = vArr(j)
+        var s = 0.0
+        var k = 0
+        val len = math.min(a.length, b.length)
+        while (k < len) { s += a(k).toDouble * b(k).toDouble; k += 1 }
+        val cos = s / (nrmArr(i) * nrmArr(j))
+        if (cos >= threshold) {
+          val x = idArr(i); val y = idArr(j)
+          out.add(new GenericInternalRow(Array[Any](
+            math.min(x, y), math.max(x, y), cos)))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** (array<struct<id,v,nrm>>) → array<struct<id_a, id_b, cosine>>:
+  * cosine-verified within-bucket pairs (embedding near-dup stage).
+  */
+case class CosineBucketPairs(child: Expression, threshold: Double)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id_a", LongType, nullable = false),
+    StructField("id_b", LongType, nullable = false),
+    StructField("cosine", DoubleType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(in: Any): Any =
+    CosinePairKernel.cosinePairs(in.asInstanceOf[ArrayData], threshold)
+  override protected def withNewChildInternal(newChild: Expression)
+      : CosineBucketPairs = copy(child = newChild)
+}
+
 /** array<long> → array<struct<id_a, id_b>>: all unordered within-bucket
   * pairs. Interpreted once per bucket row; the pair loop is plain JVM.
   */
@@ -139,6 +200,8 @@ case class SimhashBucketPairs(left: Expression, right: Expression,
 object PairFunctions {
   def longBucketPairs(ids: Column): Column =
     Bridge.column(LongBucketPairs(Bridge.expression(ids)))
+  def cosineBucketPairs(ms: Column, threshold: Double): Column =
+    Bridge.column(CosineBucketPairs(Bridge.expression(ms), threshold))
   def simhashBucketPairs(ms: Column, tbl: Column, maxHamming: Int,
       nBlocks: Int): Column =
     Bridge.column(SimhashBucketPairs(Bridge.expression(ms),
