@@ -414,6 +414,26 @@ class ExtSpec extends SparkSpec {
     assert(rows(0)._3.last == -127)
   }
 
+  test("cosine pair kernel agrees with the generic-id fallback") {
+    val emb = Tables.embeddings(spark, sf0001).limit(150)
+    val viaKernel = graft.ext.Dedup.embeddingNearDups(
+      emb, "vec_id", "embedding", threshold = 0.3, nBits = 4)
+      .select("id_a", "id_b", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+      .map((p: (Long, Long, Double)) => (s"v${p._1}", s"v${p._2}", p._3))
+    val strIds = emb.select(concat(lit("v"), $"vec_id").as("vec_id"),
+      $"embedding")
+    val viaFallback = graft.ext.Dedup.embeddingNearDups(
+      strIds, "vec_id", "embedding", threshold = 0.3, nBits = 4)
+      .select("id_a", "id_b", "cosine")
+      .as[(String, String, Double)].collect().toSet
+    // cosines must be BIT-identical (same fold); ids may pair-order
+    // differently under string vs numeric comparison, so normalize
+    def norm(s: Set[(String, String, Double)]) =
+      s.map { case (a, b, c) => (Set(a, b), c) }
+    assert(norm(viaFallback) == norm(viaKernel))
+  }
+
   test("embedding near-dups finds planted duplicate vector") {
     val vecs = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f)),
