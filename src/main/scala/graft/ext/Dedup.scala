@@ -8,13 +8,18 @@ import org.apache.spark.sql.functions._
   * shuffle-conscious:
   *
   *  - exact dedup is one hash-groupBy (a single shuffle on the digest);
-  *  - MinHash/LSH turns the quadratic all-pairs problem into a band-key
-  *    equi-join: signatures are computed map-side, candidates come from a
-  *    shuffle on (band, signature-slice), and only candidates are verified;
+  *  - MinHash/LSH turns the quadratic all-pairs problem into band-key
+  *    BUCKETS: signatures are computed map-side, one shuffle on
+  *    (band, signature-slice) collects each bucket's members, and pairs
+  *    are emitted locally per bucket (a JVM-loop kernel for long ids) —
+  *    no self-join, so the signature pipeline runs exactly once and
+  *    nothing is cached;
   *  - SimHash packs a document into one 64-bit key; near-dup search
-  *    joins on two-block combinations of a (maxHamming+2)-way split
+  *    buckets on two-block combinations of a (maxHamming+2)-way split
   *    (pigeonhole: hamming<=m ⇒ >=2 of m+2 blocks equal), giving >=25-bit
-  *    join keys whose cardinality grows with the corpus.
+  *    bucket keys whose cardinality grows with the corpus; candidate
+  *    pairs are hamming-verified and emitted exactly once (first
+  *    agreeing table) inside the bucket.
   *
   * Two hash families are provided: `md5`-based (engine-portable, used by
   * the DuckDB-checked graded queries) and `xxhash64`-based (the fast path
