@@ -47,6 +47,24 @@ object Sampling {
     df.withColumn(splitCol, expr)
   }
 
+  /** Deterministic stratified sample: keep a row iff its hash coordinate
+    * falls below its group's rate — per-group Bernoulli sampling with
+    * all of `hashCoord`'s reproducibility guarantees (same kept set on
+    * any re-run, retry, engine, or partitioning). The dataset-mixing
+    * weights op: down-sample over-represented languages/domains/sources
+    * to target proportions in one map-side pass, no shuffle. Groups
+    * absent from `rates` keep everything (rate 1.0).
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, groupCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    require(rates.values.forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val rate = rates.foldLeft(lit(1.0)) { case (acc, (g, r)) =>
+      when(col(groupCol) === g, lit(r)).otherwise(acc)
+    }
+    df.filter(hashCoord(col(keyCol)) < rate)
+  }
+
   /** Sequence packing (concat-and-chunk): assign each document a
     * (shard, bin, offset) under a token budget per bin — the layout step
     * that turns a curated corpus into fixed-width pretraining rows. The

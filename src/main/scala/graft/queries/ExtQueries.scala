@@ -237,6 +237,18 @@ object ExtQueries {
         .orderBy("lang", "doc_id")
     }),
 
+    // Stratified down-sampling to mixture weights: per-language keep
+    // rates applied as a deterministic map-side Bernoulli filter (same
+    // hash coordinate as q55 — no shuffle, reproducible kept set).
+    "q64_stratified_sample" -> ((s, d) => {
+      graft.ext.Sampling.stratifiedSample(documents(s, d), "doc_id",
+        "lang", Map("en" -> 0.5, "es" -> 0.25, "zh" -> 1.0))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("chars_kept"))
+        .orderBy("lang")
+    }),
+
     // Benchmark-contamination check — the standard decontamination op:
     // which training documents contain any 13-gram from the eval set
     // (here: docs 0-19 as the stand-in benchmark)? The benchmark
@@ -850,6 +862,18 @@ object ExtQueries {
         |    abs(cast(cast(qv[i+1] * scale AS float) AS double)
         |        - cast(embedding[i+1] AS double)))) AS max_err
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q64_stratified_sample" -> {
+      val u = (0 until 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5(cast(doc_id AS varchar)), ${i + 1}, 1)) - 1) * ${math.pow(16, 7 - i).toLong}")
+        .mkString("(", " + ", ")") + " / 4294967296.0"
+      s"""SELECT lang, count(*) AS n_kept,
+         |  cast(sum(n_chars) AS bigint) AS chars_kept
+         |FROM documents
+         |WHERE $u < (CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25
+         |            WHEN 'zh' THEN 1.0 ELSE 1.0 END)
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    },
 
     "q63_contamination" ->
       s"""WITH t AS (

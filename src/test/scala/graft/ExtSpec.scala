@@ -304,6 +304,26 @@ class ExtSpec extends SparkSpec {
       (3L, 1L, 4L)))
   }
 
+  test("stratified sample: per-group rates, deterministic kept set") {
+    import graft.ext.Sampling
+    val docsDf = Tables.documents(spark, sf0001).limit(300)
+    def kept(df: org.apache.spark.sql.DataFrame) =
+      Sampling.stratifiedSample(df, "doc_id", "lang",
+        Map("en" -> 0.5, "es" -> 0.0))
+        .select("doc_id").as[Long].collect().toSet
+    val a = kept(docsDf.repartition(1))
+    assert(a == kept(docsDf.repartition(5))) // partitioning-invariant
+    val byLang = docsDf.select("doc_id", "lang")
+      .as[(Long, String)].collect().toMap
+    // rate 0 drops everything in the group; unlisted groups keep all
+    assert(!a.exists(id => byLang(id) == "es"))
+    val allEn = byLang.count(_._2 == "en")
+    val keptEn = a.count(id => byLang(id) == "en")
+    assert(keptEn > 0 && keptEn < allEn)
+    val unlisted = byLang.filter(kv => kv._2 != "en" && kv._2 != "es").keySet
+    assert(unlisted.subsetOf(a))
+  }
+
   test("quota per group keeps top-N by total order") {
     import graft.ext.Sampling
     val df = Seq(
