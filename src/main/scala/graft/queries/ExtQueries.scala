@@ -966,8 +966,8 @@ object ExtQueries {
         |  FROM documents),
         |s AS (
         |  SELECT doc_id, shard,
-        |    coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    cast(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint)
         |      AS before
         |  FROM t)
         |SELECT doc_id, shard, before // 512 AS bin, before % 512 AS offset
