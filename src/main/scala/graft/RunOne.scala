@@ -1,0 +1,28 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: run a single SparkEntry query and dump it to parquet —
+  * `runMain graft.RunOne <queryName> <sfDir> <outDir>` — so one new
+  * query can be graded against its oracle without a full Verify pass.
+  * Session config mirrors Verify exactly.
+  */
+object RunOne {
+  def main(args: Array[String]): Unit = {
+    val Array(name, sfDir, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.graft.collapseRollupExplode", "true")
+      .config("spark.graft.vecDotRewrite.assumeNoNullElements", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.queries(name)(spark, sfDir)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    spark.stop()
+  }
+}

@@ -123,6 +123,22 @@ object ExtQueries {
         nBits = 8, probeHamming = 2)
     }),
 
+    // IVF ANN top-k: inverted-file coarse quantizer — assign every
+    // vector to its nearest centroid (argmin squared-L2, ties to the
+    // lowest index), probe the 3 cells nearest the query, exact cosine
+    // rerank inside them. The data-adaptive complement to q30/q53's
+    // data-oblivious sign-LSH; at rest `cell` is a partition key with
+    // exactly q53's directory-pruning story. Centroids here are the
+    // seeded deterministic pick (16 smallest ids) so the oracle can
+    // replay assignment bit-for-bit; production swaps in offline-trained
+    // k-means centroids without touching the search path.
+    "q65_ivf_ann" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 16)
+      Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10, cents,
+        nProbe = 3)
+    }),
+
     // Tumbling 1-hour windows (stream-shaped aggregation, batch run).
     "q31_events_tumbling" -> ((s, d) => {
       EventsOps.tumbling(events(s, d), "1 hour")
@@ -710,6 +726,36 @@ object ExtQueries {
          |FROM b, q
          |WHERE vec_id <> 0 AND bit_count(xor(bucket, q_bucket)) <= 2
          |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // Full replay of the IVF pipeline: seeded centroids (16 smallest
+    // ids), squared-L2 assignment in the exact `v·v - 2.0·(v·c) + c·c`
+    // expression shape (bit-identical to the Spark side's fused-fold
+    // kernels), probe = 3 nearest cells to the query, cosine rerank.
+    "q65_ivf_ann" -> {
+      val d2 = (v: String, c: String) =>
+        s"(${dotSql(v, v)}) - 2.0 * (${dotSql(v, c)}) + (${dotSql(c, c)})"
+      s"""WITH c AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_idx,
+         |    embedding AS c_vec
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+         |a AS (
+         |  SELECT e.vec_id, c.c_idx,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY (${d2("e.embedding", "c.c_vec")}) ASC, c.c_idx ASC)
+         |      AS rn
+         |  FROM embeddings e CROSS JOIN c),
+         |cell AS (SELECT vec_id, c_idx AS cell FROM a WHERE rn = 1),
+         |q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT c_idx FROM c, q
+         |  ORDER BY (${d2("q_vec", "c_vec")}) ASC, c_idx ASC LIMIT 3)
+         |SELECT e.vec_id,
+         |  floor((${cosineSql("e.embedding", "q_vec")}) * 1000000) / 1000000
+         |    AS score
+         |FROM embeddings e JOIN cell ON e.vec_id = cell.vec_id, q
+         |WHERE cell.cell IN (SELECT c_idx FROM probes) AND e.vec_id <> 0
+         |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin
+    },
 
     "q31_events_tumbling" ->
       """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events)

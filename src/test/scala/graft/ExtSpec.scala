@@ -409,6 +409,46 @@ class ExtSpec extends SparkSpec {
     assert(atRest.as[(Long, Double)].collect().toSeq == inMem)
   }
 
+  test("IVF: cell assignment is nearest-centroid with lowest-index ties") {
+    val cents = Seq(
+      Array(1.0f, 0.0f, 0.0f, 0.0f),
+      Array(0.0f, 1.0f, 0.0f, 0.0f),
+      Array(0.0f, 1.0f, 0.0f, 0.0f), // duplicate of 1 → ties pick 1
+    )
+    val vecs = Seq(
+      (0L, Array(0.9f, 0.1f, 0f, 0f)),  // → cell 0
+      (1L, Array(0.1f, 0.9f, 0f, 0f)),  // → cell 1 (ties with 2)
+      (2L, Array(0.0f, 1.0f, 0f, 0f)),  // exact hit, ties with 2 → 1
+    ).toDF("vec_id", "embedding")
+    val cells = vecs.select($"vec_id",
+      Similarity.ivfCell($"embedding", cents).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    assert(cells == Map(0L -> 0, 1L -> 1, 2L -> 1))
+  }
+
+  test("IVF: full probe == brute; restricted probe valid; driver fold == kernel") {
+    val emb = Tables.embeddings(spark, sf0001).limit(100).cache()
+    val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 8)
+    assert(cents.size == 8 && cents.forall(_.length == cents.head.length))
+    val brute = Similarity.bruteTopK(emb, "vec_id", "embedding", 0L, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    // probing every cell degrades IVF to exact search
+    val full = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 5,
+      cents, nProbe = 8).select("vec_id").as[Long].collect().toSeq
+    assert(full == brute)
+    // restricted probe: <=k unique ids, scores truncated-cosine in [-1,1]
+    val approx = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 5,
+      cents, nProbe = 2).as[(Long, Double)].collect().toSeq
+    assert(approx.size <= 5 && approx.map(_._1).distinct.size == approx.size)
+    assert(approx.forall { case (_, s) => s >= -1.0 && s <= 1.0 })
+    // seqDot (driver twin) is bit-identical to the VecDot kernel
+    val a = cents(0); val b = cents(1)
+    val planSide = Seq((a, b)).toDF("a", "b")
+      .select(Similarity.dot($"a", $"b")).as[Double].head()
+    assert(java.lang.Double.doubleToLongBits(planSide) ==
+      java.lang.Double.doubleToLongBits(Similarity.seqDot(a, b)))
+  }
+
   test("int8 quantization: bounded error, zero-vector safe, 4x smaller") {
     val vecs = Seq(
       (1L, Array(1.0f, -2.0f, 63.5f, -127.0f)),

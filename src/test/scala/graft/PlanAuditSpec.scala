@@ -60,6 +60,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$p")
   }
 
+  test("q65 IVF probe is a pre-score filter on the codegen'd kernel") {
+    val p = plan("q65_ivf_ann")
+    assert(!p.contains("NestedLoop"), s"crossJoin shape in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$p")
+    assert(p.toLowerCase.contains("vecdot"), s"no VecDot kernel in:\n$p")
+  }
+
   test("q53 at-rest ANN scan prunes partitions via the probe IN-list") {
     val p = plan("q53_ann_at_rest")
     assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p).isDefined,
