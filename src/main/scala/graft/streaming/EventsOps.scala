@@ -102,6 +102,50 @@ object EventsOps {
       .drop("__ts", "__side", "__rv", "__rts", "__r", "__asof")
   }
 
+  /** Interval join (Flink's stream-stream range join): every (left,
+    * right) pair sharing `keyCol` with `rightTs - leftTs` in
+    * `[lowerSec, upperSec]`.
+    *
+    * Spark plans a key-equality + time-range theta join as a per-key
+    * join with the range as a post-join filter — a cross product per
+    * key for hot keys. Here right rows are bucketed by
+    * `ts div width` (width = the range span) and each left row explodes
+    * to the at-most-two buckets its window can touch, so the join is a
+    * pure equi-join on (key, bucket) with the exact range predicate
+    * evaluated on same-bucket candidates only. Every right row lands in
+    * exactly one bucket → pairs emit exactly once, no dedup pass. At
+    * 100 TB: one shuffle per side on (key, bucket); candidate volume is
+    * bounded by per-bucket occupancy, never |L|x|R| per key — and the
+    * bucket key spreads a hot user across time, which is precisely the
+    * skew a bare key-equi join concentrates.
+    *
+    * Bucket ids use integral `div` (not double `/`) so boundary
+    * assignment is exact at any epoch magnitude. Timestamps must be
+    * non-negative epochs (1970+), where `div` == floor-division.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, lowerSec: Long, upperSec: Long,
+      rightPrefix: String = "r_"): DataFrame = {
+    require(upperSec >= lowerSec, "need upperSec >= lowerSec")
+    val wUs = math.max((upperSec - lowerSec) * 1000000L, 1L)
+    val loUs = lowerSec * 1000000L
+    val upUs = upperSec * 1000000L
+    val rr = right.columns.foldLeft(right)((d, c) =>
+      if (c == keyCol) d else d.withColumnRenamed(c, rightPrefix + c))
+    val rb = rr
+      .withColumn("__rus", unix_micros(col(rightPrefix + rightTs)))
+      .withColumn("__bucket", expr(s"__rus div ${wUs}L"))
+    val lb = left
+      .withColumn("__lus", unix_micros(col(leftTs)))
+      .withColumn("__bucket", explode(sequence(
+        expr(s"(__lus + ${loUs}L) div ${wUs}L"),
+        expr(s"(__lus + ${upUs}L) div ${wUs}L"))))
+    lb.join(rb, Seq(keyCol, "__bucket"))
+      .filter(col("__rus").between(col("__lus") + lit(loUs),
+        col("__lus") + lit(upUs)))
+      .drop("__bucket", "__lus", "__rus")
+  }
+
   /** Event-time-bounded dedup: one row per (user, type, time bucket) —
     * the batch analog of `dropDuplicatesWithinWatermark`.
     */

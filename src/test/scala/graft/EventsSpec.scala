@@ -107,6 +107,45 @@ class EventsSpec extends SparkSpec {
     assert(got == ("2024-01-01 10:15:00", None))
   }
 
+  test("interval join: equals the theta join, emits pairs exactly once") {
+    val left = planted.filter($"event_type" === "click")
+      .select($"user_id", $"event_id", $"ts")
+    val right = planted.select($"user_id", $"event_id".as("r_id"), $"ts")
+    val got = EventsOps.intervalJoin(left, right, "user_id", "ts", "ts",
+      lowerSec = 1L, upperSec = 3000L)
+      .select($"event_id", $"r_r_id")
+      .as[(Long, Long)].collect().toSeq.sorted
+    // reference: plain theta join on the same window
+    val expect = left.as("l").join(right.as("r"),
+      col("l.user_id") === col("r.user_id") &&
+        col("r.ts").cast("long").between(
+          col("l.ts").cast("long") + 1, col("l.ts").cast("long") + 3000))
+      .select(col("l.event_id"), col("r.r_id"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got == expect && got.nonEmpty)
+    assert(got == got.distinct, "pair emitted more than once")
+    // and on the real events table at sf0.001
+    val e = Tables.events(spark, sf0001)
+    val c = e.filter($"event_type" === "click")
+      .select($"user_id", $"event_id", $"ts")
+    val p = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("r_id"), $"ts")
+    val fast = EventsOps.intervalJoin(c, p, "user_id", "ts", "ts", 0L, 600L)
+      .select($"event_id", $"r_r_id").as[(Long, Long)].collect().toSeq.sorted
+    val ref = c.as("l").join(p.as("r"),
+      col("l.user_id") === col("r.user_id") &&
+        unix_micros(col("r.ts")).between(unix_micros(col("l.ts")),
+          unix_micros(col("l.ts")) + 600000000L))
+      .select(col("l.event_id"), col("r.r_id"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(fast == ref)
+    // scale shape: equi-join, not a broadcast-nested-loop per key
+    val plan = EventsOps.intervalJoin(c, p, "user_id", "ts", "ts", 0L, 600L)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"range join planned as a cross product:\n$plan")
+  }
+
   test("streaming: same EventsOps code under readStream") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
     planted.write.mode("overwrite").parquet(dir.toString + "/in")

@@ -409,6 +409,60 @@ class ExtSpec extends SparkSpec {
     assert(atRest.as[(Long, Double)].collect().toSeq == inMem)
   }
 
+  test("z-order: bit interleave is exact; files are local in BOTH dims") {
+    import graft.ext.Layout
+    // hand-checked interleave: a=3 (bits 0,1 → z 0,2 = 5), b=1 (bit 0 →
+    // z 1 = 2) → 7; a=0,b=3 → z bits 1,3 = 10
+    val z = Seq((3L, 1L), (0L, 3L)).toDF("a", "b")
+      .select(Layout.zValue($"a", $"b", 4)).as[Long].collect().toSeq
+    assert(z == Seq(7L, 10L))
+    // layout property on a uniform 2-d grid: every written file must be
+    // narrow in BOTH columns — a single-column sort cannot deliver that
+    // for the trailing column
+    val grid = spark.range(1024).select(
+      (pmod($"id" * 7919, lit(1024))).as("a"),
+      (pmod($"id" * 104729, lit(1024))).as("b"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_zorder").toString + "/grid"
+    Layout.zorderWrite(grid, "a", "b", bits = 10, nFiles = 16, path = path)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+    assert(files.size > 4, s"expected many files, got ${files.size}")
+    val spans = files.map { f =>
+      spark.read.parquet(f).agg(max("a") - min("a"), max("b") - min("b"))
+        .as[(Long, Long)].head()
+    }
+    val avgA = spans.map(_._1).sum.toDouble / spans.size
+    val avgB = spans.map(_._2).sum.toDouble / spans.size
+    // global span is 1023 in each dim; 16 z-range files on a uniform
+    // grid are ~256-wide rectangles — assert the weaker "under half"
+    assert(avgA < 512.0, s"a not clustered: avg span $avgA of 1023")
+    assert(avgB < 512.0, s"b not clustered: avg span $avgB of 1023")
+  }
+
+  test("KMV sketch: exact under k, dup-proof, partitioning-invariant") {
+    import graft.ext.Sketches
+    // exact branch: fewer distinct values than k
+    val small = Seq("a", "b", "c", "a", "b").toDF("v")
+      .withColumn("g", lit("x"))
+    val est = Sketches.kmvDistinct(small, "g", $"v", 8)
+      .select("est_distinct").as[Double].head()
+    assert(est == 3.0)
+    // duplicates never change the sketch (the no-distinct-shuffle claim)
+    val once = Seq.tabulate(100)(i => s"v$i").toDF("v")
+      .withColumn("g", lit("x"))
+    val e1 = Sketches.kmvDistinct(once, "g", $"v", 16)
+      .select("est_distinct").as[Double].head()
+    val e3 = Sketches.kmvDistinct(once.union(once).union(once), "g", $"v", 16)
+      .select("est_distinct").as[Double].head()
+    assert(e1 == e3)
+    // merge is order/partitioning-independent, and the estimate is sane
+    val p7 = Sketches.kmvDistinct(once.repartition(7), "g", $"v", 16)
+      .select("est_distinct").as[Double].head()
+    assert(p7 == e1)
+    assert(math.abs(e1 - 100.0) / 100.0 < 0.5, s"estimate $e1 vs true 100")
+  }
+
   test("IVF: cell assignment is nearest-centroid with lowest-index ties") {
     val cents = Seq(
       Array(1.0f, 0.0f, 0.0f, 0.0f),
