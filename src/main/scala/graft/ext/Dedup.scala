@@ -150,9 +150,13 @@ object Dedup {
     * string). The default fast path hashes the band slice to a 32-bit
     * Murmur3 key (smaller shuffle; engine-specific).
     */
-  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 8, bands: Int = 4,
-      portable: Boolean = false): DataFrame = {
+  /** One row per (id, band, band-key): the LSH index rows that
+    * `lshCandidatePairs` buckets on, exposed so the same keys can also
+    * be materialized at rest (`writeLshIndex`) and probed incrementally
+    * (`incrementalNearDups`).
+    */
+  def bandRows(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int, portable: Boolean): DataFrame = {
     val sigs = minhashSignatures(
       df.select(idCol, textCol), idCol, textCol, n, k, portable)
     val rowsPerBand = k / bands
@@ -165,6 +169,12 @@ object Dedup {
     sigs.select(
       col(idCol),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+  }
+
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 8, bands: Int = 4,
+      portable: Boolean = false): DataFrame = {
+    bandRows(df, idCol, textCol, n, k, bands, portable)
       .groupBy("band", "bkey")
       .agg(collect_list(col(idCol)).as("ids"))
       .select(explode(bucketPairs(col("ids"),
@@ -201,6 +211,67 @@ object Dedup {
     verifyJaccard(df,
       lshCandidatePairs(df, idCol, textCol, n, k, bands, portable),
       idCol, textCol, n, threshold)
+
+  /** Materialize a corpus's fuzzy-dedup index at rest: the LSH band
+    * rows, directory-partitioned by `pdir = pmod(hash(bkey), nDirs)`,
+    * plus the per-doc distinct shingle sets the verify stage needs.
+    * Build cost is one pass over the corpus — paid ONCE; after that
+    * every new batch dedups against the corpus without recomputing or
+    * reshuffling it (`incrementalNearDups`). The repartition before the
+    * write keeps it to one file per directory per task wave, the same
+    * small-files discipline as `Similarity.writeBucketed`.
+    */
+  def writeLshIndex(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 8, bands: Int = 4, portable: Boolean = false,
+      path: String, nDirs: Int = 64): Unit = {
+    bandRows(df, idCol, textCol, n, k, bands, portable)
+      .withColumn("pdir", pmod(hash(col("bkey")), lit(nDirs)))
+      .repartition(col("pdir"))
+      .write.mode("overwrite").partitionBy("pdir").parquet(s"$path/bands")
+    df.select(col(idCol),
+        array_distinct(shingles(col(textCol), n)).as("sh"))
+      .write.mode("overwrite").parquet(s"$path/shingles")
+  }
+
+  /** Incremental fuzzy dedup: near-dups of a (small) new batch against
+    * a `writeLshIndex` corpus — the daily-ingest shape at 100 TB, where
+    * re-running `minhashNearDups` over corpus+batch would reshingle and
+    * reshuffle the whole corpus to dedup 0.1% new data.
+    *
+    * The batch's band rows are broadcast, so the corpus index scan is
+    * filtered map-side (no corpus shuffle), and because the join
+    * includes the `pdir` partition column, dynamic partition pruning
+    * can skip index directories no batch key hashes into (the pruning
+    * gets sharper as nDirs grows relative to batch band-key count).
+    * Candidates then verify by exact Jaccard against the stored shingle
+    * sets — same verify semantics as `verifyJaccard`, so incremental
+    * results equal the batch-vs-corpus slice of the full recompute
+    * (ExtSpec asserts it; the q69 oracle replays it).
+    */
+  def incrementalNearDups(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, batch: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 8, bands: Int = 4, threshold: Double = 0.7,
+      portable: Boolean = false, nDirs: Int = 64): DataFrame = {
+    val bRows = bandRows(batch, idCol, textCol, n, k, bands, portable)
+      .withColumn("pdir", pmod(hash(col("bkey")), lit(nDirs)))
+      .withColumnRenamed(idCol, "batch_id")
+    val cands = spark.read.parquet(s"$indexPath/bands")
+      .join(broadcast(bRows), Seq("pdir", "band", "bkey"))
+      .select(col("batch_id"), col(idCol).as("corpus_id"))
+      .distinct()
+    val bSh = batch.select(col(idCol).as("batch_id"),
+      array_distinct(shingles(col(textCol), n)).as("sh_b"))
+    val cSh = spark.read.parquet(s"$indexPath/shingles")
+      .select(col(idCol).as("corpus_id"), col("sh").as("sh_a"))
+    cands
+      .join(broadcast(bSh), "batch_id")
+      .join(cSh, "corpus_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("batch_id", "corpus_id", "jaccard")
+  }
 
   // ------------------------------------------------------------------
   // SimHash

@@ -265,6 +265,52 @@ object ExtQueries {
         .orderBy("lang")
     }),
 
+    // KMV distinct-count sketch: per-source distinct-text estimate from
+    // the 16 smallest md5 coordinates. The engine-portable alternative
+    // to HyperLogLog (whose registers no other engine can replay): the
+    // dedup-on-insert bounded buffer makes it ONE aggregation pass —
+    // k-element partial buffers map-side, no distinct shuffle of the
+    // values. 20 sources x 25 distinct texts > k, so the graded rows
+    // all take the (k-1)/h_k estimator branch (the exact branch is
+    // spec-covered).
+    "q66_kmv_distinct" -> ((s, d) => {
+      graft.ext.Sketches.kmvDistinct(documents(s, d), "source",
+        col("text"), k = 16)
+        .orderBy("source")
+    }),
+
+    // Incremental fuzzy dedup: near-dups of a new batch (docs 0-49)
+    // against an at-rest corpus LSH index (docs 50+), graded end-to-end
+    // — index build (one corpus pass, paid once) + broadcast band probe
+    // (no corpus shuffle) + Jaccard verify against stored shingles. The
+    // daily-ingest shape: at 100 TB, re-running minhashNearDups over
+    // corpus+batch would reshingle the whole corpus to dedup 0.1% new
+    // data.
+    "q69_incremental_dedup" -> ((s, d) => {
+      val docs = documents(s, d)
+      val path = java.nio.file.Files.createTempDirectory("graft_q69")
+        .toString + "/idx"
+      Dedup.writeLshIndex(docs.filter(col("doc_id") >= 50), "doc_id",
+        "text", n = 3, k = 8, bands = 4, portable = true, path = path)
+      Dedup.incrementalNearDups(s, path, docs.filter(col("doc_id") < 50),
+        "doc_id", "text", n = 3, k = 8, bands = 4, threshold = 0.5,
+        portable = true)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
+    // Z-order (Morton) clustering key: bit-interleave doc_id and
+    // n_chars so a range-partitioned write gives per-file min/max
+    // selectivity on BOTH columns (multi-dim data skipping — the
+    // OPTIMIZE ZORDER BY primitive). The graded part is the key's bit
+    // math; the layout/locality property is spec-asserted on real
+    // written files.
+    "q68_zorder" -> ((s, d) => {
+      documents(s, d).select(col("doc_id"),
+        graft.ext.Layout.zValue(pmod(col("doc_id"), lit(1024)),
+          pmod(col("n_chars"), lit(1024)), 10).as("z"))
+        .orderBy("doc_id")
+    }),
+
     // Benchmark-contamination check — the standard decontamination op:
     // which training documents contain any 13-gram from the eval set
     // (here: docs 0-19 as the stand-in benchmark)? The benchmark
@@ -440,6 +486,25 @@ object ExtQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // Interval join (Flink-style): click → purchases by the same user
+    // within the next hour. Time-bucketed equi-join on
+    // (user, ts div span) — never a per-key cross product; the exact
+    // range predicate only sees same-bucket candidates.
+    "q67_interval_join" -> ((s, d) => {
+      val e = events(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      EventsOps.intervalJoin(clicks, purchases, "user_id", "ts", "ts",
+        lowerSec = 0L, upperSec = 3600L)
+        .select(col("user_id"), col("event_id").as("l_event"),
+          col("r_event_id").as("r_event"),
+          (unix_micros(col("r_ts")) - unix_micros(col("ts")))
+            .as("delta_us"))
+        .orderBy("l_event", "r_event")
+    }),
+
     // Row-frame window aggregate: per-user 3-row moving average over
     // the event stream (decimal-exact sum cast to double BEFORE the
     // division so both engines round identically).
@@ -509,7 +574,10 @@ object ExtQueries {
     * Jaccard >= 0.5); terminal CTE `pairs(id_a, id_b, jaccard)`. Shared
     * by the q36 and q49 oracles.
     */
-  private lazy val fuzzyPairsCtes: String = {
+  /** Shared shingle→minhash→band CTEs (t, sh, sig, banded, dsh) for
+    * every fuzzy-dedup oracle; callers append their own cand/pairs.
+    */
+  private lazy val fuzzyBaseCtes: String = {
     val mh = (0 until 8).map(i =>
       s"list_min(list_transform(shingles, s -> " +
         s"${Dedup.portableSliceSql("s", i)})) AS mh$i").mkString(",\n  ")
@@ -525,11 +593,15 @@ object ExtQueries {
        |  FROM sh),
        |banded AS (
        |  $bandRows),
+       |dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh)""".stripMargin
+  }
+
+  private lazy val fuzzyPairsCtes: String =
+    s"""$fuzzyBaseCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM banded a JOIN banded b ON a.bkey = b.bkey
        |  WHERE a.doc_id < b.doc_id),
-       |dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
        |pairs AS (SELECT * FROM (
        |  SELECT c.id_a, c.id_b,
        |    cast(len(list_intersect(a.s, b.s)) AS double)
@@ -539,7 +611,6 @@ object ExtQueries {
        |  JOIN dsh a ON a.doc_id = c.id_a
        |  JOIN dsh b ON b.doc_id = c.id_b)
        |  WHERE jaccard >= 0.5)""".stripMargin
-  }
 
   /** Recursive-closure replay of cluster assignment: transitive
     * reachability over the (tiny, verified) pair graph, cluster = min
@@ -921,6 +992,55 @@ object ExtQueries {
          |GROUP BY lang ORDER BY lang""".stripMargin
     },
 
+    // KMV replay: distinct md5 coordinates per source, k-th smallest via
+    // row_number, (k-1)/h_k when the group has >= k distinct hashes.
+    "q66_kmv_distinct" -> {
+      val u = (0 until 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5(text), ${i + 1}, 1)) - 1) * ${math.pow(16, 7 - i).toLong}")
+        .mkString("(", " + ", ")") + " / 4294967296.0"
+      s"""WITH h AS (SELECT DISTINCT source, $u AS h FROM documents),
+         |r AS (
+         |  SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS nd
+         |  FROM h)
+         |SELECT source,
+         |  CASE WHEN max(nd) < 16 THEN cast(max(nd) AS double)
+         |       ELSE 15.0 / max(CASE WHEN rn = 16 THEN h END) END
+         |    AS est_distinct
+         |FROM r GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    // Same shingle/minhash/band replay as q36, with the candidate set
+    // restricted to batch (doc_id < 50) x corpus (doc_id >= 50) — the
+    // at-rest index holds exactly the corpus band rows, so the
+    // incremental probe must equal this slice of the full recompute.
+    "q69_incremental_dedup" ->
+      s"""WITH $fuzzyBaseCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+         |  FROM banded a JOIN banded b ON a.bkey = b.bkey
+         |  WHERE a.doc_id < 50 AND b.doc_id >= 50),
+         |pairs AS (SELECT * FROM (
+         |  SELECT c.batch_id, c.corpus_id,
+         |    cast(len(list_intersect(a.s, b.s)) AS double)
+         |      / cast(len(list_distinct(list_concat(a.s, b.s))) AS double)
+         |      AS jaccard
+         |  FROM cand c
+         |  JOIN dsh a ON a.doc_id = c.batch_id
+         |  JOIN dsh b ON b.doc_id = c.corpus_id)
+         |  WHERE jaccard >= 0.5)
+         |SELECT batch_id, corpus_id, jaccard FROM pairs
+         |ORDER BY batch_id, corpus_id""".stripMargin,
+
+    "q68_zorder" -> {
+      val terms = (0 until 10).flatMap(i => Seq(
+        s"((((doc_id % 1024) >> $i) & 1) << ${2 * i})",
+        s"((((n_chars % 1024) >> $i) & 1) << ${2 * i + 1})"))
+      s"""SELECT doc_id, (${terms.mkString(" | ")}) AS z
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
     "q63_contamination" ->
       s"""WITH t AS (
          |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
@@ -1108,6 +1228,20 @@ object ExtQueries {
          |  FROM scored)
          |SELECT label, rank, vec_id, score FROM ranked
          |WHERE rank <= 3 ORDER BY label, rank""".stripMargin,
+
+    // The bucketing is lossless (exact range re-filter), so the oracle
+    // is the plain inequality join.
+    "q67_interval_join" ->
+      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
+        |l AS (SELECT user_id, event_id, ts FROM e
+        |      WHERE event_type = 'click'),
+        |r AS (SELECT user_id, event_id, ts FROM e
+        |      WHERE event_type = 'purchase')
+        |SELECT l.user_id, l.event_id AS l_event, r.event_id AS r_event,
+        |  epoch_us(r.ts) - epoch_us(l.ts) AS delta_us
+        |FROM l JOIN r ON l.user_id = r.user_id
+        |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+        |ORDER BY l_event, r_event""".stripMargin,
 
     "q45_events_asof" ->
       """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),

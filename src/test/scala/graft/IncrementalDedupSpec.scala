@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+
+/** Incremental fuzzy dedup against an at-rest LSH index: must equal the
+  * batch-vs-corpus slice of the full recompute, with a broadcast probe
+  * (no corpus-side shuffle before the band join).
+  */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("incremental near-dups == batch-vs-corpus slice of full recompute") {
+    val docs = Tables.documents(spark, sf0001)
+    val split = 30L
+    val corpus = docs.filter($"doc_id" >= split)
+    val batch = docs.filter($"doc_id" < split)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_inc").toString + "/idx"
+    Dedup.writeLshIndex(corpus, "doc_id", "text",
+      n = 3, k = 8, bands = 4, portable = true, path = path)
+    val inc = Dedup.incrementalNearDups(spark, path, batch,
+      "doc_id", "text", n = 3, k = 8, bands = 4, threshold = 0.5,
+      portable = true)
+    val got = inc.select($"batch_id", $"corpus_id", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(p => (p._1, p._2))
+    // reference: full recompute over corpus+batch, sliced to cross pairs
+    // (ids are ordered id_a < id_b and batch ids < corpus ids, so the
+    // cross slice is exactly id_a < split <= id_b)
+    val full = Dedup.minhashNearDups(docs, "doc_id", "text",
+      n = 3, k = 8, bands = 4, threshold = 0.5, portable = true)
+      .filter($"id_a" < split && $"id_b" >= split)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(p => (p._1, p._2))
+    assert(got == full)
+    assert(got == got.distinct, "pair emitted more than once")
+    // scale shape: the batch side is broadcast — the corpus index scan
+    // must not shuffle before the candidate join
+    val plan = inc.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"band probe is not a broadcast join:\n$plan")
+  }
+}
