@@ -22,6 +22,24 @@ object TextStats {
   def bpeishTokens(c: Column): Column =
     size(regexp_extract_all(c, lit("\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]"), lit(0)))
 
+  /** Overlapping token-window chunks: windows of `width` tokens every
+    * `stride` tokens (overlap = width - stride), rejoined with single
+    * spaces — the chunking step that turns curated documents into
+    * retrieval/pretraining units. A pure projection (volume scales with
+    * output chunks, never shuffles); every document yields at least one
+    * chunk, and a final partial window is kept, so no trailing text is
+    * dropped. The interpreted higher-order transform is bounded by
+    * chunk count, like `Dedup.bucketPairs` — volume, not row width,
+    * is the cost.
+    */
+  def chunkTokens(c: Column, width: Int, stride: Int): Column = {
+    require(width >= 1 && stride >= 1, "width and stride must be >= 1")
+    val w = tokens(c)
+    transform(
+      sequence(lit(0), greatest(size(w) - 1, lit(0)), lit(stride)),
+      s => array_join(slice(w, s + 1, lit(width)), " "))
+  }
+
   /** Count of tokens that appear in `words`. */
   def markerCount(c: Column, words: Seq[String]): Column =
     size(filter(tokens(lower(c)), t =>

@@ -279,6 +279,17 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    // Overlapping token-window chunking (width 30, stride 20): the step
+    // that turns curated documents into retrieval/pretraining units.
+    // Pure projection — output volume = chunks, no shuffle.
+    "q70_chunk" -> ((s, d) => {
+      documents(s, d).select(col("doc_id"),
+        posexplode(TextStats.chunkTokens(col("text"), 30, 20))
+          .as(Seq("chunk_idx", "chunk")))
+        .withColumn("n_tok", TextStats.tokenCount(col("chunk")))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // Incremental fuzzy dedup: near-dups of a new batch (docs 0-49)
     // against an at-rest corpus LSH index (docs 50+), graded end-to-end
     // — index build (one corpus pass, paid once) + broadcast band probe
@@ -1010,6 +1021,27 @@ object ExtQueries {
          |    AS est_distinct
          |FROM r GROUP BY source ORDER BY source""".stripMargin
     },
+
+    // Chunk replay: same start sequence (0, stride, ... <= len-1;
+    // DuckDB range stop is exclusive, hence len-1+1), 1-based inclusive
+    // list slice = Spark's slice(w, s+1, width).
+    "q70_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, greatest(len(w) - 1, 0) + 1, 20),
+        |      s -> array_to_string(w[s+1:s+30], ' ')) AS chunks
+        |  FROM t),
+        |u AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(len(chunks)),
+        |      i -> {'chunk_idx': i, 'chunk': chunks[i+1]})) AS e
+        |  FROM c)
+        |SELECT doc_id, e.chunk_idx AS chunk_idx, e.chunk AS chunk,
+        |  len(string_split_regex(trim(e.chunk), '\s+')) AS n_tok
+        |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // Same shingle/minhash/band replay as q36, with the candidate set
     // restricted to batch (doc_id < 50) x corpus (doc_id >= 50) — the

@@ -440,6 +440,24 @@ class ExtSpec extends SparkSpec {
     assert(avgB < 512.0, s"b not clustered: avg span $avgB of 1023")
   }
 
+  test("chunking: overlapping token windows, partial tail kept") {
+    val chunks = Seq("t1 t2 t3 t4 t5 t6 t7", "solo", "")
+      .toDF("text")
+      .select(TextStats.chunkTokens($"text", 3, 2))
+      .as[Seq[String]].collect().toSeq
+    assert(chunks(0) == Seq("t1 t2 t3", "t3 t4 t5", "t5 t6 t7", "t7"))
+    assert(chunks(1) == Seq("solo"))
+    assert(chunks(2) == Seq("")) // every doc yields at least one chunk
+    // no token is dropped: chunks at stride offsets reconstruct the doc
+    val doc = (1 to 107).map(i => s"w$i").mkString(" ")
+    val back = Seq(doc).toDF("text")
+      .select(TextStats.chunkTokens($"text", 30, 20))
+      .as[Seq[String]].head()
+      .zipWithIndex
+      .flatMap { case (c, i) => c.split(" ").drop(if (i == 0) 0 else 10) }
+    assert(back == (1 to 107).map(i => s"w$i"))
+  }
+
   test("KMV sketch: exact under k, dup-proof, partitioning-invariant") {
     import graft.ext.Sketches
     // exact branch: fewer distinct values than k

@@ -39,5 +39,11 @@ class IncrementalDedupSpec extends SparkSpec {
     val plan = inc.queryExecution.executedPlan.toString()
     assert(plan.contains("BroadcastHashJoin"),
       s"band probe is not a broadcast join:\n$plan")
+    // and dynamic partition pruning must reach the index scan: the join
+    // carries the pdir partition column, so the scan's PartitionFilters
+    // get a dynamicpruning IN filter — index directories no batch key
+    // hashes into are never read (sharper as nDirs/batch shrinks)
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the index scan:\n$plan")
   }
 }

@@ -113,6 +113,35 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, 99.0, 2L), (2L, 7.0, 1L)))
   }
 
+  test("file-source integration: rate-limited stream == batch on real events") {
+    // real sf0.001 events, split into files and streamed one file per
+    // micro-batch (maxFilesPerTrigger) — the same EventsOps.tumbling
+    // code must converge to the batch answer across several batches
+    val e = Tables.events(spark, sf0001)
+    val dir = Files.createTempDirectory("graft_fsi").toString
+    e.repartition(4).write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val q = graft.streaming.EventsOps.tumbling(stream, "1 hour")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("fsi_tumbling").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(nBatches >= 2, s"expected several micro-batches, got $nBatches")
+    val got = spark.table("fsi_tumbling")
+      .orderBy("window_start", "event_type")
+      .select($"window_start".cast("string"), $"event_type", $"n_events",
+        $"total_value")
+      .as[(String, String, Long, Double)].collect().toSeq
+    val want = graft.streaming.EventsOps.tumbling(e, "1 hour")
+      .orderBy("window_start", "event_type")
+      .select($"window_start".cast("string"), $"event_type", $"n_events",
+        $"total_value")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == want && want.nonEmpty)
+  }
+
   test("transformWithState: running per-user stats across batches") {
     // the new API requires the RocksDB state store
     val key = "spark.sql.streaming.stateStore.providerClass"
