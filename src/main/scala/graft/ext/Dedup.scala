@@ -273,6 +273,22 @@ object Dedup {
       .select("batch_id", "corpus_id", "jaccard")
   }
 
+  /** Near-dup REMOVAL: keep one canonical row (the min-id cluster
+    * member) per near-dup cluster, pass every unclustered row through —
+    * the curation step that actually shrinks a corpus once pairs are
+    * known. Clusters come from the skew-safe star contraction; the
+    * delete set (`id != cluster` members) is tiny relative to the
+    * corpus, so the final anti-join broadcasts it and the corpus itself
+    * is never shuffled.
+    */
+  def keepCanonical(df: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val losers = dedupClustersStar(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(broadcast(losers), Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------------------
   // SimHash
   // ------------------------------------------------------------------

@@ -178,18 +178,20 @@ object Similarity {
     dot(v, v) - lit(2.0) * dot(v, lit(c)) + lit(seqDot(c, c))
 
   /** IVF coarse-quantizer cell id: argmin over `centroids` of squared
-    * L2 distance, ties broken to the lowest centroid index. One
-    * projection — `centroids.size` fused VecDot kernels per row, no
-    * shuffle; at 100 TB this is the "index build" map pass of an
-    * inverted-file ANN index (Jégou et al., TPAMI'11).
+    * L2 distance, ties broken to the lowest centroid index
+    * (`array_position` returns the FIRST index of the min, and the min
+    * is bit-equal to exactly the distances that produced it). One
+    * projection, no shuffle; the distances array evaluates each of the
+    * `centroids.size` fused VecDot kernels exactly once per row — a
+    * least()/when() argmin chain re-evaluates every distance per
+    * branch, which bloated the expression tree ~16x at 16 cells. At
+    * 100 TB this is the "index build" map pass of an inverted-file ANN
+    * index (Jégou et al., TPAMI'11).
     */
   def ivfCell(v: Column, centroids: Seq[Array[Float]]): Column = {
     require(centroids.nonEmpty, "ivfCell: need at least one centroid")
-    val dists = centroids.zipWithIndex.map { case (c, i) => (i, sqDist(v, c)) }
-    val best = dists.map(_._2).reduce(least(_, _))
-    dists.init.foldRight(lit(centroids.size - 1): Column) {
-      case ((i, dc), acc) => when(dc === best, lit(i)).otherwise(acc)
-    }
+    val d = array(centroids.map(c => sqDist(v, c)): _*)
+    (array_position(d, array_min(d)) - 1).cast("int")
   }
 
   /** Deterministic seeded coarse centroids: the embeddings of the

@@ -279,6 +279,20 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    // Fuzzy-dedup REMOVAL, end to end: minhash near-dup pairs → star
+    // contraction clusters → keep the canonical (min-id) member per
+    // cluster, every unclustered doc passes through. The composition a
+    // corpus curator actually runs; the delete set is tiny so the final
+    // anti-join broadcasts — the corpus is never shuffled.
+    "q71_fuzzy_curation" -> ((s, d) => {
+      val docs = documents(s, d)
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        n = 3, k = 8, bands = 4, threshold = 0.5, portable = true)
+      Dedup.keepCanonical(docs, "doc_id", pairs.select("id_a", "id_b"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // Overlapping token-window chunking (width 30, stride 20): the step
     // that turns curated documents into retrieval/pretraining units.
     // Pure projection — output volume = chunks, no shuffle.
@@ -1021,6 +1035,26 @@ object ExtQueries {
          |    AS est_distinct
          |FROM r GROUP BY source ORDER BY source""".stripMargin
     },
+
+    // Survivors = everything minus non-canonical cluster members, with
+    // cluster assignment replayed as the recursive transitive closure
+    // (same fixpoint as the q49/q54 oracles).
+    "q71_fuzzy_curation" ->
+      s"""WITH RECURSIVE $fuzzyPairsCtes,
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |assign AS (
+         |  SELECT n.id, least(n.id, min(r.b)) AS cluster
+         |  FROM nodes n JOIN reach r ON r.a = n.id GROUP BY n.id)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM assign WHERE id <> cluster)
+         |ORDER BY doc_id""".stripMargin,
 
     // Chunk replay: same start sequence (0, stride, ... <= len-1;
     // DuckDB range stop is exclusive, hence len-1+1), 1-based inclusive

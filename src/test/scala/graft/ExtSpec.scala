@@ -440,6 +440,20 @@ class ExtSpec extends SparkSpec {
     assert(avgB < 512.0, s"b not clustered: avg span $avgB of 1023")
   }
 
+  test("keepCanonical: one survivor per cluster, singletons untouched") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
+    // clusters: {1,2,3} (chain), {4,5}; 9 unclustered
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepCanonical(docs, "doc_id", pairs)
+      .as[Long].collect().toSeq.sorted
+    assert(kept == Seq(1L, 4L, 9L))
+    val plan = Dedup.keepCanonical(docs, "doc_id", pairs)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"),
+      s"delete set not broadcast anti-joined:\n$plan")
+  }
+
   test("chunking: overlapping token windows, partial tail kept") {
     val chunks = Seq("t1 t2 t3 t4 t5 t6 t7", "solo", "")
       .toDF("text")
