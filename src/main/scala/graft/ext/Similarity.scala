@@ -240,6 +240,50 @@ object Similarity {
       .select(col(idCol), col("score"))
   }
 
+  /** Product-quantization codebooks (Jégou et al., TPAMI'11): split the
+    * vector into `m` subvectors and give each its own `k`-entry
+    * codebook. Like `seedCentroids`, the codebooks here are the
+    * subvector slices of the `k` smallest-id embeddings — deterministic
+    * and engine-replayable; production trains them offline (k-means per
+    * block, faiss-style) and swaps them in without touching encode or
+    * search. Returns codebooks(j)(c) = centroid c of subvector block j.
+    */
+  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int): Seq[Seq[Array[Float]]] = {
+    val seeds = seedCentroids(df, idCol, vecCol, k)
+    val d = seeds.head.length
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val sd = d / m
+    (0 until m).map(j => seeds.map(_.slice(j * sd, (j + 1) * sd)))
+  }
+
+  /** PQ encode: per block, the index of the nearest codebook entry
+    * (argmin squared-L2, first-index ties — same single-eval
+    * array_position shape as `ivfCell`). m×k fused VecDot kernels per
+    * row, one projection, no shuffle. m bytes-worth of codes replace
+    * d floats — at 100 TB embeddings are usually THE storage cost, and
+    * 8×16 PQ on 64-dim floats is a 32× cut (vs int8's 4×), which is
+    * what makes exhaustive re-rank candidate pools affordable.
+    */
+  def pqEncode(v: Column, codebooks: Seq[Seq[Array[Float]]]): Column = {
+    val sd = codebooks.head.head.length
+    array(codebooks.zipWithIndex.map { case (cb, j) =>
+      val sub = slice(v, j * sd + 1, sd)
+      val d = array(cb.map(c => sqDist(sub, c)): _*)
+      (array_position(d, array_min(d)) - 1).cast("int")
+    }: _*)
+  }
+
+  /** PQ decode: concatenate the selected codebook entries. The
+    * reconstruction is what asymmetric-distance search scores against;
+    * its cosine to the original (graded in q72) is the fidelity audit.
+    */
+  def pqReconstruct(codes: Column, codebooks: Seq[Seq[Array[Float]]]): Column =
+    concat(codebooks.zipWithIndex.map { case (cb, j) =>
+      element_at(array(cb.map(c => lit(c)): _*),
+        element_at(codes, j + 1) + 1)
+    }: _*)
+
   /** ANN top-k: restrict to buckets within hamming distance
     * `probeHamming` of the query bucket (multi-probe LSH), rerank exactly.
     * Recall < 1 by construction; verified against bruteTopK in tests.

@@ -279,6 +279,26 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    // Product quantization (8 blocks x 16 centroids over 64 dims = 32x
+    // embedding compression): per-block argmin codes plus the cosine of
+    // the reconstruction against the original — the quantizer AND its
+    // fidelity audit in one graded pass. Codebooks are the seeded
+    // deterministic pick (block slices of the 16 smallest-id vectors)
+    // so DuckDB replays assignment bit-for-bit.
+    "q72_pq_codes" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        m = 8, k = 16)
+      emb.withColumn("codes",
+          Similarity.pqEncode(col("embedding"), cbs))
+        .select(col("vec_id"),
+          concat_ws(",", col("codes").cast("array<string>")).as("codes"),
+          Similarity.trunc(Similarity.cosine(col("embedding"),
+            Similarity.pqReconstruct(col("codes"), cbs)), 6)
+            .as("recon_cos6"))
+        .orderBy("vec_id")
+    }),
+
     // Fuzzy-dedup REMOVAL, end to end: minhash near-dup pairs → star
     // contraction clusters → keep the canonical (min-id) member per
     // cluster, every unclustered doc passes through. The composition a
@@ -1034,6 +1054,42 @@ object ExtQueries {
          |       ELSE 15.0 / max(CASE WHEN rn = 16 THEN h END) END
          |    AS est_distinct
          |FROM r GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    // PQ replay: codebooks = block slices of the 16 smallest-id
+    // vectors; per (vector, block) assignment by the same
+    // v.v - 2.0*(v.c) + c.c fold; reconstruction = flattened chosen
+    // entries; fidelity = truncated cosine to the original.
+    "q72_pq_codes" -> {
+      val d2 = (v: String, c: String) =>
+        s"(${dotSql(v, v)}) - 2.0 * (${dotSql(v, c)}) + (${dotSql(c, c)})"
+      s"""WITH seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_idx,
+         |    embedding
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+         |blocks AS (SELECT unnest(range(8)) AS j),
+         |cb AS (
+         |  SELECT j, c_idx, embedding[j*8+1 : j*8+8] AS csub
+         |  FROM seeds, blocks),
+         |sv AS (
+         |  SELECT vec_id, j, embedding[j*8+1 : j*8+8] AS vsub
+         |  FROM embeddings, blocks),
+         |asn AS (
+         |  SELECT vec_id, j, c_idx, csub,
+         |    row_number() OVER (PARTITION BY vec_id, j
+         |      ORDER BY (${d2("vsub", "csub")}) ASC, c_idx ASC) AS rn
+         |  FROM sv JOIN cb USING (j)),
+         |best AS (SELECT vec_id, j, c_idx, csub FROM asn WHERE rn = 1),
+         |enc AS (
+         |  SELECT vec_id,
+         |    array_to_string(list(c_idx ORDER BY j), ',') AS codes,
+         |    flatten(list(csub ORDER BY j)) AS recon
+         |  FROM best GROUP BY vec_id)
+         |SELECT e.vec_id, enc.codes,
+         |  floor((${cosineSql("e.embedding", "enc.recon")}) * 1000000)
+         |    / 1000000 AS recon_cos6
+         |FROM embeddings e JOIN enc ON e.vec_id = enc.vec_id
+         |ORDER BY e.vec_id""".stripMargin
     },
 
     // Survivors = everything minus non-canonical cluster members, with

@@ -535,6 +535,30 @@ class ExtSpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(Similarity.seqDot(a, b)))
   }
 
+  test("PQ: codes in range, seed vectors reconstruct exactly") {
+    val emb = Tables.embeddings(spark, sf0001).limit(100).cache()
+    val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding", 8, 16)
+    assert(cbs.size == 8 && cbs.forall(_.size == 16) &&
+      cbs.forall(_.forall(_.length == 8)))
+    val enc = emb.select($"vec_id", $"embedding",
+      Similarity.pqEncode($"embedding", cbs).as("codes"))
+    val rows = enc.select($"vec_id", $"codes",
+      Similarity.cosine($"embedding",
+        Similarity.pqReconstruct($"codes", cbs)).as("rc"))
+      .as[(Long, Seq[Int], Double)].collect()
+    assert(rows.forall(_._2.size == 8))
+    assert(rows.forall(_._2.forall(c => c >= 0 && c < 16)))
+    // every codebook entry IS a seed subvector, so the 16 seed vectors
+    // (smallest ids) must encode to themselves and reconstruct exactly
+    val seedIds = emb.orderBy($"vec_id").limit(16)
+      .select($"vec_id").as[Long].collect().toSet
+    rows.filter(r => seedIds.contains(r._1)).foreach { case (id, _, rc) =>
+      assert(math.abs(rc - 1.0) < 1e-12, s"seed $id recon cosine $rc")
+    }
+    // non-seed reconstructions are lossy but must stay valid cosines
+    assert(rows.forall { case (_, _, rc) => rc >= -1.0 && rc <= 1.0 + 1e-12 })
+  }
+
   test("int8 quantization: bounded error, zero-vector safe, 4x smaller") {
     val vecs = Seq(
       (1L, Array(1.0f, -2.0f, 63.5f, -127.0f)),
