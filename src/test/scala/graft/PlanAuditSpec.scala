@@ -67,6 +67,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.toLowerCase.contains("vecdot"), s"no VecDot kernel in:\n$p")
   }
 
+  test("q66 KMV sketch aggregates partially before the shuffle") {
+    // the no-distinct-shuffle claim: k-element buffers must combine
+    // map-side, so only groups x k doubles cross the wire
+    val p = plan("q66_kmv_distinct")
+    assert(p.contains("partial_"), s"no partial aggregate in:\n$p")
+  }
+
   test("q53 at-rest ANN scan prunes partitions via the probe IN-list") {
     val p = plan("q53_ann_at_rest")
     assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p).isDefined,
