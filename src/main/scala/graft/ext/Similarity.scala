@@ -284,6 +284,42 @@ object Similarity {
         element_at(codes, j + 1) + 1)
     }: _*)
 
+  /** IVF-PQ ANN top-k (the faiss-standard pairing): probe the `nProbe`
+    * IVF cells nearest the query, score candidates ASYMMETRICALLY —
+    * unquantized query against each candidate's PQ reconstruction —
+    * and return the top-k by that approximate cosine.
+    *
+    * The point at 100 TB: search never touches the float vectors. At
+    * rest the index holds (id, cell, codes) — m small ints per row
+    * instead of d floats (32x less I/O at 8x16/64-dim) — and the cell
+    * is a partition key exactly like `writeBucketed`'s bucket. Here
+    * codes are computed inline from the same deterministic codebooks so
+    * the q73 oracle can replay the whole path; a stored-index variant
+    * only changes the scan, not the scoring.
+    */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, centroids: Seq[Array[Float]],
+      codebooks: Seq[Seq[Array[Float]]], nProbe: Int): DataFrame = {
+    val qVec = df.filter(col(idCol) === queryId).select(col(vecCol))
+      .head().getSeq[Float](0).toArray
+    def d2q(c: Array[Float]): Double =
+      seqDot(qVec, qVec) - 2.0 * seqDot(qVec, c) + seqDot(c, c)
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (d2q(c), i) }.sorted.take(nProbe).map(_._2)
+    val qNrm = math.sqrt(seqDot(qVec, qVec))
+    df.withColumn("cell", ivfCell(col(vecCol), centroids))
+      .filter(col("cell").isin(probes: _*))
+      .filter(col(idCol) =!= queryId)
+      .withColumn("recon", pqReconstruct(
+        pqEncode(col(vecCol), codebooks), codebooks))
+      .withColumn("score", trunc(
+        dot(col("recon"), lit(qVec)) / (l2norm(col("recon")) * lit(qNrm)),
+        6))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+
   /** ANN top-k: restrict to buckets within hamming distance
     * `probeHamming` of the query bucket (multi-probe LSH), rerank exactly.
     * Recall < 1 by construction; verified against bruteTopK in tests.

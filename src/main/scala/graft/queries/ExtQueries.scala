@@ -279,6 +279,20 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    // IVF-PQ ANN search (the faiss-standard pairing, end to end):
+    // probe the 3 IVF cells nearest the query, score asymmetrically —
+    // unquantized query vs each candidate's PQ reconstruction — top-10
+    // by approximate cosine. At rest the scan reads (cell, codes) only:
+    // 32x less I/O than the float vectors, partition-pruned by cell.
+    "q73_ivfpq_ann" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 16)
+      val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        m = 8, k = 16)
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding", 0L, 10, cents,
+        cbs, nProbe = 3)
+    }),
+
     // Product quantization (8 blocks x 16 centroids over 64 dims = 32x
     // embedding compression): per-block argmin codes plus the cosine of
     // the reconstruction against the original — the quantizer AND its
@@ -1054,6 +1068,51 @@ object ExtQueries {
          |       ELSE 15.0 / max(CASE WHEN rn = 16 THEN h END) END
          |    AS est_distinct
          |FROM r GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    // IVF-PQ replay = q65's cell/probe CTEs + q72's code/reconstruction
+    // CTEs + asymmetric scoring (unquantized q_vec vs reconstruction).
+    "q73_ivfpq_ann" -> {
+      val d2 = (v: String, c: String) =>
+        s"(${dotSql(v, v)}) - 2.0 * (${dotSql(v, c)}) + (${dotSql(c, c)})"
+      s"""WITH c AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_idx,
+         |    embedding AS c_vec
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+         |a AS (
+         |  SELECT e.vec_id, c.c_idx,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY (${d2("e.embedding", "c.c_vec")}) ASC, c.c_idx ASC)
+         |      AS rn
+         |  FROM embeddings e CROSS JOIN c),
+         |cell AS (SELECT vec_id, c_idx AS cell FROM a WHERE rn = 1),
+         |q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT c_idx FROM c, q
+         |  ORDER BY (${d2("q_vec", "c_vec")}) ASC, c_idx ASC LIMIT 3),
+         |blocks AS (SELECT unnest(range(8)) AS j),
+         |cb AS (
+         |  SELECT j, c_idx, c_vec[j*8+1 : j*8+8] AS csub
+         |  FROM c, blocks),
+         |sv AS (
+         |  SELECT vec_id, j, embedding[j*8+1 : j*8+8] AS vsub
+         |  FROM embeddings, blocks),
+         |asn AS (
+         |  SELECT vec_id, j, c_idx, csub,
+         |    row_number() OVER (PARTITION BY vec_id, j
+         |      ORDER BY (${d2("vsub", "csub")}) ASC, c_idx ASC) AS rn
+         |  FROM sv JOIN cb USING (j)),
+         |enc AS (
+         |  SELECT vec_id, flatten(list(csub ORDER BY j)) AS recon
+         |  FROM asn WHERE rn = 1 GROUP BY vec_id)
+         |SELECT e.vec_id,
+         |  floor((${cosineSql("enc.recon", "q_vec")}) * 1000000) / 1000000
+         |    AS score
+         |FROM embeddings e
+         |JOIN cell ON e.vec_id = cell.vec_id
+         |JOIN enc ON e.vec_id = enc.vec_id, q
+         |WHERE cell.cell IN (SELECT c_idx FROM probes) AND e.vec_id <> 0
+         |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin
     },
 
     // PQ replay: codebooks = block slices of the 16 smallest-id

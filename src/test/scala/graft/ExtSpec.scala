@@ -559,6 +559,32 @@ class ExtSpec extends SparkSpec {
     assert(rows.forall { case (_, _, rc) => rc >= -1.0 && rc <= 1.0 + 1e-12 })
   }
 
+  test("IVF-PQ: full probe == brute over reconstructions; probe valid") {
+    val emb = Tables.embeddings(spark, sf0001).limit(100).cache()
+    val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 8)
+    val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding", 8, 16)
+    val got = Similarity.ivfPqTopK(emb, "vec_id", "embedding", 0L, 5,
+      cents, cbs, nProbe = 8).as[(Long, Double)].collect().toSeq
+    // reference: exact top-k of the asymmetric score over ALL rows
+    val qVec = emb.filter($"vec_id" === 0L).select($"embedding")
+      .head().getSeq[Float](0).toArray
+    val qNrm = math.sqrt(Similarity.seqDot(qVec, qVec))
+    val ref = emb.filter($"vec_id" =!= 0L)
+      .withColumn("recon", Similarity.pqReconstruct(
+        Similarity.pqEncode($"embedding", cbs), cbs))
+      .withColumn("score", Similarity.trunc(
+        Similarity.dot($"recon", lit(qVec)) /
+          (Similarity.l2norm($"recon") * lit(qNrm)), 6))
+      .orderBy($"score".desc, $"vec_id".asc).limit(5)
+      .select($"vec_id", $"score").as[(Long, Double)].collect().toSeq
+    assert(got == ref)
+    // restricted probe: valid approximate result
+    val approx = Similarity.ivfPqTopK(emb, "vec_id", "embedding", 0L, 5,
+      cents, cbs, nProbe = 2).as[(Long, Double)].collect().toSeq
+    assert(approx.size <= 5 && approx.map(_._1).distinct.size == approx.size)
+    assert(approx.forall { case (_, s) => s >= -1.0 && s <= 1.0 + 1e-12 })
+  }
+
   test("int8 quantization: bounded error, zero-vector safe, 4x smaller") {
     val vecs = Seq(
       (1L, Array(1.0f, -2.0f, 63.5f, -127.0f)),
