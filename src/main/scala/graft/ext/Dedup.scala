@@ -263,9 +263,14 @@ object Dedup {
       array_distinct(shingles(col(textCol), n)).as("sh_b"))
     val cSh = spark.read.parquet(s"$indexPath/shingles")
       .select(col(idCol).as("corpus_id"), col("sh").as("sh_a"))
-    cands
-      .join(broadcast(bSh), "batch_id")
-      .join(cSh, "corpus_id")
+    // the verify join must ALSO keep the corpus on the probe side:
+    // candidates (bounded by the batch's near-dup fan-out) broadcast to
+    // the shingle scan — joining the other way round would shuffle the
+    // corpus-sized shingle table on every daily batch, exactly the cost
+    // this operator exists to avoid (the static plan can't know cands
+    // is tiny; AQE would only downgrade after the shuffle map stage).
+    cSh
+      .join(broadcast(cands.join(broadcast(bSh), "batch_id")), "corpus_id")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))

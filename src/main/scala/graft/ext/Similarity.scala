@@ -207,6 +207,29 @@ object Similarity {
     df.orderBy(col(idCol).asc).limit(nCells).select(col(vecCol))
       .collect().map(_.getSeq[Float](0).toArray).toSeq
 
+  /** Shared IVF search scaffold: one-row driver lookup of the query
+    * vector, probe selection (the `nProbe` cells with smallest
+    * driver-computed squared-L2 to the query, index ties low — the
+    * same fold shapes as the plan side, so oracles replay it), and the
+    * probe-filtered candidate frame. Both `ivfTopK` and `ivfPqTopK`
+    * build on this so their assignment/probe semantics cannot diverge.
+    */
+  private def ivfSearch(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, centroids: Seq[Array[Float]], nProbe: Int)
+      : (DataFrame, Array[Float], Double) = {
+    val qVec = df.filter(col(idCol) === queryId).select(col(vecCol))
+      .head().getSeq[Float](0).toArray
+    def d2q(c: Array[Float]): Double =
+      seqDot(qVec, qVec) - 2.0 * seqDot(qVec, c) + seqDot(c, c)
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (d2q(c), i) }.sorted.take(nProbe).map(_._2)
+    val qNrm = math.sqrt(seqDot(qVec, qVec))
+    val frame = df.withColumn("cell", ivfCell(col(vecCol), centroids))
+      .filter(col("cell").isin(probes: _*))
+      .filter(col(idCol) =!= queryId)
+    (frame, qVec, qNrm)
+  }
+
   /** IVF ANN top-k: assign every vector to its nearest coarse centroid
     * (its inverted-file cell), probe the `nProbe` cells nearest the
     * query vector, exact cosine rerank inside the probed cells.
@@ -223,16 +246,9 @@ object Similarity {
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
       k: Int, centroids: Seq[Array[Float]], nProbe: Int): DataFrame = {
-    val qVec = df.filter(col(idCol) === queryId).select(col(vecCol))
-      .head().getSeq[Float](0).toArray
-    def d2q(c: Array[Float]): Double =
-      seqDot(qVec, qVec) - 2.0 * seqDot(qVec, c) + seqDot(c, c)
-    val probes = centroids.zipWithIndex
-      .map { case (c, i) => (d2q(c), i) }.sorted.take(nProbe).map(_._2)
-    val qNrm = math.sqrt(seqDot(qVec, qVec))
-    df.withColumn("cell", ivfCell(col(vecCol), centroids))
-      .filter(col("cell").isin(probes: _*))
-      .filter(col(idCol) =!= queryId)
+    val (frame, qVec, qNrm) =
+      ivfSearch(df, idCol, vecCol, queryId, centroids, nProbe)
+    frame
       .withColumn("score", trunc(
         dot(col(vecCol), lit(qVec)) / (l2norm(col(vecCol)) * lit(qNrm)), 6))
       .orderBy(col("score").desc, col(idCol).asc)
@@ -300,16 +316,9 @@ object Similarity {
   def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, centroids: Seq[Array[Float]],
       codebooks: Seq[Seq[Array[Float]]], nProbe: Int): DataFrame = {
-    val qVec = df.filter(col(idCol) === queryId).select(col(vecCol))
-      .head().getSeq[Float](0).toArray
-    def d2q(c: Array[Float]): Double =
-      seqDot(qVec, qVec) - 2.0 * seqDot(qVec, c) + seqDot(c, c)
-    val probes = centroids.zipWithIndex
-      .map { case (c, i) => (d2q(c), i) }.sorted.take(nProbe).map(_._2)
-    val qNrm = math.sqrt(seqDot(qVec, qVec))
-    df.withColumn("cell", ivfCell(col(vecCol), centroids))
-      .filter(col("cell").isin(probes: _*))
-      .filter(col(idCol) =!= queryId)
+    val (frame, qVec, qNrm) =
+      ivfSearch(df, idCol, vecCol, queryId, centroids, nProbe)
+    frame
       .withColumn("recon", pqReconstruct(
         pqEncode(col(vecCol), codebooks), codebooks))
       .withColumn("score", trunc(

@@ -60,10 +60,14 @@ object Sketches {
   /** Per-group distinct-count estimate: KMV over the md5 coordinate of
     * `value` (see `Sampling.hashCoord` — first 8 md5 hex digits / 2^32).
     * One shuffle on `groupCol`, k-buffer partial aggregation map-side.
+    * Null values are ignored, like `approx_count_distinct` (a null
+    * would otherwise kill the typed aggregator's non-nullable input);
+    * groups whose values are ALL null are absent from the output.
     */
   def kmvDistinct(df: DataFrame, groupCol: String, value: Column,
       k: Int): DataFrame =
-    df.groupBy(col(groupCol))
+    df.filter(value.isNotNull)
+      .groupBy(col(groupCol))
       .agg(udaf(new KmvAggregator(k), Encoders.scalaDouble)
         .apply(Sampling.hashCoord(value)).as("est_distinct"))
 }

@@ -34,6 +34,8 @@ object TextStats {
     */
   def chunkTokens(c: Column, width: Int, stride: Int): Column = {
     require(width >= 1 && stride >= 1, "width and stride must be >= 1")
+    require(stride <= width,
+      "stride > width would silently drop interior tokens")
     val w = tokens(c)
     transform(
       sequence(lit(0), greatest(size(w) - 1, lit(0)), lit(stride)),

@@ -116,8 +116,11 @@ object ExtQueries {
     // {buckets within hamming 2}, so results — and the oracle — are
     // exactly q30's.
     "q53_ann_at_rest" -> ((s, d) => {
-      val path = java.nio.file.Files.createTempDirectory("graft_q53")
-        .toString + "/emb"
+      // stable per-sfDir path + overwrite mode: each run REPLACES the
+      // index instead of leaking a fresh graft_q53* tree under /tmp
+      // per invocation (Verify + 2 bench passes per round add up)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q53_" +
+        Integer.toHexString(d.hashCode) + "/emb"
       Similarity.writeBucketed(embeddings(s, d), "embedding", path, nBits = 8)
       Similarity.lshTopKAtRest(s, path, "vec_id", "embedding", 0L, 10,
         nBits = 8, probeHamming = 2)
@@ -347,8 +350,9 @@ object ExtQueries {
     // data.
     "q69_incremental_dedup" -> ((s, d) => {
       val docs = documents(s, d)
-      val path = java.nio.file.Files.createTempDirectory("graft_q69")
-        .toString + "/idx"
+      // stable per-sfDir path, overwrite-on-rebuild (see q53)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q69_" +
+        Integer.toHexString(d.hashCode) + "/idx"
       Dedup.writeLshIndex(docs.filter(col("doc_id") >= 50), "doc_id",
         "text", n = 3, k = 8, bands = 4, portable = true, path = path)
       Dedup.incrementalNearDups(s, path, docs.filter(col("doc_id") < 50),
@@ -616,6 +620,64 @@ object ExtQueries {
   private val cosineSql = (v: String, q: String) =>
     s"(${dotSql(v, q)}) / (sqrt(${dotSql(v, v)}) * sqrt(${dotSql(q, q)}))"
 
+  /** Squared-L2 in the exact left-associated shape the Spark side
+    * computes (`Similarity.sqDist` / the driver twin) — shared by the
+    * IVF/PQ oracles so assignment replays bit-for-bit.
+    */
+  private val d2Sql = (v: String, c: String) =>
+    s"(${dotSql(v, v)}) - 2.0 * (${dotSql(v, c)}) + (${dotSql(c, c)})"
+
+  /** `c`: the 16 seeded centroids (smallest-id embeddings) with their
+    * index — the single source for IVF cells (q65/q73) and PQ codebook
+    * blocks (q72/q73).
+    */
+  private lazy val ivfSeedCte: String =
+    """c AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_idx,
+      |    embedding AS c_vec
+      |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16))"""
+      .stripMargin
+
+  /** Full-vector IVF assignment + query probes (a, cell, q, probes) —
+    * needs `c`; shared by q65 and q73.
+    */
+  private lazy val ivfProbeCtes: String =
+    s"""a AS (
+       |  SELECT e.vec_id, c.c_idx,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY (${d2Sql("e.embedding", "c.c_vec")}) ASC,
+       |        c.c_idx ASC) AS rn
+       |  FROM embeddings e CROSS JOIN c),
+       |cell AS (SELECT vec_id, c_idx AS cell FROM a WHERE rn = 1),
+       |q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+       |probes AS (
+       |  SELECT c_idx FROM c, q
+       |  ORDER BY (${d2Sql("q_vec", "c_vec")}) ASC, c_idx ASC LIMIT 3)"""
+      .stripMargin
+
+  /** PQ encode/reconstruct over 8 blocks x the 16 seeds (blocks, cb,
+    * sv, asn, enc with codes + reconstruction) — needs `c`; shared by
+    * q72 and q73.
+    */
+  private lazy val pqCtes: String =
+    s"""blocks AS (SELECT unnest(range(8)) AS j),
+       |cb AS (
+       |  SELECT j, c_idx, c_vec[j*8+1 : j*8+8] AS csub
+       |  FROM c, blocks),
+       |sv AS (
+       |  SELECT vec_id, j, embedding[j*8+1 : j*8+8] AS vsub
+       |  FROM embeddings, blocks),
+       |asn AS (
+       |  SELECT vec_id, j, c_idx, csub,
+       |    row_number() OVER (PARTITION BY vec_id, j
+       |      ORDER BY (${d2Sql("vsub", "csub")}) ASC, c_idx ASC) AS rn
+       |  FROM sv JOIN cb USING (j)),
+       |enc AS (
+       |  SELECT vec_id,
+       |    array_to_string(list(c_idx ORDER BY j), ',') AS codes,
+       |    flatten(list(csub ORDER BY j)) AS recon
+       |  FROM asn WHERE rn = 1 GROUP BY vec_id)""".stripMargin
+
   /** DuckDB replay of `Dedup.shingles` for word n-grams over the token
     * list `w` (same short-text fallback).
     */
@@ -861,31 +923,15 @@ object ExtQueries {
     // ids), squared-L2 assignment in the exact `v·v - 2.0·(v·c) + c·c`
     // expression shape (bit-identical to the Spark side's fused-fold
     // kernels), probe = 3 nearest cells to the query, cosine rerank.
-    "q65_ivf_ann" -> {
-      val d2 = (v: String, c: String) =>
-        s"(${dotSql(v, v)}) - 2.0 * (${dotSql(v, c)}) + (${dotSql(c, c)})"
-      s"""WITH c AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_idx,
-         |    embedding AS c_vec
-         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
-         |a AS (
-         |  SELECT e.vec_id, c.c_idx,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY (${d2("e.embedding", "c.c_vec")}) ASC, c.c_idx ASC)
-         |      AS rn
-         |  FROM embeddings e CROSS JOIN c),
-         |cell AS (SELECT vec_id, c_idx AS cell FROM a WHERE rn = 1),
-         |q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
-         |probes AS (
-         |  SELECT c_idx FROM c, q
-         |  ORDER BY (${d2("q_vec", "c_vec")}) ASC, c_idx ASC LIMIT 3)
+    "q65_ivf_ann" ->
+      s"""WITH $ivfSeedCte,
+         |$ivfProbeCtes
          |SELECT e.vec_id,
          |  floor((${cosineSql("e.embedding", "q_vec")}) * 1000000) / 1000000
          |    AS score
          |FROM embeddings e JOIN cell ON e.vec_id = cell.vec_id, q
          |WHERE cell.cell IN (SELECT c_idx FROM probes) AND e.vec_id <> 0
-         |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin
-    },
+         |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin,
 
     "q31_events_tumbling" ->
       """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events)
@@ -1070,41 +1116,13 @@ object ExtQueries {
          |FROM r GROUP BY source ORDER BY source""".stripMargin
     },
 
-    // IVF-PQ replay = q65's cell/probe CTEs + q72's code/reconstruction
-    // CTEs + asymmetric scoring (unquantized q_vec vs reconstruction).
-    "q73_ivfpq_ann" -> {
-      val d2 = (v: String, c: String) =>
-        s"(${dotSql(v, v)}) - 2.0 * (${dotSql(v, c)}) + (${dotSql(c, c)})"
-      s"""WITH c AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_idx,
-         |    embedding AS c_vec
-         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
-         |a AS (
-         |  SELECT e.vec_id, c.c_idx,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY (${d2("e.embedding", "c.c_vec")}) ASC, c.c_idx ASC)
-         |      AS rn
-         |  FROM embeddings e CROSS JOIN c),
-         |cell AS (SELECT vec_id, c_idx AS cell FROM a WHERE rn = 1),
-         |q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
-         |probes AS (
-         |  SELECT c_idx FROM c, q
-         |  ORDER BY (${d2("q_vec", "c_vec")}) ASC, c_idx ASC LIMIT 3),
-         |blocks AS (SELECT unnest(range(8)) AS j),
-         |cb AS (
-         |  SELECT j, c_idx, c_vec[j*8+1 : j*8+8] AS csub
-         |  FROM c, blocks),
-         |sv AS (
-         |  SELECT vec_id, j, embedding[j*8+1 : j*8+8] AS vsub
-         |  FROM embeddings, blocks),
-         |asn AS (
-         |  SELECT vec_id, j, c_idx, csub,
-         |    row_number() OVER (PARTITION BY vec_id, j
-         |      ORDER BY (${d2("vsub", "csub")}) ASC, c_idx ASC) AS rn
-         |  FROM sv JOIN cb USING (j)),
-         |enc AS (
-         |  SELECT vec_id, flatten(list(csub ORDER BY j)) AS recon
-         |  FROM asn WHERE rn = 1 GROUP BY vec_id)
+    // IVF-PQ replay = the shared cell/probe CTEs + the shared PQ
+    // code/reconstruction CTEs + asymmetric scoring (unquantized q_vec
+    // vs reconstruction).
+    "q73_ivfpq_ann" ->
+      s"""WITH $ivfSeedCte,
+         |$ivfProbeCtes,
+         |$pqCtes
          |SELECT e.vec_id,
          |  floor((${cosineSql("enc.recon", "q_vec")}) * 1000000) / 1000000
          |    AS score
@@ -1112,44 +1130,20 @@ object ExtQueries {
          |JOIN cell ON e.vec_id = cell.vec_id
          |JOIN enc ON e.vec_id = enc.vec_id, q
          |WHERE cell.cell IN (SELECT c_idx FROM probes) AND e.vec_id <> 0
-         |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin
-    },
+         |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin,
 
     // PQ replay: codebooks = block slices of the 16 smallest-id
-    // vectors; per (vector, block) assignment by the same
-    // v.v - 2.0*(v.c) + c.c fold; reconstruction = flattened chosen
-    // entries; fidelity = truncated cosine to the original.
-    "q72_pq_codes" -> {
-      val d2 = (v: String, c: String) =>
-        s"(${dotSql(v, v)}) - 2.0 * (${dotSql(v, c)}) + (${dotSql(c, c)})"
-      s"""WITH seeds AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_idx,
-         |    embedding
-         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
-         |blocks AS (SELECT unnest(range(8)) AS j),
-         |cb AS (
-         |  SELECT j, c_idx, embedding[j*8+1 : j*8+8] AS csub
-         |  FROM seeds, blocks),
-         |sv AS (
-         |  SELECT vec_id, j, embedding[j*8+1 : j*8+8] AS vsub
-         |  FROM embeddings, blocks),
-         |asn AS (
-         |  SELECT vec_id, j, c_idx, csub,
-         |    row_number() OVER (PARTITION BY vec_id, j
-         |      ORDER BY (${d2("vsub", "csub")}) ASC, c_idx ASC) AS rn
-         |  FROM sv JOIN cb USING (j)),
-         |best AS (SELECT vec_id, j, c_idx, csub FROM asn WHERE rn = 1),
-         |enc AS (
-         |  SELECT vec_id,
-         |    array_to_string(list(c_idx ORDER BY j), ',') AS codes,
-         |    flatten(list(csub ORDER BY j)) AS recon
-         |  FROM best GROUP BY vec_id)
+    // vectors (the shared `c`/PQ CTEs); per (vector, block) assignment
+    // by the same v.v - 2.0*(v.c) + c.c fold; reconstruction =
+    // flattened chosen entries; fidelity = truncated cosine.
+    "q72_pq_codes" ->
+      s"""WITH $ivfSeedCte,
+         |$pqCtes
          |SELECT e.vec_id, enc.codes,
          |  floor((${cosineSql("e.embedding", "enc.recon")}) * 1000000)
          |    / 1000000 AS recon_cos6
          |FROM embeddings e JOIN enc ON e.vec_id = enc.vec_id
-         |ORDER BY e.vec_id""".stripMargin
-    },
+         |ORDER BY e.vec_id""".stripMargin,
 
     // Survivors = everything minus non-canonical cluster members, with
     // cluster assignment replayed as the recursive transitive closure

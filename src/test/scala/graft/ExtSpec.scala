@@ -493,6 +493,12 @@ class ExtSpec extends SparkSpec {
       .select("est_distinct").as[Double].head()
     assert(p7 == e1)
     assert(math.abs(e1 - 100.0) / 100.0 < 0.5, s"estimate $e1 vs true 100")
+    // nulls are ignored (approx_count_distinct semantics), not fatal
+    val withNulls = Seq(Some("a"), None, Some("b"), None).toDF("v")
+      .withColumn("g", lit("x"))
+    val en = Sketches.kmvDistinct(withNulls, "g", $"v", 8)
+      .select("est_distinct").as[Double].head()
+    assert(en == 2.0)
   }
 
   test("IVF: cell assignment is nearest-centroid with lowest-index ties") {
