@@ -779,4 +779,83 @@ object Dedup {
         .select(col("p.id_a"), col("p.id_b"), col("p.cosine").as("cosine"))
     }
   }
+
+  // ------------------------------------------------------------------
+  // Exact set-similarity join (prefix filter)
+  // ------------------------------------------------------------------
+
+  /** EXACT all-pairs Jaccard join over word n-gram shingle SETS: every
+    * pair with `J(A,B) >= tauNum/tauDen`, no approximation — the
+    * guaranteed-recall complement to the minhash (q36) and simhash
+    * (q37) probabilistic families. Output: (id_a, id_b, inter, uni,
+    * jac6) with id_a < id_b, jac6 = floor(10⁶·|A∩B| / |A∪B|).
+    *
+    * The naive plan is the O(n²) self cross-join; this uses PPJoin-style
+    * PREFIX FILTERING (Xiao et al., WWW'08) instead: order every set by
+    * ascending document frequency (rarest shingle first, ties on the
+    * shingle string — a total order both engines can replay), keep only
+    * each set's first `|A| - ⌈τ·|A|⌉ + 1` elements, and generate
+    * candidates from sets sharing a PREFIX shingle. J(A,B) ≥ τ forces
+    * overlap ≥ ⌈τ·|A|⌉ (since |B| ≥ |A∩B|), so any qualifying pair
+    * shares a prefix element — no false negatives — while the df-ascending
+    * order makes prefixes meet mostly on RARE shingles, collapsing the
+    * candidate count. Verification recomputes exact |A∩B| on integer
+    * cardinalities; τ is compared as the cross-multiplied rational
+    * `inter·tauDen >= uni·tauNum` — no FP anywhere.
+    *
+    * Shape: shingle-df join (shuffle on shingle — the frequency pass any
+    * PPJoin build pays), per-doc sort (deterministic `sort_array` on
+    * (df, shingle) structs — no global rank window, so no single-
+    * partition bottleneck), prefix explode → one shuffle keyed by
+    * shingle → `LongBucketPairs` JVM pair kernel per bucket → distinct →
+    * two id-keyed joins to fetch full sets for the exact check. A pair
+    * sharing several prefix shingles is emitted once per shingle and
+    * deduped by the `distinct` (full PPJoin suppresses these with a
+    * positional filter; at the measured candidate rates the distinct is
+    * cheaper than carrying positions).
+    */
+  def setSimJoin(df: DataFrame, idCol: String, textCol: String,
+      n: Int, tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"setSimJoin: need 0 < tau <= 1, got $tauNum/$tauDen")
+    require(df.schema(idCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      "setSimJoin: id column must be bigint (pair kernel contract)")
+    val tokf = df.select(col(idCol).as("id"),
+      explode(array_distinct(shingles(col(textCol), n))).as("s"))
+    val vocab = tokf.groupBy("s").agg(count(lit(1)).as("dfc"))
+    // deterministic per-doc order: rarest-first, shingle-string ties
+    val ranked = tokf.join(vocab, "s")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("dfc"), col("s")))).as("srt"))
+      .select(col("id"),
+        transform(col("srt"), x => x.getField("s")).as("sh"),
+        size(col("srt")).as("sz"))
+    // overlap bound ⌈τ·sz⌉ = (tauNum·sz + tauDen - 1) div tauDen
+    val oMin = floor((col("sz") * tauNum + (tauDen - 1))
+      .cast("double") / tauDen).cast("int")
+    val cand = ranked
+      .select(col("id"), explode(slice(col("sh"), lit(1),
+        (col("sz") - oMin + 1).cast("int"))).as("s"))
+      .groupBy("s").agg(collect_list(col("id")).as("ids"))
+      .select(explode(graft.functions.PairFunctions
+        .longBucketPairs(col("ids"))).as("p"))
+      .select(col("p.id_a").as("ia"), col("p.id_b").as("ib"))
+      .distinct()
+    val lhs = ranked.select(col("id").as("ia"), col("sh").as("sha"),
+      col("sz").as("sza"))
+    val rhs = ranked.select(col("id").as("ib"), col("sh").as("shb"),
+      col("sz").as("szb"))
+    cand.join(lhs, "ia").join(rhs, "ib")
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("uni", col("sza") + col("szb") - col("inter"))
+      .filter(col("inter") * tauDen >= col("uni") * tauNum)
+      .withColumn("jac6",
+        floor((col("inter") * lit(1000000L)).cast("double") / col("uni"))
+          .cast("long"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"),
+        col("inter"), col("uni"), col("jac6"))
+      .orderBy("id_a", "id_b")
+  }
 }

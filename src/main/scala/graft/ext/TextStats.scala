@@ -262,4 +262,59 @@ object TextStats {
       .limit(k)
       .select(col("w1"), col("w2"), col("cnt"), col("lift6"))
   }
+
+  /** BM25 top-k retrieval for a fixed bag of query `terms` — the scoring
+    * pass of a keyword search / data-curation filter. Uses the LINEAR
+    * idf `((N - df) + 0.5) / (df + 0.5)` (same monotone-substitute
+    * rationale as `tfIdfTopK`: Robertson's log reorders nothing for
+    * fixed df, but its last-ulp rounding is libm-dependent), and
+    * requires DYADIC k1/b (defaults 1.25, 0.75) so every derived
+    * constant (k1+1, 1-b) is exact — the whole score is then IEEE
+    * mul/div/add over exactly-representable inputs in a fixed
+    * association order, reproduced bit-for-bit by the q80 oracle.
+    *
+    * Plan shape: the token explode is filtered to the query terms
+    * BEFORE its aggregation (the shuffle carries matching postings
+    * only, ~|terms|/vocab of the corpus); df is a ≤|terms|-row
+    * broadcast; per-document scores combine via a fixed-order
+    * conditional-aggregate pivot (a bare `sum` over terms would
+    * re-introduce order-dependent FP addition); top-k compiles to
+    * TakeOrderedAndProject. One scan for postings, one for lengths.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      "bm25TopK: terms must be non-empty and distinct")
+    def dyadic(x: Double) = x * 1024 == math.floor(x * 1024)
+    require(dyadic(k1) && dyadic(b),
+      s"bm25TopK: k1/b must be dyadic rationals for replayability, got $k1/$b")
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .filter(col("t").isin(terms: _*))
+    val tf = toks.groupBy(idCol, "t").agg(count(lit(1)).as("tf"))
+    val docFreq = toks.groupBy("t").agg(count_distinct(col(idCol)).as("df"))
+    val totals = df.select(count(lit(1)).as("n"),
+      sum(tokenCount(col(textCol)).cast("long")).as("tot")).head()
+    val (nDocs, totToks) = (totals.getLong(0), totals.getLong(1))
+    val dl = df.select(col(idCol),
+      tokenCount(col(textCol)).cast("double").as("dl"))
+    val idf = (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val tfd = col("tf").cast("double")
+    val score = idf * (tfd * lit(k1 + 1.0)) /
+      (tfd + lit(k1) * (lit(1.0 - b) +
+        lit(b) * (col("dl") * lit(nDocs.toDouble) / lit(totToks.toDouble))))
+    val perTerm = tf.join(broadcast(docFreq), "t").join(dl, idCol)
+      .withColumn("sc", score)
+    // fixed-order combine: coalesce(s_t1, 0) + coalesce(s_t2, 0) + ...
+    val pivots = terms.map(t =>
+      max(when(col("t") === t, col("sc"))).as(s"s_$t"))
+    val combined = terms.map(t => coalesce(col(s"s_$t"), lit(0.0)))
+      .reduceLeft(_ + _)
+    perTerm.groupBy(idCol).agg(pivots.head, pivots.tail: _*)
+      .withColumn("score6", floor(combined * lit(1e6)).cast("long"))
+      .orderBy(col("score6").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("score6"))
+  }
 }

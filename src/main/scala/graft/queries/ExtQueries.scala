@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.ext.{Bloom, Dedup, Similarity, Sketches, TextStats}
+import graft.ext.{Bloom, Clustering, Dedup, Similarity, Sketches, Skew, TextStats}
 import graft.streaming.EventsOps
 
 /** Graded queries for the training-data-pipeline extensions
@@ -221,6 +221,54 @@ object ExtQueries {
       graft.etl.Warehouse.read(s, dir, "orders_t")
         .select(cols.map(col): _*).orderBy("o_orderkey")
     }),
+
+    // Skew-safe exact distinct-count: phase 1 builds per-(key, shard)
+    // collect_set state on 16 reducers per hot key, phase 2 merges the
+    // shard sets — the shape AQE cannot split (distinct state has no
+    // map-side combine). The salting is semantically invisible, so the
+    // oracle is the plain COUNT(DISTINCT).
+    "q79_skew_distinct" -> ((s, d) => {
+      Skew.saltedAgg(events(s, d), Seq("event_type"),
+        saltFrom = col("event_id"),
+        phase1 = Seq(collect_set(col("user_id")).as("us")),
+        phase2 = Seq(size(array_distinct(flatten(collect_list(col("us")))))
+          .cast("long").as("users")))
+        .orderBy("event_type")
+    }),
+
+    // BM25 retrieval over the corpus for a fixed query bag (one rare
+    // term, two common): linear idf + dyadic k1/b keep every arithmetic
+    // step IEEE-exactly replayable; the oracle mirrors the association
+    // order term by term.
+    "q80_bm25" -> ((s, d) =>
+      TextStats.bm25TopK(documents(s, d), "doc_id", "text",
+        Seq("dup", "merge", "spark"), 20)),
+
+    // Integer-lattice Lloyd k-means (2 assignment passes, 1 centroid
+    // update): quantize → argmin squared-L2 → floor-div means → argmin.
+    // Pure int64 arithmetic end to end, so the oracle replays cluster
+    // ids AND distances bit-for-bit.
+    "q81_kmeans" -> ((s, d) =>
+      Clustering.kmeansLattice(embeddings(s, d), "vec_id", "embedding",
+        k = 8, iters = 2)
+        .orderBy("vec_id")),
+
+    // SemDeDup: k-means clusters (q81's), then cosine-prune inside each
+    // cluster — pairwise work bounded by cluster size, never O(n²).
+    // Output = the drop table (who is a dup of whom).
+    "q82_semantic_dedup" -> ((s, d) =>
+      Clustering.semanticDedup(embeddings(s, d), "vec_id", "embedding",
+        k = 8, iters = 2, tau = 0.3)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")),
+
+    // EXACT Jaccard join (τ = 1/2) over 3-gram shingle sets via PPJoin
+    // prefix filtering — guaranteed recall where minhash/simhash are
+    // probabilistic. The prefix filter is semantically invisible, so
+    // the oracle is the naive quadratic join.
+    "q83_setsim_join" -> ((s, d) =>
+      Dedup.setSimJoin(documents(s, d), "doc_id", "text",
+        n = 3, tauNum = 1, tauDen = 2)),
 
     // Tumbling 1-hour windows (stream-shaped aggregation, batch run).
     "q31_events_tumbling" -> ((s, d) => {
@@ -770,6 +818,59 @@ object ExtQueries {
 
   private val shinglesSql = shinglesSqlN(3)
 
+  /** DuckDB replay of `Clustering.kmeansLattice` (k=8, iters=2,
+    * scaleBits=10): lattice quantization, seeded centroids, one
+    * floor-div-mean Lloyd update, final argmin — all int64, terminal
+    * CTE `ka2(vec_id, cluster, d2)`. Shared by the q81 and q82 oracles.
+    * The explicit `(s - ((s%n)+n)%n) / n` numerator keeps the floor
+    * division engine-agnostic (mirrors Spark-side `Math.floorDiv`).
+    */
+  private lazy val kmeansCtes: String =
+    """kq AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> cast(floor(cast(x AS double) * 1024.0) AS bigint)) AS qv
+      |  FROM embeddings),
+      |kseeds AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
+      |  FROM (SELECT * FROM kq ORDER BY vec_id LIMIT 8)),
+      |kdims AS (
+      |  SELECT unnest(generate_series(0,
+      |    (SELECT max(len(qv)) FROM kq) - 1)) AS dim),
+      |ksx AS (SELECT cid, dim, cv[dim + 1] AS cd FROM kseeds, kdims),
+      |kd1 AS (
+      |  SELECT q.vec_id, s.cid,
+      |    cast(sum((q.qv[s.dim + 1] - s.cd) * (q.qv[s.dim + 1] - s.cd))
+      |      AS bigint) AS d2
+      |  FROM kq q, ksx s GROUP BY 1, 2),
+      |ka1 AS (
+      |  SELECT vec_id, cid AS cluster FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM kd1) WHERE rn = 1),
+      |kcs AS (
+      |  SELECT a.cluster AS cid, k.dim,
+      |    cast(sum(q.qv[k.dim + 1]) AS bigint) AS s, count(*) AS n
+      |  FROM ka1 a JOIN kq q USING (vec_id), kdims k
+      |  GROUP BY 1, 2),
+      |kc1 AS (
+      |  SELECT ksx.cid, ksx.dim,
+      |    CASE WHEN kcs.n IS NULL THEN ksx.cd
+      |         ELSE cast((kcs.s - ((kcs.s % kcs.n) + kcs.n) % kcs.n)
+      |                / kcs.n AS bigint)
+      |    END AS cd
+      |  FROM ksx LEFT JOIN kcs ON ksx.cid = kcs.cid AND ksx.dim = kcs.dim),
+      |kd2 AS (
+      |  SELECT q.vec_id, c.cid,
+      |    cast(sum((q.qv[c.dim + 1] - c.cd) * (q.qv[c.dim + 1] - c.cd))
+      |      AS bigint) AS d2
+      |  FROM kq q, kc1 c GROUP BY 1, 2),
+      |ka2 AS (
+      |  SELECT vec_id, cid AS cluster, d2 FROM (
+      |    SELECT vec_id, cid, d2,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM kd2) WHERE rn = 1)""".stripMargin
+
   /** CTE chain replaying the portable fuzzy-dedup pipeline end-to-end
     * (q36 semantics: shingle → sliced-md5 minhash → literal band keys →
     * Jaccard >= 0.5); terminal CTE `pairs(id_a, id_b, jaccard)`. Shared
@@ -1077,6 +1178,93 @@ object ExtQueries {
         |UNION ALL
         |SELECT * FROM sel WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 <> 0
         |ORDER BY o_orderkey""".stripMargin,
+
+    // Salting is semantically invisible: plain exact distinct count.
+    "q79_skew_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // BM25 with linear idf and dyadic k1=1.25, b=0.75 — the score
+    // expression mirrors the Spark side's association order exactly:
+    // idf = ((N - df) + 0.5)/(df + 0.5); tf-part numerator tf·2.25;
+    // denominator tf + 1.25·(0.25 + 0.75·((dl·N)/TOT)); per-doc
+    // combine coalesce(dup)+coalesce(merge)+coalesce(spark).
+    "q80_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |ft AS (
+        |  SELECT doc_id, t, count(*) AS tf FROM tok
+        |  WHERE t IN ('dup', 'merge', 'spark') GROUP BY 1, 2),
+        |dfq AS (SELECT t, count(*) AS df FROM ft GROUP BY 1),
+        |tot AS (
+        |  SELECT count(*) AS n,
+        |    sum(len(string_split_regex(trim(text), '\s+'))) AS tot
+        |  FROM documents),
+        |dl AS (
+        |  SELECT doc_id,
+        |    cast(len(string_split_regex(trim(text), '\s+')) AS double) AS dl
+        |  FROM documents),
+        |s AS (
+        |  SELECT f.doc_id, f.t,
+        |    (((cast(n AS double) - cast(df AS double)) + 0.5)
+        |       / (cast(df AS double) + 0.5))
+        |    * (cast(tf AS double) * 2.25)
+        |    / (cast(tf AS double)
+        |       + 1.25 * (0.25 + 0.75 * ((dl * cast(n AS double))
+        |                                 / cast(tot AS double)))) AS sc
+        |  FROM ft f JOIN dfq USING (t) JOIN dl USING (doc_id), tot)
+        |SELECT doc_id,
+        |  cast(floor((coalesce(max(CASE WHEN t = 'dup' THEN sc END), 0.0)
+        |    + coalesce(max(CASE WHEN t = 'merge' THEN sc END), 0.0)
+        |    + coalesce(max(CASE WHEN t = 'spark' THEN sc END), 0.0))
+        |    * 1000000.0) AS bigint) AS score6
+        |FROM s GROUP BY doc_id
+        |ORDER BY score6 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Int64 Lloyd replay: assignments AND distances are exact.
+    "q81_kmeans" ->
+      s"""WITH $kmeansCtes
+         |SELECT vec_id, cluster, d2 FROM ka2 ORDER BY vec_id""".stripMargin,
+
+    // Same clusters, then the SemDeDup drop rule: a vector with any
+    // lower-id cluster-mate at cosine >= 0.3 is a duplicate. The
+    // cosine replay is the shared sequential-fold recipe.
+    "q82_semantic_dedup" ->
+      s"""WITH $kmeansCtes,
+         |sp AS (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM ka2 a JOIN ka2 b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+         |pc AS (
+         |  SELECT sp.ia, sp.ib,
+         |    (${cosineSql("e1.embedding", "e2.embedding")}) AS cos
+         |  FROM sp JOIN embeddings e1 ON sp.ia = e1.vec_id
+         |          JOIN embeddings e2 ON sp.ib = e2.vec_id)
+         |SELECT ib AS vec_id, min(ia) AS keep_of, count(*) AS n_dups,
+         |  max(cast(floor(cos * 1000000.0) AS bigint)) AS cos6
+         |FROM pc WHERE cos >= 0.3
+         |GROUP BY ib ORDER BY vec_id""".stripMargin,
+
+    // The prefix filter is recall-lossless, so the oracle is the naive
+    // quadratic exact-Jaccard join over distinct 3-gram shingle sets.
+    "q83_setsim_join" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |sh AS (SELECT doc_id, ($shinglesSql) AS shingles FROM t),
+         |dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+         |pr AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    cast(len(list_intersect(a.s, b.s)) AS bigint) AS inter,
+         |    cast(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+         |      AS bigint) AS uni
+         |  FROM dsh a JOIN dsh b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, inter, uni,
+         |  cast(floor(cast(inter * 1000000 AS double) / uni) AS bigint)
+         |    AS jac6
+         |FROM pr WHERE inter * 2 >= uni * 1
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q31_events_tumbling" ->
       """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events)
