@@ -106,4 +106,28 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q08_anti_join")
     assert(p.contains("LeftAnti"), s"no anti join in:\n$p")
   }
+
+  test("q80 BM25 df table is broadcast; postings filter precedes its shuffle") {
+    val p = plan("q80_bm25")
+    assert(p.contains("BroadcastHashJoin"), s"df side not broadcast in:\n$p")
+    // the term IN-filter must sit below the first aggregate exchange so
+    // the shuffle carries matching postings only
+    val filterIdx = p.indexOf("t#")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$p")
+    assert(filterIdx >= 0, s"no term filter in:\n$p")
+  }
+
+  test("q82 SemDeDup pairs are cluster-local: no self-join, no cartesian") {
+    val p = plan("q82_semantic_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"quadratic join shape in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"self-join shape (assignment computed twice) in:\n$p")
+  }
+
+  test("q83 set-sim join never goes quadratic") {
+    val p = plan("q83_setsim_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"quadratic join shape in:\n$p")
+  }
 }
