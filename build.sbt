@@ -14,6 +14,10 @@ run / fork := true
 // Emit the forked run's stdout directly (no "[info] " logger prefix) so
 // the one-line Bench/Verify JSON is machine-parseable from the sbt log.
 run / outputStrategy := Some(StdoutOutput)
+// Keep "[success] Total time ..." off stdout: the driver parses the LAST
+// lines of a bounded stdout tail for the Bench/Verify JSON, and the
+// success banner both displaces tail budget and sits after the JSON line.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
