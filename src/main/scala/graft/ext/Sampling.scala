@@ -90,6 +90,33 @@ object Sampling {
       (before % windowTokens).as("offset"))
   }
 
+  /** Deterministic training-order shuffle: permute the corpus into
+    * `nShards` shards, each with a dense 1-based position, where both
+    * the shard and the within-shard order are functions of md5(key) —
+    * a reproducible global permutation (same on any re-run, retry,
+    * engine, or input partitioning), which `orderBy(rand())` is not.
+    * This is the shuffle step that precedes sequence packing: training
+    * pipelines shard first (shard = a file), then read shards
+    * round-robin, so no global row_number is ever needed — a global
+    * position would be an inherently sequential one-partition sort,
+    * while per-shard positions parallelize across `nShards` tasks. At
+    * 100 TB pick nShards in the thousands (shard ≈ output file) so
+    * each per-shard sort fits one task comfortably.
+    */
+  def shuffleShards(df: DataFrame, keyCol: String, nShards: Int,
+      shardCol: String = "shard", posCol: String = "pos"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards > 0, "shuffleShards: nShards must be positive")
+    val h = md5(col(keyCol).cast("string"))
+    val shard = pmod(conv(substring(h, 1, 8), 16, 10).cast("long"),
+      lit(nShards.toLong)).cast("int")
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(col("__h").asc, col(keyCol).asc)
+    df.withColumn("__h", h).withColumn(shardCol, shard)
+      .withColumn(posCol, row_number().over(w))
+      .drop("__h")
+  }
+
   /** Per-group quota: keep the top `quota` rows of each group by
     * `orderBy` (ties MUST be broken to a total order by the caller —
     * append a unique key column — or the kept set is nondeterministic).

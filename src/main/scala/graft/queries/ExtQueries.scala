@@ -193,6 +193,40 @@ object ExtQueries {
         cents, nProbe = 3)
     }),
 
+    // Batch KNN self-join: 3 nearest neighbors of EVERY vector (the
+    // kNN-graph builder) via IVF-cell blocking — corpus rows keyed by
+    // their cell, query rows exploded to their 3 nearest cells
+    // (plan-side argsort, no driver probes), one equi-join + one
+    // window; never a cross product. Oracle replays assignment,
+    // probing, scoring, and ranking.
+    "q84_knn_join" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 16)
+      Similarity.knnJoin(emb, "vec_id", "embedding", k = 3, cents,
+        nProbe = 3)
+        .orderBy("q_id", "rank")
+    }),
+
+    // Strictly-ordered conversion funnel over one shared user-partition
+    // shuffle (no per-step self-joins).
+    "q85_funnel" -> ((s, d) =>
+      EventsOps.funnel(events(s, d), Seq("view", "click", "purchase"))
+        .orderBy("step")),
+
+    // Weekly cohort retention triangle; weeks are epoch integer math,
+    // so the cohort assignment replays in any engine.
+    "q86_retention" -> ((s, d) =>
+      EventsOps.retention(events(s, d))
+        .orderBy("cohort_week", "week_offset")),
+
+    // Deterministic training-order shuffle: md5-keyed shard + dense
+    // within-shard position (a reproducible global permutation with no
+    // sequential global sort).
+    "q87_shard_shuffle" -> ((s, d) =>
+      graft.ext.Sampling.shuffleShards(documents(s, d), "doc_id", 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("doc_id")),
+
     // Copy-on-write keyed MERGE at rest: load a base orders snapshot,
     // merge an update+insert batch (even keys, price doubled) with
     // mergeByKey — which rewrites ONLY the partitions the batch touches
@@ -1164,6 +1198,80 @@ object ExtQueries {
          |FROM embeddings e JOIN cell ON e.vec_id = cell.vec_id, q
          |WHERE cell.cell IN (SELECT c_idx FROM probes) AND e.vec_id <> 0
          |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    // Full replay of the IVF-blocked kNN graph: per-vector cell (rn=1),
+    // per-query probe cells (rn<=3), cell-equal candidate pairs, exact
+    // cosine, rank per query. Reuses q65's assignment CTEs.
+    "q84_knn_join" ->
+      s"""WITH $ivfSeedCte,
+         |$ivfProbeCtes,
+         |cand AS (
+         |  SELECT pa.vec_id AS q_id, ce.vec_id AS n_id
+         |  FROM a pa JOIN cell ce ON pa.c_idx = ce.cell
+         |  WHERE pa.rn <= 3 AND ce.vec_id <> pa.vec_id),
+         |sc AS (
+         |  SELECT cand.q_id, cand.n_id,
+         |    floor((${cosineSql("eq.embedding", "en.embedding")}) * 1000000)
+         |      / 1000000 AS score
+         |  FROM cand
+         |  JOIN embeddings eq ON eq.vec_id = cand.q_id
+         |  JOIN embeddings en ON en.vec_id = cand.n_id),
+         |rk AS (
+         |  SELECT q_id, n_id, score,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score DESC, n_id ASC) AS rank
+         |  FROM sc)
+         |SELECT q_id, rank, n_id, score FROM rk
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    // The same chained min(CASE) windows over one user partition; step
+    // counts are filtered distinct-user counts.
+    "q85_funnel" ->
+      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
+        |w0 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+        |  OVER (PARTITION BY user_id) AS t0 FROM e),
+        |w1 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t0
+        |  THEN ts END) OVER (PARTITION BY user_id) AS t1 FROM w0),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t1
+        |  THEN ts END) OVER (PARTITION BY user_id) AS t2 FROM w1),
+        |c AS (SELECT
+        |  count(DISTINCT CASE WHEN t0 IS NOT NULL THEN user_id END) AS c0,
+        |  count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS c1,
+        |  count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS c2
+        |  FROM w2)
+        |SELECT 0 AS step, 'view' AS event_type, c0 AS users FROM c
+        |UNION ALL SELECT 1, 'click', c1 FROM c
+        |UNION ALL SELECT 2, 'purchase', c2 FROM c
+        |ORDER BY step""".stripMargin,
+
+    // Epoch-week arithmetic replays exactly: floor((s + frac)/604800) ==
+    // floor(floor(s)/604800) because the week length dwarfs the
+    // sub-second part.
+    "q86_retention" ->
+      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
+        |wk AS (SELECT user_id,
+        |    cast(floor(epoch(ts) / 604800) AS bigint) AS week FROM e),
+        |ch AS (SELECT *, min(week) OVER (PARTITION BY user_id)
+        |    AS cohort_week FROM wk)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  count(DISTINCT user_id) AS users
+        |FROM ch GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // md5 first-8-hex-digits parsed digit-by-digit (the q55 trick), mod
+    // 8 for the shard; position ranks the full md5 string.
+    "q87_shard_shuffle" -> {
+      val h32 = (0 until 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(hh, ${i + 1}, 1)) - 1) * ${math.pow(16, 7 - i).toLong}")
+        .mkString("(", " + ", ")")
+      s"""WITH h AS (
+         |  SELECT doc_id, md5(cast(doc_id AS varchar)) AS hh FROM documents),
+         |s AS (
+         |  SELECT doc_id, hh, cast($h32 % 8 AS int) AS shard FROM h)
+         |SELECT doc_id, shard,
+         |  row_number() OVER (PARTITION BY shard ORDER BY hh ASC, doc_id ASC)
+         |    AS pos
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
 
     // Merge semantics replay: batch rows win on their keys, untouched
     // base rows survive.

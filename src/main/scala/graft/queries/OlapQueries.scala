@@ -84,6 +84,28 @@ object OlapQueries {
           |GROUP BY CUBE (event_type, hr)
           |ORDER BY event_type ASC NULLS FIRST, hr ASC NULLS FIRST""".stripMargin)
     }),
+
+    // Explicit GROUPING SETS (the general form ROLLUP/CUBE specialize):
+    // a hand-picked set list — (status, priority), each alone, and the
+    // grand total — in ONE Expand + two-phase aggregate pass instead of
+    // four scans unioned. Labels are coalesced (the grouping columns
+    // are never null in the data), keeping the output engine-neutral
+    // without grouping_id() encodings.
+    "q88_grouping_sets" -> ((s, d) => {
+      orders(s, d)
+        .select("o_orderstatus", "o_orderpriority", "o_totalprice")
+        .createOrReplaceTempView("graft_q88_src")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |  coalesce(o_orderpriority, 'ALL') AS priority,
+          |  count(*) AS n_orders,
+          |  cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+          |    AS total
+          |FROM graft_q88_src
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          |  (o_orderstatus), (o_orderpriority), ())
+          |ORDER BY status, priority""".stripMargin)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -131,5 +153,15 @@ object OlapQueries {
         |FROM e
         |GROUP BY CUBE (event_type, hr)
         |ORDER BY event_type ASC NULLS FIRST, hr ASC NULLS FIRST""".stripMargin,
+
+    "q88_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders,
+        |  cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
   )
 }

@@ -149,6 +149,62 @@ object EventsOps {
   /** Event-time-bounded dedup: one row per (user, type, time bucket) —
     * the batch analog of `dropDuplicatesWithinWatermark`.
     */
+  /** Strictly-ordered conversion funnel: users reaching step i must
+    * have completed steps 0..i-1 at strictly increasing event times
+    * (the earliest qualifying time of each step gates the next). All
+    * per-step times are `min(CASE ...)` window aggregates over the SAME
+    * user partition, so the whole chain is ONE shuffle on user_id —
+    * each later step's window reads the previous step's column, and
+    * Spark stacks the Window operators on the shared exchange instead
+    * of re-partitioning or self-joining the events table per step (the
+    * textbook k-way self-join funnel shuffles k times and breaks at
+    * scale). Step counts are filtered distinct-user counts in one final
+    * aggregation. Bounded by users per partition, not steps.
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel: steps must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+    val withTs = steps.zipWithIndex.foldLeft(events) { case (df, (st, i)) =>
+      val cond =
+        if (i == 0) col("event_type") === st
+        else col("event_type") === st && col("ts") > col(s"__t${i - 1}")
+      df.withColumn(s"__t$i", min(when(cond, col("ts"))).over(w))
+    }
+    val counts = withTs.agg(
+      countDistinct(when(col("__t0").isNotNull, col("user_id"))).as("__c0"),
+      steps.indices.tail.map(i =>
+        countDistinct(when(col(s"__t$i").isNotNull, col("user_id")))
+          .as(s"__c$i")): _*)
+    counts.select(explode(array(steps.zipWithIndex.map { case (st, i) =>
+      struct(lit(i).as("step"), lit(st).as("event_type"),
+        col(s"__c$i").as("users"))
+    }: _*)).as("f")).select(col("f.step").as("step"),
+      col("f.event_type").as("event_type"), col("f.users").as("users"))
+  }
+
+  /** Weekly cohort retention: cohort = a user's first active week, one
+    * output row per (cohort_week, week_offset) counting distinct users
+    * active `week_offset` weeks after their cohort week. Weeks are pure
+    * epoch-second integer arithmetic (`floor(epoch / 604800)`), not
+    * calendar `date_trunc` — week-start conventions differ across
+    * engines/locales, epoch math replays bit-for-bit in any of them.
+    * One user-partition window (first-seen week) + one aggregation on
+    * the (cohort, offset) pair — both keys bounded and well-spread; at
+    * 100 TB the window is the standard per-user pass every
+    * sessionization already pays.
+    */
+  def retention(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+    events
+      .withColumn("__week", floor(unix_timestamp(col("ts")) / 604800L))
+      .withColumn("__cohort", min(col("__week")).over(w))
+      .groupBy(col("__cohort").as("cohort_week"),
+        (col("__week") - col("__cohort")).as("week_offset"))
+      .agg(countDistinct("user_id").as("users"))
+  }
+
   def bucketDedup(events: DataFrame, bucket: String): DataFrame =
     events
       .groupBy(window(col("ts"), bucket).as("w"), col("user_id"),

@@ -163,4 +163,48 @@ class EventsSpec extends SparkSpec {
       "SELECT count(*) FROM graft_stream_test").head().getLong(0)
     assert(got == 3)
   }
+
+  test("funnel: strict ordering gates each step") {
+    val ev = Seq(
+      // completes view -> click -> purchase in order
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, ts("2024-01-01 10:10:00"), "purchase"),
+      // click BEFORE first view: reaches step 0 only
+      (2L, ts("2024-01-01 09:00:00"), "click"),
+      (2L, ts("2024-01-01 09:30:00"), "view"),
+      // skips click: purchase doesn't count without it
+      (3L, ts("2024-01-01 08:00:00"), "view"),
+      (3L, ts("2024-01-01 08:30:00"), "purchase"),
+      // click at the SAME instant as view: strict > excludes it
+      (4L, ts("2024-01-01 07:00:00"), "view"),
+      (4L, ts("2024-01-01 07:00:00"), "click"),
+      // never views
+      (5L, ts("2024-01-01 06:00:00"), "purchase"),
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventsOps.funnel(ev, Seq("view", "click", "purchase"))
+      .orderBy("step").as[(Int, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (0, "view", 4L), (1, "click", 1L), (2, "purchase", 1L)))
+  }
+
+  test("retention: epoch-week cohorts and offsets") {
+    def atWeek(w: Long, off: Long = 0L) =
+      new Timestamp((w * 604800L + off) * 1000L)
+    val base = ts("2024-01-01 00:00:00").getTime / 1000 / 604800
+    val ev = Seq(
+      // user 1: cohort `base`, active weeks base and base+2
+      (1L, atWeek(base)), (1L, atWeek(base, 3600)),
+      (1L, atWeek(base + 2)),
+      // user 2: cohort base+1
+      (2L, atWeek(base + 1, 60)),
+      // user 3: cohort base, active base+2 as well
+      (3L, atWeek(base, 7200)), (3L, atWeek(base + 2, 99)),
+    ).toDF("user_id", "ts")
+    val got = EventsOps.retention(ev)
+      .orderBy("cohort_week", "week_offset")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (base, 0L, 2L), (base, 2L, 2L), (base + 1, 0L, 1L)))
+  }
 }

@@ -719,4 +719,53 @@ class ExtSpec extends SparkSpec {
     assert(q("rep") < q("good"))
     assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
   }
+
+  test("knnJoin: full probe == brute-force kNN graph; no cartesian") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sf0001).limit(60).cache()
+    val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 8)
+    val knn = Similarity.knnJoin(emb, "vec_id", "embedding", 3, cents,
+      nProbe = 8)
+    // brute force over the cross product, same score/tie discipline
+    val l = emb.select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val r = emb.select($"vec_id".as("n_id"), $"embedding".as("nv"))
+    val w = Window.partitionBy("q_id")
+      .orderBy($"score".desc, $"n_id".asc)
+    val brute = l.crossJoin(r).filter($"q_id" =!= $"n_id")
+      .select($"q_id", $"n_id",
+        Similarity.trunc(Similarity.cosine($"qv", $"nv"), 6).as("score"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+      .select($"q_id", $"rank", $"n_id", $"score")
+    val got = knn.as[(Long, Int, Long, Double)].collect().toSet
+    val exp = brute.as[(Long, Int, Long, Double)].collect().toSet
+    assert(got == exp)
+    // restricted probe: at most k unique neighbors per query, pairs
+    // unique, and the plan blocks on the cell equi-join — no cartesian
+    val approx = Similarity.knnJoin(emb, "vec_id", "embedding", 3, cents,
+      nProbe = 2)
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    val rows = approx.as[(Long, Int, Long, Double)].collect().toSeq
+    assert(rows.groupBy(_._1).values.forall(g =>
+      g.size <= 3 && g.map(_._3).distinct.size == g.size))
+  }
+
+  test("shuffleShards: dense positions, deterministic, partition-invariant") {
+    import graft.ext.Sampling
+    val docs = Tables.documents(spark, sf0001).limit(200).cache()
+    val out = Sampling.shuffleShards(docs, "doc_id", 4)
+      .select($"doc_id", $"shard", $"pos")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(out.size == 200)
+    // every shard's positions are exactly 1..n (dense, no gaps/ties)
+    out.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._3).sorted == (1 to g.size).toList)
+    }
+    // same permutation regardless of input partitioning
+    val re = Sampling.shuffleShards(docs.repartition(7), "doc_id", 4)
+      .select($"doc_id", $"shard", $"pos")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(re.toSet == out.toSet)
+  }
 }
