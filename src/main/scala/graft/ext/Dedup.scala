@@ -825,12 +825,19 @@ object Dedup {
       explode(array_distinct(shingles(col(textCol), n))).as("s"))
     val vocab = tokf.groupBy("s").agg(count(lit(1)).as("dfc"))
     // deterministic per-doc order: rarest-first, shingle-string ties
+    // persisted: `ranked` feeds the candidate path AND both verify
+    // sides, and Spark recomputes an aliased subplan per self-join side
+    // (no cross-alias exchange reuse — see ReuseCheck) — unpersisted
+    // this whole build ran 3x. The bench's clearCache() between queries
+    // releases it; callers embedding this in a longer pipeline should
+    // unpersist after consuming the result.
     val ranked = tokf.join(vocab, "s")
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("dfc"), col("s")))).as("srt"))
       .select(col("id"),
         transform(col("srt"), x => x.getField("s")).as("sh"),
         size(col("srt")).as("sz"))
+      .persist()
     // overlap bound ⌈τ·sz⌉ = (tauNum·sz + tauDen - 1) div tauDen
     val oMin = floor((col("sz") * tauNum + (tauDen - 1))
       .cast("double") / tauDen).cast("int")
@@ -847,8 +854,8 @@ object Dedup {
     val rhs = ranked.select(col("id").as("ib"), col("sh").as("shb"),
       col("sz").as("szb"))
     cand.join(lhs, "ia").join(rhs, "ib")
-      .withColumn("inter",
-        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("inter", graft.functions.PairFunctions
+        .stringIntersectSize(col("sha"), col("shb")).cast("long"))
       .withColumn("uni", col("sza") + col("szb") - col("inter"))
       .filter(col("inter") * tauDen >= col("uni") * tauNum)
       .withColumn("jac6",

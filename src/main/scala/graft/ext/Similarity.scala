@@ -306,7 +306,15 @@ object Similarity {
       .withColumn("cell", explode(probeCells))
     val w = Window.partitionBy("q_id")
       .orderBy(col("score").desc, col("n_id").asc)
-    queries.join(corpus, Seq("cell"))
+    // shuffle_hash (not broadcast): both sides exchange on cell, which
+    // (a) is the only plan that exists when the corpus is 100 TB, and
+    // (b) puts the 16-centroid ivfCell argmin in its OWN codegen stage.
+    // Left as a broadcast join, ivfCell + join + scoring fuse into one
+    // whole-stage method big enough to trip the JIT's huge-method
+    // bailout, and the per-pair scoring loop runs deoptimized —
+    // measured 5-12s vs ~1.2s for this exact split at the sf0.1 pair
+    // volume. Norms ride as columns so the pair loop does ONE VecDot.
+    queries.join(corpus.hint("shuffle_hash"), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("score", trunc(
         dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")), 6))

@@ -317,4 +317,67 @@ object TextStats {
       .limit(k)
       .select(col(idCol), col("score6"))
   }
+
+  /** BPE merge training (Sennrich et al., ACL'16): learn `nMerges`
+    * byte-pair merges from the corpus. Classic structure: train on the
+    * DISTINCT-word count table (one groupBy over the corpus — the only
+    * corpus-scale pass; everything after touches the vocabulary table,
+    * which is orders of magnitude smaller at any scale), then per
+    * round count adjacent token pairs weighted by word count, take the
+    * global best, and merge it greedily left-to-right in every word.
+    *
+    * Segmentations are double-space-joined token strings (" a  b  c "),
+    * so one merge round is ONE `regexp_replace`: leftmost
+    * non-overlapping replace-all IS greedy BPE merging, and the shared
+    * boundary space survives because each match consumes only its own
+    * leading/trailing space (" a  a  a  a " → " aa  aa ", not one
+    * merge). Engine-portable: RE2 replace-all scans the same way, no
+    * lookarounds needed. Per round: one explode+agg over the vocab
+    * table and one LIMIT-1 collect of the winning pair (the same
+    * driver-iteration shape as the k-means operator — rounds are
+    * inherently sequential in BPE). Ties break (count desc, pair asc)
+    * for a total order. Returns (round, lhs, rhs, cnt) — `lhs`/`rhs`
+    * because left/right collide with SQL keywords in oracle replays.
+    */
+  def bpeMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges > 0, "bpeMerges: nMerges must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(" "), array_join(split(col("w"), ""), "  "),
+        lit(" ")).as("s"), col("cnt"))
+      .persist()
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      val best = words
+        .select(col("cnt"), split(trim(col("s")), "  ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(t)-2), i -> named_struct('l', t[i], 'r', t[i+1]))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).as[(String, String, Long)].collect()
+      if (best.isEmpty) done = true
+      else {
+        val (l, rr, c) = best.head
+        merges += ((r, l, rr, c))
+        val pat = " " + java.util.regex.Pattern.quote(l) + "  " +
+          java.util.regex.Pattern.quote(rr) + " "
+        val rep = java.util.regex.Matcher.quoteReplacement(s" $l$rr ")
+        val next = words
+          .select(regexp_replace(col("s"), pat, rep).as("s"), col("cnt"))
+          .persist()
+        next.count() // materialize before releasing the parent
+        words.unpersist()
+        words = next
+      }
+      r += 1
+    }
+    words.unpersist()
+    merges.toSeq.toDF("round", "lhs", "rhs", "cnt")
+  }
 }

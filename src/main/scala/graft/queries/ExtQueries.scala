@@ -227,6 +227,15 @@ object ExtQueries {
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy("doc_id")),
 
+    // BPE merge training: 6 merge rounds learned from the corpus
+    // word-count table — per round one vocab-table pair count + one
+    // LIMIT-1 collect, merges applied as a single leftmost
+    // non-overlapping regexp replace (greedy BPE). Oracle unrolls the
+    // 6 rounds as chained CTEs.
+    "q89_bpe_merges" -> ((s, d) =>
+      TextStats.bpeMerges(documents(s, d), "text", 6)
+        .orderBy("round")),
+
     // Copy-on-write keyed MERGE at rest: load a base orders snapshot,
     // merge an update+insert batch (even keys, price doubled) with
     // mergeByKey — which rewrites ONLY the partitions the batch touches
@@ -1271,6 +1280,41 @@ object ExtQueries {
          |  row_number() OVER (PARTITION BY shard ORDER BY hh ASC, doc_id ASC)
          |    AS pos
          |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    // 6 BPE rounds unrolled as chained CTEs: per round, adjacent-pair
+    // counts over the vocab (overlaps included, like the Spark side),
+    // best pair by (count desc, pair asc), merge via leftmost
+    // non-overlapping replace-all on the double-space token strings.
+    // sum() must cast back to bigint (DuckDB widens to hugeint).
+    "q89_bpe_merges" -> {
+      val rounds = 6
+      def roundCtes(r: Int) =
+        s"""t$r AS (SELECT cnt, string_split(trim(s), '  ') AS t
+           |  FROM w${r - 1}),
+           |i$r AS (SELECT cnt, t, unnest(generate_series(1, len(t) - 1)) AS i
+           |  FROM t$r WHERE len(t) >= 2),
+           |p$r AS (SELECT t[i] AS l, t[i + 1] AS r,
+           |    cast(sum(cnt) AS bigint) AS c
+           |  FROM i$r GROUP BY 1, 2),
+           |b$r AS (SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),
+           |w$r AS (SELECT regexp_replace(w.s,
+           |    ' ' || b.l || '  ' || b.r || ' ',
+           |    ' ' || b.l || b.r || ' ', 'g') AS s, w.cnt
+           |  FROM w${r - 1} w, b$r b)""".stripMargin
+      s"""WITH wc AS (
+         |  SELECT w, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+         |    FROM documents) GROUP BY w),
+         |w0 AS (
+         |  SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' '
+         |    AS s, cnt FROM wc),
+         |${(1 to rounds).map(roundCtes).mkString(",\n")}
+         |SELECT * FROM (
+         |${(1 to rounds)
+            .map(r => s"SELECT $r AS round, l AS lhs, r AS rhs, c AS cnt FROM b$r")
+            .mkString("\nUNION ALL\n")})
+         |ORDER BY round""".stripMargin
     },
 
     // Merge semantics replay: batch rows win on their keys, untouched

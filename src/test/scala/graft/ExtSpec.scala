@@ -751,6 +751,37 @@ class ExtSpec extends SparkSpec {
       g.size <= 3 && g.map(_._3).distinct.size == g.size))
   }
 
+  test("bpeMerges: hand-computed merges, ties lexicographic, greedy overlap") {
+    // word counts: low x3, lower x1, newest x2
+    val corpus = Seq("low low lower", "low newest newest").toDF("text")
+    val got = TextStats.bpeMerges(corpus, "text", 3)
+      .as[(Int, String, String, Long)].collect().toSeq
+    // r1: (l,o)=4 ties (o,w)=4, lex pick; r2: (lo,w)=4; r3: four pairs
+    // tie at 2, (e,s) wins lexicographically
+    assert(got == Seq(
+      (1, "l", "o", 4L), (2, "lo", "w", 4L), (3, "e", "s", 2L)))
+    // greedy left-to-right: "aaaa" merges twice in round 1's replace,
+    // so round 2's best pair is (aa,aa)
+    val over = TextStats.bpeMerges(Seq("aaaa").toDF("text"), "text", 2)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(over == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+  }
+
+  test("StringIntersectSize kernel == size(array_intersect)") {
+    val rnd = new scala.util.Random(83)
+    val rows = Seq.fill(200) {
+      def set() = rnd.shuffle((0 until 60).toList).take(rnd.nextInt(50))
+        .map(i => s"tok$i").distinct
+      (set(), set())
+    } :+ ((Nil: List[String], List("a"))) :+ ((List("a"), Nil: List[String]))
+    val df = rows.toDF("a", "b")
+    val diff = df.select(
+      graft.functions.PairFunctions.stringIntersectSize($"a", $"b").as("k"),
+      size(array_intersect($"a", $"b")).as("e"))
+      .filter($"k" =!= $"e").count()
+    assert(diff == 0)
+  }
+
   test("shuffleShards: dense positions, deterministic, partition-invariant") {
     import graft.ext.Sampling
     val docs = Tables.documents(spark, sf0001).limit(200).cache()
