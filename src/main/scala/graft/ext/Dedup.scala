@@ -720,6 +720,46 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact duplicated-WINDOW detection (substring-grain dedup in the
+    * spirit of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better": repeated spans matter even when whole documents
+    * differ). Every n-token window is digested; a window value occurring
+    * in >= 2 DISTINCT documents is "duplicated", and each document
+    * reports how many of its windows are duplicated plus the fraction
+    * (micro-truncated, engine-portable). Complements MinHash/SimHash
+    * (whole-doc similarity): this finds boilerplate, quotes, and
+    * license blocks shared across otherwise-unrelated documents.
+    *
+    * Shape is one LINEAR pipeline — explode windows → per-(doc, window)
+    * count (map-side combine collapses within-doc repeats before the
+    * shuffle) → doc-frequency via a window count over the digest
+    * partition (no self-join, no cached reuse) → per-doc rollup. Three
+    * well-keyed shuffles, each on a high-cardinality key; nothing is
+    * recomputed and nothing is collected, so the plan is the same at
+    * 100 TB — the suffix-array formulation of Lee et al. is NOT
+    * distributable; windowed digests are the standard scale-out
+    * approximation.
+    */
+  def dupWindowStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val id = col(idCol)
+    val perDocWindow = df
+      .select(id, explode(shingles(col(textCol), n)).as("__s"))
+      .groupBy(id, md5(col("__s")).as("__wh"))
+      .agg(count(lit(1)).as("__c"))
+    val byWindow = org.apache.spark.sql.expressions.Window
+      .partitionBy("__wh")
+    perDocWindow
+      .withColumn("__docs", count(lit(1)).over(byWindow))
+      .groupBy(idCol)
+      .agg(sum(col("__c")).as("n_windows"),
+        coalesce(sum(when(col("__docs") >= 2, col("__c"))), lit(0L))
+          .as("n_dup_windows"))
+      .select(id, col("n_windows"), col("n_dup_windows"),
+        (expr("n_dup_windows * 1000000L div n_windows").cast("double") /
+          1000000.0).as("dup_frac"))
+  }
+
   /** Embedding-cosine near-dup pairs above `threshold`, prefiltered by a
     * sign-random-projection bucket so candidates are bucket-local, never
     * all-pairs. Same single-pass bucket shape as the text dedup

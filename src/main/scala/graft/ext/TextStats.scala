@@ -380,4 +380,34 @@ object TextStats {
     words.unpersist()
     merges.toSeq.toDF("round", "lhs", "rhs", "cnt")
   }
+
+  /** Hashing-trick linear classifier (the fastText / CCNet quality-model
+    * SHAPE with a deterministic stand-in weight vector — real trained
+    * weights are a drop-in `Map[Int, Double]` broadcast; the container
+    * has no model artifacts, so weights here are a fixed function of the
+    * feature bucket and the whole scorer replays in any engine).
+    * Features: each token hashes to one of `dim` buckets via the first
+    * 8 md5 hex digits (engine-portable, same family as
+    * `Sampling.hashCoord`); bucket b carries integer weight numerator
+    * `(b*37 mod 201) - 100` in [-100, 100]. The document logit is the
+    * exact integer sum of its token weights over 128 (dyadic — the
+    * long→double conversion and /128.0 are both exact), `keep` is the
+    * positive-logit gate. Explode + partial-aggregated sum: within-doc
+    * tokens collapse map-side, the one shuffle carries a row per doc —
+    * the same shape at any corpus size, all codegen, no driver state.
+    */
+  def logitScore(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 1024): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("__t")), 1, 8), 16, 10).cast("long"),
+      lit(dim.toLong))
+    val wNum = pmod(bucket * 37L, lit(201L)) - lit(100L)
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .select(col(idCol), wNum.as("__wn"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__wn")).as("__s"))
+      .select(col(idCol), col("n_tokens"),
+        (col("__s").cast("double") / 128.0).as("logit"),
+        (col("__s") > 0L).as("keep"))
+  }
 }

@@ -781,6 +781,61 @@ object ExtQueries {
           Similarity.trunc(col("cosine"), 6).as("cos6"))
         .orderBy("id_a", "id_b")
     }),
+
+    // SCD Type-2 history build over the event log: one validity
+    // interval per per-user attribute change (lag detects changes,
+    // lead/row_number close the intervals — a single user-partition
+    // shuffle end to end).
+    "q90_scd2" -> ((s, d) =>
+      EventsOps.scd2(events(s, d))
+        .orderBy("user_id", "version")),
+
+    // Exact duplicated-window detection (substring-grain dedup): share
+    // of each document's 8-token windows that also occur in another
+    // document. Linear explode → (doc,window) count → window-partition
+    // doc frequency → per-doc rollup; no self-join, nothing cached.
+    "q91_dup_windows" -> ((s, d) =>
+      Dedup.dupWindowStats(documents(s, d), "doc_id", "text", n = 8)
+        .orderBy("doc_id")),
+
+    // Hashing-trick linear quality classifier: md5-bucketed token
+    // features, integer weight sum over 128 (exact in double), keep =
+    // positive logit. The fastText-scorer shape with deterministic
+    // stand-in weights.
+    "q92_quality_logit" -> ((s, d) =>
+      TextStats.logitScore(documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Integer-exact weighted PageRank over the customer-nation →
+    // supplier-nation trade graph: the 100 TB fact table aggregates
+    // ONCE down to a |nations|^2-bounded edge list (checkpointed), then
+    // 8 tiny join+agg rounds. All fixed-point arithmetic — replays
+    // bit-for-bit in the oracle's unrolled CTEs.
+    "q93_pagerank" -> ((s, d) => {
+      val e = lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src_n"), col("s_nationkey").as("dst_n"))
+        .agg(count(lit(1)).as("w"))
+      graft.ext.Graph.pageRank(e, "src_n", "dst_n", "w", iters = 8)
+        .select(col("node"), col("r").as("pagerank"))
+        .orderBy("node")
+    }),
+
+    // At-rest inverted index: build term-bucketed posting lists (one
+    // corpus pass, paid once), then answer probe-term lookups reading
+    // only the hashed bucket directories (PartitionFilters IN-list —
+    // the text twin of q53/q77's vector layouts).
+    "q94_postings_at_rest" -> ((s, d) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q94_" +
+        Integer.toHexString(d.hashCode) + "/postings"
+      graft.ext.Index.writePostings(documents(s, d), "doc_id", "text",
+        path)
+      graft.ext.Index.termLookupAtRest(s, path,
+        Seq("join", "hash", "scan", "batch", "row"), k = 5)
+        .orderBy("term", "rank")
+    }),
   )
 
   private val dotSql = (v: String, q: String) =>
@@ -1933,6 +1988,119 @@ object ExtQueries {
         |  count(*) AS n,
         |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
         |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+
+    // Same change-detection lag + interval-closing lead/row_number over
+    // the (ts, event_id) order — the tiebreak keeps the chain
+    // deterministic when one user has equal timestamps.
+    "q90_scd2" ->
+      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
+        |c AS (SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM e),
+        |f AS (SELECT user_id, event_type, ts, event_id FROM c
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS valid_to,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS version,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    IS NULL AS is_current
+        |FROM f ORDER BY user_id, version""".stripMargin,
+
+    // Window digests + doc frequency via a window count; the fraction
+    // replays Spark's exact long `div` then /1e6 double step.
+    "q91_dup_windows" -> {
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |sh AS (SELECT doc_id, (${shinglesSqlN(8)}) AS shingles FROM t),
+         |u AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |wc AS (SELECT doc_id, md5(s) AS wh, count(*) AS c
+         |  FROM u GROUP BY 1, 2),
+         |nd AS (SELECT doc_id, c,
+         |    count(*) OVER (PARTITION BY wh) AS docs FROM wc)
+         |SELECT doc_id, cast(sum(c) AS bigint) AS n_windows,
+         |  cast(coalesce(sum(CASE WHEN docs >= 2 THEN c END), 0) AS bigint)
+         |    AS n_dup_windows,
+         |  (cast(coalesce(sum(CASE WHEN docs >= 2 THEN c END), 0) AS bigint)
+         |     * 1000000 // cast(sum(c) AS bigint)) / 1000000.0 AS dup_frac
+         |FROM nd GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // Token bucket via the q55 md5-digit assembly; integer weight sum,
+    // /128.0 exact-dyadic logit.
+    "q92_quality_logit" -> {
+      val h32 = (0 until 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(hh, ${i + 1}, 1)) - 1) * ${math.pow(16, 7 - i).toLong}")
+        .mkString("(", " + ", ")")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+         |  FROM documents),
+         |h AS (SELECT doc_id, substr(md5(t), 1, 8) AS hh FROM tok),
+         |b AS (SELECT doc_id, cast($h32 % 1024 AS bigint) AS b FROM h),
+         |w AS (SELECT doc_id, (b * 37) % 201 - 100 AS wn FROM b)
+         |SELECT doc_id, cast(count(*) AS bigint) AS n_tokens,
+         |  cast(sum(wn) AS bigint) / 128.0 AS logit,
+         |  cast(sum(wn) AS bigint) > 0 AS keep
+         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // Unrolled 8 PageRank rounds (chained CTEs like q89/q49's replay
+    // style): per round, inflow = sum(r*p // 1e6) grouped by dst, rank =
+    // base + (17*inflow) // 20 — pure integer floor division, identical
+    // to Graph.pageRank's long arithmetic (DuckDB's hugeint widening is
+    // value-identical; the final cast lands back on bigint).
+    "q93_pagerank" -> {
+      def round(k: Int) =
+        s"""pr$k AS (
+           |  SELECT n.node, base + (17 * coalesce(f.s, 0)) // 20 AS r
+           |  FROM nodes n
+           |  LEFT JOIN (
+           |    SELECT e.dst AS node, sum((p.r * e.p) // 1000000) AS s
+           |    FROM pr${k - 1} p JOIN edges e ON e.src = p.node
+           |    GROUP BY e.dst) f USING (node), bb)""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         |    count(*) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2),
+         |ow AS (SELECT src, cast(sum(w) AS bigint) AS outw
+         |  FROM e0 GROUP BY 1),
+         |edges AS (SELECT e0.src, e0.dst, (w * 1000000) // outw AS p
+         |  FROM e0 JOIN ow ON e0.src = ow.src),
+         |nodes AS (SELECT src AS node FROM e0
+         |  UNION SELECT dst FROM e0),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |bb AS (SELECT 150000000 // n AS base, 1000000000 // n AS rinit
+         |  FROM nn),
+         |pr0 AS (SELECT node, rinit AS r FROM nodes, bb),
+         |${(1 to 8).map(round).mkString(",\n")}
+         |SELECT node, cast(r AS bigint) AS pagerank
+         |FROM pr8 ORDER BY node""".stripMargin
+    },
+
+    // Recount straight from the corpus: the at-rest layout changes
+    // WHERE the postings live, not what a term lookup returns.
+    "q94_postings_at_rest" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+        |    AS term
+        |  FROM documents),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
+        |  WHERE term IN ('join', 'hash', 'scan', 'batch', 'row')
+        |  GROUP BY 1, 2),
+        |r AS (SELECT term, doc_id, tf,
+        |    count(*) OVER (PARTITION BY term) AS df,
+        |    row_number() OVER (PARTITION BY term
+        |      ORDER BY tf DESC, doc_id ASC) AS rank
+        |  FROM tf)
+        |SELECT term, df, doc_id, tf, rank FROM r
+        |WHERE rank <= 5 ORDER BY term, rank""".stripMargin,
     // q36/q37: xxhash64 fast paths — not oracle-expressible; driver
     // records rows-only, semantics covered by specs.
   )

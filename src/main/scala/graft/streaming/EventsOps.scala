@@ -213,4 +213,35 @@ object EventsOps {
       .select(col("user_id"), col("event_type"),
         col("w.start").as("bucket_start"), col("keep_event_id"),
         col("n_dups"))
+
+  /** SCD Type-2 dimension build from an event log: per user, track the
+    * `event_type` attribute and emit one validity interval per change —
+    * `valid_from` = the change's timestamp, `valid_to` = the next
+    * change's timestamp (null on the open, current interval),
+    * `version` = 1-based change ordinal, `is_current` = open interval.
+    * The reference's warehouse keeps only latest-state rows
+    * (UPDATE-join then INSERT, PIPE:417-435); SCD2 is the production
+    * generalization that preserves history so any as-of date can be
+    * queried. Two window passes over ONE user-partition shuffle
+    * (lag to detect changes, then lead/row_number over the surviving
+    * change rows — same partitioning, no second exchange). Scale: the
+    * per-user pass every sessionization already pays; no driver state.
+    * Ordering ties (same user, same timestamp) break on event_id, so
+    * the interval chain is deterministic under any partitioning.
+    */
+  def scd2(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val changes = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("__prev", lag(col("event_type"), 1).over(byTime))
+      .filter(col("__prev").isNull || col("__prev") =!= col("event_type"))
+    changes
+      .withColumn("valid_to", lead(col("ts"), 1).over(byTime))
+      .withColumn("version", row_number().over(byTime).cast("long"))
+      .select(col("user_id"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"), col("version"),
+        col("valid_to").isNull.as("is_current"))
+  }
 }

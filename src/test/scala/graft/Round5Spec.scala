@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Graph, Index, TextStats}
+import graft.streaming.EventsOps
+
+/** Round-5 operators: SCD2 history build, duplicated-window dedup,
+  * hashing-trick logit scorer, integer-exact PageRank, at-rest postings.
+  */
+class Round5Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------------
+  // EventsOps.scd2
+  // ------------------------------------------------------------------
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+
+  test("scd2: change detection, interval chaining, current flag") {
+    val ev = Seq(
+      (1L, 10L, "a", ts(100)), (2L, 10L, "a", ts(200)),
+      (3L, 10L, "b", ts(300)), (4L, 10L, "a", ts(400)),
+      (5L, 20L, "x", ts(150))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventsOps.scd2(ev).orderBy("user_id", "version").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(4))).toSeq ===
+      Seq((10L, "a", 1L), (10L, "b", 2L), (10L, "a", 3L), (20L, "x", 1L)))
+    // intervals chain: each valid_to equals the next valid_from
+    val u10 = out.filter(_.getLong(0) == 10L)
+    assert(u10(0).getTimestamp(3) === u10(1).getTimestamp(2))
+    assert(u10(1).getTimestamp(3) === u10(2).getTimestamp(2))
+    // exactly one open (current) interval per user, and it is the last
+    assert(out.filter(_.getBoolean(5)).map(_.getLong(0)).toSeq ===
+      Seq(10L, 20L))
+    assert(u10(2).isNullAt(3) && u10(2).getBoolean(5))
+  }
+
+  test("scd2: equal timestamps break on event_id") {
+    val ev = Seq(
+      (2L, 1L, "b", ts(100)), (1L, 1L, "a", ts(100)),
+      (3L, 1L, "c", ts(200))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventsOps.scd2(ev).orderBy("version").collect()
+    assert(out.map(_.getString(1)).toSeq === Seq("a", "b", "c"))
+  }
+
+  // ------------------------------------------------------------------
+  // Dedup.dupWindowStats
+  // ------------------------------------------------------------------
+
+  test("dupWindowStats: cross-doc windows flagged, within-doc repeats not") {
+    val docs = Seq(
+      // docs 1 and 2 share the window "a b c"; doc 3 repeats its own
+      // window twice ("p q r p q r p q" has no cross-doc match)
+      (1L, "a b c x y"), (2L, "z a b c w"), (3L, "p q r p q r p q")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupWindowStats(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    // doc1: windows {abc,bcx,cxy} → 1 dup; doc2: {zab,abc,bcw} → 1 dup
+    assert(out(0).getLong(1) === 3L && out(0).getLong(2) === 1L)
+    assert(out(1).getLong(1) === 3L && out(1).getLong(2) === 1L)
+    // doc3: 6 windows, "p q r" twice but only within itself → 0 dups
+    assert(out(2).getLong(1) === 6L && out(2).getLong(2) === 0L)
+    assert(out(2).getDouble(3) === 0.0)
+    // truncated fraction: 1*1000000 div 3 = 333333 → 0.333333
+    assert(out(0).getDouble(3) === 0.333333)
+  }
+
+  test("dupWindowStats: short docs fall back to whole-text window") {
+    val docs = Seq((1L, "hi there"), (2L, "hi there"), (3L, "bye"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dupWindowStats(docs, "doc_id", "text", n = 8)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(2) === 1L && out(1).getLong(2) === 1L)
+    assert(out(2).getLong(2) === 0L)
+  }
+
+  // ------------------------------------------------------------------
+  // TextStats.logitScore
+  // ------------------------------------------------------------------
+
+  test("logitScore matches a per-token hand computation") {
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "gamma")).toDF("doc_id", "text")
+    def wNum(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      val b = java.lang.Long.parseLong(hex.substring(0, 8), 16) % 1024
+      (b * 37) % 201 - 100
+    }
+    val out = TextStats.logitScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) === 3L)
+    assert(out(0).getDouble(2) ===
+      (2 * wNum("alpha") + wNum("beta")).toDouble / 128.0)
+    assert(out(1).getDouble(2) === wNum("gamma").toDouble / 128.0)
+    assert(out(0).getBoolean(3) === (2 * wNum("alpha") + wNum("beta") > 0))
+  }
+
+  // ------------------------------------------------------------------
+  // Graph.pageRank
+  // ------------------------------------------------------------------
+
+  test("pageRank: hand-replayed recurrence on a 3-node graph") {
+    // A→B(2), A→C(1), B→C(1), C→A(1)
+    val edges = Seq(("A", "B", 2L), ("A", "C", 1L), ("B", "C", 1L),
+      ("C", "A", 1L)).toDF("src", "dst", "w")
+    val out = Graph.pageRank(edges, "src", "dst", "w", iters = 2)
+      .orderBy("node").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // replay the exact integer recurrence in plain Scala
+    val p = Map(("A", "B") -> (2L * 1000000L / 3L), ("A", "C") -> (1000000L / 3L),
+      ("B", "C") -> 1000000L, ("C", "A") -> 1000000L)
+    val n = 3L
+    val base = (3L * Graph.RankScale / 20L) / n
+    var r = Map("A" -> Graph.RankScale / n, "B" -> Graph.RankScale / n,
+      "C" -> Graph.RankScale / n)
+    for (_ <- 1 to 2) {
+      val inflow = Map(
+        "A" -> r("C") * p(("C", "A")) / 1000000L,
+        "B" -> r("A") * p(("A", "B")) / 1000000L,
+        "C" -> (r("A") * p(("A", "C")) / 1000000L +
+          r("B") * p(("B", "C")) / 1000000L))
+      r = r.map { case (k, _) => k -> (base + 17L * inflow(k) / 20L) }
+    }
+    assert(out === r)
+  }
+
+  test("pageRank: sink nodes keep base rank; mass stays bounded") {
+    val edges = Seq((1L, 2L, 5L), (3L, 2L, 1L)).toDF("src", "dst", "w")
+    val out = Graph.pageRank(edges, "src", "dst", "w", iters = 4)
+      .orderBy("node").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = (3L * Graph.RankScale / 20L) / 3L
+    // 1 and 3 have no in-edges → exactly base after every iteration
+    assert(out(1L) === base && out(3L) === base)
+    assert(out.values.sum <= Graph.RankScale)
+    assert(out(2L) > out(1L))
+  }
+
+  // ------------------------------------------------------------------
+  // Index: at-rest postings
+  // ------------------------------------------------------------------
+
+  test("postings: driver bucket matches engine bucket; lookup prunes") {
+    val docs = Seq((1L, "join hash join"), (2L, "hash scan"),
+      (3L, "join filter")).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_postings").toString + "/idx"
+    Index.writePostings(docs, "doc_id", "text", path, nBuckets = 16)
+    // engine-written bucket values agree with the driver-side hash
+    val onDisk = spark.read.parquet(path)
+      .select("term", "bucket").distinct().collect()
+    onDisk.foreach { r =>
+      val b = r.get(1) match {
+        case s: String => s.toLong
+        case n: Number => n.longValue()
+      }
+      assert(b === Index.termBucket(r.getString(0), 16),
+        s"bucket mismatch for term ${r.getString(0)}")
+    }
+    val res = Index.termLookupAtRest(spark, path, Seq("join", "hash"), k = 5)
+    val p = res.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p).isDefined,
+      s"no bucket PartitionFilters in:\n$p")
+    val rows = res.orderBy("term", "rank").collect()
+    // join: df=2, top doc 1 (tf 2); hash: df=2, top doc 1/2 (tf 1 each,
+    // doc_id tiebreak)
+    val join = rows.filter(_.getString(0) == "join")
+    assert(join.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ===
+      Seq((2L, 1L, 2L), (2L, 3L, 1L)))
+    val hash = rows.filter(_.getString(0) == "hash")
+    assert(hash.map(_.getLong(2)).toSeq === Seq(1L, 2L))
+    assert(rows.forall(_.getString(0) != "scan"))
+  }
+}
