@@ -67,4 +67,55 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node triangle counts (the clustering-coefficient numerator —
+    * community structure in a near-dup pair graph or a trade graph).
+    * Degree-ordered node-iterator (Schank-Wagner): symmetrize + distinct,
+    * orient every edge from its lower-(degree, id) endpoint to the
+    * higher, build wedges by self-joining the oriented adjacency on the
+    * shared LOW endpoint, close each wedge against the oriented edge
+    * set. The orientation bounds every node's out-degree by O(sqrt |E|)
+    * on skewed graphs — the wedge join stays tractable where a naive
+    * adjacency self-join explodes on hubs; each triangle is produced
+    * exactly once (its lowest-ordered apex), then exploded to credit
+    * all three corners. Two equi-joins + two aggregations, all keys
+    * data-bounded; no driver state.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val a = col(srcCol); val b = col(dstCol)
+    val und = edges.filter(a =!= b)
+      .select(least(a, b).as("u"), greatest(a, b).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // total order: (deg, node) — ties broken by id, so the orientation
+    // is acyclic and deterministic
+    val withDeg = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("lo"), col("v").as("hi")))
+        .otherwise(struct(col("v").as("lo"), col("u").as("hi")))
+        .as("e"))
+      .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
+    // wedges at a shared low endpoint; b1 < b2 under plain id order is
+    // enough to emit each unordered wedge once
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.lo") === col("e2.lo"))
+      .filter(col("e1.hi") < col("e2.hi"))
+      .select(col("e1.lo").as("apex"), col("e1.hi").as("b1"),
+        col("e2.hi").as("b2"))
+    // closure edge between b1 and b2 may be oriented either way
+    val closing = oriented
+      .select(least(col("lo"), col("hi")).as("b1"),
+        greatest(col("lo"), col("hi")).as("b2"))
+    val tris = wedges.join(closing, Seq("b1", "b2"))
+    tris.select(explode(array(col("apex"), col("b1"), col("b2")))
+        .as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 }

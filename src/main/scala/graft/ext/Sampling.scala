@@ -133,4 +133,61 @@ object Sampling {
       .filter(col("__rank") <= quota)
       .drop("__rank")
   }
+
+  private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+
+  /** Weighted-interleave training order (the dataset-MIXING order, the
+    * step after per-source shuffling): source s with weight w_s
+    * contributes its pos-th document at virtual time pos * (LCM/w_s),
+    * ties resolved by the `weights` listing order — i.e. a weight-3
+    * source lands 3 docs for every 1 of a weight-1 source, evenly
+    * interleaved, exactly the sampling schedule a data-mixture trainer
+    * replays. The global position is computed in CLOSED FORM: for each
+    * other source, "how many of its docs precede virtual time k" is
+    * `min(n_s', k div m_s')` (strict for later-listed sources:
+    * (k-1) div m_s') — a per-row integer expression over the (tiny)
+    * per-source count map. No global sort, no single-partition
+    * row_number: after the per-source shuffle window, the permutation
+    * is pure map-side arithmetic — the same closed form at any corpus
+    * size. Within-source order is md5(id) (shuffled, reproducible —
+    * shuffleShards' discipline).
+    */
+  def mixOrder(df: DataFrame, idCol: String, groupCol: String,
+      weights: Seq[(String, Long)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "mixOrder: weights must be non-empty and positive")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "mixOrder: duplicate source in weights")
+    val lcm = weights.map(_._2).foldLeft(1L)((acc, w) => acc / gcd(acc, w) * w)
+    val m = weights.map { case (s, w) => s -> lcm / w }.toMap
+    val orderIdx = weights.map(_._1).zipWithIndex.toMap
+    val in = df.filter(col(groupCol).isin(weights.map(_._1): _*))
+    // tiny per-source count dim — one driver action, |sources| rows
+    val counts = in.groupBy(groupCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byHash = Window.partitionBy(groupCol)
+      .orderBy(col("__h").asc, col(idCol).asc)
+    val posed = in
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .withColumn("pos", row_number().over(byHash).cast("long"))
+      .withColumn("__m", weights.map(_._1).foldRight(lit(null)
+        .cast("long"): Column)((s, acc) =>
+        when(col(groupCol) === s, lit(m(s))).otherwise(acc)))
+      .withColumn("__oi", weights.map(_._1).foldRight(lit(null)
+        .cast("int"): Column)((s, acc) =>
+        when(col(groupCol) === s, lit(orderIdx(s))).otherwise(acc)))
+      .withColumn("__k", col("pos") * col("__m"))
+    val beforeTerms: Seq[Column] = weights.map { case (s2, _) =>
+      val m2 = m(s2); val n2 = counts.getOrElse(s2, 0L)
+      when(col(groupCol) === s2, col("pos") - 1L)
+        .otherwise(least(lit(n2),
+          when(lit(orderIdx(s2)) < col("__oi"), expr(s"__k div ${m2}L"))
+            .otherwise(expr(s"(__k - 1) div ${m2}L"))))
+    }
+    posed
+      .withColumn("global_pos",
+        beforeTerms.reduce(_ + _) + lit(1L))
+      .select(col(idCol), col(groupCol), col("pos"), col("global_pos"))
+  }
 }

@@ -823,6 +823,31 @@ object ExtQueries {
         .orderBy("node")
     }),
 
+    // Per-node triangle counts on the trade graph — degree-ordered
+    // node-iterator (Schank-Wagner): wedge join on the low endpoint of
+    // the acyclic orientation, one closure join; each triangle counted
+    // at its unique apex, then exploded to credit all three corners.
+    "q95_triangles" -> ((s, d) => {
+      val e = lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src_n"),
+          col("s_nationkey").as("dst_n"))
+        .agg(count(lit(1)).as("w"))
+      graft.ext.Graph.triangleCounts(e, "src_n", "dst_n")
+        .orderBy("node")
+    }),
+
+    // Weighted-interleave mixture order: closed-form global position
+    // (pure per-row integer arithmetic over the tiny per-source count
+    // map — NO global sort/row_number), graded against the oracle's
+    // independent ORDER BY definition of the same permutation.
+    "q96_mix_order" -> ((s, d) =>
+      graft.ext.Sampling.mixOrder(documents(s, d), "doc_id", "source",
+        Seq("src0" -> 5L, "src1" -> 3L, "src2" -> 2L, "src3" -> 1L))
+        .orderBy("global_pos")),
+
     // At-rest inverted index: build term-bucketed posting lists (one
     // corpus pass, paid once), then answer probe-term lookups reading
     // only the hashed bucket directories (PartitionFilters IN-list —
@@ -2083,6 +2108,58 @@ object ExtQueries {
          |SELECT node, cast(r AS bigint) AS pagerank
          |FROM pr8 ORDER BY node""".stripMargin
     },
+
+    // Same degree-ordered orientation and wedge/closure joins; the
+    // apex-unique production means a plain per-corner recount.
+    "q95_triangles" ->
+      """WITH e0 AS (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+        |    count(*) AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2),
+        |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM e0 WHERE src <> dst),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |  SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY 1),
+        |o AS (SELECT
+        |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+        |      THEN u ELSE v END AS lo,
+        |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+        |      THEN v ELSE u END AS hi
+        |  FROM und JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+        |wg AS (SELECT e1.lo AS apex, e1.hi AS b1, e2.hi AS b2
+        |  FROM o e1 JOIN o e2 ON e1.lo = e2.lo AND e1.hi < e2.hi),
+        |cl AS (SELECT least(lo, hi) AS b1, greatest(lo, hi) AS b2 FROM o),
+        |t AS (SELECT apex, b1, b2 FROM wg JOIN cl USING (b1, b2)),
+        |n AS (SELECT unnest([apex, b1, b2]) AS node FROM t)
+        |SELECT node, cast(count(*) AS bigint) AS n_triangles
+        |FROM n GROUP BY 1 ORDER BY node""".stripMargin,
+
+    // The oracle defines the permutation the straightforward way — a
+    // global ORDER BY (k, oi) row_number — and must agree with the
+    // engine's closed-form arithmetic. LCM(5,3,2,1)=30 → m = 6/10/15/30.
+    "q96_mix_order" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, md5(cast(doc_id AS varchar)) AS h
+        |  FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+        |p AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+        |      AS pos
+        |  FROM d),
+        |k AS (SELECT doc_id, source, pos,
+        |    pos * (CASE source WHEN 'src0' THEN 6 WHEN 'src1' THEN 10
+        |      WHEN 'src2' THEN 15 ELSE 30 END) AS k,
+        |    (CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 1
+        |      WHEN 'src2' THEN 2 ELSE 3 END) AS oi
+        |  FROM p)
+        |SELECT doc_id, source, cast(pos AS bigint) AS pos,
+        |  row_number() OVER (ORDER BY k, oi) AS global_pos
+        |FROM k ORDER BY global_pos""".stripMargin,
 
     // Recount straight from the corpus: the at-rest layout changes
     // WHERE the postings live, not what a term lookup returns.

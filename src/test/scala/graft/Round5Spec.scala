@@ -140,6 +140,88 @@ class Round5Spec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // Graph.triangleCounts
+  // ------------------------------------------------------------------
+
+  test("triangleCounts: K4 minus an edge, direction/dup/self-loop noise") {
+    // K4 on {1,2,3,4} without edge (3,4): triangles {1,2,3} and {1,2,4}
+    // → counts 1:2 2:2 3:1 4:1. Input is directed, duplicated, and has
+    // a self-loop — symmetrize/distinct must absorb all of it.
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (4L, 2L), (2L, 2L))
+      .toDF("src", "dst")
+    val out = Graph.triangleCounts(edges, "src", "dst")
+      .orderBy("node").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("triangleCounts: matches naive all-triples count on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = (1 to 60).map(_ => (rnd.nextInt(10).toLong,
+      rnd.nextInt(10).toLong))
+    val df = edges.toDF("src", "dst")
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val naive = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for {
+      Seq(a, b, c) <- nodes.combinations(3)
+      if und((a, b)) && und((a, c)) && und((b, c))
+      n <- Seq(a, b, c)
+    } naive(n) += 1
+    val got = Graph.triangleCounts(df, "src", "dst").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === naive.toMap)
+  }
+
+  // ------------------------------------------------------------------
+  // Sampling.mixOrder
+  // ------------------------------------------------------------------
+
+  test("mixOrder: closed-form rank equals the sort-based definition") {
+    val rows = (1L to 40L).map(i => (i, s"s${i % 3}"))
+    val df = rows.toDF("doc_id", "source")
+    val weights = Seq("s0" -> 3L, "s1" -> 2L, "s2" -> 1L)
+    val out = graft.ext.Sampling.mixOrder(df, "doc_id", "source", weights)
+      .collect()
+    // independent replay: k = pos * (LCM/w), order by (k, listing idx)
+    val lcm = 6L
+    val m = weights.map { case (s, w) => s -> lcm / w }.toMap
+    val oi = weights.map(_._1).zipWithIndex.toMap
+    def h(id: Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    }
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (s, ds) =>
+      ds.sortBy(d => (h(d._1), d._1)).zipWithIndex.map { case (d, i) =>
+        (d._1, s, i + 1L, (i + 1L) * m(s), oi(s))
+      }
+    }.sortBy(t => (t._4, t._5)).zipWithIndex
+      .map { case ((id, s, pos, _, _), g) => (id, s, pos, g + 1L) }.toSet
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3))).toSet === expected)
+    // a valid permutation: ranks are exactly 1..N
+    assert(out.map(_.getLong(3)).sorted.toSeq === (1L to 40L).toSeq)
+  }
+
+  test("mixOrder: weight ratios hold in every aligned prefix") {
+    val rows = (1L to 60L).map(i => (i, if (i <= 40) "a" else "b"))
+    val df = rows.toDF("doc_id", "source")
+    val out = graft.ext.Sampling
+      .mixOrder(df, "doc_id", "source", Seq("a" -> 2L, "b" -> 1L))
+      .orderBy("global_pos").collect()
+    // every prefix of length 3k holds exactly 2k from a, k from b
+    for (k <- 1 to 20) {
+      val prefix = out.take(3 * k)
+      assert(prefix.count(_.getString(1) == "a") === 2 * k,
+        s"prefix ${3 * k}")
+    }
+  }
+
+  // ------------------------------------------------------------------
   // Index: at-rest postings
   // ------------------------------------------------------------------
 
