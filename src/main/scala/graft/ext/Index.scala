@@ -27,6 +27,16 @@ object Index {
     java.lang.Long.parseLong(hex.substring(0, 8), 16) % nBuckets
   }
 
+  /** The (term, doc_id, tf, bucket) posting rows for a document batch. */
+  private def postingsOf(df: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(TextStats.tokens(col(textCol))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long"),
+          lit(nBuckets.toLong)))
+
   /** Build the index: (term, doc_id, tf) rows, directory-partitioned by
     * the term-hash bucket. The groupBy's partial aggregation collapses
     * within-doc repeats map-side; the repartition keeps the write to one
@@ -35,12 +45,7 @@ object Index {
     */
   def writePostings(df: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int = 16): Unit =
-    df.select(col(idCol).as("doc_id"),
-        explode(TextStats.tokens(col(textCol))).as("term"))
-      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-      .withColumn("bucket",
-        pmod(conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long"),
-          lit(nBuckets.toLong)))
+    postingsOf(df, idCol, textCol, nBuckets)
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
@@ -76,5 +81,125 @@ object Index {
       .withColumn("rank", row_number().over(ranked).cast("long"))
       .filter(col("rank") <= k)
       .select("term", "df", "doc_id", "tf", "rank")
+  }
+
+  // ------------------------------------------------------------------
+  // Segmented (LSM-style) incremental maintenance
+  // ------------------------------------------------------------------
+  //
+  // A new document batch must NOT rewrite the corpus index: its vocabulary
+  // usually spans most term buckets, so bucket-level copy-on-write
+  // (mergeByKey's unit) degrades to a near-full rewrite. The standard
+  // answer is the log-structured one: each batch lands as a NEW SEGMENT
+  // (same bucket directories, one level deeper), reads merge segments at
+  // query time, and a periodic compaction folds them flat. Re-ingesting a
+  // changed document cannot tombstone its stale terms from inside a
+  // term-pruned read (the new version may not contain the probed term at
+  // all) — so liveness lives in a separate doc→segment MANIFEST, the
+  // per-doc sidecar every LSM index keeps; a posting row is live iff its
+  // segment is its document's latest.
+
+  /** Append one batch as segment `seg`: bucket-partitioned postings under
+    * `postings/seg=N/bucket=B`, plus the batch's doc manifest under
+    * `docs/seg=N`. One pass over the batch; the corpus is not touched.
+    */
+  def writeSegment(df: DataFrame, idCol: String, textCol: String,
+      path: String, seg: Int, nBuckets: Int = 16): Unit = {
+    postingsOf(df, idCol, textCol, nBuckets)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings/seg=$seg")
+    df.select(col(idCol).as("doc_id")).distinct()
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/docs/seg=$seg")
+  }
+
+  /** Term lookup over a segmented index: bucket pruning applies inside
+    * EVERY segment (`seg`/`bucket` are both partition directories, the
+    * bucket IN-list prunes across segments), stale rows from re-ingested
+    * docs are dropped by the manifest join (live iff row.seg ==
+    * doc's max seg), then the same df/top-k ranking as
+    * `termLookupAtRest`. The manifest is doc-count-sized — orders of
+    * magnitude under the postings — and joins on doc_id AFTER the
+    * pruned, term-filtered read, so the join's left side is only the
+    * probe result.
+    */
+  def termLookupSegments(spark: SparkSession, path: String,
+      terms: Seq[String], k: Int, nBuckets: Int = 16): DataFrame = {
+    require(terms.nonEmpty, "termLookupSegments: terms must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val buckets = terms.map(termBucket(_, nBuckets)).distinct
+    val post = spark.read.option("basePath", s"$path/postings")
+      .parquet(s"$path/postings")
+    val bucketLits: Seq[Any] = post.schema("bucket").dataType match {
+      case LongType    => buckets
+      case IntegerType => buckets.map(_.toInt)
+      case StringType  => buckets.map(_.toString)
+      case other => throw new IllegalStateException(
+        s"termLookupSegments: partition column 'bucket' read back as " +
+          s"$other; pruning contract would silently break")
+    }
+    val latest = spark.read.option("basePath", s"$path/docs")
+      .parquet(s"$path/docs")
+      .groupBy("doc_id")
+      .agg(max(col("seg").cast("long")).as("__live_seg"))
+    val probed = post
+      .filter(col("bucket").isin(bucketLits: _*))
+      .filter(col("term").isin(terms: _*))
+    val live = probed
+      .join(latest, "doc_id")
+      .filter(col("seg").cast("long") === col("__live_seg"))
+    val byTerm = Window.partitionBy("term")
+    val ranked = Window.partitionBy("term")
+      .orderBy(col("tf").desc, col("doc_id").asc)
+    live
+      .withColumn("df", count(lit(1)).over(byTerm))
+      .withColumn("rank", row_number().over(ranked).cast("long"))
+      .filter(col("rank") <= k)
+      .select("term", "df", "doc_id", "tf", "rank")
+  }
+
+  /** Fold all segments into a fresh seg=0 (live rows only) and drop the
+    * rest — the LSM compaction. Staged write + directory swap, restore
+    * on failure (`overwriteSwap`'s discipline).
+    */
+  def compactSegments(spark: SparkSession, path: String,
+      nBuckets: Int = 16): Unit = {
+    import org.apache.hadoop.fs.Path
+    val post = spark.read.option("basePath", s"$path/postings")
+      .parquet(s"$path/postings")
+    val latest = spark.read.option("basePath", s"$path/docs")
+      .parquet(s"$path/docs")
+      .groupBy("doc_id")
+      .agg(max(col("seg").cast("long")).as("__live_seg"))
+    val live = post.join(latest, "doc_id")
+      .filter(col("seg").cast("long") === col("__live_seg"))
+      .select("term", "doc_id", "tf", "bucket")
+    val docs = latest.select("doc_id")
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // stage the compacted layout next to the live one
+    val stage = new Path(s"$path/__compact")
+    if (fs.exists(stage)) fs.delete(stage, true)
+    live.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/__compact/postings/seg=0")
+    docs.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/__compact/docs/seg=0")
+    def swap(name: String): Unit = {
+      val cur = new Path(s"$path/$name")
+      val aside = new Path(s"$path/__old_$name")
+      if (fs.exists(aside)) fs.delete(aside, true)
+      if (!fs.rename(cur, aside))
+        throw new java.io.IOException(s"compactSegments: stash $name failed")
+      if (!fs.rename(new Path(s"$path/__compact/$name"), cur)) {
+        fs.rename(aside, cur)
+        throw new java.io.IOException(s"compactSegments: swap $name failed")
+      }
+      fs.delete(aside, true)
+    }
+    swap("postings")
+    swap("docs")
+    fs.delete(stage, true)
   }
 }

@@ -848,6 +848,38 @@ object ExtQueries {
         Seq("src0" -> 5L, "src1" -> 3L, "src2" -> 2L, "src3" -> 1L))
         .orderBy("global_pos")),
 
+    // Per-group sampled quantiles in ONE aggregation pass: mergeable
+    // md5-keyed min-k sample (bounded typed-Aggregator buffers,
+    // map-side combine) + rational rank reads — the 100 TB alternative
+    // to q61's exact full-sort percentile. Oracle replays the sample
+    // itself, so the grade holds at any scale factor.
+    "q97_sample_quantiles" -> ((s, d) =>
+      Sketches.sampleQuantiles(documents(s, d), "lang", "doc_id",
+        col("n_chars"), k = 256,
+        Seq("p25" -> (1, 4), "p50" -> (1, 2), "p75" -> (3, 4)))
+        .orderBy("lang")),
+
+    // Segmented (LSM) incremental index maintenance: corpus postings as
+    // seg=0, a new batch appended as seg=1 WITHOUT touching the corpus
+    // segment, lookup merges segments with bucket pruning inside each +
+    // manifest liveness. Graded: the merged lookup equals a one-shot
+    // recount over the whole corpus.
+    "q98_postings_segments" -> ((s, d) => {
+      val docs = documents(s, d)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q98_" +
+        Integer.toHexString(d.hashCode) + "/segidx"
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      graft.ext.Index.writeSegment(docs.filter(col("doc_id") >= 50),
+        "doc_id", "text", path, seg = 0)
+      graft.ext.Index.writeSegment(docs.filter(col("doc_id") < 50),
+        "doc_id", "text", path, seg = 1)
+      graft.ext.Index.termLookupSegments(s, path,
+        Seq("merge", "scan", "filter"), k = 5)
+        .orderBy("term", "rank")
+    }),
+
     // At-rest inverted index: build term-bucketed posting lists (one
     // corpus pass, paid once), then answer probe-term lookups reading
     // only the hashed bucket directories (PartitionFilters IN-list —
@@ -2160,6 +2192,52 @@ object ExtQueries {
         |SELECT doc_id, source, cast(pos AS bigint) AS pos,
         |  row_number() OVER (ORDER BY k, oi) AS global_pos
         |FROM k ORDER BY global_pos""".stripMargin,
+
+    // Replays the SAMPLE, not the exact quantile: min-k rows per group
+    // by (md5 coordinate, value), then the same rational rank reads
+    // over the value-sorted sample — exact agreement at any sf.
+    "q97_sample_quantiles" -> {
+      val h32 = (0 until 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(hh, ${i + 1}, 1)) - 1) * ${math.pow(16, 7 - i).toLong}")
+        .mkString("(", " + ", ")")
+      s"""WITH h AS (
+         |  SELECT lang, n_chars, md5(cast(doc_id AS varchar)) AS hh
+         |  FROM documents),
+         |hv AS (SELECT lang, n_chars, cast($h32 AS bigint) AS h FROM h),
+         |r AS (SELECT lang, n_chars,
+         |    row_number() OVER (PARTITION BY lang ORDER BY h, n_chars)
+         |      AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM hv),
+         |s AS (SELECT lang, n_chars, n FROM r WHERE rn <= 256),
+         |v AS (SELECT lang, n_chars, n,
+         |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS vr,
+         |    count(*) OVER (PARTITION BY lang) AS m
+         |  FROM s)
+         |SELECT lang, max(n) AS n, max(m) AS m,
+         |  max(CASE WHEN vr = (1 * m + 3) // 4 THEN n_chars END) AS p25,
+         |  max(CASE WHEN vr = (1 * m + 1) // 2 THEN n_chars END) AS p50,
+         |  max(CASE WHEN vr = (3 * m + 3) // 4 THEN n_chars END) AS p75
+         |FROM v GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    // One-shot recount over the whole corpus — the segmented read with
+    // manifest liveness must be indistinguishable from it.
+    "q98_postings_segments" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+        |    AS term
+        |  FROM documents),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
+        |  WHERE term IN ('merge', 'scan', 'filter')
+        |  GROUP BY 1, 2),
+        |r AS (SELECT term, doc_id, tf,
+        |    count(*) OVER (PARTITION BY term) AS df,
+        |    row_number() OVER (PARTITION BY term
+        |      ORDER BY tf DESC, doc_id ASC) AS rank
+        |  FROM tf)
+        |SELECT term, df, doc_id, tf, rank FROM r
+        |WHERE rank <= 5 ORDER BY term, rank""".stripMargin,
 
     // Recount straight from the corpus: the at-rest layout changes
     // WHERE the postings live, not what a term lookup returns.

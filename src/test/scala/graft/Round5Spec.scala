@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Graph, Index, TextStats}
+import graft.ext.{Dedup, Graph, Index, Sketches, TextStats}
 import graft.streaming.EventsOps
 
 /** Round-5 operators: SCD2 history build, duplicated-window dedup,
@@ -255,5 +255,93 @@ class Round5Spec extends SparkSpec {
     val hash = rows.filter(_.getString(0) == "hash")
     assert(hash.map(_.getLong(2)).toSeq === Seq(1L, 2L))
     assert(rows.forall(_.getString(0) != "scan"))
+  }
+
+  // ------------------------------------------------------------------
+  // Sketches.sampleQuantiles
+  // ------------------------------------------------------------------
+
+  test("sampleQuantiles: exact when k covers the group; stable under partitioning") {
+    val rows = (1L to 100L).map(i => ("g", i, i * 10L))
+    val df = rows.toDF("grp", "id", "v")
+    val qs = Seq("p25" -> ((1, 4)), "p50" -> ((1, 2)), "p75" -> ((3, 4)))
+    val exact = Sketches.sampleQuantiles(df, "grp", "id", col("v"), 128, qs)
+      .collect().head
+    // k >= n → the sample is the whole group → exact rank quantiles
+    assert(exact.getLong(1) === 100L && exact.getLong(2) === 100L)
+    assert((exact.getLong(3), exact.getLong(4), exact.getLong(5)) ===
+      ((250L, 500L, 750L)))
+    // k < n: same result under 1 or 13 partitions (mergeable buffers)
+    val k16a = Sketches
+      .sampleQuantiles(df.repartition(13), "grp", "id", col("v"), 16, qs)
+      .collect().head
+    val k16b = Sketches
+      .sampleQuantiles(df.coalesce(1), "grp", "id", col("v"), 16, qs)
+      .collect().head
+    assert(k16a.toSeq === k16b.toSeq)
+    assert(k16a.getLong(2) === 16L)
+    // and it is the min-k sample by (md5 coord, value), read at ceil ranks
+    def h(id: Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val sample = rows.sortBy(r => (h(r._2), r._3)).take(16)
+      .map(_._3).sorted
+    assert(k16a.getLong(4) === sample((16 + 1) / 2 - 1))
+  }
+
+  // ------------------------------------------------------------------
+  // Index: segmented incremental maintenance
+  // ------------------------------------------------------------------
+
+  test("segmented index: append, re-ingest tombstoning, compaction") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_segidx").toString + "/idx"
+    val base = Seq((1L, "join hash join"), (2L, "hash scan"))
+      .toDF("doc_id", "text")
+    Index.writeSegment(base, "doc_id", "text", path, seg = 0)
+    // new doc arrives as its own segment — corpus segment untouched
+    val seg0Files = new java.io.File(s"$path/postings/seg=0")
+      .listFiles().map(_.getName).toSet
+    Index.writeSegment(Seq((3L, "join filter")).toDF("doc_id", "text"),
+      "doc_id", "text", path, seg = 1)
+    assert(new java.io.File(s"$path/postings/seg=0")
+      .listFiles().map(_.getName).toSet === seg0Files)
+    val afterAppend = Index
+      .termLookupSegments(spark, path, Seq("join", "hash"), k = 5)
+      .orderBy("term", "rank").collect()
+    assert(afterAppend.filter(_.getString(0) == "join")
+      .map(_.getLong(2)).toSeq === Seq(1L, 3L))
+    // re-ingest doc 1 with CHANGED text: "join" must vanish for doc 1
+    // even though the probed read never sees doc 1's new terms
+    Index.writeSegment(Seq((1L, "scan scan")).toDF("doc_id", "text"),
+      "doc_id", "text", path, seg = 2)
+    val afterReingest = Index
+      .termLookupSegments(spark, path, Seq("join", "hash", "scan"), k = 5)
+      .orderBy("term", "rank").collect()
+    assert(afterReingest.filter(_.getString(0) == "join")
+      .map(_.getLong(2)).toSeq === Seq(3L))
+    assert(afterReingest.filter(_.getString(0) == "hash")
+      .map(_.getLong(2)).toSeq === Seq(2L))
+    val scan = afterReingest.filter(_.getString(0) == "scan")
+    assert(scan.map(r => (r.getLong(2), r.getLong(3))).toSet ===
+      Set((1L, 2L), (2L, 1L)))
+    // bucket pruning still present in the segmented read
+    val p = Index.termLookupSegments(spark, path, Seq("join"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p).isDefined,
+      s"no bucket PartitionFilters in:\n$p")
+    // compaction folds to seg=0 only, preserving every lookup result
+    Index.compactSegments(spark, path)
+    val segDirs = new java.io.File(s"$path/postings").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(segDirs === Set("seg=0"))
+    val afterCompact = Index
+      .termLookupSegments(spark, path, Seq("join", "hash", "scan"), k = 5)
+      .orderBy("term", "rank").collect()
+    assert(afterCompact.map(_.toSeq).toSeq ===
+      afterReingest.map(_.toSeq).toSeq)
   }
 }
