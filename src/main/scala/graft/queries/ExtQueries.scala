@@ -848,6 +848,34 @@ object ExtQueries {
         Seq("src0" -> 5L, "src1" -> 3L, "src2" -> 2L, "src3" -> 1L))
         .orderBy("global_pos")),
 
+    // Point-in-time-correct dimension lookup (the feature-store /
+    // SCD2-fact-join primitive): build the SCD2 history of each user's
+    // value band, then attach to every purchase the band that was
+    // CURRENT at its timestamp — an as-of join against the change rows
+    // (valid intervals chain contiguously, so latest-change-at-or-
+    // before IS interval containment). Simultaneous changes collapse to
+    // their final state before the join, keeping the lookup
+    // deterministic.
+    "q99_scd2_lookup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, d)
+      val banded = e.withColumn("band",
+        when(col("value") < 1.0, "low")
+          .when(col("value") < 3.0, "mid").otherwise("high"))
+      val byState = Window.partitionBy("user_id", "valid_from")
+        .orderBy(col("version").desc)
+      val dim = EventsOps.scd2(banded, "band")
+        .withColumn("__rn", row_number().over(byState))
+        .filter(col("__rn") === 1).drop("__rn")
+      val facts = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      EventsOps.asofJoin(facts, dim, "user_id", "ts", "valid_from",
+        "band")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_band").as("band_at_purchase"))
+        .orderBy("event_id")
+    }),
+
     // Per-group sampled quantiles in ONE aggregation pass: mergeable
     // md5-keyed min-k sample (bounded typed-Aggregator buffers,
     // map-side combine) + rational rank reads — the 100 TB alternative
@@ -2192,6 +2220,35 @@ object ExtQueries {
         |SELECT doc_id, source, cast(pos AS bigint) AS pos,
         |  row_number() OVER (ORDER BY k, oi) AS global_pos
         |FROM k ORDER BY global_pos""".stripMargin,
+
+    // Same banding, change detection, simultaneous-change collapse, and
+    // latest-change-at-or-before lookup (correlated max-subquery — the
+    // q45 as-of idiom).
+    "q99_scd2_lookup" ->
+      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
+        |b AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN value < 1.0 THEN 'low'
+        |      WHEN value < 3.0 THEN 'mid' ELSE 'high' END AS band
+        |  FROM e),
+        |c AS (SELECT user_id, band, ts, event_id,
+        |    lag(band) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM b),
+        |f AS (SELECT user_id, band, ts, event_id FROM c
+        |  WHERE prev IS NULL OR prev <> band),
+        |dim AS (SELECT user_id, band, ts FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id DESC) AS rn
+        |  FROM f) WHERE rn = 1),
+        |p AS (SELECT event_id, user_id, ts FROM e
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  (SELECT d.band FROM dim d
+        |   WHERE d.user_id = p.user_id AND d.ts =
+        |     (SELECT max(d2.ts) FROM dim d2
+        |      WHERE d2.user_id = p.user_id AND d2.ts <= p.ts))
+        |    AS band_at_purchase
+        |FROM p ORDER BY event_id""".stripMargin,
 
     // Replays the SAMPLE, not the exact quantile: min-k rows per group
     // by (md5 coordinate, value), then the same rational rank reads

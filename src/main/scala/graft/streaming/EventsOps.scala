@@ -229,18 +229,18 @@ object EventsOps {
     * Ordering ties (same user, same timestamp) break on event_id, so
     * the interval chain is deterministic under any partitioning.
     */
-  def scd2(events: DataFrame): DataFrame = {
+  def scd2(events: DataFrame, attrCol: String = "event_type"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byTime = Window.partitionBy("user_id")
       .orderBy(col("ts"), col("event_id"))
     val changes = events
-      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-      .withColumn("__prev", lag(col("event_type"), 1).over(byTime))
-      .filter(col("__prev").isNull || col("__prev") =!= col("event_type"))
+      .select(col("user_id"), col(attrCol), col("ts"), col("event_id"))
+      .withColumn("__prev", lag(col(attrCol), 1).over(byTime))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
     changes
       .withColumn("valid_to", lead(col("ts"), 1).over(byTime))
       .withColumn("version", row_number().over(byTime).cast("long"))
-      .select(col("user_id"), col("event_type"),
+      .select(col("user_id"), col(attrCol),
         col("ts").as("valid_from"), col("valid_to"), col("version"),
         col("valid_to").isNull.as("is_current"))
   }

@@ -37,6 +37,23 @@ class Round5Spec extends SparkSpec {
     assert(u10(2).isNullAt(3) && u10(2).getBoolean(5))
   }
 
+  test("scd2 + asofJoin: point-in-time lookup sees the state AT the instant") {
+    // state changes at t=100 (a) and t=300 (b); lookups at 100, 200,
+    // 300, 400 must see a, a, b, b — the change at the lookup's own
+    // instant is visible (right-before-left tie ordering)
+    val dimEv = Seq((1L, 10L, "a", ts(100)), (2L, 10L, "b", ts(300)))
+      .toDF("event_id", "user_id", "attr", "ts")
+    val dim = EventsOps.scd2(dimEv, "attr")
+    val facts = Seq((11L, 10L, ts(100)), (12L, 10L, ts(200)),
+      (13L, 10L, ts(300)), (14L, 10L, ts(400)))
+      .toDF("event_id", "user_id", "ts")
+    val out = EventsOps
+      .asofJoin(facts, dim, "user_id", "ts", "valid_from", "attr")
+      .orderBy("event_id").collect()
+    assert(out.map(_.getAs[String]("asof_attr")).toSeq ===
+      Seq("a", "a", "b", "b"))
+  }
+
   test("scd2: equal timestamps break on event_id") {
     val ev = Seq(
       (2L, 1L, "b", ts(100)), (1L, 1L, "a", ts(100)),
