@@ -130,4 +130,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       s"quadratic join shape in:\n$p")
   }
+
+  test("q90 SCD2 runs on ONE user-partition exchange (both window passes)") {
+    val p = plan("q90_scd2")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 user-partition exchange, " +
+      s"got $exchanges in:\n$p")
+  }
+
+  test("q91 duplicated-window pipeline is linear: no join anywhere") {
+    val p = plan("q91_dup_windows")
+    assert(!p.contains("Join"), s"join (reuse/self-join) shape in:\n$p")
+  }
+
+  test("q92 logit scorer aggregates partially before the doc shuffle") {
+    val p = plan("q92_quality_logit")
+    assert(p.contains("partial_"), s"no map-side combine in:\n$p")
+  }
+
+  test("q95 triangle counting never goes quadratic") {
+    val p = plan("q95_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"quadratic join shape in:\n$p")
+  }
+
+  test("q96 mixture order has no global single-partition sort before ranks") {
+    val p = plan("q96_mix_order")
+    // the per-source pos window partitions by source; the final orderBy
+    // is presentation-only (rangepartitioning) — what must NOT appear is
+    // a SinglePartition exchange feeding a row_number
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition global sort in:\n$p")
+  }
+
+  test("q97 sampled quantiles aggregate partially (mergeable buffers)") {
+    val p = plan("q97_sample_quantiles")
+    assert(p.contains("partial_"), s"no map-side combine in:\n$p")
+  }
 }
