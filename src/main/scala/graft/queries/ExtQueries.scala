@@ -848,6 +848,28 @@ object ExtQueries {
         Seq("src0" -> 5L, "src1" -> 3L, "src2" -> 2L, "src3" -> 1L))
         .orderBy("global_pos")),
 
+    // Leakage-safe train/val/test split: near-dup CLUSTERS are the
+    // split unit, not documents — the assignment hashes the cluster
+    // representative, so every member of a near-dup family lands in the
+    // same split and no eval document has a training-set twin (the
+    // decontamination rule every corpus team enforces). Composes the
+    // graded pieces end-to-end: LSH near-dup pairs → connected
+    // components → singleton backfill → hash split on the cluster key.
+    "q100_leakage_safe_split" -> ((s, d) => {
+      val docs = documents(s, d)
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        n = 3, k = 8, bands = 4, threshold = 0.5, portable = true)
+      val clusters = Dedup.dedupClusters(pairs.select("id_a", "id_b"))
+      val withCluster = docs.select(col("doc_id"))
+        .join(clusters, docs("doc_id") === clusters("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      graft.ext.Sampling.withHashSplit(withCluster, "cluster",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .select("doc_id", "cluster", "split")
+        .orderBy("doc_id")
+    }),
+
     // Point-in-time-correct dimension lookup (the feature-store /
     // SCD2-fact-join primitive): build the SCD2 history of each user's
     // value band, then attach to every purchase the band that was
@@ -1103,8 +1125,11 @@ object ExtQueries {
     * implementations (min-label propagation q49, star contraction q54)
     * converge to.
     */
-  private lazy val dedupClustersOracle: String =
-    s"""WITH RECURSIVE $fuzzyPairsCtes,
+  /** Shared closure CTEs: fuzzy pairs → symmetric edges → transitive
+    * reachability → per-node min-reachable cluster label (`cl`).
+    */
+  private lazy val clusterCtes: String =
+    s"""$fuzzyPairsCtes,
        |edges AS (
        |  SELECT id_a AS a, id_b AS b FROM pairs
        |  UNION SELECT id_b, id_a FROM pairs),
@@ -1112,10 +1137,15 @@ object ExtQueries {
        |  SELECT a, b FROM edges
        |  UNION
        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-       |nodes AS (SELECT DISTINCT a AS id FROM edges)
-       |SELECT n.id, least(n.id, min(r.b)) AS cluster
-       |FROM nodes n JOIN reach r ON r.a = n.id
-       |GROUP BY n.id ORDER BY id""".stripMargin
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |cl AS (
+       |  SELECT n.id, least(n.id, min(r.b)) AS cluster
+       |  FROM nodes n JOIN reach r ON r.a = n.id
+       |  GROUP BY n.id)""".stripMargin
+
+  private lazy val dedupClustersOracle: String =
+    s"""WITH RECURSIVE $clusterCtes
+       |SELECT id, cluster FROM cl ORDER BY id""".stripMargin
 
   private def markerSql(words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -1628,6 +1658,23 @@ object ExtQueries {
     // propagation converges to.
     "q49_dedup_clusters" -> dedupClustersOracle,
     "q54_dedup_clusters_star" -> dedupClustersOracle,
+
+    // Same closure + singleton backfill; the split hashes the CLUSTER
+    // key with the q55 digit-parsed md5 coordinate.
+    "q100_leakage_safe_split" -> {
+      val u = (0 until 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5(cast(cluster AS varchar)), ${i + 1}, 1)) - 1) * ${math.pow(16, 7 - i).toLong}")
+        .mkString("(", " + ", ")") + " / 4294967296.0"
+      s"""WITH RECURSIVE $clusterCtes,
+         |alldocs AS (
+         |  SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN cl ON cl.id = d.doc_id)
+         |SELECT doc_id, cluster,
+         |  CASE WHEN $u < 0.8 THEN 'train'
+         |       WHEN $u < 0.9 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM alldocs ORDER BY doc_id""".stripMargin
+    },
 
     "q55_hash_split" -> {
       // hash coordinate: first 8 md5 hex digits as a 32-bit int / 2^32,

@@ -275,6 +275,36 @@ class Round5Spec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // Leakage-safe split (q100 composition)
+  // ------------------------------------------------------------------
+
+  test("leakage-safe split: no near-dup pair straddles a split boundary") {
+    val out = SparkEntry
+      .queries("q100_leakage_safe_split")(spark, sf0001)
+      .cache()
+    try {
+      // every cluster maps to exactly one split
+      assert(out.groupBy("cluster")
+        .agg(countDistinct("split").as("ns"))
+        .filter(col("ns") > 1).count() === 0L)
+      // and therefore no near-dup PAIR crosses splits
+      val pairs = Dedup.minhashNearDups(
+        graft.Tables.documents(spark, sf0001), "doc_id", "text",
+        n = 3, k = 8, bands = 4, threshold = 0.5, portable = true)
+      val s = out.select(col("doc_id"), col("split"))
+      val crossing = pairs
+        .join(s.select(col("doc_id").as("id_a"), col("split").as("sa")),
+          "id_a")
+        .join(s.select(col("doc_id").as("id_b"), col("split").as("sb")),
+          "id_b")
+        .filter(col("sa") =!= col("sb")).count()
+      assert(crossing === 0L)
+      // all three splits are populated (rates 0.8/0.1/0.1 over 60 docs)
+      assert(out.select("split").distinct().count() === 3L)
+    } finally out.unpersist()
+  }
+
+  // ------------------------------------------------------------------
   // Sketches.sampleQuantiles
   // ------------------------------------------------------------------
 
