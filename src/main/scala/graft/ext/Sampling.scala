@@ -190,4 +190,72 @@ object Sampling {
         beforeTerms.reduce(_ + _) + lit(1L))
       .select(col(idCol), col(groupCol), col("pos"), col("global_pos"))
   }
+
+  /** Epoch-aware mixture schedule: `mixOrder` truncates when a source
+    * runs out; real training mixes CYCLE small sources (a 2:1 weight
+    * ratio holds even when the weight-2 source has fewer documents — it
+    * repeats, that's what "epochs" are). Source s emits its documents
+    * cyclically at virtual times pos·m_s (pos = epoch·n_s + within-epoch
+    * position, unbounded), and the schedule is the first `total` slots
+    * of the merged timeline. With no caps the closed form is exact:
+    *   rank = Σ_{s' earlier-listed} k div m_s'
+    *        + Σ_{s' later-listed} (k−1) div m_s'  + pos.
+    * Per-doc instances are over-generated by a small bound
+    * (T·w_s div (W·n_s) + 2 epochs), ranked map-side, filtered to
+    * `total` — still NO global sort, volume = output size. Output:
+    * (global_pos, source, doc_id, epoch, pos).
+    */
+  def epochMixOrder(df: DataFrame, idCol: String, groupCol: String,
+      weights: Seq[(String, Long)], total: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "epochMixOrder: weights must be non-empty and positive")
+    require(total > 0, "epochMixOrder: total must be positive")
+    val lcm = weights.map(_._2).foldLeft(1L)((acc, w) => acc / gcd(acc, w) * w)
+    val m = weights.map { case (s, w) => s -> lcm / w }.toMap
+    val wSum = weights.map(_._2).sum
+    val orderIdx = weights.map(_._1).zipWithIndex.toMap
+    val in = df.filter(col(groupCol).isin(weights.map(_._1): _*))
+    val counts = in.groupBy(groupCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.foreach { case (s, n) =>
+      require(n > 0, s"epochMixOrder: source $s has no documents") }
+    val byHash = Window.partitionBy(groupCol)
+      .orderBy(col("__h").asc, col(idCol).asc)
+    val posed = in
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .withColumn("__p0", row_number().over(byHash).cast("long"))
+    // per-source epoch over-generation bound: rank(s, pos) ≥
+    // pos·wSum/w_s − (S−1), so pos ≤ (T+S−1)·w_s/wSum and the epoch
+    // count is safely ((T+S)·w) div (wSum·n) + 2
+    val epochsOf: Map[String, Long] = counts.map { case (s, n) =>
+      val w = weights.find(_._1 == s).get._2
+      s -> ((total + weights.size) * w / (wSum * n) + 2L)
+    }
+    val epochCol = weights.map(_._1).foldRight(lit(null).cast("long"): Column)(
+      (s, acc) => when(col(groupCol) === s, lit(epochsOf(s))).otherwise(acc))
+    val nCol = weights.map(_._1).foldRight(lit(null).cast("long"): Column)(
+      (s, acc) => when(col(groupCol) === s, lit(counts(s))).otherwise(acc))
+    val mCol = weights.map(_._1).foldRight(lit(null).cast("long"): Column)(
+      (s, acc) => when(col(groupCol) === s, lit(m(s))).otherwise(acc))
+    val oiCol = weights.map(_._1).foldRight(lit(null).cast("int"): Column)(
+      (s, acc) => when(col(groupCol) === s, lit(orderIdx(s))).otherwise(acc))
+    val expanded = posed
+      .withColumn("epoch", explode(sequence(lit(0L), epochCol - 1L)))
+      .withColumn("pos", col("epoch") * nCol + col("__p0"))
+      .withColumn("__m", mCol).withColumn("__oi", oiCol)
+      .withColumn("__k", col("pos") * col("__m"))
+    val beforeTerms: Seq[Column] = weights.map { case (s2, _) =>
+      val m2 = m(s2)
+      when(col(groupCol) === s2, col("pos") - 1L)
+        .otherwise(
+          when(lit(orderIdx(s2)) < col("__oi"), expr(s"__k div ${m2}L"))
+            .otherwise(expr(s"(__k - 1) div ${m2}L")))
+    }
+    expanded
+      .withColumn("global_pos", beforeTerms.reduce(_ + _) + lit(1L))
+      .filter(col("global_pos") <= total)
+      .select(col("global_pos"), col(groupCol), col(idCol), col("epoch"),
+        col("pos"))
+  }
 }

@@ -848,6 +848,16 @@ object ExtQueries {
         Seq("src0" -> 5L, "src1" -> 3L, "src2" -> 2L, "src3" -> 1L))
         .orderBy("global_pos")),
 
+    // Epoch-aware mixture schedule: the first 400 slots of the merged
+    // cyclic timeline — small sources REPEAT (epochs) so the 5:3:2:1
+    // weight ratio holds for the whole budget; closed-form ranks, no
+    // global sort, volume = the schedule itself.
+    "q101_epoch_mix" -> ((s, d) =>
+      graft.ext.Sampling.epochMixOrder(documents(s, d), "doc_id",
+        "source", Seq("src0" -> 5L, "src1" -> 3L, "src2" -> 2L,
+          "src3" -> 1L), total = 400L)
+        .orderBy("global_pos")),
+
     // Leakage-safe train/val/test split: near-dup CLUSTERS are the
     // split unit, not documents — the assignment hashes the cluster
     // representative, so every member of a near-dup family lands in the
@@ -1658,6 +1668,35 @@ object ExtQueries {
     // propagation converges to.
     "q49_dedup_clusters" -> dedupClustersOracle,
     "q54_dedup_clusters_star" -> dedupClustersOracle,
+
+    // Independent definition: generate enough epochs per source, rank
+    // the merged timeline by (k, listing idx) with one ORDER BY, keep
+    // the first 400 — must equal the engine's closed-form arithmetic.
+    "q101_epoch_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, md5(cast(doc_id AS varchar)) AS h
+        |  FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+        |p AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+        |      AS p0,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM d),
+        |x AS (SELECT doc_id, source, p0, n,
+        |    unnest(generate_series(0, 50)) AS epoch
+        |  FROM p),
+        |k AS (SELECT doc_id, source, epoch,
+        |    epoch * n + p0 AS pos,
+        |    (epoch * n + p0) * (CASE source WHEN 'src0' THEN 6
+        |      WHEN 'src1' THEN 10 WHEN 'src2' THEN 15 ELSE 30 END) AS k,
+        |    (CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 1
+        |      WHEN 'src2' THEN 2 ELSE 3 END) AS oi
+        |  FROM x)
+        |SELECT row_number() OVER (ORDER BY k, oi) AS global_pos,
+        |  source, doc_id, cast(epoch AS bigint) AS epoch,
+        |  cast(pos AS bigint) AS pos
+        |FROM k QUALIFY global_pos <= 400
+        |ORDER BY global_pos""".stripMargin,
 
     // Same closure + singleton backfill; the split hashes the CLUSTER
     // key with the q55 digit-parsed md5 coordinate.

@@ -224,6 +224,43 @@ class Round5Spec extends SparkSpec {
     assert(out.map(_.getLong(3)).sorted.toSeq === (1L to 40L).toSeq)
   }
 
+  test("epochMixOrder: small sources cycle; ratios hold; matches sort replay") {
+    // source b has only 2 docs but weight 1 vs a's 2 — for 60 slots b
+    // must contribute 20 instances = 10 full epochs of cycling
+    val rows = (1L to 40L).map(i => (i, "a")) ++ Seq((100L, "b"), (101L, "b"))
+    val df = rows.toDF("doc_id", "source")
+    val weights = Seq("a" -> 2L, "b" -> 1L)
+    val out = graft.ext.Sampling
+      .epochMixOrder(df, "doc_id", "source", weights, total = 60L)
+      .orderBy("global_pos").collect()
+    assert(out.map(_.getLong(0)).toSeq === (1L to 60L).toSeq)
+    for (k <- 1 to 20) {
+      val prefix = out.take(3 * k)
+      assert(prefix.count(_.getString(1) == "a") === 2 * k, s"prefix ${3 * k}")
+    }
+    // b's 20 instances cycle its 2 docs through 10 epochs
+    val b = out.filter(_.getString(1) == "b")
+    assert(b.length === 20 && b.map(_.getLong(3)).max === 9L)
+    // brute-force replay: merge the cyclic timelines, sort by (k, oi)
+    def h(id: Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(id.toString.getBytes("UTF-8"))
+        .map(x => f"${x & 0xff}%02x").mkString
+    }
+    val m = Map("a" -> 1L, "b" -> 2L) // LCM(2,1)=2 → m = 1, 2
+    val oi = Map("a" -> 0, "b" -> 1)
+    val brute = rows.groupBy(_._2).toSeq.flatMap { case (s, ds) =>
+      val ordered = ds.sortBy(d => (h(d._1), d._1))
+      for (e <- 0L until 40L; (d, i) <- ordered.zipWithIndex) yield {
+        val pos = e * ordered.size + i + 1
+        (pos * m(s), oi(s), d._1, s, e, pos)
+      }
+    }.sortBy(t => (t._1, t._2)).take(60).zipWithIndex
+      .map { case ((_, _, id, s, e, pos), g) => (g + 1L, s, id, e, pos) }
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq === brute)
+  }
+
   test("mixOrder: weight ratios hold in every aligned prefix") {
     val rows = (1L to 60L).map(i => (i, if (i <= 40) "a" else "b"))
     val df = rows.toDF("doc_id", "source")
