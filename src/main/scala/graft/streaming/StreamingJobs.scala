@@ -201,4 +201,49 @@ object StreamingJobs {
           }
       }
   }
+
+  case class Scd2State(attr: String, validFrom: Long, version: Long)
+
+  case class Scd2Closed(user_id: Long, attr: String,
+      valid_from: java.sql.Timestamp, valid_to: java.sql.Timestamp,
+      version: Long)
+
+  /** INCREMENTAL SCD2 maintenance — the streaming twin of
+    * `EventsOps.scd2`: per-user state carries the open interval (current
+    * attribute, valid_from, version); each change CLOSES the previous
+    * interval and emits it exactly once (append mode), the open interval
+    * stays in state until the next change. A batch rebuild re-reads all
+    * history every run; this pays one state lookup per event forever.
+    * Contract: per-user event-time order must be non-decreasing across
+    * micro-batches (in-batch disorder is sorted out) — the usual
+    * append-log ingestion guarantee; a late event older than the open
+    * interval would need bitemporal state, out of scope.
+    */
+  def scd2Stream(events: Dataset[Event]): Dataset[Scd2Closed] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Closed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event],
+            state: GroupState[Scd2State]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var closed = List.empty[Scd2Closed]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if s.attr != e.event_type =>
+                closed ::= Scd2Closed(userId, s.attr,
+                  new java.sql.Timestamp(s.validFrom),
+                  new java.sql.Timestamp(t), s.version)
+                cur = Some(Scd2State(e.event_type, t, s.version + 1))
+              case Some(_) => () // same attribute: interval continues
+              case None => cur = Some(Scd2State(e.event_type, t, 1L))
+            }
+          }
+          cur.foreach(state.update)
+          closed.reverseIterator
+      }
+  }
 }

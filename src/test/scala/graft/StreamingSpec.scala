@@ -171,6 +171,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("scd2Stream: cross-micro-batch incremental SCD2 maintenance") {
+    // file 1: user 1 goes a -> b (closes interval a); file 2: -> c
+    // (closes b). maxFilesPerTrigger=1 forces two micro-batches, so the
+    // second close only appears if the open interval SURVIVED in state.
+    val dir = Files.createTempDirectory("graft_scd2s").toString
+    def drop(n: Int, rows: Seq[Event]): Unit =
+      rows.toDF()
+        .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    drop(1, Seq(
+      Event(1L, ts("2024-01-01 10:00:00"), 1L, "a", 0.0),
+      Event(2L, ts("2024-01-01 10:10:00"), 1L, "b", 0.0)))
+    drop(2, Seq(
+      Event(3L, ts("2024-01-01 10:20:00"), 1L, "c", 0.0)))
+    val in = spark.readStream.schema(StreamingJobs.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+    runToMemory(StreamingJobs.scd2Stream(in).toDF(), "sj_scd2", "append")
+    val got = spark.table("sj_scd2").orderBy("version")
+      .select($"attr", $"valid_from", $"valid_to", $"version")
+      .as[(String, Timestamp, Timestamp, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 1L),
+      ("b", ts("2024-01-01 10:10:00"), ts("2024-01-01 10:20:00"), 2L)))
+  }
+
+  test("scd2Stream batch drive agrees with the batch scd2 closed rows") {
+    val ev = Seq(
+      Event(1L, ts("2024-01-01 10:00:00"), 1L, "x", 0.0),
+      Event(2L, ts("2024-01-01 10:05:00"), 1L, "x", 0.0),
+      Event(3L, ts("2024-01-01 10:10:00"), 1L, "y", 0.0),
+      Event(4L, ts("2024-01-01 10:20:00"), 1L, "x", 0.0),
+      Event(5L, ts("2024-01-01 09:00:00"), 2L, "z", 0.0))
+    val streamed = StreamingJobs.scd2Stream(ev.toDS())
+      .select($"user_id", $"attr", $"valid_from", $"valid_to", $"version")
+      .as[(Long, String, Timestamp, Timestamp, Long)].collect().toSet
+    val batch = graft.streaming.EventsOps
+      .scd2(ev.toDF().withColumnRenamed("event_type", "event_type"))
+      .filter($"valid_to".isNotNull)
+      .select($"user_id", $"event_type", $"valid_from", $"valid_to",
+        $"version")
+      .as[(Long, String, Timestamp, Timestamp, Long)].collect().toSet
+    assert(streamed === batch)
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions on gap") {
     // batch Dataset drive of the same state function shape: sessions
     // close inline when a later event arrives past the gap
