@@ -381,6 +381,33 @@ object TextStats {
     merges.toSeq.toDF("round", "lhs", "rhs", "cnt")
   }
 
+  /** Apply an ordered merge table to encode documents — the production
+    * complement of `bpeMerges` (train once, encode everywhere): each
+    * word becomes its char-spaced form, the merges run as the same
+    * leftmost non-overlapping replace-all rounds as training (so the
+    * segmentation is exactly what training would produce), and each
+    * document reports its word and BPE-token counts. Pure projection
+    * after a tiny driver-side merge table: at 100 TB the learned merges
+    * broadcast as literals into codegen'd regexp_replace chains; the
+    * only shuffle is the final per-doc rollup.
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val charForm = concat(lit(" "),
+      array_join(split(col("__w"), ""), "  "), lit(" "))
+    val encoded = merges.foldLeft(charForm) { case (s, (l, r)) =>
+      val pat = " " + java.util.regex.Pattern.quote(l) + "  " +
+        java.util.regex.Pattern.quote(r) + " "
+      val rep = java.util.regex.Matcher.quoteReplacement(s" $l$r ")
+      regexp_replace(s, pat, rep)
+    }
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__w"))
+      .select(col(idCol), size(split(trim(encoded), "  ")).as("__nt"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__nt")).as("n_bpe_tokens"))
+  }
+
   /** Hashing-trick linear classifier (the fastText / CCNet quality-model
     * SHAPE with a deterministic stand-in weight vector — real trained
     * weights are a drop-in `Map[Int, Double]` broadcast; the container

@@ -848,6 +848,19 @@ object ExtQueries {
         Seq("src0" -> 5L, "src1" -> 3L, "src2" -> 2L, "src3" -> 1L))
         .orderBy("global_pos")),
 
+    // Train-then-encode BPE end-to-end: learn 6 merges from the corpus
+    // (q89's trainer), apply them back to every document, count BPE
+    // tokens per doc. The merge table is driver-side literals; the
+    // encode pass is a pure codegen'd projection.
+    "q102_bpe_encode" -> ((s, d) => {
+      val docs = documents(s, d)
+      val merges = TextStats.bpeMerges(docs, "text", 6)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextStats.bpeEncode(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }),
+
     // Epoch-aware mixture schedule: the first 400 slots of the merged
     // cyclic timeline — small sources REPEAT (epochs) so the 5:3:2:1
     // weight ratio holds for the whole budget; closed-form ranks, no
@@ -1135,6 +1148,34 @@ object ExtQueries {
     * implementations (min-label propagation q49, star contraction q54)
     * converge to.
     */
+  /** Shared BPE-training CTE chain (q89/q102): word counts → char-spaced
+    * vocab forms → `rounds` chained (pair count, best pair `b{r}`,
+    * merged vocab `w{r}`) rounds.
+    */
+  private def bpeTrainCtes(rounds: Int): String = {
+    def roundCtes(r: Int) =
+      s"""t$r AS (SELECT cnt, string_split(trim(s), '  ') AS t
+         |  FROM w${r - 1}),
+         |i$r AS (SELECT cnt, t, unnest(generate_series(1, len(t) - 1)) AS i
+         |  FROM t$r WHERE len(t) >= 2),
+         |p$r AS (SELECT t[i] AS l, t[i + 1] AS r,
+         |    cast(sum(cnt) AS bigint) AS c
+         |  FROM i$r GROUP BY 1, 2),
+         |b$r AS (SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),
+         |w$r AS (SELECT regexp_replace(w.s,
+         |    ' ' || b.l || '  ' || b.r || ' ',
+         |    ' ' || b.l || b.r || ' ', 'g') AS s, w.cnt
+         |  FROM w${r - 1} w, b$r b)""".stripMargin
+    s"""wc AS (
+       |  SELECT w, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |    FROM documents) GROUP BY w),
+       |w0 AS (
+       |  SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' '
+       |    AS s, cnt FROM wc),
+       |${(1 to rounds).map(roundCtes).mkString(",\n")}""".stripMargin
+  }
+
   /** Shared closure CTEs: fuzzy pairs → symmetric edges → transitive
     * reachability → per-node min-reachable cluster label (`cl`).
     */
@@ -1469,32 +1510,39 @@ object ExtQueries {
     // sum() must cast back to bigint (DuckDB widens to hugeint).
     "q89_bpe_merges" -> {
       val rounds = 6
-      def roundCtes(r: Int) =
-        s"""t$r AS (SELECT cnt, string_split(trim(s), '  ') AS t
-           |  FROM w${r - 1}),
-           |i$r AS (SELECT cnt, t, unnest(generate_series(1, len(t) - 1)) AS i
-           |  FROM t$r WHERE len(t) >= 2),
-           |p$r AS (SELECT t[i] AS l, t[i + 1] AS r,
-           |    cast(sum(cnt) AS bigint) AS c
-           |  FROM i$r GROUP BY 1, 2),
-           |b$r AS (SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),
-           |w$r AS (SELECT regexp_replace(w.s,
-           |    ' ' || b.l || '  ' || b.r || ' ',
-           |    ' ' || b.l || b.r || ' ', 'g') AS s, w.cnt
-           |  FROM w${r - 1} w, b$r b)""".stripMargin
-      s"""WITH wc AS (
-         |  SELECT w, count(*) AS cnt FROM (
-         |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
-         |    FROM documents) GROUP BY w),
-         |w0 AS (
-         |  SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' '
-         |    AS s, cnt FROM wc),
-         |${(1 to rounds).map(roundCtes).mkString(",\n")}
+      s"""WITH ${bpeTrainCtes(rounds)}
          |SELECT * FROM (
          |${(1 to rounds)
             .map(r => s"SELECT $r AS round, l AS lhs, r AS rhs, c AS cnt FROM b$r")
             .mkString("\nUNION ALL\n")})
          |ORDER BY round""".stripMargin
+    },
+
+    // Learn the same 6 merges, then APPLY them to every document's
+    // words (the same chained replace-all, scalar-subquery merge
+    // literals) and count the resulting BPE tokens — training and
+    // encoding must agree end-to-end.
+    "q102_bpe_encode" -> {
+      val rounds = 6
+      def applyCtes(r: Int) =
+        s"""e$r AS (SELECT doc_id, regexp_replace(e.s,
+           |    ' ' || (SELECT l FROM b$r) || '  ' || (SELECT r FROM b$r) || ' ',
+           |    ' ' || (SELECT l FROM b$r) || (SELECT r FROM b$r) || ' ',
+           |    'g') AS s
+           |  FROM e${r - 1} e)""".stripMargin
+      s"""WITH ${bpeTrainCtes(rounds)},
+         |docw AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+'))
+         |    AS w
+         |  FROM documents),
+         |e0 AS (SELECT doc_id,
+         |    ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS s
+         |  FROM docw),
+         |${(1 to rounds).map(applyCtes).mkString(",\n")}
+         |SELECT doc_id, cast(count(*) AS bigint) AS n_words,
+         |  cast(sum(len(string_split(trim(s), '  '))) AS bigint)
+         |    AS n_bpe_tokens
+         |FROM e$rounds GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     // Merge semantics replay: batch rows win on their keys, untouched

@@ -117,6 +117,24 @@ class Round5Spec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // TextStats.bpeEncode
+  // ------------------------------------------------------------------
+
+  test("bpeEncode: applies merges greedily; train-then-encode agrees") {
+    // merge ("a","a"): "aaaa" → aa aa (2 tokens), "aaa" → aa a (2)
+    val docs = Seq((1L, "aaaa aaa b"), (2L, "aa")).toDF("doc_id", "text")
+    val enc = TextStats.bpeEncode(docs, "doc_id", "text",
+      Seq(("a", "a"))).orderBy("doc_id").collect()
+    assert(enc(0).getLong(1) === 3L && enc(0).getLong(2) === 5L)
+    assert(enc(1).getLong(1) === 1L && enc(1).getLong(2) === 1L)
+    // regex metacharacters in merges must be treated literally
+    val dots = Seq((1L, "..")).toDF("doc_id", "text")
+    val enc2 = TextStats.bpeEncode(dots, "doc_id", "text",
+      Seq((".", "."))).collect()
+    assert(enc2(0).getLong(2) === 1L)
+  }
+
+  // ------------------------------------------------------------------
   // Graph.pageRank
   // ------------------------------------------------------------------
 
