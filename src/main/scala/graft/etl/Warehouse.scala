@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Parquet warehouse with idempotent keyed appends (reference K1:
@@ -221,5 +221,37 @@ object Warehouse {
         lit("2025-11-30").as("until"))))
       .drop("source")
       .write.mode(SaveMode.Append).parquet(path(dir, "runs"))
+  }
+
+  /** Snapshot diff by key — the table-versioning audit primitive (what
+    * changed between yesterday's warehouse and today's?): one null-safe
+    * full-outer join on the key, change classification from key
+    * presence + column-wise `<=>` comparison of the shared non-key
+    * columns. Unchanged rows are dropped (at 100 TB the diff is the
+    * small output; emitting unchanged rows would re-materialize the
+    * table). Schemas must share the key columns; compared columns are
+    * the non-key columns present on BOTH sides.
+    */
+  def tableDiff(before: DataFrame, after: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "tableDiff: keys must be non-empty")
+    val shared = before.columns.toSeq.intersect(after.columns.toSeq)
+      .filterNot(keys.contains)
+    val b = before.select((keys ++ shared).map(col): _*)
+      .withColumn("__b", lit(1))
+    val a = after.select(keys.map(col) ++
+      shared.map(c => col(c).as(s"__a_$c")): _*)
+      .withColumn("__a", lit(1))
+    val joined = b.join(a, keys, "full_outer")
+    val changed: Column =
+      if (shared.isEmpty) lit(false)
+      else shared.map(c => !(col(c) <=> col(s"__a_$c"))).reduce(_ || _)
+    joined
+      .withColumn("change_type",
+        when(col("__b").isNull, "added")
+          .when(col("__a").isNull, "removed")
+          .when(changed, "changed"))
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(col) :+ col("change_type"): _*)
   }
 }

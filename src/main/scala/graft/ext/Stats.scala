@@ -1,0 +1,45 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Grouped statistics with ENGINE-EXACT accumulation. Spark's builtin
+  * `corr`/`stddev` stream floating-point moments in partition order —
+  * two runs of the same query can disagree in the last bits, and no
+  * other engine reproduces them. Here every sum is exact (integer/
+  * decimal, order-independent); only the FINAL closed-form expression
+  * runs in floating point, as one fixed left-to-right formula both
+  * engines evaluate identically.
+  */
+object Stats {
+
+  /** Per-group Pearson correlation of two INTEGER-valued columns from
+    * the five exact sums (n, Σx, Σy, Σxy, Σx², Σy²):
+    *   r = (nΣxy − ΣxΣy) / (sqrt(nΣx² − (Σx)²) · sqrt(nΣy² − (Σy)²))
+    * truncated to 6 dp. Sums are decimal(38,0) — exact at any corpus
+    * size, immune to aggregation order; one shuffle on the group key
+    * with map-side partials, same plan shape as any sum. Returns null r
+    * for degenerate groups (zero variance).
+    */
+  def pearsonByGroup(df: DataFrame, groupCol: String, x: Column,
+      y: Column): DataFrame = {
+    val xd = x.cast("decimal(38,0)")
+    val yd = y.cast("decimal(38,0)")
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(xd).as("__sx"), sum(yd).as("__sy"),
+        sum(xd * yd).as("__sxy"),
+        sum(xd * xd).as("__sxx"), sum(yd * yd).as("__syy"))
+      .select(col(groupCol), col("n"), {
+        // zero-variance groups → null (ANSI div-by-zero guard)
+        val num = (col("n") * col("__sxy") - col("__sx") * col("__sy"))
+          .cast("double")
+        val den =
+          sqrt((col("n") * col("__sxx") - col("__sx") * col("__sx"))
+            .cast("double")) *
+          sqrt((col("n") * col("__syy") - col("__sy") * col("__sy"))
+            .cast("double"))
+        when(den =!= 0d, Similarity.trunc(num / den, 6)).as("r6")
+      })
+  }
+}

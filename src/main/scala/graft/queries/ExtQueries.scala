@@ -848,6 +848,42 @@ object ExtQueries {
         Seq("src0" -> 5L, "src1" -> 3L, "src2" -> 2L, "src3" -> 1L))
         .orderBy("global_pos")),
 
+    // Snapshot diff by key (table-versioning audit): synthesize an
+    // "after" snapshot with removals (%7), value changes (%2 price
+    // doubled), and additions (%11 re-keyed), then classify via one
+    // null-safe full-outer join. Unchanged rows never leave the join.
+    "q103_table_diff" -> ((s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority")
+      val base = orders(s, d).select(cols.map(col): _*)
+      val after = base.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 2 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+        .unionByName(base.filter(col("o_orderkey") % 11 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      graft.etl.Warehouse.tableDiff(base, after, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Gap-filled hourly series per event type: empty buckets become
+    // zero rows between each key's first and last activity (the step
+    // chart/alerting densification a bare groupBy can't produce).
+    "q104_gapfill" -> ((s, d) =>
+      EventsOps.gapFill(events(s, d), "event_type", widthSec = 3600L)
+        .orderBy("event_type", "bucket")),
+
+    // Per-group Pearson r from exact decimal sums — order-independent
+    // accumulation, one fixed closed-form double expression at the end
+    // (builtin corr streams FP moments and is not even run-to-run
+    // stable).
+    "q105_corr" -> ((s, d) =>
+      graft.ext.Stats.pearsonByGroup(
+        documents(s, d)
+          .withColumn("__y", TextStats.tokenCount(col("text"))),
+        "lang", col("n_chars"), col("__y"))
+        .orderBy("lang")),
+
     // Train-then-encode BPE end-to-end: learn 6 merges from the corpus
     // (q89's trainer), apply them back to every document, count BPE
     // tokens per doc. The merge table is driver-side literals; the
@@ -1517,6 +1553,55 @@ object ExtQueries {
             .mkString("\nUNION ALL\n")})
          |ORDER BY round""".stripMargin
     },
+
+    // The diff classes are definable straight from the synthesis rules.
+    "q103_table_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey FROM orders)
+        |SELECT o_orderkey, change_type FROM (
+        |  SELECT o_orderkey, 'removed' AS change_type FROM base
+        |  WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'changed' FROM base
+        |  WHERE o_orderkey % 7 <> 0 AND o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'added' FROM base
+        |  WHERE o_orderkey % 11 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Same floor-div bucketing (epoch_us avoids DuckDB's fractional
+    // epoch()); per-key generate_series densifies the empty buckets.
+    "q104_gapfill" ->
+      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
+        |c AS (SELECT event_type,
+        |    epoch_us(ts) // 1000000 // 3600 AS bucket, count(*) AS n
+        |  FROM e GROUP BY 1, 2),
+        |s AS (SELECT event_type,
+        |    unnest(generate_series(min(bucket), max(bucket))) AS bucket
+        |  FROM c GROUP BY event_type)
+        |SELECT s.event_type, s.bucket,
+        |  cast(to_timestamp(s.bucket * 3600) AS timestamp) AS bucket_start,
+        |  cast(coalesce(n, 0) AS bigint) AS n
+        |FROM s LEFT JOIN c USING (event_type, bucket)
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    // Exact hugeint sums; the closed form runs in double with the same
+    // operation order as the Spark expression (floor-truncated 6 dp).
+    "q105_corr" ->
+      """WITH t AS (
+        |  SELECT lang, n_chars AS x,
+        |    len(string_split_regex(trim(text), '\s+')) AS y
+        |  FROM documents),
+        |a AS (SELECT lang, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM t GROUP BY lang)
+        |SELECT lang, n,
+        |  floor(cast(n * sxy - sx * sy AS double) /
+        |    (sqrt(cast(n * sxx - sx * sx AS double)) *
+        |     sqrt(cast(n * syy - sy * sy AS double))) * 1000000)
+        |    / 1000000 AS r6
+        |FROM a ORDER BY lang""".stripMargin,
 
     // Learn the same 6 merges, then APPLY them to every document's
     // words (the same chained replace-all, scalar-subquery merge

@@ -229,6 +229,31 @@ object EventsOps {
     * Ordering ties (same user, same timestamp) break on event_id, so
     * the interval chain is deterministic under any partitioning.
     */
+  /** Gap-filled per-key time series: bucket counts at `widthSec`
+    * resolution, with EMPTY buckets densified to zero rows between each
+    * key's first and last activity — the step chart/alerting shape a
+    * bare groupBy can't produce (missing groups are missing rows).
+    * Bucket ids are integral epoch `div` (exact at any magnitude); the
+    * per-key bucket range materializes via sequence+explode, so the
+    * output volume is Σ per-key spans — bounded by time, not by |rows|.
+    * One aggregation + one small per-key range join.
+    */
+  def gapFill(events: DataFrame, keyCol: String, widthSec: Long)
+      : DataFrame = {
+    val bucket = expr(s"unix_timestamp(ts) div ${widthSec}L")
+    val counts = events
+      .groupBy(col(keyCol), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val spans = counts.groupBy(keyCol)
+      .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
+      .select(col(keyCol),
+        explode(sequence(col("__lo"), col("__hi"))).as("bucket"))
+    spans.join(counts, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), col("bucket"),
+        timestamp_seconds(col("bucket") * widthSec).as("bucket_start"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   def scd2(events: DataFrame, attrCol: String = "event_type"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byTime = Window.partitionBy("user_id")

@@ -446,4 +446,90 @@ class Round5Spec extends SparkSpec {
     assert(afterCompact.map(_.toSeq).toSeq ===
       afterReingest.map(_.toSeq).toSeq)
   }
+
+  // ------------------------------------------------------------------
+  // Warehouse.tableDiff
+  // ------------------------------------------------------------------
+
+  test("tableDiff: added/removed/changed classification, unchanged dropped") {
+    val before = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("k", "s", "v")
+    val after = Seq((1L, "a", 10), (2L, "B", 20), (4L, "d", 40))
+      .toDF("k", "s", "v")
+    val out = graft.etl.Warehouse.tableDiff(before, after, Seq("k"))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((2L, "changed"), (3L, "removed"), (4L, "added")))
+  }
+
+  test("tableDiff: null-safe compare — null==null is unchanged") {
+    val before = Seq((1L, Option.empty[String]), (2L, Some("x")))
+      .toDF("k", "s")
+    val after = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("k", "s")
+    val out = graft.etl.Warehouse.tableDiff(before, after, Seq("k"))
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((2L, "changed")))
+  }
+
+  test("tableDiff: key-only schemas classify presence only") {
+    val before = Seq(Tuple1(1L), Tuple1(2L)).toDF("k")
+    val after = Seq(Tuple1(2L), Tuple1(3L)).toDF("k")
+    val out = graft.etl.Warehouse.tableDiff(before, after, Seq("k"))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "removed"), (3L, "added")))
+  }
+
+  // ------------------------------------------------------------------
+  // EventsOps.gapFill
+  // ------------------------------------------------------------------
+
+  test("gapFill: zero rows for empty buckets, per-key spans") {
+    val ev = Seq(
+      ("a", ts(0)), ("a", ts(30)), ("a", ts(7200)),      // gap at hour 1
+      ("b", ts(3600))                                    // single bucket
+    ).toDF("k", "ts")
+    val out = EventsOps.gapFill(ev, "k", widthSec = 3600L)
+      .orderBy("k", "bucket").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq
+      === Seq(("a", 0L, 2L), ("a", 1L, 0L), ("a", 2L, 1L), ("b", 1L, 1L)))
+    // bucket_start is the bucket's epoch instant
+    assert(out(1).getTimestamp(2) === ts(3600))
+  }
+
+  // ------------------------------------------------------------------
+  // Stats.pearsonByGroup
+  // ------------------------------------------------------------------
+
+  test("pearson: exact positive/negative/degenerate groups") {
+    val df = Seq(
+      ("up", 1, 10), ("up", 2, 20), ("up", 3, 30),       // r = 1
+      ("dn", 1, 30), ("dn", 2, 20), ("dn", 3, 10),       // r = -1
+      ("flat", 1, 5), ("flat", 2, 5), ("flat", 3, 5)     // zero var → null
+    ).toDF("g", "x", "y")
+    val out = graft.ext.Stats
+      .pearsonByGroup(df, "g", col("x"), col("y"))
+      .orderBy("g").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("dn", "flat", "up"))
+    // floor-truncated to 6 dp: FP noise may land one truncation ulp low
+    assert(math.abs(out(0).getDouble(2) - -1.0) <= 1e-6)
+    assert(out(1).isNullAt(2))
+    assert(math.abs(out(2).getDouble(2) - 1.0) <= 1e-6)
+  }
+
+  test("pearson: accumulation-order independence (repartition invariant)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map(i =>
+      ("g", rnd.nextInt(1000), rnd.nextInt(1000)))
+    val df = rows.toDF("g", "x", "y")
+    val r1 = graft.ext.Stats
+      .pearsonByGroup(df.repartition(1), "g", col("x"), col("y"))
+      .collect()(0).getDouble(2)
+    val r17 = graft.ext.Stats
+      .pearsonByGroup(df.repartition(17), "g", col("x"), col("y"))
+      .collect()(0).getDouble(2)
+    assert(r1 === r17)
+  }
 }
