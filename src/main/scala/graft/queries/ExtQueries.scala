@@ -884,6 +884,17 @@ object ExtQueries {
         "lang", col("n_chars"), col("__y"))
         .orderBy("lang")),
 
+    // Exact edit-distance self-join (fuzzy key matching): every customer
+    // name pair within Levenshtein distance 1, via pigeonhole segment
+    // blocking — no cross join; the oracle brute-forces the quadratic
+    // form, proving zero false negatives at sf scale.
+    "q106_editdist_join" -> ((s, d) =>
+      Dedup.editDistanceJoin(
+        customer(s, d).select(col("c_custkey").as("id"),
+          col("c_name").as("s")),
+        "id", "s", d = 1)
+        .orderBy("id_a", "id_b")),
+
     // Train-then-encode BPE end-to-end: learn 6 merges from the corpus
     // (q89's trainer), apply them back to every document, count BPE
     // tokens per doc. The merge table is driver-side literals; the
@@ -1602,6 +1613,17 @@ object ExtQueries {
         |     sqrt(cast(n * syy - sy * sy AS double))) * 1000000)
         |    / 1000000 AS r6
         |FROM a ORDER BY lang""".stripMargin,
+
+    // Brute-force quadratic replay: DuckDB cross-joins and verifies the
+    // full pair space, so any blocking false negative would show as a
+    // missing row.
+    "q106_editdist_join" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  cast(levenshtein(a.s, b.s) AS int) AS dist
+        |FROM c a JOIN c b ON a.id < b.id
+        |WHERE levenshtein(a.s, b.s) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Learn the same 6 merges, then APPLY them to every document's
     // words (the same chained replace-all, scalar-subquery merge

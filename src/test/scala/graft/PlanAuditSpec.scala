@@ -167,4 +167,10 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q97_sample_quantiles")
     assert(p.contains("partial_"), s"no map-side combine in:\n$p")
   }
+
+  test("q106 edit-distance join never goes quadratic (segment equi-join)") {
+    val p = plan("q106_editdist_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"quadratic join shape in:\n$p")
+  }
 }

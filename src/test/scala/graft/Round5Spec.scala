@@ -532,4 +532,38 @@ class Round5Spec extends SparkSpec {
       .collect()(0).getDouble(2)
     assert(r1 === r17)
   }
+
+  // ------------------------------------------------------------------
+  // Dedup.editDistanceJoin
+  // ------------------------------------------------------------------
+
+  test("editDistanceJoin: equals brute force at d=2 (ins/del/sub, mixed lengths)") {
+    // 2-letter alphabet, lengths 4-8: dense pair space exercises every
+    // edit kind, length-crossing pairs, and sub-(d+1)-length segments
+    val rnd = new scala.util.Random(11)
+    val strs = (1L to 120L).map(i => (i,
+      (0 until (4 + rnd.nextInt(5))).map(_ => "ab"(rnd.nextInt(2))).mkString))
+    val df = strs.toDF("id", "s")
+    val got = Dedup.editDistanceJoin(df, "id", "s", d = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = df.as("a").crossJoin(df.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("dist", levenshtein(col("a.s"), col("b.s")))
+      .filter(col("dist") <= 2)
+      .select(col("a.id"), col("b.id"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(brute.nonEmpty && got === brute)
+  }
+
+  test("editDistanceJoin: distance values are exact, d=1 misses d=2 pairs") {
+    val df = Seq((1L, "kitten"), (2L, "sitten"), (3L, "sittin"),
+      (4L, "sitting"), (5L, "kitten")).toDF("id", "s")
+    val d1 = Dedup.editDistanceJoin(df, "id", "s", d = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(d1 === Set((1L, 2L, 1), (2L, 3L, 1), (3L, 4L, 1), (1L, 5L, 0),
+      (2L, 5L, 1)))
+    val d2 = Dedup.editDistanceJoin(df, "id", "s", d = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(d2.contains((1L, 3L, 2)) && d2.contains((2L, 4L, 2)))
+  }
 }
