@@ -263,6 +263,56 @@ object TextStats {
       .select(col("w1"), col("w2"), col("cnt"), col("lift6"))
   }
 
+  /** Bigram language-model fluency score per document — the KenLM-style
+    * quality filter of a training-data pipeline, with EXACT arithmetic
+    * throughout. Train add-one-smoothed bigram probabilities on the
+    * corpus itself, then score every document by its MEAN smoothed
+    * bigram probability: per position, p = (c(w1,w2)+1)/(c(w1)+V)
+    * (V = |vocab|), held as the integer floor(10⁹·p) via pure integer
+    * division — so the per-document sum is an exact bigint, immune to
+    * accumulation order, and any engine replays it bit-for-bit (same
+    * BM25 rationale: a log would reorder nothing per-position but its
+    * last-ulp rounding is libm-dependent; the linear mean keeps the
+    * ranking signal and stays exact).
+    *
+    * Shape: two corpus passes with map-side combine (bigram counts,
+    * unigram counts), one count_distinct for V; scoring joins each
+    * document's bigram positions to the count tables — shuffle keyed by
+    * (w1,w2) then w1 (vocab tables are corpus-vocabulary-sized, NOT
+    * broadcast: at 100 TB the bigram table is huge); final per-doc agg.
+    * Documents with no bigram (≤1 token) score null with n_bigrams 0.
+    * Output: (id, n_bigrams, mean_p9).
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = tokens(col(textCol))
+    val nb = size(toks) - 1
+    val docBigrams = df
+      .select(col(idCol), explode(zip_with(
+        slice(toks, lit(1), greatest(nb, lit(0))),
+        slice(toks, lit(2), greatest(nb, lit(0))),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bigramC = docBigrams.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c12"))
+    val unigramC = df.select(explode(toks).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = df.select(explode(toks).as("w"))
+      .agg(count_distinct(col("w"))).head().getLong(0)
+    val p9 = expr(s"((c12 + 1L) * 1000000000L) div (c1 + ${v}L)")
+    val scored = docBigrams
+      .join(bigramC, Seq("w1", "w2"))
+      .join(unigramC, Seq("w1"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(p9).as("__sp"))
+      .select(col(idCol), col("n_bigrams"),
+        expr("__sp div n_bigrams").as("mean_p9"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("mean_p9"))
+  }
+
   /** BM25 top-k retrieval for a fixed bag of query `terms` — the scoring
     * pass of a keyword search / data-curation filter. Uses the LINEAR
     * idf `((N - df) + 0.5) / (df + 0.5)` (same monotone-substitute

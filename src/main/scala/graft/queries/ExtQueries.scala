@@ -895,6 +895,14 @@ object ExtQueries {
         "id", "s", d = 1)
         .orderBy("id_a", "id_b")),
 
+    // Bigram-LM fluency score (KenLM-style quality filter): add-one
+    // smoothed bigram probs trained on the corpus itself, each doc
+    // scored by its mean smoothed bigram probability — exact integer
+    // arithmetic end to end (floor(1e9·p) per position, bigint sums).
+    "q107_bigram_lm" -> ((s, d) =>
+      TextStats.bigramLmScore(documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Train-then-encode BPE end-to-end: learn 6 merges from the corpus
     // (q89's trainer), apply them back to every document, count BPE
     // tokens per doc. The merge table is driver-side literals; the
@@ -1624,6 +1632,31 @@ object ExtQueries {
         |FROM c a JOIN c b ON a.id < b.id
         |WHERE levenshtein(a.s, b.s) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Full LM replay: train the same smoothed bigram table, score with
+    // the same integer floor-divisions (parallel unnest zips the
+    // adjacent-token lists; hugeint sums cast back at the end).
+    "q107_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, unnest(w[1:len(w)-1]) AS w1,
+        |    unnest(w[2:len(w)]) AS w2
+        |  FROM t),
+        |bc AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+        |ug AS (SELECT unnest(w) AS w1 FROM t),
+        |u AS (SELECT w1, count(*) AS c1 FROM ug GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w1) AS nv FROM ug),
+        |sc AS (
+        |  SELECT b.doc_id, count(*) AS n_bigrams,
+        |    sum(((c12 + 1) * 1000000000) // (c1 + nv)) AS sp
+        |  FROM b JOIN bc USING (w1, w2) JOIN u USING (w1) CROSS JOIN v
+        |  GROUP BY b.doc_id)
+        |SELECT d.doc_id, cast(coalesce(n_bigrams, 0) AS bigint) AS n_bigrams,
+        |  cast(sp // n_bigrams AS bigint) AS mean_p9
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // Learn the same 6 merges, then APPLY them to every document's
     // words (the same chained replace-all, scalar-subquery merge

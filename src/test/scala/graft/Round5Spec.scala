@@ -566,4 +566,21 @@ class Round5Spec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(d2.contains((1L, 3L, 2)) && d2.contains((2L, 4L, 2)))
   }
+
+  // ------------------------------------------------------------------
+  // TextStats.bigramLmScore
+  // ------------------------------------------------------------------
+
+  test("bigramLmScore: hand-computed smoothed probabilities") {
+    // V=3 (a,b,z); c(a)=3, c(b)=3; c(a,b)=3, c(b,a)=1
+    // p(a,b)=4/6 -> 666666666; p(b,a)=2/6 -> 333333333
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val out = TextStats.bigramLmScore(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc1: (2*666666666 + 333333333) div 3 = 555555555
+    assert(out(0).getLong(1) === 3L && out(0).getLong(2) === 555555555L)
+    assert(out(1).getLong(1) === 1L && out(1).getLong(2) === 666666666L)
+    assert(out(2).getLong(1) === 0L && out(2).isNullAt(2))
+  }
 }
