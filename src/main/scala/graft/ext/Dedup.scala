@@ -997,4 +997,66 @@ object Dedup {
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  // ------------------------------------------------------------------
+  // Duplicated-substring spans (substring-level dedup)
+  // ------------------------------------------------------------------
+
+  /** SUBSTRING-level duplication detector (the memorization-removal
+    * pass of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL'22 — their suffix-array pass re-expressed as
+    * the Spark-friendly position-gram variant): find every maximal span
+    * of each document whose every length-`g` character window also
+    * appears in ANOTHER document, i.e. exact cross-document duplicated
+    * text at sub-document granularity (boilerplate, license headers,
+    * copied paragraphs) that whole-doc dedup can never see.
+    *
+    * Mechanics: each doc emits its |text|-g+1 position grams keyed by
+    * md5(gram) (16-byte keys instead of g chars through the shuffle —
+    * the same portable-digest trick as the md5 minhash; a collision
+    * would need 2⁶⁴ grams). Grams held by >= 2 DISTINCT docs are
+    * "duplicated"; their positions come back per doc and merge into
+    * maximal spans with one lag-window pass (equal-length intervals
+    * sorted by start merge iff gap <= g — contiguous-or-overlapping).
+    * Output per doc: span count and total duplicated chars (zero for
+    * clean docs).
+    *
+    * Shape: one corpus-scale shuffle keyed by digest (count_distinct
+    * partials combine map-side), one semi-join back (digest keys), one
+    * doc-partition window. The g× byte amplification of the gram pass
+    * is the algorithm's cost everywhere (the suffix-array original
+    * pays it as a sort); the digest keying caps the per-gram payload.
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+      g: Int): DataFrame = {
+    require(g >= 2, s"dupSpans: gram length must be >= 2, got $g")
+    import org.apache.spark.sql.expressions.Window
+    val withLen = df.select(col(idCol), col(textCol).as("__t"),
+      length(col(textCol)).as("__n"))
+    val grams = withLen.filter(col("__n") >= g)
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(0), col("__n") - g)).as("p"))
+      .select(col(idCol), col("p"),
+        md5(col("__t").substr(col("p") + 1, lit(g))).as("k"))
+    val dupKeys = grams.groupBy("k")
+      .agg(count_distinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= 2).select("k")
+    val pos = grams.join(dupKeys, "k").select(col(idCol), col("p"))
+    val w = Window.partitionBy(idCol).orderBy("p")
+    val spans = pos
+      .withColumn("flag",
+        when(lag("p", 1).over(w).isNull ||
+          col("p") - lag("p", 1).over(w) > g, 1).otherwise(0))
+      .withColumn("gid", sum("flag")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("gid"))
+      .agg(min(col("p")).as("s"), (max(col("p")) + g).as("e"))
+    val perDoc = spans.groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans"),
+        sum((col("e") - col("s")).cast("long")).as("dup_chars"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+  }
 }

@@ -903,6 +903,13 @@ object ExtQueries {
       TextStats.bigramLmScore(documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Substring-level dedup (Lee et al. ACL'22, position-gram variant):
+    // per doc, maximal spans of text whose every 40-char window also
+    // appears in another document — boilerplate whole-doc dedup misses.
+    "q108_dup_spans" -> ((s, d) =>
+      Dedup.dupSpans(documents(s, d), "doc_id", "text", g = 40)
+        .orderBy("doc_id")),
+
     // Train-then-encode BPE end-to-end: learn 6 merges from the corpus
     // (q89's trainer), apply them back to every document, count BPE
     // tokens per doc. The merge table is driver-side literals; the
@@ -1656,6 +1663,32 @@ object ExtQueries {
         |SELECT d.doc_id, cast(coalesce(n_bigrams, 0) AS bigint) AS n_bigrams,
         |  cast(sp // n_bigrams AS bigint) AS mean_p9
         |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Position grams by md5 digest, >=2-distinct-doc keys, and the same
+    // lag-window interval merge (gap <= g joins spans).
+    "q108_dup_spans" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |g AS (SELECT doc_id, unnest(generate_series(0, n - 40)) AS p, text
+        |  FROM d WHERE n >= 40),
+        |g2 AS (SELECT doc_id, p, md5(substr(text, p + 1, 40)) AS k FROM g),
+        |dup AS (SELECT k FROM g2 GROUP BY k
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |pos AS (SELECT doc_id, p FROM g2 JOIN dup USING (k)),
+        |m AS (SELECT doc_id, p,
+        |    CASE WHEN lag(p) OVER w IS NULL
+        |      OR p - lag(p) OVER w > 40 THEN 1 ELSE 0 END AS flag
+        |  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+        |gg AS (SELECT doc_id, p,
+        |    sum(flag) OVER (PARTITION BY doc_id ORDER BY p) AS gid
+        |  FROM m),
+        |spans AS (SELECT doc_id, gid, min(p) AS s, max(p) + 40 AS e
+        |  FROM gg GROUP BY doc_id, gid),
+        |per AS (SELECT doc_id, count(*) AS n_spans, sum(e - s) AS dup_chars
+        |  FROM spans GROUP BY doc_id)
+        |SELECT d.doc_id, cast(coalesce(n_spans, 0) AS bigint) AS n_spans,
+        |  cast(coalesce(dup_chars, 0) AS bigint) AS dup_chars
+        |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     // Learn the same 6 merges, then APPLY them to every document's

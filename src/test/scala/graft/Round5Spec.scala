@@ -583,4 +583,42 @@ class Round5Spec extends SparkSpec {
     assert(out(1).getLong(1) === 1L && out(1).getLong(2) === 666666666L)
     assert(out(2).getLong(1) === 0L && out(2).isNullAt(2))
   }
+
+  // ------------------------------------------------------------------
+  // Dedup.dupSpans
+  // ------------------------------------------------------------------
+
+  test("dupSpans: cross-doc spans, gram merging, clean docs zero") {
+    val df = Seq(
+      (1L, "XXABCDYY"),   // shares ABCD with doc 2
+      (2L, "ZABCDQ"),
+      (3L, "ABCDEF"),     // fully duplicated with doc 4 -> one merged span
+      (4L, "ABCDEF"),
+      (5L, "qqqqqqqq")    // clean
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(df, "doc_id", "text", g = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq((1L, 1L, 4L), (2L, 1L, 4L),
+      (3L, 1L, 6L), (4L, 1L, 6L), (5L, 0L, 0L)))
+  }
+
+  test("dupSpans: within-doc repetition alone does not flag") {
+    val df = Seq((1L, "ABCDABCDABCD"), (2L, "zzzzzzzz"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dupSpans(df, "doc_id", "text", g = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq((1L, 0L, 0L), (2L, 0L, 0L)))
+  }
+
+  test("dupSpans: two separated spans stay separate") {
+    // shared grams at p=0 and p=8 with a unique middle: gap 8 > g=4
+    val df = Seq((1L, "AAAA1234BBBBxx"), (2L, "AAAA"), (3L, "BBBB"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dupSpans(df, "doc_id", "text", g = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq((1L, 2L, 8L), (2L, 1L, 4L), (3L, 1L, 4L)))
+  }
 }
