@@ -42,4 +42,34 @@ object Stats {
         when(den =!= 0d, Similarity.trunc(num / den, 6)).as("r6")
       })
   }
+
+  /** 2-D Pareto frontier (skyline, both criteria MAXIMIZED): rows not
+    * dominated by any other row, where a dominates b iff a.x >= b.x,
+    * a.y >= b.y, and at least one is strict. Ties sit on the frontier
+    * together (neither dominates). Null criteria rows are excluded
+    * (dominance is undefined on null).
+    *
+    * The naive plan is the O(n²) NOT EXISTS anti-join (exactly what the
+    * oracle replays); this is the sort-scan skyline instead: collapse
+    * to max(y) per distinct x (one shuffle with map-side combine), then
+    * a running-max window DESCENDING over x keeps x-classes whose max-y
+    * strictly beats every higher-x class, and a semi-join pulls back
+    * the surviving (x, y) rows. The window runs on the |distinct x|
+    * table — already reduced by the aggregation, NOT the corpus; for a
+    * high-cardinality continuous x, bucketize x first or range-
+    * partition the cummax, else that exchange is the bottleneck.
+    */
+  def paretoFrontier(df: DataFrame, xCol: String, yCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val perX = rows.groupBy(col(xCol)).agg(max(col(yCol)).as("__my"))
+    val beforeDesc = Window.orderBy(col(xCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perX
+      .withColumn("__run", max(col("__my")).over(beforeDesc))
+      .filter(col("__run").isNull || col("__my") > col("__run"))
+      .select(col(xCol), col("__my").as(yCol))
+    rows.join(frontier, Seq(xCol, yCol), "left_semi")
+  }
 }

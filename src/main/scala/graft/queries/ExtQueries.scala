@@ -910,6 +910,14 @@ object ExtQueries {
       Dedup.dupSpans(documents(s, d), "doc_id", "text", g = 40)
         .orderBy("doc_id")),
 
+    // 2-D skyline: parts maximizing (size, retailprice) — sort-scan
+    // frontier vs the oracle's quadratic NOT EXISTS dominance replay.
+    "q109_skyline" -> ((s, d) =>
+      graft.ext.Stats.paretoFrontier(
+        part(s, d).select("p_partkey", "p_size", "p_retailprice"),
+        "p_size", "p_retailprice")
+        .orderBy("p_partkey")),
+
     // Train-then-encode BPE end-to-end: learn 6 merges from the corpus
     // (q89's trainer), apply them back to every document, count BPE
     // tokens per doc. The merge table is driver-side literals; the
@@ -1690,6 +1698,17 @@ object ExtQueries {
         |  cast(coalesce(dup_chars, 0) AS bigint) AS dup_chars
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Quadratic dominance replay — any false frontier row or omission
+    // diverges from the definitional NOT EXISTS form.
+    "q109_skyline" ->
+      """SELECT p_partkey, p_size, p_retailprice FROM part a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_size >= a.p_size
+        |    AND b.p_retailprice >= a.p_retailprice
+        |    AND (b.p_size > a.p_size OR b.p_retailprice > a.p_retailprice))
+        |ORDER BY p_partkey""".stripMargin,
 
     // Learn the same 6 merges, then APPLY them to every document's
     // words (the same chained replace-all, scalar-subquery merge

@@ -621,4 +621,33 @@ class Round5Spec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(out === Seq((1L, 2L, 8L), (2L, 1L, 4L), (3L, 1L, 4L)))
   }
+
+  // ------------------------------------------------------------------
+  // Stats.paretoFrontier
+  // ------------------------------------------------------------------
+
+  test("paretoFrontier: equals brute-force dominance on random points") {
+    val rnd = new scala.util.Random(13)
+    val pts = (1L to 300L).map(i => (i, rnd.nextInt(30), rnd.nextInt(30)))
+    val df = pts.toDF("id", "x", "y")
+    val got = graft.ext.Stats.paretoFrontier(df, "x", "y")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val brute = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, bx, by) =>
+        bx >= x && by >= y && (bx > x || by > y) }
+    }.map(_._1).toSet
+    assert(brute.nonEmpty && got === brute)
+  }
+
+  test("paretoFrontier: exact ties share the frontier, nulls excluded") {
+    val df = Seq(
+      (1L, Some(5), Some(5)), (2L, Some(5), Some(5)),  // tied corner
+      (3L, Some(5), Some(4)),                          // dominated
+      (4L, Some(6), Some(1)),                          // frontier
+      (5L, None, Some(9)), (6L, Some(9), None)         // null criteria
+    ).toDF("id", "x", "y")
+    val got = graft.ext.Stats.paretoFrontier(df, "x", "y")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L, 4L))
+  }
 }
