@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint audit — the validation gate a
+  * production ingest runs before publishing a table (the Spark-native
+  * precedent is AWS Deequ; the reference's null/empty guards (F2) and
+  * RI semi-filters (F7) are single instances of the same idea). Each
+  * rule yields a (rule, violations) row; a clean table is all zeros.
+  *
+  * Scale shape: ALL row-local rules (not-null, range, set, regex)
+  * compile into ONE aggregation over ONE scan — adding a rule adds a
+  * conditional-sum expression, not a pass. `Unique` adds one
+  * key-grouped aggregation (map-side combine; violations = surplus
+  * rows beyond the first per key). `ForeignKey` adds one left-anti
+  * join per referenced table (broadcast when the reference side is
+  * small, which dimension tables are). Results union as 1-row frames —
+  * no driver-side actions anywhere, the audit is itself one lazy plan.
+  */
+object Quality {
+
+  sealed trait Rule { def name: String }
+
+  /** Row-local rule: `violated` must be a boolean Column over one row. */
+  sealed trait RowRule extends Rule { def violated: Column }
+
+  case class NotNull(c: String) extends RowRule {
+    val name = s"not_null($c)"
+    def violated: Column = col(c).isNull
+  }
+  /** Violation when null or outside [lo, hi] (closed interval). */
+  case class InRange(c: String, lo: Column, hi: Column) extends RowRule {
+    val name = s"in_range($c)"
+    def violated: Column = col(c).isNull || col(c) < lo || col(c) > hi
+  }
+  case class InSet(c: String, values: Seq[String]) extends RowRule {
+    val name = s"in_set($c)"
+    def violated: Column = col(c).isNull || !col(c).isin(values: _*)
+  }
+  case class MatchesRegex(c: String, pattern: String) extends RowRule {
+    val name = s"matches($c)"
+    def violated: Column = col(c).isNull || !col(c).rlike(pattern)
+  }
+  case class Unique(cols: Seq[String]) extends Rule {
+    val name = s"unique(${cols.mkString(",")})"
+  }
+  /** Non-null values of `c` must appear in `ref`'s `refCol`. */
+  case class ForeignKey(c: String, ref: DataFrame, refCol: String,
+      refName: String) extends Rule {
+    val name = s"fk($c->$refName)"
+  }
+
+  def audit(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "audit: need at least one rule")
+    val rowRules = rules.collect { case r: RowRule => r }
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    if (rowRules.nonEmpty) {
+      val aggs = rowRules.map(r =>
+        sum(when(r.violated, 1L).otherwise(0L)).as(r.name))
+      parts += df.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(rowRules.map(r => struct(
+          lit(r.name).as("rule"),
+          coalesce(col(s"`${r.name}`"), lit(0L)).as("violations"))): _*))
+          .as("kv"))
+        .select(col("kv.rule"), col("kv.violations"))
+    }
+    rules.foreach {
+      case Unique(cols) =>
+        parts += df.groupBy(cols.map(col): _*)
+          .agg(count(lit(1)).as("__c"))
+          .filter(col("__c") > 1)
+          .agg(coalesce(sum(col("__c") - 1), lit(0L)).as("violations"))
+          .select(lit(Unique(cols).name).as("rule"), col("violations"))
+      case fk @ ForeignKey(c, ref, refCol, _) =>
+        parts += df.filter(col(c).isNotNull)
+          .join(ref.select(col(refCol).as(c)), Seq(c), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit(fk.name).as("rule"), col("violations"))
+      case _: RowRule => // folded into the single-scan aggregation
+    }
+    parts.reduce(_ unionByName _)
+  }
+}

@@ -918,6 +918,35 @@ object ExtQueries {
         "p_size", "p_retailprice")
         .orderBy("p_partkey")),
 
+    // Deequ-style constraint audit over a deterministically dirtied
+    // orders snapshot: four row-local rules share ONE scan; unique and
+    // FK add one agg / one anti-join. Violation counts are the grade.
+    "q110_quality_audit" -> ((s, d) => {
+      import graft.ext.Quality
+      val base = orders(s, d)
+      val k = col("o_orderkey")
+      val dirty0 = base.select(k.as("o_orderkey"),
+        when(k % 97 === 0, lit(null))
+          .when(k % 107 === 0, col("o_custkey") + 1000000L)
+          .otherwise(col("o_custkey")).as("o_custkey"),
+        when(k % 103 === 0, "X").otherwise(col("o_orderstatus"))
+          .as("o_orderstatus"),
+        when(k % 101 === 0, -1.0d).otherwise(col("o_totalprice"))
+          .as("o_totalprice"),
+        when(k % 109 === 0, "bogus").otherwise(col("o_orderpriority"))
+          .as("o_orderpriority"))
+      val dirty = dirty0.unionByName(dirty0.filter(k % 1000 === 0))
+      Quality.audit(dirty, Seq(
+        Quality.NotNull("o_custkey"),
+        Quality.InRange("o_totalprice", lit(1.0d), lit(600000.0d)),
+        Quality.InSet("o_orderstatus", Seq("O", "F", "P")),
+        Quality.MatchesRegex("o_orderpriority", "^[1-5]-[A-Z ]+$"),
+        Quality.Unique(Seq("o_orderkey")),
+        Quality.ForeignKey("o_custkey", customer(s, d), "c_custkey",
+          "customer")))
+        .orderBy("rule")
+    }),
+
     // Train-then-encode BPE end-to-end: learn 6 merges from the corpus
     // (q89's trainer), apply them back to every document, count BPE
     // tokens per doc. The merge table is driver-side literals; the
@@ -1709,6 +1738,47 @@ object ExtQueries {
         |    AND b.p_retailprice >= a.p_retailprice
         |    AND (b.p_size > a.p_size OR b.p_retailprice > a.p_retailprice))
         |ORDER BY p_partkey""".stripMargin,
+
+    // Same dirtying CTE, each rule as a definitional count.
+    "q110_quality_audit" ->
+      """WITH dirty0 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN NULL
+        |         WHEN o_orderkey % 107 = 0 THEN o_custkey + 1000000
+        |         ELSE o_custkey END AS o_custkey,
+        |    CASE WHEN o_orderkey % 103 = 0 THEN 'X'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 101 = 0 THEN -1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    CASE WHEN o_orderkey % 109 = 0 THEN 'bogus'
+        |         ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders),
+        |dirty AS (SELECT * FROM dirty0
+        |  UNION ALL SELECT * FROM dirty0 WHERE o_orderkey % 1000 = 0)
+        |SELECT rule, violations FROM (
+        |  SELECT 'fk(o_custkey->customer)' AS rule, count(*) AS violations
+        |  FROM dirty d WHERE o_custkey IS NOT NULL AND NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = d.o_custkey)
+        |  UNION ALL
+        |  SELECT 'in_range(o_totalprice)', count(*) FROM dirty
+        |  WHERE o_totalprice IS NULL
+        |    OR NOT (o_totalprice BETWEEN 1.0 AND 600000.0)
+        |  UNION ALL
+        |  SELECT 'in_set(o_orderstatus)', count(*) FROM dirty
+        |  WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P')
+        |  UNION ALL
+        |  SELECT 'matches(o_orderpriority)', count(*) FROM dirty
+        |  WHERE o_orderpriority IS NULL
+        |    OR NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+        |  UNION ALL
+        |  SELECT 'not_null(o_custkey)', count(*) FROM dirty
+        |  WHERE o_custkey IS NULL
+        |  UNION ALL
+        |  SELECT 'unique(o_orderkey)',
+        |    cast(coalesce(sum(c - 1), 0) AS bigint)
+        |  FROM (SELECT count(*) AS c FROM dirty GROUP BY o_orderkey)
+        |  WHERE c > 1)
+        |ORDER BY rule""".stripMargin,
 
     // Learn the same 6 merges, then APPLY them to every document's
     // words (the same chained replace-all, scalar-subquery merge

@@ -650,4 +650,42 @@ class Round5Spec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(got === Set(1L, 2L, 4L))
   }
+
+  // ------------------------------------------------------------------
+  // Quality.audit
+  // ------------------------------------------------------------------
+
+  test("quality audit: hand-counted violations per rule kind") {
+    import graft.ext.Quality
+    val ref = Seq(Tuple1(1L), Tuple1(2L)).toDF("rk")
+    val df = Seq(
+      (1L, Some(1L), "O", 10.0, "1-URGENT"),
+      (2L, Some(2L), "F", -5.0, "5-LOW"),      // range violation
+      (3L, None, "X", 20.0, "bad"),            // null fk, bad set, bad regex
+      (3L, Some(9L), "P", 30.0, "2-HIGH"),     // dup key, fk orphan
+      (3L, Some(1L), "O", 40.0, "3-MEDIUM")    // dup key again
+    ).toDF("k", "fkc", "st", "price", "prio")
+    val out = Quality.audit(df, Seq(
+      Quality.NotNull("fkc"),
+      Quality.InRange("price", lit(0.0), lit(100.0)),
+      Quality.InSet("st", Seq("O", "F", "P")),
+      Quality.MatchesRegex("prio", "^[1-5]-[A-Z]+$"),
+      Quality.Unique(Seq("k")),
+      Quality.ForeignKey("fkc", ref, "rk", "ref")))
+      .orderBy("rule").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out === Seq(
+      ("fk(fkc->ref)", 1L), ("in_range(price)", 1L), ("in_set(st)", 1L),
+      ("matches(prio)", 1L), ("not_null(fkc)", 1L), ("unique(k)", 2L)))
+  }
+
+  test("quality audit: clean table is all zeros (incl. empty-group sums)") {
+    import graft.ext.Quality
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val out = Quality.audit(df, Seq(
+      Quality.NotNull("v"), Quality.Unique(Seq("k")),
+      Quality.ForeignKey("k", df.select("k"), "k", "self")))
+      .collect().map(_.getLong(1)).toSeq
+    assert(out === Seq(0L, 0L, 0L))
+  }
 }
