@@ -59,6 +59,37 @@ object Stats {
     * high-cardinality continuous x, bucketize x first or range-
     * partition the cummax, else that exchange is the bottleneck.
     */
+  /** Categorical distribution-drift audit between two snapshots of a
+    * corpus (train-vs-serve skew / yesterday-vs-today monitoring): per
+    * category, both counts and the absolute difference of the two
+    * sides' PPM shares, d6 = |10⁶·ca div na − 10⁶·cb div nb| — pure
+    * integer arithmetic (exact, order-independent, engine-portable; a
+    * PSI's ln() would hit the same libm-divergence wall as every log
+    * here, and the L1/total-variation family ranks drift identically).
+    * Σd6/2 over the output is the total-variation distance in ppm
+    * (up to per-category floor). Categories absent on one side count
+    * zero there — full-outer semantics, drift shows as the whole share.
+    *
+    * Shape: one count-agg per side (map-side combine), a full-outer
+    * join on the category-cardinality tables, two scalar totals. Safe
+    * for na, nb up to ~9·10¹² rows (10⁶·n must fit a long).
+    */
+  def categoryDrift(a: DataFrame, b: DataFrame, catCol: String)
+      : DataFrame = {
+    val na = a.count()
+    val nb = b.count()
+    require(na > 0 && nb > 0, "categoryDrift: both snapshots need rows")
+    val ca = a.groupBy(col(catCol)).agg(count(lit(1)).as("ca"))
+    val cb = b.groupBy(col(catCol)).agg(count(lit(1)).as("cb"))
+    ca.join(cb, Seq(catCol), "full_outer")
+      .select(col(catCol),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .withColumn("d6", abs(
+        expr(s"(ca * 1000000L) div ${na}L") -
+        expr(s"(cb * 1000000L) div ${nb}L")))
+  }
+
   def paretoFrontier(df: DataFrame, xCol: String, yCol: String)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -918,6 +918,16 @@ object ExtQueries {
         "p_size", "p_retailprice")
         .orderBy("p_partkey")),
 
+    // Distribution-drift audit: language shares of the full corpus vs
+    // a deterministic subset, as exact ppm-share deltas (the
+    // train-vs-serve skew monitor; integer TV-family, no libm).
+    "q111_drift" -> ((s, d) => {
+      val docs = documents(s, d)
+      graft.ext.Stats.categoryDrift(docs,
+        docs.filter(col("doc_id") % 3 =!= 0), "lang")
+        .orderBy("lang")
+    }),
+
     // Deequ-style constraint audit over a deterministically dirtied
     // orders snapshot: four row-local rules share ONE scan; unique and
     // FK add one agg / one anti-join. Violation counts are the grade.
@@ -1738,6 +1748,21 @@ object ExtQueries {
         |    AND b.p_retailprice >= a.p_retailprice
         |    AND (b.p_size > a.p_size OR b.p_retailprice > a.p_retailprice))
         |ORDER BY p_partkey""".stripMargin,
+
+    // Integer ppm-share replay over the same subset rule.
+    "q111_drift" ->
+      """WITH a AS (SELECT lang, count(*) AS ca FROM documents GROUP BY lang),
+        |b AS (SELECT lang, count(*) AS cb FROM documents
+        |  WHERE doc_id % 3 <> 0 GROUP BY lang),
+        |na AS (SELECT count(*) AS n FROM documents),
+        |nb AS (SELECT count(*) AS n FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT lang, cast(coalesce(ca, 0) AS bigint) AS ca,
+        |  cast(coalesce(cb, 0) AS bigint) AS cb,
+        |  cast(abs((coalesce(ca, 0) * 1000000) // na.n -
+        |           (coalesce(cb, 0) * 1000000) // nb.n) AS bigint) AS d6
+        |FROM a FULL OUTER JOIN b USING (lang)
+        |CROSS JOIN na CROSS JOIN nb
+        |ORDER BY lang""".stripMargin,
 
     // Same dirtying CTE, each rule as a definitional count.
     "q110_quality_audit" ->

@@ -688,4 +688,23 @@ class Round5Spec extends SparkSpec {
       .collect().map(_.getLong(1)).toSeq
     assert(out === Seq(0L, 0L, 0L))
   }
+
+  // ------------------------------------------------------------------
+  // Stats.categoryDrift
+  // ------------------------------------------------------------------
+
+  test("categoryDrift: ppm shares, one-sided categories, zero drift") {
+    val a = Seq("x", "x", "x", "y").map(Tuple1(_)).toDF("c")
+    val b = Seq("x", "z").map(Tuple1(_)).toDF("c")
+    val out = graft.ext.Stats.categoryDrift(a, b, "c")
+      .orderBy("c").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // x: 750000 vs 500000; y: 250000 vs 0; z: 0 vs 500000
+    assert(out === Seq(("x", 3L, 1L, 250000L), ("y", 1L, 0L, 250000L),
+      ("z", 0L, 1L, 500000L)))
+    val same = graft.ext.Stats.categoryDrift(a, a, "c")
+      .collect().map(_.getLong(3)).toSeq
+    assert(same === Seq(0L, 0L))
+  }
 }
