@@ -919,7 +919,7 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
-  // Exact edit-distance join (pigeonhole segment blocking)
+  // Exact edit-distance join (rare-gram prefix blocking, Ed-Join)
   // ------------------------------------------------------------------
 
   /** EXACT edit-distance self-join: every pair with Levenshtein
@@ -927,75 +927,122 @@ object Dedup {
     * primitive (fuzzy key matching) the reference's substring theta-join
     * (J7) gestures at, generalized to bounded edits.
     *
-    * The naive plan is the O(n²) cross join; this uses PassJoin-style
-    * PIGEONHOLE SEGMENT blocking (Li et al., ICDE'11): split every
-    * string into d+1 contiguous segments (even split, first `len mod
-    * (d+1)` segments one char longer). If ed(s,t) <= d then some
-    * segment of s survives UNEDITED, so it appears in t verbatim —
-    * with the same length and a start position shifted by at most d
-    * (each edit shifts alignment by <= 1). So: the index side emits its
-    * d+1 (segIdx, segLen-class, segment) keys; the probe side emits,
-    * for every candidate source length ls in [len(t)-d, len(t)+d] and
-    * every segment index, the substrings of t at start positions within
-    * ±d of that segment's start — a bounded (2d+1)·(d+1)·(2d+1) fan-out
-    * per row, independent of corpus size. Candidates meet on an
-    * equi-key (one shuffle), then exact `levenshtein(s, t, d)`
-    * verification (early-exit banded DP) keeps true pairs only. No
-    * false negatives: both orientations of a qualifying pair emit a
-    * matching key, so the id_a < id_b restriction loses nothing.
+    * The naive plan is the O(n²) cross join; this blocks on c-TUPLES of
+    * RARE q-GRAMS in a global document-frequency order (Ed-Join's
+    * df-ascending prefix filter, Xiao et al. VLDB'08, strengthened by
+    * its count filter realized as composite join keys — the same
+    * rarity-blocking philosophy as `setSimJoin`). One edit destroys at
+    * most q positioned q-grams, so a qualifying pair loses at most q·d
+    * distinct gram values per side; by the prefix-filter order argument
+    * the c globally-SMALLEST shared grams all sit inside both sides'
+    * (q·d+c)-rarest prefixes. Each string therefore emits its
+    * C(q·d+c, c) prefix c-combinations (canonical df-then-gram order)
+    * and candidates meet on tuple equality — requiring c simultaneous
+    * gram matches multiplies bucket selectivity: a corpus-wide constant
+    * prefix ("Customer#…", "https://www.") has maximal df, sorts last,
+    * and never blocks alone. Strings with fewer than q·d+c distinct
+    * grams fall back to single-gram keys (their full gram set vs every
+    * string's (q·d+1)-prefix — the c=1 lemma), and strings shorter than
+    * q·(d+1) (where the gram bound is vacuous) pair within ±d length
+    * bands only. All three candidate families then pre-dedup, length-
+    * filter, and verify with exact `levenshtein(a, b, d)` (early-exit
+    * banded DP). Output: (id_a, id_b, dist), id_a < id_b.
     *
-    * Output: (id_a, id_b, dist), id_a < id_b. Strings ride through the
-    * candidate shuffle (right call for key-length strings; for long
-    * strings re-fetch by id instead). Scale: shuffle volume is
-    * O(d²·corpus); no cross join anywhere; the segment keys carry the
-    * length class so only compatible lengths ever meet.
+    * Scale: per-string emit is C(q·d+c, c) fixed keys; the df pass is
+    * one map-side-combined agg; strings ride through the candidate
+    * shuffle (right for key-length strings — for long strings fetch by
+    * id instead); no cross join anywhere. Corpora heavy in EXACT
+    * duplicates should collapse them first (`exactGroups`) — identical
+    * strings are all true pairs, quadratic in any exact method.
     */
   def editDistanceJoin(df: DataFrame, idCol: String, strCol: String,
-      d: Int): DataFrame = {
+      d: Int, q: Int = 3, c: Int = 3): DataFrame = {
     require(d >= 1 && d <= 4, s"editDistanceJoin: need 1 <= d <= 4, got $d")
-    val k = d + 1
+    require(q >= 2, s"editDistanceJoin: need q >= 2, got $q")
+    require(c >= 1 && c <= 4, s"editDistanceJoin: need 1 <= c <= 4, got $c")
     val base = df
       .filter(col(strCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(strCol).as("s"),
         length(col(strCol)).as("len"))
-    // segment geometry for a string of length `ls`: segment i has
-    // length base+1 for i < rem else base, start i*base + min(i, rem)
-    def segLen(ls: Column, i: Column): Column =
-      (ls / k).cast("int") + when(i < ls % k, 1).otherwise(0)
-    def segStart(ls: Column, i: Column): Column =
-      i * (ls / k).cast("int") + least(i, ls % k)
-    val segs = base
-      .select(col("id"), col("s"), col("len"),
-        explode(sequence(lit(0), lit(d))).as("i"))
-      .select(
-        struct(col("i"), col("len").as("ls"),
-          col("s").substr(segStart(col("len"), col("i")) + 1,
-            segLen(col("len"), col("i"))).as("seg")).as("key"),
-        col("id"), col("s"))
-    val probes = base
-      .select(col("id").as("idp"), col("s").as("t"), col("len"),
+    val minLen = q * (d + 1)
+    val p = q * d + c
+    // ---- gram paths: rare-gram prefix blocking ----------------------
+    val long = base.filter(col("len") >= minLen)
+    val grams = long.select(col("id"),
+      explode(array_distinct(transform(
+        sequence(lit(1), col("len") - (q - 1)),
+        i => col("s").substr(i, lit(q))))).as("g"))
+    val gdf = grams.groupBy("g").agg(count(lit(1)).as("dfc"))
+    // persisted: feeds both sides of the tuple self-join plus the two
+    // single-gram families, and Spark re-plans an aliased subplan per
+    // consumer (same no-cross-alias-reuse reality as setSimJoin's
+    // ranked — unpersisted this whole build ran 4x). The bench's
+    // clearCache() between queries releases it; callers embedding this
+    // in longer pipelines should unpersist when done.
+    val ranked = grams.join(gdf, "g")
+      .groupBy("id")
+      .agg(slice(sort_array(collect_list(struct(col("dfc"), col("g")))),
+        1, p).as("pgx"))
+      .join(long.select(col("id"), col("s")), "id")
+      .select(col("id"), col("s"),
+        transform(col("pgx"), x => x.getField("g")).as("pg"),
+        size(col("pgx")).as("np"))
+      .persist()
+    // rich strings (np == p): the c smallest shared grams of any
+    // qualifying pair are a c-subset of BOTH prefixes -> tuple keys
+    val combos = (0 until p).combinations(c).toSeq
+    val comboArr = array(combos.map(ix =>
+      struct(ix.zipWithIndex.map { case (i, slot) =>
+        element_at(col("pg"), i + 1).as(s"g$slot") }: _*)): _*)
+    val rich = ranked.filter(col("np") === p)
+      .select(col("id"), col("s"), explode(comboArr).as("key"))
+    val richCand = rich
+      .select(col("key"), col("id").as("ia"), col("s").as("sa"))
+      .join(rich.select(col("key"), col("id").as("ib"),
+        col("s").as("sb")), "key")
+      .filter(col("ia") < col("ib"))
+      .select("ia", "ib", "sa", "sb")
+    // sparse strings (np < p): single-gram fallback, their full gram
+    // set against every string's (q*d+1)-prefix (c=1 lemma)
+    val sparseSingles = ranked.filter(col("np") < p)
+      .select(col("id").as("ja"), col("s").as("ta"),
+        explode(col("pg")).as("g"))
+    val prefixSingles = ranked
+      .select(col("id").as("jb"), col("s").as("tb"),
+        explode(slice(col("pg"), 1, q * d + 1)).as("g"))
+    val sparseCand = sparseSingles.join(prefixSingles, "g")
+      .filter(col("ja") =!= col("jb"))
+      .select(least(col("ja"), col("jb")).as("ia"),
+        greatest(col("ja"), col("jb")).as("ib"),
+        when(col("ja") < col("jb"), col("ta")).otherwise(col("tb")).as("sa"),
+        when(col("ja") < col("jb"), col("tb")).otherwise(col("ta")).as("sb"))
+    // ---- short path: length-banded dense block ----------------------
+    // strings below minLen pair only with strings within ±d in length
+    val shortA = base.filter(col("len") < minLen)
+      .select(col("id").as("ja"), col("s").as("ta"),
         explode(sequence(greatest(lit(0), col("len") - d),
-          col("len") + d)).as("ls"))
-      .select(col("idp"), col("t"), col("len"), col("ls"),
-        explode(sequence(lit(0), lit(d))).as("i"))
-      .withColumn("slen", segLen(col("ls"), col("i")))
-      .withColumn("sst", segStart(col("ls"), col("i")))
-      .withColumn("plo", greatest(lit(0), col("sst") - d))
-      .withColumn("phi", least(col("len") - col("slen"), col("sst") + d))
-      .filter(col("phi") >= col("plo"))
-      .select(col("idp"), col("t"), col("i"), col("ls"), col("slen"),
-        explode(sequence(col("plo"), col("phi"))).as("p"))
-      .select(col("idp"), col("t"),
-        struct(col("i"), col("ls"),
-          col("t").substr(col("p") + 1, col("slen")).as("seg")).as("key"))
-    segs.join(probes, "key")
-      .filter(col("id") < col("idp"))
-      .select(col("id").as("id_a"), col("idp").as("id_b"),
-        col("s"), col("t"))
-      .distinct()
-      .withColumn("dist", levenshtein(col("s"), col("t"), d))
+          col("len") + d)).as("lb"))
+    val shortB = base.filter(col("len") < minLen + d)
+      .select(col("id").as("jb"), col("s").as("tb"),
+        col("len").as("lb"))
+    val shortCand = shortA.join(shortB, "lb")
+      .filter(col("ja") =!= col("jb"))
+      .select(least(col("ja"), col("jb")).as("ia"),
+        greatest(col("ja"), col("jb")).as("ib"),
+        when(col("ja") < col("jb"), col("ta")).otherwise(col("tb")).as("sa"),
+        when(col("ja") < col("jb"), col("tb")).otherwise(col("ta")).as("sb"))
+    // ---- verify ----------------------------------------------------
+    // verify BEFORE dedup: levenshtein(_, _, d) on the raw candidate
+    // stream is cheaper than a wide distinct on string-carrying rows —
+    // survivors are output-sized (x tuple multiplicity), so the
+    // distinct that collapses multi-key matches runs on slim
+    // (id, id, dist) triples.
+    richCand.unionByName(sparseCand).unionByName(shortCand)
+      .filter(abs(length(col("sa")) - length(col("sb"))) <= d)
+      .withColumn("dist", levenshtein(col("sa"), col("sb"), d))
       .filter(col("dist") >= 0)
-      .select(col("id_a"), col("id_b"), col("dist"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"), col("dist"))
+      .distinct()
   }
 
   // ------------------------------------------------------------------

@@ -567,6 +567,35 @@ class Round5Spec extends SparkSpec {
     assert(d2.contains((1L, 3L, 2)) && d2.contains((2L, 4L, 2)))
   }
 
+  test("editDistanceJoin: constant-prefix corpus stays exact (rare-gram path)") {
+    // every string shares a long constant prefix — the case that
+    // degenerates fixed-position segment blocking; rare-gram prefixes
+    // must still find exactly the brute-force pairs
+    val rnd = new scala.util.Random(17)
+    val strs = (1L to 150L).map(i =>
+      (i, "Customer#" + (100000 + rnd.nextInt(900)).toString))
+    val df = strs.toDF("id", "s")
+    val got = Dedup.editDistanceJoin(df, "id", "s", d = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = df.as("a").crossJoin(df.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("dist", levenshtein(col("a.s"), col("b.s")))
+      .filter(col("dist") <= 2)
+      .select(col("a.id"), col("b.id"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(brute.nonEmpty && got === brute)
+  }
+
+  test("editDistanceJoin: long/short paths cooperate across the length cut") {
+    // minLen = q(d+1) = 6 at d=1: "abcde" (5, short) vs "abcdex" (6,
+    // long) is a cross-path pair and must still be found
+    val df = Seq((1L, "abcde"), (2L, "abcdex"), (3L, "abcdefgh"),
+      (4L, "abcdefghx")).toDF("id", "s")
+    val got = Dedup.editDistanceJoin(df, "id", "s", d = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === Set((1L, 2L, 1), (3L, 4L, 1)))
+  }
+
   // ------------------------------------------------------------------
   // TextStats.bigramLmScore
   // ------------------------------------------------------------------
