@@ -168,9 +168,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), s"no map-side combine in:\n$p")
   }
 
-  test("q106 edit-distance join never goes quadratic (segment equi-join)") {
+  test("q106 edit-distance join never goes quadratic (gram-tuple equi-join)") {
     val p = plan("q106_editdist_join")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       s"quadratic join shape in:\n$p")
+  }
+
+  test("q107 bigram LM: count tables aggregate partially, no cartesian") {
+    val p = plan("q107_bigram_lm")
+    assert(p.contains("partial_"), s"no map-side combine in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"quadratic join shape in:\n$p")
+  }
+
+  test("q108 dup spans: digest agg combines map-side; window is per-doc") {
+    val p = plan("q108_dup_spans")
+    assert(p.contains("partial_"), s"no map-side combine in:\n$p")
+    // the interval-merge window partitions by doc — a global
+    // single-partition window here would be a scale killer
+    assert(!"Window.*\\n.*Exchange SinglePartition".r.findFirstIn(p)
+      .isDefined, s"single-partition window in:\n$p")
   }
 }
