@@ -918,6 +918,12 @@ object ExtQueries {
         "p_size", "p_retailprice")
         .orderBy("p_partkey")),
 
+    // Rolling z-score anomaly detection per event type: trailing-20
+    // window, 3-sigma cross-multiplied integer test (no sqrt, no FP).
+    "q112_anomaly" -> ((s, d) =>
+      EventsOps.anomalies(events(s, d), "event_type", n = 20, k = 3)
+        .orderBy("event_id")),
+
     // Distribution-drift audit: language shares of the full corpus vs
     // a deterministic subset, as exact ppm-share deltas (the
     // train-vs-serve skew monitor; integer TV-family, no libm).
@@ -1748,6 +1754,28 @@ object ExtQueries {
         |    AND b.p_retailprice >= a.p_retailprice
         |    AND (b.p_size > a.p_size OR b.p_retailprice > a.p_retailprice))
         |ORDER BY p_partkey""".stripMargin,
+
+    // Same trailing-window integer z-test; ts cast like every events
+    // oracle, (ts, event_id) frame order.
+    "q112_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_id, cast(ts AS timestamp) AS ts, event_type,
+        |    cast(round(value * 100) AS bigint) AS x
+        |  FROM events),
+        |r AS (
+        |  SELECT event_id, event_type, x,
+        |    count(*) OVER w AS cnt,
+        |    sum(x) OVER w AS s1,
+        |    sum(x * x) OVER w AS s2
+        |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, event_type, x AS x_cents,
+        |  cast((20 * x - s1) * (20 * x - s1) AS bigint) AS dev2,
+        |  cast(9 * (20 * s2 - s1 * s1) AS bigint) AS bound2
+        |FROM r
+        |WHERE cnt = 20
+        |  AND (20 * x - s1) * (20 * x - s1) > 9 * (20 * s2 - s1 * s1)
+        |ORDER BY event_id""".stripMargin,
 
     // Integer ppm-share replay over the same subset rule.
     "q111_drift" ->

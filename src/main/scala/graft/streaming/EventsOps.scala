@@ -254,6 +254,42 @@ object EventsOps {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Rolling z-score anomaly detector over a metric stream — per key,
+    * flag events whose value deviates more than `k` standard deviations
+    * from the trailing `n`-event window (the window EXCLUDES the
+    * current row, so an outlier never masks itself). EXACT integer
+    * arithmetic throughout: values are fixed-point cents, and the
+    * z-test is cross-multiplied to dodge both sqrt and division —
+    * with dx = n·x − Σx and V = n·Σx² − (Σx)², flag iff dx² > k²·V
+    * (algebraically identical to (x−μ)² > k²σ², engine-portable to the
+    * last bit). Warmup rows (fewer than n predecessors) never flag.
+    *
+    * Shape: ONE key-partition exchange drives the whole computation
+    * (both rolling sums share the frame); no joins, no second pass.
+    * Long-arithmetic bounds: |cents| ≤ ~3·10⁶ at n ≤ 10⁴ keeps
+    * dx², k²·V well inside bigint.
+    */
+  def anomalies(events: DataFrame, keyCol: String, n: Int, k: Int)
+      : DataFrame = {
+    require(n >= 2 && k >= 1, s"anomalies: need n >= 2, k >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy("ts", "event_id")
+      .rowsBetween(-n, -1)
+    val cents = round(col("value") * 100).cast("long")
+    events
+      .withColumn("x", cents)
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("x")).over(w))
+      .withColumn("s2", sum(col("x") * col("x")).over(w))
+      .filter(col("cnt") === n)
+      .withColumn("dx", lit(n) * col("x") - col("s1"))
+      .withColumn("v", lit(n) * col("s2") - col("s1") * col("s1"))
+      .filter(col("dx") * col("dx") > lit(k.toLong * k) * col("v"))
+      .select(col("event_id"), col(keyCol), col("x").as("x_cents"),
+        (col("dx") * col("dx")).as("dev2"),
+        (lit(k.toLong * k) * col("v")).as("bound2"))
+  }
+
   def scd2(events: DataFrame, attrCol: String = "event_type"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byTime = Window.partitionBy("user_id")

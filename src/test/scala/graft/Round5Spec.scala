@@ -736,4 +736,32 @@ class Round5Spec extends SparkSpec {
       .collect().map(_.getLong(3)).toSeq
     assert(same === Seq(0L, 0L))
   }
+
+  // ------------------------------------------------------------------
+  // EventsOps.anomalies
+  // ------------------------------------------------------------------
+
+  test("anomalies: spike flags after warmup, window excludes self") {
+    // 20 warmup events at 10.00, then one at 10.01 (flat window ->
+    // any deviation flags), then one back at 10.00 (window now holds
+    // the 10.01, variance > 0, dx small -> must NOT flag at k=3)
+    val rows = (1 to 20).map(i => (i.toLong, ts(i), "a", 10.00)) ++
+      Seq((21L, ts(21), "a", 10.01), (22L, ts(22), "a", 10.00))
+    val df = rows.toDF("event_id", "ts", "event_type", "value")
+    val out = EventsOps.anomalies(df, "event_type", n = 20, k = 3)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(21L))
+    // dx = 20*1001 - 20*1000 = 20 -> dev2 400; flat window -> bound2 0
+    assert(out(0).getLong(3) === 400L && out(0).getLong(4) === 0L)
+  }
+
+  test("anomalies: warmup rows never flag; keys are independent") {
+    // key "b" has only 5 events with a wild jump — below n, no flags
+    val rows = (1 to 20).map(i => (i.toLong, ts(i), "a", 10.00)) ++
+      (1 to 5).map(i => (100L + i, ts(i), "b", if (i == 5) 999.0 else 1.0))
+    val df = rows.toDF("event_id", "ts", "event_type", "value")
+    val out = EventsOps.anomalies(df, "event_type", n = 20, k = 3)
+      .collect()
+    assert(out.isEmpty)
+  }
 }
