@@ -202,6 +202,53 @@ object StreamingJobs {
       }
   }
 
+  case class AnomState(window: List[Long])
+
+  case class Anomaly(event_id: Long, event_type: String, x_cents: Long,
+      dev2: Long, bound2: Long)
+
+  /** STREAMING twin of `EventsOps.anomalies`: per-key state carries the
+    * trailing `n` fixed-point values (a bounded ring — state size is
+    * n longs per key, forever); each event tests the cross-multiplied
+    * integer z-condition dx² > k²·V against the window BEFORE being
+    * appended (self never masks). Identical flags to the batch
+    * operator under the same per-key event-time-order contract as
+    * `scd2Stream` (in-batch disorder sorted; cross-batch order is the
+    * append-log guarantee). A batch rescore re-reads all history; this
+    * pays O(n) per event with no shuffle beyond the key partition.
+    */
+  def anomalyStream(events: Dataset[Event], n: Int, k: Int)
+      : Dataset[Anomaly] = {
+    import events.sparkSession.implicits._
+    require(n >= 2 && k >= 1, "anomalyStream: need n >= 2, k >= 1")
+    val kk = k.toLong * k
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomState, Anomaly](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[Event], state: GroupState[AnomState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var win = state.getOption.map(_.window).getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer.empty[Anomaly]
+          sorted.foreach { e =>
+            // same fixed-point rule as the batch operator (HALF_UP on
+            // the non-negative metric domain)
+            val x = math.round(e.value * 100)
+            if (win.size == n) {
+              val s1 = win.sum
+              val s2 = win.iterator.map(v => v * v).sum
+              val dx = n * x - s1
+              val v = n * s2 - s1 * s1
+              if (dx * dx > kk * v)
+                out += Anomaly(e.event_id, key, x, dx * dx, kk * v)
+            }
+            win = (win :+ x).takeRight(n)
+          }
+          state.update(AnomState(win))
+          out.iterator
+      }
+  }
+
   case class Scd2State(attr: String, validFrom: Long, version: Long)
 
   case class Scd2Closed(user_id: Long, attr: String,

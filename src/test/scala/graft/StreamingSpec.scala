@@ -218,6 +218,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("anomalyStream: warmup state survives micro-batch boundary") {
+    // file 1 fills the n=5 window with flat 10.00s; file 2 holds the
+    // spike — it can only flag if the window state crossed the batch
+    // boundary (maxFilesPerTrigger=1 forces two micro-batches)
+    val dir = Files.createTempDirectory("graft_anoms").toString
+    def drop(rows: Seq[Event]): Unit =
+      rows.toDF()
+        .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    drop((1 to 5).map(i =>
+      Event(i.toLong, ts(s"2024-01-01 10:0$i:00"), 1L, "m", 10.00)))
+    drop(Seq(Event(6L, ts("2024-01-01 10:06:00"), 1L, "m", 10.40),
+      Event(7L, ts("2024-01-01 10:07:00"), 1L, "m", 10.00)))
+    val in = spark.readStream.schema(StreamingJobs.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+    runToMemory(StreamingJobs.anomalyStream(in, n = 5, k = 3).toDF(),
+      "sj_anom", "append")
+    val got = spark.table("sj_anom").orderBy("event_id")
+      .select($"event_id", $"x_cents", $"dev2", $"bound2")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // event 6: flat window -> bound2 0, dx = 5*1040-5*1000 = 200
+    assert(got == Seq((6L, 1040L, 40000L, 0L)))
+  }
+
+  test("anomalyStream batch drive agrees with the batch anomalies operator") {
+    val rnd = new scala.util.Random(23)
+    val ev = (1 to 120).map(i => Event(i.toLong,
+      ts(f"2024-01-01 ${10 + i / 60}%02d:${i % 60}%02d:00"),
+      1L, if (i % 2 == 0) "a" else "b",
+      math.round((5 + rnd.nextGaussian()) * 100) / 100.0))
+    val streamed = StreamingJobs.anomalyStream(ev.toDS(), n = 10, k = 2)
+      .select($"event_id", $"x_cents", $"dev2", $"bound2")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = graft.streaming.EventsOps
+      .anomalies(ev.toDF(), "event_type", n = 10, k = 2)
+      .select($"event_id", $"x_cents", $"dev2", $"bound2")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty && streamed === batch)
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions on gap") {
     // batch Dataset drive of the same state function shape: sessions
     // close inline when a later event arrives past the gap
