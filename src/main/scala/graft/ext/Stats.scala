@@ -43,6 +43,37 @@ object Stats {
       })
   }
 
+  /** Exact grouped WEIGHTED median (lower median): per group, the
+    * smallest value v whose cumulative weight reaches half the group's
+    * total — the robust central-tendency statistic (outlier-immune,
+    * unlike mean; integer-exact, unlike interpolated percentiles).
+    * The half test is cross-multiplied (2·cum >= total) — no division,
+    * no FP, deterministic on ties by the value order itself.
+    *
+    * Shape: one (group, value) pre-aggregation collapses duplicate
+    * values (map-side combine — the window then runs on |distinct
+    * values| rows, not corpus rows), one group-partition window for the
+    * running cumulative, one min-agg for the first qualifying value.
+    */
+  def weightedMedianByGroup(df: DataFrame, groupCol: String,
+      valCol: Column, weightCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVal = df
+      .select(col(groupCol), valCol.cast("long").as("__v"),
+        weightCol.cast("long").as("__w"))
+      .groupBy(col(groupCol), col("__v"))
+      .agg(sum(col("__w")).as("__wv"))
+    val wOrd = Window.partitionBy(groupCol).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCol)
+    byVal
+      .withColumn("__cum", sum(col("__wv")).over(wOrd))
+      .withColumn("__tot", sum(col("__wv")).over(wAll))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(col(groupCol))
+      .agg(min(col("__v")).as("wmedian"), max(col("__tot")).as("total_w"))
+  }
+
   /** 2-D Pareto frontier (skyline, both criteria MAXIMIZED): rows not
     * dominated by any other row, where a dominates b iff a.x >= b.x,
     * a.y >= b.y, and at least one is strict. Ties sit on the frontier

@@ -918,6 +918,14 @@ object ExtQueries {
         "p_size", "p_retailprice")
         .orderBy("p_partkey")),
 
+    // Token-weighted median document length per language — exact
+    // integer weighted median (cross-multiplied half test, no FP).
+    "q113_weighted_median" -> ((s, d) =>
+      graft.ext.Stats.weightedMedianByGroup(
+        documents(s, d), "lang", col("n_chars"),
+        TextStats.tokenCount(col("text")))
+        .orderBy("lang")),
+
     // Rolling z-score anomaly detection per event type: trailing-20
     // window, 3-sigma cross-multiplied integer test (no sqrt, no FP).
     "q112_anomaly" -> ((s, d) =>
@@ -1754,6 +1762,23 @@ object ExtQueries {
         |    AND b.p_retailprice >= a.p_retailprice
         |    AND (b.p_size > a.p_size OR b.p_retailprice > a.p_retailprice))
         |ORDER BY p_partkey""".stripMargin,
+
+    // Distinct-value cumulative replay with the same half test.
+    "q113_weighted_median" ->
+      """WITH t AS (
+        |  SELECT lang, n_chars AS v,
+        |    len(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |bv AS (SELECT lang, v, sum(w) AS wv FROM t GROUP BY 1, 2),
+        |c AS (SELECT lang, v,
+        |    sum(wv) OVER (PARTITION BY lang ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(wv) OVER (PARTITION BY lang) AS tot
+        |  FROM bv)
+        |SELECT lang, cast(min(v) AS bigint) AS wmedian,
+        |  cast(max(tot) AS bigint) AS total_w
+        |FROM c WHERE cum * 2 >= tot
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Same trailing-window integer z-test; ts cast like every events
     // oracle, (ts, event_id) frame order.

@@ -764,4 +764,24 @@ class Round5Spec extends SparkSpec {
       .collect()
     assert(out.isEmpty)
   }
+
+  // ------------------------------------------------------------------
+  // Stats.weightedMedianByGroup
+  // ------------------------------------------------------------------
+
+  test("weightedMedian: hand-checked, outlier-immune, tie-deterministic") {
+    val df = Seq(
+      // g1: values 1(w5), 2(w1), 100(w1): half of 7 is 3.5 -> median 1
+      ("g1", 1L, 5L), ("g1", 2L, 1L), ("g1", 100L, 1L),
+      // g2: 10(w1), 20(w1): cum at 10 is 1, 2*1 >= 2 -> lower median 10
+      ("g2", 10L, 1L), ("g2", 20L, 1L),
+      // g3: duplicate values combine: 7(w1),7(w1),9(w1) -> median 7
+      ("g3", 7L, 1L), ("g3", 7L, 1L), ("g3", 9L, 1L)
+    ).toDF("g", "v", "w")
+    val out = graft.ext.Stats
+      .weightedMedianByGroup(df, "g", col("v"), col("w"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq(("g1", 1L, 7L), ("g2", 10L, 2L), ("g3", 7L, 3L)))
+  }
 }
