@@ -37,6 +37,39 @@ object Index {
         pmod(conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long"),
           lit(nBuckets.toLong)))
 
+  /** EXACT-PHRASE search — the positional twin of the tf postings and
+    * the primitive behind exact-sequence contamination checks (does
+    * this benchmark sentence appear verbatim in the corpus?). Token
+    * positions are materialized ONLY for the phrase's terms (the
+    * posexplode is filtered before its shuffle, same discipline as
+    * BM25's postings filter — the shuffle carries |phrase terms|/vocab
+    * of the corpus), grouped per doc, and a phrase match at anchor
+    * position p requires position p+i in term i's list for every i —
+    * one `filter`/`array_contains` expression over bounded per-doc
+    * lists, no position self-joins. Repeated words in the phrase are
+    * handled (lists are per DISTINCT term). Returns (id, n_matches)
+    * for matching docs. The same (term, doc_id, positions) rows slot
+    * into `writePostings`' bucket layout for an at-rest variant.
+    */
+  def phraseMatches(df: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "phraseMatches: need at least 2 words")
+    val terms = phrase.distinct
+    val pos = df.select(col(idCol),
+        posexplode(TextStats.tokens(col(textCol))).as(Seq("p", "term")))
+      .filter(col("term").isin(terms: _*))
+    val aggs = terms.zipWithIndex.map { case (t, i) =>
+      collect_list(when(col("term") === t, col("p"))).as(s"__p$i") }
+    val byDoc = pos.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    def listOf(w: String) = col(s"__p${terms.indexOf(w)}")
+    val matchesAt = phrase.zipWithIndex.tail
+      .foldLeft(listOf(phrase.head)) { case (acc, (w, i)) =>
+        filter(acc, p => array_contains(listOf(w), p + i))
+      }
+    byDoc.select(col(idCol), size(matchesAt).cast("long").as("n_matches"))
+      .filter(col("n_matches") > 0)
+  }
+
   /** Build the index: (term, doc_id, tf) rows, directory-partitioned by
     * the term-hash bucket. The groupBy's partial aggregation collapses
     * within-doc repeats map-side; the repartition keeps the write to one

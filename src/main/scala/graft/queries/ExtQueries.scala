@@ -918,6 +918,14 @@ object ExtQueries {
         "p_size", "p_retailprice")
         .orderBy("p_partkey")),
 
+    // Exact-phrase search (contamination primitive): docs containing
+    // the verbatim token sequence, with match counts — positional
+    // lists only for the phrase terms, no position self-joins.
+    "q114_phrase_search" -> ((s, d) =>
+      graft.ext.Index.phraseMatches(documents(s, d), "doc_id", "text",
+        Seq("spark", "join"))
+        .orderBy("doc_id")),
+
     // Token-weighted median document length per language — exact
     // integer weighted median (cross-multiplied half test, no FP).
     "q113_weighted_median" -> ((s, d) =>
@@ -1762,6 +1770,18 @@ object ExtQueries {
         |    AND b.p_retailprice >= a.p_retailprice
         |    AND (b.p_size > a.p_size OR b.p_retailprice > a.p_retailprice))
         |ORDER BY p_partkey""".stripMargin,
+
+    // Definitional adjacent-position join replay.
+    "q114_phrase_search" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS pos, w
+        |  FROM t),
+        |q AS (SELECT doc_id, pos, w[pos] AS term FROM p)
+        |SELECT a.doc_id, cast(count(*) AS bigint) AS n_matches
+        |FROM q a JOIN q b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |WHERE a.term = 'spark' AND b.term = 'join'
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
 
     // Distinct-value cumulative replay with the same half test.
     "q113_weighted_median" ->

@@ -784,4 +784,32 @@ class Round5Spec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(out === Seq(("g1", 1L, 7L), ("g2", 10L, 2L), ("g3", 7L, 3L)))
   }
+
+  // ------------------------------------------------------------------
+  // Index.phraseMatches
+  // ------------------------------------------------------------------
+
+  test("phraseMatches: exact sequences only, counts, repeated words") {
+    val df = Seq(
+      (1L, "x a b c y a b c"),     // "a b c" twice
+      (2L, "a c b"),               // words present, order wrong -> 0
+      (3L, "a b"),                 // prefix only -> 0
+      (4L, "q a b a z")            // repeated-word phrase target
+    ).toDF("doc_id", "text")
+    val abc = Index.phraseMatches(df, "doc_id", "text", Seq("a", "b", "c"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(abc === Seq((1L, 2L)))
+    val aba = Index.phraseMatches(df, "doc_id", "text", Seq("a", "b", "a"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(aba === Seq((4L, 1L)))
+  }
+
+  test("phraseMatches: overlapping occurrences all count") {
+    val df = Seq((1L, "a a a a")).toDF("doc_id", "text")
+    val out = Index.phraseMatches(df, "doc_id", "text", Seq("a", "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out === Seq((1L, 3L)))
+  }
 }
