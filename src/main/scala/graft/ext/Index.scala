@@ -70,6 +70,64 @@ object Index {
       .filter(col("n_matches") > 0)
   }
 
+  /** Positional postings layout: (term, doc_id, positions[]) rows,
+    * directory-partitioned by the term-hash bucket — `writePostings`
+    * extended with the in-doc position list, so exact-phrase probes
+    * work at rest. Same bucket hash, same small-files discipline.
+    */
+  def writePositionalPostings(df: DataFrame, idCol: String,
+      textCol: String, path: String, nBuckets: Int = 16): Unit =
+    df.select(col(idCol).as("doc_id"),
+        posexplode(TextStats.tokens(col(textCol))).as(Seq("p", "term")))
+      .groupBy("term", "doc_id")
+      .agg(sort_array(collect_list(col("p"))).as("positions"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long"),
+          lit(nBuckets.toLong)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Exact-phrase probe against the positional layout, reading ONLY the
+    * phrase terms' bucket directories (PartitionFilters IN-list + term
+    * PushedFilters — at 100 TB a contamination probe reads
+    * |phrase-term buckets|/nBuckets of the index, never the corpus).
+    * Matching logic is identical to `phraseMatches`; position lists
+    * arrive pre-aggregated from the layout. Only docs containing every
+    * distinct phrase term survive to the per-position check.
+    */
+  def phraseAtRest(spark: SparkSession, path: String,
+      phrase: Seq[String], nBuckets: Int = 16): DataFrame = {
+    require(phrase.size >= 2, "phraseAtRest: need at least 2 words")
+    val terms = phrase.distinct
+    val buckets = terms.map(termBucket(_, nBuckets)).distinct
+    val all = spark.read.parquet(path)
+    val bucketLits: Seq[Any] = all.schema("bucket").dataType match {
+      case LongType    => buckets
+      case IntegerType => buckets.map(_.toInt)
+      case StringType  => buckets.map(_.toString)
+      case other => throw new IllegalStateException(
+        s"phraseAtRest: partition column 'bucket' read back as $other; " +
+          "expected long/int/string — pruning contract would silently " +
+          "degrade to a full scan")
+    }
+    val pos = all.filter(col("bucket").isin(bucketLits: _*) &&
+      col("term").isin(terms: _*))
+    val aggs = terms.zipWithIndex.map { case (t, i) =>
+      first(when(col("term") === t, col("positions")), ignoreNulls = true)
+        .as(s"__p$i") }
+    val byDoc = pos.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .filter(terms.indices.map(i => col(s"__p$i").isNotNull)
+        .reduce(_ && _))
+    def listOf(w: String) = col(s"__p${terms.indexOf(w)}")
+    val matchesAt = phrase.zipWithIndex.tail
+      .foldLeft(listOf(phrase.head)) { case (acc, (w, i)) =>
+        filter(acc, p => array_contains(listOf(w), p + i))
+      }
+    byDoc.select(col("doc_id"),
+      size(matchesAt).cast("long").as("n_matches"))
+      .filter(col("n_matches") > 0)
+  }
+
   /** Build the index: (term, doc_id, tf) rows, directory-partitioned by
     * the term-hash bucket. The groupBy's partial aggregation collapses
     * within-doc repeats map-side; the repartition keeps the write to one

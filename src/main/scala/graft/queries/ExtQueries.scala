@@ -926,6 +926,19 @@ object ExtQueries {
         Seq("spark", "join"))
         .orderBy("doc_id")),
 
+    // Exact-phrase contamination probe AT REST: positional postings
+    // bucket-partitioned by term hash; the probe reads only the phrase
+    // terms' bucket dirs (PartitionFilters IN-list). Same result rows
+    // as q114 — the layout changes where postings live, not answers.
+    "q115_phrase_at_rest" -> ((s, d) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q115_" +
+        Integer.toHexString(d.hashCode) + "/postings"
+      graft.ext.Index.writePositionalPostings(documents(s, d), "doc_id",
+        "text", path)
+      graft.ext.Index.phraseAtRest(s, path, Seq("spark", "join"))
+        .orderBy("doc_id")
+    }),
+
     // Token-weighted median document length per language — exact
     // integer weighted median (cross-multiplied half test, no FP).
     "q113_weighted_median" -> ((s, d) =>
@@ -1770,6 +1783,19 @@ object ExtQueries {
         |    AND b.p_retailprice >= a.p_retailprice
         |    AND (b.p_size > a.p_size OR b.p_retailprice > a.p_retailprice))
         |ORDER BY p_partkey""".stripMargin,
+
+    // Recount straight from the corpus — the at-rest layout changes
+    // where the postings live, not what a phrase probe returns.
+    "q115_phrase_at_rest" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS pos, w
+        |  FROM t),
+        |q AS (SELECT doc_id, pos, w[pos] AS term FROM p)
+        |SELECT a.doc_id, cast(count(*) AS bigint) AS n_matches
+        |FROM q a JOIN q b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |WHERE a.term = 'spark' AND b.term = 'join'
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
 
     // Definitional adjacent-position join replay.
     "q114_phrase_search" ->

@@ -812,4 +812,24 @@ class Round5Spec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(out === Seq((1L, 3L)))
   }
+
+  test("phraseAtRest: agrees with in-memory, probe prunes to term buckets") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ppos").toString + "/postings"
+    val df = Seq(
+      (1L, "x a b c y a b c"), (2L, "a c b"), (3L, "a b"),
+      (4L, "c c a b c")
+    ).toDF("doc_id", "text")
+    Index.writePositionalPostings(df, "doc_id", "text", path)
+    val atRest = Index.phraseAtRest(spark, path, Seq("a", "b", "c"))
+    val got = atRest.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val mem = Index.phraseMatches(df, "doc_id", "text", Seq("a", "b", "c"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 2L), (4L, 1L)) && got === mem)
+    val p = atRest.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p).isDefined,
+      s"no bucket PartitionFilters in:\n$p")
+  }
 }
