@@ -1106,4 +1106,76 @@ object Dedup {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
   }
+
+  // ------------------------------------------------------------------
+  // Content-defined chunking dedup (CDC)
+  // ------------------------------------------------------------------
+
+  /** Content-defined chunking dedup — the STORAGE-level dedup primitive
+    * (LBFS/Venti lineage; dataset stores and backup systems use exactly
+    * this): cut every document at positions where the hash of the
+    * trailing `w`-char window meets a boundary condition, then find
+    * chunks shared across documents. Because boundaries derive from
+    * CONTENT, not offsets, inserting a prefix shifts every offset but
+    * reproduces the same chunk set for unchanged regions — the
+    * shift-robustness fixed-size blocks can't have (asserted in spec).
+    *
+    * Boundary rule: first two hex chars of md5(window) <= boundaryHexMax
+    * (lexicographic — "03" keeps 4/256 of positions, mean chunk ~64
+    * chars). The md5 window hash replaces the classic Rabin/Gear
+    * rolling hash for engine PORTABILITY (both engines replay hex md5
+    * verbatim; a custom rolling hash would need a UDF on one side and
+    * a list_reduce on the other) — same per-position cost class as the
+    * dupSpans gram pass. Chunk identity is md5(chunk); "duplicated" =
+    * held by >= 2 distinct docs. Output per doc: (n_chunks,
+    * dup_chunks, dup_chars).
+    *
+    * Shape: one position pass (boundary filter BEFORE the per-doc
+    * collect — only ~1/64 of positions survive), chunk explode is one
+    * row per chunk (not per char), one digest-keyed count_distinct
+    * (map-side combine), one left join back. Whole-doc fallback for
+    * docs shorter than `w` (one chunk).
+    */
+  def cdcDupStats(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, boundaryHexMax: String = "03"): DataFrame = {
+    require(w >= 2, s"cdcDupStats: window must be >= 2, got $w")
+    require(boundaryHexMax.length == 2 &&
+      boundaryHexMax.forall(ch => ch.isDigit || ('a' to 'f').contains(ch)),
+      s"cdcDupStats: boundaryHexMax must be 2 lowercase hex chars")
+    val base = df.select(col(idCol), col(textCol).as("__t"),
+      length(col(textCol)).as("__n"))
+    val bounds = base.filter(col("__n") >= w)
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(w), col("__n"))).as("p"))
+      .filter(substring(md5(col("__t").substr(col("p") - (w - 1), lit(w))),
+        1, 2) <= boundaryHexMax)
+      .groupBy(idCol).agg(sort_array(collect_list(col("p"))).as("bs"))
+    val chunks = base.join(bounds, Seq(idCol), "left")
+      .withColumn("edges", concat(array(lit(0)),
+        coalesce(col("bs"), array()), array(col("__n"))))
+      .select(col(idCol), col("__t"),
+        explode(transform(sequence(lit(0), size(col("edges")) - 2),
+          i => struct(element_at(col("edges"), i + 1).as("s"),
+            element_at(col("edges"), i + 2).as("e")))).as("ck"))
+      .filter(col("ck.e") > col("ck.s"))
+      .select(col(idCol),
+        md5(col("__t").substr(col("ck.s") + 1, col("ck.e") - col("ck.s")))
+          .as("k"),
+        (col("ck.e") - col("ck.s")).cast("long").as("clen"))
+    val dupKeys = chunks.groupBy("k")
+      .agg(count_distinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= 2).select(col("k"), lit(1).as("__dup"))
+    val per = chunks.join(dupKeys, Seq("k"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__dup").isNotNull, 1L).otherwise(0L))
+          .as("dup_chunks"),
+        sum(when(col("__dup").isNotNull, col("clen")).otherwise(0L))
+          .as("dup_chars"))
+    df.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("dup_chunks"), lit(0L)).as("dup_chunks"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+  }
 }

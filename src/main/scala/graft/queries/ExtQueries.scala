@@ -926,6 +926,13 @@ object ExtQueries {
         Seq("spark", "join"))
         .orderBy("doc_id")),
 
+    // Content-defined chunking dedup: md5-window boundaries (~64-char
+    // mean chunks), cross-doc chunk identity — the shift-robust
+    // storage dedup stat per document.
+    "q116_cdc_chunks" -> ((s, d) =>
+      Dedup.cdcDupStats(documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Exact-phrase contamination probe AT REST: positional postings
     // bucket-partitioned by term hash; the probe reads only the phrase
     // terms' bucket dirs (PartitionFilters IN-list). Same result rows
@@ -1783,6 +1790,40 @@ object ExtQueries {
         |    AND b.p_retailprice >= a.p_retailprice
         |    AND (b.p_size > a.p_size OR b.p_retailprice > a.p_retailprice))
         |ORDER BY p_partkey""".stripMargin,
+
+    // Same md5-window boundary rule, list-built edges, digest chunks.
+    "q116_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |b AS (SELECT doc_id, unnest(generate_series(8, n)) AS p, text
+        |  FROM d WHERE n >= 8),
+        |bf AS (SELECT doc_id, p FROM
+        |  (SELECT doc_id, p,
+        |     substr(md5(substr(text, p - 7, 8)), 1, 2) AS h FROM b)
+        |  WHERE h <= '03'),
+        |bl AS (SELECT doc_id, list_sort(list(p)) AS bs FROM bf
+        |  GROUP BY doc_id),
+        |e AS (SELECT d.doc_id, d.text,
+        |    list_concat(list_concat([0], coalesce(bs, [])), [d.n]) AS edges
+        |  FROM d LEFT JOIN bl USING (doc_id)),
+        |ck AS (SELECT doc_id, unnest(generate_series(1, len(edges) - 1))
+        |    AS i, edges, text FROM e),
+        |ch AS (SELECT doc_id, edges[i] AS s, edges[i + 1] AS e2,
+        |    md5(substr(text, edges[i] + 1, edges[i + 1] - edges[i])) AS k
+        |  FROM ck WHERE edges[i + 1] > edges[i]),
+        |dup AS (SELECT k FROM ch GROUP BY k
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |per AS (SELECT ch.doc_id, count(*) AS n_chunks,
+        |    sum(CASE WHEN dup.k IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS dup_chunks,
+        |    sum(CASE WHEN dup.k IS NOT NULL THEN e2 - s ELSE 0 END)
+        |      AS dup_chars
+        |  FROM ch LEFT JOIN dup ON ch.k = dup.k GROUP BY ch.doc_id)
+        |SELECT d.doc_id,
+        |  cast(coalesce(n_chunks, 0) AS bigint) AS n_chunks,
+        |  cast(coalesce(dup_chunks, 0) AS bigint) AS dup_chunks,
+        |  cast(coalesce(dup_chars, 0) AS bigint) AS dup_chars
+        |FROM d LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // Recount straight from the corpus — the at-rest layout changes
     // where the postings live, not what a phrase probe returns.

@@ -832,4 +832,37 @@ class Round5Spec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p).isDefined,
       s"no bucket PartitionFilters in:\n$p")
   }
+
+  // ------------------------------------------------------------------
+  // Dedup.cdcDupStats
+  // ------------------------------------------------------------------
+
+  test("cdc: shifted copies still share chunks (content-defined cuts)") {
+    val rnd = new scala.util.Random(29)
+    val shared = (1 to 200).map(_ => "abcdefgh"(rnd.nextInt(8))).mkString
+    val df = Seq(
+      (1L, shared),
+      (2L, "PREFIX-SHIFTS-EVERY-OFFSET-" + shared),  // same content, moved
+      (3L, (1 to 200).map(_ => "stuvwxyz"(rnd.nextInt(8))).mkString)
+    ).toDF("doc_id", "text")
+    val out = Dedup.cdcDupStats(df, "doc_id", "text",
+      w = 8, boundaryHexMax = "3f")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // interior chunks of the shared region are identical on both docs
+    // despite the offset shift; the unique doc shares nothing
+    assert(out(0)._4 > 0 && out(1)._4 > 0, s"no shared chunks: ${out.toSeq}")
+    assert(out(2)._3 === 0L && out(2)._4 === 0L)
+    // fixed-size blocks at any width would find NO aligned duplicates
+    // for doc 2 (every offset moved) — content cuts are the point
+  }
+
+  test("cdc: short docs fall back to one whole-doc chunk") {
+    val df = Seq((1L, "tiny"), (2L, "tiny"), (3L, "y")).toDF("doc_id", "text")
+    val out = Dedup.cdcDupStats(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 1L, 1L, 4L), (2L, 1L, 1L, 4L),
+      (3L, 1L, 0L, 0L)))
+  }
 }
