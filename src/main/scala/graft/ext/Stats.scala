@@ -43,6 +43,24 @@ object Stats {
       })
   }
 
+  /** Grouped MODE (most frequent value, deterministic): per group the
+    * value with the highest count, ties broken by the value order
+    * itself — one count agg (map-side combine) plus one group-partition
+    * row_number window on the |distinct (group, value)| table.
+    */
+  def modeByGroup(df: DataFrame, groupCol: String, valCol: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counted = df.select(col(groupCol), valCol.as("__v"))
+      .groupBy(col(groupCol), col("__v"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("n").desc, col("__v").asc)
+    counted.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(groupCol), col("__v").as("mode"), col("n"))
+  }
+
   /** Exact grouped WEIGHTED median (lower median): per group, the
     * smallest value v whose cumulative weight reaches half the group's
     * total — the robust central-tendency statistic (outlier-immune,

@@ -926,6 +926,19 @@ object ExtQueries {
         Seq("spark", "join"))
         .orderBy("doc_id")),
 
+    // Frequent 3-step user journeys (funnel discovers nothing; this
+    // mines the orders users actually follow). Top-25, total-ordered.
+    "q117_top_paths" -> ((s, d) =>
+      EventsOps.topPaths(events(s, d), steps = 3, k = 25)),
+
+    // Grouped mode: most common event type per user-id decade —
+    // deterministic tie-break on the value.
+    "q118_mode" -> ((s, d) =>
+      graft.ext.Stats.modeByGroup(
+        events(s, d).withColumn("g", (col("user_id") / 10).cast("long")),
+        "g", col("event_type"))
+        .orderBy("g")),
+
     // Content-defined chunking dedup: md5-window boundaries (~64-char
     // mean chunks), cross-doc chunk identity — the shift-robust
     // storage dedup stat per document.
@@ -1790,6 +1803,27 @@ object ExtQueries {
         |    AND b.p_retailprice >= a.p_retailprice
         |    AND (b.p_size > a.p_size OR b.p_retailprice > a.p_retailprice))
         |ORDER BY p_partkey""".stripMargin,
+
+    // Same lead-window path build, same (count desc, path) total order.
+    "q117_top_paths" ->
+      """WITH e AS (SELECT event_id, cast(ts AS timestamp) AS ts,
+        |    user_id, event_type FROM events),
+        |s AS (SELECT event_type AS s0,
+        |    lead(event_type, 1) OVER w AS s1,
+        |    lead(event_type, 2) OVER w AS s2
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT s0 || '>' || s1 || '>' || s2 AS path, count(*) AS n
+        |FROM s WHERE s2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 25""".stripMargin,
+
+    // Count-then-rank replay with the identical tie order.
+    "q118_mode" ->
+      """WITH c AS (SELECT user_id // 10 AS g, event_type AS v,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT g, v, n, row_number() OVER
+        |    (PARTITION BY g ORDER BY n DESC, v ASC) AS rk FROM c)
+        |SELECT g, v AS mode, n FROM r WHERE rk = 1 ORDER BY g""".stripMargin,
 
     // Same md5-window boundary rule, list-built edges, digest chunks.
     "q116_cdc_chunks" ->

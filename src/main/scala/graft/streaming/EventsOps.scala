@@ -254,6 +254,33 @@ object EventsOps {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Frequent-path mining over the event log: the top-k most common
+    * length-`steps` event-type sequences users actually follow
+    * (journey analysis — where `funnel` checks ONE prescribed order,
+    * this DISCOVERS the orders). Consecutive means adjacent in the
+    * user's (ts, event_id)-ordered stream. One user-partition window
+    * pass builds the paths via lead(); one count agg; top-k via
+    * TakeOrderedAndProject. Ties break on the path string for a total
+    * order.
+    */
+  def topPaths(events: DataFrame, steps: Int, k: Int): DataFrame = {
+    require(steps >= 2 && k >= 1, "topPaths: need steps >= 2, k >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val withNext = (1 until steps).foldLeft(
+      events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("__s0"))) { (df, i) =>
+      df.withColumn(s"__s$i", lead(col("__s0"), i).over(w))
+    }
+    withNext
+      .filter(col(s"__s${steps - 1}").isNotNull)
+      .select(concat_ws(">", (0 until steps).map(i => col(s"__s$i")): _*)
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** Rolling z-score anomaly detector over a metric stream — per key,
     * flag events whose value deviates more than `k` standard deviations
     * from the trailing `n`-event window (the window EXCLUDES the

@@ -865,4 +865,34 @@ class Round5Spec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 1L, 1L, 4L), (2L, 1L, 1L, 4L),
       (3L, 1L, 0L, 0L)))
   }
+
+  // ------------------------------------------------------------------
+  // EventsOps.topPaths / Stats.modeByGroup
+  // ------------------------------------------------------------------
+
+  test("topPaths: paths stay within user streams, counts and ties exact") {
+    val ev = Seq(
+      (1L, 1L, "a", ts(10)), (2L, 1L, "b", ts(20)), (3L, 1L, "c", ts(30)),
+      (4L, 1L, "b", ts(40)), (5L, 1L, "c", ts(50)),
+      (6L, 2L, "b", ts(10)), (7L, 2L, "c", ts(20)),  // no 3-path alone
+      (8L, 2L, "a", ts(30))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventsOps.topPaths(ev, steps = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // pairs: u1 a>b b>c c>b b>c; u2 b>c c>a -> b>c x3, then a>b, c>a, c>b
+    assert(out === Seq(("b>c", 3L), ("a>b", 1L), ("c>a", 1L)))
+    val out3 = EventsOps.topPaths(ev, steps = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out3.contains(("a>b>c", 1L)) && out3.contains(("b>c>a", 1L)) &&
+      !out3.exists(_._1.startsWith("c>b>?")))
+  }
+
+  test("modeByGroup: highest count wins, ties break on value") {
+    val df = Seq(("g", "x"), ("g", "x"), ("g", "y"),
+      ("h", "b"), ("h", "a")).toDF("g", "v")
+    val out = graft.ext.Stats.modeByGroup(df, "g", col("v"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out === Seq(("g", "x", 2L), ("h", "a", 1L)))
+  }
 }
