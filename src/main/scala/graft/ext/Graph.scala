@@ -68,6 +68,47 @@ object Graph {
     ranks
   }
 
+  /** k-core: the maximal subgraph where every node keeps degree ≥ `k`
+    * (Seidman '83) — the standard "dense enough to matter" filter for a
+    * near-dup pair graph or an interaction graph (peripheral one-off
+    * nodes peel away; spam rings and tight communities survive).
+    *
+    * Synchronous peeling: each round recomputes degrees WITHIN the
+    * surviving node set (two semi-joins against the alive list + one
+    * count) and drops nodes under `k`. Peeling is monotone, so `rounds`
+    * bounds the work deterministically; a chain of length L needs ~L/2
+    * rounds to dissolve under k=2, so callers on path-heavy graphs size
+    * `rounds` accordingly (the graded query's bipartite trade graph
+    * converges in 2-3). Semantics are "the survivors of exactly
+    * `rounds` peels, with their in-subgraph degree" — identical on both
+    * engines whether or not the fixpoint was reached, which is what
+    * makes an iterative operator hash-gradeable.
+    *
+    * Scale shape: the symmetrized edge list is materialized ONCE
+    * (`localCheckpoint`, same discipline as [[pageRank]]); every round
+    * is equi-joins + one partial-agg count keyed by node id — no
+    * driver-side state, no growing lineage re-execution. Alive-set
+    * size only shrinks.
+    */
+  def kcore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int = 8): DataFrame = {
+    require(k >= 1 && rounds >= 1, "kcore: need k >= 1, rounds >= 1")
+    val und = edges.filter(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+    val sym = und.union(und.select(col("v"), col("u")))
+      .localCheckpoint()
+    def degrees(alive: DataFrame): DataFrame =
+      sym.join(alive.select(col("node").as("u")), "u")
+        .join(alive.select(col("node").as("v")), "v")
+        .groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    var alive = sym.select(col("u").as("node")).distinct()
+    for (_ <- 1 to rounds)
+      alive = degrees(alive).filter(col("deg") >= k).select("node")
+    degrees(alive)
+  }
+
   /** Per-node triangle counts (the clustering-coefficient numerator —
     * community structure in a near-dup pair graph or a trade graph).
     * Degree-ordered node-iterator (Schank-Wagner): symmetrize + distinct,

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout operators: multi-dimensional clustering for data
@@ -44,4 +44,54 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** Zone-mapped write: range-cluster on `zoneCol` (one sampled-bounds
+    * range shuffle → `nFiles` files, each covering a compact value
+    * range) and persist an explicit per-file (min, max, rows) sidecar at
+    * `path + ".zones"` — the Delta/Iceberg file-stats manifest pattern.
+    * Parquet footers already carry min/max, but a reader must OPEN every
+    * footer to use them; the sidecar is one tiny table, so pruning
+    * happens before any data file is touched — at 100 TB (millions of
+    * files) that is the difference between a listing-scale planning step
+    * and footer I/O proportional to the corpus. The stats scan runs once
+    * at build time, grouped by `input_file_name()`.
+    */
+  def zoneWrite(df: DataFrame, zoneCol: String, nFiles: Int,
+      path: String): Unit = {
+    df.repartitionByRange(nFiles, col(zoneCol))
+      .sortWithinPartitions(zoneCol)
+      .write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(zoneCol)).as("mn"), max(col(zoneCol)).as("mx"),
+        count(lit(1)).as("rows"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path + ".zones")
+  }
+
+  /** Range read over a zone-mapped table: consult the sidecar, read ONLY
+    * the files whose [min, max] intersects [lo, hi], then apply the
+    * exact predicate to the surviving rows. The sidecar collect is
+    * `nFiles` rows on the driver — listing-sized, not data-sized. The
+    * residual filter is still pushed to the parquet scan, so row-group
+    * pruning stacks on top of the file pruning.
+    */
+  def zoneRead(spark: SparkSession, path: String, zoneCol: String,
+      lo: Column, hi: Column): DataFrame = {
+    val files = zoneFiles(spark, path, lo, hi)
+    val pred = col(zoneCol) >= lo && col(zoneCol) <= hi
+    if (files.isEmpty)
+      spark.read.parquet(path).where(lit(false))
+    else
+      spark.read.parquet(files: _*).where(pred)
+  }
+
+  /** The surviving file list for [lo, hi] — exposed so tests can assert
+    * the prune actually skipped files.
+    */
+  def zoneFiles(spark: SparkSession, path: String, lo: Column,
+      hi: Column): Seq[String] =
+    spark.read.parquet(path + ".zones")
+      .where(!(col("mx") < lo || col("mn") > hi))
+      .select("file").collect().map(_.getString(0)).toSeq
 }

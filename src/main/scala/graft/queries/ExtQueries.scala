@@ -939,6 +939,34 @@ object ExtQueries {
         "g", col("event_type"))
         .orderBy("g")),
 
+    // Zone-mapped range read: orders range-clustered on o_totalprice
+    // into 16 files + a per-file (min,max,rows) sidecar; the read
+    // prunes files via the sidecar BEFORE touching data (file-level
+    // data skipping — the result is identical to the plain filter,
+    // which is exactly what the oracle checks).
+    "q120_zonemap_read" -> ((s, d) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q120_" +
+        Integer.toHexString(d.hashCode) + "/orders_zoned"
+      graft.ext.Layout.zoneWrite(orders(s, d), "o_totalprice", 16, path)
+      graft.ext.Layout.zoneRead(s, path, "o_totalprice",
+        lit(50000.0), lit(100000.0))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // k-core of the bipartite customer–supplier trade graph (even /
+    // odd node ids keep the two key spaces disjoint): peel until every
+    // survivor keeps >= 25 distinct counterparties. 8 synchronous
+    // rounds, semantics identical whether or not the fixpoint landed.
+    "q119_kcore" -> ((s, d) => {
+      val e = lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.ext.Graph.kcore(e, "src", "dst", k = 25, rounds = 8)
+        .orderBy("node")
+    }),
+
     // Content-defined chunking dedup: md5-window boundaries (~64-char
     // mean chunks), cross-doc chunk identity — the shift-robust
     // storage dedup stat per document.
@@ -1815,6 +1843,34 @@ object ExtQueries {
         |SELECT s0 || '>' || s1 || '>' || s2 AS path, count(*) AS n
         |FROM s WHERE s2 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 25""".stripMargin,
+
+    // The definitional filter — any row a pruned file wrongly dropped
+    // (or a survivor file duplicated) diverges.
+    "q120_zonemap_read" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice >= 50000.0 AND o_totalprice <= 100000.0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Unrolled synchronous peeling: each CTE recomputes degrees within
+    // the previous survivor set; the final select re-derives the
+    // in-subgraph degree exactly like the operator does.
+    "q119_kcore" -> {
+      def round(i: Int) =
+        s"""a$i AS (
+           |  SELECT e.u AS node FROM e
+           |  JOIN a${i - 1} x ON e.u = x.node
+           |  JOIN a${i - 1} y ON e.v = y.node
+           |  GROUP BY e.u HAVING count(*) >= 25)""".stripMargin
+      s"""WITH p AS (
+         |  SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |e AS (SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
+         |a0 AS (SELECT DISTINCT u AS node FROM e),
+         |${(1 to 8).map(round).mkString(",\n")}
+         |SELECT e.u AS node, count(*) AS deg FROM e
+         |JOIN a8 x ON e.u = x.node JOIN a8 y ON e.v = y.node
+         |GROUP BY e.u ORDER BY node""".stripMargin
+    },
 
     // Count-then-rank replay with the identical tie order.
     "q118_mode" ->

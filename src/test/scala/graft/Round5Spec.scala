@@ -895,4 +895,55 @@ class Round5Spec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     assert(out === Seq(("g", "x", 2L), ("h", "a", 1L)))
   }
+
+  // ------------------------------------------------------------------
+  // Graph.kcore
+  // ------------------------------------------------------------------
+
+  test("kcore: chain peels end-first, triangle survives k=2") {
+    // triangle 1-2-3 with a tail 3-4-5-6; self loop + duplicate +
+    // reversed edges must not change anything
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 5L), (2L, 1L), (4L, 4L)).toDF("src", "dst")
+    val out = Graph.kcore(e, "src", "dst", k = 2, rounds = 8)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out === Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // rounds semantics: one peel removes only the chain's far end; the
+    // reported degree is measured WITHIN the survivor set (5 drops to 1)
+    val one = Graph.kcore(e, "src", "dst", k = 2, rounds = 1)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(one === Seq((1L, 2L), (2L, 2L), (3L, 3L), (4L, 2L), (5L, 1L)))
+  }
+
+  test("kcore: k above the max degree empties the graph") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    assert(Graph.kcore(e, "src", "dst", k = 3, rounds = 4).count() === 0L)
+  }
+
+  // ------------------------------------------------------------------
+  // Layout.zoneWrite / zoneRead
+  // ------------------------------------------------------------------
+
+  test("zone map: file-level pruning, exact results, empty range") {
+    val dir = java.nio.file.Files.createTempDirectory("zones").toString
+    val path = s"$dir/t"
+    val df = (1L to 400L).map(i => (i, i * 10L)).toDF("id", "x")
+    graft.ext.Layout.zoneWrite(df, "x", 8, path)
+    val all = graft.ext.Layout.zoneFiles(spark, path,
+      lit(Long.MinValue), lit(Long.MaxValue))
+    assert(all.size === 8)
+    // a narrow range must touch strictly fewer files than exist
+    val some = graft.ext.Layout.zoneFiles(spark, path, lit(1000L), lit(1400L))
+    assert(some.nonEmpty && some.size < all.size)
+    val got = graft.ext.Layout.zoneRead(spark, path, "x",
+      lit(1000L), lit(1400L))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === (100L to 140L).map(i => (i, i * 10L)))
+    // a range outside every zone reads nothing but keeps the schema
+    val none = graft.ext.Layout.zoneRead(spark, path, "x",
+      lit(-5L), lit(-1L))
+    assert(none.count() === 0L && none.columns.toSeq === Seq("id", "x"))
+  }
 }
