@@ -223,6 +223,37 @@ object Warehouse {
       .write.mode(SaveMode.Append).parquet(path(dir, "runs"))
   }
 
+  /** Per-key aggregate-view state: (n, s, mn, mx) over `value`. The sum
+    * is decimal-exact (order-independent under any partitioning — the
+    * money-sum discipline from CoreQueries) and held at decimal(38,2)
+    * so the state type is CLOSED under [[mergeAggState]]: merging never
+    * widens the type, so a view can absorb any number of batches.
+    */
+  def aggState(df: DataFrame, keys: Seq[String], value: Column): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(value.cast("decimal(18,2)")).cast("decimal(38,2)").as("s"),
+      min(value).as("mn"), max(value).as("mx"))
+
+  /** Incremental aggregate-view maintenance (insert-only deltas): fold a
+    * new fact batch into the existing state WITHOUT touching base facts.
+    * The batch is first reduced to per-key partials (count/sum/min/max
+    * are all self-merging), then one union + re-aggregate combines
+    * partials with state — the shuffle carries `|state keys| + |batch
+    * keys|` rows, never the base table. At 100 TB this is the difference
+    * between a view refresh proportional to the DELTA and a full
+    * recompute; the result is provably identical to `aggState` over the
+    * union of all batches (spec + q121's oracle recompute). Pair with
+    * [[mergeByKey]] to persist the refreshed state copy-on-write.
+    */
+  def mergeAggState(state: DataFrame, batch: DataFrame, keys: Seq[String],
+      value: Column): DataFrame =
+    state.unionByName(aggState(batch, keys, value))
+      .groupBy(keys.map(col): _*).agg(
+        sum("n").as("n"),
+        sum("s").cast("decimal(38,2)").as("s"),
+        min("mn").as("mn"), max("mx").as("mx"))
+
   /** Snapshot diff by key — the table-versioning audit primitive (what
     * changed between yesterday's warehouse and today's?): one null-safe
     * full-outer join on the key, change classification from key

@@ -81,4 +81,27 @@ object Quality {
     }
     parts.reduce(_ unionByName _)
   }
+
+  /** Functional-dependency audit (profiling's key-discovery primitive):
+    * does `lhs → rhs` hold? Returns the violating lhs groups — those
+    * seeing more than one distinct rhs value — with their distinct-rhs
+    * and row counts. An empty result certifies the dependency (e.g.
+    * "doc_id determines lang", "custkey determines nation") before a
+    * downstream join or dedup assumes it.
+    *
+    * One aggregation keyed by (lhs, rhs) then one by lhs — both
+    * partial-aggregating map-side; nothing driver-side. At 100 TB the
+    * first agg's key space is the distinct (lhs, rhs) pairs, which an
+    * FD that HOLDS keeps at |lhs| — the audit is cheapest exactly when
+    * it passes.
+    */
+  def fdViolations(df: DataFrame, lhs: Seq[String],
+      rhs: String): DataFrame = {
+    require(lhs.nonEmpty, "fdViolations: lhs must be non-empty")
+    df.groupBy((lhs.map(col) :+ col(rhs)): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(lhs.map(col): _*)
+      .agg(count(lit(1)).as("n_rhs"), sum("__c").as("n_rows"))
+      .filter(col("n_rhs") > 1)
+  }
 }

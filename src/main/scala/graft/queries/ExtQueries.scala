@@ -939,6 +939,43 @@ object ExtQueries {
         "g", col("event_type"))
         .orderBy("g")),
 
+    // Incremental aggregate-view maintenance: per-customer order stats
+    // built from a pre-1997 base, then two year-batches folded in via
+    // mergeAggState — state-sized merges, base never rescanned. The
+    // oracle recomputes the view from ALL facts; equality proves the
+    // incremental path is exact (decimal sums make it order-safe).
+    "q121_agg_view_merge" -> ((s, d) => {
+      import graft.etl.Warehouse
+      val o = orders(s, d)
+      val v = col("o_totalprice")
+      val keys = Seq("o_custkey")
+      val base = o.filter(col("o_orderdate") < lit("1997-01-01"))
+      val d1 = o.filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+      val d2 = o.filter(col("o_orderdate") >= lit("1998-01-01"))
+      val merged = Warehouse.mergeAggState(
+        Warehouse.mergeAggState(Warehouse.aggState(base, keys, v),
+          d1, keys, v),
+        d2, keys, v)
+      merged.select(col("o_custkey"), col("n"),
+        col("s").cast("double").as("s"), col("mn"), col("mx"))
+        .orderBy("o_custkey")
+    }),
+
+    // EWMA (alpha = 1/5) of event values per user — ordered integer
+    // fold over each user's history; final smoothed state per key.
+    "q122_ewma" -> ((s, d) =>
+      EventsOps.ewmaFinal(events(s, d), "user_id", aNum = 1, aDen = 5)
+        .orderBy("user_id")),
+
+    // Functional-dependency audit: does o_custkey -> o_orderpriority
+    // hold on orders? (It does not — the violating groups ARE the
+    // answer; an empty result would certify the FD.)
+    "q123_fd_audit" -> ((s, d) =>
+      graft.ext.Quality.fdViolations(orders(s, d), Seq("o_custkey"),
+        "o_orderpriority")
+        .orderBy("o_custkey")),
+
     // Zone-mapped range read: orders range-clustered on o_totalprice
     // into 16 files + a per-file (min,max,rows) sidecar; the read
     // prunes files via the sidecar BEFORE touching data (file-level
@@ -1843,6 +1880,38 @@ object ExtQueries {
         |SELECT s0 || '>' || s1 || '>' || s2 AS path, count(*) AS n
         |FROM s WHERE s2 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 25""".stripMargin,
+
+    // Full recompute over ALL facts — equality proves the incremental
+    // merge path exact.
+    "q121_agg_view_merge" ->
+      """SELECT o_custkey, count(*) AS n,
+        |  cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS s,
+        |  min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // Same ordered list + left fold; list_reduce's implicit seed is the
+    // first element, matching the operator's zero.
+    "q122_ewma" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    cast(ts AS timestamp) AS ts,
+        |    cast(round(value * 100) AS bigint) * 1000000 AS x
+        |  FROM events),
+        |l AS (SELECT user_id, count(*) AS n,
+        |    list(x ORDER BY ts, event_id) AS xs
+        |  FROM e GROUP BY user_id)
+        |SELECT user_id, n,
+        |  CASE WHEN len(xs) = 1 THEN xs[1]
+        |    ELSE list_reduce(xs, (acc, v) -> (1 * v + 4 * acc) // 5)
+        |  END AS ewma6
+        |FROM l ORDER BY user_id""".stripMargin,
+
+    // Count-distinct-per-group replay of the FD definition.
+    "q123_fd_audit" ->
+      """WITH c AS (SELECT o_custkey, o_orderpriority, count(*) AS c
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_custkey, count(*) AS n_rhs, cast(sum(c) AS bigint) AS n_rows
+        |FROM c GROUP BY o_custkey HAVING count(*) > 1
+        |ORDER BY o_custkey""".stripMargin,
 
     // The definitional filter — any row a pruned file wrongly dropped
     // (or a survivor file duplicated) diverges.

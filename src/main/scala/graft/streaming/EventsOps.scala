@@ -317,6 +317,41 @@ object EventsOps {
         (lit(k.toLong * k) * col("v")).as("bound2"))
   }
 
+  /** Final exponentially-weighted moving average per key, integer-exact.
+    * EWMA is a SEQUENTIAL recurrence (each state depends on the prior),
+    * so the portable-exact form is an ordered fold, not a window frame:
+    * values become cents (`round(value·100)`, the q112 idiom) scaled by
+    * 1e6, the per-key event list is collected ORDERED by (ts, event_id)
+    * and folded with `state' = (aNum·x + (aDen−aNum)·state) div aDen` —
+    * all bigint floor division, so any engine replays it bit-for-bit
+    * (DuckDB: `list(x ORDER BY …)` + `list_reduce`, whose implicit seed
+    * is the first element, exactly this fold's zero).
+    *
+    * Scale shape: one key-partition shuffle; the collected list is one
+    * key's history (the same bound every per-key sessionization op
+    * carries). The fold itself is a higher-order function — interpreted,
+    * but O(events-per-key) work on data already local to its key. Alpha
+    * is a RATIONAL aNum/aDen, not a double — the whole point is that no
+    * libm call ever runs.
+    */
+  def ewmaFinal(events: DataFrame, keyCol: String, aNum: Long,
+      aDen: Long): DataFrame = {
+    require(aNum >= 1 && aNum < aDen, "ewmaFinal: need 0 < aNum/aDen < 1")
+    events
+      .withColumn("__x",
+        round(col("value") * 100).cast("long") * lit(1000000L))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("__x")))).as("__h"))
+      .withColumn("__xs", expr("transform(__h, e -> e.__x)"))
+      .withColumn("ewma6",
+        expr(s"aggregate(slice(__xs, 2, greatest(size(__xs) - 1, 0)), " +
+          s"element_at(__xs, 1), " +
+          s"(acc, v) -> (${aNum}L * v + ${aDen - aNum}L * acc) div ${aDen}L)"))
+      .select(col(keyCol), col("n"), col("ewma6"))
+  }
+
   def scd2(events: DataFrame, attrCol: String = "event_type"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byTime = Window.partitionBy("user_id")

@@ -946,4 +946,65 @@ class Round5Spec extends SparkSpec {
       lit(-5L), lit(-1L))
     assert(none.count() === 0L && none.columns.toSeq === Seq("id", "x"))
   }
+
+  // ------------------------------------------------------------------
+  // Warehouse.aggState / mergeAggState
+  // ------------------------------------------------------------------
+
+  test("mergeAggState: incremental == full recompute, type closed") {
+    import graft.etl.Warehouse
+    val base = Seq(("a", 10.0), ("a", 20.0), ("b", 5.0)).toDF("k", "v")
+    val d1 = Seq(("a", 1.5), ("c", 100.0)).toDF("k", "v")   // new key c
+    val d2 = Seq(("b", 50.0)).toDF("k", "v")                // absent keys
+    val inc = Warehouse.mergeAggState(
+      Warehouse.mergeAggState(Warehouse.aggState(base, Seq("k"), col("v")),
+        d1, Seq("k"), col("v")),
+      d2, Seq("k"), col("v"))
+    val full = Warehouse.aggState(base.union(d1).union(d2), Seq("k"),
+      col("v"))
+    // closed under merges: same names and types (nullability aside —
+    // count() is non-nullable, the merged sum("n") is nullable)
+    assert(inc.schema.map(f => (f.name, f.dataType)) ===
+      full.schema.map(f => (f.name, f.dataType)))
+    val got = inc.orderBy("k").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDecimal(2).doubleValue,
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got === Seq(("a", 3L, 31.5, 1.5, 20.0),
+      ("b", 2L, 55.0, 5.0, 50.0), ("c", 1L, 100.0, 100.0, 100.0)))
+    assert(full.orderBy("k").collect().toSeq ===
+      inc.orderBy("k").collect().toSeq)
+  }
+
+  // ------------------------------------------------------------------
+  // EventsOps.ewmaFinal / Quality.fdViolations
+  // ------------------------------------------------------------------
+
+  test("ewmaFinal: ordered integer fold, singletons, tie order") {
+    // user 1: x cents = 100, 200, 300 (order by ts); alpha = 1/2
+    // s0 = 100e6; s1 = (200e6 + 100e6) div 2 = 150e6
+    // s2 = (300e6 + 150e6) div 2 = 225e6
+    val ev = Seq(
+      (1L, 1L, 1.0, ts(10)), (2L, 1L, 2.0, ts(20)), (3L, 1L, 3.0, ts(30)),
+      (4L, 2L, 9.0, ts(10)),
+      // user 3: same ts — event_id breaks the tie (5 before 6)
+      (5L, 3L, 1.0, ts(10)), (6L, 3L, 3.0, ts(10))
+    ).toDF("event_id", "user_id", "value", "ts")
+    val out = EventsOps.ewmaFinal(ev, "user_id", aNum = 1, aDen = 2)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq((1L, 3L, 225000000L), (2L, 1L, 900000000L),
+      (3L, 2L, 200000000L)))
+  }
+
+  test("fdViolations: holding FD is empty, broken FD lists groups") {
+    val df = Seq((1L, "x", "p"), (1L, "x", "q"), (1L, "x", "q"),
+      (2L, "y", "p")).toDF("k", "attr", "rhs")
+    // k -> attr holds
+    assert(graft.ext.Quality.fdViolations(df, Seq("k"), "attr")
+      .count() === 0L)
+    // k -> rhs broken for k=1 (two distinct rhs over three rows)
+    val bad = graft.ext.Quality.fdViolations(df, Seq("k"), "rhs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(bad === Seq((1L, 2L, 3L)))
+  }
 }
