@@ -15,7 +15,8 @@ class QueriesSpec extends SparkSpec {
     "q49_dedup_clusters",  // empty when q36's pair graph is empty
     "q54_dedup_clusters_star",
     "q62_frame_neardup",   // unique synthetic frames may share no bucket
-    "q63_contamination")   // synthetic corpus may share no 13-grams
+    "q63_contamination",   // synthetic corpus may share no 13-grams
+    "q119_kcore")          // sf0.001 has 10 suppliers — nobody reaches k=25
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
