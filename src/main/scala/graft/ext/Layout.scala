@@ -94,4 +94,35 @@ object Layout {
     spark.read.parquet(path + ".zones")
       .where(!(col("mx") < lo || col("mn") > hi))
       .select("file").collect().map(_.getString(0)).toSeq
+
+  /** Bucketed catalog-table write: hash-bucket on `key` into `nBuckets`
+    * file groups, sorted within each bucket, registered so the planner
+    * KNOWS the layout. This is the at-rest answer to the shuffle
+    * question: two tables bucketed on their join keys with equal bucket
+    * counts join with NO exchange on either side — at 100 TB,
+    * repeatedly-joined fact tables pay their shuffle once at write time
+    * instead of per query. The repartition before the write keeps it to
+    * one file per bucket (without it each write task emits a file per
+    * bucket it sees); `sortBy` orders rows inside each file so a reader
+    * opting into the one-file-per-bucket ordered-scan flag can skip the
+    * local sort too.
+    */
+  def bucketTableWrite(df: DataFrame, key: String, nBuckets: Int,
+      table: String, path: String): Unit =
+    df.repartition(nBuckets, col(key))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, key).sortBy(key)
+      .option("path", path).saveAsTable(table)
+
+  /** Equi-join of two bucketed catalog tables on their bucket keys.
+    * With matching bucket counts the physical plan is a SortMergeJoin
+    * over two bucketed scans — zero Exchange on either side
+    * (plan-asserted in PlanAuditSpec; the residual per-partition Sort
+    * is shuffle-free and local). The join itself is ordinary DataFrame
+    * code; the acceleration lives entirely in the table layout.
+    */
+  def bucketedJoin(spark: SparkSession, tableA: String, keyA: String,
+      tableB: String, keyB: String): DataFrame =
+    spark.table(tableA)
+      .join(spark.table(tableB), col(keyA) === col(keyB))
 }

@@ -939,6 +939,27 @@ object ExtQueries {
         "g", col("event_type"))
         .orderBy("g")),
 
+    // Co-located at-rest join: customer and orders bucketed on their
+    // join keys (8 buckets each) as catalog tables; the join then runs
+    // with ZERO exchange and zero sort on either side (plan-asserted
+    // in PlanAuditSpec) — the write pays the shuffle once, every later
+    // join rides the layout.
+    "q124_bucketed_join" -> ((s, d) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q124_" +
+        Integer.toHexString(d.hashCode)
+      graft.ext.Layout.bucketTableWrite(customer(s, d), "c_custkey", 8,
+        "graft_q124_cust", s"$tmp/cust")
+      graft.ext.Layout.bucketTableWrite(orders(s, d), "o_custkey", 8,
+        "graft_q124_ord", s"$tmp/ord")
+      graft.ext.Layout.bucketedJoin(s, "graft_q124_cust", "c_custkey",
+        "graft_q124_ord", "o_custkey")
+        .groupBy("c_custkey", "c_name")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+        .orderBy("c_custkey")
+    }),
+
     // Incremental aggregate-view maintenance: per-customer order stats
     // built from a pre-1997 base, then two year-batches folded in via
     // mergeAggState — state-sized merges, base never rescanned. The
@@ -1880,6 +1901,13 @@ object ExtQueries {
         |SELECT s0 || '>' || s1 || '>' || s2 AS path, count(*) AS n
         |FROM s WHERE s2 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 25""".stripMargin,
+
+    // The logical join — the bucketed layout must not change answers.
+    "q124_bucketed_join" ->
+      """SELECT c_custkey, c_name, count(*) AS n,
+        |  cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY c_custkey""".stripMargin,
 
     // Full recompute over ALL facts — equality proves the incremental
     // merge path exact.

@@ -249,6 +249,44 @@ object StreamingJobs {
       }
   }
 
+  case class EwmaState(n: Long, ewma6: Long)
+
+  case class EwmaOut(user_id: Long, n: Long, ewma6: Long)
+
+  /** STREAMING twin of `EventsOps.ewmaFinal`: per-key state is O(1) —
+    * just (count, current smoothed value), the cheapest stateful shape
+    * Structured Streaming has (contrast `anomalyStream`'s n-long ring).
+    * Each micro-batch folds its events (in-batch disorder sorted by
+    * (ts, event_id); cross-batch order is the append-log contract shared
+    * with `scd2Stream`) through the identical integer recurrence
+    * `s' = (aNum·x + (aDen−aNum)·s) div aDen`, then emits the key's
+    * refreshed running state (update semantics — one row per key per
+    * batch it appears in). On the non-negative metric domain the JVM's
+    * truncating division and the SQL engines' floor division agree, so
+    * the final state matches the batch operator bit-for-bit
+    * (spec-pinned).
+    */
+  def ewmaStream(events: Dataset[Event], aNum: Long, aDen: Long)
+      : Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    require(aNum >= 1 && aNum < aDen, "ewmaStream: need 0 < aNum/aDen < 1")
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaState, EwmaOut](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[EwmaState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var s = state.getOption.getOrElse(EwmaState(0L, 0L))
+          sorted.foreach { e =>
+            val x = math.round(e.value * 100) * 1000000L
+            s = if (s.n == 0L) EwmaState(1L, x)
+            else EwmaState(s.n + 1L,
+              (aNum * x + (aDen - aNum) * s.ewma6) / aDen)
+          }
+          state.update(s)
+          EwmaOut(uid, s.n, s.ewma6)
+      }
+  }
+
   case class Scd2State(attr: String, validFrom: Long, version: Long)
 
   case class Scd2Closed(user_id: Long, attr: String,

@@ -189,4 +189,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!"Window.*\\n.*Exchange SinglePartition".r.findFirstIn(p)
       .isDefined, s"single-partition window in:\n$p")
   }
+
+  test("q124 bucketed join: zero exchange, bucketed scans") {
+    val tmp = java.nio.file.Files.createTempDirectory("pa_buck").toString
+    graft.ext.Layout.bucketTableWrite(
+      graft.Tables.customer(spark, sf0001), "c_custkey", 4,
+      "pa_buck_cust", s"$tmp/c")
+    graft.ext.Layout.bucketTableWrite(
+      graft.Tables.orders(spark, sf0001), "o_custkey", 4,
+      "pa_buck_ord", s"$tmp/o")
+    // forbid broadcast so the assertion proves the BUCKETED path, not a
+    // small-table special case
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = graft.ext.Layout.bucketedJoin(spark, "pa_buck_cust",
+        "c_custkey", "pa_buck_ord", "o_custkey")
+        .queryExecution.executedPlan.toString()
+      assert(p.contains("SortMergeJoin"), s"not a sort-merge join:\n$p")
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+      assert(p.contains("Bucketed: true"), s"scan not bucketed:\n$p")
+      // the residual per-partition Sort is shuffle-free; Spark only
+      // consumes sortBy ordering under the legacy one-file-per-bucket
+      // scan flag, so the zero-EXCHANGE property is the scale claim
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

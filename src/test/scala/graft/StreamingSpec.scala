@@ -261,6 +261,42 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && streamed === batch)
   }
 
+  test("ewmaStream: O(1) state crosses micro-batches, matches batch fold") {
+    // two micro-batches; the second can only continue the smoothing if
+    // the (n, ewma) state survived the boundary
+    val dir = Files.createTempDirectory("graft_ewma").toString
+    def drop(rows: Seq[Event]): Unit =
+      rows.toDF()
+        .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    drop(Seq(Event(1L, ts("2024-01-01 10:01:00"), 1L, "m", 1.00),
+      Event(2L, ts("2024-01-01 10:02:00"), 1L, "m", 2.00)))
+    drop(Seq(Event(3L, ts("2024-01-01 10:03:00"), 1L, "m", 3.00)))
+    val in = spark.readStream.schema(StreamingJobs.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+    runToMemory(StreamingJobs.ewmaStream(in, aNum = 1, aDen = 2).toDF(),
+      "sj_ewma", "update")
+    // last update for the key: alpha=1/2 over cents 100,200,300 scaled
+    // by 1e6 -> 100e6, 150e6, 225e6
+    val last = spark.table("sj_ewma").orderBy($"n".desc).limit(1)
+      .select($"user_id", $"n", $"ewma6")
+      .as[(Long, Long, Long)].collect().head
+    assert(last === ((1L, 3L, 225000000L)))
+    // and the final state equals the batch operator on the same events
+    val ev = Seq(
+      Event(1L, ts("2024-01-01 10:01:00"), 1L, "m", 1.00),
+      Event(2L, ts("2024-01-01 10:02:00"), 1L, "m", 2.00),
+      Event(3L, ts("2024-01-01 10:03:00"), 1L, "m", 3.00))
+    val batch = graft.streaming.EventsOps
+      .ewmaFinal(ev.toDF(), "user_id", aNum = 1, aDen = 2)
+      .select($"user_id", $"n", $"ewma6")
+      .as[(Long, Long, Long)].collect().head
+    assert(batch === ((1L, 3L, 225000000L)))
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions on gap") {
     // batch Dataset drive of the same state function shape: sessions
     // close inline when a later event arrives past the gap
