@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -94,6 +95,100 @@ object Layout {
     spark.read.parquet(path + ".zones")
       .where(!(col("mx") < lo || col("mn") > hi))
       .select("file").collect().map(_.getString(0)).toSeq
+
+  /** Incremental zone-map maintenance: append a batch as NEW files (no
+    * rewrite of existing data) and extend the sidecar with their stats.
+    * Appended batches aren't range-aligned with the existing zones, so
+    * their files may OVERLAP old zones — reads stay correct (the
+    * sidecar is exact per file) but pruning degrades as overlaps
+    * accumulate. [[zoneCompact]] is the repair.
+    */
+  def zoneAppend(df: DataFrame, zoneCol: String, nFiles: Int,
+      path: String): Unit = {
+    val spark = df.sparkSession
+    val prior = spark.read.parquet(path + ".zones")
+      .select("file", "mn", "mx", "rows").collect()
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    def listing: Set[String] = fs.listStatus(new Path(path)).toSeq
+      .map(_.getPath.toString).filter(_.contains("part-")).toSet
+    val existing = listing
+    df.repartitionByRange(nFiles, col(zoneCol))
+      .sortWithinPartitions(zoneCol)
+      .write.mode("append").parquet(path)
+    val added = (listing -- existing).toSeq
+    // stats scan touches ONLY the appended files — append cost is
+    // delta-sized, never table-sized
+    val fresh = spark.read.parquet(added: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(zoneCol)).as("mn"), max(col(zoneCol)).as("mx"),
+        count(lit(1)).as("rows"))
+    fresh.unionByName(spark.createDataFrame(
+        spark.sparkContext.parallelize(prior.toSeq, 1), fresh.schema))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path + ".zones.next")
+    swapZones(spark, path)
+  }
+
+  /** Zone compaction (the incremental `OPTIMIZE`): find the zones that
+    * overlap some other zone, rewrite ONLY those files' rows into fresh
+    * range-aligned files, and leave every non-overlapping file
+    * untouched — cost scales with the overlap set, not the table. The
+    * overlap test is a sidecar self-join (nFiles² driver-side pairs on
+    * listing-sized data); rewritten rows are re-clustered into
+    * `ceil(rows / rowsPerFile)` files so file size stays stable as the
+    * table grows.
+    */
+  def zoneCompact(spark: SparkSession, path: String, zoneCol: String,
+      rowsPerFile: Long): Unit = {
+    val zones = spark.read.parquet(path + ".zones")
+      .select("file", "mn", "mx", "rows").collect()
+    val overlapping = zones.filter { z =>
+      zones.exists(o => o.getString(0) != z.getString(0) &&
+        !(o.get(2).asInstanceOf[Comparable[Any]].compareTo(z.get(1)) < 0 ||
+          o.get(1).asInstanceOf[Comparable[Any]].compareTo(z.get(2)) > 0))
+    }
+    if (overlapping.nonEmpty) {
+      val victims = overlapping.map(_.getString(0)).toSeq
+      val keep = zones.filterNot(z => victims.contains(z.getString(0)))
+      val rows = overlapping.map(_.getLong(3)).sum
+      val nOut = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
+      val tmp = path + ".compact"
+      spark.read.parquet(victims: _*)
+        .repartitionByRange(nOut, col(zoneCol))
+        .sortWithinPartitions(zoneCol)
+        .write.mode("overwrite").parquet(tmp)
+      val fs = new Path(path).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      victims.foreach(f => fs.delete(new Path(new java.net.URI(f)), false))
+      val moved = fs.listStatus(new Path(tmp)).toSeq
+        .filter(_.getPath.getName.startsWith("part-"))
+        .map { st =>
+          val dst = new Path(path, st.getPath.getName)
+          fs.rename(st.getPath, dst)
+          dst.toString
+        }
+      fs.delete(new Path(tmp), true)
+      val fresh = spark.read.parquet(moved: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col(zoneCol)).as("mn"), max(col(zoneCol)).as("mx"),
+          count(lit(1)).as("rows"))
+      val kept = spark.createDataFrame(
+        spark.sparkContext.parallelize(keep.toSeq, 1), fresh.schema)
+      fresh.unionByName(kept).coalesce(1)
+        .write.mode("overwrite").parquet(path + ".zones.next")
+      swapZones(spark, path)
+    }
+  }
+
+  /** Staged sidecar swap — the new manifest is fully written before it
+    * replaces the old one (same staged-rename discipline as the
+    * warehouse writers; a reader never sees a half-written sidecar).
+    */
+  private def swapZones(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(path + ".zones"), true)
+    fs.rename(new Path(path + ".zones.next"), new Path(path + ".zones"))
+  }
 
   /** Bucketed catalog-table write: hash-bucket on `key` into `nBuckets`
     * file groups, sorted within each bucket, registered so the planner

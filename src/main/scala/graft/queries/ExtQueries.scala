@@ -939,6 +939,28 @@ object ExtQueries {
         "g", col("event_type"))
         .orderBy("g")),
 
+    // Zone-map lifecycle: base write + delta append (delta-sized stats
+    // maintenance) + overlap-driven compaction, then a pruned range
+    // read. The oracle filters the full fact set — equality proves the
+    // whole maintain-then-read cycle loses and duplicates nothing.
+    "q125_zone_maintain" -> ((s, d) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q125_" +
+        Integer.toHexString(d.hashCode) + "/orders_zoned"
+      val o = orders(s, d)
+      graft.ext.Layout.zoneWrite(
+        o.filter(col("o_orderdate") < lit("1997-01-01")),
+        "o_totalprice", 12, path)
+      graft.ext.Layout.zoneAppend(
+        o.filter(col("o_orderdate") >= lit("1997-01-01")),
+        "o_totalprice", 4, path)
+      graft.ext.Layout.zoneCompact(s, path, "o_totalprice",
+        rowsPerFile = 2000L)
+      graft.ext.Layout.zoneRead(s, path, "o_totalprice",
+        lit(100000.0), lit(150000.0))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // Co-located at-rest join: customer and orders bucketed on their
     // join keys (8 buckets each) as catalog tables; the join then runs
     // with ZERO exchange and zero sort on either side (plan-asserted
@@ -1902,8 +1924,16 @@ object ExtQueries {
         |FROM s WHERE s2 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 25""".stripMargin,
 
+    // The lifecycle must answer exactly like the never-reorganized
+    // table.
+    "q125_zone_maintain" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice >= 100000.0 AND o_totalprice <= 150000.0
+        |ORDER BY o_orderkey""".stripMargin,
+
     // The logical join — the bucketed layout must not change answers.
     "q124_bucketed_join" ->
+
       """SELECT c_custkey, c_name, count(*) AS n,
         |  cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total
         |FROM customer JOIN orders ON o_custkey = c_custkey

@@ -947,6 +947,51 @@ class Round5Spec extends SparkSpec {
     assert(none.count() === 0L && none.columns.toSeq === Seq("id", "x"))
   }
 
+  test("zone append + compact: delta-sized stats, selective rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("zones2").toString
+    val path = s"$dir/t"
+    // base: 1..400 scaled by 10 → 8 zones of ~500-wide ranges
+    graft.ext.Layout.zoneWrite(
+      (1L to 400L).map(i => (i, i * 10L)).toDF("id", "x"), "x", 8, path)
+    val base = graft.ext.Layout.zoneFiles(spark, path,
+      lit(Long.MinValue), lit(Long.MaxValue))
+    // append values that overlap ONLY the top of the range
+    graft.ext.Layout.zoneAppend(
+      (401L to 420L).map(i => (i, 3901L + (i - 401L) * 10L))
+        .toDF("id", "x"), "x", 1, path)
+    val afterAppend = graft.ext.Layout.zoneFiles(spark, path,
+      lit(Long.MinValue), lit(Long.MaxValue))
+    assert(afterAppend.size === base.size + 1)
+    assert(base.forall(afterAppend.contains)) // append rewrote nothing
+    // reads stay exact while zones overlap
+    val got = graft.ext.Layout.zoneRead(spark, path, "x",
+      lit(3900L), lit(3990L))
+      .orderBy("x").select("x").collect().map(_.getLong(0)).toSeq
+    assert(got === ((390L to 399L).map(_ * 10L) ++
+      (0L to 8L).map(3901L + _ * 10L)).sorted)
+    // compact: only the overlapping tail is rewritten
+    graft.ext.Layout.zoneCompact(spark, path, "x", rowsPerFile = 100L)
+    val afterCompact = graft.ext.Layout.zoneFiles(spark, path,
+      lit(Long.MinValue), lit(Long.MaxValue))
+    val untouched = base.filter(afterCompact.contains)
+    assert(untouched.nonEmpty, "compaction rewrote non-overlapping files")
+    assert(!afterCompact.contains(afterAppend.diff(base).head),
+      "appended overlap file survived compaction")
+    // zones are now pairwise disjoint and reads still exact
+    val zones = spark.read.parquet(path + ".zones")
+      .select("mn", "mx").collect().map(r => (r.getLong(0), r.getLong(1)))
+    zones.foreach { a => zones.foreach { b =>
+      if (a != b) assert(a._2 < b._1 || a._1 > b._2,
+        s"zones still overlap after compact: $a $b") } }
+    val got2 = graft.ext.Layout.zoneRead(spark, path, "x",
+      lit(3900L), lit(3990L))
+      .orderBy("x").select("x").collect().map(_.getLong(0)).toSeq
+    assert(got2 === got)
+    // full-table read loses and duplicates nothing
+    assert(graft.ext.Layout.zoneRead(spark, path, "x",
+      lit(Long.MinValue), lit(Long.MaxValue)).count() === 420L)
+  }
+
   // ------------------------------------------------------------------
   // Warehouse.aggState / mergeAggState
   // ------------------------------------------------------------------
