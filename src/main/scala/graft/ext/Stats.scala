@@ -139,6 +139,43 @@ object Stats {
         expr(s"(cb * 1000000L) div ${nb}L")))
   }
 
+  /** Market-basket co-occurrence with association confidence: for every
+    * unordered item pair appearing in ≥ `minCount` baskets, the pair
+    * support n_ab, the antecedent support n_a (baskets containing the
+    * LOWER item), and integer-ppm confidence `n_ab·1e6 div n_a` — the
+    * Apriori pair stage, the workhorse of co-view / co-purchase / term
+    * co-occurrence mining.
+    *
+    * Scale shape: pairs are emitted LOCALLY per basket from a sorted
+    * distinct item list (collect_set + sort + explode of C(m,2) pairs —
+    * m is basket size, a data constant, never corpus-scale), then
+    * partial-agg counted. The naive alternative — self-joining the
+    * (basket, item) table on basket — shuffles the fact table twice and
+    * explodes skewed baskets in the join; here the only shuffles are
+    * the basket groupBy and the pair count, both map-side combined.
+    * Basket-distinct items mean a pair is counted once per basket, the
+    * support semantics Apriori requires.
+    */
+  def coOccurrence(df: DataFrame, basketCol: String, itemCol: String,
+      minCount: Long): DataFrame = {
+    val baskets = df.filter(col(itemCol).isNotNull)
+      .groupBy(col(basketCol))
+      .agg(sort_array(collect_set(col(itemCol))).as("__items"))
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(__items, (a, i) ->
+          |  transform(slice(__items, i + 2, size(__items)), b ->
+          |    struct(a, b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("item_a"), col("p.b").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val itemSupport = df.filter(col(itemCol).isNotNull)
+      .select(col(basketCol), col(itemCol).as("item_a")).distinct()
+      .groupBy("item_a").agg(count(lit(1)).as("n_a"))
+    pairs.join(itemSupport, "item_a")
+      .withColumn("conf6", expr("n_ab * 1000000L div n_a"))
+  }
+
   def paretoFrontier(df: DataFrame, xCol: String, yCol: String)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -939,6 +939,18 @@ object ExtQueries {
         "g", col("event_type"))
         .orderBy("g")),
 
+    // Market-basket co-occurrence over supplier nations per order:
+    // locally-emitted basket pairs (never a fact-table self-join) +
+    // integer-ppm association confidence.
+    "q126_copurchase" -> ((s, d) => {
+      val bi = lineitem(s, d)
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey").as("basket"),
+          col("s_nationkey").as("item"))
+      graft.ext.Stats.coOccurrence(bi, "basket", "item", minCount = 5)
+        .orderBy("item_a", "item_b")
+    }),
+
     // Zone-map lifecycle: base write + delta append (delta-sized stats
     // maintenance) + overlap-driven compaction, then a pruned range
     // read. The oracle filters the full fact set — equality proves the
@@ -1923,6 +1935,20 @@ object ExtQueries {
         |SELECT s0 || '>' || s1 || '>' || s2 AS path, count(*) AS n
         |FROM s WHERE s2 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 25""".stripMargin,
+
+    // Definitional basket self-join replay of the local pair emission.
+    "q126_copurchase" ->
+      """WITH bi AS (SELECT DISTINCT l.l_orderkey AS b, s.s_nationkey AS i
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |p AS (SELECT x.b, x.i AS item_a, y.i AS item_b
+        |  FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i),
+        |pc AS (SELECT item_a, item_b, count(*) AS n_ab FROM p
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |ia AS (SELECT i AS item_a, count(*) AS n_a FROM bi GROUP BY 1)
+        |SELECT item_a, item_b, n_ab, n_a,
+        |  (n_ab * 1000000) // n_a AS conf6
+        |FROM pc JOIN ia USING (item_a)
+        |ORDER BY item_a, item_b""".stripMargin,
 
     // The lifecycle must answer exactly like the never-reorganized
     // table.

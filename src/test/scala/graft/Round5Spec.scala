@@ -1041,6 +1041,20 @@ class Round5Spec extends SparkSpec {
       (3L, 2L, 200000000L)))
   }
 
+  test("coOccurrence: basket-distinct pairs, support threshold, conf6") {
+    val df = Seq((1L, "x"), (1L, "y"), (1L, "z"), (1L, "x"), // dup in b1
+      (2L, "x"), (2L, "y"), (3L, "x")).toDF("b", "i")
+    val all = graft.ext.Stats.coOccurrence(df, "b", "i", minCount = 1)
+      .orderBy("item_a", "item_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // (x,y) in b1+b2; (x,z),(y,z) in b1 only; x in 3 baskets, y in 2
+    assert(all === Seq(("x", "y", 2L, 3L, 666666L),
+      ("x", "z", 1L, 3L, 333333L), ("y", "z", 1L, 2L, 500000L)))
+    assert(graft.ext.Stats.coOccurrence(df, "b", "i", minCount = 2)
+      .count() === 1L)
+  }
+
   test("fdViolations: holding FD is empty, broken FD lists groups") {
     val df = Seq((1L, "x", "p"), (1L, "x", "q"), (1L, "x", "q"),
       (2L, "y", "p")).toDF("k", "attr", "rhs")
