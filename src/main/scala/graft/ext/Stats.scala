@@ -139,6 +139,78 @@ object Stats {
         expr(s"(cb * 1000000L) div ${nb}L")))
   }
 
+  /** Exact rational per-group quantiles over an integer value column:
+    * for each (name, qNum, qDen), the smallest v whose cumulative count
+    * covers qNum/qDen of the group (ceil-rank / lower-quantile
+    * convention — the same one [[weightedMedianByGroup]] uses at 1/2).
+    * ALL requested quantiles come from ONE distinct-value aggregation +
+    * ONE window pass (`min(when(threshold_q, v))` per quantile) — the
+    * window runs on the per-group DISTINCT-value table, never corpus
+    * rows.
+    */
+  private def groupQuantiles(df: DataFrame, groupCol: String,
+      valCol: Column, qs: Seq[(String, Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(groupCol), valCol.cast("long").as("__v"))
+      .groupBy(col(groupCol), col("__v"))
+      .agg(count(lit(1)).as("__w"))
+    val wOrd = Window.partitionBy(groupCol).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCol)
+    val reads = qs.map { case (name, qNum, qDen) =>
+      min(when(col("__cum") * qDen >= lit(qNum) * col("__tot"),
+        col("__v"))).as(name)
+    }
+    counts
+      .withColumn("__cum", sum(col("__w")).over(wOrd))
+      .withColumn("__tot", sum(col("__w")).over(wAll))
+      .groupBy(col(groupCol))
+      .agg(reads.head, reads.tail: _*)
+  }
+
+  /** Winsorization (quantile clipping) per group: every value clamped
+    * into [q(loNum/loDen), q(hiNum/hiDen)] of ITS group — the standard
+    * robust-preprocessing step before scale-sensitive aggregation or
+    * training. Quantiles are exact rank-based reads on integer values
+    * (engine-replayable; no interpolation, no FP), both computed in one
+    * distinct-value pass; the per-group bound pair then joins back to
+    * the rows (a groups-sized build side — broadcastable at any corpus
+    * scale).
+    */
+  def winsorizeByGroup(df: DataFrame, groupCol: String, valCol: Column,
+      loNum: Long, loDen: Long, hiNum: Long, hiDen: Long): DataFrame = {
+    val bounds = groupQuantiles(df, groupCol, valCol,
+      Seq(("qlo", loNum, loDen), ("qhi", hiNum, hiDen)))
+    df.withColumn("__v", valCol.cast("long"))
+      .join(bounds, groupCol)
+      .withColumn("clipped",
+        greatest(col("qlo"), least(col("__v"), col("qhi"))))
+  }
+
+  /** Robust outliers via median/MAD (the median-based twin of q112's
+    * mean/variance z-test — immune to the outliers it hunts): flag rows
+    * with |x − median| > k·MAD, where MAD is the median absolute
+    * deviation, both exact lower medians on integer values. Two
+    * distinct-value median passes + two groups-sized joins back; the
+    * comparison is pure integer cross-multiplication (kNum/kDen
+    * rational k), so there is no 1.4826 σ-consistency constant anywhere
+    * — k is in MAD units by definition, engine-exact.
+    */
+  def robustOutliers(df: DataFrame, groupCol: String, idCol: String,
+      valCol: Column, kNum: Long, kDen: Long): DataFrame = {
+    val med = groupQuantiles(df, groupCol, valCol, Seq(("med", 1L, 2L)))
+    val devs = df
+      .select(col(idCol), col(groupCol), valCol.cast("long").as("x"))
+      .join(med, groupCol)
+      .withColumn("__dev", abs(col("x") - col("med")))
+    val mad = groupQuantiles(devs, groupCol, col("__dev"),
+      Seq(("mad", 1L, 2L)))
+    devs.join(mad, groupCol)
+      .filter(col("__dev") * kDen > lit(kNum) * col("mad"))
+      .select(col(idCol), col(groupCol), col("x"), col("med"), col("mad"))
+  }
+
   /** Market-basket co-occurrence with association confidence: for every
     * unordered item pair appearing in ≥ `minCount` baskets, the pair
     * support n_ab, the antecedent support n_a (baskets containing the

@@ -939,6 +939,27 @@ object ExtQueries {
         "g", col("event_type"))
         .orderBy("g")),
 
+    // Winsorization per priority class: order totals (cents) clamped
+    // into their group's exact [p05, p95] — rank-based integer
+    // quantiles, both bounds from ONE distinct-value pass.
+    "q127_winsorize" -> ((s, d) =>
+      graft.ext.Stats.winsorizeByGroup(
+        orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority").as("g"),
+          round(col("o_totalprice") * 100).cast("long").as("cents")),
+        "g", col("cents"), 1, 20, 19, 20)
+        .select("o_orderkey", "g", "cents", "qlo", "qhi", "clipped")
+        .orderBy("o_orderkey")),
+
+    // Median/MAD robust outliers per event type (the median twin of
+    // q112's mean/variance z-test — immune to the outliers it hunts):
+    // |x − med| > 5·MAD, all integer cross-multiplication.
+    "q128_robust_outliers" -> ((s, d) =>
+      graft.ext.Stats.robustOutliers(
+        events(s, d), "event_type", "event_id",
+        round(col("value") * 100).cast("long"), kNum = 5, kDen = 1)
+        .orderBy("event_id")),
+
     // Market-basket co-occurrence over supplier nations per order:
     // locally-emitted basket pairs (never a fact-table self-join) +
     // integer-ppm association confidence.
@@ -1935,6 +1956,45 @@ object ExtQueries {
         |SELECT s0 || '>' || s1 || '>' || s2 AS path, count(*) AS n
         |FROM s WHERE s2 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 25""".stripMargin,
+
+    // Same ceil-rank lower-quantile reads off the cumulative window.
+    "q127_winsorize" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority AS g,
+        |    cast(round(o_totalprice * 100) AS bigint) AS cents
+        |  FROM orders),
+        |c AS (SELECT g, cents AS v, count(*) AS w FROM o GROUP BY 1, 2),
+        |r AS (SELECT g, v,
+        |    sum(w) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    sum(w) OVER (PARTITION BY g) AS tot FROM c),
+        |q AS (SELECT g,
+        |    min(CASE WHEN cum * 20 >= 1 * tot THEN v END) AS qlo,
+        |    min(CASE WHEN cum * 20 >= 19 * tot THEN v END) AS qhi
+        |  FROM r GROUP BY g)
+        |SELECT o_orderkey, g, cents, qlo, qhi,
+        |  greatest(qlo, least(cents, qhi)) AS clipped
+        |FROM o JOIN q USING (g) ORDER BY o_orderkey""".stripMargin,
+
+    // Two chained exact-median stages, same lower-median convention.
+    "q128_robust_outliers" ->
+      """WITH e AS (SELECT event_id, event_type AS g,
+        |    cast(round(value * 100) AS bigint) AS x FROM events),
+        |c AS (SELECT g, x AS v, count(*) AS w FROM e GROUP BY 1, 2),
+        |r AS (SELECT g, v,
+        |    sum(w) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    sum(w) OVER (PARTITION BY g) AS tot FROM c),
+        |m AS (SELECT g, min(CASE WHEN cum * 2 >= tot THEN v END) AS med
+        |  FROM r GROUP BY g),
+        |d AS (SELECT e.event_id, e.g, e.x, m.med,
+        |    abs(e.x - m.med) AS dev FROM e JOIN m USING (g)),
+        |c2 AS (SELECT g, dev AS v, count(*) AS w FROM d GROUP BY 1, 2),
+        |r2 AS (SELECT g, v,
+        |    sum(w) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    sum(w) OVER (PARTITION BY g) AS tot FROM c2),
+        |m2 AS (SELECT g, min(CASE WHEN cum * 2 >= tot THEN v END) AS mad
+        |  FROM r2 GROUP BY g)
+        |SELECT event_id, g AS event_type, x, med, mad
+        |FROM d JOIN m2 USING (g) WHERE dev > 5 * mad
+        |ORDER BY event_id""".stripMargin,
 
     // Definitional basket self-join replay of the local pair emission.
     "q126_copurchase" ->

@@ -1041,6 +1041,37 @@ class Round5Spec extends SparkSpec {
       (3L, 2L, 200000000L)))
   }
 
+  test("winsorizeByGroup: exact rank bounds, per-group clamping") {
+    // group g: 1..10 → p20 lower-quantile = 2 (cum 2*5 >= 1*10),
+    // p80 = 8 (cum*5 >= 4*10 first at v=8)
+    val df = ((1L to 10L).map(v => ("g", v)) :+ (("h", 100L)))
+      .toDF("g", "v")
+    val out = graft.ext.Stats.winsorizeByGroup(df, "g", col("v"),
+      1, 5, 4, 5)
+      .select("g", "v", "qlo", "qhi", "clipped")
+      .orderBy("g", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val gRows = out.filter(_._1 == "g")
+    assert(gRows.forall(r => r._3 === 2L && r._4 === 8L))
+    assert(gRows.map(_._5) === Seq(2L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 8L, 8L))
+    // singleton group clips to itself
+    assert(out.filter(_._1 == "h") === Seq(("h", 100L, 100L, 100L, 100L)))
+  }
+
+  test("robustOutliers: median/MAD flags the spike, not the bulk") {
+    // x: nine values near 10, one at 1000 → med 10, MAD small, spike out
+    val df = (Seq(8L, 9L, 9L, 10L, 10L, 10L, 11L, 11L, 12L, 1000L)
+      .zipWithIndex.map { case (x, i) => (i.toLong, "m", x) })
+      .toDF("id", "g", "x")
+    val out = graft.ext.Stats.robustOutliers(df, "g", "id", col("x"),
+      kNum = 5, kDen = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(out === Seq((9L, 1000L)))
+    // MAD = 1 here: devs sorted are 0,0,0,1,1,1,1,2,2,990 → lower
+    // median 1; 5*1 < |1000-10| flags only the spike
+  }
+
   test("coOccurrence: basket-distinct pairs, support threshold, conf6") {
     val df = Seq((1L, "x"), (1L, "y"), (1L, "z"), (1L, "x"), // dup in b1
       (2L, "x"), (2L, "y"), (3L, "x")).toDF("b", "i")
