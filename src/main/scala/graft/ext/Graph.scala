@@ -103,9 +103,16 @@ object Graph {
       sym.join(alive.select(col("node").as("u")), "u")
         .join(alive.select(col("node").as("v")), "v")
         .groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    // Each round consumes `alive` TWICE (u-side and v-side semi-join),
+    // so an unchecked lineage doubles per round — 2^rounds copies of
+    // the first peel in the final plan. Pin every round's survivor
+    // list eagerly; each checkpoint is a node-id list that only
+    // shrinks, so the per-round materialization is tiny.
     var alive = sym.select(col("u").as("node")).distinct()
+      .localCheckpoint()
     for (_ <- 1 to rounds)
       alive = degrees(alive).filter(col("deg") >= k).select("node")
+        .localCheckpoint()
     degrees(alive)
   }
 
