@@ -116,6 +116,43 @@ object Graph {
     degrees(alive)
   }
 
+  /** Bounded multi-source BFS: hop distance from the nearest source
+    * node, for every node reachable within `rounds` hops over the
+    * UNDIRECTED graph — reachability/blast-radius analysis on a
+    * near-dup pair graph or an interaction graph. Frontier-style:
+    * each round expands ONLY the nodes discovered last round (the
+    * classic BFS work bound — Σ frontier degrees, not rounds·|E|),
+    * anti-joins the visited set, and pins both with an eager
+    * `localCheckpoint` (same lineage discipline as [[kcore]]).
+    * Semantics are "distance ≤ rounds, else absent" — deterministic
+    * for any round budget, which keeps the iterative operator
+    * hash-gradeable on every engine.
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, rounds: Int = 8): DataFrame = {
+    require(rounds >= 1, "bfsHops: rounds must be >= 1")
+    val und = edges.filter(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+    val sym = und.union(und.select(col("v"), col("u")))
+      .localCheckpoint()
+    var dist = sources.select(col(sources.columns.head).as("node"))
+      .distinct().withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = dist.select("node")
+    for (i <- 1 to rounds) {
+      val discovered = sym
+        .join(frontier.withColumnRenamed("node", "u"), "u")
+        .select(col("v").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("dist", lit(i.toLong))
+        .localCheckpoint()
+      dist = dist.union(discovered).localCheckpoint()
+      frontier = discovered.select("node")
+    }
+    dist
+  }
+
   /** Per-node triangle counts (the clustering-coefficient numerator —
     * community structure in a near-dup pair graph or a trade graph).
     * Degree-ordered node-iterator (Schank-Wagner): symmetrize + distinct,

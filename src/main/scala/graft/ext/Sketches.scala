@@ -71,6 +71,68 @@ object Sketches {
       .agg(udaf(new KmvAggregator(k), Encoders.scalaDouble)
         .apply(Sampling.hashCoord(value)).as("est_distinct"))
 
+  /** [[KmvAggregator]] variant that returns the BUFFER (the k smallest
+    * distinct hash coordinates) instead of the cardinality estimate —
+    * the form set-operation estimators consume.
+    */
+  class KmvSketchAggregator(k: Int)
+      extends Aggregator[Double, Seq[Double], Seq[Double]] {
+    require(k >= 2, "KMV needs k >= 2")
+    private val inner = new KmvAggregator(k)
+    override def zero: Seq[Double] = inner.zero
+    override def reduce(b: Seq[Double], h: Double): Seq[Double] =
+      inner.reduce(b, h)
+    override def merge(b1: Seq[Double], b2: Seq[Double]): Seq[Double] =
+      inner.merge(b1, b2)
+    override def finish(b: Seq[Double]): Seq[Double] = b
+    override def bufferEncoder: Encoder[Seq[Double]] =
+      ExpressionEncoder[Seq[Double]]()
+    override def outputEncoder: Encoder[Seq[Double]] =
+      ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** Pairwise Jaccard similarity between EVERY pair of groups from
+    * their KMV sketches (Beyer et al., SIGMOD'07): for each unordered
+    * group pair, merge the two k-min sketches, keep the k smallest of
+    * the union, and estimate J = |hashes present in BOTH sketches| /
+    * |union sketch| — the standard KMV set-operation estimator
+    * (±~1/sqrt(k) error). The corpus is touched by exactly ONE
+    * aggregation pass with bounded k-element buffers (no distinct
+    * shuffle of raw values); everything downstream — pair
+    * enumeration, union top-k, membership probes — runs on the
+    * |groups|·k sketch table, pinned once. Integer outputs
+    * (k_union, k_both, ppm ratio) make the estimate engine-exact.
+    */
+  def kmvJaccard(df: DataFrame, groupCol: String, value: Column, k: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sk = df.filter(value.isNotNull)
+      .groupBy(col(groupCol).as("g"))
+      .agg(udaf(new KmvSketchAggregator(k), Encoders.scalaDouble)
+        .apply(Sampling.hashCoord(value)).as("__sk"))
+      .select(col("g"), explode(col("__sk")).as("h"))
+      .localCheckpoint()
+    val gs = sk.select("g").distinct()
+    val pairs = gs.select(col("g").as("ga"))
+      .crossJoin(gs.select(col("g").as("gb")))
+      .filter(col("ga") < col("gb"))
+    val merged = pairs
+      .join(sk, sk("g") === col("ga") || sk("g") === col("gb"))
+      .select(col("ga"), col("gb"), col("h")).distinct()
+    val wp = Window.partitionBy("ga", "gb").orderBy("h")
+    val unionK = merged.withColumn("__rn", row_number().over(wp))
+      .filter(col("__rn") <= k).select("ga", "gb", "h")
+    val inA = sk.select(col("g").as("ga"), col("h"), lit(1).as("__ina"))
+    val inB = sk.select(col("g").as("gb"), col("h"), lit(1).as("__inb"))
+    unionK.join(inA, Seq("ga", "h"), "left")
+      .join(inB, Seq("gb", "h"), "left")
+      .groupBy("ga", "gb")
+      .agg(count(lit(1)).as("k_union"),
+        sum(when(col("__ina").isNotNull && col("__inb").isNotNull, 1L)
+          .otherwise(0L)).as("k_both"))
+      .withColumn("jaccard_ppm", expr("k_both * 1000000L div k_union"))
+  }
+
   /** Misra–Gries frequent-items summary (Misra & Gries '82; mergeable
     * form per Agarwal et al., TODS'13). Buffer: ≤ `capacity` (item,
     * weight) slots plus the total stream length n. The deterministic

@@ -211,6 +211,64 @@ object Stats {
       .select(col(idCol), col(groupCol), col("x"), col("med"), col("mad"))
   }
 
+  /** Equi-depth histogram boundaries per group: the exact rank-based
+    * upper bound of each of `k` equal-population buckets (b1..bk, bk =
+    * group max) — the quantile table a cost optimizer or drift monitor
+    * keeps per column. One distinct-value aggregation + one window
+    * pass produces ALL k bounds (same kernel as [[winsorizeByGroup]]);
+    * the output is |groups| rows regardless of corpus size.
+    */
+  def equiDepthBounds(df: DataFrame, groupCol: String, valCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, "equiDepthBounds: need k >= 2")
+    groupQuantiles(df, groupCol, valCol,
+      (1 to k).map(i => (s"b$i", i.toLong, k.toLong)))
+  }
+
+  /** Feature-target association screen via the 2×2 chi-square test —
+    * the classic feature-selection / A-B significance primitive. For
+    * each category of `catCol` vs a boolean label: the contingency
+    * counts n11 (category & label), n10, n01, n00, the association
+    * direction sign(n11·n00 − n10·n01), and a significance flag
+    *   N·(n11·n00 − n10·n01)²·kDen  >  kNum·(row and column margins)
+    * — the chi-square statistic χ² > kNum/kDen cross-multiplied, so no
+    * division or FP anywhere (kNum/kDen = 384/100 ≈ the 95% df=1
+    * critical value). Products run in decimal(38,0): exact for
+    * N ≤ ~10⁸ per screen; beyond that, screen per stratum.
+    *
+    * ONE category-keyed aggregation with map-side combine + a 1-row
+    * broadcast of the global margins — nothing else touches the fact
+    * table, so the screen costs the same as a plain groupBy count.
+    */
+  def chiAssoc(df: DataFrame, catCol: String, label: Column,
+      kNum: Long, kDen: Long): DataFrame = {
+    val counts = df
+      .select(col(catCol).as("cat"), label.cast("boolean").as("__y"))
+      .groupBy("cat")
+      .agg(count(lit(1)).as("__ncat"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n11"))
+    val tot = counts.agg(sum(col("__ncat")).as("__n"),
+      sum(col("n11")).as("__pos"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    counts.crossJoin(broadcast(tot))
+      .select(col("cat"), col("n11"),
+        (col("__ncat") - col("n11")).as("n10"),
+        (col("__pos") - col("n11")).as("n01"),
+        (col("__n") - col("__ncat") - col("__pos") + col("n11")).as("n00"),
+        col("__n").as("__n"))
+      .select({
+        val det = d(col("n11")) * d(col("n00")) - d(col("n10")) * d(col("n01"))
+        val margins = (d(col("n11")) + d(col("n10"))) *
+          (d(col("n01")) + d(col("n00"))) *
+          (d(col("n11")) + d(col("n01"))) *
+          (d(col("n10")) + d(col("n00")))
+        Seq(col("cat"), col("n11"), col("n10"), col("n01"), col("n00"),
+          signum(det).cast("int").as("assoc"),
+          (d(col("__n")) * det * det * kDen > lit(kNum) * margins)
+            .as("sig"))
+      }: _*)
+  }
+
   /** Market-basket co-occurrence with association confidence: for every
     * unordered item pair appearing in ≥ `minCount` baskets, the pair
     * support n_ab, the antecedent support n_a (baskets containing the

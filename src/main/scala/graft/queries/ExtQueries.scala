@@ -960,6 +960,55 @@ object ExtQueries {
         round(col("value") * 100).cast("long"), kNum = 5, kDen = 1)
         .orderBy("event_id")),
 
+    // LOCF forward-fill: hourly per-type gauge series where empty
+    // buckets inherit the last observed value (cents); in-bucket
+    // winner is the latest event by (ts, event_id).
+    "q129_locf" -> ((s, d) =>
+      EventsOps.locf(events(s, d), "event_type", widthSec = 3600L)
+        .orderBy("event_type", "bucket")),
+
+    // 2x2 chi-square feature screen: order priority vs "status = F",
+    // significance flag fully cross-multiplied in decimal(38,0)
+    // (384/100 ~ the 95% df=1 critical value).
+    "q130_chi_assoc" -> ((s, d) =>
+      graft.ext.Stats.chiAssoc(orders(s, d), "o_orderpriority",
+        col("o_orderstatus") === "F", kNum = 384, kDen = 100)
+        .orderBy("cat")),
+
+    // Bounded multi-source BFS on the bipartite customer-supplier
+    // trade graph (q119's), 4 frontier rounds from suppliers 1-2.
+    "q131_bfs" -> ((s, d) => {
+      val e = lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      val sources = supplier(s, d).filter(col("s_suppkey") <= 2)
+        .select((col("s_suppkey") * 2 + 1).as("node"))
+      graft.ext.Graph.bfsHops(e, "src", "dst", sources, rounds = 4)
+        .orderBy("node")
+    }),
+
+    // Pairwise language token-set similarity from KMV sketches: one
+    // bounded-buffer agg pass over the corpus, then sketch-table-only
+    // set-op estimation (k=16).
+    "q132_kmv_jaccard" -> ((s, d) =>
+      graft.ext.Sketches.kmvJaccard(
+        documents(s, d)
+          .select(col("lang"),
+            explode(TextStats.tokens(col("text"))).as("tok"))
+          .filter(length(col("tok")) > 0),
+        "lang", col("tok"), k = 16)
+        .orderBy("ga", "gb")),
+
+    // Equi-depth deciles of line-item price per return flag: all 10
+    // exact rank-based bounds from one distinct-value pass.
+    "q133_deciles" -> ((s, d) =>
+      graft.ext.Stats.equiDepthBounds(
+        lineitem(s, d).select(col("l_returnflag").as("g"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents")),
+        "g", col("cents"), k = 10)
+        .orderBy("g")),
+
     // Market-basket co-occurrence over supplier nations per order:
     // locally-emitted basket pairs (never a fact-table self-join) +
     // integer-ppm association confidence.
@@ -1995,6 +2044,117 @@ object ExtQueries {
         |SELECT event_id, g AS event_type, x, med, mad
         |FROM d JOIN m2 USING (g) WHERE dev > 5 * mad
         |ORDER BY event_id""".stripMargin,
+
+    // Same in-bucket winner (row_number DESC) + carry-forward via
+    // last_value IGNORE NULLS over the densified buckets.
+    "q129_locf" ->
+      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
+        |b AS (SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS bucket,
+        |    ts, event_id, cast(round(value * 100) AS bigint) AS cents FROM e),
+        |w AS (SELECT event_type, bucket, cents, row_number() OVER
+        |    (PARTITION BY event_type, bucket ORDER BY ts DESC, event_id DESC)
+        |    AS rn FROM b),
+        |o AS (SELECT event_type, bucket, cents FROM w WHERE rn = 1),
+        |s AS (SELECT event_type,
+        |    unnest(generate_series(min(bucket), max(bucket))) AS bucket
+        |  FROM o GROUP BY event_type)
+        |SELECT s.event_type, s.bucket,
+        |  cast(to_timestamp(s.bucket * 3600) AS timestamp) AS bucket_start,
+        |  o.cents AS observed,
+        |  last_value(o.cents IGNORE NULLS) OVER
+        |    (PARTITION BY s.event_type ORDER BY s.bucket) AS filled
+        |FROM s LEFT JOIN o USING (event_type, bucket)
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    // Contingency counts from one agg + global margins; the flag is
+    // the identical cross-multiplied inequality in HUGEINT.
+    "q130_chi_assoc" ->
+      """WITH c AS (SELECT o_orderpriority AS cat, count(*) AS ncat,
+        |    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n11
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT sum(ncat) AS n, sum(n11) AS pos FROM c),
+        |x AS (SELECT cat, n11::HUGEINT AS n11, (ncat - n11)::HUGEINT AS n10,
+        |    (pos - n11)::HUGEINT AS n01,
+        |    (n - ncat - pos + n11)::HUGEINT AS n00, n::HUGEINT AS n
+        |  FROM c, t),
+        |y AS (SELECT cat, n11, n10, n01, n00, n,
+        |    n11 * n00 - n10 * n01 AS det FROM x)
+        |SELECT cat, n11::bigint AS n11, n10::bigint AS n10,
+        |  n01::bigint AS n01, n00::bigint AS n00,
+        |  (CASE WHEN det > 0 THEN 1 WHEN det < 0 THEN -1 ELSE 0 END)::int
+        |    AS assoc,
+        |  n * det * det * 100 >
+        |    384 * ((n11 + n10) * (n01 + n00) * (n11 + n01) * (n10 + n00))
+        |    AS sig
+        |FROM y ORDER BY cat""".stripMargin,
+
+    // Frontier BFS unrolled: each round discovers neighbors of the
+    // previous frontier that are not yet in the distance table.
+    "q131_bfs" -> {
+      def round(i: Int) =
+        s"""f$i AS (SELECT DISTINCT e.v AS node FROM e
+           |  JOIN f${i - 1} ON e.u = f${i - 1}.node
+           |  WHERE e.v NOT IN (SELECT node FROM d${i - 1})),
+           |d$i AS (SELECT * FROM d${i - 1}
+           |  UNION ALL SELECT node, cast($i AS bigint) FROM f$i)""".stripMargin
+      s"""WITH p AS (
+         |  SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |e AS (SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
+         |d0 AS (SELECT DISTINCT s_suppkey * 2 + 1 AS node,
+         |    cast(0 AS bigint) AS dist FROM supplier WHERE s_suppkey <= 2),
+         |f0 AS (SELECT node FROM d0),
+         |${(1 to 4).map(round).mkString(",\n")}
+         |SELECT node, dist FROM d4 ORDER BY node""".stripMargin
+    },
+
+    // Identical md5 hash coordinate, min-k per group via row_number,
+    // union top-k per pair, membership probes against each sketch.
+    "q132_kmv_jaccard" -> {
+      val u = (0 until 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5(tok), ${i + 1}, 1)) - 1) * ${math.pow(16, 7 - i).toLong}")
+        .mkString("(", " + ", ")") + " / 4294967296.0"
+      s"""WITH t AS (SELECT lang,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         |  FROM documents),
+         |h AS (SELECT DISTINCT lang AS g, $u AS h FROM t WHERE len(tok) > 0),
+         |r AS (SELECT g, h,
+         |    row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM h),
+         |sk AS (SELECT g, h FROM r WHERE rn <= 16),
+         |gs AS (SELECT DISTINCT g FROM sk),
+         |pr AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+         |m AS (SELECT DISTINCT pr.ga, pr.gb, s.h
+         |  FROM pr JOIN sk s ON s.g IN (pr.ga, pr.gb)),
+         |uw AS (SELECT ga, gb, h,
+         |    row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn FROM m),
+         |uk AS (SELECT ga, gb, h FROM uw WHERE rn <= 16)
+         |SELECT uk.ga, uk.gb, count(*) AS k_union,
+         |  sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+         |      THEN 1 ELSE 0 END) AS k_both,
+         |  (sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+         |      THEN 1 ELSE 0 END) * 1000000) // count(*) AS jaccard_ppm
+         |FROM uk
+         |LEFT JOIN sk a ON a.g = uk.ga AND a.h = uk.h
+         |LEFT JOIN sk b ON b.g = uk.gb AND b.h = uk.h
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    // Ten ceil-rank reads off one cumulative window, as in q127.
+    "q133_deciles" -> {
+      val reads = (1 to 10).map(i =>
+        s"min(CASE WHEN cum * 10 >= $i * tot THEN v END) AS b$i")
+        .mkString(",\n|    ")
+      s"""WITH o AS (SELECT l_returnflag AS g,
+         |    cast(round(l_extendedprice * 100) AS bigint) AS cents
+         |  FROM lineitem),
+         |c AS (SELECT g, cents AS v, count(*) AS w FROM o GROUP BY 1, 2),
+         |r AS (SELECT g, v,
+         |    sum(w) OVER (PARTITION BY g ORDER BY v) AS cum,
+         |    sum(w) OVER (PARTITION BY g) AS tot FROM c)
+         |SELECT g,
+         |    $reads
+         |FROM r GROUP BY g ORDER BY g""".stripMargin
+    },
 
     // Definitional basket self-join replay of the local pair emission.
     "q126_copurchase" ->

@@ -254,6 +254,46 @@ object EventsOps {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Forward-filled (LOCF — last observation carried forward) per-key
+    * metric series at `widthSec` resolution: the densified series
+    * [[gapFill]] produces, but empty buckets inherit the LAST OBSERVED
+    * value instead of zero — the imputation shape feature stores and
+    * monitoring backends expect for sampled gauges (a missing reading
+    * means "unchanged", not "zero"). Two window passes, both keyed:
+    * (1) the in-bucket winner is the latest event by (ts, event_id) —
+    * a deterministic total order, so re-runs and DuckDB agree; (2) the
+    * carry-forward is `last(ignoreNulls)` over the densified buckets.
+    * Values are fixed-point cents — the fill copies observations
+    * verbatim, so no FP enters. Volume and shuffle bounds match
+    * [[gapFill]]: everything after the first aggregation is sized by
+    * Σ per-key bucket spans, not by |events|.
+    */
+  def locf(events: DataFrame, keyCol: String, widthSec: Long)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = expr(s"unix_timestamp(ts) div ${widthSec}L")
+    val wB = Window.partitionBy(col(keyCol), col("bucket"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val perBucket = events
+      .select(col(keyCol), bucket.as("bucket"), col("ts"),
+        col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("__rn", row_number().over(wB))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col("bucket"), col("cents"))
+    val spans = perBucket.groupBy(keyCol)
+      .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
+      .select(col(keyCol),
+        explode(sequence(col("__lo"), col("__hi"))).as("bucket"))
+    val wFill = Window.partitionBy(keyCol).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spans.join(perBucket, Seq(keyCol, "bucket"), "left")
+      .withColumn("filled",
+        last(col("cents"), ignoreNulls = true).over(wFill))
+      .select(col(keyCol), col("bucket"),
+        timestamp_seconds(col("bucket") * widthSec).as("bucket_start"),
+        col("cents").as("observed"), col("filled"))
+  }
+
   /** Frequent-path mining over the event log: the top-k most common
     * length-`steps` event-type sequences users actually follow
     * (journey analysis — where `funnel` checks ONE prescribed order,

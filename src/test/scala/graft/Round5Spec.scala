@@ -1072,6 +1072,72 @@ class Round5Spec extends SparkSpec {
     // median 1; 5*1 < |1000-10| flags only the spike
   }
 
+  test("locf: in-bucket latest wins, gaps carry forward, leading gap null") {
+    // key m, width 10s: bucket 10 has two events (latest value 5),
+    // buckets 11-12 empty (carry 5), bucket 13 observed 9.
+    val ev = Seq(
+      (1L, "m", 3.0, ts(100)), (2L, "m", 5.0, ts(105)),
+      (3L, "m", 9.0, ts(130))
+    ).toDF("event_id", "event_type", "value", "ts")
+    val out = EventsOps.locf(ev, "event_type", widthSec = 10L)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getLong(4))).toSeq
+    assert(out === Seq((10L, Some(500L), 500L), (11L, None, 500L),
+      (12L, None, 500L), (13L, Some(900L), 900L)))
+  }
+
+  test("chiAssoc: exact contingency, direction, significance flag") {
+    // cat A: 90 pos / 10 neg; cat B: 10 pos / 90 neg -> chi2 = 128 >> 3.84
+    val rows = Seq.fill(90)(("A", true)) ++ Seq.fill(10)(("A", false)) ++
+      Seq.fill(10)(("B", true)) ++ Seq.fill(90)(("B", false))
+    val out = graft.ext.Stats.chiAssoc(rows.toDF("cat", "y"), "cat",
+      col("y"), kNum = 384, kDen = 100)
+      .orderBy("cat").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5), r.getBoolean(6))).toSeq
+    assert(out === Seq(("A", 90L, 10L, 10L, 90L, 1, true),
+      ("B", 10L, 90L, 90L, 10L, -1, true)))
+    // balanced table: no association, no flag
+    val bal = (Seq.fill(50)(("A", true)) ++ Seq.fill(50)(("A", false)) ++
+      Seq.fill(50)(("B", true)) ++ Seq.fill(50)(("B", false)))
+      .toDF("cat", "y")
+    val out2 = graft.ext.Stats.chiAssoc(bal, "cat", col("y"), 384, 100)
+      .collect().map(r => (r.getInt(5), r.getBoolean(6))).toSeq
+    assert(out2 === Seq((0, false), (0, false)))
+  }
+
+  test("bfsHops: frontier layers, round bound, unreachable absent") {
+    // path 1-2-3-4-5 plus isolated edge 8-9; source = 1, rounds = 3
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("src", "dst")
+    val src = Seq(1L).toDF("node")
+    val out = Graph.bfsHops(e, "src", "dst", src, rounds = 3)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // node 5 is 4 hops away -> absent at rounds=3; 8/9 unreachable
+    assert(out === Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L)))
+  }
+
+  test("kmvJaccard: identical sets -> 1e6 ppm, disjoint -> 0") {
+    val df = ((1 to 40).map(i => ("a", s"t$i")) ++
+      (1 to 40).map(i => ("b", s"t$i")) ++
+      (1 to 40).map(i => ("c", s"u$i"))).toDF("g", "v")
+    val out = Sketches.kmvJaccard(df, "g", col("v"), k = 16)
+      .orderBy("ga", "gb").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(out === Seq(("a", "b", 16L, 16L, 1000000L),
+      ("a", "c", 16L, 0L, 0L), ("b", "c", 16L, 0L, 0L)))
+  }
+
+  test("equiDepthBounds: exact decile reads, top bound is the max") {
+    val df = (1L to 100L).map(v => ("g", v)).toDF("g", "v")
+    val out = graft.ext.Stats.equiDepthBounds(df, "g", col("v"), k = 10)
+      .collect().head
+    assert((1 to 10).map(i => out.getLong(i)) === (1 to 10).map(_ * 10L))
+  }
+
   test("coOccurrence: basket-distinct pairs, support threshold, conf6") {
     val df = Seq((1L, "x"), (1L, "y"), (1L, "z"), (1L, "x"), // dup in b1
       (2L, "x"), (2L, "y"), (3L, "x")).toDF("b", "i")
