@@ -1009,6 +1009,20 @@ object ExtQueries {
         "g", col("cents"), k = 10)
         .orderBy("g")),
 
+    // Hourly OHLC bars per event type: open/close by the (ts,
+    // event_id) total order via min_by/max_by — one agg pass, no
+    // window.
+    "q134_ohlc" -> ((s, d) =>
+      EventsOps.ohlc(events(s, d), "event_type", widthSec = 3600L)
+        .orderBy("event_type", "bucket")),
+
+    // Exact trailing-7-day distinct active users per event type:
+    // bounded Expand membership, one distinct agg — never a self-join.
+    "q135_sliding_dau" -> ((s, d) =>
+      EventsOps.slidingDistinct(events(s, d), "event_type",
+        windowDays = 7)
+        .orderBy("event_type", "day")),
+
     // Market-basket co-occurrence over supplier nations per order:
     // locally-emitted basket pairs (never a fact-table self-join) +
     // integer-ppm association confidence.
@@ -2155,6 +2169,37 @@ object ExtQueries {
          |    $reads
          |FROM r GROUP BY g ORDER BY g""".stripMargin
     },
+
+    // First/last row per bucket by the identical (ts, event_id) total
+    // order, read off two row_number windows.
+    "q134_ohlc" ->
+      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
+        |b AS (SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS bucket,
+        |    cast(round(value * 100) AS bigint) AS cents, ts, event_id FROM e),
+        |w AS (SELECT event_type, bucket, cents,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY ts ASC, event_id ASC) AS rna,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY ts DESC, event_id DESC) AS rnd FROM b)
+        |SELECT event_type, bucket, count(*) AS n,
+        |  min(CASE WHEN rna = 1 THEN cents END) AS open,
+        |  max(cents) AS high, min(cents) AS low,
+        |  min(CASE WHEN rnd = 1 THEN cents END) AS close
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Same bounded membership expansion + distinct agg.
+    "q135_sliding_dau" ->
+      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
+        |a AS (SELECT DISTINCT event_type, user_id,
+        |    epoch_us(ts) // 1000000 // 86400 AS day FROM e),
+        |s AS (SELECT event_type, max(day) AS hi FROM a GROUP BY 1),
+        |x AS (SELECT event_type, user_id,
+        |    unnest(generate_series(day, day + 6)) AS endday FROM a)
+        |SELECT x.event_type, x.endday AS day,
+        |  cast(to_timestamp(x.endday * 86400) AS timestamp) AS day_start,
+        |  count(DISTINCT x.user_id) AS n_active
+        |FROM x JOIN s USING (event_type) WHERE x.endday <= s.hi
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Definitional basket self-join replay of the local pair emission.
     "q126_copurchase" ->

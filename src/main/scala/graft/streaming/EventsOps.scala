@@ -294,6 +294,66 @@ object EventsOps {
         col("cents").as("observed"), col("filled"))
   }
 
+  /** OHLC bars (open/high/low/close) per key and time bucket — the
+    * candlestick rollup every metrics/trading backend keeps. Open and
+    * close are the FIRST/LAST event by the (ts, event_id) total order
+    * (deterministic under ties, re-run stable); high/low are plain
+    * extremes. ONE aggregation pass: min_by/max_by over the composite
+    * order key — no window, no second shuffle; values are fixed-point
+    * cents so every bar is engine-exact.
+    */
+  def ohlc(events: DataFrame, keyCol: String, widthSec: Long)
+      : DataFrame = {
+    val bucket = expr(s"unix_timestamp(ts) div ${widthSec}L")
+    // Composite order coordinate: ts microseconds then event_id —
+    // a single orderable long-pair packed into a struct for
+    // min_by/max_by (struct comparison is lexicographic).
+    val ord = struct(unix_micros(col("ts")), col("event_id"))
+    events
+      .select(col(keyCol), bucket.as("bucket"),
+        round(col("value") * 100).cast("long").as("cents"), ord.as("__o"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min_by(col("cents"), col("__o")).as("open"),
+        max(col("cents")).as("high"),
+        min(col("cents")).as("low"),
+        max_by(col("cents"), col("__o")).as("close"))
+  }
+
+  /** Exact sliding distinct count — distinct active users per trailing
+    * `windowDays`-day window, one row per (key, day) — the rolling-DAU
+    * /-WAU curve. Sliding DISTINCT does not decompose (a user active
+    * on 3 days still counts once), so summing daily distincts is
+    * wrong; instead each (key, user, day) contributes membership to
+    * the `windowDays` window-ends it falls into (an Expand of bounded
+    * factor, map-side), then one distinct-agg per (key, window end).
+    * Cost: |distinct (key,user,day)| × windowDays rows through one
+    * exchange — linear, never a self-join; the factor is the window
+    * length, fixed at plan time. Windows with no activity produce no
+    * row (compose with [[gapFill]] to densify).
+    */
+  def slidingDistinct(events: DataFrame, keyCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "slidingDistinct: windowDays >= 1")
+    val day = expr("unix_timestamp(ts) div 86400L")
+    val active = events
+      .select(col(keyCol), col("user_id"), day.as("day"))
+      .distinct()
+    val span = active.groupBy(keyCol)
+      .agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
+    active
+      .withColumn("endDay",
+        explode(sequence(col("day"),
+          col("day") + (windowDays - 1).toLong)))
+      .join(span, Seq(keyCol))
+      .filter(col("endDay") <= col("__hi"))
+      .groupBy(col(keyCol), col("endDay"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .select(col(keyCol), col("endDay").as("day"),
+        timestamp_seconds(col("endDay") * 86400L).as("day_start"),
+        col("n_active"))
+  }
+
   /** Frequent-path mining over the event log: the top-k most common
     * length-`steps` event-type sequences users actually follow
     * (journey analysis — where `funnel` checks ONE prescribed order,

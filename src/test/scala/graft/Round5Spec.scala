@@ -1138,6 +1138,34 @@ class Round5Spec extends SparkSpec {
     assert((1 to 10).map(i => out.getLong(i)) === (1 to 10).map(_ * 10L))
   }
 
+  test("ohlc: open/close by (ts, event_id) order, ties deterministic") {
+    // bucket 10: events at t=100 (v=3), t=105 (v=9), t=105 (v=5, higher
+    // event_id) -> open=300, close=500 (event_id breaks the tie)
+    val ev = Seq(
+      (1L, "m", 3.0, ts(100)), (2L, "m", 9.0, ts(105)),
+      (3L, "m", 5.0, ts(105)), (4L, "m", 7.0, ts(130))
+    ).toDF("event_id", "event_type", "value", "ts")
+    val out = EventsOps.ohlc(ev, "event_type", widthSec = 10L)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toSeq
+    assert(out === Seq((10L, 3L, 300L, 900L, 300L, 500L),
+      (13L, 1L, 700L, 700L, 700L, 700L)))
+  }
+
+  test("slidingDistinct: a user spanning days counts once per window") {
+    // user 1 active days 0 and 2; user 2 active day 2 only; 3-day window
+    val ev = Seq(
+      (1L, 1L, "m", ts(10)), (2L, 1L, "m", ts(2 * 86400 + 10)),
+      (3L, 2L, "m", ts(2 * 86400 + 20))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventsOps.slidingDistinct(ev, "event_type", windowDays = 3)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(1), r.getLong(3))).toSeq
+    // day0: {1}; day1: {1}; day2: {1(both days, once), 2}
+    assert(out === Seq((0L, 1L), (1L, 1L), (2L, 2L)))
+  }
+
   test("coOccurrence: basket-distinct pairs, support threshold, conf6") {
     val df = Seq((1L, "x"), (1L, "y"), (1L, "z"), (1L, "x"), // dup in b1
       (2L, "x"), (2L, "y"), (3L, "x")).toDF("b", "i")
