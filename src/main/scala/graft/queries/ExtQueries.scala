@@ -1023,6 +1023,26 @@ object ExtQueries {
         windowDays = 7)
         .orderBy("event_type", "day")),
 
+    // Deterministic synchronous label propagation on the bipartite
+    // trade graph: 4 sweeps, most-frequent neighbor label, min-label
+    // ties.
+    "q136_lpa" -> ((s, d) => {
+      val e = lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.ext.Graph.labelPropagation(e, "src", "dst", rounds = 4)
+        .orderBy("node")
+    }),
+
+    // Catalog-style per-column profile of orders: null/distinct
+    // counts + native min/max, one logical pass, O(columns) output.
+    "q137_profile" -> ((s, d) =>
+      graft.ext.Quality.profile(orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderdate", "o_orderpriority"))
+        .orderBy("col_name")),
+
     // Market-basket co-occurrence over supplier nations per order:
     // locally-emitted basket pairs (never a fact-table self-join) +
     // integer-ppm association confidence.
@@ -2200,6 +2220,36 @@ object ExtQueries {
         |  count(DISTINCT x.user_id) AS n_active
         |FROM x JOIN s USING (event_type) WHERE x.endday <= s.hi
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Unrolled synchronous sweeps: grouped neighbor-label counts +
+    // the identical (count DESC, label ASC) tie order.
+    "q136_lpa" -> {
+      def round(i: Int) =
+        s"""l$i AS (SELECT node, label FROM (
+           |  SELECT e.v AS node, l${i - 1}.label AS label, count(*) AS c,
+           |    row_number() OVER (PARTITION BY e.v
+           |      ORDER BY count(*) DESC, l${i - 1}.label ASC) AS rn
+           |  FROM e JOIN l${i - 1} ON e.u = l${i - 1}.node
+           |  GROUP BY e.v, l${i - 1}.label) WHERE rn = 1)""".stripMargin
+      s"""WITH p AS (
+         |  SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |e AS (SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
+         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM e),
+         |${(1 to 4).map(round).mkString(",\n")}
+         |SELECT node, label FROM l4 ORDER BY node""".stripMargin
+    },
+
+    // One UNION ALL branch per profiled column, same native min/max.
+    "q137_profile" -> {
+      val branches = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderdate", "o_orderpriority").map(c =>
+        s"""SELECT '$c' AS col_name, count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  cast(min($c) AS varchar) AS vmin,
+           |  cast(max($c) AS varchar) AS vmax FROM orders""".stripMargin)
+      branches.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
 
     // Definitional basket self-join replay of the local pair emission.
     "q126_copurchase" ->

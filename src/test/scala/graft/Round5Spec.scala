@@ -1166,6 +1166,31 @@ class Round5Spec extends SparkSpec {
     assert(out === Seq((0L, 1L), (1L, 1L), (2L, 2L)))
   }
 
+  test("labelPropagation: two cliques joined by a bridge separate") {
+    // triangle {1,2,3} + triangle {5,6,7} + bridge 3-5
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (5L, 6L), (6L, 7L),
+      (5L, 7L), (3L, 5L)).toDF("src", "dst")
+    val out = Graph.labelPropagation(e, "src", "dst", rounds = 4)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // each clique converges to its min label; the bridge endpoints
+    // stay with their own clique (2 in-clique neighbors beat 1)
+    val byNode = out.toMap
+    assert(Set(1L, 2L, 3L).map(byNode).size === 1)
+    assert(Set(5L, 6L, 7L).map(byNode).size === 1)
+    assert(byNode(1L) !== byNode(7L))
+  }
+
+  test("profile: nulls, exact distinct, native min/max as strings") {
+    val df = Seq((1L, Some("b")), (2L, None), (3L, Some("a")),
+      (3L, Some("a"))).toDF("id", "s")
+    val out = graft.ext.Quality.profile(df, Seq("id", "s"))
+      .orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4))).toSeq
+    assert(out === Seq(("id", 0L, 3L, "1", "3"), ("s", 1L, 2L, "a", "b")))
+  }
+
   test("coOccurrence: basket-distinct pairs, support threshold, conf6") {
     val df = Seq((1L, "x"), (1L, "y"), (1L, "z"), (1L, "x"), // dup in b1
       (2L, "x"), (2L, "y"), (3L, "x")).toDF("b", "i")
