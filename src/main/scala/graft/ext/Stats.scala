@@ -242,11 +242,15 @@ object Stats {
     */
   def chiAssoc(df: DataFrame, catCol: String, label: Column,
       kNum: Long, kDen: Long): DataFrame = {
+    // The category table is tiny (|categories| rows) but is consumed
+    // twice (margins + per-category rows); pin it so the fact table is
+    // scanned ONCE — without this, each reference re-runs the scan+agg.
     val counts = df
       .select(col(catCol).as("cat"), label.cast("boolean").as("__y"))
       .groupBy("cat")
       .agg(count(lit(1)).as("__ncat"),
         sum(when(col("__y"), 1L).otherwise(0L)).as("n11"))
+      .localCheckpoint()
     val tot = counts.agg(sum(col("__ncat")).as("__n"),
       sum(col("n11")).as("__pos"))
     val d = (c: Column) => c.cast("decimal(38,0)")

@@ -336,19 +336,27 @@ object EventsOps {
       windowDays: Int): DataFrame = {
     require(windowDays >= 1, "slidingDistinct: windowDays >= 1")
     val day = expr("unix_timestamp(ts) div 86400L")
+    import org.apache.spark.sql.expressions.Window
     val active = events
       .select(col(keyCol), col("user_id"), day.as("day"))
       .distinct()
-    val span = active.groupBy(keyCol)
-      .agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
-    active
+    // Trailing windows past each key's last active day must go. Their
+    // bound is recoverable from the AGGREGATED table itself — the
+    // largest window end is lastDay + windowDays − 1 — so the clip is
+    // a window max on the keys×days result, NOT a second scan of the
+    // fact table (a naive span-join re-reads the corpus: this
+    // DataFrame's lineage would run twice).
+    val agged = active
       .withColumn("endDay",
         explode(sequence(col("day"),
           col("day") + (windowDays - 1).toLong)))
-      .join(span, Seq(keyCol))
-      .filter(col("endDay") <= col("__hi"))
       .groupBy(col(keyCol), col("endDay"))
       .agg(countDistinct(col("user_id")).as("n_active"))
+    val wk = Window.partitionBy(keyCol)
+    agged
+      .withColumn("__hi",
+        max(col("endDay")).over(wk) - (windowDays - 1).toLong)
+      .filter(col("endDay") <= col("__hi"))
       .select(col(keyCol), col("endDay").as("day"),
         timestamp_seconds(col("endDay") * 86400L).as("day_start"),
         col("n_active"))
