@@ -43,6 +43,31 @@ object Stats {
       })
   }
 
+  /** Per-group least-squares trend (slope per unit x, 6-dp truncated)
+    * from the same exact decimal sums as [[pearsonByGroup]]:
+    *   slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+    * — drift/trend detection over metric streams (x = epoch seconds,
+    * y = fixed-point value) without the run-to-run FP instability of
+    * streamed moments. One shuffle on the group key with map-side
+    * partials; zero-variance x (single instant) → null.
+    */
+  def trendByGroup(df: DataFrame, groupCol: String, x: Column,
+      y: Column): DataFrame = {
+    val xd = x.cast("decimal(38,0)")
+    val yd = y.cast("decimal(38,0)")
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(xd).as("__sx"), sum(yd).as("__sy"),
+        sum(xd * yd).as("__sxy"), sum(xd * xd).as("__sxx"))
+      .select(col(groupCol), col("n"), {
+        val num = (col("n") * col("__sxy") - col("__sx") * col("__sy"))
+          .cast("double")
+        val den = (col("n") * col("__sxx") - col("__sx") * col("__sx"))
+          .cast("double")
+        when(den =!= 0d, Similarity.trunc(num / den, 6)).as("slope6")
+      })
+  }
+
   /** Grouped MODE (most frequent value, deterministic): per group the
     * value with the highest count, ties broken by the value order
     * itself — one count agg (map-side combine) plus one group-partition

@@ -1043,6 +1043,20 @@ object ExtQueries {
           "o_orderdate", "o_orderpriority"))
         .orderBy("col_name")),
 
+    // Time-weighted gauge average per event type: each reading holds
+    // until the next; decimal-exact cents×seconds integral, integral
+    // divide at the end.
+    "q138_twa" -> ((s, d) =>
+      EventsOps.timeWeightedAvg(events(s, d), "event_type")
+        .orderBy("event_type")),
+
+    // Per-type metric trend: exact-decimal least-squares slope of
+    // cents over epoch seconds (drift detection), q105's sum pattern.
+    "q139_trend" -> ((s, d) =>
+      graft.ext.Stats.trendByGroup(events(s, d), "event_type",
+        unix_timestamp(col("ts")), round(col("value") * 100).cast("long"))
+        .orderBy("event_type")),
+
     // Market-basket co-occurrence over supplier nations per order:
     // locally-emitted basket pairs (never a fact-table self-join) +
     // integer-ppm association confidence.
@@ -2250,6 +2264,39 @@ object ExtQueries {
            |  cast(max($c) AS varchar) AS vmax FROM orders""".stripMargin)
       branches.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
+
+    // Same lead-window durations, HUGEINT integral, floor divide.
+    "q138_twa" ->
+      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
+        |b AS (SELECT event_type, ts, event_id,
+        |    epoch_us(ts) // 1000000 AS s,
+        |    cast(round(value * 100) AS bigint) AS cents FROM e),
+        |w AS (SELECT event_type, cents,
+        |    lead(s) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+        |      - s AS dur FROM b),
+        |f AS (SELECT * FROM w WHERE dur IS NOT NULL)
+        |SELECT event_type, count(*) AS n_held,
+        |  cast(sum(dur) AS bigint) AS held_s,
+        |  cast(sum(cents::HUGEINT * dur) // sum(dur) AS bigint)
+        |    AS twa_cents
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Exact HUGEINT sums; identical fixed-order closed form + floor
+    // truncation (q105's convention).
+    "q139_trend" ->
+      """WITH t AS (SELECT event_type,
+        |    (epoch_us(cast(ts AS timestamp)) // 1000000)::HUGEINT AS x,
+        |    cast(round(value * 100) AS bigint)::HUGEINT AS y FROM events),
+        |a AS (SELECT event_type, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx
+        |  FROM t GROUP BY event_type)
+        |SELECT event_type, n,
+        |  CASE WHEN cast(n * sxx - sx * sx AS double) <> 0 THEN
+        |    floor(cast(n * sxy - sx * sy AS double) /
+        |      cast(n * sxx - sx * sx AS double) * 1000000) / 1000000
+        |  END AS slope6
+        |FROM a ORDER BY event_type""".stripMargin,
 
     // Definitional basket self-join replay of the local pair emission.
     "q126_copurchase" ->

@@ -362,6 +362,37 @@ object EventsOps {
         col("n_active"))
   }
 
+  /** Time-weighted average per key — the gauge-average a time-series
+    * backend computes when readings are irregularly spaced: each
+    * observation holds until the next one, so the mean weights each
+    * value by its holding duration (a plain AVG over-counts bursts).
+    * One key-partition window (lead over the (ts, event_id) total
+    * order) + one aggregation; products accumulate in decimal(38,0)
+    * (seconds × cents overflows a long at corpus scale) and the final
+    * value is an integral-divide — exact on every engine. The last
+    * observation per key has no duration and is excluded (standard
+    * left-closed step-function integral); keys with one event yield
+    * no row.
+    */
+  def timeWeightedAvg(events: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy("ts", "event_id")
+    events
+      .select(col(keyCol), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("__durS",
+        unix_timestamp(lead(col("ts"), 1).over(w)) -
+          unix_timestamp(col("ts")))
+      .filter(col("__durS").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_held"),
+        sum(col("__durS")).as("held_s"),
+        sum(col("cents").cast("decimal(38,0)") *
+          col("__durS").cast("decimal(38,0)")).as("__wsum"))
+      .select(col(keyCol), col("n_held"), col("held_s"),
+        expr("__wsum div held_s").cast("long").as("twa_cents"))
+  }
+
   /** Frequent-path mining over the event log: the top-k most common
     * length-`steps` event-type sequences users actually follow
     * (journey analysis — where `funnel` checks ONE prescribed order,

@@ -1191,6 +1191,31 @@ class Round5Spec extends SparkSpec {
     assert(out === Seq(("id", 0L, 3L, "1", "3"), ("s", 1L, 2L, "a", "b")))
   }
 
+  test("timeWeightedAvg: duration weighting, last reading excluded") {
+    // v=10 held 30s, v=20 held 10s -> twa = (1000*30+2000*10)/40 = 1250
+    val ev = Seq(
+      (1L, "m", 10.0, ts(100)), (2L, "m", 20.0, ts(130)),
+      (3L, "m", 99.0, ts(140)) // last: no duration, excluded
+    ).toDF("event_id", "event_type", "value", "ts")
+    val out = EventsOps.timeWeightedAvg(ev, "event_type").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out === Seq((2L, 40L, 1250L)))
+    // single-event key: no output row
+    val one = Seq((1L, "x", 5.0, ts(0)))
+      .toDF("event_id", "event_type", "value", "ts")
+    assert(EventsOps.timeWeightedAvg(one, "event_type").count() === 0L)
+  }
+
+  test("trendByGroup: exact slope, zero-variance x -> null") {
+    // y = 3x + 7 over x = 0, 10, 20 -> slope 3.0
+    val df = Seq(("g", 0L, 7L), ("g", 10L, 37L), ("g", 20L, 67L),
+      ("z", 5L, 1L), ("z", 5L, 9L)).toDF("g", "x", "y")
+    val out = graft.ext.Stats.trendByGroup(df, "g", col("x"), col("y"))
+      .orderBy("g").collect()
+    assert(out(0).getDouble(2) === 3.0)
+    assert(out(1).isNullAt(2)) // x has no spread
+  }
+
   test("coOccurrence: basket-distinct pairs, support threshold, conf6") {
     val df = Seq((1L, "x"), (1L, "y"), (1L, "z"), (1L, "x"), // dup in b1
       (2L, "x"), (2L, "y"), (3L, "x")).toDF("b", "i")
