@@ -198,6 +198,45 @@ object Warehouse {
     }
   }
 
+  /** Retention / TTL maintenance on a partitioned table: drop every
+    * leaf partition directory whose partition VALUE sorts strictly
+    * below `cutoff` (e.g. `anio < "2020"`, `day < "2024-01-01"` with
+    * lexicographic-safe encodings). This is metadata-scale work —
+    * directory listing + renames, zero data reads/writes, nothing
+    * proportional to table bytes — which is the only acceptable cost
+    * for expiring data at 100 TB (a filter-and-rewrite ages the whole
+    * table through the cluster). Expired dirs are moved into a
+    * `.expired-<stamp>` sibling first (one rename per partition — the
+    * same staged-swap discipline as [[overwriteSwap]]), so a crash
+    * mid-expiry never leaves a half-deleted partition visible, then
+    * the stage is deleted. Returns the expired partition values.
+    */
+  def expirePartitions(spark: SparkSession, dir: String, table: String,
+      partitionCol: String, cutoff: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val base = new Path(path(dir, table))
+    if (!fs.exists(base)) return Nil
+    val prefix = s"$partitionCol="
+    val expired = fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .filter { s =>
+        val v = java.net.URLDecoder.decode(
+          s.getPath.getName.stripPrefix(prefix), "UTF-8")
+        v < cutoff
+      }
+    if (expired.nonEmpty) {
+      val stage = new Path(base, s".expired-${System.nanoTime()}")
+      fs.mkdirs(stage)
+      expired.foreach(s =>
+        fs.rename(s.getPath, new Path(stage, s.getPath.getName)))
+      fs.delete(stage, true)
+    }
+    expired.map(s => java.net.URLDecoder.decode(
+      s.getPath.getName.stripPrefix(prefix), "UTF-8")).sorted
+  }
+
   /** K3 — CSV export with header (the reference's catalog emit,
     * PIPE:396-398). Single file, UTF-8.
     */

@@ -47,6 +47,23 @@ object StreamingJobs {
   def dedup(events: DataFrame): DataFrame =
     events.dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
 
+  /** Streaming daily distinct active users: watermark-bounded dedup of
+    * (user, day) — each user counts ONCE per day no matter how many
+    * events they emit — then a per-day count. Two chained stateful
+    * operators, both with state bounded by the watermark horizon:
+    * dedup state is one row per distinct (user, day) inside the
+    * horizon, the count state one row per open day. The batch twin is
+    * [[EventsOps.slidingDistinct]] at windowDays = 1.
+    */
+  def dauStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("day", expr("timestamp_seconds(" +
+        "(unix_timestamp(ts) div 86400L) * 86400L)"))
+      .dropDuplicatesWithinWatermark(Seq("user_id", "day"))
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_active"))
+      .select(col("w.start").as("day"), col("n_active"))
+
   /** Streaming → warehouse sink with effective exactly-once-by-key
     * semantics: every micro-batch lands through the K1 idempotent keyed
     * append (dedup + anti-join + append), so batches replayed after a

@@ -1216,6 +1216,31 @@ class Round5Spec extends SparkSpec {
     assert(out(1).isNullAt(2)) // x has no spread
   }
 
+  test("expirePartitions: drops only below-cutoff dirs, metadata-only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ttl").toString
+    Seq((1L, "2019"), (2L, "2020"), (3L, "2021"), (4L, "2022"))
+      .toDF("id", "anio").write.partitionBy("anio")
+      .parquet(s"$dir/t")
+    // fingerprint surviving partition files before expiry
+    def files(p: String) = {
+      val d = new java.io.File(s"$dir/t/anio=$p")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).toSeq.sorted
+    }
+    val before = files("2021")
+    val gone = graft.etl.Warehouse.expirePartitions(spark, dir, "t",
+      "anio", cutoff = "2021")
+    assert(gone === Seq("2019", "2020"))
+    // survivors byte-untouched; reads see only the retained rows
+    assert(files("2021") === before)
+    val left = spark.read.parquet(s"$dir/t")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(left === Seq(3L, 4L))
+    // idempotent: nothing left to expire
+    assert(graft.etl.Warehouse.expirePartitions(spark, dir, "t",
+      "anio", "2021") === Nil)
+  }
+
   test("coOccurrence: basket-distinct pairs, support threshold, conf6") {
     val df = Seq((1L, "x"), (1L, "y"), (1L, "z"), (1L, "x"), // dup in b1
       (2L, "x"), (2L, "y"), (3L, "x")).toDF("b", "i")

@@ -297,6 +297,32 @@ class StreamingSpec extends SparkSpec {
     assert(batch === ((1L, 3L, 225000000L)))
   }
 
+  test("dauStream: per-day user dedup across micro-batches") {
+    // user 1 appears in BOTH micro-batches on the same day — the
+    // cross-batch dedup state must collapse them to one
+    val dir = Files.createTempDirectory("graft_dau").toString
+    def drop(rows: Seq[Event]): Unit =
+      rows.toDF()
+        .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    drop(Seq(Event(1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      Event(2L, ts("2024-01-01 11:00:00"), 2L, "click", 1.0)))
+    drop(Seq(Event(3L, ts("2024-01-01 12:00:00"), 1L, "view", 1.0),
+      Event(4L, ts("2024-01-02 09:00:00"), 1L, "view", 1.0)))
+    val in = spark.readStream.schema(StreamingJobs.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+      .withWatermark("ts", "1 hour")
+    runToMemory(StreamingJobs.dauStream(in), "sj_dau", "update")
+    val out = spark.table("sj_dau")
+      .groupBy($"day").agg(
+        org.apache.spark.sql.functions.max($"n_active").as("n"))
+      .orderBy($"day")
+      .as[(java.sql.Timestamp, Long)].collect().toSeq
+    assert(out === Seq((ts("2024-01-01 00:00:00"), 2L),
+      (ts("2024-01-02 00:00:00"), 1L)))
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions on gap") {
     // batch Dataset drive of the same state function shape: sessions
     // close inline when a later event arrives past the gap
