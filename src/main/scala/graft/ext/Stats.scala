@@ -68,6 +68,34 @@ object Stats {
       })
   }
 
+  /** Interval concurrency (the sweep-line classic): given per-row
+    * [start, end) intervals, the number simultaneously open at every
+    * change point, per group — "orders in flight", "active sessions",
+    * "concurrent versions" — WITHOUT an interval×instant join (which
+    * is quadratic and what a naive `BETWEEN` query plans to). Each
+    * interval EXPLODES to two deltas in the same scan (+1 at start,
+    * −1 at end — exclusive end, so the same-instant close-then-open
+    * nets out by summation, no tie ordering needed); deltas
+    * pre-aggregate per (group, instant) with map-side combine, and
+    * the running sum runs on that |change points| table — the window
+    * never sees interval rows. Output is the step function at its
+    * change points.
+    */
+  def concurrency(df: DataFrame, keyCol: String, start: Column,
+      end: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val deltas = df
+      .select(col(keyCol).as("g"),
+        explode(array(struct(start.as("t"), lit(1L).as("d")),
+          struct(end.as("t"), lit(-1L).as("d")))).as("x"))
+      .select(col("g"), col("x.t").as("t"), col("x.d").as("d"))
+      .groupBy("g", "t").agg(sum(col("d")).as("__ds"))
+    val w = Window.partitionBy("g").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("active", sum(col("__ds")).over(w))
+      .select(col("g"), col("t"), col("active"))
+  }
+
   /** Grouped MODE (most frequent value, deterministic): per group the
     * value with the highest count, ties broken by the value order
     * itself — one count agg (map-side combine) plus one group-partition

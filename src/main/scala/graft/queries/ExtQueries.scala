@@ -1057,6 +1057,19 @@ object ExtQueries {
         unix_timestamp(col("ts")), round(col("value") * 100).cast("long"))
         .orderBy("event_type")),
 
+    // Orders in flight per priority class: sweep-line concurrency over
+    // [orderdate, last shipdate) — delta explode + running sum on the
+    // change-point table, never an interval×instant join.
+    "q140_concurrency" -> ((s, d) => {
+      val spans = lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority").as("g"))
+        .agg(min(col("o_orderdate")).as("st"),
+          max(col("l_shipdate")).as("en"))
+      graft.ext.Stats.concurrency(spans, "g", col("st"), col("en"))
+        .orderBy("g", "t")
+    }),
+
     // Market-basket co-occurrence over supplier nations per order:
     // locally-emitted basket pairs (never a fact-table self-join) +
     // integer-ppm association confidence.
@@ -2297,6 +2310,20 @@ object ExtQueries {
         |      cast(n * sxx - sx * sx AS double) * 1000000) / 1000000
         |  END AS slope6
         |FROM a ORDER BY event_type""".stripMargin,
+
+    // UNION ALL delta replay + the same pre-agg then running sum.
+    "q140_concurrency" ->
+      """WITH s AS (SELECT o_orderpriority AS g, o_orderkey,
+        |    min(o_orderdate) AS st, max(l_shipdate) AS en
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |d AS (SELECT g, st AS t, 1 AS d FROM s
+        |  UNION ALL SELECT g, en AS t, -1 AS d FROM s),
+        |a AS (SELECT g, t, sum(d) AS ds FROM d GROUP BY 1, 2)
+        |SELECT g, t,
+        |  cast(sum(ds) OVER (PARTITION BY g ORDER BY t) AS bigint)
+        |    AS active
+        |FROM a ORDER BY g, t""".stripMargin,
 
     // Definitional basket self-join replay of the local pair emission.
     "q126_copurchase" ->

@@ -1241,6 +1241,18 @@ class Round5Spec extends SparkSpec {
       "anio", "2021") === Nil)
   }
 
+  test("concurrency: sweep-line step function, exclusive end") {
+    // [0,10) [5,15) [10,20): at t=10 the first closes as the third
+    // opens -> still 2 active (exclusive end nets the deltas)
+    val df = Seq(("g", 0L, 10L), ("g", 5L, 15L), ("g", 10L, 20L))
+      .toDF("g", "st", "en")
+    val out = graft.ext.Stats.concurrency(df, "g", col("st"), col("en"))
+      .orderBy("t").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq((0L, 1L), (5L, 2L), (10L, 2L), (15L, 1L),
+      (20L, 0L)))
+  }
+
   test("coOccurrence: basket-distinct pairs, support threshold, conf6") {
     val df = Seq((1L, "x"), (1L, "y"), (1L, "z"), (1L, "x"), // dup in b1
       (2L, "x"), (2L, "y"), (3L, "x")).toDF("b", "i")
