@@ -107,12 +107,24 @@ object Graph {
     // so an unchecked lineage doubles per round — 2^rounds copies of
     // the first peel in the final plan. Pin every round's survivor
     // list eagerly; each checkpoint is a node-id list that only
-    // shrinks, so the per-round materialization is tiny.
+    // shrinks, so the per-round materialization is tiny. Peeling is
+    // monotone, so a round that drops NOBODY is the fixpoint — every
+    // later round is identical and can be skipped (the checkpoint
+    // makes the count a free read, and the early exit returns exactly
+    // the `rounds`-peel answer).
     var alive = sym.select(col("u").as("node")).distinct()
       .localCheckpoint()
-    for (_ <- 1 to rounds)
+    var n = alive.count()
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
       alive = degrees(alive).filter(col("deg") >= k).select("node")
         .localCheckpoint()
+      val n2 = alive.count()
+      converged = n2 == n
+      n = n2
+      r += 1
+    }
     degrees(alive)
   }
 
@@ -140,15 +152,23 @@ object Graph {
     var dist = sources.select(col(sources.columns.head).as("node"))
       .distinct().withColumn("dist", lit(0L)).localCheckpoint()
     var frontier = dist.select("node")
-    for (i <- 1 to rounds) {
+    var i = 0
+    var exhausted = false
+    // An empty frontier discovers nothing forever — stop (identical
+    // result to running out the round budget).
+    while (i < rounds && !exhausted) {
+      i += 1
       val discovered = sym
         .join(frontier.withColumnRenamed("node", "u"), "u")
         .select(col("v").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
         .withColumn("dist", lit(i.toLong))
         .localCheckpoint()
-      dist = dist.union(discovered).localCheckpoint()
-      frontier = discovered.select("node")
+      exhausted = discovered.isEmpty
+      if (!exhausted) {
+        dist = dist.union(discovered).localCheckpoint()
+        frontier = discovered.select("node")
+      }
     }
     dist
   }
