@@ -1070,6 +1070,29 @@ object ExtQueries {
         .orderBy("g", "t")
     }),
 
+    // Linear conversion attribution: each purchase's credit splits
+    // equally (exact 1e6 div n ppm) over the user's click/view touches
+    // in the preceding hour — the bucketed interval join (q67's
+    // kernel) keeps the touch pairing an equi-join, and the per-
+    // purchase touch count is one window on the joined pairs.
+    "q141_attribution" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"))
+      EventsOps.intervalJoin(purchases, touches, "user_id",
+        "ts", "ts", lowerSec = -3600, upperSec = 0, rightPrefix = "t_")
+        .withColumn("__n",
+          count(lit(1)).over(Window.partitionBy("event_id")))
+        .groupBy(col("t_event_type").as("touch_type"))
+        .agg(count(lit(1)).as("touches"),
+          sum(expr("1000000L div __n")).as("credit_ppm"))
+        .orderBy("touch_type")
+    }),
+
     // Market-basket co-occurrence over supplier nations per order:
     // locally-emitted basket pairs (never a fact-table self-join) +
     // integer-ppm association confidence.
@@ -2324,6 +2347,22 @@ object ExtQueries {
         |  cast(sum(ds) OVER (PARTITION BY g ORDER BY t) AS bigint)
         |    AS active
         |FROM a ORDER BY g, t""".stripMargin,
+
+    // Definitional inequality join replay + identical integer credit.
+    "q141_attribution" ->
+      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
+        |p AS (SELECT user_id, event_id, ts FROM e
+        |  WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ts, event_type FROM e
+        |  WHERE event_type IN ('click', 'view')),
+        |j AS (SELECT p.event_id, t.event_type AS touch_type
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |  AND t.ts BETWEEN p.ts - INTERVAL 3600 SECOND AND p.ts),
+        |c AS (SELECT event_id, touch_type,
+        |    count(*) OVER (PARTITION BY event_id) AS n FROM j)
+        |SELECT touch_type, count(*) AS touches,
+        |  sum(1000000 // n) AS credit_ppm
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Definitional basket self-join replay of the local pair emission.
     "q126_copurchase" ->
