@@ -220,4 +220,34 @@ object Layout {
       tableB: String, keyB: String): DataFrame =
     spark.table(tableA)
       .join(spark.table(tableB), col(keyA) === col(keyB))
+
+  /** Dictionary for a low-cardinality string column: code = dense rank
+    * of the value in value order (deterministic — independent of
+    * partitioning and insertion order, unlike assign-on-arrival ids).
+    * The dictionary is |distinct| rows; the single-partition window is
+    * on that table, never the corpus.
+    */
+  def dictBuild(df: DataFrame, c: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(c).as("value")).filter(col("value").isNotNull)
+      .distinct()
+      .withColumn("code",
+        row_number().over(Window.orderBy("value")).cast("long"))
+  }
+
+  /** Replace a string column with its dictionary code (broadcast map-
+    * side join — the dictionary is small by construction). Every
+    * downstream shuffle/sort/agg then moves 8-byte codes instead of
+    * strings; [[dictDecode]] restores values at the edge. Nulls stay
+    * null (left join).
+    */
+  def dictEncode(df: DataFrame, c: String, dict: DataFrame): DataFrame =
+    df.join(broadcast(dict.withColumnRenamed("value", c)), Seq(c), "left")
+      .drop(c).withColumnRenamed("code", c)
+
+  /** Inverse of [[dictEncode]]: restore the string values. */
+  def dictDecode(df: DataFrame, c: String, dict: DataFrame): DataFrame =
+    df.withColumnRenamed(c, "code")
+      .join(broadcast(dict), Seq("code"), "left")
+      .drop("code").withColumnRenamed("value", c)
 }

@@ -96,6 +96,34 @@ object Stats {
       .select(col("g"), col("t"), col("active"))
   }
 
+  /** Trending items: the top-k (item, bucket) cells whose count grew
+    * the most versus the item's IMMEDIATELY PRECEDING bucket — the
+    * day-over-day / month-over-month lift board. Growth is exact
+    * integer ppm (cur·1e6 div prev); both cells must clear `minCount`
+    * (lift on noise floors is meaningless and a div-by-tiny trap);
+    * non-adjacent history is NOT a baseline (an item absent last
+    * bucket has no lift row — "new" ≠ "trending"). One count
+    * aggregation + one item-partition lag window on the |item×bucket|
+    * table + TakeOrderedAndProject for the board; ties break on
+    * (bucket, item) for a total order.
+    */
+  def trending(df: DataFrame, itemCol: Column, bucketCol: Column,
+      minCount: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("item").orderBy("bucket")
+    df.select(itemCol.as("item"), bucketCol.cast("long").as("bucket"))
+      .groupBy("item", "bucket").agg(count(lit(1)).as("n"))
+      .withColumn("__pb", lag(col("bucket"), 1).over(w))
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .filter(col("__pb") === col("bucket") - 1 &&
+        col("prev_n") >= minCount && col("n") >= minCount)
+      .withColumn("lift_ppm", expr("n * 1000000L div prev_n"))
+      .select(col("item"), col("bucket"), col("prev_n"), col("n"),
+        col("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("bucket").asc, col("item").asc)
+      .limit(k)
+  }
+
   /** Grouped MODE (most frequent value, deterministic): per group the
     * value with the highest count, ties broken by the value order
     * itself — one count agg (map-side combine) plus one group-partition

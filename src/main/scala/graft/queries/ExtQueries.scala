@@ -1093,6 +1093,30 @@ object ExtQueries {
         .orderBy("touch_type")
     }),
 
+    // Trending parts month-over-month: integer-ppm lift vs the
+    // adjacent previous bucket only, min support both sides, total
+    // tie order, TakeOrderedAndProject board.
+    "q142_trending" -> ((s, d) =>
+      graft.ext.Stats.trending(lineitem(s, d), col("l_partkey"),
+        expr("year(l_shipdate) * 12 + month(l_shipdate)"),
+        minCount = 2, k = 25)),
+
+    // Dictionary encode/aggregate/decode roundtrip: order priorities
+    // become dense value-ordered codes (shuffles move 8-byte codes,
+    // not strings); the graded output proves code assignment and the
+    // roundtrip.
+    "q143_dict" -> ((s, d) => {
+      val dict = graft.ext.Layout.dictBuild(orders(s, d),
+        "o_orderpriority")
+      val enc = graft.ext.Layout.dictEncode(orders(s, d),
+        "o_orderpriority", dict)
+      enc.groupBy(col("o_orderpriority").as("code"))
+        .agg(count(lit(1)).as("n"))
+        .join(dict, Seq("code"))
+        .select("value", "code", "n")
+        .orderBy("code")
+    }),
+
     // Market-basket co-occurrence over supplier nations per order:
     // locally-emitted basket pairs (never a fact-table self-join) +
     // integer-ppm association confidence.
@@ -2363,6 +2387,37 @@ object ExtQueries {
         |SELECT touch_type, count(*) AS touches,
         |  sum(1000000 // n) AS credit_ppm
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same lag-adjacency gate and integer lift, replayed directly.
+    "q142_trending" ->
+      """WITH c AS (SELECT l_partkey AS item,
+        |    cast(year(l_shipdate) * 12 + month(l_shipdate) AS bigint)
+        |      AS bucket, count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |w AS (SELECT item, bucket, n,
+        |    lag(bucket) OVER (PARTITION BY item ORDER BY bucket) AS pb,
+        |    lag(n) OVER (PARTITION BY item ORDER BY bucket) AS prev_n
+        |  FROM c),
+        |f AS (SELECT item, bucket, prev_n, n FROM w
+        |  WHERE pb = bucket - 1 AND prev_n >= 2 AND n >= 2)
+        |SELECT item, bucket, cast(prev_n AS bigint) AS prev_n,
+        |  cast(n AS bigint) AS n,
+        |  cast(n * 1000000 // prev_n AS bigint) AS lift_ppm
+        |FROM f ORDER BY lift_ppm DESC, bucket ASC, item ASC
+        |LIMIT 25""".stripMargin,
+
+    // Value-ordered dense codes (row_number on the distinct table) and
+    // the same encode → aggregate → decode roundtrip.
+    "q143_dict" ->
+      """WITH dict AS (SELECT value,
+        |    cast(row_number() OVER (ORDER BY value) AS bigint) AS code
+        |  FROM (SELECT DISTINCT o_orderpriority AS value FROM orders
+        |        WHERE o_orderpriority IS NOT NULL)),
+        |e AS (SELECT d.code FROM orders o
+        |  JOIN dict d ON o.o_orderpriority = d.value)
+        |SELECT d.value, d.code, count(*) AS n
+        |FROM e JOIN dict d ON e.code = d.code
+        |GROUP BY d.value, d.code ORDER BY d.code""".stripMargin,
 
     // Definitional basket self-join replay of the local pair emission.
     "q126_copurchase" ->

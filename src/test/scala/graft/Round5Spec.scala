@@ -1253,6 +1253,34 @@ class Round5Spec extends SparkSpec {
       (20L, 0L)))
   }
 
+  test("trending: adjacent-bucket lift only, min support, tie order") {
+    // item a: 2 -> 6 adjacent (lift 3e6); item b: bucket gap (no row);
+    // item c: below support
+    val df = (Seq.fill(2)(("a", 1L)) ++ Seq.fill(6)(("a", 2L)) ++
+      Seq.fill(3)(("b", 1L)) ++ Seq.fill(9)(("b", 3L)) ++
+      Seq.fill(1)(("c", 1L)) ++ Seq.fill(5)(("c", 2L)))
+      .toDF("i", "b")
+    val out = graft.ext.Stats.trending(df, col("i"), col("b"),
+      minCount = 2, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(out === Seq(("a", 2L, 2L, 6L, 3000000L)))
+  }
+
+  test("dict encode/decode roundtrip, deterministic value-order codes") {
+    val df = Seq("m", "z", "a", "m", "z").toDF("c")
+    val dict = graft.ext.Layout.dictBuild(df, "c")
+    assert(dict.orderBy("code").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("a", 1L), ("m", 2L), ("z", 3L)))
+    val enc = graft.ext.Layout.dictEncode(df, "c", dict)
+    assert(enc.schema("c").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val dec = graft.ext.Layout.dictDecode(enc, "c", dict)
+    assert(dec.select("c").as[String].collect().sorted.toSeq ===
+      Seq("a", "m", "m", "z", "z"))
+  }
+
   test("coOccurrence: basket-distinct pairs, support threshold, conf6") {
     val df = Seq((1L, "x"), (1L, "y"), (1L, "z"), (1L, "x"), // dup in b1
       (2L, "x"), (2L, "y"), (3L, "x")).toDF("b", "i")
