@@ -124,6 +124,57 @@ object Stats {
       .limit(k)
   }
 
+  /** Percentile-rank normalization per group (rank-based feature
+    * scaling — robust to outliers where min-max is not): each row maps
+    * to (rank−1)·1e6 div (n−1) ppm of its group, rank = SQL rank()
+    * (ties share the lowest rank, so equal inputs get equal outputs —
+    * a requirement for a well-defined feature). Integer end to end;
+    * singleton groups map to 0. One group-partition window; compose
+    * upstream aggregation to keep the window off corpus rows when the
+    * unit is coarser than the row.
+    */
+  def percentileRank(df: DataFrame, groupCol: String, idCol: String,
+      valCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(col("__v"))
+    val wAll = Window.partitionBy(groupCol)
+    df.select(col(groupCol), col(idCol), valCol.cast("long").as("__v"))
+      .withColumn("__rk", rank().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .select(col(groupCol), col(idCol), col("__v").as("x"),
+        when(col("__n") > 1,
+          expr("(__rk - 1) * 1000000L div (__n - 1)"))
+          .otherwise(lit(0L)).as("pr_ppm"))
+  }
+
+  /** Gini concentration per group, exact to the ppm — the inequality
+    * audit for contribution skew (does one supplier/source/domain
+    * dominate a mix?). With per-unit totals x ranked ascending
+    * (i = 1..n), G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx); the output is
+    * floor(1e6·G) via decimal(38,0) cross-multiplication — no FP.
+    * Σ i·xᵢ is invariant under tie reordering (swapping equal x
+    * changes nothing), so ANY row_number tie order gives the same
+    * answer on every engine. Aggregate to the contribution unit
+    * FIRST: the ranking window runs on |units| rows, not the corpus.
+    */
+  def giniByGroup(df: DataFrame, groupCol: String, valCol: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(col("__x"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    df.select(col(groupCol), valCol.cast("long").as("__x"))
+      .withColumn("__i", row_number().over(w))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(d(col("__x"))).as("__sx"),
+        sum(d(col("__i")) * d(col("__x"))).as("__six"))
+      .select(col(groupCol), col("n"),
+        when(col("__sx") > 0,
+          expr("((2 * __six - (n + 1) * __sx) * 1000000) div (n * __sx)")
+            .cast("long"))
+          .as("gini_ppm"))
+  }
+
   /** Grouped MODE (most frequent value, deterministic): per group the
     * value with the highest count, ties broken by the value order
     * itself — one count agg (map-side combine) plus one group-partition

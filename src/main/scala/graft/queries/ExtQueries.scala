@@ -1117,6 +1117,30 @@ object ExtQueries {
         .orderBy("code")
     }),
 
+    // Percentile-rank feature scaling: order totals normalized to
+    // [0, 1e6] ppm within their priority class; ties share a rank so
+    // equal inputs get equal features.
+    "q144_percentile_rank" -> ((s, d) =>
+      graft.ext.Stats.percentileRank(
+        orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority").as("g"),
+          round(col("o_totalprice") * 100).cast("long").as("cents")),
+        "g", "o_orderkey", col("cents"))
+        .orderBy("o_orderkey")),
+
+    // Revenue-concentration audit: exact Gini (ppm) of per-supplier
+    // revenue within each supplier nation — the unit aggregation runs
+    // first, so the ranking window sees |suppliers| rows.
+    "q145_gini" -> ((s, d) => {
+      val rev = lineitem(s, d)
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey").as("g"), col("s_suppkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("cents"))
+      graft.ext.Stats.giniByGroup(rev, "g", col("cents"))
+        .orderBy("g")
+    }),
+
     // Market-basket co-occurrence over supplier nations per order:
     // locally-emitted basket pairs (never a fact-table self-join) +
     // integer-ppm association confidence.
@@ -2418,6 +2442,38 @@ object ExtQueries {
         |SELECT d.value, d.code, count(*) AS n
         |FROM e JOIN dict d ON e.code = d.code
         |GROUP BY d.value, d.code ORDER BY d.code""".stripMargin,
+
+    // rank() ties + the identical integer ppm mapping.
+    "q144_percentile_rank" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority AS g,
+        |    cast(round(o_totalprice * 100) AS bigint) AS cents
+        |  FROM orders),
+        |r AS (SELECT o_orderkey, g, cents AS x,
+        |    rank() OVER (PARTITION BY g ORDER BY cents) AS rk,
+        |    count(*) OVER (PARTITION BY g) AS n FROM o)
+        |SELECT o_orderkey, g, x,
+        |  CASE WHEN n > 1
+        |    THEN cast((rk - 1) * 1000000 // (n - 1) AS bigint)
+        |    ELSE 0 END AS pr_ppm
+        |FROM r ORDER BY o_orderkey""".stripMargin,
+
+    // Ascending row_number ranks (tie order immaterial for sum(i*x)),
+    // HUGEINT cross-multiplied floor.
+    "q145_gini" ->
+      """WITH rev AS (SELECT s_nationkey AS g, s_suppkey,
+        |    sum(cast(round(l_extendedprice * 100) AS bigint)) AS cents
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT g, cents::HUGEINT AS x,
+        |    row_number() OVER (PARTITION BY g ORDER BY cents)::HUGEINT
+        |      AS i FROM rev),
+        |a AS (SELECT g, count(*) AS n, sum(x) AS sx, sum(i * x) AS six
+        |  FROM r GROUP BY g)
+        |SELECT g, n,
+        |  CASE WHEN sx > 0 THEN cast(
+        |    ((2 * six - (n + 1) * sx) * 1000000) // (n * sx) AS bigint)
+        |  END AS gini_ppm
+        |FROM a ORDER BY g""".stripMargin,
 
     // Definitional basket self-join replay of the local pair emission.
     "q126_copurchase" ->

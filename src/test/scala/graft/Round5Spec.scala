@@ -1281,6 +1281,28 @@ class Round5Spec extends SparkSpec {
       Seq("a", "m", "m", "z", "z"))
   }
 
+  test("percentileRank: ties share rank, singleton group -> 0") {
+    val df = Seq(("g", 1L, 10L), ("g", 2L, 20L), ("g", 3L, 20L),
+      ("g", 4L, 30L), ("h", 5L, 99L)).toDF("g", "id", "v")
+    val out = graft.ext.Stats.percentileRank(df, "g", "id", col("v"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(1), r.getLong(3))).toSeq
+    // ranks: 1, 2, 2, 4 over n=4 -> ppm 0, 333333, 333333, 1000000
+    assert(out === Seq((1L, 0L), (2L, 333333L), (3L, 333333L),
+      (4L, 1000000L), (5L, 0L)))
+  }
+
+  test("giniByGroup: equal shares -> 0, total concentration -> high") {
+    val eq = Seq(("e", 5L), ("e", 5L), ("e", 5L), ("e", 5L))
+    val skew = Seq(("s", 0L), ("s", 0L), ("s", 0L), ("s", 100L))
+    val out = graft.ext.Stats.giniByGroup(
+      (eq ++ skew).toDF("g", "x"), "g", col("x"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSeq
+    // skew: x=(0,0,0,100): G = (2*400 - 5*100)/(4*100) = 300/400 = .75
+    assert(out === Seq(("e", 0L), ("s", 750000L)))
+  }
+
   test("coOccurrence: basket-distinct pairs, support threshold, conf6") {
     val df = Seq((1L, "x"), (1L, "y"), (1L, "z"), (1L, "x"), // dup in b1
       (2L, "x"), (2L, "y"), (3L, "x")).toDF("b", "i")
