@@ -105,6 +105,31 @@ object StreamingJobs {
       .select("user_id", "p_ts", "p_value", "c_ts")
   }
 
+  /** LEFT OUTER variant of [[purchaseContext]]: purchases with NO
+    * click in the preceding hour still emit — with null click fields —
+    * once the click-side watermark passes the join window, which is
+    * when the engine can PROVE no match is coming (outer results are
+    * therefore delayed by the watermark, a semantic inner joins don't
+    * have). State stays bounded exactly as in the inner case: the
+    * range condition plus both watermarks let matched AND unmatched
+    * rows evict.
+    */
+  def purchaseContextOuter(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"),
+      "left_outer")
+      .select("user_id", "p_ts", "p_value", "c_ts")
+  }
+
   // ------------------------------------------------------------------
   // transformWithState (Spark 4 arbitrary-state API)
   // ------------------------------------------------------------------

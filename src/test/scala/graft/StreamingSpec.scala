@@ -323,6 +323,37 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-01-02 00:00:00"), 1L)))
   }
 
+  test("purchaseContextOuter: unmatched purchase emits nulls after watermark") {
+    val dir = Files.createTempDirectory("graft_oj").toString
+    def drop(rows: Seq[Event]): Unit =
+      rows.toDF()
+        .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    drop(Seq(Event(1L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0),
+      Event(2L, ts("2024-01-01 10:30:00"), 1L, "purchase", 5.0),
+      Event(3L, ts("2024-01-01 10:40:00"), 2L, "purchase", 7.0)))
+    // the GLOBAL watermark is the min over BOTH inputs, so far-future
+    // events must advance click AND purchase sides before the engine
+    // can prove user 2's purchase has no match; the advanced watermark
+    // takes effect on the NEXT micro-batch, so a third file triggers
+    // the outer-null flush (the late purchase itself stays in state)
+    drop(Seq(Event(4L, ts("2024-01-01 20:00:00"), 9L, "click", 0.0),
+      Event(5L, ts("2024-01-01 20:00:00"), 9L, "purchase", 0.0)))
+    drop(Seq(Event(6L, ts("2024-01-01 21:00:00"), 9L, "click", 0.0),
+      Event(7L, ts("2024-01-01 21:00:00"), 9L, "purchase", 0.0)))
+    val in = spark.readStream.schema(StreamingJobs.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    runToMemory(StreamingJobs.purchaseContextOuter(in), "sj_oj", "append")
+    val out = spark.table("sj_oj")
+      .filter($"user_id" <= 2).select($"user_id", $"c_ts")
+      .orderBy($"user_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString))).toSeq
+    assert(out === Seq(
+      (1L, Some("2024-01-01 10:00:00.0")),
+      (2L, None)))
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions on gap") {
     // batch Dataset drive of the same state function shape: sessions
     // close inline when a later event arrives past the gap
