@@ -1141,6 +1141,22 @@ object ExtQueries {
         .orderBy("g")
     }),
 
+    // Temporal reachability on the trade graph: earliest day (epoch
+    // days) goods/information can reach each party from customers 1-5
+    // along ship-date-increasing paths, 4 relaxation rounds.
+    "q146_temporal_reach" -> ((s, d) => {
+      val e = lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"),
+          datediff(col("l_shipdate"), lit("1970-01-01")).as("t"))
+      val sources = customer(s, d).filter(col("c_custkey") <= 5)
+        .select((col("c_custkey") * 2).as("node"))
+      graft.ext.Graph.earliestArrival(e, "src", "dst", "t", sources,
+        rounds = 4)
+        .orderBy("node")
+    }),
+
     // Market-basket co-occurrence over supplier nations per order:
     // locally-emitted basket pairs (never a fact-table self-join) +
     // integer-ppm association confidence.
@@ -2474,6 +2490,29 @@ object ExtQueries {
         |    ((2 * six - (n + 1) * sx) * 1000000) // (n * sx) AS bigint)
         |  END AS gini_ppm
         |FROM a ORDER BY g""".stripMargin,
+
+    // Unrolled min-relaxation rounds over the symmetric temporal edges.
+    "q146_temporal_reach" -> {
+      def round(i: Int) =
+        s"""a$i AS (SELECT node, min(arr) AS arr FROM (
+           |  SELECT node, arr FROM a${i - 1}
+           |  UNION ALL
+           |  SELECT e.v AS node, e.t AS arr FROM e
+           |  JOIN a${i - 1} ON e.u = a${i - 1}.node AND e.t >= a${i - 1}.arr
+           |) GROUP BY node)""".stripMargin
+      s"""WITH p AS (
+         |  SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v,
+         |    cast(date_diff('day', DATE '1970-01-01', l.l_shipdate)
+         |      AS bigint) AS t
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  WHERE o.o_custkey * 2 <> l.l_suppkey * 2 + 1),
+         |e AS (SELECT u, v, t FROM p
+         |  UNION SELECT v AS u, u AS v, t FROM p),
+         |a0 AS (SELECT DISTINCT c_custkey * 2 AS node,
+         |    cast(0 AS bigint) AS arr FROM customer WHERE c_custkey <= 5),
+         |${(1 to 4).map(round).mkString(",\n")}
+         |SELECT node, arr FROM a4 ORDER BY node""".stripMargin
+    },
 
     // Definitional basket self-join replay of the local pair emission.
     "q126_copurchase" ->

@@ -1303,6 +1303,18 @@ class Round5Spec extends SparkSpec {
     assert(out === Seq(("e", 0L), ("s", 750000L)))
   }
 
+  test("earliestArrival: time-respecting paths only, min over routes") {
+    // 1-2 at t=5; 2-3 at t=3 (too early to forward) and t=9 (ok);
+    // 3-4 at t=1 (arrives 9 -> cannot use) => 4 unreachable
+    val e = Seq((1L, 2L, 5L), (2L, 3L, 3L), (2L, 3L, 9L), (3L, 4L, 1L))
+      .toDF("src", "dst", "t")
+    val src = Seq(1L).toDF("node")
+    val out = Graph.earliestArrival(e, "src", "dst", "t", src, rounds = 4)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out === Seq((1L, 0L), (2L, 5L), (3L, 9L)))
+  }
+
   test("coOccurrence: basket-distinct pairs, support threshold, conf6") {
     val df = Seq((1L, "x"), (1L, "y"), (1L, "z"), (1L, "x"), // dup in b1
       (2L, "x"), (2L, "y"), (3L, "x")).toDF("b", "i")
