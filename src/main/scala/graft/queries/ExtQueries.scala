@@ -1157,6 +1157,17 @@ object ExtQueries {
         .orderBy("node")
     }),
 
+    // Numeric feature drift: exact earth-mover distance (cents) between
+    // finished and open orders' total-price distributions.
+    "q147_numeric_drift" -> ((s, d) => {
+      val o = orders(s, d).withColumn("cents",
+        round(col("o_totalprice") * 100).cast("long"))
+      graft.ext.Stats.numericDrift(
+        o.filter(col("o_orderstatus") === "F"),
+        o.filter(col("o_orderstatus") =!= "F"),
+        col("cents"))
+    }),
+
     // Market-basket co-occurrence over supplier nations per order:
     // locally-emitted basket pairs (never a fact-table self-join) +
     // integer-ppm association confidence.
@@ -2513,6 +2524,30 @@ object ExtQueries {
          |${(1 to 4).map(round).mkString(",\n")}
          |SELECT node, arr FROM a4 ORDER BY node""".stripMargin
     },
+
+    // Same merged-support CDF separation integral in HUGEINT.
+    "q147_numeric_drift" ->
+      """WITH o AS (SELECT o_orderstatus,
+        |    cast(round(o_totalprice * 100) AS bigint) AS v FROM orders),
+        |ca AS (SELECT v, count(*) AS na FROM o
+        |  WHERE o_orderstatus = 'F' GROUP BY v),
+        |cb AS (SELECT v, count(*) AS nb FROM o
+        |  WHERE o_orderstatus <> 'F' GROUP BY v),
+        |m AS (SELECT coalesce(ca.v, cb.v) AS v,
+        |    coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+        |  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        |c AS (SELECT v,
+        |    sum(na) OVER (ORDER BY v)::HUGEINT AS cuma,
+        |    sum(nb) OVER (ORDER BY v)::HUGEINT AS cumb,
+        |    (sum(na) OVER ())::HUGEINT AS nat,
+        |    (sum(nb) OVER ())::HUGEINT AS nbt,
+        |    lead(v) OVER (ORDER BY v) - v AS gap
+        |  FROM m)
+        |SELECT cast(max(nat) AS bigint) AS n_a,
+        |  cast(max(nbt) AS bigint) AS n_b,
+        |  cast(sum(abs(cuma * nbt - cumb * nat) * gap)
+        |    // (max(nat) * max(nbt)) AS bigint) AS emd
+        |FROM c WHERE gap IS NOT NULL""".stripMargin,
 
     // Definitional basket self-join replay of the local pair emission.
     "q126_copurchase" ->

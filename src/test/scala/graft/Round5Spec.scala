@@ -1315,6 +1315,20 @@ class Round5Spec extends SparkSpec {
     assert(out === Seq((1L, 0L), (2L, 5L), (3L, 9L)))
   }
 
+  test("numericDrift: shifted distribution -> EMD equals the shift") {
+    // B is A shifted by +10: EMD of two point masses {0} vs {10} = 10
+    val a = Seq(0L, 0L).toDF("v")
+    val b = Seq(10L, 10L).toDF("v")
+    val out = graft.ext.Stats.numericDrift(a, b, col("v")).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2)) ===
+      ((2L, 2L, 10L)))
+    // identical distributions -> zero drift
+    val same = graft.ext.Stats.numericDrift(
+      Seq(1L, 5L).toDF("v"), Seq(1L, 5L).toDF("v"), col("v"))
+      .collect().head
+    assert(same.getLong(2) === 0L)
+  }
+
   test("coOccurrence: basket-distinct pairs, support threshold, conf6") {
     val df = Seq((1L, "x"), (1L, "y"), (1L, "z"), (1L, "x"), // dup in b1
       (2L, "x"), (2L, "y"), (3L, "x")).toDF("b", "i")
