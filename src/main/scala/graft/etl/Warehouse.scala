@@ -293,6 +293,44 @@ object Warehouse {
         sum("s").cast("decimal(38,2)").as("s"),
         min("mn").as("mn"), max("mx").as("mx"))
 
+  /** CDC change-log apply (latest-wins): fold an ordered stream of
+    * row-level changes — upserts (`op` = "U"/"I") and deletes ("D"),
+    * each stamped with a monotonically increasing sequence number (an
+    * LSN / binlog position) — onto a base snapshot. Per key the change
+    * with the highest `seqCol` wins; a winning delete removes the key,
+    * a winning upsert replaces (or introduces) the row. Ties on the
+    * sequence break deterministically by op descending ("U" > "I" >
+    * "D") then by the payload — but a real change log has unique
+    * sequence numbers per key, and callers should too.
+    *
+    * Scale shape: the change log is incremental — tiny against the
+    * base — so the reduction to per-key winners shuffles only changes,
+    * and both base-side probes (the anti-join that drops superseded
+    * base rows) broadcast the winner keys. The 100 TB base is scanned
+    * once and NEVER shuffled. Composes with [[mergeByKey]] for the
+    * at-rest form (winners as the batch, copy-on-write partitions);
+    * this is the pure-DataFrame kernel.
+    *
+    * `changes` must carry the base payload columns plus (`opCol`,
+    * `seqCol`); the result has exactly the base schema.
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame, keys: Seq[String],
+      seqCol: String = "seq", opCol: String = "op"): DataFrame = {
+    require(keys.nonEmpty, "applyChanges: keys must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val payload = base.columns.toSeq
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc, col(opCol).desc,
+        struct(payload.map(col): _*).desc)
+    val winners = changes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val touched = winners.select(keys.map(col): _*)
+    base.join(broadcast(touched), keys, "left_anti")
+      .unionByName(winners.filter(col(opCol) =!= "D")
+        .select(payload.map(col): _*))
+  }
+
   /** Snapshot diff by key — the table-versioning audit primitive (what
     * changed between yesterday's warehouse and today's?): one null-safe
     * full-outer join on the key, change classification from key

@@ -90,6 +90,48 @@ object Sampling {
       (before % windowTokens).as("offset"))
   }
 
+  /** Deterministic systematic PPS (probability-proportional-to-size)
+    * sample of ~`n` rows: order rows by the md5 of the key (a
+    * reproducible pseudo-random permutation — same on any engine,
+    * partitioning, or retry), lay their integer weights end to end on
+    * [0, W), and select every row whose weight interval contains a
+    * multiple of W/n — so a row's selection probability is
+    * proportional to its weight, heavy rows (weight ≥ W/n) are
+    * selected with certainty, and the whole draw is exact integer
+    * arithmetic (no RNG, no floats). `n_hits` is the number of grid
+    * points inside the row's interval (≥ 2 means the row stands in
+    * for that many sample slots — keep it as the replication factor
+    * for downstream estimators). Weights must be non-negative bigints
+    * with n·W inside bigint range (at 100 TB: pre-scale weights or
+    * widen to decimal).
+    *
+    * One window over the hash order computes the running offset. The
+    * window is per-shard-able exactly like [[packByTokens]] when a
+    * single global order becomes the bottleneck; the global form is
+    * kept here because sample determinism across engines is the point.
+    */
+  def ppsTake(df: DataFrame, keyCol: String, weightCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, "ppsTake: n must be positive")
+    val h = md5(col(keyCol).cast("string"))
+    val w = Window.orderBy(col("__h").asc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    val before = coalesce(sum(col(weightCol)).over(w), lit(0L))
+    val total = sum(col(weightCol)).over(wAll)
+    // multiples of W in [0, x) = ceil(x/W) for x >= 0; `div` truncates
+    // toward zero = floor on the non-negative domain (DuckDB `//` agrees)
+    df.withColumn("__h", h)
+      .withColumn("__lo", before * n)
+      .withColumn("__hi", (before + col(weightCol)) * n)
+      .withColumn("__total", total)
+      .withColumn("n_hits", expr(
+        "(__hi + __total - 1) div __total - (__lo + __total - 1) div __total"))
+      .filter(col("n_hits") > 0)
+      .drop("__h", "__lo", "__hi", "__total")
+  }
+
   /** Deterministic training-order shuffle: permute the corpus into
     * `nShards` shards, each with a dense 1-based position, where both
     * the shard and the within-shard order are functions of md5(key) —

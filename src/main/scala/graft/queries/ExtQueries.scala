@@ -1168,6 +1168,48 @@ object ExtQueries {
         col("cents"))
     }),
 
+    // CDC apply: fold a deterministic synthetic change log (two update
+    // waves, a delete wave, an insert wave — later sequence wins) onto
+    // the orders snapshot; the base is scanned once and never shuffled.
+    "q148_cdc_apply" -> ((s, d) => {
+      val base = orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      val u1 = base.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("price_cents", col("price_cents") + 100L)
+        .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+      val u2 = base.filter(col("o_orderkey") % 14 === 0)
+        .withColumn("price_cents", col("price_cents") + 200L)
+        .withColumn("op", lit("U")).withColumn("seq", lit(2L))
+      val del = base.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("op", lit("D")).withColumn("seq", lit(3L))
+      val ins = base.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        .withColumn("price_cents", lit(4200L))
+        .withColumn("op", lit("I")).withColumn("seq", lit(1L))
+      val changes = u1.unionByName(u2).unionByName(del).unionByName(ins)
+      graft.etl.Warehouse.applyChanges(base, changes, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Systematic PPS sample: ~500 orders drawn proportional to their
+    // price in cents — md5-ordered layout, exact integer grid crossing,
+    // no RNG; n_hits doubles as the replication factor for heavy rows.
+    "q149_pps_sample" -> ((s, d) => {
+      val o = orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("weight"))
+      graft.ext.Sampling.ppsTake(o, "o_orderkey", "weight", n = 500)
+        .orderBy("o_orderkey")
+    }),
+
+    // Portable HLL registers per event type over user ids: one
+    // map-side-combined pass, 256-bucket explicit md5 layout, exact
+    // dyadic harmonic-mean numerator — the mergeable distinct sketch.
+    "q150_hll_distinct" -> ((s, d) => {
+      Sketches.hllRegisters(events(s, d), "event_type", col("user_id"))
+        .orderBy("event_type")
+    }),
+
     // Market-basket co-occurrence over supplier nations per order:
     // locally-emitted basket pairs (never a fact-table self-join) +
     // integer-ppm association confidence.
@@ -2548,6 +2590,91 @@ object ExtQueries {
         |  cast(sum(abs(cuma * nbt - cumb * nat) * gap)
         |    // (max(nat) * max(nbt)) AS bigint) AS emd
         |FROM c WHERE gap IS NOT NULL""".stripMargin,
+
+    // Change-log replay: same synthetic waves, latest sequence wins via
+    // row_number, winning deletes drop the key, upserts replace/insert.
+    "q148_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    cast(round(o_totalprice * 100) AS bigint) AS price_cents
+        |  FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    price_cents + 100 AS price_cents, 'U' AS op, 1 AS seq
+        |  FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    price_cents + 200, 'U', 2 FROM base WHERE o_orderkey % 14 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    price_cents, 'D', 3 FROM base WHERE o_orderkey % 11 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+        |    4200, 'I', 1 FROM base WHERE o_orderkey % 13 = 0),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY seq DESC, op DESC) AS rn
+        |  FROM changes)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, price_cents
+        |FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM w)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, price_cents
+        |FROM w WHERE rn = 1 AND op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Window replay of the systematic PPS draw: md5-ordered running
+    // weights, integer grid-crossing count (`//` floors; all operands
+    // non-negative, so Spark's truncating `div` agrees).
+    "q149_pps_sample" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS k,
+        |    cast(round(o_totalprice * 100) AS bigint) AS w,
+        |    md5(cast(o_orderkey AS varchar)) AS hh
+        |  FROM orders),
+        |s AS (
+        |  SELECT k, w,
+        |    cast(coalesce(sum(w) OVER (ORDER BY hh ASC, k ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS bigint) AS before,
+        |    cast(sum(w) OVER () AS bigint) AS total
+        |  FROM t),
+        |g AS (
+        |  SELECT k, w,
+        |    ((before + w) * 500 + total - 1) // total
+        |      - (before * 500 + total - 1) // total AS hits
+        |  FROM s)
+        |SELECT k AS o_orderkey, w AS weight, cast(hits AS bigint) AS n_hits
+        |FROM g WHERE hits > 0 ORDER BY o_orderkey""".stripMargin,
+
+    // Digit-by-digit md5 replay of the explicit HLL layout: 2-hex-digit
+    // bucket, 56-bit tail, rank via bin() length, per-bucket max, exact
+    // dyadic harmonic numerator (empties contribute 2^60 each).
+    "q150_hll_distinct" -> {
+      val tail56 = (2 until 16).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * ${1L << (4 * (15 - i))}")
+        .mkString("(", "\n      + ", ")")
+      s"""WITH v AS (
+         |  SELECT event_type, md5(cast(user_id AS varchar)) AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |b AS (
+         |  SELECT event_type,
+         |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+         |      + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+         |    cast($tail56 AS bigint) AS tail
+         |  FROM v),
+         |r AS (
+         |  SELECT event_type, bucket,
+         |    max(CASE WHEN tail = 0 THEN 57
+         |        ELSE 57 - length(bin(tail)) END) AS m
+         |  FROM b GROUP BY event_type, bucket)
+         |SELECT event_type,
+         |  cast(count(*) AS bigint) AS used,
+         |  cast(sum(m) AS bigint) AS reg_sum,
+         |  cast(sum((1::BIGINT << cast(60 - m AS int))::HUGEINT)
+         |    + (256 - count(*))::HUGEINT * (1::BIGINT << 60)::HUGEINT
+         |    AS decimal(38,0)) AS harm_num
+         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
 
     // Definitional basket self-join replay of the local pair emission.
     "q126_copurchase" ->

@@ -1354,4 +1354,136 @@ class Round5Spec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(bad === Seq((1L, 2L, 3L)))
   }
+
+  // ------------------------------------------------------------------
+  // Warehouse.applyChanges (CDC latest-wins)
+  // ------------------------------------------------------------------
+
+  test("applyChanges: upsert, delete, insert, latest sequence wins") {
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "s", "v")
+    val changes = Seq(
+      (1L, "a", 11L, "U", 1L), (1L, "a", 12L, "U", 2L), // latest wins
+      (2L, "b", 99L, "U", 1L), (2L, "b", 0L, "D", 2L),  // delete wins
+      (4L, "d", 40L, "I", 1L),                          // novel key
+      (5L, "e", 50L, "D", 1L)                           // delete absent: no-op
+    ).toDF("k", "s", "v", "op", "seq")
+    val out = graft.etl.Warehouse.applyChanges(base, changes, Seq("k"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out === Seq((1L, "a", 12L), (3L, "c", 30L), (4L, "d", 40L)))
+  }
+
+  test("applyChanges: result schema is exactly the base schema; " +
+      "sequence tie breaks op-desc (U over D)") {
+    val base = Seq((1L, 10L)).toDF("k", "v")
+    val changes = Seq((1L, 11L, "D", 5L), (1L, 12L, "U", 5L))
+      .toDF("k", "v", "op", "seq")
+    val out = graft.etl.Warehouse.applyChanges(base, changes, Seq("k"))
+    assert(out.schema.fieldNames.toSeq === Seq("k", "v"))
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 12L)))
+  }
+
+  test("applyChanges: empty change log is the identity") {
+    val base = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    val changes = Seq.empty[(Long, Long, String, Long)]
+      .toDF("k", "v", "op", "seq")
+    assert(graft.etl.Warehouse.applyChanges(base, changes, Seq("k"))
+      .orderBy("k").collect().map(_.getLong(1)).toSeq === Seq(10L, 20L))
+  }
+
+  // ------------------------------------------------------------------
+  // Sampling.ppsTake (systematic PPS)
+  // ------------------------------------------------------------------
+
+  test("ppsTake: hits telescope to exactly n; all hits positive") {
+    val df = (1L to 200L).map(i => (i, i % 17 + 1)).toDF("k", "w")
+    val out = graft.ext.Sampling.ppsTake(df, "k", "w", n = 20).collect()
+    assert(out.map(_.getAs[Long]("n_hits")).sum === 20L)
+    assert(out.forall(_.getAs[Long]("n_hits") >= 1L))
+  }
+
+  test("ppsTake: a row heavier than the grid step is always selected, " +
+      "with proportional replication") {
+    // one row carries ~half the total weight -> ~n/2 hits
+    val df = ((1L to 50L).map(i => (i, 2L)) :+ (99L, 100L)).toDF("k", "w")
+    val out = graft.ext.Sampling.ppsTake(df, "k", "w", n = 10)
+    val heavy = out.filter($"k" === 99L).collect()
+    assert(heavy.length === 1)
+    // W = 200, step = 20, weight 100 covers 5 grid points (+/- 1 for
+    // alignment)
+    val hits = heavy.head.getAs[Long]("n_hits")
+    assert(hits >= 4L && hits <= 6L)
+  }
+
+  test("ppsTake: deterministic under repartitioning") {
+    val df = (1L to 300L).map(i => (i, i % 7 + 1)).toDF("k", "w")
+    def draw(d: org.apache.spark.sql.DataFrame) =
+      graft.ext.Sampling.ppsTake(d, "k", "w", n = 25)
+        .select("k", "n_hits").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(draw(df) === draw(df.repartition(13)))
+  }
+
+  test("ppsTake: zero-weight rows are never selected") {
+    val df = Seq((1L, 0L), (2L, 5L), (3L, 0L), (4L, 5L)).toDF("k", "w")
+    val ks = graft.ext.Sampling.ppsTake(df, "k", "w", n = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(!ks.contains(1L) && !ks.contains(3L))
+  }
+
+  // ------------------------------------------------------------------
+  // Sketches.hllRegisters (portable HLL)
+  // ------------------------------------------------------------------
+
+  /** Reference registers computed independently with java.security md5. */
+  private def hllExpected(values: Seq[String]): (Long, Long, BigInt) = {
+    val regs = scala.collection.mutable.Map.empty[Int, Int]
+    values.foreach { v =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(v.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      val bucket = Integer.parseInt(hex.substring(0, 2), 16)
+      val tail = java.lang.Long.parseLong(hex.substring(2, 16), 16)
+      val rho = if (tail == 0L) 57 else 57 - (64 - java.lang.Long.numberOfLeadingZeros(tail))
+      regs(bucket) = math.max(regs.getOrElse(bucket, 0), rho)
+    }
+    val used = regs.size.toLong
+    val regSum = regs.values.map(_.toLong).sum
+    val harm = regs.values.map(r => BigInt(1) << (60 - r)).sum +
+      BigInt(256 - regs.size) * (BigInt(1) << 60)
+    (used, regSum, harm)
+  }
+
+  test("hllRegisters: matches an independent md5 register computation") {
+    val vals = (1 to 500).map(i => s"user-$i")
+    val df = vals.map(v => ("g", v)).toDF("g", "u")
+    val row = graft.ext.Sketches.hllRegisters(df, "g", $"u").collect().head
+    val (used, regSum, harm) = hllExpected(vals)
+    assert(row.getAs[Long]("used") === used)
+    assert(row.getAs[Long]("reg_sum") === regSum)
+    assert(BigInt(row.getAs[java.math.BigDecimal]("harm_num")
+      .toBigInteger) === harm)
+  }
+
+  test("hllRegisters: duplicate values do not move the state; nulls " +
+      "ignored; state merges by per-bucket max (union == max-merge)") {
+    val a = (1 to 120).map(i => ("g", s"v$i"))
+    val b = (80 to 240).map(i => ("g", s"v$i"))
+    val dfA = a.toDF("g", "u"); val dfB = b.toDF("g", "u")
+    val union = graft.ext.Sketches
+      .hllRegisters(dfA.union(dfB).union(dfA), "g", $"u").collect().head
+    val (used, regSum, harm) = hllExpected((a ++ b).map(_._2).distinct)
+    assert((union.getAs[Long]("used"), union.getAs[Long]("reg_sum"),
+      BigInt(union.getAs[java.math.BigDecimal]("harm_num").toBigInteger))
+      === ((used, regSum, harm)))
+    val withNull = dfA.union(Seq(("g", null: String)).toDF("g", "u"))
+    val nn = graft.ext.Sketches.hllRegisters(withNull, "g", $"u")
+      .collect().head
+    val (u2, r2, h2) = hllExpected(a.map(_._2))
+    assert((nn.getAs[Long]("used"), nn.getAs[Long]("reg_sum"),
+      BigInt(nn.getAs[java.math.BigDecimal]("harm_num").toBigInteger))
+      === ((u2, r2, h2)))
+  }
 }
