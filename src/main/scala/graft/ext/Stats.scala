@@ -498,4 +498,119 @@ object Stats {
       .select(col(xCol), col("__my").as(yCol))
     rows.join(frontier, Seq(xCol, yCol), "left_semi")
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov distance — the standard
+    * distributional-drift test to pair with the categorical chi-square
+    * ([[chiAssoc]]) and the earth-mover distance ([[numericDrift]]):
+    * KS reacts to the largest LOCAL gap between the two empirical CDFs
+    * where EMD integrates all of them. D = max_v |F_a(v) − F_b(v)| is
+    * computed without any floating point: per distinct value, the
+    * cross-multiplied deviation |cumA·n_b − cumB·n_a| (exact
+    * decimal(38,0) products — no overflow at any corpus size), maxed,
+    * and divided out to a double only in the final single expression
+    * both engines evaluate identically.
+    *
+    * Plan: one count-agg per side (map-side partial — the window then
+    * runs on |distinct values| rows, not sample rows), one full-outer
+    * merge on the value, one running-sum window, one global max. The
+    * unpartitioned window orders |distinct values| rows on one task —
+    * for high-cardinality continuous data at 100 TB, pre-bucket the
+    * value (the test then bounds D within one bucket width) or
+    * range-partition the cumulative like the quantile operators.
+    */
+  def ksDrift(a: DataFrame, b: DataFrame, valCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val ca = a.select(valCol.as("__v")).groupBy("__v")
+      .agg(count(lit(1)).as("__na"))
+    val cb = b.select(valCol.as("__v")).groupBy("__v")
+      .agg(count(lit(1)).as("__nb"))
+    val merged = ca.join(cb, Seq("__v"), "full_outer")
+      .na.fill(0L, Seq("__na", "__nb"))
+    val wc = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    merged
+      .withColumn("__ca", sum(col("__na")).over(wc))
+      .withColumn("__cb", sum(col("__nb")).over(wc))
+      .withColumn("__nat", sum(col("__na")).over(wAll))
+      .withColumn("__nbt", sum(col("__nb")).over(wAll))
+      .agg(max(col("__nat")).as("n_a"), max(col("__nbt")).as("n_b"),
+        max(abs(d(col("__ca")) * d(col("__nbt")) -
+          d(col("__cb")) * d(col("__nat")))).as("__d"))
+      .select(col("n_a"), col("n_b"),
+        col("__d").cast("long").as("d_num"),
+        (col("__d").cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("ks"))
+  }
+
+  /** Per-group equi-WIDTH histogram (k fixed-width buckets spanning
+    * [min, max]) — the profiling complement of the equi-depth bounds
+    * ([[equiDepthBounds]]): depth answers "where are the quantiles",
+    * width answers "what does the shape look like". Bucket assignment
+    * is exact integer arithmetic, bucket = (v−mn)·k div (mx−mn+1), so
+    * every engine bins identically (no float widths, no edge epsilon).
+    * Empty buckets are omitted (a 100 TB profile of a sparse range
+    * should not emit k rows per group regardless of occupancy; outer-
+    * join a `sequence(0, k-1)` frame if a dense grid is wanted).
+    *
+    * Plan: one bounds-agg on the group key (tiny — broadcast back),
+    * one count-agg on (group, bucket). Both shuffles carry map-side
+    * partials; nothing is row-ordered, so the shape survives any skew
+    * AQE can't already handle.
+    */
+  def equiWidthHist(df: DataFrame, groupCol: String, valCol: Column,
+      k: Int): DataFrame = {
+    require(k > 0, "equiWidthHist: k must be positive")
+    val vals = df.select(col(groupCol), valCol.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+    val bounds = vals.groupBy(groupCol)
+      .agg(min(col("__v")).as("mn"), max(col("__v")).as("mx"))
+    vals.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("bucket",
+        expr(s"((__v - mn) * $k) div (mx - mn + 1)"))
+      .groupBy(col(groupCol), col("bucket"), col("mn"), col("mx"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo", col("mn") + expr(s"(bucket * (mx - mn + 1)) div $k"))
+      .select(col(groupCol), col("bucket"), col("lo"), col("n"),
+        col("mn"), col("mx"))
+  }
+
+  /** Multi-class classifier evaluation from (guess, truth) pairs:
+    * per-class confusion counts (tp/fp/fn) and precision/recall/F1.
+    * The class axis is the union of predicted and true labels (a class
+    * the model never predicts still reports recall; a hallucinated
+    * label still reports precision). Ratios are each ONE double
+    * division (then ×1e6 floor-truncation), the engine-portable recipe
+    * every scored operator here uses; degenerate denominators yield
+    * null, not NaN.
+    *
+    * Plan: one count-agg on (guess, truth) — at most |classes|² rows —
+    * then two tiny rollups and a full-outer merge on the class label.
+    * Everything after the first agg is broadcast-scale at any corpus
+    * size.
+    */
+  def classifierEval(df: DataFrame, guessCol: Column, truthCol: Column)
+      : DataFrame = {
+    val conf = df.select(guessCol.as("__g"), truthCol.as("__t"))
+      .groupBy("__g", "__t").agg(count(lit(1)).as("__n"))
+    val byGuess = conf.groupBy(col("__g").as("cls"))
+      .agg(sum(col("__n")).as("__npred"),
+        sum(when(col("__t") === col("__g"), col("__n"))
+          .otherwise(lit(0L))).as("__tpg"))
+    val byTruth = conf.groupBy(col("__t").as("cls"))
+      .agg(sum(col("__n")).as("__ntrue"))
+    val score6 = (num: Column, den: Column) =>
+      when(den > 0, floor(num.cast("double") / den.cast("double")
+        * lit(1e6)).cast("long"))
+    byGuess.join(byTruth, Seq("cls"), "full_outer")
+      .na.fill(0L, Seq("__npred", "__tpg", "__ntrue"))
+      .select(col("cls"), col("__tpg").as("tp"),
+        (col("__npred") - col("__tpg")).as("fp"),
+        (col("__ntrue") - col("__tpg")).as("fn"))
+      .withColumn("prec6", score6(col("tp"), col("tp") + col("fp")))
+      .withColumn("rec6", score6(col("tp"), col("tp") + col("fn")))
+      .withColumn("f16", score6(lit(2L) * col("tp"),
+        lit(2L) * col("tp") + col("fp") + col("fn")))
+  }
 }

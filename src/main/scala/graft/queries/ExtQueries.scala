@@ -1210,6 +1210,93 @@ object ExtQueries {
         .orderBy("event_type")
     }),
 
+    // Sorted-neighborhood blocking (third blocking family next to LSH
+    // and pigeonhole): (lang, n_chars) sort, w=5 neighborhood, exact
+    // token-set Jaccard >= 1/2 verify via the hash-set intersect
+    // kernel. Candidates are exactly (w-1)·n — linear by construction.
+    "q151_sorted_neighborhood" -> ((s, d) => {
+      Dedup.sortedNeighborhood(documents(s, d), "doc_id", "text",
+        blockCol = "lang", orderCol = "n_chars", w = 5,
+        tauNum = 1, tauDen = 2)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Exact two-sample Kolmogorov-Smirnov drift between the click and
+    // view value distributions — cross-multiplied integer CDF gap, one
+    // FP division at the very end.
+    "q152_ks_drift" -> ((s, d) => {
+      val e = events(s, d)
+      graft.ext.Stats.ksDrift(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "view"),
+        col("value"))
+    }),
+
+    // Reciprocal-rank fusion of two retrieval rankings (BM25 keyword
+    // top-20 and cosine-ANN top-20 over the aligned embedding table):
+    // score = Σ 1/(60+rank), the standard hybrid-search combiner. Both
+    // rank windows run on <= 20 rows (post-top-k), so the single-
+    // partition row_number is constant work at any corpus size.
+    "q153_rrf_fusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bm = TextStats.bm25TopK(documents(s, d), "doc_id", "text",
+        Seq("dup", "merge", "spark"), 20)
+        .withColumn("r_bm", row_number().over(
+          Window.orderBy(col("score6").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("r_bm"))
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding").as("q_vec"),
+          Similarity.l2norm(col("embedding")).as("q_nrm"))
+      val cos = emb.filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          floor(Similarity.dot(col("embedding"), col("q_vec")) /
+            (Similarity.l2norm(col("embedding")) * col("q_nrm"))
+            * lit(1e6)).cast("long").as("cs6"))
+        .orderBy(col("cs6").desc, col("doc_id").asc).limit(20)
+        .withColumn("r_cos", row_number().over(
+          Window.orderBy(col("cs6").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("r_cos"))
+      bm.join(cos, Seq("doc_id"), "full_outer")
+        .withColumn("rrf9", floor(
+          (coalesce(lit(1.0) / (lit(60.0) + col("r_bm").cast("double")),
+            lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("r_cos").cast("double")),
+              lit(0.0))) * lit(1e9)).cast("long"))
+        .orderBy(col("rrf9").desc, col("doc_id").asc).limit(10)
+        .select(col("doc_id"), col("r_bm"), col("r_cos"), col("rrf9"))
+    }),
+
+    // Survivorship merge: bag-of-words cluster key (md5 of the sorted
+    // distinct token set), then per-cluster golden record — min id,
+    // member count, mode lang/source, max n_chars.
+    "q154_survivorship" -> ((s, d) => {
+      val key = md5(array_join(array_sort(
+        array_distinct(TextStats.tokens(col("text")))), " "))
+      Dedup.survivorship(documents(s, d), "doc_id", key,
+        modeCols = Seq("lang", "source"), maxCols = Seq("n_chars"))
+        .orderBy("canonical_id")
+    }),
+
+    // Per-class precision/recall/F1 of the heuristic language IDer
+    // against the labeled lang column — the eval harness for any
+    // curation classifier (the confusion matrix itself is q24).
+    "q155_langid_eval" -> ((s, d) => {
+      val guessed = TextStats.withLangId(documents(s, d), "doc_id", "text")
+      graft.ext.Stats.classifierEval(guessed,
+        col("lang_guess"), col("lang"))
+        .orderBy("cls")
+    }),
+
+    // Per-language equi-width histogram (k=10) of document lengths —
+    // the shape profile next to q133's equi-depth quantile bounds.
+    "q156_hist_equiwidth" -> ((s, d) => {
+      graft.ext.Stats.equiWidthHist(documents(s, d), "lang",
+        col("n_chars"), k = 10)
+        .orderBy("lang", "bucket")
+    }),
+
     // Market-basket co-occurrence over supplier nations per order:
     // locally-emitted basket pairs (never a fact-table self-join) +
     // integer-ppm association confidence.
@@ -2675,6 +2762,209 @@ object ExtQueries {
          |    AS decimal(38,0)) AS harm_num
          |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
     },
+
+    // Window self-join replay of the w=5 neighborhood: rank within
+    // (lang, n_chars-order), pair ranks differing by <= 4, exact
+    // token-set Jaccard >= 1/2 via list_intersect sizes.
+    "q151_sorted_neighborhood" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    list_distinct(string_split_regex(trim(text), '\s+')) AS ts
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, ts,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) AS rn
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    cast(len(list_intersect(a.ts, b.ts)) AS bigint) AS inter,
+        |    cast(len(a.ts) + len(b.ts)
+        |      - len(list_intersect(a.ts, b.ts)) AS bigint) AS uni
+        |  FROM r a JOIN r b
+        |    ON a.lang = b.lang AND b.rn BETWEEN a.rn + 1 AND a.rn + 4)
+        |SELECT a_id, b_id, inter, uni FROM p
+        |WHERE inter * 2 >= uni * 1
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // Exact KS replay: per-value counts of both samples, full-outer
+    // merge, running CDFs, max cross-multiplied gap; the only FP step
+    // is the final division both engines evaluate identically.
+    "q152_ks_drift" ->
+      """WITH ca AS (
+        |  SELECT value AS v, count(*) AS na FROM events
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |cb AS (
+        |  SELECT value AS v, count(*) AS nb FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |m AS (
+        |  SELECT coalesce(ca.v, cb.v) AS v,
+        |    coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+        |  FROM ca FULL JOIN cb ON ca.v = cb.v),
+        |c AS (
+        |  SELECT sum(na) OVER (ORDER BY v) AS cca,
+        |    sum(nb) OVER (ORDER BY v) AS ccb,
+        |    sum(na) OVER () AS nat, sum(nb) OVER () AS nbt
+        |  FROM m)
+        |SELECT cast(max(nat) AS bigint) AS n_a,
+        |  cast(max(nbt) AS bigint) AS n_b,
+        |  cast(max(abs(cca * nbt - ccb * nat)) AS bigint) AS d_num,
+        |  cast(max(abs(cca * nbt - ccb * nat)) AS double)
+        |    / cast(max(nat) * max(nbt) AS double) AS ks
+        |FROM c""".stripMargin,
+
+    // RRF replay: the q80 BM25 scoring as one CTE, the q28 cosine
+    // scoring as another, both top-20 ranked with the same tie-breaks,
+    // then the fixed-order 1/(60+r) sum floored at 1e-9 grain.
+    "q153_rrf_fusion" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+         |  FROM documents),
+         |ft AS (
+         |  SELECT doc_id, t, count(*) AS tf FROM tok
+         |  WHERE t IN ('dup', 'merge', 'spark') GROUP BY 1, 2),
+         |dfq AS (SELECT t, count(*) AS df FROM ft GROUP BY 1),
+         |tot AS (
+         |  SELECT count(*) AS n,
+         |    sum(len(string_split_regex(trim(text), '\\s+'))) AS tot
+         |  FROM documents),
+         |dl AS (
+         |  SELECT doc_id,
+         |    cast(len(string_split_regex(trim(text), '\\s+')) AS double) AS dl
+         |  FROM documents),
+         |sc AS (
+         |  SELECT f.doc_id, f.t,
+         |    (((cast(n AS double) - cast(df AS double)) + 0.5)
+         |       / (cast(df AS double) + 0.5))
+         |    * (cast(tf AS double) * 2.25)
+         |    / (cast(tf AS double)
+         |       + 1.25 * (0.25 + 0.75 * ((dl * cast(n AS double))
+         |                                 / cast(tot AS double)))) AS sc
+         |  FROM ft f JOIN dfq USING (t) JOIN dl USING (doc_id), tot),
+         |bm AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY score6 DESC, doc_id) AS r_bm
+         |  FROM (
+         |    SELECT doc_id,
+         |      cast(floor((coalesce(max(CASE WHEN t = 'dup' THEN sc END), 0.0)
+         |        + coalesce(max(CASE WHEN t = 'merge' THEN sc END), 0.0)
+         |        + coalesce(max(CASE WHEN t = 'spark' THEN sc END), 0.0))
+         |        * 1000000.0) AS bigint) AS score6
+         |    FROM sc GROUP BY doc_id
+         |    ORDER BY score6 DESC, doc_id LIMIT 20)),
+         |qv AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+         |cosr AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY cs6 DESC, doc_id) AS r_cos
+         |  FROM (
+         |    SELECT vec_id AS doc_id,
+         |      cast(floor((${cosineSql("embedding", "q_vec")})
+         |        * 1000000.0) AS bigint) AS cs6
+         |    FROM embeddings, qv
+         |    WHERE vec_id <> 0
+         |    ORDER BY cs6 DESC, doc_id LIMIT 20))
+         |SELECT coalesce(bm.doc_id, cosr.doc_id) AS doc_id, r_bm, r_cos,
+         |  cast(floor((coalesce(1.0 / (60.0 + cast(r_bm AS double)), 0.0)
+         |    + coalesce(1.0 / (60.0 + cast(r_cos AS double)), 0.0))
+         |    * 1000000000.0) AS bigint) AS rrf9
+         |FROM bm FULL JOIN cosr ON bm.doc_id = cosr.doc_id
+         |ORDER BY rrf9 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // Golden-record replay: same bag-of-words key, modes via count-desc
+    // value-asc row_number, max/min/count straight off the group.
+    "q154_survivorship" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    md5(list_aggregate(
+        |      list_sort(list_distinct(string_split_regex(trim(text), '\s+'))),
+        |      'string_agg', ' ')) AS ck
+        |  FROM documents),
+        |b AS (
+        |  SELECT ck, min(doc_id) AS canonical_id,
+        |    cast(count(*) AS bigint) AS n_members,
+        |    max(n_chars) AS max_n_chars
+        |  FROM t GROUP BY ck),
+        |lm AS (
+        |  SELECT ck, lang AS mode_lang FROM (
+        |    SELECT ck, lang, row_number() OVER (PARTITION BY ck
+        |      ORDER BY count(*) DESC, lang ASC) AS rk
+        |    FROM t GROUP BY ck, lang) WHERE rk = 1),
+        |sm AS (
+        |  SELECT ck, source AS mode_source FROM (
+        |    SELECT ck, source, row_number() OVER (PARTITION BY ck
+        |      ORDER BY count(*) DESC, source ASC) AS rk
+        |    FROM t GROUP BY ck, source) WHERE rk = 1)
+        |SELECT canonical_id, n_members, max_n_chars, mode_lang, mode_source
+        |FROM b JOIN lm USING (ck) JOIN sm USING (ck)
+        |ORDER BY canonical_id""".stripMargin,
+
+    // Same guess CTE as q24, then per-class tp/fp/fn off two rollups
+    // of the confusion counts; ratios replayed as single divisions
+    // floored at 1e-6 grain (sums cast to bigint — hugeint hashes
+    // differently).
+    "q155_langid_eval" -> {
+      val de = markerSql(TextStats.stopwords("de"))
+      val en = markerSql(TextStats.stopwords("en"))
+      val es = markerSql(TextStats.stopwords("es"))
+      val fr = markerSql(TextStats.stopwords("fr"))
+      s"""WITH scored AS (
+         |  SELECT lang,
+         |    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
+         |    length(text) AS len,
+         |    $de AS s_de, $en AS s_en, $es AS s_es, $fr AS s_fr
+         |  FROM documents),
+         |guessed AS (
+         |  SELECT lang, CASE
+         |    WHEN cjk * 2 > len THEN 'zh'
+         |    WHEN s_de = greatest(s_de, s_en, s_es, s_fr)
+         |      AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'de'
+         |    WHEN s_en = greatest(s_de, s_en, s_es, s_fr)
+         |      AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'en'
+         |    WHEN s_es = greatest(s_de, s_en, s_es, s_fr)
+         |      AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'es'
+         |    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr)
+         |      AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'fr'
+         |    ELSE 'und' END AS guess
+         |  FROM scored),
+         |g AS (
+         |  SELECT guess AS cls, cast(count(*) AS bigint) AS npred,
+         |    cast(sum(CASE WHEN lang = guess THEN 1 ELSE 0 END) AS bigint)
+         |      AS tpg
+         |  FROM guessed GROUP BY 1),
+         |l AS (
+         |  SELECT lang AS cls, cast(count(*) AS bigint) AS ntrue
+         |  FROM guessed GROUP BY 1),
+         |f AS (
+         |  SELECT coalesce(g.cls, l.cls) AS cls,
+         |    coalesce(tpg, 0) AS tp,
+         |    coalesce(npred, 0) - coalesce(tpg, 0) AS fp,
+         |    coalesce(ntrue, 0) - coalesce(tpg, 0) AS fn
+         |  FROM g FULL JOIN l ON g.cls = l.cls)
+         |SELECT cls, tp, fp, fn,
+         |  CASE WHEN tp + fp > 0 THEN cast(floor(cast(tp AS double)
+         |    / cast(tp + fp AS double) * 1000000.0) AS bigint) END AS prec6,
+         |  CASE WHEN tp + fn > 0 THEN cast(floor(cast(tp AS double)
+         |    / cast(tp + fn AS double) * 1000000.0) AS bigint) END AS rec6,
+         |  CASE WHEN 2 * tp + fp + fn > 0 THEN cast(floor(
+         |    cast(2 * tp AS double) / cast(2 * tp + fp + fn AS double)
+         |    * 1000000.0) AS bigint) END AS f16
+         |FROM f ORDER BY cls""".stripMargin
+    },
+
+    // Integer bucket replay: same div arithmetic (all operands
+    // non-negative, so `//` floor = Spark's truncating div).
+    "q156_hist_equiwidth" ->
+      """WITH b AS (
+        |  SELECT lang, min(n_chars) AS mn, max(n_chars) AS mx
+        |  FROM documents GROUP BY lang),
+        |v AS (
+        |  SELECT d.lang, ((n_chars - mn) * 10) // (mx - mn + 1) AS bucket,
+        |    mn, mx
+        |  FROM documents d JOIN b USING (lang))
+        |SELECT lang, bucket, mn + (bucket * (mx - mn + 1)) // 10 AS lo,
+        |  cast(count(*) AS bigint) AS n, mn, mx
+        |FROM v GROUP BY lang, bucket, mn, mx
+        |ORDER BY lang, bucket""".stripMargin,
 
     // Definitional basket self-join replay of the local pair emission.
     "q126_copurchase" ->

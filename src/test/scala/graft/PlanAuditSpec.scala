@@ -215,4 +215,37 @@ class PlanAuditSpec extends SparkSpec {
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("q151 sorted-neighborhood: no quadratic join; window is per-block") {
+    val p = plan("q151_sorted_neighborhood")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"quadratic join shape in:\n$p")
+    // the neighborhood window partitions by the block key — a global
+    // single-partition window would serialize the corpus sort
+    assert(!"Window.*\\n.*Exchange SinglePartition".r.findFirstIn(p)
+      .isDefined, s"single-partition window in:\n$p")
+    // verify runs on the codegen'd hash-set kernel, not array_intersect
+    assert(p.contains("stringintersectsize") ||
+      p.toLowerCase.contains("stringintersectsize"),
+      s"no intersect kernel in:\n$p")
+  }
+
+  test("q152 KS: both sides aggregate partially before the value merge") {
+    val p = plan("q152_ks_drift")
+    assert(p.contains("partial_"), s"no map-side combine in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("q154 survivorship: every stage keys on the cluster hash, no cartesian") {
+    val p = plan("q154_survivorship")
+    assert(p.contains("partial_"), s"no map-side combine in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"quadratic join shape in:\n$p")
+  }
+
+  test("q156 equi-width hist: bounds are broadcast back, counts combine map-side") {
+    val p = plan("q156_hist_equiwidth")
+    assert(p.contains("BroadcastHashJoin"), s"bounds not broadcast in:\n$p")
+    assert(p.contains("partial_"), s"no map-side combine in:\n$p")
+  }
 }
