@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's read-only TESTDATA parquet tables
   * (see /root/repo/TESTDATA.md). Schemas come from the parquet footers —
@@ -27,17 +27,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet at some scale factors, which
-    * Spark has no native type for. Sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true`; here the long nanos are
-    * floor-divided to a real TimestampType (µs) — matching DuckDB's
-    * `cast(ts_ns AS timestamp)` truncation.
+  /** `events.ts` has drifted across driver-generated datasets:
+    * TIMESTAMP(NANOS) parquet (no native Spark type — sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` and the long nanos are
+    * floor-divided to µs), then TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * which Spark reads as TIMESTAMP_NTZ. Normalize every variant to a
+    * real TimestampType: sessions run with session.timeZone=UTC, so the
+    * NTZ→TZ cast is value-preserving and matches DuckDB's naive
+    * `cast(ts AS timestamp)`.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }
