@@ -23,6 +23,15 @@ object RunOne {
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.queries(name)(spark, sfDir)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    // The full oracle map, so tools/oracle_check.py can grade the dump
+    // without a Verify pass (same JSON shape Verify writes).
+    val json = SparkEntry.oracleSql.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + k + "\": \"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n") + "\""
+    }.mkString("{", ",\n", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+      json.getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -199,6 +199,43 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Containment near-dups: pairs where the SMALLER shingle set is
+    * mostly inside the larger — |A∩B| / min(|A|,|B|) ≥ tau. Symmetric
+    * Jaccard misses exactly these (a paragraph quoted inside a long
+    * document scores near-zero Jaccard but containment ~1), and
+    * asymmetric overlap is the standard quote/subset-duplicate signal
+    * (Broder '97 distinguishes resemblance from containment for this
+    * reason). Candidates come from the same minhash band join as
+    * [[minhashNearDups]] — documented recall caveat: minhash LSH
+    * recalls by RESEMBLANCE, so an extreme size mismatch can fall
+    * below the band threshold; within a band's recall the verify is
+    * exact. All-integer verify (intersection size via the hash-set
+    * kernel, one fixed-point ppm division at the end) keeps the
+    * output hash-gradeable.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 8, bands: Int = 4,
+      tauNum: Int = 3, tauDen: Int = 4,
+      portable: Boolean = false): DataFrame = {
+    require(tauNum >= 0 && tauDen > 0,
+      "containmentPairs: tau must be a non-negative rational")
+    val pairs = lshCandidatePairs(df, idCol, textCol, n, k, bands, portable)
+    val sh = df.select(col(idCol),
+      array_distinct(shingles(col(textCol), n)).as("sh"))
+    pairs
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", graft.functions.PairFunctions
+        .stringIntersectSize(col("sh_a"), col("sh_b")).cast("long"))
+      .withColumn("size_a", size(col("sh_a")).cast("long"))
+      .withColumn("size_b", size(col("sh_b")).cast("long"))
+      .filter(col("inter") * tauDen >=
+        least(col("size_a"), col("size_b")) * tauNum)
+      .withColumn("cont_ppm", expr(
+        "inter * 1000000L div least(size_a, size_b)"))
+      .select("id_a", "id_b", "size_a", "size_b", "inter", "cont_ppm")
+  }
+
   /** Full fuzzy-dedup pipeline: shingle → minhash → LSH bucket join →
     * Jaccard verify. One narrow scan, one band shuffle, one candidate
     * join — scales to billions of documents. `portable=true` grades the

@@ -129,4 +129,31 @@ object Quality {
       .select(expr(s"stack(${cols.size}, $stacked) " +
         "as (col_name, n_nulls, n_distinct, vmin, vmax)"))
   }
+
+  /** k-anonymity / l-diversity audit (Sweeney '02; Machanavajjhala '07)
+    * — the privacy gate a dataset release runs before shipping: group
+    * rows by the quasi-identifier columns and flag every equivalence
+    * class that is too small (fewer than `k` members — re-identifiable
+    * by linking the QI tuple to an external table) or too uniform
+    * (fewer than `l` distinct sensitive values — the homogeneity
+    * attack: membership alone reveals the sensitive attribute).
+    * Returns only the VIOLATING classes with their size, sensitive
+    * diversity, and which rule(s) failed.
+    *
+    * One aggregation keyed by the QI tuple with an exact distinct on
+    * the sensitive column — partial-aggregating map-side; output is
+    * O(violating classes), and at 100 TB the QI key space is the
+    * class count, not the row count. No driver state.
+    */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[String],
+      sensitive: Column, k: Int, l: Int): DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymityAudit: need quasi-identifiers")
+    require(k >= 1 && l >= 1, "kAnonymityAudit: k and l must be >= 1")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(sensitive).as("n_sensitive"))
+      .withColumn("k_violation", (col("class_size") < k).cast("int"))
+      .withColumn("l_violation", (col("n_sensitive") < l).cast("int"))
+      .filter(col("k_violation") === 1 || col("l_violation") === 1)
+  }
 }

@@ -1297,6 +1297,46 @@ object ExtQueries {
         .orderBy("lang", "bucket")
     }),
 
+    // Fellegi-Sunter probabilistic record linkage over the part
+    // catalog: sorted-neighborhood candidates (block p_brand, order
+    // p_retailprice, w=5 — linear by construction), integer milli-bit
+    // agreement weights per field, three-way link decision.
+    "q157_linkage" -> ((s, d) => {
+      import graft.ext.Linkage.FieldWeight
+      val p = part(s, d).withColumn("p_name_first",
+        substring_index(col("p_name"), " ", 1))
+      graft.ext.Linkage.fellegiSunter(p, "p_partkey",
+        blockCol = "p_brand", orderCol = "p_retailprice", w = 5,
+        fields = Seq(FieldWeight("p_type", 4500L, -800L),
+          FieldWeight("p_size", 3200L, -600L),
+          FieldWeight("p_name_first", 2600L, -1500L)),
+        upperMb = 6000L, lowerMb = -2000L)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // k-anonymity / l-diversity release audit on customer: QI =
+    // (nation, coarse account-balance bucket), sensitive = market
+    // segment; emits only the violating equivalence classes.
+    "q158_kanon" -> ((s, d) => {
+      val bucketed = customer(s, d).withColumn("acct_bucket",
+        expr("(cast(round(c_acctbal * 100, 0) AS bigint) + 100000L)" +
+          " div 100000L"))
+      graft.ext.Quality.kAnonymityAudit(bucketed,
+        Seq("c_nationkey", "acct_bucket"), col("c_mktsegment"),
+        k = 4, l = 3)
+        .orderBy("c_nationkey", "acct_bucket")
+    }),
+
+    // Containment near-dups (asymmetric overlap — quote/subset
+    // detection): same portable band join as q36, exact
+    // |A∩B|/min(|A|,|B|) >= 2/3 verify in pure integers.
+    "q159_containment" -> ((s, d) => {
+      Dedup.containmentPairs(documents(s, d), "doc_id", "text",
+        n = 3, k = 8, bands = 4, tauNum = 2, tauDen = 3,
+        portable = true)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Market-basket co-occurrence over supplier nations per order:
     // locally-emitted basket pairs (never a fact-table self-join) +
     // integer-ppm association confidence.
@@ -2965,6 +3005,84 @@ object ExtQueries {
         |  cast(count(*) AS bigint) AS n, mn, mx
         |FROM v GROUP BY lang, bucket, mn, mx
         |ORDER BY lang, bucket""".stripMargin,
+
+    // Same lead-window neighborhood, same integer CASE weights — the
+    // whole FS pipeline replays declaratively.
+    "q157_linkage" ->
+      """WITH base AS (
+        |  SELECT p_partkey AS id, p_brand AS blk, p_retailprice AS ord,
+        |    p_type, p_size, string_split(p_name, ' ')[1] AS p_name_first
+        |  FROM part),
+        |nb AS (
+        |  SELECT id AS a_id,
+        |    lead(id, 1) OVER win AS l1, lead(id, 2) OVER win AS l2,
+        |    lead(id, 3) OVER win AS l3, lead(id, 4) OVER win AS l4
+        |  FROM base
+        |  WINDOW win AS (PARTITION BY blk ORDER BY ord, id)),
+        |pp AS (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a_id, unnest([l1, l2, l3, l4]) AS b_id FROM nb)
+        |  WHERE b_id IS NOT NULL),
+        |s AS (
+        |  SELECT pp.a_id, pp.b_id,
+        |    (CASE WHEN a.p_type IS NULL OR b.p_type IS NULL THEN 0
+        |          WHEN a.p_type = b.p_type THEN 4500 ELSE -800 END)
+        |    + (CASE WHEN a.p_size IS NULL OR b.p_size IS NULL THEN 0
+        |            WHEN a.p_size = b.p_size THEN 3200 ELSE -600 END)
+        |    + (CASE WHEN a.p_name_first IS NULL
+        |              OR b.p_name_first IS NULL THEN 0
+        |            WHEN a.p_name_first = b.p_name_first THEN 2600
+        |            ELSE -1500 END) AS weight_mb
+        |  FROM pp JOIN base a ON a.id = pp.a_id
+        |  JOIN base b ON b.id = pp.b_id)
+        |SELECT a_id, b_id, cast(weight_mb AS bigint) AS weight_mb,
+        |  CASE WHEN weight_mb >= 6000 THEN 'link'
+        |       WHEN weight_mb <= -2000 THEN 'non_link'
+        |       ELSE 'possible' END AS decision
+        |FROM s ORDER BY a_id, b_id""".stripMargin,
+
+    // Cents-exact bucket (shifted non-negative so `//` = Spark div),
+    // exact group count + distinct — the audit replays as one GROUP BY.
+    "q158_kanon" ->
+      """WITH b AS (
+        |  SELECT c_nationkey,
+        |    (cast(round(c_acctbal * 100, 0) AS bigint) + 100000)
+        |      // 100000 AS acct_bucket,
+        |    c_mktsegment
+        |  FROM customer),
+        |g AS (
+        |  SELECT c_nationkey, acct_bucket,
+        |    cast(count(*) AS bigint) AS class_size,
+        |    cast(count(DISTINCT c_mktsegment) AS bigint) AS n_sensitive
+        |  FROM b GROUP BY 1, 2)
+        |SELECT c_nationkey, acct_bucket, class_size, n_sensitive,
+        |  CASE WHEN class_size < 4 THEN 1 ELSE 0 END AS k_violation,
+        |  CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END AS l_violation
+        |FROM g
+        |WHERE class_size < 4 OR n_sensitive < 3
+        |ORDER BY c_nationkey, acct_bucket""".stripMargin,
+
+    // Same band join as q36's replay; containment verify in integers
+    // (all operands non-negative, so `//` = Spark's div).
+    "q159_containment" ->
+      s"""WITH $fuzzyBaseCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b ON a.bkey = b.bkey
+         |  WHERE a.doc_id < b.doc_id),
+         |sz AS (
+         |  SELECT c.id_a, c.id_b,
+         |    cast(len(a.s) AS bigint) AS size_a,
+         |    cast(len(b.s) AS bigint) AS size_b,
+         |    cast(len(list_intersect(a.s, b.s)) AS bigint) AS inter
+         |  FROM cand c
+         |  JOIN dsh a ON a.doc_id = c.id_a
+         |  JOIN dsh b ON b.doc_id = c.id_b)
+         |SELECT id_a, id_b, size_a, size_b, inter,
+         |  (inter * 1000000) // least(size_a, size_b) AS cont_ppm
+         |FROM sz
+         |WHERE inter * 3 >= least(size_a, size_b) * 2
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // Definitional basket self-join replay of the local pair emission.
     "q126_copurchase" ->
