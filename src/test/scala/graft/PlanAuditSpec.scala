@@ -248,4 +248,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"bounds not broadcast in:\n$p")
     assert(p.contains("partial_"), s"no map-side combine in:\n$p")
   }
+
+  test("q148 CDC apply: latest-wins window is per-key, never global") {
+    val p = plan("q148_cdc_apply")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"quadratic join shape in:\n$p")
+    assert(!"Window.*\\n.*Exchange SinglePartition".r.findFirstIn(p)
+      .isDefined, s"single-partition window in:\n$p")
+  }
+
+  test("q150 HLL registers combine map-side (mergeable sketch)") {
+    val p = plan("q150_hll_distinct")
+    assert(p.contains("partial_"), s"no map-side combine in:\n$p")
+  }
+
+  test("q157 FS linkage: linear neighborhood, per-block window, id-equi scoring joins") {
+    val p = plan("q157_linkage")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"quadratic join shape in:\n$p")
+    // the candidate window partitions by the block key — a global
+    // single-partition window would serialize the catalog sort
+    assert(!"Window.*\\n.*Exchange SinglePartition".r.findFirstIn(p)
+      .isDefined, s"single-partition window in:\n$p")
+  }
+
+  test("q158 k-anonymity: one QI-keyed aggregate with map-side combine") {
+    val p = plan("q158_kanon")
+    assert(p.contains("partial_"), s"no map-side combine in:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in:\n$p")
+  }
+
+  test("q159 containment: band-keyed candidates, hash-set intersect kernel") {
+    val p = plan("q159_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"quadratic join shape in:\n$p")
+    assert(p.toLowerCase.contains("stringintersectsize"),
+      s"no intersect kernel in:\n$p")
+  }
 }
