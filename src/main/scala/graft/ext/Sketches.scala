@@ -280,6 +280,66 @@ object Sketches {
       .drop("__hnz")
   }
 
+  /** The raw mergeable HLL state keyed by an extra time bucket:
+    * (group, day, bucket, rho) with per-bucket MAX rank — what a
+    * warehouse materializes per partition/day so later readers union
+    * registers instead of re-scanning raw data. Same explicit md5
+    * layout as [[hllRegisters]].
+    */
+  def hllRegisterTable(df: DataFrame, groupCol: String, day: Column,
+      value: Column): DataFrame = {
+    val h = md5(value.cast("string"))
+    df.filter(value.isNotNull)
+      .select(col(groupCol), day.as("day"),
+        conv(substring(h, 1, 2), 16, 10).cast("int").as("bucket"),
+        conv(substring(h, 3, 14), 16, 10).cast("long").as("__tail"))
+      .withColumn("rho",
+        when(col("__tail") === 0L, lit(57))
+          .otherwise(lit(57) - length(bin(col("__tail")))))
+      .groupBy(col(groupCol), col("day"), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** Sliding distinct-count sketch: per (group, day) the HLL merge of
+    * the trailing `windowDays` days' registers — the 100 TB answer to
+    * the EXACT sliding distinct (q135's bounded-Expand membership),
+    * which must carry every (group, day, member) triple through its
+    * shuffle; here a day's state is ≤ 256 registers no matter how many
+    * members it saw, and windows merge by per-bucket MAX (registers are
+    * a semilattice — merge is associative/commutative/idempotent, so
+    * day-level partials combine like any Spark partial agg).
+    *
+    * Shape: one register-table pass (map-side combine), a bounded
+    * ×windowDays Expand of the ≤ groups·days·256 register rows (NOT of
+    * the raw events), per-(group, day, bucket) MAX, then the exact
+    * dyadic finalize of [[hllRegisters]]. Emits every day a register
+    * contributes to (a trailing window extends `windowDays-1` days past
+    * a group's last active day).
+    */
+  def hllSlidingDistinct(df: DataFrame, groupCol: String, day: Column,
+      value: Column, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "hllSlidingDistinct: windowDays must be >= 1")
+    val m = 256L
+    val p60 = lit(1152921504606846976L) // 2^60
+    hllRegisterTable(df, groupCol, day, value)
+      .select(col(groupCol),
+        explode(sequence(col("day"),
+          col("day") + lit(windowDays - 1).cast("long"))).as("day"),
+        col("bucket"), col("rho"))
+      .groupBy(col(groupCol), col("day"), col("bucket"))
+      .agg(max(col("rho")).as("__m"))
+      .groupBy(col(groupCol), col("day"))
+      .agg(
+        count(lit(1)).as("used"),
+        sum(col("__m")).cast("long").as("reg_sum"),
+        sum(expr("cast(shiftleft(1L, cast(60 - __m AS int)) " +
+          "AS decimal(38,0))")).as("__hnz"))
+      .withColumn("harm_num",
+        (col("__hnz") + (lit(m) - col("used")).cast("decimal(38,0)") *
+          p60.cast("decimal(38,0)")).cast("decimal(38,0)"))
+      .drop("__hnz")
+  }
+
   private def mgSketch(df: DataFrame, term: Column, capacity: Int)
       : (DataFrame, Long, Map[String, Long]) = {
     val termed = df.select(term.cast("string").as("term"))

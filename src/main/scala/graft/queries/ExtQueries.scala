@@ -1337,6 +1337,32 @@ object ExtQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Leave-one-out target encoding of order price by priority class:
+    // integer-exact (sum-own) div (n-1), category stats broadcast back,
+    // fact side never shuffled.
+    "q160_target_encode" -> ((s, d) =>
+      graft.ext.Features.targetEncodeLoo(orders(s, d), "o_orderkey",
+        "o_orderpriority", round(col("o_totalprice") * 100).cast("long"))
+        .orderBy("o_orderkey")),
+
+    // Hashing-trick feature vectorization (no vocabulary table): each
+    // column=value pair maps to an md5 bucket in [0,64); pure per-row
+    // projection.
+    "q161_feature_hash" -> ((s, d) =>
+      graft.ext.Features.featureHash(customer(s, d), "c_custkey",
+        Seq("c_mktsegment", "c_nationkey"), dim = 64)
+        .orderBy("c_custkey")),
+
+    // Trailing-7-day distinct users per event type as a mergeable HLL
+    // register merge — the sketch answer to q135's exact Expand: a
+    // day's state is <= 256 registers regardless of member count, and
+    // windows merge by per-bucket MAX. Exact dyadic finalize (q150).
+    "q162_sliding_hll" -> ((s, d) =>
+      Sketches.hllSlidingDistinct(events(s, d), "event_type",
+        expr("unix_micros(ts) div 86400000000"), col("user_id"),
+        windowDays = 7)
+        .orderBy("event_type", "day")),
+
     // Market-basket co-occurrence over supplier nations per order:
     // locally-emitted basket pairs (never a fact-table self-join) +
     // integer-ppm association confidence.
@@ -3083,6 +3109,85 @@ object ExtQueries {
          |FROM sz
          |WHERE inter * 3 >= least(size_a, size_b) * 2
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Category rollup + join-back replay; sums cast to bigint before
+    // the subtraction (hugeint hashes differently), `//` on positives.
+    "q160_target_encode" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    cast(round(o_totalprice * 100) AS bigint) AS c
+        |  FROM orders),
+        |g AS (
+        |  SELECT o_orderpriority, cast(sum(c) AS bigint) AS s,
+        |    cast(count(*) AS bigint) AS n
+        |  FROM t GROUP BY 1)
+        |SELECT o_orderkey, o_orderpriority,
+        |  CASE WHEN n > 1 THEN (s - c) // (n - 1) END AS loo
+        |FROM t JOIN g USING (o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Digit-parsed md5 coordinate (q55's family) mod dim, per column;
+    // null features filtered before the sort-distinct.
+    "q161_feature_hash" -> {
+      def md5u32(e: String) = (0 until 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5($e), ${i + 1}, 1)) - 1)" +
+          s" * ${1L << (4 * (7 - i))}")
+        .mkString("(", "\n      + ", ")")
+      val b1 = md5u32("'c_mktsegment=' || c_mktsegment")
+      val b2 = md5u32("'c_nationkey=' || cast(c_nationkey AS varchar)")
+      s"""WITH b AS (
+         |  SELECT c_custkey,
+         |    CASE WHEN c_mktsegment IS NULL THEN NULL
+         |         ELSE $b1 % 64 END AS b1,
+         |    CASE WHEN c_nationkey IS NULL THEN NULL
+         |         ELSE $b2 % 64 END AS b2
+         |  FROM customer)
+         |SELECT c_custkey,
+         |  list_sort(list_distinct(list_filter([b1, b2],
+         |    x -> x IS NOT NULL))) AS features
+         |FROM b ORDER BY c_custkey""".stripMargin
+    },
+
+    // q150's register replay keyed by epoch day, expanded to the 7
+    // trailing output days, per-bucket MAX merge, same exact dyadic
+    // finalize.
+    "q162_sliding_hll" -> {
+      val tail56 = (2 until 16).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * ${1L << (4 * (15 - i))}")
+        .mkString("(", "\n      + ", ")")
+      s"""WITH v AS (
+         |  SELECT event_type,
+         |    epoch_us(cast(ts AS timestamp)) // 86400000000 AS day,
+         |    md5(cast(user_id AS varchar)) AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |b AS (
+         |  SELECT event_type, day,
+         |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+         |      + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+         |    cast($tail56 AS bigint) AS tail
+         |  FROM v),
+         |r AS (
+         |  SELECT event_type, day, bucket,
+         |    max(CASE WHEN tail = 0 THEN 57
+         |        ELSE 57 - length(bin(tail)) END) AS m
+         |  FROM b GROUP BY 1, 2, 3),
+         |x AS (
+         |  SELECT event_type, unnest(generate_series(day, day + 6)) AS day,
+         |    bucket, m
+         |  FROM r),
+         |w AS (
+         |  SELECT event_type, cast(day AS bigint) AS day, bucket,
+         |    max(m) AS m
+         |  FROM x GROUP BY 1, 2, 3)
+         |SELECT event_type, day,
+         |  cast(count(*) AS bigint) AS used,
+         |  cast(sum(m) AS bigint) AS reg_sum,
+         |  cast(sum((1::BIGINT << cast(60 - m AS int))::HUGEINT)
+         |    + (256 - count(*))::HUGEINT * (1::BIGINT << 60)::HUGEINT
+         |    AS decimal(38,0)) AS harm_num
+         |FROM w GROUP BY event_type, day
+         |ORDER BY event_type, day""".stripMargin
+    },
 
     // Definitional basket self-join replay of the local pair emission.
     "q126_copurchase" ->

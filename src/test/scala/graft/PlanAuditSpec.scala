@@ -285,4 +285,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.toLowerCase.contains("stringintersectsize"),
       s"no intersect kernel in:\n$p")
   }
+
+  test("q160 LOO encode: category stats broadcast back, fact side unshuffled") {
+    val p = plan("q160_target_encode")
+    assert(p.contains("BroadcastHashJoin"), s"stats not broadcast in:\n$p")
+    assert(p.contains("partial_"), s"no map-side combine in:\n$p")
+  }
+
+  test("q161 feature hash: pure projection — no shuffle, no join") {
+    val p = plan("q161_feature_hash")
+    assert(!p.contains("Join"), s"unexpected join in:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"unexpected shuffle in:\n$p")
+  }
+
+  test("q162 sliding HLL: register aggs combine map-side; expand is bounded") {
+    val p = plan("q162_sliding_hll")
+    assert(p.contains("partial_"), s"no map-side combine in:\n$p")
+    assert(!p.contains("Join"), s"self-join shape in:\n$p")
+  }
 }

@@ -124,6 +124,102 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Features.targetEncodeLoo
+  // ------------------------------------------------------------------
+
+  test("targetEncodeLoo: leave-one-out means, singleton gives null") {
+    // cat a: targets 10, 20, 30 → LOO of 10 is (50 div 2)=25, of 20 is
+    // 20, of 30 is 15; cat b: single row → null
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+      (4L, "b", 99L)).toDF("id", "cat", "t")
+    val out = graft.ext.Features.targetEncodeLoo(df, "id", "cat", col("t"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out(1L) === Some(25L) && out(2L) === Some(20L) &&
+      out(3L) === Some(15L))
+    assert(out(4L) === None)
+  }
+
+  test("targetEncodeLoo: encoding never equals own target under shift") {
+    // leakage check: shifting ONE row's target must change every OTHER
+    // row's encoding in its category, but not its own
+    val base = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L))
+    def enc(rows: Seq[(Long, String, Long)]) =
+      graft.ext.Features.targetEncodeLoo(
+        rows.toDF("id", "cat", "t"), "id", "cat", col("t"))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val a = enc(base)
+    val b = enc(base.map { case (1L, c, _) => (1L, c, 100L); case r => r })
+    assert(a(1L) === b(1L))
+    assert(a(2L) !== b(2L))
+    assert(a(3L) !== b(3L))
+  }
+
+  // ------------------------------------------------------------------
+  // Features.featureHash
+  // ------------------------------------------------------------------
+
+  test("featureHash: buckets in range, deterministic, nulls dropped") {
+    val df = Seq((1L, Option("SEG1"), Option(3)),
+      (2L, Option("SEG1"), None),
+      (3L, None, None)).toDF("id", "seg", "nat")
+    val out = graft.ext.Features.featureHash(df, "id",
+      Seq("seg", "nat"), dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L).forall(b => b >= 0 && b < 64))
+    assert(out(1L).size === 2 || out(1L).size === 1) // collision allowed
+    // same value → same bucket: id 2 shares id 1's seg bucket
+    assert(out(2L).size === 1 && out(1L).contains(out(2L).head))
+    assert(out(3L).isEmpty)
+    // sorted
+    assert(out(1L) === out(1L).sorted)
+  }
+
+  test("featureHash: same value under different columns hashes differently") {
+    // the column name is part of the key — "a=x" and "b=x" must not
+    // collide by construction (they might by hash, but not for this
+    // fixture)
+    val df = Seq((1L, "x", "x")).toDF("id", "a", "b")
+    val out = graft.ext.Features.featureHash(df, "id", Seq("a", "b"), 64)
+      .head().getSeq[Long](1)
+    assert(out.size === 2, s"column name not salted into the key: $out")
+  }
+
+  // ------------------------------------------------------------------
+  // Sketches.hllSlidingDistinct
+  // ------------------------------------------------------------------
+
+  test("hllSlidingDistinct: window merge equals batch registers over the window") {
+    // users 1..40 on day 0, 30..70 on day 3: the day-3 window [−3..3]
+    // must equal hllRegisters over ALL rows (register MAX-merge ==
+    // recompute on the union — the semilattice property)
+    val rows = (1 to 40).map(u => ("t", 0L, u.toLong)) ++
+      (30 to 70).map(u => ("t", 3L, u.toLong))
+    val df = rows.toDF("g", "day", "user")
+    val slid = graft.ext.Sketches.hllSlidingDistinct(df, "g",
+      col("day"), col("user"), windowDays = 7)
+      .filter(col("day") === 3L).select("used", "reg_sum", "harm_num")
+      .head()
+    val batch = graft.ext.Sketches.hllRegisters(df, "g", col("user"))
+      .select("used", "reg_sum", "harm_num").head()
+    assert(slid === batch)
+  }
+
+  test("hllSlidingDistinct: a day outside the window does not contribute") {
+    val rows = (1 to 20).map(u => ("t", 0L, u.toLong)) ++
+      (100 to 120).map(u => ("t", 50L, u.toLong))
+    val df = rows.toDF("g", "day", "user")
+    val d50 = graft.ext.Sketches.hllSlidingDistinct(df, "g",
+      col("day"), col("user"), windowDays = 7)
+      .filter(col("day") === 50L).head()
+    val only50 = graft.ext.Sketches.hllRegisters(
+      df.filter(col("day") === 50L), "g", col("user")).head()
+    // same used/reg_sum/harm_num: day 0's registers aged out
+    assert(d50.getLong(2) === only50.getLong(1))
+    assert(d50.getLong(3) === only50.getLong(2))
+  }
+
   test("containmentPairs: portable and fast banding agree on the verify") {
     val df = Seq((1L, longDoc), (2L, subsetDoc), (3L, otherDoc))
       .toDF("doc_id", "text")
