@@ -68,6 +68,59 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank (Page et al. '99 §6; the random surfer
+    * restarts at the SEED set, not uniformly): authority relative to a
+    * trusted whitelist — TrustRank-style source weighting for a
+    * curation pipeline, where plain PageRank scores global popularity
+    * and PPR scores "popular among pages the seeds endorse". Identical
+    * fixed-point integer recurrence to [[pageRank]], except the
+    * restart mass 3/20 splits over the |S| seeds (non-seeds get 0
+    * restart) and the initial rank sits entirely on the seeds:
+    *
+    *   r'(v) = [v ∈ S] · (3·RankScale div 20) div |S|
+    *         + 17 · inflow(v) div 20
+    *
+    * Same scale shape as [[pageRank]]: edge list aggregated/pinned
+    * once, `iters` tiny join+agg rounds, one driver count (of seeds).
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, wCol: String, sources: DataFrame,
+      iters: Int = 8): DataFrame = {
+    require(iters >= 1, "personalizedPageRank: iters must be >= 1")
+    val outw = edges.groupBy(col(srcCol).as("__src"))
+      .agg(sum(col(wCol)).as("__outw"))
+    val e = edges
+      .join(outw, col(srcCol) === col("__src"))
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        expr(s"$wCol * ${ProbScale}L div __outw").as("p"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
+    // seeds restricted to graph nodes: restart mass must stay in the
+    // component the walk can actually reach
+    val seeds = sources.select(col(sources.columns.head).as("node"))
+      .distinct().join(nodes, Seq("node"), "left_semi")
+      .withColumn("__seed", lit(1)).localCheckpoint()
+    val flagged = nodes.join(seeds, Seq("node"), "left").localCheckpoint()
+    val nS = seeds.count()
+    require(nS > 0, "personalizedPageRank: no seed is a graph node")
+    val base = (3L * RankScale / 20L) / nS
+    var ranks = flagged.select(col("node"),
+      when(col("__seed") === 1, lit(RankScale / nS)).otherwise(lit(0L))
+        .as("r"))
+    for (_ <- 1 to iters) {
+      val inflow = e.join(ranks, e("src") === ranks("node"))
+        .groupBy(col("dst"))
+        .agg(sum(expr(s"r * p div ${ProbScale}L")).as("__in"))
+      ranks = flagged
+        .join(inflow, flagged("node") === inflow("dst"), "left")
+        .select(flagged("node"),
+          (when(col("__seed") === 1, lit(base)).otherwise(lit(0L)) +
+            expr("17L * coalesce(__in, 0L) div 20L")).as("r"))
+    }
+    ranks
+  }
+
   /** k-core: the maximal subgraph where every node keeps degree ≥ `k`
     * (Seidman '83) — the standard "dense enough to matter" filter for a
     * near-dup pair graph or an interaction graph (peripheral one-off

@@ -823,6 +823,25 @@ object ExtQueries {
         .orderBy("node")
     }),
 
+    // Personalized PageRank from a 3-nation seed set over the same
+    // trade graph — TrustRank-style authority relative to a whitelist;
+    // restart mass splits over the seeds only, all fixed-point.
+    "q163_ppr" -> ((s, d) => {
+      val e = lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src_n"),
+          col("s_nationkey").as("dst_n"))
+        .agg(count(lit(1)).as("w"))
+      val seeds = nation(s, d).filter(col("n_nationkey") <= 2)
+        .select(col("n_nationkey"))
+      graft.ext.Graph.personalizedPageRank(e, "src_n", "dst_n", "w",
+        seeds, iters = 8)
+        .select(col("node"), col("r").as("ppr"))
+        .orderBy("node")
+    }),
+
     // Per-node triangle counts on the trade graph — degree-ordered
     // node-iterator (Schank-Wagner): wedge join on the low endpoint of
     // the acyclic orientation, one closure join; each triangle counted
@@ -4223,6 +4242,48 @@ object ExtQueries {
          |pr0 AS (SELECT node, rinit AS r FROM nodes, bb),
          |${(1 to 8).map(round).mkString(",\n")}
          |SELECT node, cast(r AS bigint) AS pagerank
+         |FROM pr8 ORDER BY node""".stripMargin
+    },
+
+    // Same unrolled fixed-point replay as q93, with the restart mass
+    // and initial rank on the seed set only.
+    "q163_ppr" -> {
+      def round(k: Int) =
+        s"""pr$k AS (
+           |  SELECT n.node,
+           |    (CASE WHEN n.seed = 1 THEN base ELSE 0 END)
+           |      + (17 * coalesce(f.s, 0)) // 20 AS r
+           |  FROM fnodes n
+           |  LEFT JOIN (
+           |    SELECT e.dst AS node, sum((p.r * e.p) // 1000000) AS s
+           |    FROM pr${k - 1} p JOIN edges e ON e.src = p.node
+           |    GROUP BY e.dst) f USING (node), bb)""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         |    count(*) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2),
+         |ow AS (SELECT src, cast(sum(w) AS bigint) AS outw
+         |  FROM e0 GROUP BY 1),
+         |edges AS (SELECT e0.src, e0.dst, (w * 1000000) // outw AS p
+         |  FROM e0 JOIN ow ON e0.src = ow.src),
+         |nodes AS (SELECT src AS node FROM e0
+         |  UNION SELECT dst FROM e0),
+         |fnodes AS (
+         |  SELECT node, CASE WHEN node IN (
+         |    SELECT n_nationkey FROM nation WHERE n_nationkey <= 2)
+         |    THEN 1 ELSE 0 END AS seed
+         |  FROM nodes),
+         |ns AS (SELECT cast(sum(seed) AS bigint) AS n FROM fnodes),
+         |bb AS (SELECT 150000000 // n AS base, 1000000000 // n AS rinit
+         |  FROM ns),
+         |pr0 AS (SELECT node, CASE WHEN seed = 1 THEN rinit ELSE 0 END
+         |  AS r FROM fnodes, bb),
+         |${(1 to 8).map(round).mkString(",\n")}
+         |SELECT node, cast(r AS bigint) AS ppr
          |FROM pr8 ORDER BY node""".stripMargin
     },
 

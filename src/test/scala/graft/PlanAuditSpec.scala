@@ -304,4 +304,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), s"no map-side combine in:\n$p")
     assert(!p.contains("Join"), s"self-join shape in:\n$p")
   }
+
+  test("q163 PPR rounds iterate the checkpointed edge list, not the fact scan") {
+    val p = plan("q163_ppr")
+    // the final round's plan must read the materialized edges (a
+    // LogicalRDD scan), never re-join lineitem/orders per round
+    assert(!p.contains("lineitem"), s"fact scan inside the loop:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"quadratic join shape in:\n$p")
+  }
 }

@@ -125,6 +125,36 @@ class Round7Spec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // Graph.personalizedPageRank
+  // ------------------------------------------------------------------
+
+  test("personalizedPageRank: hand-computed chain, unreachable gets zero") {
+    // a → b, c → a; seed {a}. Round 1: r(a)=base=150e6, r(b)=17/20·1e9.
+    // Round 2: r(b) = 17·150e6 div 20 = 127.5e6. c has no in-edges and
+    // is not a seed → 0 forever.
+    val e = Seq(("a", "b", 1L), ("c", "a", 1L)).toDF("s", "d", "w")
+    val seeds = Seq("a").toDF("n")
+    val r = graft.ext.Graph.personalizedPageRank(e, "s", "d", "w",
+      seeds, iters = 2)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("a") === 150000000L)
+    assert(r("b") === 127500000L)
+    assert(r("c") === 0L)
+  }
+
+  test("personalizedPageRank: all-nodes seed set equals plain pageRank") {
+    val e = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L), (1L, 3L, 1L))
+      .toDF("s", "d", "w")
+    val seeds = Seq(1L, 2L, 3L).toDF("n")
+    val ppr = graft.ext.Graph.personalizedPageRank(e, "s", "d", "w",
+      seeds, iters = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val pr = graft.ext.Graph.pageRank(e, "s", "d", "w", iters = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(ppr === pr)
+  }
+
+  // ------------------------------------------------------------------
   // Features.targetEncodeLoo
   // ------------------------------------------------------------------
 
