@@ -110,6 +110,48 @@ object Sampling {
     * single global order becomes the bottleneck; the global form is
     * kept here because sample determinism across engines is the point.
     */
+  /** Deterministic priority sampling (Duffield-Lund-Thorup, JACM '07):
+    * a weighted WITHOUT-replacement sample of exactly min(n, rows)
+    * rows with the unbiased subset-sum estimator. Each row gets
+    * priority q = w·2^32 div (h+1) — the integer form of w/u with
+    * u = (h+1)/2^32 a reproducible md5 uniform — the sample is the
+    * top-n by (q, key), and each sampled row's estimator weight is
+    * max(w, τ) where τ is the (n+1)-th priority (0 when everything
+    * fit). Σ est_weight is an unbiased estimate of Σ w over ANY
+    * subset — the one-pass weighted-sample contract [[ppsTake]]'s
+    * systematic WITH-replacement hits don't give.
+    *
+    * Shape: one TakeOrderedAndProject of n+1 rows (no global sort),
+    * then constant-size windows on those n+1 rows. Weights are
+    * non-negative longs with w < 2^31 (priority = w·2^32 must fit a
+    * long; pre-scale heavier weights).
+    */
+  def priorityTake(df: DataFrame, keyCol: String, weightCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, "priorityTake: n must be positive")
+    val h32 = conv(substring(md5(col(keyCol).cast("string")), 1, 8),
+      16, 10).cast("long")
+    val top = df
+      .select(col(keyCol), col(weightCol), h32.as("__h"))
+      .withColumn("priority",
+        expr(s"$weightCol * 4294967296L div (__h + 1L)"))
+      .orderBy(col("priority").desc, col(keyCol).asc)
+      .limit(n + 1)
+    // n+1 rows: the single-partition windows below are constant work
+    val wAll = Window.partitionBy()
+    val wOrd = Window.orderBy(col("priority").desc, col(keyCol).asc)
+    top
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__tau",
+        when(count(lit(1)).over(wAll) === (n + 1),
+          min(col("priority")).over(wAll)).otherwise(lit(0L)))
+      .filter(col("__rn") <= n)
+      .withColumn("est_weight", greatest(col(weightCol), col("__tau")))
+      .select(col(keyCol), col(weightCol), col("priority"),
+        col("est_weight"))
+  }
+
   def ppsTake(df: DataFrame, keyCol: String, weightCol: String,
       n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

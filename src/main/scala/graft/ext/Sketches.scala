@@ -340,6 +340,54 @@ object Sketches {
       .drop("__hnz")
   }
 
+  /** Portable count-min sketch (Cormode-Muthukrishnan '05): a
+    * depth×width integer count matrix where row r hashes a term to
+    * bucket md5("r|term") mod width. Estimates are upper bounds
+    * (estimate ≥ true count, error ≤ N/width per row, min over rows);
+    * the matrix MERGES by cell-wise addition — shards/days/engines
+    * union by summing, the same at-rest composability as the HLL
+    * register table. One aggregation with map-side combine; the
+    * explode is ×depth on TERM OCCURRENCES, the matrix is
+    * depth·width rows regardless of corpus size.
+    */
+  def cmSketch(df: DataFrame, term: Column, depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 2, "cmSketch: need depth>=1, width>=2")
+    df.filter(term.isNotNull)
+      .select(term.cast("string").as("__t"))
+      .select(col("__t"),
+        explode(array((0 until depth).map(lit): _*)).as("row"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(concat(col("row").cast("string"),
+          lit("|"), col("__t"))), 1, 8), 16, 10).cast("long"),
+          lit(width.toLong)))
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point query against a [[cmSketch]] matrix: estimate(term) =
+    * min over rows of the term's cell. Terms are recomputed with the
+    * same md5 layout, so any engine holding the matrix answers
+    * identically. The query set is a literal list — the join against
+    * the depth·width matrix is a broadcast of |terms|·depth cells.
+    */
+  def cmEstimate(sketch: DataFrame, terms: Seq[String], depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    require(terms.nonEmpty, "cmEstimate: need at least one term")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val probes = terms.toDF("term")
+      .select(col("term"),
+        explode(array((0 until depth).map(lit): _*)).as("row"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(concat(col("row").cast("string"),
+          lit("|"), col("term"))), 1, 8), 16, 10).cast("long"),
+          lit(width.toLong)))
+    probes.join(sketch, Seq("row", "bucket"), "left")
+      .groupBy(col("term"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   private def mgSketch(df: DataFrame, term: Column, capacity: Int)
       : (DataFrame, Long, Map[String, Long]) = {
     val termed = df.select(term.cast("string").as("term"))

@@ -1382,6 +1382,34 @@ object ExtQueries {
         windowDays = 7)
         .orderBy("event_type", "day")),
 
+    // Priority sampling (DLT '07): weighted without-replacement top-n
+    // by integer priority w*2^32 div (md5_u32+1), with the unbiased
+    // max(w, tau) subset-sum estimator. One top-(n+1), no global sort.
+    "q164_priority_sample" -> ((s, d) =>
+      graft.ext.Sampling.priorityTake(
+        orders(s, d).select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("weight")),
+        "o_orderkey", "weight", n = 300)
+        .orderBy("o_orderkey")),
+
+    // Count-min sketch over document tokens (depth 4 x width 256,
+    // portable md5 rows), point estimates for three probe words next
+    // to their exact counts — est >= exact always, merge = cell sum.
+    "q165_cm_sketch" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(explode(TextStats.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val sk = Sketches.cmSketch(toks, col("tok"), depth = 4, width = 256)
+      val est = Sketches.cmEstimate(sk, Seq("dup", "merge", "spark"),
+        depth = 4, width = 256)
+      val exact = toks.filter(col("tok").isin("dup", "merge", "spark"))
+        .groupBy(col("tok").as("term"))
+        .agg(count(lit(1)).as("exact"))
+      est.join(exact, Seq("term"), "left")
+        .withColumn("exact", coalesce(col("exact"), lit(0L)))
+        .orderBy("term")
+    }),
+
     // Market-basket co-occurrence over supplier nations per order:
     // locally-emitted basket pairs (never a fact-table self-join) +
     // integer-ppm association confidence.
@@ -1852,6 +1880,15 @@ object ExtQueries {
        |  $bandRows),
        |dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh)""".stripMargin
   }
+
+  /** First 8 md5 hex digits of `e` as an unsigned 32-bit bigint —
+    * DuckDB replay of Spark's `conv(substring(md5(e),1,8),16,10)`
+    * (the portable hash coordinate family).
+    */
+  private def md5u32Sql(e: String): String = (0 until 8).map(i =>
+    s"(strpos('0123456789abcdef', substr(md5($e), ${i + 1}, 1)) - 1)" +
+      s" * ${1L << (4 * (7 - i))}")
+    .mkString("(", "\n      + ", ")")
 
   private lazy val fuzzyPairsCtes: String =
     s"""$fuzzyBaseCtes,
@@ -3206,6 +3243,62 @@ object ExtQueries {
          |    AS decimal(38,0)) AS harm_num
          |FROM w GROUP BY event_type, day
          |ORDER BY event_type, day""".stripMargin
+    },
+
+    // Digit-parsed md5 uniform, same integer priority and tau replay.
+    "q164_priority_sample" -> {
+      val h = md5u32Sql("cast(o_orderkey AS varchar)")
+      s"""WITH t AS (
+         |  SELECT o_orderkey,
+         |    cast(round(o_totalprice * 100) AS bigint) AS weight,
+         |    cast($h AS bigint) AS h
+         |  FROM orders),
+         |p AS (
+         |  SELECT o_orderkey, weight,
+         |    (weight * 4294967296) // (h + 1) AS priority
+         |  FROM t),
+         |top AS (
+         |  SELECT * FROM p ORDER BY priority DESC, o_orderkey LIMIT 301),
+         |x AS (
+         |  SELECT o_orderkey, weight, priority,
+         |    row_number() OVER (ORDER BY priority DESC, o_orderkey) AS rn,
+         |    count(*) OVER () AS c, min(priority) OVER () AS mn
+         |  FROM top)
+         |SELECT o_orderkey, weight, cast(priority AS bigint) AS priority,
+         |  cast(greatest(weight,
+         |    CASE WHEN c = 301 THEN mn ELSE 0 END) AS bigint)
+         |    AS est_weight
+         |FROM x WHERE rn <= 300 ORDER BY o_orderkey""".stripMargin
+    },
+
+    // Cell replay: row-salted md5 buckets, GROUP BY matrix, min-over-
+    // rows probe, exact counts joined alongside.
+    "q165_cm_sketch" -> {
+      val cell = md5u32Sql("cast(r AS varchar) || '|' || t")
+      val probe = md5u32Sql("cast(r AS varchar) || '|' || term")
+      s"""WITH tk AS (
+         |  SELECT t FROM (
+         |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+         |    FROM documents)
+         |  WHERE len(t) > 0),
+         |cells AS (
+         |  SELECT r, ($cell) % 256 AS bucket, count(*) AS cnt
+         |  FROM tk, (SELECT unnest([0, 1, 2, 3]) AS r)
+         |  GROUP BY 1, 2),
+         |probes AS (
+         |  SELECT term, r, ($probe) % 256 AS bucket
+         |  FROM (SELECT unnest(['dup', 'merge', 'spark']) AS term),
+         |    (SELECT unnest([0, 1, 2, 3]) AS r)),
+         |est AS (
+         |  SELECT term, cast(min(coalesce(cnt, 0)) AS bigint) AS est
+         |  FROM probes LEFT JOIN cells USING (r, bucket)
+         |  GROUP BY term),
+         |ex AS (
+         |  SELECT t AS term, cast(count(*) AS bigint) AS exact
+         |  FROM tk WHERE t IN ('dup', 'merge', 'spark') GROUP BY 1)
+         |SELECT term, est, coalesce(exact, 0) AS exact
+         |FROM est LEFT JOIN ex USING (term)
+         |ORDER BY term""".stripMargin
     },
 
     // Definitional basket self-join replay of the local pair emission.

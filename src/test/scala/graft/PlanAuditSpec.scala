@@ -305,6 +305,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"self-join shape in:\n$p")
   }
 
+  test("q164 priority sample: top-(n+1) is TakeOrdered, never a global sort") {
+    val p = plan("q164_priority_sample")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$p")
+  }
+
+  test("q165 CM sketch: matrix agg combines map-side; probe join broadcasts") {
+    val p = plan("q165_cm_sketch")
+    assert(p.contains("partial_"), s"no map-side combine in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"probe join not broadcast in:\n$p")
+  }
+
   test("q163 PPR rounds iterate the checkpointed edge list, not the fact scan") {
     val p = plan("q163_ppr")
     // the final round's plan must read the materialized edges (a

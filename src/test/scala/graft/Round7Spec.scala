@@ -125,6 +125,56 @@ class Round7Spec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // Sampling.priorityTake
+  // ------------------------------------------------------------------
+
+  test("priorityTake: exactly n rows, certainty for dominant weights") {
+    // one row with overwhelming weight must always be sampled; sample
+    // size is exactly n; estimator weight >= raw weight everywhere
+    val df = ((1L to 50L).map(i => (i, 10L)) :+ (99L, 1000000L))
+      .toDF("k", "w")
+    val out = graft.ext.Sampling.priorityTake(df, "k", "w", n = 10)
+      .collect()
+    assert(out.length === 10)
+    assert(out.exists(_.getLong(0) == 99L), "dominant weight not sampled")
+    assert(out.forall(r => r.getLong(3) >= r.getLong(1)))
+  }
+
+  test("priorityTake: when everything fits, tau is 0 and est = weight") {
+    val df = (1L to 5L).map(i => (i, i * 100L)).toDF("k", "w")
+    val out = graft.ext.Sampling.priorityTake(df, "k", "w", n = 10)
+      .collect()
+    assert(out.length === 5)
+    assert(out.forall(r => r.getLong(3) === r.getLong(1)))
+  }
+
+  // ------------------------------------------------------------------
+  // Sketches.cmSketch / cmEstimate
+  // ------------------------------------------------------------------
+
+  test("cmSketch: estimates upper-bound exact counts; merge = cell sum") {
+    val words = Seq.fill(30)("alpha") ++ Seq.fill(12)("beta") ++
+      (1 to 40).map(i => s"noise$i")
+    val df = words.toDF("t")
+    val sk = graft.ext.Sketches.cmSketch(df, col("t"), 4, 64)
+    val est = graft.ext.Sketches.cmEstimate(sk,
+      Seq("alpha", "beta", "unseen"), 4, 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("alpha") >= 30L && est("beta") >= 12L)
+    assert(est("unseen") >= 0L)
+    // additivity: sketch(shard1) + sketch(shard2) == sketch(all)
+    val (s1, s2) = (words.take(40), words.drop(40))
+    val merged = graft.ext.Sketches.cmSketch(s1.toDF("t"), col("t"), 4, 64)
+      .union(graft.ext.Sketches.cmSketch(s2.toDF("t"), col("t"), 4, 64))
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+    val whole = sk.collect().map(r =>
+      (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val m = merged.collect().map(r =>
+      (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m === whole)
+  }
+
+  // ------------------------------------------------------------------
   // Graph.personalizedPageRank
   // ------------------------------------------------------------------
 
