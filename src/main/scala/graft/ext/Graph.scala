@@ -255,6 +255,11 @@ object Graph {
     // (A max_by(label, (count, −label)) variant was measured and is
     // no faster — the struct buffer forces a SortAggregate that costs
     // what the window's sort costs; the window form grades cleaner.)
+    // Unlike kcore/bfsHops, each round consumes `labels` exactly ONCE
+    // (the single join), so lineage grows linearly and the rounds can
+    // compile into one multi-stage plan — no per-round checkpoint jobs,
+    // and Catalyst reuses the (node, label) hash partitioning across
+    // the agg → window → next-join chain.
     for (_ <- 1 to rounds) {
       labels = sym
         .join(labels.withColumnRenamed("node", "u"), "u")
@@ -263,7 +268,6 @@ object Graph {
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select("node", "label")
-        .localCheckpoint()
     }
     labels
   }
