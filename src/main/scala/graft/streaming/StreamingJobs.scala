@@ -329,6 +329,56 @@ object StreamingJobs {
       }
   }
 
+  case class HllState(regs: Seq[Int])
+
+  case class HllOut(event_type: String, used: Long, reg_sum: Long,
+      registers: Seq[Int])
+
+  /** STREAMING distinct-user sketch — the live twin of
+    * `Sketches.hllRegisters`: per event type the state is the 256-entry
+    * register array itself (bounded, member-count-independent — the
+    * whole point of carrying a sketch instead of a seen-set like
+    * `dedup`/`dauStream` do), updated per event with the identical
+    * explicit md5 layout (2-hex-digit bucket, 56-bit tail, rho = 57 −
+    * bit_length) and emitted per batch as (used, reg_sum, registers).
+    * Registers are a max-semilattice, so arrival order, micro-batch
+    * boundaries, and replays cannot change the final state — spec-pinned
+    * equal to the batch operator's finalize on the same events.
+    */
+  def hllStream(events: Dataset[Event]): Dataset[HllOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[HllState, HllOut](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[Event], state: GroupState[HllState]) =>
+          val regs = state.getOption.map(_.regs.toArray)
+            .getOrElse(Array.fill(256)(0))
+          val md = java.security.MessageDigest.getInstance("MD5")
+          rows.foreach { e =>
+            md.reset()
+            val d = md.digest(String.valueOf(e.user_id)
+              .getBytes("UTF-8"))
+            val bucket = java.lang.Byte.toUnsignedInt(d(0))
+            // next 56 bits of the digest = hex chars 3..16
+            var tail = 0L
+            var i = 1
+            while (i < 8) { // bytes 1..7 = 56 bits
+              tail = (tail << 8) | java.lang.Byte.toUnsignedLong(d(i))
+              i += 1
+            }
+            val rho =
+              if (tail == 0L) 57
+              else 57 - (64 - java.lang.Long.numberOfLeadingZeros(tail))
+            if (rho > regs(bucket)) regs(bucket) = rho
+          }
+          state.update(HllState(regs.toSeq))
+          HllOut(key,
+            regs.count(_ > 0).toLong,
+            regs.foldLeft(0L)((a, r) => a + r),
+            regs.toSeq)
+      }
+  }
+
   case class Scd2State(attr: String, validFrom: Long, version: Long)
 
   case class Scd2Closed(user_id: Long, attr: String,

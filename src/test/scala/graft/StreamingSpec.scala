@@ -42,6 +42,40 @@ class StreamingSpec extends SparkSpec {
     ()
   }
 
+  test("hllStream: register state crosses micro-batches, equals batch sketch") {
+    val dir = Files.createTempDirectory("graft_hll").toString
+    def drop(rows: Seq[Event]): Unit =
+      rows.toDF()
+        .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val batch1 = (1L to 40L).map(u =>
+      Event(u, ts("2024-01-01 10:00:00"), u, "m", 1.0))
+    val batch2 = (30L to 70L).map(u =>
+      Event(100 + u, ts("2024-01-01 11:00:00"), u, "m", 1.0))
+    drop(batch1); drop(batch2)
+    val in = spark.readStream.schema(StreamingJobs.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+    runToMemory(StreamingJobs.hllStream(in).toDF(), "sj_hll", "update")
+    val last = spark.table("sj_hll").orderBy($"used".desc).limit(1)
+      .select($"event_type", $"used", $"reg_sum", $"registers")
+      .as[(String, Long, Long, Seq[Int])].collect().head
+    // final streaming registers == the batch operator on the union
+    val bat = graft.ext.Sketches.hllRegisters(
+      (batch1 ++ batch2).toDF().select($"event_type", $"user_id"),
+      "event_type", $"user_id")
+      .select($"used", $"reg_sum", $"harm_num".cast("string"))
+      .as[(Long, Long, String)].collect().head
+    assert(last._2 === bat._1)
+    assert(last._3 === bat._2)
+    // harm numerator derived from the streamed registers must equal
+    // the batch decimal exactly (empties contribute 2^60)
+    val harm = last._4.map(r => BigInt(1) << (60 - r)).sum
+    assert(harm.toString === bat._3)
+  }
+
   test("warehouse sink: replayed micro-batches are no-ops (K1)") {
     val in = streamDir()
     val wh = Files.createTempDirectory("graft_swh").toString
