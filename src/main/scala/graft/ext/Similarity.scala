@@ -51,6 +51,41 @@ object Similarity {
       .map(i => (((i * 31 + j * 17) % 7) - 3).toFloat).toArray))
 
   /** Sign-LSH bucket id: nBits sign bits packed into a long. */
+  /** Cross-set semantic contamination: for every TRAIN vector, the
+    * best-matching BENCHMARK vector with cosine ≥ `threshold`, found
+    * through the sign-RP bucket prefilter — the embedding-space
+    * companion to the 13-gram contamination scan (q63): n-gram overlap
+    * misses paraphrased benchmark leakage; embedding cosine catches
+    * it. Candidates are bucket-equi pairs between the two sets (never
+    * a cross join); the exact-cosine verify and a deterministic
+    * argmax (cos desc, bench id asc) per train vector follow.
+    * Documented recall caveat (same as every sign-RP prefilter here):
+    * a matching pair split across buckets is missed — raise coverage
+    * by lowering `nBits`.
+    */
+  def contaminationFlags(train: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      nBits: Int = 4): DataFrame = {
+    val t = train.select(col(idCol).as("train_id"),
+      col(vecCol).as("__tv"),
+      l2norm(col(vecCol)).as("__tn"),
+      rpBucket(col(vecCol), nBits).as("bucket"))
+    val b = bench.select(col(idCol).as("bench_id"),
+      col(vecCol).as("__bv"),
+      l2norm(col(vecCol)).as("__bn"),
+      rpBucket(col(vecCol), nBits).as("bucket"))
+    t.join(b, "bucket")
+      .withColumn("cos6",
+        floor(dot(col("__tv"), col("__bv")) /
+          (col("__tn") * col("__bn")) * lit(1e6)).cast("long"))
+      .filter(col("cos6") >= math.floor(threshold * 1e6).toLong)
+      .groupBy(col("train_id"))
+      .agg(max(struct(col("cos6"), (-col("bench_id")).as("__nb")))
+        .as("__best"))
+      .select(col("train_id"), (-col("__best.__nb")).as("bench_id"),
+        col("__best.cos6").as("cos6"))
+  }
+
   def rpBucket(v: Column, nBits: Int, dim: Int = 64): Column =
     (0 until nBits).map(j =>
       when(rpDot(v, j, dim) > 0, shiftleft(lit(1L), j)).otherwise(0L))

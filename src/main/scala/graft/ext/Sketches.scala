@@ -388,6 +388,29 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** At-rest count-min lifecycle: the matrix is parquet, a new batch
+    * APPENDS its own partial matrix (no read-modify-write of the
+    * base — cell-sum merge is associative, so writers never
+    * coordinate), and readers sum cells on read. Same maintain-
+    * without-rebuild contract as the zone-map (q125) and agg-view
+    * (q121) lifecycles, for the approximate-counts sketch.
+    */
+  def cmWrite(df: DataFrame, term: Column, depth: Int, width: Int,
+      path: String): Unit =
+    cmSketch(df, term, depth, width)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  def cmAppend(df: DataFrame, term: Column, depth: Int, width: Int,
+      path: String): Unit =
+    cmSketch(df, term, depth, width)
+      .coalesce(1).write.mode("append").parquet(path)
+
+  def cmRead(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("row"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
   private def mgSketch(df: DataFrame, term: Column, capacity: Int)
       : (DataFrame, Long, Map[String, Long]) = {
     val termed = df.select(term.cast("string").as("term"))

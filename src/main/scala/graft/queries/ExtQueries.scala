@@ -1410,6 +1410,45 @@ object ExtQueries {
         .orderBy("term")
     }),
 
+    // Embedding-space benchmark decontamination: for every train
+    // vector the best benchmark match with cosine >= 0.25, via the
+    // 4-bit sign-RP bucket prefilter — the paraphrase-robust companion
+    // to q63's 13-gram scan. Bucket-equi join between the sets, exact
+    // fold-cosine verify, deterministic per-train argmax.
+    "q166_semantic_contamination" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.contaminationFlags(
+        emb.filter(col("vec_id") >= 100L),
+        emb.filter(col("vec_id") < 100L),
+        "vec_id", "embedding", threshold = 0.25, nBits = 4)
+        .orderBy("train_id")
+    }),
+
+    // At-rest count-min lifecycle: base matrix write + delta APPEND
+    // (writers never read the base — cell sums are associative) +
+    // sum-on-read, probed like q165. The maintain cycle must answer
+    // exactly like the never-reorganized full-corpus sketch.
+    "q167_cm_maintain" -> ((s, d) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q167_" +
+        Integer.toHexString(d.hashCode) + "/cm"
+      val toks = documents(s, d)
+        .select(col("doc_id"),
+          explode(TextStats.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+      Sketches.cmWrite(toks.filter(col("doc_id") % 2 === 0),
+        col("tok"), 4, 256, path)
+      Sketches.cmAppend(toks.filter(col("doc_id") % 2 === 1),
+        col("tok"), 4, 256, path)
+      val est = Sketches.cmEstimate(Sketches.cmRead(s, path),
+        Seq("dup", "merge", "spark"), depth = 4, width = 256)
+      val exact = toks.filter(col("tok").isin("dup", "merge", "spark"))
+        .groupBy(col("tok").as("term"))
+        .agg(count(lit(1)).as("exact"))
+      est.join(exact, Seq("term"), "left")
+        .withColumn("exact", coalesce(col("exact"), lit(0L)))
+        .orderBy("term")
+    }),
+
     // Market-basket co-occurrence over supplier nations per order:
     // locally-emitted basket pairs (never a fact-table self-join) +
     // integer-ppm association confidence.
@@ -1889,6 +1928,39 @@ object ExtQueries {
     s"(strpos('0123456789abcdef', substr(md5($e), ${i + 1}, 1)) - 1)" +
       s" * ${1L << (4 * (7 - i))}")
     .mkString("(", "\n      + ", ")")
+
+  /** Count-min probe replay shared by q165 (direct sketch) and q167
+    * (at-rest write+append+sum-on-read lifecycle): both must equal the
+    * full-corpus matrix probed for the three terms, with exact counts
+    * alongside.
+    */
+  private lazy val cmProbeOracle: String = {
+    val cell = md5u32Sql("cast(r AS varchar) || '|' || t")
+    val probe = md5u32Sql("cast(r AS varchar) || '|' || term")
+    s"""WITH tk AS (
+       |  SELECT t FROM (
+       |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |    FROM documents)
+       |  WHERE len(t) > 0),
+       |cells AS (
+       |  SELECT r, ($cell) % 256 AS bucket, count(*) AS cnt
+       |  FROM tk, (SELECT unnest([0, 1, 2, 3]) AS r)
+       |  GROUP BY 1, 2),
+       |probes AS (
+       |  SELECT term, r, ($probe) % 256 AS bucket
+       |  FROM (SELECT unnest(['dup', 'merge', 'spark']) AS term),
+       |    (SELECT unnest([0, 1, 2, 3]) AS r)),
+       |est AS (
+       |  SELECT term, cast(min(coalesce(cnt, 0)) AS bigint) AS est
+       |  FROM probes LEFT JOIN cells USING (r, bucket)
+       |  GROUP BY term),
+       |ex AS (
+       |  SELECT t AS term, cast(count(*) AS bigint) AS exact
+       |  FROM tk WHERE t IN ('dup', 'merge', 'spark') GROUP BY 1)
+       |SELECT term, est, coalesce(exact, 0) AS exact
+       |FROM est LEFT JOIN ex USING (term)
+       |ORDER BY term""".stripMargin
+  }
 
   private lazy val fuzzyPairsCtes: String =
     s"""$fuzzyBaseCtes,
@@ -3273,32 +3345,36 @@ object ExtQueries {
 
     // Cell replay: row-salted md5 buckets, GROUP BY matrix, min-over-
     // rows probe, exact counts joined alongside.
-    "q165_cm_sketch" -> {
-      val cell = md5u32Sql("cast(r AS varchar) || '|' || t")
-      val probe = md5u32Sql("cast(r AS varchar) || '|' || term")
-      s"""WITH tk AS (
-         |  SELECT t FROM (
-         |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
-         |    FROM documents)
-         |  WHERE len(t) > 0),
-         |cells AS (
-         |  SELECT r, ($cell) % 256 AS bucket, count(*) AS cnt
-         |  FROM tk, (SELECT unnest([0, 1, 2, 3]) AS r)
-         |  GROUP BY 1, 2),
-         |probes AS (
-         |  SELECT term, r, ($probe) % 256 AS bucket
-         |  FROM (SELECT unnest(['dup', 'merge', 'spark']) AS term),
-         |    (SELECT unnest([0, 1, 2, 3]) AS r)),
-         |est AS (
-         |  SELECT term, cast(min(coalesce(cnt, 0)) AS bigint) AS est
-         |  FROM probes LEFT JOIN cells USING (r, bucket)
-         |  GROUP BY term),
-         |ex AS (
-         |  SELECT t AS term, cast(count(*) AS bigint) AS exact
-         |  FROM tk WHERE t IN ('dup', 'merge', 'spark') GROUP BY 1)
-         |SELECT term, est, coalesce(exact, 0) AS exact
-         |FROM est LEFT JOIN ex USING (term)
-         |ORDER BY term""".stripMargin
+    "q165_cm_sketch" -> cmProbeOracle,
+
+    // The at-rest write+append+sum-on-read cycle must answer exactly
+    // like the never-reorganized full-corpus sketch (cell sums are
+    // associative) — same replay as q165.
+    "q167_cm_maintain" -> cmProbeOracle,
+
+    // Same 4-bit integer-hyperplane buckets and fold cosine as q35's
+    // family, restricted to the cross-set join; floored ppm compare,
+    // per-train argmax by (cos6 desc, bench_id asc).
+    "q166_semantic_contamination" -> {
+      val bucket4 = (0 until 4).map(j =>
+        s"(CASE WHEN (${rpDotSqlFor("embedding", j)}) > 0 " +
+          s"THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH bk AS (
+         |  SELECT vec_id, embedding, cast($bucket4 AS bigint) AS bucket
+         |  FROM embeddings),
+         |tr AS (SELECT * FROM bk WHERE vec_id >= 100),
+         |be AS (SELECT * FROM bk WHERE vec_id < 100),
+         |c AS (
+         |  SELECT t.vec_id AS train_id, b.vec_id AS bench_id,
+         |    cast(floor((${cosineSql("t.embedding", "b.embedding")})
+         |      * 1000000) AS bigint) AS cos6
+         |  FROM tr t JOIN be b ON t.bucket = b.bucket),
+         |f AS (SELECT * FROM c WHERE cos6 >= 250000)
+         |SELECT train_id, bench_id, cos6 FROM (
+         |  SELECT train_id, bench_id, cos6, row_number() OVER (
+         |    PARTITION BY train_id ORDER BY cos6 DESC, bench_id) AS rn
+         |  FROM f)
+         |WHERE rn = 1 ORDER BY train_id""".stripMargin
     },
 
     // Definitional basket self-join replay of the local pair emission.

@@ -316,6 +316,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"probe join not broadcast in:\n$p")
   }
 
+  test("q166 contamination: bucket-equi join between the sets, no cross join") {
+    val p = plan("q166_semantic_contamination")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"quadratic join shape in:\n$p")
+    assert(p.contains("bucket"), s"no bucket key in:\n$p")
+  }
+
+  test("q167 at-rest CM: sum-on-read combines map-side") {
+    val p = plan("q167_cm_maintain")
+    assert(p.contains("partial_"), s"no map-side combine in:\n$p")
+  }
+
   test("q163 PPR rounds iterate the checkpointed edge list, not the fact scan") {
     val p = plan("q163_ppr")
     // the final round's plan must read the materialized edges (a

@@ -175,6 +175,61 @@ class Round7Spec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // Similarity.contaminationFlags
+  // ------------------------------------------------------------------
+
+  test("contaminationFlags: planted cross-set duplicate found with cos ~ 1") {
+    // bench vector 1 and its scaled copy (train 101) have identical
+    // sign pattern → same RP bucket, cosine exactly 1; train 102 is
+    // the negation → cosine −1, must not flag
+    val v = (0 until 64).map(i => (i % 5 - 2).toFloat + 0.5f)
+    val bench = Seq((1L, v)).toDF("vec_id", "embedding")
+    val train = Seq(
+      (101L, v.map(x => x * 2f)),
+      (102L, v.map(x => -x))).toDF("vec_id", "embedding")
+    val out = graft.ext.Similarity.contaminationFlags(train, bench,
+      "vec_id", "embedding", threshold = 0.25, nBits = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out.keySet === Set(101L))
+    assert(out(101L)._1 === 1L)
+    assert(out(101L)._2 >= 999999L)
+  }
+
+  test("contaminationFlags: argmax picks highest cosine, tie to smaller id") {
+    val v = (0 until 64).map(i => (i % 3).toFloat + 1f)
+    // two identical bench vectors: tie on cosine, keep the smaller id
+    val bench = Seq((5L, v), (2L, v)).toDF("vec_id", "embedding")
+    val train = Seq((101L, v.map(x => x * 3f))).toDF("vec_id", "embedding")
+    val out = graft.ext.Similarity.contaminationFlags(train, bench,
+      "vec_id", "embedding", threshold = 0.25, nBits = 4)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(1) === 2L)
+  }
+
+  // ------------------------------------------------------------------
+  // Sketches.cmWrite / cmAppend / cmRead
+  // ------------------------------------------------------------------
+
+  test("cm at-rest lifecycle: write+append+read equals the direct sketch") {
+    val words = Seq.fill(20)("alpha") ++ (1 to 30).map(i => s"n$i")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cm").toString
+    graft.ext.Sketches.cmWrite(words.take(25).toDF("t"), col("t"),
+      4, 64, s"$dir/cm")
+    graft.ext.Sketches.cmAppend(words.drop(25).toDF("t"), col("t"),
+      4, 64, s"$dir/cm")
+    val atRest = graft.ext.Sketches.cmRead(spark, s"$dir/cm")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val direct = graft.ext.Sketches.cmSketch(words.toDF("t"), col("t"),
+      4, 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(atRest === direct)
+  }
+
+  // ------------------------------------------------------------------
   // Graph.personalizedPageRank
   // ------------------------------------------------------------------
 
