@@ -24,6 +24,30 @@ object Skew {
     * plain equi-join (asserted in SkewSpec). Cost: right side is
     * shuffled `salt`×.
     */
+  /** Join-explosion pre-audit: BEFORE running an equi-join, compute
+    * its exact output contribution per key — Σ n_a(k)·n_b(k) is the
+    * join's output size, and the per-key terms are where the memory/
+    * shuffle blow-up hides (a many-to-many hot key multiplies). Run on
+    * the two key-count profiles (one aggregation each, map-side
+    * combine; the profile join carries one row per DISTINCT key, never
+    * fact rows), so the audit costs two cheap aggs where the mistake
+    * it prevents costs the cluster. Returns the top-`k` contributors
+    * (key, n_a, n_b, contrib) by contribution, deterministic
+    * tie-break on the key.
+    */
+  def joinExplosionAudit(a: DataFrame, keyA: String, b: DataFrame,
+      keyB: String, k: Int): DataFrame = {
+    require(k >= 1, "joinExplosionAudit: k must be >= 1")
+    val ca = a.groupBy(col(keyA).as("key"))
+      .agg(count(lit(1)).as("n_a"))
+    val cb = b.groupBy(col(keyB).as("key"))
+      .agg(count(lit(1)).as("n_b"))
+    ca.join(cb, "key")
+      .withColumn("contrib", col("n_a") * col("n_b"))
+      .orderBy(col("contrib").desc, col("key").asc)
+      .limit(k)
+  }
+
   /** `__shard` is reserved by these utilities. */
   private def checkShardFree(df: DataFrame, keys: Seq[String]): Unit = {
     require(!df.columns.contains("__shard"),

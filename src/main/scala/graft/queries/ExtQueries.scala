@@ -1449,6 +1449,16 @@ object ExtQueries {
         .orderBy("term")
     }),
 
+    // Join-explosion pre-audit: exact per-key output contribution of
+    // the (customer x supplier ON nationkey) many-to-many join — two
+    // key-count profiles joined on distinct keys, never fact rows;
+    // top contributors are where the blow-up hides.
+    "q168_join_explosion" -> ((s, d) =>
+      graft.ext.Skew.joinExplosionAudit(
+        customer(s, d), "c_nationkey", supplier(s, d), "s_nationkey",
+        k = 10)
+        .orderBy(col("contrib").desc, col("key").asc)),
+
     // Market-basket co-occurrence over supplier nations per order:
     // locally-emitted basket pairs (never a fact-table self-join) +
     // integer-ppm association confidence.
@@ -3376,6 +3386,18 @@ object ExtQueries {
          |  FROM f)
          |WHERE rn = 1 ORDER BY train_id""".stripMargin
     },
+
+    // Profile-join replay of the explosion audit.
+    "q168_join_explosion" ->
+      """WITH ca AS (
+        |  SELECT c_nationkey AS key, cast(count(*) AS bigint) AS n_a
+        |  FROM customer GROUP BY 1),
+        |cb AS (
+        |  SELECT s_nationkey AS key, cast(count(*) AS bigint) AS n_b
+        |  FROM supplier GROUP BY 1)
+        |SELECT key, n_a, n_b, n_a * n_b AS contrib
+        |FROM ca JOIN cb USING (key)
+        |ORDER BY contrib DESC, key LIMIT 10""".stripMargin,
 
     // Definitional basket self-join replay of the local pair emission.
     "q126_copurchase" ->

@@ -328,6 +328,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), s"no map-side combine in:\n$p")
   }
 
+  test("q168 explosion audit joins key profiles, not fact rows; top-k not sort") {
+    val p = plan("q168_join_explosion")
+    assert(p.contains("partial_"), s"profiles not map-side combined in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$p")
+  }
+
   test("q163 PPR rounds iterate the checkpointed edge list, not the fact scan") {
     val p = plan("q163_ppr")
     // the final round's plan must read the materialized edges (a

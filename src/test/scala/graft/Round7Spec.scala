@@ -175,6 +175,22 @@ class Round7Spec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // Skew.joinExplosionAudit
+  // ------------------------------------------------------------------
+
+  test("joinExplosionAudit: per-key contributions equal the real join size") {
+    val a = Seq(1, 1, 1, 2, 3).map(k => (k, "x")).toDF("ka", "pa")
+    val b = Seq(1, 1, 2, 9).map(k => (k, "y")).toDF("kb", "pb")
+    val audit = graft.ext.Skew.joinExplosionAudit(a, "ka", b, "kb", 10)
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    // key 1: 3·2 = 6, key 2: 1·1 = 1; keys 3 and 9 don't join
+    assert(audit === Map(1 -> 6L, 2 -> 1L))
+    // Σ contrib == the actual join's row count
+    assert(audit.values.sum ===
+      a.join(b, col("ka") === col("kb")).count())
+  }
+
+  // ------------------------------------------------------------------
   // Similarity.contaminationFlags
   // ------------------------------------------------------------------
 
