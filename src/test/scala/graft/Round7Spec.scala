@@ -175,6 +175,91 @@ class Round7Spec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // Randomized differentials (seeded — deterministic)
+  // ------------------------------------------------------------------
+
+  test("fellegiSunter differential: random records vs brute-force scoring") {
+    val rnd = new scala.util.Random(4242)
+    val rows = (1L to 60L).map { id =>
+      def f() = if (rnd.nextInt(10) == 0) null
+        else s"v${rnd.nextInt(4)}"
+      (id, s"b${rnd.nextInt(3)}", rnd.nextInt(1000).toDouble, f(), f())
+    }
+    val df = rows.toDF("id", "blk", "ord", "f1", "f2")
+    val fields = Seq(FieldWeight("f1", 3000L, -2000L),
+      FieldWeight("f2", 2000L, -1000L))
+    val got = Linkage.fellegiSunter(df, "id", "blk", "ord", 4, fields,
+      5000L, -2500L)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // brute force: sort each block, pair each row with next w-1, score
+    val byId = rows.map(r => r._1 -> r).toMap
+    val expected = rows.groupBy(_._2).values.flatMap { blk =>
+      val sorted = blk.sortBy(r => (r._3, r._1)).map(_._1)
+      sorted.zipWithIndex.flatMap { case (a, i) =>
+        sorted.slice(i + 1, i + 4).map(b => (a, b))
+      }
+    }.map { case (a, b) =>
+      val (ra, rb) = (byId(a), byId(b))
+      def score(x: String, y: String, ag: Long, dis: Long) =
+        if (x == null || y == null) 0L else if (x == y) ag else dis
+      val w = score(ra._4, rb._4, 3000L, -2000L) +
+        score(ra._5, rb._5, 2000L, -1000L)
+      val dec = if (w >= 5000L) "link"
+        else if (w <= -2500L) "non_link" else "possible"
+      (a, b) -> ((w, dec))
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("priorityTake differential: random weights vs brute-force DLT") {
+    val rnd = new scala.util.Random(777)
+    val rows = (1L to 200L).map(id => (id, (rnd.nextInt(10000) + 1).toLong))
+    val df = rows.toDF("k", "w")
+    val n = 25
+    val got = graft.ext.Sampling.priorityTake(df, "k", "w", n)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // brute force with the same md5 layout
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(k: Long): Long = {
+      md.reset()
+      val d = md.digest(k.toString.getBytes("UTF-8"))
+      (0 until 4).foldLeft(0L)((a, i) =>
+        (a << 8) | java.lang.Byte.toUnsignedLong(d(i)))
+    }
+    val pri = rows.map { case (k, w) =>
+      (k, w, w * 4294967296L / (h32(k) + 1L))
+    }.sortBy(r => (-r._3, r._1))
+    val tau = pri(n)._3
+    val expected = pri.take(n)
+      .map(r => (r._1, r._2, r._3, math.max(r._2, tau))).sortBy(_._1)
+    assert(got.toSeq === expected)
+  }
+
+  test("hllSlidingDistinct differential: every window equals batch registers") {
+    val rnd = new scala.util.Random(99)
+    val rows = (1 to 500).map(_ =>
+      ("g", rnd.nextInt(10).toLong, rnd.nextInt(300).toLong))
+    val df = rows.toDF("g", "day", "user")
+    val w = 3
+    val slid = graft.ext.Sketches.hllSlidingDistinct(df, "g",
+      col("day"), col("user"), windowDays = w)
+      .select("day", "used", "reg_sum", "harm_num")
+      .as[(Long, Long, Long, java.math.BigDecimal)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4.toBigInteger))).toMap
+    // brute force: for each output day, batch registers over [d-w+1, d]
+    slid.keys.foreach { d =>
+      val in = rows.filter(r => r._2 >= d - w + 1 && r._2 <= d)
+      val batch = graft.ext.Sketches.hllRegisters(
+        in.toDF("g", "day", "user"), "g", col("user"))
+        .select("used", "reg_sum", "harm_num")
+        .as[(Long, Long, java.math.BigDecimal)].collect().head
+      assert(slid(d) === ((batch._1, batch._2, batch._3.toBigInteger)),
+        s"window ending day $d diverges")
+    }
+  }
+
+  // ------------------------------------------------------------------
   // Skew.joinExplosionAudit
   // ------------------------------------------------------------------
 
