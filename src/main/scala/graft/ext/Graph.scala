@@ -239,7 +239,7 @@ object Graph {
     * table is pinned per round ([[kcore]]'s lineage discipline).
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-      rounds: Int = 4): DataFrame = {
+      rounds: Int = 4, packedArgmax: Boolean = false): DataFrame = {
     require(rounds >= 1, "labelPropagation: rounds must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val und = edges.filter(col(srcCol) =!= col(dstCol))
@@ -252,22 +252,38 @@ object Graph {
       .withColumn("label", col("node")).localCheckpoint()
     val w = Window.partitionBy("node")
       .orderBy(col("__c").desc, col("label").asc)
-    // (A max_by(label, (count, −label)) variant was measured and is
-    // no faster — the struct buffer forces a SortAggregate that costs
-    // what the window's sort costs; the window form grades cleaner.)
+    // (A max_by(label, (count, −label)) struct variant was measured and
+    // is no faster — the struct buffer forces a SortAggregate that
+    // costs what the window's sort costs. `packedArgmax` is the variant
+    // that IS faster: (count, label) packed into ONE long
+    // (count·2^31 + (2^31−1−label)) so the per-node argmax is a plain
+    // codegen'd hash-aggregate max — no window exchange, no sort. It
+    // requires integral node ids in [0, 2^31) and counts < 2^31
+    // (any TPC-H-ish key space; NOT 64-bit hash ids — callers with
+    // those keep the default window path, same answers).
     // Unlike kcore/bfsHops, each round consumes `labels` exactly ONCE
     // (the single join), so lineage grows linearly and the rounds can
-    // compile into one multi-stage plan — no per-round checkpoint jobs,
-    // and Catalyst reuses the (node, label) hash partitioning across
-    // the agg → window → next-join chain.
+    // compile into one multi-stage plan — no per-round checkpoint jobs.
+    val half = 1L << 31
     for (_ <- 1 to rounds) {
-      labels = sym
+      val counted = sym
         .join(labels.withColumnRenamed("node", "u"), "u")
         .groupBy(col("v").as("node"), col("label"))
         .agg(count(lit(1)).as("__c"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select("node", "label")
+      labels =
+        if (packedArgmax)
+          counted
+            .groupBy(col("node"))
+            .agg(max(expr(s"__c * ${half}L + (${half - 1}L - label)"))
+              .as("__p"))
+            .select(col("node"),
+              expr(s"${half - 1}L - (__p % ${half}L)")
+                .cast(sym.schema("u").dataType).as("label"))
+        else
+          counted
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1)
+            .select("node", "label")
     }
     labels
   }

@@ -1050,7 +1050,7 @@ object ExtQueries {
         .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
-      graft.ext.Graph.labelPropagation(e, "src", "dst", rounds = 4)
+      graft.ext.Graph.labelPropagation(e, "src", "dst", rounds = 4, packedArgmax = true)
         .orderBy("node")
     }),
 

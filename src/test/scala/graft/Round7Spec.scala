@@ -259,6 +259,18 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("labelPropagation: packed argmax equals the window path on random graphs") {
+    val rnd = new scala.util.Random(31337)
+    val edges = (1 to 300).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)).distinct
+    val df = edges.toDF("s", "d")
+    def run(packed: Boolean) =
+      graft.ext.Graph.labelPropagation(df, "s", "d", rounds = 3,
+        packedArgmax = packed)
+        .as[(Long, Long)].collect().toMap
+    assert(run(packed = true) === run(packed = false))
+  }
+
   // ------------------------------------------------------------------
   // Skew.joinExplosionAudit
   // ------------------------------------------------------------------
