@@ -236,6 +236,50 @@ object Dedup {
       .select("id_a", "id_b", "size_a", "size_b", "inter", "cont_ppm")
   }
 
+  /** Contrastive training-pair mining for an ER/dedup model: from the
+    * band-join candidate set, POSITIVES are verified near-dups
+    * (Jaccard ≥ posNum/posDen, label 1) and HARD NEGATIVES are
+    * band-colliding pairs that verify as clearly distinct (Jaccard <
+    * negNum/negDen, label 0) — the confusable-but-different pairs a
+    * random negative sampler never finds, which is what makes them
+    * worth training on. Negatives are down-sampled deterministically
+    * by an md5 coordinate on the PAIR key (keep `negKeepPct`% —
+    * reproducible across engines/retries/partitionings, like every
+    * sampler here). Output: (id_a, id_b, jacc6 ppm, label).
+    * Pairs in the ambiguity band between the thresholds are emitted to
+    * NEITHER class (mining wants clean labels, not coverage).
+    */
+  def trainingPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 8, bands: Int = 4,
+      posNum: Int = 1, posDen: Int = 2,
+      negNum: Int = 1, negDen: Int = 5,
+      negKeepPct: Int = 10, portable: Boolean = false): DataFrame = {
+    require(negKeepPct >= 0 && negKeepPct <= 100,
+      "trainingPairs: negKeepPct must be in [0, 100]")
+    require(posNum * negDen > negNum * posDen,
+      "trainingPairs: positive threshold must exceed negative threshold")
+    val pairs = lshCandidatePairs(df, idCol, textCol, n, k, bands, portable)
+    val sh = df.select(col(idCol),
+      array_distinct(shingles(col(textCol), n)).as("sh"))
+    val scored = pairs
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", graft.functions.PairFunctions
+        .stringIntersectSize(col("sh_a"), col("sh_b")).cast("long"))
+      .withColumn("uni",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("inter"))
+      .withColumn("jacc6", expr("inter * 1000000L div uni"))
+    val pos = scored.filter(col("inter") * posDen >= col("uni") * posNum)
+      .withColumn("label", lit(1))
+    val neg = scored.filter(col("inter") * negDen < col("uni") * negNum)
+      .filter(pmod(conv(substring(md5(concat(
+        col("id_a").cast("string"), lit("|"),
+        col("id_b").cast("string"))), 1, 8), 16, 10).cast("long"),
+        lit(100L)) < negKeepPct)
+      .withColumn("label", lit(0))
+    pos.unionByName(neg).select("id_a", "id_b", "jacc6", "label")
+  }
+
   /** Full fuzzy-dedup pipeline: shingle → minhash → LSH bucket join →
     * Jaccard verify. One narrow scan, one band shuffle, one candidate
     * join — scales to billions of documents. `portable=true` grades the

@@ -1449,6 +1449,16 @@ object ExtQueries {
         .orderBy("term")
     }),
 
+    // Contrastive pair mining for an ER model: band-join candidates →
+    // label 1 at Jaccard >= 1/2, hard negatives (< 1/5) kept at 10%
+    // by a deterministic pair-key md5 coordinate; ambiguous middle
+    // emitted to neither class.
+    "q169_pair_mining" -> ((s, d) =>
+      Dedup.trainingPairs(documents(s, d), "doc_id", "text",
+        n = 3, k = 8, bands = 4, posNum = 1, posDen = 2,
+        negNum = 1, negDen = 5, negKeepPct = 10, portable = true)
+        .orderBy(col("label").desc, col("id_a"), col("id_b"))),
+
     // Join-explosion pre-audit: exact per-key output contribution of
     // the (customer x supplier ON nationkey) many-to-many join — two
     // key-count profiles joined on distinct keys, never fact rows;
@@ -3385,6 +3395,34 @@ object ExtQueries {
          |    PARTITION BY train_id ORDER BY cos6 DESC, bench_id) AS rn
          |  FROM f)
          |WHERE rn = 1 ORDER BY train_id""".stripMargin
+    },
+
+    // Candidate scoring off the shared band CTEs; negatives thinned by
+    // the digit-parsed pair-key coordinate.
+    "q169_pair_mining" -> {
+      val u = md5u32Sql(
+        "cast(id_a AS varchar) || '|' || cast(id_b AS varchar)")
+      s"""WITH $fuzzyBaseCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b ON a.bkey = b.bkey
+         |  WHERE a.doc_id < b.doc_id),
+         |sc AS (
+         |  SELECT c.id_a, c.id_b,
+         |    cast(len(list_intersect(a.s, b.s)) AS bigint) AS inter,
+         |    cast(len(a.s) + len(b.s)
+         |      - len(list_intersect(a.s, b.s)) AS bigint) AS uni
+         |  FROM cand c
+         |  JOIN dsh a ON a.doc_id = c.id_a
+         |  JOIN dsh b ON b.doc_id = c.id_b),
+         |j AS (SELECT id_a, id_b, (inter * 1000000) // uni AS jacc6,
+         |  inter, uni FROM sc)
+         |SELECT id_a, id_b, jacc6, 1 AS label FROM j
+         |WHERE inter * 2 >= uni * 1
+         |UNION ALL
+         |SELECT id_a, id_b, jacc6, 0 AS label FROM j
+         |WHERE inter * 5 < uni * 1 AND ($u) % 100 < 10
+         |ORDER BY label DESC, id_a, id_b""".stripMargin
     },
 
     // Profile-join replay of the explosion audit.

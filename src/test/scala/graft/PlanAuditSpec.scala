@@ -328,6 +328,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), s"no map-side combine in:\n$p")
   }
 
+  test("q169 pair mining: band-keyed candidates, hash-set intersect kernel") {
+    val p = plan("q169_pair_mining")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"quadratic join shape in:\n$p")
+    assert(p.toLowerCase.contains("stringintersectsize"),
+      s"no intersect kernel in:\n$p")
+  }
+
   test("q168 explosion audit joins key profiles, not fact rows; top-k not sort") {
     val p = plan("q168_join_explosion")
     assert(p.contains("partial_"), s"profiles not map-side combined in:\n$p")

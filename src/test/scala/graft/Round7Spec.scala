@@ -259,6 +259,41 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("trainingPairs: clean labels, ambiguity band excluded, deterministic") {
+    // near-dup pair (1,2), clear-negative band-colliding pairs via
+    // shared shingles, ambiguous pair in neither class
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, (1 to 28).map(i => s"w$i").mkString(" ")),  // J >> 1/2 with 1
+      (3L, ((1 to 6).map(i => s"w$i") ++ (1 to 40).map(i => s"x$i"))
+        .mkString(" ")), // small overlap with 1 → negative band
+      (4L, ((1 to 14).map(i => s"w$i") ++ (1 to 20).map(i => s"y$i"))
+        .mkString(" ")) // middling overlap → ambiguity band
+    ).toDF("doc_id", "text")
+    val out = Dedup.trainingPairs(docs, "doc_id", "text",
+      negKeepPct = 100)
+      .as[(Long, Long, Long, Int)].collect()
+    val byPair = out.map(r => (r._1, r._2) -> r._4).toMap
+    assert(byPair.get((1L, 2L)) === Some(1))
+    // every positive really is >= 1/2, every negative < 1/5
+    out.foreach { r =>
+      if (r._4 == 1) assert(r._3 >= 500000L, s"weak positive $r")
+      else assert(r._3 < 200000L, s"strong negative $r")
+    }
+    // deterministic: a second run is identical
+    val again = Dedup.trainingPairs(docs, "doc_id", "text",
+      negKeepPct = 100)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(out.toSet === again.toSet)
+    // negKeepPct = 0 drops every negative but keeps all positives
+    val noNeg = Dedup.trainingPairs(docs, "doc_id", "text",
+      negKeepPct = 0)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(noNeg.forall(_._4 == 1))
+    assert(noNeg.count(_._4 == 1) === out.count(_._4 == 1))
+  }
+
   test("labelPropagation: packed argmax equals the window path on random graphs") {
     val rnd = new scala.util.Random(31337)
     val edges = (1 to 300).map(_ =>
