@@ -110,6 +110,32 @@ object Sampling {
     * single global order becomes the bottleneck; the global form is
     * kept here because sample determinism across engines is the point.
     */
+  /** Deterministic A/B assignment + sample-ratio-mismatch audit: each
+    * unit lands in arm md5(experiment|unit) % 2 — the experiment name
+    * salts the coordinate, so arms are independent across experiments
+    * and stable across re-runs/engines (the property session-sticky
+    * random assignment needs). Per experiment the audit emits the arm
+    * counts and the 1-df chi-square SRM statistic against the 50/50
+    * design, (n0−n1)²/n, as an exact integer cross-multiplication
+    * with one ppm floor at the end — the standard gate for "did the
+    * bucketing/logging pipeline lose one arm's traffic". One distinct
+    * + one aggregation, map-side combined.
+    */
+  def abSrmAudit(df: DataFrame, expCol: String,
+      unitCol: String): DataFrame = {
+    val arm = pmod(conv(substring(md5(concat(col("experiment"), lit("|"),
+      col("__u").cast("string"))), 1, 8), 16, 10).cast("long"),
+      lit(2L))
+    df.select(col(expCol).as("experiment"), col(unitCol).as("__u"))
+      .distinct()
+      .withColumn("arm", arm)
+      .groupBy(col("experiment"))
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n1"))
+      .withColumn("srm6", expr(
+        "(n0 - n1) * (n0 - n1) * 1000000L div (n0 + n1)"))
+  }
+
   /** Deterministic priority sampling (Duffield-Lund-Thorup, JACM '07):
     * a weighted WITHOUT-replacement sample of exactly min(n, rows)
     * rows with the unbiased subset-sum estimator. Each row gets

@@ -1459,6 +1459,13 @@ object ExtQueries {
         negNum = 1, negDen = 5, negKeepPct = 10, portable = true)
         .orderBy(col("label").desc, col("id_a"), col("id_b"))),
 
+    // Deterministic A/B bucketing (md5(experiment|unit) % 2) + exact
+    // integer SRM chi-square per experiment — experiment = event type,
+    // unit = user.
+    "q170_ab_srm" -> ((s, d) =>
+      graft.ext.Sampling.abSrmAudit(events(s, d), "event_type", "user_id")
+        .orderBy("experiment")),
+
     // Join-explosion pre-audit: exact per-key output contribution of
     // the (customer x supplier ON nationkey) many-to-many join — two
     // key-count profiles joined on distinct keys, never fact rows;
@@ -3423,6 +3430,26 @@ object ExtQueries {
          |SELECT id_a, id_b, jacc6, 0 AS label FROM j
          |WHERE inter * 5 < uni * 1 AND ($u) % 100 < 10
          |ORDER BY label DESC, id_a, id_b""".stripMargin
+    },
+
+    // Digit-parsed salted coordinate, distinct units, integer SRM.
+    "q170_ab_srm" -> {
+      val u = md5u32Sql("experiment || '|' || cast(user_id AS varchar)")
+      s"""WITH un AS (
+         |  SELECT DISTINCT event_type AS experiment, user_id
+         |  FROM events),
+         |a AS (
+         |  SELECT experiment, ($u) % 2 AS arm FROM un),
+         |g AS (
+         |  SELECT experiment,
+         |    cast(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS bigint)
+         |      AS n0,
+         |    cast(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS bigint)
+         |      AS n1
+         |  FROM a GROUP BY 1)
+         |SELECT experiment, n0, n1,
+         |  ((n0 - n1) * (n0 - n1) * 1000000) // (n0 + n1) AS srm6
+         |FROM g ORDER BY experiment""".stripMargin
     },
 
     // Profile-join replay of the explosion audit.

@@ -328,6 +328,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), s"no map-side combine in:\n$p")
   }
 
+  test("q170 A/B SRM: one distinct + one agg, map-side combined, no join") {
+    val p = plan("q170_ab_srm")
+    assert(p.contains("partial_"), s"no map-side combine in:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in:\n$p")
+  }
+
   test("q169 pair mining: band-keyed candidates, hash-set intersect kernel") {
     val p = plan("q169_pair_mining")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),

@@ -259,6 +259,42 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("abSrmAudit: unit-stable arms, duplicate events collapse, exact SRM") {
+    // user 7 appears twice in exp "a" — must count once; arms are a
+    // pure function of (experiment, unit), so re-runs agree
+    val df = Seq(("a", 7L), ("a", 7L), ("a", 8L), ("a", 9L),
+      ("b", 7L)).toDF("e", "u")
+    val out = graft.ext.Sampling.abSrmAudit(df, "e", "u")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("a")._1 + out("a")._2 === 3L)
+    assert(out("b")._1 + out("b")._2 === 1L)
+    // SRM stat replays exactly: (n0-n1)^2 * 1e6 div n
+    val (n0, n1, srm) = out("a")
+    assert(srm === (n0 - n1) * (n0 - n1) * 1000000L / (n0 + n1))
+    val again = graft.ext.Sampling.abSrmAudit(df, "e", "u")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(again === out)
+  }
+
+  test("abSrmAudit: balanced on many units, salt decorrelates experiments") {
+    val units = (1L to 2000L)
+    val df = (units.map(("x", _)) ++ units.map(("y", _))).toDF("e", "u")
+    val out = graft.ext.Sampling.abSrmAudit(df, "e", "u")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // a 50/50 split within ~5 sigma on 2000 units
+    out.values.foreach { case (n0, n1) =>
+      assert(math.abs(n0 - n1) < 250, s"arm imbalance: $n0 vs $n1")
+    }
+    // the salt must give DIFFERENT assignments per experiment: if the
+    // splits were identical the (x,y) arm vectors would match exactly,
+    // which md5 makes astronomically unlikely — compare via counts of
+    // users in arm 0 of both
+    assert(out("x") !== out("y"))
+  }
+
   test("trainingPairs: clean labels, ambiguity band excluded, deterministic") {
     // near-dup pair (1,2), clear-negative band-colliding pairs via
     // shared shingles, ambiguous pair in neither class
