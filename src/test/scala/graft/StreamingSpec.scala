@@ -66,14 +66,14 @@ class StreamingSpec extends SparkSpec {
     val bat = graft.ext.Sketches.hllRegisters(
       (batch1 ++ batch2).toDF().select($"event_type", $"user_id"),
       "event_type", $"user_id")
-      .select($"used", $"reg_sum", $"harm_num".cast("string"))
-      .as[(Long, Long, String)].collect().head
+      .select($"used", $"reg_sum", $"harm_hi", $"harm_lo")
+      .as[(Long, Long, Long, Long)].collect().head
     assert(last._2 === bat._1)
     assert(last._3 === bat._2)
     // harm numerator derived from the streamed registers must equal
-    // the batch decimal exactly (empties contribute 2^60)
+    // the batch split-bigint pair exactly (empties contribute 2^60)
     val harm = last._4.map(r => BigInt(1) << (60 - r)).sum
-    assert(harm.toString === bat._3)
+    assert(harm === (BigInt(bat._3) << 30) + BigInt(bat._4))
   }
 
   test("warehouse sink: replayed micro-batches are no-ops (K1)") {
