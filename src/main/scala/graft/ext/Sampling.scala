@@ -90,26 +90,6 @@ object Sampling {
       (before % windowTokens).as("offset"))
   }
 
-  /** Deterministic systematic PPS (probability-proportional-to-size)
-    * sample of ~`n` rows: order rows by the md5 of the key (a
-    * reproducible pseudo-random permutation — same on any engine,
-    * partitioning, or retry), lay their integer weights end to end on
-    * [0, W), and select every row whose weight interval contains a
-    * multiple of W/n — so a row's selection probability is
-    * proportional to its weight, heavy rows (weight ≥ W/n) are
-    * selected with certainty, and the whole draw is exact integer
-    * arithmetic (no RNG, no floats). `n_hits` is the number of grid
-    * points inside the row's interval (≥ 2 means the row stands in
-    * for that many sample slots — keep it as the replication factor
-    * for downstream estimators). Weights must be non-negative bigints
-    * with n·W inside bigint range (at 100 TB: pre-scale weights or
-    * widen to decimal).
-    *
-    * One window over the hash order computes the running offset. The
-    * window is per-shard-able exactly like [[packByTokens]] when a
-    * single global order becomes the bottleneck; the global form is
-    * kept here because sample determinism across engines is the point.
-    */
   /** Deterministic A/B assignment + sample-ratio-mismatch audit: each
     * unit lands in arm md5(experiment|unit) % 2 — the experiment name
     * salts the coordinate, so arms are independent across experiments
@@ -178,6 +158,26 @@ object Sampling {
         col("est_weight"))
   }
 
+  /** Deterministic systematic PPS (probability-proportional-to-size)
+    * sample of ~`n` rows: order rows by the md5 of the key (a
+    * reproducible pseudo-random permutation — same on any engine,
+    * partitioning, or retry), lay their integer weights end to end on
+    * [0, W), and select every row whose weight interval contains a
+    * multiple of W/n — so a row's selection probability is
+    * proportional to its weight, heavy rows (weight ≥ W/n) are
+    * selected with certainty, and the whole draw is exact integer
+    * arithmetic (no RNG, no floats). `n_hits` is the number of grid
+    * points inside the row's interval (≥ 2 means the row stands in
+    * for that many sample slots — keep it as the replication factor
+    * for downstream estimators). Weights must be non-negative bigints
+    * with n·W inside bigint range (at 100 TB: pre-scale weights or
+    * widen to decimal).
+    *
+    * One window over the hash order computes the running offset. The
+    * window is per-shard-able exactly like [[packByTokens]] when a
+    * single global order becomes the bottleneck; the global form is
+    * kept here because sample determinism across engines is the point.
+    */
   def ppsTake(df: DataFrame, keyCol: String, weightCol: String,
       n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

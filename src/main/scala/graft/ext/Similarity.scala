@@ -50,7 +50,6 @@ object Similarity {
     dot(v, lit((0 until dim)
       .map(i => (((i * 31 + j * 17) % 7) - 3).toFloat).toArray))
 
-  /** Sign-LSH bucket id: nBits sign bits packed into a long. */
   /** Cross-set semantic contamination: for every TRAIN vector, the
     * best-matching BENCHMARK vector with cosine ≥ `threshold`, found
     * through the sign-RP bucket prefilter — the embedding-space
@@ -86,6 +85,7 @@ object Similarity {
         col("__best.cos6").as("cos6"))
   }
 
+  /** Sign-LSH bucket id: nBits sign bits packed into a long. */
   def rpBucket(v: Column, nBits: Int, dim: Int = 64): Column =
     (0 until nBits).map(j =>
       when(rpDot(v, j, dim) > 0, shiftleft(lit(1L), j)).otherwise(0L))

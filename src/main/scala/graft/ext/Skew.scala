@@ -14,16 +14,6 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Skew-safe equi-join of a big, skew-keyed left side against a right
-    * side that is modest but still too big (or too dynamic) to
-    * broadcast: left rows are salted into `salt` shards by a
-    * deterministic hash of `saltFrom` (pick a high-cardinality column —
-    * a row id, an event id), the right side is replicated once per
-    * shard, and the join key becomes (keys…, shard). A hot key's rows
-    * land on `salt` reducers instead of one; the result is exactly the
-    * plain equi-join (asserted in SkewSpec). Cost: right side is
-    * shuffled `salt`×.
-    */
   /** Join-explosion pre-audit: BEFORE running an equi-join, compute
     * its exact output contribution per key — Σ n_a(k)·n_b(k) is the
     * join's output size, and the per-key terms are where the memory/
@@ -55,6 +45,16 @@ object Skew {
     require(!keys.contains("__shard"), "__shard cannot be a join/group key")
   }
 
+  /** Skew-safe equi-join of a big, skew-keyed left side against a right
+    * side that is modest but still too big (or too dynamic) to
+    * broadcast: left rows are salted into `salt` shards by a
+    * deterministic hash of `saltFrom` (pick a high-cardinality column —
+    * a row id, an event id), the right side is replicated once per
+    * shard, and the join key becomes (keys…, shard). A hot key's rows
+    * land on `salt` reducers instead of one; the result is exactly the
+    * plain equi-join (asserted in SkewSpec). Cost: right side is
+    * shuffled `salt`×.
+    */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       saltFrom: Column, salt: Int = 16): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")

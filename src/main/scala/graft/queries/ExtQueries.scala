@@ -374,7 +374,7 @@ object ExtQueries {
     }),
 
     // Multimodal plumbing: synthetic media table → mapPartitions decode
-    // (stubbed kernel) → per-item frame/byte accounting. The metadata
+    // (filter-bank kernel) → per-item frame/byte accounting. The metadata
     // rules are pure functions of the documents table, so the oracle can
     // replay them without the binary column.
     "q38_media_features" -> ((s, d) => {
@@ -573,7 +573,7 @@ object ExtQueries {
     // sampler's cap of 16).
     "q62_frame_neardup" -> ((s, d) => {
       val media = graft.ext.Multimodal.syntheticMedia(s, documents(s, d))
-      val feats = graft.ext.Multimodal.extractFeatures(media, portable = true)
+      val feats = graft.ext.Multimodal.extractFeatures(media)
         .filter(col("kind") === "video")
         .select((col("mediaId") * 100 + col("frameIdx")).as("fid"),
           col("feature"))
@@ -769,14 +769,14 @@ object ExtQueries {
         .orderBy("k_bucket")
     }),
 
-    // Multimodal near-dup composition with the portable (md5-derived)
-    // stub feature and the bucketed pair join — fully oracle-checked:
-    // DuckDB replays feature extraction, sign-RP bucketing and the
-    // cosine verify over the documents table.
+    // Multimodal near-dup composition with the real filter-bank decode
+    // and the bucketed pair join — fully oracle-checked: DuckDB replays
+    // feature extraction (integer byte correlations from the hex of the
+    // content), sign-RP bucketing and the cosine verify.
     "q39_media_neardup" -> ((s, d) => {
       graft.ext.Multimodal.nearDupMedia(
         graft.ext.Multimodal.syntheticMedia(s, documents(s, d)),
-        threshold = 0.9, nBits = 8, portable = true)
+        threshold = 0.9, nBits = 8)
         .select(col("id_a"), col("id_b"),
           Similarity.trunc(col("cosine"), 6).as("cos6"))
         .orderBy("id_a", "id_b")
@@ -1434,8 +1434,11 @@ object ExtQueries {
     // sum-on-read, probed like q165. The maintain cycle must answer
     // exactly like the never-reorganized full-corpus sketch.
     "q167_cm_maintain" -> ((s, d) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q167_" +
-        Integer.toHexString(d.hashCode) + "/cm"
+      // Per-invocation unique dir: a dataset-keyed fixed path would let
+      // two concurrent runs (bench + verify) race the write/append
+      // cycle and double-count or drop the delta matrix.
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q167_").toString + "/cm"
       val toks = documents(s, d)
         .select(col("doc_id"),
           explode(TextStats.tokens(col("text"))).as("tok"))
@@ -2083,13 +2086,23 @@ object ExtQueries {
 
   private val bucketSql: String = bucketSqlFor("embedding")
 
-  /** DuckDB replay of `Multimodal.DecodeKernel.portableFeature` over the
-    * synthetic media table (content = UTF-8 of documents.text, frame 0).
+  /** DuckDB replay of `Multimodal.DecodeKernel.frameFeature`: the exact
+    * integer correlation of a frame's byte window with the fixed filter
+    * bank w(i,t) = ((t mod 64)·31 + i·17) mod 7 − 3, bytes parsed from
+    * a hex(encode(text)) column `hx` in scope (uppercase digits).
+    * `off`/`cnt` are SQL expressions for the window start/length; the
+    * sum round-trips through REAL to mirror the kernel's float cast
+    * (identity below 2^24 — the cast is belt-and-braces).
     */
-  private val mediaFeatureSql: String =
-    """list_transform(range(8), i ->
-      |  (strpos('0123456789abcdef', substr(md5(text || ':0'), i+1, 1))
-      |    - 8.5) / 8.0)""".stripMargin
+  private def mediaFeatureSqlFor(off: String, cnt: String): String =
+    s"""list_transform(range(8), i ->
+       |  cast(cast(coalesce(list_sum(list_transform(range($cnt), t ->
+       |    ((((t % 64) * 31 + i * 17) % 7) - 3) *
+       |    ((strpos('0123456789ABCDEF',
+       |        substr(hx, cast(2*(($off)+t)+1 AS int), 1)) - 1) * 16
+       |      + (strpos('0123456789ABCDEF',
+       |        substr(hx, cast(2*(($off)+t)+2 AS int), 1)) - 1)))), 0)
+       |    AS real) AS double))""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q21_dedup_exact" ->
@@ -4210,17 +4223,17 @@ object ExtQueries {
 
     "q62_frame_neardup" ->
       s"""WITH v AS (
-         |  SELECT doc_id AS media_id, text,
+         |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         |    octet_length(encode(text)) AS nb,
          |    greatest(1, least(16, (n_chars * 100) // 1000)) AS n_frames
          |  FROM documents WHERE doc_id % 3 = 2),
          |fr AS (
-         |  SELECT media_id, text, unnest(range(n_frames)) AS f FROM v),
+         |  SELECT media_id, hx, nb, n_frames, unnest(range(n_frames)) AS f
+         |  FROM v),
          |feat AS (
          |  SELECT media_id * 100 + f AS fid,
-         |    list_transform(range(8), i ->
-         |      (strpos('0123456789abcdef',
-         |         substr(md5(text || ':' || cast(f AS varchar)), i+1, 1))
-         |       - 8.5) / 8.0) AS feature
+         |    (${mediaFeatureSqlFor("(f * nb) // n_frames",
+              "((f+1) * nb) // n_frames - (f * nb) // n_frames")}) AS feature
          |  FROM fr),
          |bk AS (
          |  SELECT fid, feature,
@@ -4344,9 +4357,17 @@ object ExtQueries {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q39_media_neardup" ->
-      s"""WITH f AS (
-         |  SELECT doc_id AS media_id, ($mediaFeatureSql) AS feature
+      s"""WITH r AS (
+         |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         |    octet_length(encode(text)) AS nb,
+         |    CASE WHEN doc_id % 3 = 2
+         |      THEN greatest(1, least(16, (n_chars * 100) // 1000))
+         |      ELSE 1 END AS n_frames
          |  FROM documents),
+         |f AS (
+         |  SELECT media_id,
+         |    (${mediaFeatureSqlFor("0", "nb // n_frames")}) AS feature
+         |  FROM r),
          |bk AS (
          |  SELECT media_id, feature,
          |    cast(${bucketSqlFor("feature")} AS bigint) AS bucket

@@ -6,9 +6,10 @@ import graft.ext.Multimodal
 import graft.ext.Multimodal.MediaItem
 
 /** Multimodal plumbing: schema, partition-local decode batching, frame
-  * sampling, dedup composition. The decode kernel is a deterministic stub
-  * (no codecs in this container) — these tests pin the Spark-side
-  * contract.
+  * sampling, dedup composition. The decode kernel is a real pure-JVM
+  * filter bank over per-frame byte windows (no codecs in this
+  * container) — these tests pin both the Spark-side contract and the
+  * kernel arithmetic from first principles.
   */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -59,23 +60,29 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L))) // identical bytes → identical features
   }
 
-  test("portable feature: md5-derived, engine-replayable, dedup-stable") {
+  test("frameFeature: filter-bank correlation replayed from first principles") {
     val bytes = "samebytes".getBytes("UTF-8")
-    val f = Multimodal.DecodeKernel.portableFeature(bytes, 0)
+    val f = Multimodal.DecodeKernel.frameFeature(bytes, 0, 1)
     assert(f.length == Multimodal.DecodeKernel.FeatureDim)
-    // digit i of md5("samebytes:0") mapped as (v - 7.5) / 8 — replayed
-    // here from first principles, same rule as the q39 DuckDB oracle
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest("samebytes:0".getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-    val expect = (0 until 8)
-      .map(i => ((Character.digit(hex.charAt(i), 16) - 7.5) / 8.0).toFloat)
+    // feature_i = Σ_t (((t%64)*31 + i*17) % 7 − 3) · byte_t — the same
+    // rule the q39/q62 DuckDB oracles replay from hex(encode(text))
+    val expect = (0 until 8).map { i =>
+      bytes.indices.map(t =>
+        (((t % 64) * 31 + i * 17) % 7 - 3) * (bytes(t) & 0xFF)).sum.toFloat
+    }
     assert(f.toSeq == expect)
-    // identical bytes still collapse through the portable path
-    val pairs = Multimodal
-      .nearDupMedia(items, threshold = 0.999, portable = true)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(pairs.contains((1L, 2L)))
+    // frame windows partition the byte stream: [f·n/F, (f+1)·n/F)
+    val w1 = Multimodal.DecodeKernel.frameFeature(bytes, 1, 3)
+    val slice = bytes.slice(bytes.length / 3, 2 * bytes.length / 3)
+    val expect1 = (0 until 8).map { i =>
+      slice.indices.map(t =>
+        (((t % 64) * 31 + i * 17) % 7 - 3) * (slice(t) & 0xFF)).sum.toFloat
+    }
+    assert(w1.toSeq == expect1)
+    // an empty window (more frames than bytes) is the zero vector:
+    // frame 2 of 4 over 2 bytes covers [1, 1)
+    assert(Multimodal.DecodeKernel.frameFeature(Array[Byte](1, 2), 2, 4)
+      .toSeq == Seq.fill(8)(0.0f))
   }
 
   test("synthetic media from documents keeps schema + metadata rules") {
