@@ -578,7 +578,7 @@ object ExtQueries {
         .select((col("mediaId") * 100 + col("frameIdx")).as("fid"),
           col("feature"))
       Dedup.embeddingNearDups(feats, "fid", "feature",
-        threshold = 0.9, nBits = 8)
+        threshold = 0.98, nBits = 8)
         .select((col("id_a") / 100).cast("long").as("media_a"),
           (col("id_b") / 100).cast("long").as("media_b"), col("cosine"))
         .filter(col("media_a") =!= col("media_b"))
@@ -4243,7 +4243,7 @@ object ExtQueries {
          |  SELECT a.fid // 100 AS media_a, b.fid // 100 AS media_b,
          |    (${cosineSql("a.feature", "b.feature")}) AS cosine
          |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.fid < b.fid
-         |  WHERE (${cosineSql("a.feature", "b.feature")}) >= 0.9)
+         |  WHERE (${cosineSql("a.feature", "b.feature")}) >= 0.98)
          |SELECT media_a, media_b, count(*) AS n_frame_pairs,
          |  floor(max(cosine) * 1000000) / 1000000 AS max_cos6
          |FROM p WHERE media_a <> media_b
