@@ -235,13 +235,23 @@ object Sampling {
     * language/domain/source before unioning a training mix.
     */
   def quotaPerGroup(df: DataFrame, groupCols: Seq[String],
-      orderBy: Seq[Column], quota: Int): DataFrame = {
+      orderBy: Seq[Column], quota: Int,
+      distributed: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(quota > 0, "quota must be positive")
-    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderBy: _*)
-    df.withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= quota)
-      .drop("__rank")
+    // `distributed` swaps the window for [[groupedRowNumber]] — the
+    // per-language/domain quota is exactly the giant-group case (a
+    // mostly-English corpus funnels through ONE task's sort under the
+    // window); identical kept set, spec-pinned.
+    if (distributed)
+      groupedRowNumber(df, groupCols, orderBy, "__rank")
+        .filter(col("__rank") <= quota)
+        .select(df.columns.map(col): _*)
+    else
+      df.withColumn("__rank", row_number().over(
+        Window.partitionBy(groupCols.map(col): _*).orderBy(orderBy: _*)))
+        .filter(col("__rank") <= quota)
+        .drop("__rank")
   }
 
   private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
@@ -369,6 +379,50 @@ object Sampling {
         col("pos"))
   }
 
+  /** Append a 0-based long `idxCol` reflecting the df's order under a
+    * range-partitioned sort by `orderCols`: sort + `zipWithIndex` (one
+    * extra job for partition offsets — the `surrogateIdsDistributed`
+    * discipline; no single-partition stage anywhere).
+    */
+  private def zipIndexed(df: DataFrame, orderCols: Seq[Column],
+      idxCol: String): DataFrame = {
+    val sorted = df.orderBy(orderCols: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        idxCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(indexed, schema)
+  }
+
+  /** Distributed per-group `row_number` — dense 1..n_g ranks within each
+    * `groupCol` by `orderCols`, with NO single-task-per-group stage: a
+    * window `row_number() OVER (PARTITION BY g ORDER BY ...)` funnels
+    * each group through ONE task's sort, so a billion-row group becomes
+    * a sequential bottleneck. Here the whole frame gets one
+    * range-partitioned global sort by (group, order...) + `zipWithIndex`
+    * (a giant group spans MANY range partitions), then each group's
+    * rank is its global index minus the group's first index — a
+    * map-side-combined min aggregation joined back, never a collect.
+    * Cost: the sort shuffle is read twice (min-agg + join); correct at
+    * any group size, which the window path is not.
+    */
+  def groupedRowNumber(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[Column], posCol: String): DataFrame = {
+    val indexed = zipIndexed(df, groupCols.map(col) ++ orderCols, "__gidx")
+    val firstIdx = indexed.groupBy(groupCols.map(col): _*)
+      .agg(min("__gidx").as("__g0"))
+    indexed.join(firstIdx, groupCols)
+      .withColumn(posCol, col("__gidx") - col("__g0") + 1L)
+      .select((df.columns.map(col) :+ col(posCol)): _*)
+  }
+
+  /** Single-group-column convenience overload. */
+  def groupedRowNumber(df: DataFrame, groupCol: String,
+      orderCols: Seq[Column], posCol: String): DataFrame =
+    groupedRowNumber(df, Seq(groupCol), orderCols, posCol)
+
   /** [[mixOrder]] with the weights as a TABLE instead of a driver-side
     * list — the unbounded-strata variant: when the mixture has thousands
     * of sources (per-domain weights over a web crawl), `mixOrder`'s
@@ -395,14 +449,15 @@ object Sampling {
     * used the caller's listing order: here the tie order is the source
     * NAME (no listing exists with table-valued weights).
     *
-    * Within-source positions still use one window per source; a single
-    * source bigger than a task's sort budget should be pre-sharded
-    * ([[shuffleShards]]) exactly as it would be for `mixOrder`.
+    * `distributedPos = false` (default) ranks within each source with
+    * one window — fine while every source fits a task's sort budget.
+    * `true` switches to [[groupedRowNumber]] (identical positions,
+    * spec-pinned), which survives a single source of ANY size.
     */
   def mixOrderByTable(df: DataFrame, idCol: String, groupCol: String,
-      weightsDf: DataFrame, weightCol: String = "weight"): DataFrame = {
+      weightsDf: DataFrame, weightCol: String = "weight",
+      distributedPos: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = df.sparkSession
     val maxW = 1L << 20
     val wDim = weightsDf.select(col(groupCol),
       when(col(weightCol).cast("long").between(1L, maxW),
@@ -411,25 +466,23 @@ object Sampling {
           lit(s"mixOrderByTable: weight must be in [1, $maxW], got "),
           col(weightCol).cast("string"), lit(" for "),
           col(groupCol).cast("string")))).as("__w"))
-    val byHash = Window.partitionBy(groupCol)
-      .orderBy(col("__h").asc, col(idCol).asc)
-    val keyed = df.join(wDim, groupCol)
+    val hashed = df.join(wDim, groupCol)
       .withColumn("__h", md5(col(idCol).cast("string")))
-      .withColumn("pos", row_number().over(byHash).cast("long"))
+    val posed =
+      if (distributedPos)
+        groupedRowNumber(hashed, groupCol,
+          Seq(col("__h").asc, col(idCol).asc), "pos")
+      else hashed.withColumn("pos", row_number().over(
+        Window.partitionBy(groupCol)
+          .orderBy(col("__h").asc, col(idCol).asc)).cast("long"))
+    val keyed = posed
       .withColumn("__vq", expr("pos div __w"))
       .withColumn("__vf", expr(s"((pos % __w) * ${1L << 40}L) div __w"))
       .select(col(idCol), col(groupCol), col("pos"),
         col("__vq"), col("__vf"))
-    val sorted = keyed.orderBy(col("__vq"), col("__vf"),
-      col(groupCol), col("pos"))
-    val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
-        "global_pos", org.apache.spark.sql.types.LongType,
-        nullable = false))
-    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    spark.createDataFrame(indexed, schema)
+    zipIndexed(keyed, Seq(col("__vq"), col("__vf"), col(groupCol),
+      col("pos")), "__i")
+      .withColumn("global_pos", col("__i") + 1L)
       .select(col(idCol), col(groupCol), col("pos"), col("global_pos"))
   }
 
@@ -447,12 +500,15 @@ object Sampling {
     * truncated to `total`. Output matches `epochMixOrder`:
     * (global_pos, source, id, epoch, pos). Ties at equal virtual time
     * order by source NAME (no listing order exists).
+    * `distributedPos` as in [[mixOrderByTable]]: positions and counts
+    * via [[groupedRowNumber]] + a count join instead of per-source
+    * windows, for sources bigger than a task's sort budget.
     */
   def epochMixOrderByTable(df: DataFrame, idCol: String, groupCol: String,
       weightsDf: DataFrame, total: Long,
-      weightCol: String = "weight"): DataFrame = {
+      weightCol: String = "weight",
+      distributedPos: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = df.sparkSession
     require(total > 0, "epochMixOrderByTable: total must be positive")
     val maxW = 1L << 20
     val wDim = weightsDf.select(col(groupCol),
@@ -468,13 +524,23 @@ object Sampling {
     // what the live sources need for `total` slots)
     val totals = joined.groupBy(groupCol).agg(first(col("__w")).as("__w"))
       .agg(sum("__w").as("__wSum"), count(lit(1)).as("__nSrc"))
-    val byHash = Window.partitionBy(groupCol)
-      .orderBy(col("__h").asc, col(idCol).asc)
-    val perSrc = Window.partitionBy(groupCol)
-    val expanded = joined
-      .withColumn("__h", md5(col(idCol).cast("string")))
-      .withColumn("__p0", row_number().over(byHash).cast("long"))
-      .withColumn("__n", count(lit(1)).over(perSrc).cast("long"))
+    val hashed = joined.withColumn("__h", md5(col(idCol).cast("string")))
+    val based =
+      if (distributedPos) {
+        val counts = joined.groupBy(groupCol)
+          .agg(count(lit(1)).cast("long").as("__n"))
+        groupedRowNumber(hashed, groupCol,
+          Seq(col("__h").asc, col(idCol).asc), "__p0")
+          .join(counts, groupCol)
+      } else {
+        val byHash = Window.partitionBy(groupCol)
+          .orderBy(col("__h").asc, col(idCol).asc)
+        val perSrc = Window.partitionBy(groupCol)
+        hashed
+          .withColumn("__p0", row_number().over(byHash).cast("long"))
+          .withColumn("__n", count(lit(1)).over(perSrc).cast("long"))
+      }
+    val expanded = based
       .crossJoin(broadcast(totals))
       .withColumn("__epochs",
         expr(s"(($total + __nSrc) * __w) div (__wSum * __n) + 2"))
@@ -484,16 +550,9 @@ object Sampling {
       .withColumn("__vf", expr(s"((pos % __w) * ${1L << 40}L) div __w"))
       .select(col(idCol), col(groupCol), col("epoch"), col("pos"),
         col("__vq"), col("__vf"))
-    val sorted = expanded.orderBy(col("__vq"), col("__vf"),
-      col(groupCol), col("pos"))
-    val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
-        "global_pos", org.apache.spark.sql.types.LongType,
-        nullable = false))
-    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    spark.createDataFrame(indexed, schema)
+    zipIndexed(expanded, Seq(col("__vq"), col("__vf"), col(groupCol),
+      col("pos")), "__i")
+      .withColumn("global_pos", col("__i") + 1L)
       .filter(col("global_pos") <= total)
       .select(col("global_pos"), col(groupCol), col(idCol), col("epoch"),
         col("pos"))

@@ -113,6 +113,45 @@ class Round8Spec extends SparkSpec {
     assert(aRows.agg(max("epoch")).as[Long].head() >= 2L)
   }
 
+  test("groupedRowNumber: equals the window row_number, any group size") {
+    import org.apache.spark.sql.expressions.Window
+    val d = (1 to 200).map(i => (i.toLong, s"g${i % 3}", (i * 37) % 101))
+      .toDF("id", "g", "v")
+    val w = Window.partitionBy("g").orderBy(col("v").asc, col("id").asc)
+    val expected = d.withColumn("pos", row_number().over(w).cast("long"))
+      .select("id", "g", "v", "pos")
+    val got = Sampling.groupedRowNumber(d, "g",
+      Seq(col("v").asc, col("id").asc), "pos")
+      .select("id", "g", "v", "pos")
+    assert(expected.except(got).count() === 0 &&
+      got.except(expected).count() === 0)
+  }
+
+  test("quotaPerGroup: distributed path keeps the identical set") {
+    val d = (1 to 300).map(i => (i.toLong, s"g${i % 2}", (i * 53) % 97))
+      .toDF("id", "g", "v")
+    val ord = Seq(col("v").asc, col("id").asc)
+    val a = Sampling.quotaPerGroup(d, Seq("g"), ord, quota = 20)
+    val b = Sampling.quotaPerGroup(d, Seq("g"), ord, quota = 20,
+      distributed = true)
+    assert(a.count() === 40)
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+  }
+
+  test("mixOrderByTable/epochMixOrderByTable: distributedPos identical") {
+    val d = docs4()
+    val w = d.groupBy("source")
+      .agg((count(lit(1)) % 7 + 1).cast("long").as("weight"))
+    val a = Sampling.mixOrderByTable(d, "doc_id", "source", w)
+    val b = Sampling.mixOrderByTable(d, "doc_id", "source", w,
+      distributedPos = true)
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    val ea = Sampling.epochMixOrderByTable(d, "doc_id", "source", w, 200L)
+    val eb = Sampling.epochMixOrderByTable(d, "doc_id", "source", w, 200L,
+      distributedPos = true)
+    assert(ea.except(eb).count() === 0 && eb.except(ea).count() === 0)
+  }
+
   test("epochMixOrderByTable: docless weight row cannot starve output") {
     // a weight entry for a source with NO docs must not shrink the
     // epoch bound — the live source still fills all `total` slots
