@@ -313,6 +313,57 @@ object TextStats {
         col("mean_p9"))
   }
 
+  /** Moore–Lewis intelligent data selection (ACL '10): score every
+    * document by the per-token cross-entropy DIFFERENCE between an
+    * in-domain unigram LM and the general-corpus LM — the classic
+    * "which slice of the 100 TB crawl looks like my target domain"
+    * filter (positive = looks in-domain, negative = generic). Both LMs
+    * are add-one-smoothed unigram models estimated from `df` itself:
+    * the target model from rows matching `inDomain`, the general model
+    * from every row.
+    *
+    * Determinism: log-probabilities are taken with [[graft.functions
+    * .Log2Mu]] — exact integer µ-bits, so a token's weight
+    *   w = log2µ(c_t+1) − log2µ(T_t+V) − log2µ(c_g+1) + log2µ(T_g+V)
+    * and every per-doc sum is plain long arithmetic, bit-replayable by
+    * the oracle (libm-log scores would differ in last-ulp and break
+    * the hash compare).
+    *
+    * Scale shape: ONE token explode feeds a single (c_g, c_t) unigram
+    * aggregate (map-side combined; both models from the same pass —
+    * in-domain membership is a flag, not a second scan of the corpus);
+    * totals come off the vocab-sized count table; the weight table is
+    * vocab-sized and BROADCASTS back onto the token stream, so the
+    * corpus-side plan is scan → explode → broadcast-hash-join →
+    * partial agg. Nothing row-scale shuffles except the per-doc
+    * aggregation itself. Output: (id, n_tokens, ml_mu) where ml_mu =
+    * mean per-token µ-bit score (null for token-less docs).
+    */
+  def mooreLewisScore(df: DataFrame, idCol: String, textCol: String,
+      inDomain: Column): DataFrame = {
+    import graft.functions.PairFunctions.log2Mu
+    val tokd = df.select(col(idCol), inDomain.cast("boolean").as("__tgt"),
+      explode(tokens(col(textCol))).as("w"))
+    val counts = tokd.groupBy("w").agg(
+      count(lit(1)).as("c_g"),
+      sum(when(col("__tgt"), lit(1L)).otherwise(lit(0L))).as("c_t"))
+    val totals = counts.agg(sum("c_g").as("t_g"), sum("c_t").as("t_t"),
+      count(lit(1)).as("v"))
+    val weights = counts.crossJoin(broadcast(totals))
+      .select(col("w"),
+        (log2Mu(col("c_t") + lit(1L)) - log2Mu(col("t_t") + col("v")) -
+          log2Mu(col("c_g") + lit(1L)) + log2Mu(col("t_g") + col("v")))
+          .as("w_mu"))
+    val scored = tokd.join(broadcast(weights), Seq("w"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum("w_mu").as("__s"))
+      .select(col(idCol), col("n_tokens"),
+        expr("__s div n_tokens").as("ml_mu"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("ml_mu"))
+  }
+
   /** BM25 top-k retrieval for a fixed bag of query `terms` — the scoring
     * pass of a keyword search / data-curation filter. Uses the LINEAR
     * idf `((N - df) + 0.5) / (df + 0.5)` (same monotone-substitute

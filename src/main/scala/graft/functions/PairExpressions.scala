@@ -295,6 +295,44 @@ case class StringIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** long → long: the base-2 logarithm in µ-bits (units of 2^-10 bit),
+  * computed EXACTLY in integer arithmetic — msb for the integer part,
+  * ten mantissa-squaring steps (scale 2^30, truncating shift per step)
+  * for the ten fraction bits. The recurrence is pure 64-bit ops, so any
+  * engine replays it bit-for-bit (the oracle does, via `bin()` +
+  * `list_reduce`); the result is floor(1024·log2(x)) up to 1 µ-bit of
+  * defined truncation. This is what lets information-theoretic scores
+  * (cross-entropy difference, likelihood ratios) be hash-gradeable:
+  * libm `log` differs in last-ulp across engines, this never does.
+  * Input must be >= 1 (callers pass counts + 1); null propagates.
+  */
+case class Log2Mu(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Log2Mu.compute(input.asInstanceOf[Long])
+  override protected def withNewChildInternal(
+      newChild: Expression): Log2Mu = copy(child = newChild)
+}
+
+object Log2Mu {
+  final val FracBits = 10
+  def compute(x: Long): Long = {
+    require(x >= 1, s"log2mu: input must be >= 1, got $x")
+    val m = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    var mant = if (m <= 30) x << (30 - m) else x >> (m - 30)
+    var f = 0L
+    var i = 0
+    while (i < FracBits) {
+      mant = (mant * mant) >> 30
+      if (mant >= (1L << 31)) { mant >>= 1; f = f * 2 + 1 }
+      else f = f * 2
+      i += 1
+    }
+    (m.toLong << FracBits) | f
+  }
+}
+
 object PairFunctions {
   def stringIntersectSize(a: Column, b: Column): Column =
     Bridge.column(StringIntersectSize(
@@ -309,4 +347,6 @@ object PairFunctions {
       nBlocks: Int): Column =
     Bridge.column(SimhashBucketPairs(Bridge.expression(ms),
       Bridge.expression(tbl), maxHamming, nBlocks))
+  def log2Mu(x: Column): Column =
+    Bridge.column(Log2Mu(Bridge.expression(x)))
 }

@@ -161,4 +161,112 @@ class Round8Spec extends SparkSpec {
     assert(out.count() === 30L)
     assert(out.agg(countDistinct("global_pos")).as[Long].head() === 30L)
   }
+
+  // ------------------------------------------------------------------
+  // functions.Log2Mu — exact integer log2 in µ-bits
+  // ------------------------------------------------------------------
+
+  test("Log2Mu: within 1 µ-bit below floor(1024*log2(x)), never above") {
+    val rnd = new scala.util.Random(4242)
+    val xs = Seq(1L, 2L, 3L, 7L, 1023L, 1024L, 1025L, (1L << 31) - 1,
+      1L << 31, Long.MaxValue) ++
+      (1 to 500).map(_ => (rnd.nextLong() & ((1L << 62) - 1)) + 1)
+    xs.foreach { x =>
+      val mu = graft.functions.Log2Mu.compute(x)
+      val ref = 1024.0 * math.log(x.toDouble) / math.log(2.0)
+      // truncation at each squaring step only loses fraction mass:
+      // the integer result sits in (ref - 1.01, ref]
+      assert(mu <= ref + 1e-6 && mu > ref - 1.01,
+        s"x=$x mu=$mu ref=$ref")
+    }
+  }
+
+  test("Log2Mu: column form matches compute, rejects non-positives") {
+    import graft.functions.PairFunctions.log2Mu
+    val d = Seq(1L, 5L, 1000L, 1L << 40).toDF("x")
+    val got = d.select(log2Mu(col("x"))).as[Long].collect().toSeq
+    assert(got === Seq(1L, 5L, 1000L, 1L << 40)
+      .map(graft.functions.Log2Mu.compute))
+    intercept[Exception] {
+      Seq(0L).toDF("x").select(log2Mu(col("x"))).collect()
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // TextStats.mooreLewisScore — domain-relevance selection
+  // ------------------------------------------------------------------
+
+  test("mooreLewisScore: in-domain-exclusive tokens score positive, " +
+      "out-domain-exclusive negative, hand-checked weights") {
+    val d = Seq(
+      (1L, "aa aa aa", true), (2L, "aa aa bb", true),
+      (3L, "cc cc cc", false), (4L, "cc cc bb", false))
+      .toDF("id", "text", "tgt")
+    val out = graft.ext.TextStats
+      .mooreLewisScore(d, "id", "text", col("tgt"))
+      .orderBy("id").collect()
+    // target model: tokens of docs 1,2 (aa x5, bb x1, T_t=6);
+    // general: all 12 tokens (aa x5, bb x2, cc x5), V=3
+    def mu(x: Long) = graft.functions.Log2Mu.compute(x)
+    val wAa = mu(6) - mu(9) - mu(6) + mu(15)
+    val wBb = mu(2) - mu(9) - mu(3) + mu(15)
+    val wCc = mu(1) - mu(9) - mu(6) + mu(15)
+    assert(wAa > 0 && wCc < 0)
+    assert(out.map(_.getLong(1)).toSeq === Seq(3L, 3L, 3L, 3L))
+    assert(out(0).getLong(2) === (3 * wAa) / 3)
+    assert(out(1).getLong(2) === (2 * wAa + wBb) / 3)
+    assert(out(2).getLong(2) === (3 * wCc) / 3)
+    assert(out(3).getLong(2) === (2 * wCc + wBb) / 3)
+  }
+
+  // ------------------------------------------------------------------
+  // Similarity.mmrTopK — diversified retrieval
+  // ------------------------------------------------------------------
+
+  test("mmrTopK: diversifies away from a near-duplicate of the first " +
+      "pick; lambda=1 degenerates to relevance order") {
+    import graft.ext.Similarity
+    // query q = e1; a ~ q (rel highest), a2 = near-copy of a,
+    // b = orthogonal-ish but still somewhat relevant
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),          // query
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),      // a: most relevant
+      (2L, Array(0.89f, 0.11f, 0f, 0f)),    // a2: near-dup of a
+      (3L, Array(0.5f, 0f, 0.8f, 0f)))      // b: diverse
+    val df = vecs.toDF("vec_id", "embedding")
+    val mmr = Similarity.mmrTopK(df, "vec_id", "embedding", 0L,
+      k = 2, poolSize = 3)
+      .select("rank", "vec_id").as[(Long, Long)].collect().toSeq
+    // pure relevance would pick (1, 2); MMR must pick (1, 3)
+    assert(mmr === Seq((1L, 1L), (2L, 3L)))
+    val rel = Similarity.mmrTopK(df, "vec_id", "embedding", 0L,
+      k = 3, poolSize = 3, lamNum = 1, lamDen = 1)
+      .select("vec_id").as[Long].collect().toSeq
+    val brute = Similarity.bruteTopK(df, "vec_id", "embedding", 0L, 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(rel === brute)
+  }
+
+  test("mmrTopK: deterministic under repartitioning, k-bounded output") {
+    import graft.ext.Similarity
+    val df = Tables.embeddings(spark, sf0001)
+    val a = Similarity.mmrTopK(df, "vec_id", "embedding", 0L,
+      k = 5, poolSize = 12).collect().toSeq
+    val b = Similarity.mmrTopK(df.repartition(7), "vec_id", "embedding",
+      0L, k = 5, poolSize = 12).collect().toSeq
+    assert(a === b)
+    assert(a.size === 5)
+    // ranks dense 1..k, scores non-increasing is NOT required (MMR
+    // scores are step-local), but picks must be distinct
+    assert(a.map(_.getLong(1)).distinct.size === 5)
+  }
+
+  test("mooreLewisScore: partitioning-invariant, ranks en docs first") {
+    val docs = Tables.documents(spark, sf0001)
+    val a = graft.ext.TextStats.mooreLewisScore(docs, "doc_id", "text",
+      col("lang") === "en")
+    val b = graft.ext.TextStats.mooreLewisScore(docs.repartition(13),
+      "doc_id", "text", col("lang") === "en")
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+  }
 }
