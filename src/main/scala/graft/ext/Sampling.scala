@@ -65,6 +65,53 @@ object Sampling {
     df.filter(hashCoord(col(keyCol)) < rate)
   }
 
+  /** Exact integer square root floor(sqrt(x)) for 0 <= x < 2^62 as a
+    * Column: IEEE sqrt (correctly rounded on every engine) plus a
+    * two-sided integer correction, so the result is EXACT even at the
+    * k^2±1 knife edges where a last-ulp difference in sqrt would
+    * otherwise flip the floor. Replayed verbatim by oracles.
+    */
+  def isqrtExact(x: Column): Column = {
+    val s0 = floor(sqrt(x.cast("double"))).cast("long")
+    s0 - when(s0 * s0 > x, lit(1L)).otherwise(lit(0L)) +
+      when((s0 + lit(1L)) * (s0 + lit(1L)) <= x, lit(1L))
+        .otherwise(lit(0L))
+  }
+
+  /** Temperature-scaled mixture resampling at α = 1/2 — the
+    * multilingual-corpus rebalancing rule (exponentiated-smoothing
+    * sampling, mBERT / Conneau-Lample XLM: sample strata ∝ n^α with
+    * α < 1 so high-resource languages stop drowning low-resource
+    * ones). Down-samples each stratum to keep-rate √(n_min/n_s),
+    * normalized so the SMALLEST stratum keeps everything; the kept
+    * corpus has stratum proportions ∝ √n_s.
+    *
+    * Determinism: rate_ppm(s) = (10^6 · isqrt(n_min)) div isqrt(n_s)
+    * in exact integers ([[isqrtExact]]); a row is kept iff its md5
+    * µ-coordinate (h32 mod 10^6) < rate_ppm — same thinning family as
+    * `Dedup.trainingPairs`, stable under re-runs, retries, engines,
+    * and partitioning.
+    *
+    * Scale shape: one map-side-combined stratum count, the
+    * strata-sized rate table broadcasts back, and the thinning is a
+    * per-row filter — the corpus itself never shuffles. Output: kept
+    * rows + (n_s, rate_ppm) audit columns.
+    */
+  def temperatureSample(df: DataFrame, keyCol: String,
+      strataCol: String): DataFrame = {
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("n_s"))
+    val nMin = counts.agg(min(col("n_s")).as("n_min"))
+    val rated = counts.crossJoin(broadcast(nMin))
+      .withColumn("__sq", isqrtExact(col("n_s")))
+      .withColumn("__sqm", isqrtExact(col("n_min")))
+      .withColumn("rate_ppm", expr("(1000000 * __sqm) div __sq"))
+      .select(col(strataCol), col("n_s"), col("rate_ppm"))
+    val coord = conv(substring(md5(col(keyCol).cast("string")), 1, 8),
+      16, 10).cast("long") % lit(1000000L)
+    df.join(broadcast(rated), strataCol)
+      .filter(coord < col("rate_ppm"))
+  }
+
   /** Sequence packing (concat-and-chunk): assign each document a
     * (shard, bin, offset) under a token budget per bin — the layout step
     * that turns a curated corpus into fixed-width pretraining rows. The

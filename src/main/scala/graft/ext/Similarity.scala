@@ -109,6 +109,80 @@ object Similarity {
       .select(col(idCol), col("score"))
   }
 
+  /** Maximal-Marginal-Relevance diversified retrieval (Carbonell &
+    * Goldstein, SIGIR '98): greedily pick `k` of the `poolSize` most
+    * query-similar vectors, each step maximizing
+    *   λ·rel(c) − (1−λ)·max_{s∈picked} sim(c, s)
+    * — the standard RAG re-ranker that stops near-duplicate passages
+    * from filling the context window. λ = lamNum/lamDen (any rational).
+    *
+    * Determinism: relevance and pairwise similarity are floored to
+    * integer µ-cosines (floor(cos·1e6), same fold-dot shape the q28
+    * oracle replays bit-for-bit), so each greedy step is an integer
+    * argmax `lamNum·rel_u − (lamDen−lamNum)·maxsim_u` with (score
+    * desc, id asc) ties — engine-exact, hash-gradeable.
+    *
+    * Scale shape: the corpus-side work is exactly `bruteTopK`'s scan →
+    * broadcast-1-row → TakeOrdered (swap in an ANN pool for 100 TB —
+    * the contract only needs (id, vec, rel_u) candidates); the greedy
+    * itself touches poolSize rows + poolSize² pairwise sims, both
+    * PARAMETER-bounded (30² here), computed in one broadcast
+    * self-join and finished on the driver like `lshTopK`'s one-row
+    * fetch — never corpus-scale.
+    */
+  def mmrTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, poolSize: Int,
+      lamNum: Int = 1, lamDen: Int = 2): DataFrame = {
+    require(k >= 1 && poolSize >= k, "mmrTopK: need poolSize >= k >= 1")
+    require(lamNum >= 1 && lamDen >= lamNum,
+      "mmrTopK: need 0 < lamNum/lamDen <= 1")
+    val spark = df.sparkSession
+    val muCos = (v: Column, n1: Column, q: Column, n2: Column) =>
+      floor(dot(v, q) / (n1 * n2) * lit(1000000.0)).cast("long")
+    val q = df.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"), l2norm(col(vecCol)).as("q_nrm"))
+    val cand = df.filter(col(idCol) =!= queryId)
+      .withColumn("nrm", l2norm(col(vecCol)))
+      .crossJoin(broadcast(q))
+      .withColumn("rel_u",
+        muCos(col(vecCol), col("nrm"), col("q_vec"), col("q_nrm")))
+      .orderBy(col("rel_u").desc, col(idCol).asc)
+      .limit(poolSize)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"),
+        col("nrm"), col("rel_u"))
+    val aSide = cand.select(col("cid").as("a"), col("cvec").as("va"),
+      col("nrm").as("na"))
+    val bSide = cand.select(col("cid").as("b"), col("cvec").as("vb"),
+      col("nrm").as("nb"))
+    val pairs = aSide.crossJoin(broadcast(bSide))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        muCos(col("va"), col("na"), col("vb"), col("nb")).as("sim_u"))
+    // parameter-bounded driver work: poolSize rows + poolSize^2 sims
+    val rels = cand.select(col("cid"), col("rel_u")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sims = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val lam = lamNum.toLong
+    val lamC = (lamDen - lamNum).toLong
+    var picked = Vector.empty[(Long, Long)] // (id, scoreNum)
+    var remaining = rels.toVector
+    while (picked.size < k && remaining.nonEmpty) {
+      val best = remaining.map { case (id, rel) =>
+        val mx =
+          if (picked.isEmpty) 0L
+          else picked.iterator.map(s => sims((id, s._1))).max
+        (id, lam * rel - lamC * mx)
+      }.minBy { case (id, sc) => (-sc, id) }
+      picked :+= best
+      remaining = remaining.filterNot(_._1 == best._1)
+    }
+    import spark.implicits._
+    picked.zipWithIndex
+      .map { case ((id, sc), i) => (i + 1L, id, sc) }
+      .toDF("rank", idCol, "mmr_u")
+  }
+
   /** Symmetric per-vector int8 quantization: scale = max|v| / 127
     * (1.0 for the zero vector), q_i = floor(v_i/scale + 0.5) ∈
     * [-127, 127]. At 100 TB an embedding column is usually THE dominant

@@ -1500,6 +1500,35 @@ object ExtQueries {
         .orderBy("global_pos")
     }),
 
+    // Moore-Lewis intelligent selection (ACL '10): per-token µ-bit
+    // cross-entropy difference between the lang='en' in-domain unigram
+    // LM and the all-corpus LM, add-one smoothed — scored with the
+    // exact-integer Log2Mu so the domain-relevance filter is
+    // hash-gradeable (libm log would differ in last-ulp).
+    "q173_moore_lewis" -> ((s, d) =>
+      graft.ext.TextStats.mooreLewisScore(documents(s, d), "doc_id",
+        "text", col("lang") === "en")
+        .orderBy("doc_id")),
+
+    // MMR diversified retrieval (Carbonell-Goldstein SIGIR '98): the
+    // 30 most query-similar embeddings re-ranked greedily so picks
+    // stay mutually dissimilar (λ=1/2) — integer µ-cosine scores keep
+    // every argmax engine-exact.
+    "q174_mmr_rerank" -> ((s, d) =>
+      graft.ext.Similarity.mmrTopK(embeddings(s, d), "vec_id",
+        "embedding", queryId = 0L, k = 8, poolSize = 30)
+        .orderBy("rank")),
+
+    // Temperature-scaled mixture resampling (α=1/2, the mBERT/XLM
+    // multilingual rebalancing rule): keep-rate √(n_min/n_s) per
+    // language — exact-isqrt integer rates, md5 µ-coordinate thinning,
+    // smallest stratum keeps everything.
+    "q175_temperature_sample" -> ((s, d) =>
+      graft.ext.Sampling.temperatureSample(documents(s, d), "doc_id",
+        "lang")
+        .select(col("doc_id"), col("lang"), col("n_s"), col("rate_ppm"))
+        .orderBy("doc_id")),
+
     // Join-explosion pre-audit: exact per-key output contribution of
     // the (customer x supplier ON nationkey) many-to-many join — two
     // key-count profiles joined on distinct keys, never fact rows;
@@ -1830,6 +1859,51 @@ object ExtQueries {
 
   private val cosineSql = (v: String, q: String) =>
     s"(${dotSql(v, q)}) / (sqrt(${dotSql(v, v)}) * sqrt(${dotSql(q, q)}))"
+
+  /** q174's greedy MMR unrolled to `k` step CTEs (the fixed-round
+    * unroll discipline of the kcore/BFS/LPA oracles): each step picks
+    * the integer-µ-cosine argmax of lamNum·rel − (lamDen−lamNum)·
+    * max-sim-to-picked, ties by id.
+    */
+  private def mmrOracleSql(k: Int, pool: Int, lamNum: Int,
+      lamDen: Int): String = {
+    val lamC = lamDen - lamNum
+    val steps = (2 to k).map { i =>
+      val selUnion = (1 until i).map(j => s"SELECT cid FROM pick$j")
+        .mkString(" UNION ALL ")
+      s"""sel${i - 1} AS MATERIALIZED ($selUnion),
+         |s$i AS MATERIALIZED (
+         |  SELECT c.cid, $lamNum * c.rel_u - $lamC * m.mx AS sc
+         |  FROM cand c
+         |  JOIN (SELECT a AS cid, max(sim_u) AS mx FROM p
+         |        WHERE b IN (SELECT cid FROM sel${i - 1}) GROUP BY a) m
+         |    ON m.cid = c.cid
+         |  WHERE c.cid NOT IN (SELECT cid FROM sel${i - 1})
+         |  ORDER BY sc DESC, c.cid LIMIT 1),
+         |pick$i AS MATERIALIZED (SELECT cid, $i AS rank, sc FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to k).map(i => s"SELECT * FROM pick$i")
+      .mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+       |cand AS MATERIALIZED (
+       |  SELECT vec_id AS cid, embedding AS cvec,
+       |    cast(floor((${cosineSql("embedding", "q_vec")}) * 1000000)
+       |      AS bigint) AS rel_u
+       |  FROM embeddings, q WHERE vec_id <> 0
+       |  ORDER BY rel_u DESC, vec_id LIMIT $pool),
+       |p AS MATERIALIZED (
+       |  SELECT ca.cid AS a, cb.cid AS b,
+       |    cast(floor((${cosineSql("ca.cvec", "cb.cvec")}) * 1000000)
+       |      AS bigint) AS sim_u
+       |  FROM cand ca JOIN cand cb ON ca.cid <> cb.cid),
+       |s1 AS (SELECT cid, $lamNum * rel_u AS sc FROM cand
+       |       ORDER BY sc DESC, cid LIMIT 1),
+       |pick1 AS MATERIALIZED (SELECT cid, 1 AS rank, sc FROM s1),
+       |$steps
+       |SELECT cast(rank AS bigint) AS rank, cid AS vec_id,
+       |  cast(sc AS bigint) AS mmr_u
+       |FROM ($unionAll) ORDER BY rank""".stripMargin
+  }
 
   /** Squared-L2 in the exact left-associated shape the Spark side
     * computes (`Similarity.sqDist` / the driver twin) — shared by the
@@ -3569,6 +3643,97 @@ object ExtQueries {
         |  cast(pos AS bigint) AS pos
         |FROM v QUALIFY global_pos <= 500
         |ORDER BY global_pos""".stripMargin,
+
+    // Moore-Lewis replay: same unigram counts, the log2µ integer
+    // recurrence via bin() + list_reduce over the (tiny) set of
+    // distinct log arguments, same truncating div.
+    "q173_moore_lewis" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, (lang = 'en') AS tgt, unnest(w) AS w FROM t),
+        |u AS (
+        |  SELECT w, cast(count(*) AS bigint) AS c_g,
+        |    cast(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS bigint) AS c_t
+        |  FROM tok GROUP BY w),
+        |tot AS (
+        |  SELECT cast(sum(c_g) AS bigint) AS t_g,
+        |    cast(sum(c_t) AS bigint) AS t_t,
+        |    cast(count(*) AS bigint) AS v FROM u),
+        |xs AS (
+        |  SELECT DISTINCT x FROM (
+        |    SELECT c_g + 1 AS x FROM u
+        |    UNION ALL SELECT c_t + 1 FROM u
+        |    UNION ALL SELECT t_g + v FROM tot
+        |    UNION ALL SELECT t_t + v FROM tot)),
+        |lg AS (
+        |  SELECT x, (length(bin(x)) - 1) * 1024 + list_reduce(
+        |      list_prepend(
+        |        [CASE WHEN length(bin(x)) - 1 <= 30
+        |           THEN x << (30 - (length(bin(x)) - 1))
+        |           ELSE x >> ((length(bin(x)) - 1) - 30) END,
+        |         cast(0 AS bigint)],
+        |        list_transform(range(10),
+        |          i -> [cast(0 AS bigint), cast(0 AS bigint)])),
+        |      (acc, e) -> CASE
+        |        WHEN ((acc[1] * acc[1]) >> 30) >= 2147483648
+        |          THEN [((acc[1] * acc[1]) >> 30) >> 1, acc[2] * 2 + 1]
+        |        ELSE [(acc[1] * acc[1]) >> 30, acc[2] * 2] END
+        |    )[2] AS mu
+        |  FROM xs),
+        |wt AS (
+        |  SELECT u.w, lt.mu - ltt.mu - lgg.mu + ltg.mu AS w_mu
+        |  FROM u CROSS JOIN tot
+        |  JOIN lg lt ON lt.x = u.c_t + 1
+        |  JOIN lg lgg ON lgg.x = u.c_g + 1
+        |  JOIN lg ltt ON ltt.x = tot.t_t + tot.v
+        |  JOIN lg ltg ON ltg.x = tot.t_g + tot.v),
+        |sc AS (
+        |  SELECT tok.doc_id, cast(count(*) AS bigint) AS n_tokens,
+        |    cast(sum(w_mu) AS bigint) AS s
+        |  FROM tok JOIN wt ON tok.w = wt.w GROUP BY 1)
+        |SELECT d.doc_id,
+        |  cast(coalesce(n_tokens, 0) AS bigint) AS n_tokens,
+        |  cast(s // n_tokens AS bigint) AS ml_mu
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Greedy MMR, k steps unrolled.
+    "q174_mmr_rerank" -> mmrOracleSql(k = 8, pool = 30, lamNum = 1,
+      lamDen = 2),
+
+    // Exact-isqrt temperature rates + md5 µ-coordinate replay.
+    "q175_temperature_sample" ->
+      s"""WITH c AS (
+         |  SELECT lang, cast(count(*) AS bigint) AS n_s
+         |  FROM documents GROUP BY lang),
+         |m AS (SELECT cast(min(n_s) AS bigint) AS n_min FROM c),
+         |iq AS (
+         |  SELECT lang, n_s,
+         |    s0 - CASE WHEN s0 * s0 > n_s THEN 1 ELSE 0 END
+         |       + CASE WHEN (s0 + 1) * (s0 + 1) <= n_s THEN 1 ELSE 0 END
+         |      AS sq
+         |  FROM (SELECT lang, n_s,
+         |          cast(floor(sqrt(cast(n_s AS double))) AS bigint) AS s0
+         |        FROM c)),
+         |im AS (
+         |  SELECT s0 - CASE WHEN s0 * s0 > n_min THEN 1 ELSE 0 END
+         |       + CASE WHEN (s0 + 1) * (s0 + 1) <= n_min THEN 1 ELSE 0
+         |         END AS sqm
+         |  FROM (SELECT n_min,
+         |          cast(floor(sqrt(cast(n_min AS double))) AS bigint)
+         |            AS s0
+         |        FROM m)),
+         |r AS (
+         |  SELECT lang, n_s, (1000000 * sqm) // sq AS rate_ppm
+         |  FROM iq, im)
+         |SELECT d.doc_id, d.lang, r.n_s, r.rate_ppm
+         |FROM documents d JOIN r USING (lang)
+         |WHERE (${md5u32Sql("cast(doc_id AS varchar)")}) % 1000000
+         |  < r.rate_ppm
+         |ORDER BY d.doc_id""".stripMargin,
 
     // Profile-join replay of the explosion audit.
     "q168_join_explosion" ->

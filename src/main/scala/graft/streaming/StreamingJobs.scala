@@ -47,6 +47,72 @@ object StreamingJobs {
   def dedup(events: DataFrame): DataFrame =
     events.dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
 
+  /** Streaming near-dup filter against the corpus at rest — the
+    * continuous-ingest twin of [[graft.ext.Dedup.incrementalNearDups]]
+    * (q69): documents arriving on a stream are MinHash-banded with the
+    * stateless `bandRows` projection, probe the persisted
+    * `writeLshIndex` band table via a STREAM-STATIC join, and verify
+    * with exact shingle Jaccard against the static shingle table —
+    * then `dropDuplicatesWithinWatermark` collapses the multi-band
+    * hits of one (batch, corpus) pair, so pair-emission state is
+    * bounded by the watermark horizon, not the corpus.
+    *
+    * Scale shape: every stream-side stage is a stateless projection or
+    * a stream-static join (the static sides are the at-rest index —
+    * pruned/broadcast exactly as in the batch path); NO corpus data
+    * ever enters streaming state. Emits (ts, batch_id, corpus_id,
+    * jaccard) in append mode.
+    *
+    * `docs` must carry (`idCol`, `textCol`, `ts`) with a watermark
+    * already set (as `readEvents` does for events).
+    */
+  def nearDupStream(spark: SparkSession, indexPath: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 8, bands: Int = 4, threshold: Double = 0.7,
+      portable: Boolean = false, nDirs: Int = 64): DataFrame = {
+    import graft.ext.Dedup
+    // The batch `bandRows` computes signatures with explode + groupBy —
+    // a streaming AGGREGATION, illegal in an append pipeline. MinHash
+    // is min over per-shingle hashes, so per-ROW it is the stateless
+    // projection array_min(transform(...)) — spec-pinned identical to
+    // the batch signatures (StreamingSpec).
+    val shRaw = Dedup.shingles(col(textCol), n)
+    val sigs = (0 until k).map { i =>
+      (if (portable)
+        Dedup.minhashMd5(shRaw, i)
+      else array_min(transform(shRaw, s => xxhash64(lit(i), s))))
+        .as(s"mh$i")
+    }
+    val rowsPerBand = k / bands
+    val bandKeys = (0 until bands).map { b =>
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"mh$i"))
+      if (portable) concat_ws("|", lit(b.toString) +: slice: _*)
+      else hash(slice :+ lit(b): _*)
+    }
+    val banded = docs
+      .select(col(idCol).as("batch_id") +: col("ts") +:
+        array_distinct(shRaw).as("sh_b") +: sigs: _*)
+      .select(col("batch_id"), col("ts"), col("sh_b"),
+        posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+      .withColumn("pdir", pmod(hash(col("bkey")), lit(nDirs)))
+    val bandIdx = spark.read.parquet(s"$indexPath/bands")
+    val cSh = spark.read.parquet(s"$indexPath/shingles")
+      .select(col(idCol).as("corpus_id"), col("sh").as("sh_a"))
+    banded
+      .join(bandIdx, Seq("pdir", "band", "bkey")) // stream-static
+      .select(col("batch_id"), col("ts"), col("sh_b"),
+        col(idCol).as("corpus_id"))
+      .join(cSh, "corpus_id") // stream-static
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ts"), col("batch_id"), col("corpus_id"),
+        col("jaccard"))
+      .dropDuplicatesWithinWatermark(Seq("batch_id", "corpus_id"))
+  }
+
   /** Streaming daily distinct active users: watermark-bounded dedup of
     * (user, day) — each user counts ONCE per day no matter how many
     * events they emit — then a per-day count. Two chained stateful

@@ -261,6 +261,48 @@ class Round8Spec extends SparkSpec {
     assert(a.map(_.getLong(1)).distinct.size === 5)
   }
 
+  // ------------------------------------------------------------------
+  // Sampling.isqrtExact / temperatureSample
+  // ------------------------------------------------------------------
+
+  test("isqrtExact: exact at knife edges and random points") {
+    val rnd = new scala.util.Random(77)
+    val ks = Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L, 15L, 16L, 25L,
+      (1L << 31) * (1L << 31) - 1, (1L << 31) * (1L << 31)) ++
+      (1 to 200).map(_ => (rnd.nextLong() & ((1L << 62) - 1))) ++
+      (1 to 50).map { _ =>
+        val k = (rnd.nextLong() & ((1L << 30) - 1)) + 1
+        k * k + (rnd.nextInt(3) - 1) // k^2-1, k^2, k^2+1
+      }
+    val df = ks.toDF("x")
+    val got = df.select(col("x"),
+      Sampling.isqrtExact(col("x")).as("s")).as[(Long, Long)]
+      .collect()
+    got.foreach { case (x, s) =>
+      assert(s * s <= x && (s + 1) * (s + 1) > x, s"x=$x s=$s")
+    }
+  }
+
+  test("temperatureSample: smallest stratum keeps all; rates are " +
+      "exact sqrt ratios; deterministic under repartitioning") {
+    val rows = (1 to 400).map(i => (i.toLong,
+      if (i <= 16) "rare" else if (i <= 160) "mid" else "big"))
+    val d = rows.toDF("id", "lang")
+    val out = Sampling.temperatureSample(d, "id", "lang")
+    val rates = out.select("lang", "n_s", "rate_ppm").distinct()
+      .as[(String, Long, Long)].collect()
+      .map { case (l, n, r) => l -> ((n, r)) }.toMap // lang -> (n, ppm)
+    assert(rates("rare") === ((16L, 1000000L)))      // keeps everything
+    assert(rates("mid") === ((144L, 1000000L / 3)))  // isqrt 4/12
+    assert(rates("big") === ((240L, (1000000L * 4) / 15))) // isqrt 15
+    // smallest stratum: every row present
+    assert(out.filter(col("lang") === "rare").count() === 16L)
+    val again = Sampling.temperatureSample(d.repartition(11), "id",
+      "lang")
+    assert(out.except(again).count() === 0 &&
+      again.except(out).count() === 0)
+  }
+
   test("mooreLewisScore: partitioning-invariant, ranks en docs first") {
     val docs = Tables.documents(spark, sf0001)
     val a = graft.ext.TextStats.mooreLewisScore(docs, "doc_id", "text",

@@ -388,6 +388,41 @@ class StreamingSpec extends SparkSpec {
       (2L, None)))
   }
 
+  test("nearDupStream: stream-static probe equals batch incremental " +
+      "dedup across micro-batches") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val idx = Files.createTempDirectory("graft_ndx").toString + "/idx"
+    graft.ext.Dedup.writeLshIndex(docs.filter(col("doc_id") >= 50),
+      "doc_id", "text", path = idx)
+    val batchDocs = docs.filter(col("doc_id") < 50)
+    val want = graft.ext.Dedup.incrementalNearDups(spark, idx,
+      batchDocs, "doc_id", "text")
+      .select("batch_id", "corpus_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(want.nonEmpty, "fixture must produce at least one near-dup")
+    // stream the same batch in several micro-batches
+    val dir = Files.createTempDirectory("graft_nds").toString
+    batchDocs
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .repartition(3).write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+      .withWatermark("ts", "1 hour")
+    val q = StreamingJobs.nearDupStream(spark, idx, stream,
+      "doc_id", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sj_ndup").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+    val got = spark.table("sj_ndup")
+      .select("batch_id", "corpus_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === want)
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions on gap") {
     // batch Dataset drive of the same state function shape: sessions
     // close inline when a later event arrives past the gap
