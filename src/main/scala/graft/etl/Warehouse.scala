@@ -198,6 +198,81 @@ object Warehouse {
     }
   }
 
+  /** Versioned snapshot table — the time-travel contract (Delta /
+    * Iceberg style) in plain parquet: every commit writes a NEW
+    * immutable `v=N` directory under `<table>@versions/`; a version is
+    * COMMITTED iff Spark's `_SUCCESS` marker landed (written last), so
+    * a crashed writer leaves an invisible dangling directory, never a
+    * broken table — no pointer file to corrupt. Readers resolve
+    * `latest` = max committed N with ONE directory listing
+    * (metadata-scale), and reading any version scans only that
+    * directory. Single-writer, like the other warehouse mutators.
+    */
+  private def versionRoot(dir: String, table: String): String =
+    path(dir, table + "@versions")
+
+  private def committedVersions(spark: SparkSession, dir: String,
+      table: String): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(versionRoot(dir, table))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .sorted
+  }
+
+  /** Commit `df` as the next version; returns the new version number. */
+  def commitVersion(spark: SparkSession, df: DataFrame, dir: String,
+      table: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(versionRoot(dir, table))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all = if (!fs.exists(root)) Seq.empty[Long]
+      else fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+        .map(_.getPath.getName.stripPrefix("v=").toLong)
+    val next = (all :+ 0L).max + 1
+    df.write.mode(SaveMode.ErrorIfExists)
+      .parquet(s"${versionRoot(dir, table)}/v=$next")
+    next
+  }
+
+  def listVersions(spark: SparkSession, dir: String,
+      table: String): Seq[Long] = committedVersions(spark, dir, table)
+
+  /** Read a committed snapshot; `version = -1` resolves latest. */
+  def readVersion(spark: SparkSession, dir: String, table: String,
+      version: Long = -1L): DataFrame = {
+    val vs = committedVersions(spark, dir, table)
+    require(vs.nonEmpty, s"readVersion: no committed versions of $table")
+    val v = if (version == -1L) vs.max else version
+    require(vs.contains(v),
+      s"readVersion: version $v of $table not committed " +
+        s"(have ${vs.mkString(",")})")
+    spark.read.parquet(s"${versionRoot(dir, table)}/v=$v")
+  }
+
+  /** Drop every committed snapshot except the newest `keep`, plus any
+    * dangling (uncommitted) directory — metadata-scale, idempotent.
+    */
+  def vacuumVersions(spark: SparkSession, dir: String, table: String,
+      keep: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(keep >= 1, "vacuumVersions: keep must be >= 1")
+    val root = new Path(versionRoot(dir, table))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val live = committedVersions(spark, dir, table).takeRight(keep).toSet
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .filterNot(s =>
+        live.contains(s.getPath.getName.stripPrefix("v=").toLong))
+      .foreach(s => fs.delete(s.getPath, true))
+  }
+
   /** Retention / TTL maintenance on a partitioned table: drop every
     * leaf partition directory whose partition VALUE sorts strictly
     * below `cutoff` (e.g. `anio < "2020"`, `day < "2024-01-01"` with

@@ -474,6 +474,84 @@ object Sketches {
       ExpressionEncoder[Seq[Long]]()
   }
 
+  /** Min-k sample in PAIR form: same bounded buffer as
+    * [[MinKSampleAggregator]] but `finish` keeps the (hash, value)
+    * pairs — the mergeable at-rest representation. Min-k is a
+    * mergeable order statistic: min-k(A ∪ B) = min-k(min-k(A) ∪
+    * min-k(B)), so shard samples union + re-take-k to EXACTLY the
+    * sample a single pass over the union would draw.
+    */
+  class MinKPairsAggregator(k: Int)
+      extends Aggregator[(Long, Long), Seq[(Long, Long)],
+        Seq[(Long, Long)]] {
+    private val inner = new MinKSampleAggregator(k)
+    override def zero: Seq[(Long, Long)] = inner.zero
+    override def reduce(b: Seq[(Long, Long)],
+        x: (Long, Long)): Seq[(Long, Long)] = inner.reduce(b, x)
+    override def merge(b1: Seq[(Long, Long)],
+        b2: Seq[(Long, Long)]): Seq[(Long, Long)] = inner.merge(b1, b2)
+    override def finish(b: Seq[(Long, Long)]): Seq[(Long, Long)] = b
+    override def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+      inner.bufferEncoder
+    override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+      ExpressionEncoder[Seq[(Long, Long)]]()
+  }
+
+  private def sampleShard(df: DataFrame, groupCol: String,
+      keyCol: String, value: Column, k: Int): DataFrame = {
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val agg = udaf(new MinKPairsAggregator(k),
+      Encoders.product[(Long, Long)])
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_part"), agg(h, value.cast("long"))
+        .as("pairs"))
+  }
+
+  /** Quantile-sample sketch at rest (the q125/q167
+    * maintain-without-rebuild contract for `sampleQuantiles`): writers
+    * append one (group, n_part, pairs) row per group per shard — a new
+    * batch NEVER reads or rewrites the base table — and readers merge
+    * by exact count addition + min-k re-take, which reproduces the
+    * single-pass sample bit-for-bit (see [[MinKPairsAggregator]]).
+    */
+  def sampleWrite(df: DataFrame, groupCol: String, keyCol: String,
+      value: Column, k: Int, path: String): Unit =
+    sampleShard(df, groupCol, keyCol, value, k)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  def sampleAppend(df: DataFrame, groupCol: String, keyCol: String,
+      value: Column, k: Int, path: String): Unit =
+    sampleShard(df, groupCol, keyCol, value, k)
+      .coalesce(1).write.mode("append").parquet(path)
+
+  /** Merge the shard samples at `path` and answer the same rational
+    * rank reads as [[sampleQuantiles]] — output identical to running
+    * sampleQuantiles directly over the union of every shard ever
+    * written. The merge work is (groups × shards × k) sketch rows,
+    * never corpus rows.
+    */
+  def sampleRead(spark: org.apache.spark.sql.SparkSession, path: String,
+      groupCol: String, k: Int,
+      qs: Seq[(String, (Int, Int))]): DataFrame = {
+    require(qs.nonEmpty, "sampleRead: need at least one quantile")
+    val t = spark.read.parquet(path)
+    val counts = t.groupBy(col(groupCol)).agg(sum("n_part").as("n"))
+    val sampler = udaf(new MinKSampleAggregator(k),
+      Encoders.product[(Long, Long)])
+    val reads = qs.map { case (name, (qNum, qDen)) =>
+      expr(s"element_at(__sample, " +
+        s"cast(($qNum * __m + ${qDen - 1}) div $qDen AS int))").as(name)
+    }
+    t.select(col(groupCol), explode(col("pairs")).as("pv"))
+      .groupBy(col(groupCol))
+      .agg(sampler(col("pv._1"), col("pv._2")).as("__sample"))
+      .withColumn("__m", size(col("__sample")).cast("long"))
+      .join(counts, groupCol)
+      .select(col(groupCol) +: col("n") +: col("__m").as("m") +:
+        reads: _*)
+  }
+
   /** Per-group sampled quantiles in ONE aggregation pass: a
     * deterministic md5-keyed min-k sample per group (bounded buffer,
     * map-side combine) + rank reads off the sorted sample. Exact

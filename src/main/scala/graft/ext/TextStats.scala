@@ -364,6 +364,55 @@ object TextStats {
         col("ml_mu"))
   }
 
+  /** CCNet-style language-model quality filter (Wenzek et al., LREC
+    * '20: perplexity under an in-corpus LM separates fluent text from
+    * boilerplate/junk): per-document MEAN BIGRAM SURPRISAL in µ-bits —
+    * the exact-integer log-space twin of [[bigramLmScore]] (q107 emits
+    * a mean linear probability; this emits the log-perplexity
+    * statistic CCNet actually thresholds on). Surprisal of bigram
+    * (w1,w2) under the add-one model is −log2 p = log2µ(c1 + V) −
+    * log2µ(c12 + 1), exact via [[graft.functions.Log2Mu]]; per-doc
+    * score = floor(Σ surprisal / n_bigrams). Low = fluent/in-
+    * distribution, high = junk.
+    *
+    * Scale shape: identical to bigramLmScore — count aggregates
+    * combine map-side; the weight table is |distinct bigrams|-sized
+    * and BROADCASTS onto the doc bigram stream; the only corpus-keyed
+    * shuffle is the per-doc aggregation.
+    */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    import graft.functions.PairFunctions.log2Mu
+    val toks = tokens(col(textCol))
+    val nb = size(toks) - 1
+    val docBigrams = df
+      .select(col(idCol), explode(zip_with(
+        slice(toks, lit(1), greatest(nb, lit(0))),
+        slice(toks, lit(2), greatest(nb, lit(0))),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bigramC = docBigrams.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c12"))
+    val unigramC = df.select(explode(toks).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = df.select(explode(toks).as("w"))
+      .agg(count_distinct(col("w"))).head().getLong(0)
+    val weights = bigramC.join(unigramC, "w1")
+      .select(col("w1"), col("w2"),
+        (log2Mu(col("c1") + lit(v)) - log2Mu(col("c12") + lit(1L)))
+          .as("s_mu"))
+    val scored = docBigrams
+      .join(broadcast(weights), Seq("w1", "w2"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s_mu")).as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        expr("__s div n_bigrams").as("ppl_mu"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("ppl_mu"))
+  }
+
   /** BM25 top-k retrieval for a fixed bag of query `terms` — the scoring
     * pass of a keyword search / data-curation filter. Uses the LINEAR
     * idf `((N - df) + 0.5) / (df + 0.5)` (same monotone-substitute

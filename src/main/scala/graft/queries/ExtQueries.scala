@@ -1529,6 +1529,52 @@ object ExtQueries {
         .select(col("doc_id"), col("lang"), col("n_s"), col("rate_ppm"))
         .orderBy("doc_id")),
 
+    // Quantile-sample sketch at rest: two disjoint shards written
+    // append-only (the second never reads the first), merged on read
+    // by exact count addition + min-k re-take — must equal the q97
+    // single-pass sample over the union (min-k is mergeable).
+    "q176_sample_at_rest" -> ((s, d) => {
+      val docs = documents(s, d)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q176_" +
+        Integer.toHexString(d.hashCode) + "/qsk"
+      val qs = Seq("p25" -> (1, 4), "p50" -> (1, 2), "p75" -> (3, 4))
+      Sketches.sampleWrite(docs.filter(col("doc_id") % 2 === 0), "lang",
+        "doc_id", col("n_chars"), k = 256, path)
+      Sketches.sampleAppend(docs.filter(col("doc_id") % 2 =!= 0), "lang",
+        "doc_id", col("n_chars"), k = 256, path)
+      Sketches.sampleRead(s, path, "lang", k = 256, qs)
+        .orderBy("lang")
+    }),
+
+    // CCNet-style LM quality filter (Wenzek '20): per-doc mean bigram
+    // surprisal in exact µ-bits (Log2Mu) under the add-one in-corpus
+    // LM — the log-perplexity statistic CCNet thresholds on; the
+    // log-space twin of q107's linear mean probability.
+    "q177_lm_perplexity" -> ((s, d) =>
+      graft.ext.TextStats.bigramSurprisal(documents(s, d), "doc_id",
+        "text")
+        .orderBy("doc_id")),
+
+    // Time travel: two snapshot commits, then read-as-of version 1 —
+    // the later commit must be invisible to the older snapshot
+    // (Delta/Iceberg contract in plain parquet: immutable v=N dirs,
+    // committed = _SUCCESS, latest = one listing).
+    "q178_time_travel" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q178_" +
+        Integer.toHexString(d.hashCode)
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      val v1 = orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice"))
+      graft.etl.Warehouse.commitVersion(s, v1, dir, "snap")
+      graft.etl.Warehouse.commitVersion(s,
+        v1.withColumn("o_totalprice", col("o_totalprice") + 1),
+        dir, "snap")
+      graft.etl.Warehouse.readVersion(s, dir, "snap", 1L)
+        .orderBy("o_orderkey")
+    }),
+
     // Join-explosion pre-audit: exact per-key output contribution of
     // the (customer x supplier ON nationkey) many-to-many join — two
     // key-count profiles joined on distinct keys, never fact rows;
@@ -1903,6 +1949,36 @@ object ExtQueries {
        |SELECT cast(rank AS bigint) AS rank, cid AS vec_id,
        |  cast(sc AS bigint) AS mmr_u
        |FROM ($unionAll) ORDER BY rank""".stripMargin
+  }
+
+  /** md5 min-k sample + rational rank reads — replays
+    * `Sketches.sampleQuantiles` exactly. Shared by q97 (direct) and
+    * q176 (at-rest sharded): the shard merge is provably the same
+    * sample, so both grade against one replay.
+    */
+  private val sampleQuantilesReplaySql: String = {
+    val h32 = (0 until 8).map(i =>
+      s"(strpos('0123456789abcdef', substr(hh, ${i + 1}, 1)) - 1) * ${math.pow(16, 7 - i).toLong}")
+      .mkString("(", " + ", ")")
+    s"""WITH h AS (
+       |  SELECT lang, n_chars, md5(cast(doc_id AS varchar)) AS hh
+       |  FROM documents),
+       |hv AS (SELECT lang, n_chars, cast($h32 AS bigint) AS h FROM h),
+       |r AS (SELECT lang, n_chars,
+       |    row_number() OVER (PARTITION BY lang ORDER BY h, n_chars)
+       |      AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS n
+       |  FROM hv),
+       |s AS (SELECT lang, n_chars, n FROM r WHERE rn <= 256),
+       |v AS (SELECT lang, n_chars, n,
+       |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS vr,
+       |    count(*) OVER (PARTITION BY lang) AS m
+       |  FROM s)
+       |SELECT lang, max(n) AS n, max(m) AS m,
+       |  max(CASE WHEN vr = (1 * m + 3) // 4 THEN n_chars END) AS p25,
+       |  max(CASE WHEN vr = (1 * m + 1) // 2 THEN n_chars END) AS p50,
+       |  max(CASE WHEN vr = (3 * m + 3) // 4 THEN n_chars END) AS p75
+       |FROM v GROUP BY lang ORDER BY lang""".stripMargin
   }
 
   /** Squared-L2 in the exact left-associated shape the Spark side
@@ -3704,6 +3780,61 @@ object ExtQueries {
     "q174_mmr_rerank" -> mmrOracleSql(k = 8, pool = 30, lamNum = 1,
       lamDen = 2),
 
+    // q107's bigram counts + the q173 log2µ integer recurrence over
+    // the distinct log arguments; same truncating div.
+    "q177_lm_perplexity" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, unnest(w[1:len(w)-1]) AS w1,
+        |    unnest(w[2:len(w)]) AS w2
+        |  FROM t),
+        |bc AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+        |ug AS (SELECT unnest(w) AS w1 FROM t),
+        |u AS (SELECT w1, count(*) AS c1 FROM ug GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w1) AS nv FROM ug),
+        |xs AS (
+        |  SELECT DISTINCT x FROM (
+        |    SELECT cast(c12 + 1 AS bigint) AS x FROM bc
+        |    UNION ALL
+        |    SELECT cast(c1 + nv AS bigint) FROM u CROSS JOIN v)),
+        |lg AS (
+        |  SELECT x, (length(bin(x)) - 1) * 1024 + list_reduce(
+        |      list_prepend(
+        |        [CASE WHEN length(bin(x)) - 1 <= 30
+        |           THEN x << (30 - (length(bin(x)) - 1))
+        |           ELSE x >> ((length(bin(x)) - 1) - 30) END,
+        |         cast(0 AS bigint)],
+        |        list_transform(range(10),
+        |          i -> [cast(0 AS bigint), cast(0 AS bigint)])),
+        |      (acc, e) -> CASE
+        |        WHEN ((acc[1] * acc[1]) >> 30) >= 2147483648
+        |          THEN [((acc[1] * acc[1]) >> 30) >> 1, acc[2] * 2 + 1]
+        |        ELSE [(acc[1] * acc[1]) >> 30, acc[2] * 2] END
+        |    )[2] AS mu
+        |  FROM xs),
+        |wt AS (
+        |  SELECT bc.w1, bc.w2, la.mu - lb.mu AS s_mu
+        |  FROM bc JOIN u USING (w1) CROSS JOIN v
+        |  JOIN lg la ON la.x = c1 + nv
+        |  JOIN lg lb ON lb.x = c12 + 1),
+        |sc AS (
+        |  SELECT b.doc_id, cast(count(*) AS bigint) AS n_bigrams,
+        |    cast(sum(s_mu) AS bigint) AS s
+        |  FROM b JOIN wt USING (w1, w2) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  cast(coalesce(n_bigrams, 0) AS bigint) AS n_bigrams,
+        |  cast(s // n_bigrams AS bigint) AS ppl_mu
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // The v1 snapshot must equal the source projection untouched by
+    // the second commit.
+    "q178_time_travel" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
     // Exact-isqrt temperature rates + md5 µ-coordinate replay.
     "q175_temperature_sample" ->
       s"""WITH c AS (
@@ -4918,30 +5049,11 @@ object ExtQueries {
     // Replays the SAMPLE, not the exact quantile: min-k rows per group
     // by (md5 coordinate, value), then the same rational rank reads
     // over the value-sorted sample — exact agreement at any sf.
-    "q97_sample_quantiles" -> {
-      val h32 = (0 until 8).map(i =>
-        s"(strpos('0123456789abcdef', substr(hh, ${i + 1}, 1)) - 1) * ${math.pow(16, 7 - i).toLong}")
-        .mkString("(", " + ", ")")
-      s"""WITH h AS (
-         |  SELECT lang, n_chars, md5(cast(doc_id AS varchar)) AS hh
-         |  FROM documents),
-         |hv AS (SELECT lang, n_chars, cast($h32 AS bigint) AS h FROM h),
-         |r AS (SELECT lang, n_chars,
-         |    row_number() OVER (PARTITION BY lang ORDER BY h, n_chars)
-         |      AS rn,
-         |    count(*) OVER (PARTITION BY lang) AS n
-         |  FROM hv),
-         |s AS (SELECT lang, n_chars, n FROM r WHERE rn <= 256),
-         |v AS (SELECT lang, n_chars, n,
-         |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS vr,
-         |    count(*) OVER (PARTITION BY lang) AS m
-         |  FROM s)
-         |SELECT lang, max(n) AS n, max(m) AS m,
-         |  max(CASE WHEN vr = (1 * m + 3) // 4 THEN n_chars END) AS p25,
-         |  max(CASE WHEN vr = (1 * m + 1) // 2 THEN n_chars END) AS p50,
-         |  max(CASE WHEN vr = (3 * m + 3) // 4 THEN n_chars END) AS p75
-         |FROM v GROUP BY lang ORDER BY lang""".stripMargin
-    },
+    "q97_sample_quantiles" -> sampleQuantilesReplaySql,
+
+    // The at-rest sharded sample must be indistinguishable from the
+    // single-pass sample over the union — same replay as q97.
+    "q176_sample_at_rest" -> sampleQuantilesReplaySql,
 
     // One-shot recount over the whole corpus — the segmented read with
     // manifest liveness must be indistinguishable from it.

@@ -356,4 +356,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       s"quadratic join shape in:\n$p")
   }
+
+  test("q173 Moore-Lewis weight table broadcasts onto the token stream") {
+    val p = plan("q173_moore_lewis")
+    // corpus-side plan: scan -> explode -> broadcast-hash-join ->
+    // partial agg; the vocab-sized weight table must never shuffle the
+    // token stream, and the unigram counts must combine map-side
+    assert(p.contains("BroadcastHashJoin"), s"weights not broadcast in:\n$p")
+    assert(p.contains("partial_"), s"no partial aggregate in:\n$p")
+    // the only nested-loop allowed is the benign broadcast 1-row
+    // totals cross (the Stats.scala:432 pattern); a real cartesian
+    // would plan as CartesianProduct
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("q175 temperature rates broadcast; thinning is a per-row filter") {
+    val p = plan("q175_temperature_sample")
+    assert(p.contains("BroadcastHashJoin"), s"rates not broadcast in:\n$p")
+    assert(p.contains("partial_"),
+      s"stratum counts not map-side combined in:\n$p")
+  }
 }

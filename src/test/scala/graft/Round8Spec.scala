@@ -303,6 +303,115 @@ class Round8Spec extends SparkSpec {
       again.except(out).count() === 0)
   }
 
+  // ------------------------------------------------------------------
+  // Sketches.sampleWrite/sampleAppend/sampleRead — at-rest lifecycle
+  // ------------------------------------------------------------------
+
+  test("sample sketch at rest: sharded write+append+read equals the " +
+      "single-pass sampleQuantiles, including under-k groups") {
+    import graft.ext.Sketches
+    val rnd = new scala.util.Random(11)
+    // group g0: 300 rows (> k), g1: 40 (< k), g2: 7 rows in ONE shard
+    val rows =
+      (1 to 300).map(i => (i.toLong, "g0", rnd.nextInt(1000).toLong)) ++
+      (301 to 340).map(i => (i.toLong, "g1", rnd.nextInt(50).toLong)) ++
+      (341 to 347).map(i => (i.toLong, "g2", i.toLong))
+    val df = rows.toDF("id", "grp", "v")
+    val qs = Seq("p25" -> (1, 4), "p50" -> (1, 2), "p75" -> (3, 4))
+    val want = Sketches.sampleQuantiles(df, "grp", "id", col("v"),
+      k = 64, qs).collect().toSet
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_qsk").toString + "/t"
+    Sketches.sampleWrite(df.filter(col("id") % 3 === 0), "grp", "id",
+      col("v"), 64, path)
+    Sketches.sampleAppend(df.filter(col("id") % 3 === 1), "grp", "id",
+      col("v"), 64, path)
+    Sketches.sampleAppend(df.filter(col("id") % 3 === 2), "grp", "id",
+      col("v"), 64, path)
+    val got = Sketches.sampleRead(spark, path, "grp", 64, qs)
+      .collect().toSet
+    assert(got === want)
+  }
+
+  // ------------------------------------------------------------------
+  // TextStats.bigramSurprisal — CCNet-style perplexity filter
+  // ------------------------------------------------------------------
+
+  test("bigramSurprisal: hand-checked surprisal; repeated text scores " +
+      "lower (more predictable) than unique text") {
+    val d = Seq(
+      (1L, "a b a b a b a b"),   // one dominant bigram family
+      (2L, "c d e f g h i j"))   // every bigram unique
+    val df = d.toDF("id", "text")
+    val out = graft.ext.TextStats.bigramSurprisal(df, "id", "text")
+      .orderBy("id").collect()
+    def mu(x: Long) = graft.functions.Log2Mu.compute(x)
+    // corpus: tokens a..j; V = 10; c1(a)=4, c12(a,b)=4, c12(b,a)=3 ...
+    val wAb = mu(4 + 10) - mu(4 + 1) // surprisal of (a,b)
+    val wBa = mu(4 + 10) - mu(3 + 1) // c1(b)=4
+    assert(out(0).getLong(1) === 7L)
+    assert(out(0).getLong(2) === (4 * wAb + 3 * wBa) / 7)
+    // doc 2: each bigram c12=1, c1=1 -> surprisal mu(11) - mu(2) each
+    assert(out(1).getLong(1) === 7L)
+    assert(out(1).getLong(2) === mu(11) - mu(2))
+    // predictable text must score LOWER surprisal
+    assert(out(0).getLong(2) < out(1).getLong(2))
+  }
+
+  test("bigramSurprisal: single-token doc gets null, repartition-stable") {
+    val df = Seq((1L, "solo"), (2L, "x y z"), (3L, "x y w"))
+      .toDF("id", "text")
+    val out = graft.ext.TextStats.bigramSurprisal(df, "id", "text")
+    val r1 = out.orderBy("id").collect()
+    assert(r1(0).getLong(1) === 0L && r1(0).isNullAt(2))
+    val again = graft.ext.TextStats
+      .bigramSurprisal(df.repartition(5), "id", "text")
+    assert(out.except(again).count() === 0 &&
+      again.except(out).count() === 0)
+  }
+
+  // ------------------------------------------------------------------
+  // Warehouse versioned snapshots — time travel
+  // ------------------------------------------------------------------
+
+  test("time travel: snapshots immutable, latest resolves, vacuum " +
+      "keeps newest and removes dangling") {
+    import graft.etl.Warehouse
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tt").toString
+    val v1d = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val v2d = Seq((1L, "a2"), (3L, "c")).toDF("k", "v")
+    assert(Warehouse.commitVersion(spark, v1d, dir, "t") === 1L)
+    assert(Warehouse.commitVersion(spark, v2d, dir, "t") === 2L)
+    assert(Warehouse.listVersions(spark, dir, "t") === Seq(1L, 2L))
+    // v1 unchanged by the later commit; latest = v2
+    assert(Warehouse.readVersion(spark, dir, "t", 1L)
+      .orderBy("k").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b")))
+    assert(Warehouse.readVersion(spark, dir, "t")
+      .orderBy("k").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a2"), (3L, "c")))
+    // crashed writer: v=3 without _SUCCESS is invisible, and the next
+    // commit does NOT reuse its number
+    val dangling = new java.io.File(s"$dir/t@versions/v=3")
+    assert(dangling.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/t@versions/v=3/part-orphan"),
+      Array[Byte](1))
+    assert(Warehouse.listVersions(spark, dir, "t") === Seq(1L, 2L))
+    assert(Warehouse.readVersion(spark, dir, "t")
+      .orderBy("k").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a2"), (3L, "c")))
+    assert(Warehouse.commitVersion(spark, v1d, dir, "t") === 4L)
+    // vacuum keep=1: drops v1, v2 and the dangling v3; keeps v4
+    Warehouse.vacuumVersions(spark, dir, "t", keep = 1)
+    assert(Warehouse.listVersions(spark, dir, "t") === Seq(4L))
+    assert(!dangling.exists())
+    intercept[IllegalArgumentException] {
+      Warehouse.readVersion(spark, dir, "t", 1L)
+    }
+  }
+
   test("mooreLewisScore: partitioning-invariant, ranks en docs first") {
     val docs = Tables.documents(spark, sf0001)
     val a = graft.ext.TextStats.mooreLewisScore(docs, "doc_id", "text",
