@@ -181,16 +181,30 @@ object Sampling {
     */
   def priorityTake(df: DataFrame, keyCol: String, weightCol: String,
       n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(n > 0, "priorityTake: n must be positive")
+    priorityFinalize(
+      priorityTop(df, keyCol, weightCol, n), keyCol, weightCol, n)
+  }
+
+  /** The top-(n+1) priority rows — the mergeable sketch of the DLT
+    * sample: top-(n+1)(A ∪ B) = top-(n+1) of the shard tops, so the
+    * at-rest union reproduces the direct sample AND its τ exactly.
+    */
+  private def priorityTop(df: DataFrame, keyCol: String,
+      weightCol: String, n: Int): DataFrame = {
     val h32 = conv(substring(md5(col(keyCol).cast("string")), 1, 8),
       16, 10).cast("long")
-    val top = df
-      .select(col(keyCol), col(weightCol), h32.as("__h"))
+    df.select(col(keyCol), col(weightCol), h32.as("__h"))
       .withColumn("priority",
         expr(s"$weightCol * 4294967296L div (__h + 1L)"))
       .orderBy(col("priority").desc, col(keyCol).asc)
       .limit(n + 1)
+      .select(col(keyCol), col(weightCol), col("priority"))
+  }
+
+  private def priorityFinalize(top: DataFrame, keyCol: String,
+      weightCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // n+1 rows: the single-partition windows below are constant work
     val wAll = Window.partitionBy()
     val wOrd = Window.orderBy(col("priority").desc, col(keyCol).asc)
@@ -203,6 +217,82 @@ object Sampling {
       .withColumn("est_weight", greatest(col(weightCol), col("__tau")))
       .select(col(keyCol), col(weightCol), col("priority"),
         col("est_weight"))
+  }
+
+  /** Priority-sample sketch at rest (the weighted-sample member of the
+    * maintain-without-rebuild family — q167 counts, q176 quantiles):
+    * shards append their top-(n+1) priority rows; the read unions the
+    * shard tops, re-takes n+1, and finalizes with the SAME τ logic —
+    * provably equal to `priorityTake` over the union (see
+    * [[priorityTop]]). Merge work is shards × (n+1) sketch rows.
+    */
+  def prioritySampleWrite(df: DataFrame, keyCol: String,
+      weightCol: String, n: Int, path: String): Unit =
+    priorityTop(df, keyCol, weightCol, n)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  def prioritySampleAppend(df: DataFrame, keyCol: String,
+      weightCol: String, n: Int, path: String): Unit =
+    priorityTop(df, keyCol, weightCol, n)
+      .coalesce(1).write.mode("append").parquet(path)
+
+  def prioritySampleRead(spark: org.apache.spark.sql.SparkSession,
+      path: String, keyCol: String, weightCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, "prioritySampleRead: n must be positive")
+    val merged = spark.read.parquet(path)
+      .orderBy(col("priority").desc, col(keyCol).asc)
+      .limit(n + 1)
+    priorityFinalize(merged, keyCol, weightCol, n)
+  }
+
+  /** Token-budget corpus selection: keep the highest-`scoreCol` rows
+    * whose CUMULATIVE `tokenCol` stays within `budget` — the "fill the
+    * training budget with the best data" step (quality-ranked greedy
+    * prefix; only whole documents, the first overflowing row and
+    * everything after are dropped). Deterministic: the (score desc,
+    * key asc) order is total.
+    *
+    * Scale shape: a naive running sum is a single-task window over the
+    * whole corpus. Here: one range-sort, then per-partition token
+    * sums (ONE number per partition to the driver), prefix offsets
+    * broadcast back, and each partition emits its prefix locally —
+    * partitions whose offset already exceeds the budget are skipped
+    * without reading a row. Driver state = #partitions longs.
+    * Output: (key, tokens, score, cum_tokens).
+    */
+  def budgetTake(df: DataFrame, keyCol: String, tokenCol: String,
+      scoreCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "budgetTake: budget must be >= 0")
+    val ordered = df
+      .select(col(keyCol), col(tokenCol).cast("long").as(tokenCol),
+        col(scoreCol))
+      .orderBy(col(scoreCol).desc, col(keyCol).asc)
+    val rdd = ordered.rdd
+    val partSums = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(1))
+      Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val bc = df.sparkSession.sparkContext.broadcast(offsets)
+    val schema = org.apache.spark.sql.types.StructType(
+      ordered.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "cum_tokens", org.apache.spark.sql.types.LongType,
+        nullable = false))
+    val rows = rdd.mapPartitionsWithIndex { case (i, it) =>
+      if (bc.value(i) >= budget) Iterator.empty
+      else {
+        var run = bc.value(i)
+        it.flatMap { r =>
+          run += r.getLong(1)
+          if (run <= budget)
+            Some(org.apache.spark.sql.Row.fromSeq(r.toSeq :+ run))
+          else None
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rows, schema)
   }
 
   /** Deterministic systematic PPS (probability-proportional-to-size)

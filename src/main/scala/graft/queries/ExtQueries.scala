@@ -1575,6 +1575,39 @@ object ExtQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Priority-sample sketch at rest: two disjoint shards append
+    // their top-(n+1) priority rows, the read re-takes n+1 and
+    // finalizes — must equal q164's direct DLT draw over the union
+    // (top-(n+1) is mergeable, τ included).
+    "q179_priority_at_rest" -> ((s, d) => {
+      val ord = orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("weight"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q179_" +
+        Integer.toHexString(d.hashCode) + "/psk"
+      graft.ext.Sampling.prioritySampleWrite(
+        ord.filter(col("o_orderkey") % 2 === 0), "o_orderkey", "weight",
+        n = 300, path)
+      graft.ext.Sampling.prioritySampleAppend(
+        ord.filter(col("o_orderkey") % 2 =!= 0), "o_orderkey", "weight",
+        n = 300, path)
+      graft.ext.Sampling.prioritySampleRead(s, path, "o_orderkey",
+        "weight", n = 300)
+        .orderBy("o_orderkey")
+    }),
+
+    // Token-budget corpus selection: the q23 quality score ranks docs,
+    // budgetTake keeps the greedy prefix whose token total fits 10k —
+    // distributed cumulative sum (per-partition sums + broadcast
+    // prefix offsets), no single-task window.
+    "q180_budget_select" -> ((s, d) => {
+      val scored = documents(s, d).select(col("doc_id"),
+        size(TextStats.tokens(col("text"))).cast("long").as("tokens"),
+        TextStats.qualityScore(col("text")).as("quality"))
+      graft.ext.Sampling.budgetTake(scored, "doc_id", "tokens",
+        "quality", budget = 10000L)
+        .orderBy("doc_id")
+    }),
+
     // Join-explosion pre-audit: exact per-key output contribution of
     // the (customer x supplier ON nationkey) many-to-many join — two
     // key-count profiles joined on distinct keys, never fact rows;
@@ -1949,6 +1982,35 @@ object ExtQueries {
        |SELECT cast(rank AS bigint) AS rank, cid AS vec_id,
        |  cast(sc AS bigint) AS mmr_u
        |FROM ($unionAll) ORDER BY rank""".stripMargin
+  }
+
+  /** DLT priority sample replay — shared by q164 (direct) and q179
+    * (at-rest sharded): top-(n+1) is mergeable, so both grade against
+    * one replay.
+    */
+  private val prioritySampleReplaySql: String = {
+    val h = md5u32Sql("cast(o_orderkey AS varchar)")
+    s"""WITH t AS (
+       |  SELECT o_orderkey,
+       |    cast(round(o_totalprice * 100) AS bigint) AS weight,
+       |    cast($h AS bigint) AS h
+       |  FROM orders),
+       |p AS (
+       |  SELECT o_orderkey, weight,
+       |    (weight * 4294967296) // (h + 1) AS priority
+       |  FROM t),
+       |top AS (
+       |  SELECT * FROM p ORDER BY priority DESC, o_orderkey LIMIT 301),
+       |x AS (
+       |  SELECT o_orderkey, weight, priority,
+       |    row_number() OVER (ORDER BY priority DESC, o_orderkey) AS rn,
+       |    count(*) OVER () AS c, min(priority) OVER () AS mn
+       |  FROM top)
+       |SELECT o_orderkey, weight, cast(priority AS bigint) AS priority,
+       |  cast(greatest(weight,
+       |    CASE WHEN c = 301 THEN mn ELSE 0 END) AS bigint)
+       |    AS est_weight
+       |FROM x WHERE rn <= 300 ORDER BY o_orderkey""".stripMargin
   }
 
   /** md5 min-k sample + rational rank reads — replays
@@ -3555,30 +3617,11 @@ object ExtQueries {
     },
 
     // Digit-parsed md5 uniform, same integer priority and tau replay.
-    "q164_priority_sample" -> {
-      val h = md5u32Sql("cast(o_orderkey AS varchar)")
-      s"""WITH t AS (
-         |  SELECT o_orderkey,
-         |    cast(round(o_totalprice * 100) AS bigint) AS weight,
-         |    cast($h AS bigint) AS h
-         |  FROM orders),
-         |p AS (
-         |  SELECT o_orderkey, weight,
-         |    (weight * 4294967296) // (h + 1) AS priority
-         |  FROM t),
-         |top AS (
-         |  SELECT * FROM p ORDER BY priority DESC, o_orderkey LIMIT 301),
-         |x AS (
-         |  SELECT o_orderkey, weight, priority,
-         |    row_number() OVER (ORDER BY priority DESC, o_orderkey) AS rn,
-         |    count(*) OVER () AS c, min(priority) OVER () AS mn
-         |  FROM top)
-         |SELECT o_orderkey, weight, cast(priority AS bigint) AS priority,
-         |  cast(greatest(weight,
-         |    CASE WHEN c = 301 THEN mn ELSE 0 END) AS bigint)
-         |    AS est_weight
-         |FROM x WHERE rn <= 300 ORDER BY o_orderkey""".stripMargin
-    },
+    "q164_priority_sample" -> prioritySampleReplaySql,
+
+    // The at-rest union of shard top-(n+1)s must be indistinguishable
+    // from the direct DLT draw — same replay as q164.
+    "q179_priority_at_rest" -> prioritySampleReplaySql,
 
     // Cell replay: row-salted md5 buckets, GROUP BY matrix, min-over-
     // rows probe, exact counts joined alongside.
@@ -3834,6 +3877,37 @@ object ExtQueries {
     "q178_time_travel" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+
+    // q23 quality + running-sum window replay of the greedy prefix.
+    "q180_budget_select" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    cast(len(string_split_regex(trim(text), '\s+')) AS bigint)
+        |      AS tokens,
+        |    cast(len(string_split_regex(trim(text), '\s+')) AS double)
+        |      AS n,
+        |    cast(length(text) AS double) AS len,
+        |    cast(length(regexp_replace(text, '[^\p{L}]', '', 'g'))
+        |      AS double) AS n_alpha,
+        |    cast(len(list_distinct(string_split_regex(trim(text),
+        |      '\s+'))) AS double) AS n_uniq
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, tokens,
+        |    least(n / 100.0, 1.0) * 0.25
+        |    + (CASE WHEN ((len - (n - 1)) / n) BETWEEN 3.0 AND 10.0
+        |            THEN 1.0 ELSE 0.5 END) * 0.25
+        |    + (n_alpha / len) * 0.25
+        |    + (n_uniq / n) * 0.25 AS quality
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, tokens, quality,
+        |    cast(sum(tokens) OVER (ORDER BY quality DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS bigint) AS cum_tokens
+        |  FROM q)
+        |SELECT doc_id, tokens, quality, cum_tokens
+        |FROM c WHERE cum_tokens <= 10000
+        |ORDER BY doc_id""".stripMargin,
 
     // Exact-isqrt temperature rates + md5 µ-coordinate replay.
     "q175_temperature_sample" ->

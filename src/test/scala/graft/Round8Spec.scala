@@ -412,6 +412,66 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Sampling.prioritySampleWrite/Append/Read — at-rest PPSWOR
+  // ------------------------------------------------------------------
+
+  test("priority sample at rest: sharded lifecycle equals the direct " +
+      "DLT draw, tau included; under-n population gives tau = 0") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 500).map(i =>
+      (i.toLong, (rnd.nextInt(1000) + 1).toLong))
+    val df = rows.toDF("k", "w")
+    val want = Sampling.priorityTake(df, "k", "w", n = 50)
+      .collect().toSet
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_psk").toString + "/t"
+    Sampling.prioritySampleWrite(df.filter(col("k") % 3 === 0), "k",
+      "w", 50, path)
+    Sampling.prioritySampleAppend(df.filter(col("k") % 3 === 1), "k",
+      "w", 50, path)
+    Sampling.prioritySampleAppend(df.filter(col("k") % 3 === 2), "k",
+      "w", 50, path)
+    val got = Sampling.prioritySampleRead(spark, path, "k", "w", 50)
+      .collect().toSet
+    assert(got === want && want.size === 50)
+    // certainty case: population <= n -> est_weight = own weight
+    val tiny = rows.take(10).toDF("k", "w")
+    val p2 = path + "2"
+    Sampling.prioritySampleWrite(tiny.filter(col("k") <= 5), "k", "w",
+      50, p2)
+    Sampling.prioritySampleAppend(tiny.filter(col("k") > 5), "k", "w",
+      50, p2)
+    val small = Sampling.prioritySampleRead(spark, p2, "k", "w", 50)
+      .collect()
+    assert(small.length === 10)
+    assert(small.forall(r => r.getLong(3) === r.getLong(1)))
+  }
+
+  // ------------------------------------------------------------------
+  // Sampling.budgetTake — token-budget greedy prefix
+  // ------------------------------------------------------------------
+
+  test("budgetTake: greedy prefix by score, overflow row dropped, " +
+      "repartition-invariant, zero budget empty") {
+    val d = Seq(
+      (1L, 40L, 0.9), (2L, 50L, 0.8), (3L, 30L, 0.7), (4L, 10L, 0.6))
+      .toDF("k", "tok", "sc")
+    // order: 1 (40), 2 (cum 90), 3 would hit 120 > 100 -> stops; 4
+    // can never re-enter (prefix, not knapsack)
+    val got = Sampling.budgetTake(d, "k", "tok", "sc", budget = 100L)
+      .orderBy("k").as[(Long, Long, Double, Long)].collect().toSeq
+    assert(got === Seq((1L, 40L, 0.9, 40L), (2L, 50L, 0.8, 90L)))
+    val re = Sampling
+      .budgetTake(d.repartition(3), "k", "tok", "sc", budget = 100L)
+      .orderBy("k").as[(Long, Long, Double, Long)].collect().toSeq
+    assert(re === got)
+    assert(Sampling.budgetTake(d, "k", "tok", "sc", 0L).count() === 0L)
+    // exact-fit boundary: budget 90 keeps both, budget 89 keeps one
+    assert(Sampling.budgetTake(d, "k", "tok", "sc", 90L).count() === 2L)
+    assert(Sampling.budgetTake(d, "k", "tok", "sc", 89L).count() === 1L)
+  }
+
   test("mooreLewisScore: partitioning-invariant, ranks en docs first") {
     val docs = Tables.documents(spark, sf0001)
     val a = graft.ext.TextStats.mooreLewisScore(docs, "doc_id", "text",
