@@ -63,6 +63,36 @@ object VecDotRewrite extends Rule[LogicalPlan] {
     }
 }
 
+/** Optimizer rule: rewrite
+  * {{{ size(array_intersect(array_distinct(a), array_distinct(b))) }}}
+  * over string arrays into the one-hash-set [[StringIntersectSize]]
+  * kernel (~35µs → sub-µs per pair at ~50-element sets — it was the
+  * dominant cost of the set-similarity verify before the kernel).
+  * The `array_distinct` guard is what makes the rewrite EXACT: the
+  * kernel counts big-side members of the small-side set, which equals
+  * |A ∩ B| only when the sides are duplicate-free, while Spark's
+  * `array_intersect` dedups its OUTPUT — on inputs with duplicates
+  * the two disagree, so the bare pattern must not fire. Nullable
+  * elements are excluded (shingle/token arrays never carry them), and
+  * `legacySizeOfNull` must be off (kernel yields null, not -1).
+  */
+object IntersectSizeRewrite extends Rule[LogicalPlan] {
+  private def distinctStringArray(e: Expression): Boolean = e match {
+    case ad: ArrayDistinct => ad.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, cn) => !cn
+      case _ => false
+    }
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Size(ArrayIntersect(a, b), false)
+          if distinctStringArray(a) && distinctStringArray(b) =>
+        StringIntersectSize(a, b)
+    }
+}
+
 /** Session extension entry point:
   * {{{ spark.sql.extensions=graft.functions.GraftExtensions }}}
   * (or `SparkSession.builder().withExtensions(new GraftExtensions)`).
@@ -72,6 +102,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => VecDotRewrite)
     e.injectOptimizerRule(_ => CollapseRollupExplode) // flag-gated, see doc
+    e.injectOptimizerRule(_ => IntersectSizeRewrite)
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

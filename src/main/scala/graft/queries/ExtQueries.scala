@@ -1608,6 +1608,34 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Dataset card: the per-language corpus summary a data release
+    // ships — doc/token/char counts, exact-dup doc count (md5 text
+    // hash seen >= 2 anywhere in the corpus), and mean quality in ppm
+    // (per-doc floor to integer BEFORE the sum, so the mean is
+    // order-independent — a bare avg(double) is not).
+    "q181_dataset_card" -> ((s, d) => {
+      val base = documents(s, d).select(col("doc_id"), col("lang"),
+        size(TextStats.tokens(col("text"))).cast("long").as("toks"),
+        col("n_chars"),
+        floor(TextStats.qualityScore(col("text")) * 1e6).cast("long")
+          .as("q6"),
+        md5(col("text")).as("h"))
+      val dupKeys = base.groupBy("h").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+        .select(col("h"), lit(1L).as("isdup"))
+      base.join(dupKeys, Seq("h"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(coalesce(col("isdup"), lit(0L))).as("dup_docs"),
+          sum(col("q6")).as("__q"))
+        .select(col("lang"), col("n_docs"), col("total_tokens"),
+          col("total_chars"), col("dup_docs"),
+          expr("__q div n_docs").as("mean_quality_ppm"))
+        .orderBy("lang")
+    }),
+
     // Join-explosion pre-audit: exact per-key output contribution of
     // the (customer x supplier ON nationkey) many-to-many join — two
     // key-count profiles joined on distinct keys, never fact rows;
@@ -3877,6 +3905,39 @@ object ExtQueries {
     "q178_time_travel" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+
+    // q23 quality in ppm + md5 dup keys, all exact integers.
+    "q181_dataset_card" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, n_chars, md5(text) AS h,
+        |    cast(len(string_split_regex(trim(text), '\s+')) AS bigint)
+        |      AS toks,
+        |    cast(len(string_split_regex(trim(text), '\s+')) AS double)
+        |      AS n,
+        |    cast(length(text) AS double) AS len,
+        |    cast(length(regexp_replace(text, '[^\p{L}]', '', 'g'))
+        |      AS double) AS n_alpha,
+        |    cast(len(list_distinct(string_split_regex(trim(text),
+        |      '\s+'))) AS double) AS n_uniq
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang, n_chars, h, toks,
+        |    cast(floor((
+        |      least(n / 100.0, 1.0) * 0.25
+        |      + (CASE WHEN ((len - (n - 1)) / n) BETWEEN 3.0 AND 10.0
+        |              THEN 1.0 ELSE 0.5 END) * 0.25
+        |      + (n_alpha / len) * 0.25
+        |      + (n_uniq / n) * 0.25) * 1000000.0) AS bigint) AS q6
+        |  FROM t),
+        |d AS (SELECT h FROM t GROUP BY h HAVING count(*) >= 2)
+        |SELECT lang, cast(count(*) AS bigint) AS n_docs,
+        |  cast(sum(toks) AS bigint) AS total_tokens,
+        |  cast(sum(n_chars) AS bigint) AS total_chars,
+        |  cast(sum(CASE WHEN q.h IN (SELECT h FROM d) THEN 1 ELSE 0
+        |    END) AS bigint) AS dup_docs,
+        |  cast(cast(sum(q6) AS bigint) // count(*) AS bigint)
+        |    AS mean_quality_ppm
+        |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
 
     // q23 quality + running-sum window replay of the greedy prefix.
     "q180_budget_select" ->

@@ -89,6 +89,48 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("IntersectSizeRewrite fires on the guarded pattern only") {
+    import graft.functions.{IntersectSizeRewrite, StringIntersectSize}
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ IntersectSizeRewrite
+    try {
+      val docs = Tables.documents(spark, sf0001).limit(30)
+        .select($"doc_id", split(trim($"text"), "\\s+").as("x"),
+          slice(split(trim($"text"), "\\s+"), 1, 5).as("y"))
+      def kernelIn(q: org.apache.spark.sql.DataFrame): Boolean =
+        q.queryExecution.optimizedPlan.collect { case n => n }
+          .flatMap(_.expressions).exists(_.exists {
+            case _: StringIntersectSize => true; case _ => false
+          })
+      val guarded = docs.select($"doc_id",
+        size(array_intersect(array_distinct($"x"), array_distinct($"y")))
+          .as("n"))
+      assert(kernelIn(guarded),
+        s"no kernel in:\n${guarded.queryExecution.optimizedPlan}")
+      // values must match the un-rewritten computation exactly
+      val want = docs.select($"doc_id",
+        size(array_intersect(array_distinct($"x"),
+          array_distinct($"y"))).as("n"))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == IntersectSizeRewrite)
+      val ref = want.orderBy("doc_id").as[(Long, Int)].collect().toSeq
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ IntersectSizeRewrite
+      assert(guarded.orderBy("doc_id").as[(Long, Int)].collect().toSeq
+        === ref)
+      // duplicates change array_intersect's semantics vs the kernel —
+      // the bare (unguarded) pattern must NOT be rewritten
+      val bare = docs.select(size(array_intersect($"x", $"y")).as("n"))
+      assert(!kernelIn(bare),
+        s"kernel fired on unguarded inputs:\n${bare.queryExecution.optimizedPlan}")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.functions.IntersectSizeRewrite)
+    }
+  }
+
   test("word_shingles SQL function via extensions class") {
     // register through the same injection path the extensions class uses
     new graft.functions.GraftExtensions()
