@@ -314,6 +314,29 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/shingles")
   }
 
+  /** Append a new batch INTO the at-rest LSH index without touching
+    * the existing files — the index-maintenance half of the daily-
+    * ingest cycle: probe the index first (`incrementalNearDups`), keep
+    * the survivors, then append them so tomorrow's batch dedups
+    * against today's too. Band rows land in the same `pdir`
+    * directories (append mode adds files, existing ones are
+    * immutable); shingle rows append flat. After an append the index
+    * is EXACTLY the index a full rebuild over corpus ∪ batch would
+    * produce, row-for-row — band keys and shingles are pure per-doc
+    * functions, so index content is a union (spec-pinned).
+    */
+  def appendLshIndex(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 8, bands: Int = 4, portable: Boolean = false,
+      path: String, nDirs: Int = 64): Unit = {
+    bandRows(df, idCol, textCol, n, k, bands, portable)
+      .withColumn("pdir", pmod(hash(col("bkey")), lit(nDirs)))
+      .repartition(col("pdir"))
+      .write.mode("append").partitionBy("pdir").parquet(s"$path/bands")
+    df.select(col(idCol),
+        array_distinct(shingles(col(textCol), n)).as("sh"))
+      .write.mode("append").parquet(s"$path/shingles")
+  }
+
   /** Incremental fuzzy dedup: near-dups of a (small) new batch against
     * a `writeLshIndex` corpus — the daily-ingest shape at 100 TB, where
     * re-running `minhashNearDups` over corpus+batch would reshingle and

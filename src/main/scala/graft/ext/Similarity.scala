@@ -183,6 +183,57 @@ object Similarity {
       .toDF("rank", idCol, "mmr_u")
   }
 
+  /** ANN recall audit: recall@k of the sign-RP multi-probe search
+    * against exact brute force, per query — the measurement every ANN
+    * deployment needs before trusting its index parameters (nBits /
+    * probeHamming trade recall for scan fraction; this op puts a
+    * number on the trade). recall_ppm = |ann top-k ∩ brute top-k| ·
+    * 10^6 div k, deterministic because both top-k sets are (truncated
+    * score desc, id asc) ordered.
+    *
+    * Shape: the query set broadcasts (parameter-bounded), the corpus
+    * is scanned ONCE for both arms (the ANN arm is a filter on the
+    * same scored stream), per-query top-k via a qid-partitioned
+    * window — each query's rank is one task here, which is the right
+    * audit shape for a bounded query sample; a full-corpus sweep
+    * would probe the at-rest index (q53) instead.
+    */
+  def annRecallAudit(df: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, nBits: Int = 8,
+      probeHamming: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queryIds.nonEmpty && k >= 1,
+      "annRecallAudit: need query ids and k >= 1")
+    val qs = df.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"),
+        l2norm(col(vecCol)).as("qn"),
+        rpBucket(col(vecCol), nBits).as("qb"))
+    val corpus = df.select(col(idCol).cast("long").as("cid"),
+      col(vecCol).as("cv"), l2norm(col(vecCol)).as("cn"),
+      rpBucket(col(vecCol), nBits).as("cb"))
+    val scored = corpus.crossJoin(broadcast(qs))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("score",
+        trunc(dot(col("cv"), col("qv")) / (col("cn") * col("qn")), 6))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid").asc)
+    val brute = scored
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= k).select("qid", "cid")
+    val ann = scored
+      .filter(bit_count(col("cb").bitwiseXOR(col("qb")))
+        <= probeHamming)
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= k).select("qid", "cid")
+    val hits = brute.join(ann, Seq("qid", "cid"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    qs.select("qid").join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        expr(s"coalesce(hits, 0L) * 1000000L div ${k}L")
+          .as("recall_ppm"))
+  }
+
   /** Symmetric per-vector int8 quantization: scale = max|v| / 127
     * (1.0 for the zero vector), q_i = floor(v_i/scale + 0.5) ∈
     * [-127, 127]. At 100 TB an embedding column is usually THE dominant

@@ -1636,6 +1636,37 @@ object ExtQueries {
         .orderBy("lang")
     }),
 
+    // At-rest LSH index APPEND: write the >=100 corpus, append the
+    // 50..99 batch without touching existing files, probe the <50
+    // batch — must equal probing a full rebuild over >=50 (q69's
+    // graded scenario, q69's oracle).
+    "q183_index_append" -> ((s, d) => {
+      val docs = documents(s, d)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q183_" +
+        Integer.toHexString(d.hashCode) + "/idx"
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      Dedup.writeLshIndex(docs.filter(col("doc_id") >= 100), "doc_id",
+        "text", n = 3, k = 8, bands = 4, portable = true, path = path)
+      Dedup.appendLshIndex(
+        docs.filter(col("doc_id") >= 50 && col("doc_id") < 100),
+        "doc_id", "text", n = 3, k = 8, bands = 4, portable = true,
+        path = path)
+      Dedup.incrementalNearDups(s, path, docs.filter(col("doc_id") < 50),
+        "doc_id", "text", n = 3, k = 8, bands = 4, threshold = 0.5,
+        portable = true)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
+    // ANN recall audit: recall@10 of the 8-bit/hamming-2 multi-probe
+    // search (q30's parameters) vs exact brute force for ten query
+    // vectors — the index-parameter measurement, exact integer ppm.
+    "q182_ann_recall" -> ((s, d) =>
+      graft.ext.Similarity.annRecallAudit(embeddings(s, d), "vec_id",
+        "embedding", queryIds = (0L until 10L).toSeq, k = 10)
+        .orderBy("qid")),
+
     // Join-explosion pre-audit: exact per-key output contribution of
     // the (customer x supplier ON nationkey) many-to-many join — two
     // key-count profiles joined on distinct keys, never fact rows;
@@ -2202,6 +2233,27 @@ object ExtQueries {
   /** Shared shingle→minhash→band CTEs (t, sh, sig, banded, dsh) for
     * every fuzzy-dedup oracle; callers append their own cand/pairs.
     */
+  /** q69's replay — shared with q183 (append == rebuild, so the
+    * at-rest append grades against the same probe).
+    */
+  private def incrementalDedupReplaySql: String =
+    s"""WITH $fuzzyBaseCtes,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+       |  FROM banded a JOIN banded b ON a.bkey = b.bkey
+       |  WHERE a.doc_id < 50 AND b.doc_id >= 50),
+       |pairs AS (SELECT * FROM (
+       |  SELECT c.batch_id, c.corpus_id,
+       |    cast(len(list_intersect(a.s, b.s)) AS double)
+       |      / cast(len(list_distinct(list_concat(a.s, b.s))) AS double)
+       |      AS jaccard
+       |  FROM cand c
+       |  JOIN dsh a ON a.doc_id = c.batch_id
+       |  JOIN dsh b ON b.doc_id = c.corpus_id)
+       |  WHERE jaccard >= 0.5)
+       |SELECT batch_id, corpus_id, jaccard FROM pairs
+       |ORDER BY batch_id, corpus_id""".stripMargin
+
   private lazy val fuzzyBaseCtes: String = {
     val mh = (0 until 8).map(i =>
       s"list_min(list_transform(shingles, s -> " +
@@ -3906,6 +3958,39 @@ object ExtQueries {
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_orderkey""".stripMargin,
 
+    // Both arms replayed off one scored CTE: q28's exact window and
+    // q30's bucket filter, intersect per query, integer ppm.
+    "q182_ann_recall" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, cast($bucketSql AS bigint)
+         |    AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qv,
+         |        bucket AS qb FROM b WHERE vec_id < 10),
+         |s AS (
+         |  SELECT q.qid, c.vec_id AS cid, q.qb, c.bucket AS cb,
+         |    floor((${cosineSql("c.embedding", "qv")}) * 1000000)
+         |      / 1000000 AS score
+         |  FROM b c CROSS JOIN q WHERE c.vec_id <> q.qid),
+         |br AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, cid) AS rn FROM s)
+         |  WHERE rn <= 10),
+         |an AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, cid) AS rn
+         |    FROM s WHERE bit_count(xor(cb, qb)) <= 2)
+         |  WHERE rn <= 10),
+         |h AS (
+         |  SELECT qid, cast(count(*) AS bigint) AS hits
+         |  FROM br JOIN an USING (qid, cid) GROUP BY qid)
+         |SELECT q.qid, coalesce(hits, 0) AS hits,
+         |  cast(coalesce(hits, 0) * 1000000 // 10 AS bigint)
+         |    AS recall_ppm
+         |FROM q LEFT JOIN h USING (qid) ORDER BY qid""".stripMargin,
+
     // q23 quality in ppm + md5 dup keys, all exact integers.
     "q181_dataset_card" ->
       """WITH t AS (
@@ -4696,23 +4781,13 @@ object ExtQueries {
     // restricted to batch (doc_id < 50) x corpus (doc_id >= 50) — the
     // at-rest index holds exactly the corpus band rows, so the
     // incremental probe must equal this slice of the full recompute.
-    "q69_incremental_dedup" ->
-      s"""WITH $fuzzyBaseCtes,
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
-         |  FROM banded a JOIN banded b ON a.bkey = b.bkey
-         |  WHERE a.doc_id < 50 AND b.doc_id >= 50),
-         |pairs AS (SELECT * FROM (
-         |  SELECT c.batch_id, c.corpus_id,
-         |    cast(len(list_intersect(a.s, b.s)) AS double)
-         |      / cast(len(list_distinct(list_concat(a.s, b.s))) AS double)
-         |      AS jaccard
-         |  FROM cand c
-         |  JOIN dsh a ON a.doc_id = c.batch_id
-         |  JOIN dsh b ON b.doc_id = c.corpus_id)
-         |  WHERE jaccard >= 0.5)
-         |SELECT batch_id, corpus_id, jaccard FROM pairs
-         |ORDER BY batch_id, corpus_id""".stripMargin,
+    "q69_incremental_dedup" -> incrementalDedupReplaySql,
+
+    // Probing after write(>=100) + append(50..99) must be
+    // indistinguishable from probing a full rebuild over >= 50 — the
+    // appended index content is exactly the rebuild's (band keys and
+    // shingles are per-doc functions), so the replay is q69's.
+    "q183_index_append" -> incrementalDedupReplaySql,
 
     "q68_zorder" -> {
       val terms = (0 until 10).flatMap(i => Seq(

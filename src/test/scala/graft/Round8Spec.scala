@@ -472,6 +472,77 @@ class Round8Spec extends SparkSpec {
     assert(Sampling.budgetTake(d, "k", "tok", "sc", 89L).count() === 1L)
   }
 
+  // ------------------------------------------------------------------
+  // Similarity.annRecallAudit
+  // ------------------------------------------------------------------
+
+  test("annRecallAudit: perfect recall when every vector shares the " +
+      "query's bucket; real corpus stays in range and deterministic") {
+    import graft.ext.Similarity
+    // identical directions -> identical buckets -> ann sees everything
+    val same = (0L until 8L).map(i =>
+      (i, Array.fill(4)((i + 1).toFloat))) // colinear vectors
+      .toDF("vec_id", "embedding")
+    val perfect = Similarity.annRecallAudit(same, "vec_id", "embedding",
+      Seq(0L), k = 3, nBits = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(perfect === Seq((0L, 3L, 1000000L)))
+    val df = Tables.embeddings(spark, sf0001)
+    val a = Similarity.annRecallAudit(df, "vec_id", "embedding",
+      (0L until 5L).toSeq, k = 10).orderBy("qid").collect().toSeq
+    assert(a.size === 5)
+    assert(a.forall { r =>
+      val hits = r.getLong(1); val ppm = r.getLong(2)
+      hits >= 0 && hits <= 10 && ppm === hits * 1000000L / 10
+    })
+    val b = Similarity.annRecallAudit(df.repartition(7), "vec_id",
+      "embedding", (0L until 5L).toSeq, k = 10)
+      .orderBy("qid").collect().toSeq
+    assert(a === b)
+  }
+
+  // ------------------------------------------------------------------
+  // Dedup.appendLshIndex — at-rest index maintenance
+  // ------------------------------------------------------------------
+
+  test("appendLshIndex: append equals rebuild (index content and probe " +
+      "results), existing files untouched") {
+    import graft.ext.Dedup
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_lsha").toString
+    val apnd = s"$base/apnd"; val rebuilt = s"$base/rebuilt"
+    Dedup.writeLshIndex(docs.filter(col("doc_id") >= 100), "doc_id",
+      "text", path = apnd)
+    val before = new java.io.File(s"$apnd/bands").listFiles()
+      .filter(_.isDirectory)
+      .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
+      .map(f => f.getPath -> f.lastModified()).toMap
+    Dedup.appendLshIndex(
+      docs.filter(col("doc_id") >= 50 && col("doc_id") < 100),
+      "doc_id", "text", path = apnd)
+    // existing band files are immutable under append
+    before.foreach { case (p, ts) =>
+      val f = new java.io.File(p)
+      assert(f.exists() && f.lastModified() === ts, s"touched: $p")
+    }
+    Dedup.writeLshIndex(docs.filter(col("doc_id") >= 50), "doc_id",
+      "text", path = rebuilt)
+    // identical index CONTENT...
+    def bands(p: String) = spark.read.parquet(s"$p/bands")
+      .select("doc_id", "band", "bkey")
+    assert(bands(apnd).except(bands(rebuilt)).count() === 0 &&
+      bands(rebuilt).except(bands(apnd)).count() === 0)
+    // ...and identical probe answers
+    val batch = docs.filter(col("doc_id") < 50)
+    val a = Dedup.incrementalNearDups(spark, apnd, batch, "doc_id",
+      "text").collect().toSet
+    val r = Dedup.incrementalNearDups(spark, rebuilt, batch, "doc_id",
+      "text").collect().toSet
+    assert(a === r)
+  }
+
   test("mooreLewisScore: partitioning-invariant, ranks en docs first") {
     val docs = Tables.documents(spark, sf0001)
     val a = graft.ext.TextStats.mooreLewisScore(docs, "doc_id", "text",
