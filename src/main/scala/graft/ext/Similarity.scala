@@ -234,6 +234,64 @@ object Similarity {
           .as("recall_ppm"))
   }
 
+  /** Embedding-space drift monitor: per-bucket (day / batch / source)
+    * integer centroids and the cosine between CONSECUTIVE buckets'
+    * centroids — the "did the encoder or the data shift" gauge an
+    * embedding pipeline watches (a falling neighbor-cosine means the
+    * new batch lives somewhere else in the space).
+    *
+    * Determinism: a float mean is order-dependent; here each
+    * coordinate is fixed-pointed EXACTLY (float·2^20 is an exponent
+    * shift — no rounding — then floor to long), per-dim long sums are
+    * order-free, the centroid is an integer div, and the cosine's
+    * long-fold dot products are exact, with one IEEE sqrt+divide at
+    * the very end (identical on identical integers everywhere).
+    * Output: (bucket, n, cos6 vs previous bucket — null for the
+    * first).
+    *
+    * Shape: one posexplode scan → (bucket, dim) partial-agg sums (the
+    * only corpus shuffle); everything after runs on the buckets×dims
+    * table.
+    */
+  def centroidDrift(df: DataFrame, vecCol: String,
+      bucket: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sums = df
+      .select(bucket.as("bucket"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy("bucket", "dim")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("v").cast("double") * lit(1048576.0))
+          .cast("long")).as("s"))
+    val cents = sums
+      .groupBy("bucket")
+      .agg(max(col("n")).as("n"),
+        transform(
+          sort_array(collect_list(struct(col("dim"), col("s")))),
+          x => x.getField("s")).as("__sums"))
+      .select(col("bucket"), col("n"),
+        expr("transform(__sums, s -> s div n)").as("c"))
+    // buckets table is tiny (one row per bucket) — the unpartitioned
+    // lag window is constant work, the q153 post-top-k precedent
+    val w = Window.orderBy(col("bucket").asc)
+    val dotL = (a: String, b: String) =>
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, " +
+        "(acc, v) -> acc + v)")
+    cents
+      .withColumn("__prev", lag(col("c"), 1).over(w))
+      .withColumn("__ab", dotL("c", "__prev"))
+      .withColumn("__aa", dotL("c", "c"))
+      .withColumn("__bb", dotL("__prev", "__prev"))
+      .withColumn("cos6",
+        when(col("__prev").isNull || col("__aa") <= 0 ||
+          col("__bb") <= 0, lit(null).cast("long"))
+          .otherwise(floor(col("__ab").cast("double") /
+            (sqrt(col("__aa").cast("double")) *
+              sqrt(col("__bb").cast("double"))) * lit(1e6))
+            .cast("long")))
+      .select(col("bucket"), col("n"), col("cos6"))
+  }
+
   /** Symmetric per-vector int8 quantization: scale = max|v| / 127
     * (1.0 for the zero vector), q_i = floor(v_i/scale + 0.5) ∈
     * [-127, 127]. At 100 TB an embedding column is usually THE dominant

@@ -1659,6 +1659,14 @@ object ExtQueries {
         .orderBy("batch_id", "corpus_id")
     }),
 
+    // Embedding-centroid drift: integer fixed-point centroids per
+    // vec_id bucket of 50, cosine between consecutive buckets — the
+    // "did the encoder or data shift" gauge, engine-exact.
+    "q184_embedding_drift" -> ((s, d) =>
+      graft.ext.Similarity.centroidDrift(embeddings(s, d), "embedding",
+        expr("vec_id div 50"))
+        .orderBy("bucket")),
+
     // ANN recall audit: recall@10 of the 8-bit/hamming-2 multi-probe
     // search (q30's parameters) vs exact brute force for ten query
     // vectors — the index-parameter measurement, exact integer ppm.
@@ -3957,6 +3965,46 @@ object ExtQueries {
     "q178_time_travel" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+
+    // Fixed-point centroid replay: parallel unnest zips (v, dim),
+    // exact long sums, ordered list agg, lag window, long-fold dots,
+    // one IEEE sqrt+divide at the end.
+    "q184_embedding_drift" ->
+      """WITH e AS (
+        |  SELECT vec_id // 50 AS bucket,
+        |    unnest(embedding) AS v,
+        |    unnest(range(1, len(embedding) + 1)) AS dim
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT bucket, dim, cast(count(*) AS bigint) AS n,
+        |    cast(sum(cast(floor(cast(v AS double) * 1048576.0)
+        |      AS bigint)) AS bigint) AS sm
+        |  FROM e GROUP BY bucket, dim),
+        |c AS (
+        |  SELECT bucket, cast(max(n) AS bigint) AS n,
+        |    list(sm // n ORDER BY dim) AS c
+        |  FROM s GROUP BY bucket),
+        |p AS (
+        |  SELECT bucket, n, c, lag(c) OVER (ORDER BY bucket) AS pv
+        |  FROM c),
+        |d AS (
+        |  SELECT bucket, n, pv,
+        |    list_reduce(list_prepend(cast(0 AS bigint),
+        |      list_transform(range(len(c)), i -> c[i+1] * pv[i+1])),
+        |      (a, x) -> a + x) AS ab,
+        |    list_reduce(list_prepend(cast(0 AS bigint),
+        |      list_transform(range(len(c)), i -> c[i+1] * c[i+1])),
+        |      (a, x) -> a + x) AS aa,
+        |    list_reduce(list_prepend(cast(0 AS bigint),
+        |      list_transform(range(len(c)), i -> pv[i+1] * pv[i+1])),
+        |      (a, x) -> a + x) AS bb
+        |  FROM p)
+        |SELECT bucket, n,
+        |  CASE WHEN pv IS NULL OR aa <= 0 OR bb <= 0 THEN NULL
+        |    ELSE cast(floor(cast(ab AS double) /
+        |      (sqrt(cast(aa AS double)) * sqrt(cast(bb AS double)))
+        |      * 1000000.0) AS bigint) END AS cos6
+        |FROM d ORDER BY bucket""".stripMargin,
 
     // Both arms replayed off one scored CTE: q28's exact window and
     // q30's bucket filter, intersect per query, integer ppm.

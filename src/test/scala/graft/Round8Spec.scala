@@ -543,6 +543,37 @@ class Round8Spec extends SparkSpec {
     assert(a === r)
   }
 
+  // ------------------------------------------------------------------
+  // Similarity.centroidDrift
+  // ------------------------------------------------------------------
+
+  test("centroidDrift: identical buckets give cos6 = 1e6 - 1 boundary " +
+      "or 1e6; opposite buckets negative; first bucket null; " +
+      "repartition-invariant") {
+    import graft.ext.Similarity
+    // bucket 0 and 1 identical composition -> identical centroids ->
+    // cosine exactly 1.0 -> floor(1e6) = 1000000
+    val rows =
+      (0L until 10L).map(i => (i, Array(1.0f, 2.0f, 0.5f, -1.0f))) ++
+      (10L until 20L).map(i => (i, Array(1.0f, 2.0f, 0.5f, -1.0f))) ++
+      (20L until 30L).map(i => (i, Array(-1.0f, -2.0f, -0.5f, 1.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.centroidDrift(df, "embedding",
+      expr("vec_id div 10")).orderBy("bucket").collect()
+    assert(out.length === 3)
+    assert(out(0).isNullAt(2))
+    // cos = ±1 exactly, but sqrt(aa)*sqrt(bb) can land one ulp off aa,
+    // so the floored µ-value sits on the knife edge — range-assert
+    // (the VALUE is still engine-deterministic; the oracle replays it)
+    assert(out(1).getLong(2) >= 999999L && out(1).getLong(2) <= 1000000L)
+    assert(out(2).getLong(2) >= -1000001L &&
+      out(2).getLong(2) <= -999999L)
+    assert(out.forall(_.getLong(1) === 10L))
+    val again = Similarity.centroidDrift(df.repartition(7), "embedding",
+      expr("vec_id div 10")).orderBy("bucket").collect()
+    assert(out.toSeq === again.toSeq)
+  }
+
   test("mooreLewisScore: partitioning-invariant, ranks en docs first") {
     val docs = Tables.documents(spark, sf0001)
     val a = graft.ext.TextStats.mooreLewisScore(docs, "doc_id", "text",
