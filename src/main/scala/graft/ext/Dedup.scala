@@ -314,6 +314,49 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/shingles")
   }
 
+  /** LSH-banding recall audit: on a BOUNDED id-range sample, compare
+    * the banding's candidate pairs against brute-force ground truth
+    * (every pair with exact Jaccard ≥ `threshold`) — the n/k/bands
+    * parameter measurement for the dedup family, the Jaccard twin of
+    * `Similarity.annRecallAudit`. The verify stage never drops a true
+    * candidate, so banding recall IS pipeline recall. Returns ONE row
+    * (n_true, n_found, recall_ppm).
+    *
+    * The ground-truth arm is an explicit pairwise join over the
+    * `maxId`-bounded sample (parameter-bounded by construction — the
+    * audit shape; the production path stays banded). Intersections
+    * run on the [[graft.functions.StringIntersectSize]] kernel.
+    */
+  def lshRecallAudit(df: DataFrame, idCol: String, textCol: String,
+      maxId: Long, n: Int = 3, k: Int = 8, bands: Int = 4,
+      threshold: Double = 0.5, portable: Boolean = false): DataFrame = {
+    import graft.functions.PairFunctions.stringIntersectSize
+    val sample = df.filter(col(idCol) < maxId)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    val sh = sample.select(col("id"),
+      array_distinct(shingles(col("t"), n)).as("sh"))
+    val truth = sh.select(col("id").as("ia"), col("sh").as("sa"))
+      .join(sh.select(col("id").as("ib"), col("sh").as("sb")),
+        col("ia") < col("ib"))
+      .withColumn("__i",
+        stringIntersectSize(col("sa"), col("sb")).cast("double"))
+      .withColumn("j", col("__i") /
+        (size(col("sa")) + size(col("sb")) - col("__i")))
+      .filter(col("j") >= threshold)
+      .select("ia", "ib")
+    val found = lshCandidatePairs(
+      sample.withColumnRenamed("t", "text"), "id", "text", n, k,
+      bands, portable)
+      .select(col("id_a").as("ia"), col("id_b").as("ib"))
+    val nTrue = truth.count()
+    val nFound = truth.join(found, Seq("ia", "ib"), "left_semi").count()
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((nTrue, nFound,
+      if (nTrue == 0) None else Some(nFound * 1000000L / nTrue)))
+      .toDF("n_true", "n_found", "recall_ppm")
+  }
+
   /** Append a new batch INTO the at-rest LSH index without touching
     * the existing files — the index-maintenance half of the daily-
     * ingest cycle: probe the index first (`incrementalNearDups`), keep

@@ -1659,6 +1659,15 @@ object ExtQueries {
         .orderBy("batch_id", "corpus_id")
     }),
 
+    // LSH-banding recall audit: brute Jaccard ground truth on the
+    // doc_id<300 sample vs the banding's candidates — the dedup-side
+    // twin of q182's ANN recall, one summary row.
+    "q185_lsh_recall" -> ((s, d) =>
+      Dedup.lshRecallAudit(documents(s, d), "doc_id", "text",
+        maxId = 300L, n = 3, k = 8, bands = 4, threshold = 0.5,
+        portable = true)
+        .orderBy("n_true")),
+
     // Embedding-centroid drift: integer fixed-point centroids per
     // vec_id bucket of 50, cosine between consecutive buckets — the
     // "did the encoder or data shift" gauge, engine-exact.
@@ -3965,6 +3974,32 @@ object ExtQueries {
     "q178_time_travel" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+
+    // Brute truth + band-candidate intersection off the shared fuzzy
+    // CTEs, integer ppm.
+    "q185_lsh_recall" ->
+      s"""WITH $fuzzyBaseCtes,
+         |tr AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM dsh a JOIN dsh b ON a.doc_id < b.doc_id
+         |  WHERE a.doc_id < 300 AND b.doc_id < 300
+         |    AND cast(len(list_intersect(a.s, b.s)) AS double)
+         |      / cast(len(list_distinct(list_concat(a.s, b.s)))
+         |          AS double) >= 0.5),
+         |fd AS (
+         |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM banded a JOIN banded b
+         |    ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id < 300 AND b.doc_id < 300),
+         |x AS (SELECT
+         |  (SELECT count(*) FROM tr) AS n_true,
+         |  (SELECT count(*) FROM tr JOIN fd USING (ia, ib)) AS n_found)
+         |SELECT cast(n_true AS bigint) AS n_true,
+         |  cast(n_found AS bigint) AS n_found,
+         |  CASE WHEN n_true = 0 THEN NULL
+         |    ELSE cast(n_found * 1000000 // n_true AS bigint) END
+         |    AS recall_ppm
+         |FROM x""".stripMargin,
 
     // Fixed-point centroid replay: parallel unnest zips (v, dim),
     // exact long sums, ordered list agg, lag window, long-fold dots,

@@ -574,6 +574,33 @@ class Round8Spec extends SparkSpec {
     assert(out.toSeq === again.toSeq)
   }
 
+  // ------------------------------------------------------------------
+  // Dedup.lshRecallAudit
+  // ------------------------------------------------------------------
+
+  test("lshRecallAudit: found is a subset of truth (verify never adds), " +
+      "recall consistent, full recall on exact duplicates") {
+    import graft.ext.Dedup
+    // exact duplicate pairs share every band -> banding must find all;
+    // disjoint vocab across pairs keeps cross-pairs at J = 0
+    val dups = (0L until 12L).map { i =>
+      val g = i / 2
+      (i, s"a$g b$g c$g d$g e$g f$g g$g h$g")
+    }.toDF("doc_id", "text")
+    val perfect = Dedup.lshRecallAudit(dups, "doc_id", "text",
+      maxId = 12L).head()
+    assert(perfect.getLong(0) > 0)
+    assert(perfect.getLong(1) === perfect.getLong(0))
+    assert(perfect.getLong(2) === 1000000L)
+    // real corpus: recall in [0, 1e6], exact ppm arithmetic
+    val r = Dedup.lshRecallAudit(Tables.documents(spark, sf0001),
+      "doc_id", "text", maxId = 150L, portable = true).head()
+    val (t, f, ppm) = (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2))
+    assert(f <= t)
+    if (t > 0) assert(ppm === f * 1000000L / t)
+  }
+
   test("mooreLewisScore: partitioning-invariant, ranks en docs first") {
     val docs = Tables.documents(spark, sf0001)
     val a = graft.ext.TextStats.mooreLewisScore(docs, "doc_id", "text",
