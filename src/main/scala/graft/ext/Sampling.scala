@@ -246,6 +246,44 @@ object Sampling {
     priorityFinalize(merged, keyCol, weightCol, n)
   }
 
+  /** Padding-efficiency audit for batched training: batches of `b`
+    * rows pad every sequence to the batch max, so batch composition
+    * decides how many pad tokens the accelerator burns. This compares
+    * LENGTH-SORTED batching (the dynamic-batching layout) against
+    * ARRIVAL-ORDER batching on the same corpus: per ordering, rows
+    * rank into batches of `b`, each batch pads to its max, and the
+    * audit emits (ordering, n_batches, total_tokens, padded_tokens,
+    * waste_ppm) — exact integers end to end.
+    *
+    * Ranks come from the distributed range-sort + zipWithIndex
+    * primitive ([[groupedRowNumber]] with a constant group), never a
+    * single-task global window; per-batch aggregates combine
+    * map-side.
+    */
+  def paddingAudit(df: DataFrame, keyCol: String, tokenCol: String,
+      b: Int): DataFrame = {
+    require(b >= 1, "paddingAudit: batch size must be >= 1")
+    def audit(ordering: String, order: Seq[Column]): DataFrame =
+      groupedRowNumber(
+        df.select(col(keyCol), col(tokenCol).cast("long").as("__t"))
+          .withColumn("__g", lit(1)),
+        Seq("__g"), order, "__pos")
+        .withColumn("__batch", expr(s"(__pos - 1) div $b"))
+        .groupBy("__batch")
+        .agg(count(lit(1)).as("__c"), max(col("__t")).as("__mx"),
+          sum(col("__t")).as("__s"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("__s")).as("total_tokens"),
+          sum(col("__mx") * col("__c")).as("padded_tokens"))
+        .select(lit(ordering).as("ordering"), col("n_batches"),
+          col("total_tokens"), col("padded_tokens"),
+          expr("(padded_tokens - total_tokens) * 1000000L " +
+            "div padded_tokens").as("waste_ppm"))
+    audit("length", Seq(col("__t").asc, col(keyCol).asc))
+      .unionByName(
+        audit("arrival", Seq(col(keyCol).asc)))
+  }
+
   /** Token-budget corpus selection: keep the highest-`scoreCol` rows
     * whose CUMULATIVE `tokenCol` stays within `budget` — the "fill the
     * training budget with the best data" step (quality-ranked greedy

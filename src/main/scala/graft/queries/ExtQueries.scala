@@ -1659,6 +1659,15 @@ object ExtQueries {
         .orderBy("batch_id", "corpus_id")
     }),
 
+    // Padding-efficiency audit: length-sorted vs arrival-order batches
+    // of 32 — how many pad tokens each layout burns, exact ppm.
+    "q186_padding_audit" -> ((s, d) =>
+      graft.ext.Sampling.paddingAudit(
+        documents(s, d).select(col("doc_id"),
+          size(TextStats.tokens(col("text"))).cast("long").as("toks")),
+        "doc_id", "toks", b = 32)
+        .orderBy("ordering")),
+
     // LSH-banding recall audit: brute Jaccard ground truth on the
     // doc_id<300 sample vs the banding's candidates — the dedup-side
     // twin of q182's ANN recall, one summary row.
@@ -3974,6 +3983,44 @@ object ExtQueries {
     "q178_time_travel" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+
+    // Two window replays (length vs arrival rank), per-batch pad to
+    // max, exact ppm.
+    "q186_padding_audit" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    cast(len(string_split_regex(trim(text), '\s+')) AS bigint)
+        |      AS toks
+        |  FROM documents),
+        |l AS (
+        |  SELECT toks, (row_number() OVER (ORDER BY toks, doc_id) - 1)
+        |    // 32 AS batch FROM t),
+        |la AS (
+        |  SELECT count(*) AS c, max(toks) AS mx, sum(toks) AS s
+        |  FROM l GROUP BY batch),
+        |lr AS (
+        |  SELECT 'length' AS ordering,
+        |    cast(count(*) AS bigint) AS n_batches,
+        |    cast(sum(s) AS bigint) AS total_tokens,
+        |    cast(sum(mx * c) AS bigint) AS padded_tokens
+        |  FROM la),
+        |a AS (
+        |  SELECT toks, (row_number() OVER (ORDER BY doc_id) - 1) // 32
+        |    AS batch FROM t),
+        |aa AS (
+        |  SELECT count(*) AS c, max(toks) AS mx, sum(toks) AS s
+        |  FROM a GROUP BY batch),
+        |ar AS (
+        |  SELECT 'arrival' AS ordering,
+        |    cast(count(*) AS bigint) AS n_batches,
+        |    cast(sum(s) AS bigint) AS total_tokens,
+        |    cast(sum(mx * c) AS bigint) AS padded_tokens
+        |  FROM aa),
+        |u AS (SELECT * FROM lr UNION ALL SELECT * FROM ar)
+        |SELECT ordering, n_batches, total_tokens, padded_tokens,
+        |  cast((padded_tokens - total_tokens) * 1000000
+        |    // padded_tokens AS bigint) AS waste_ppm
+        |FROM u ORDER BY ordering""".stripMargin,
 
     // Brute truth + band-candidate intersection off the shared fuzzy
     // CTEs, integer ppm.

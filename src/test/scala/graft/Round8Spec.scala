@@ -601,6 +601,32 @@ class Round8Spec extends SparkSpec {
     if (t > 0) assert(ppm === f * 1000000L / t)
   }
 
+  // ------------------------------------------------------------------
+  // Sampling.paddingAudit
+  // ------------------------------------------------------------------
+
+  test("paddingAudit: hand-checked waste; length order never wastes " +
+      "more than arrival; repartition-invariant") {
+    // lengths 1..8, b = 4: length order batches (1,2,3,4)(5,6,7,8)
+    //   padded 4*4 + 8*4 = 48, total 36 -> waste 12/48 = 250000 ppm
+    // arrival order = same here; scramble ids so arrival differs:
+    // ids map lengths (8,1,7,2,6,3,5,4) -> batches max 8 and 6 ->
+    //   padded 8*4 + 6*4 = 56, waste 20/56
+    val lens = Seq(8L, 1L, 7L, 2L, 6L, 3L, 5L, 4L)
+    val d = lens.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "toks")
+    val out = Sampling.paddingAudit(d, "id", "toks", b = 4)
+      .orderBy("ordering")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("arrival", 2L, 36L, 56L, 20L * 1000000L / 56L),
+      ("length", 2L, 36L, 48L, 12L * 1000000L / 48L)))
+    val again = Sampling.paddingAudit(d.repartition(5), "id", "toks", 4)
+      .orderBy("ordering")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(again === out)
+  }
+
   test("mooreLewisScore: partitioning-invariant, ranks en docs first") {
     val docs = Tables.documents(spark, sf0001)
     val a = graft.ext.TextStats.mooreLewisScore(docs, "doc_id", "text",
