@@ -211,29 +211,46 @@ object Warehouse {
   private def versionRoot(dir: String, table: String): String =
     path(dir, table + "@versions")
 
-  private def committedVersions(spark: SparkSession, dir: String,
-      table: String): Seq[Long] = {
+  /** All version directories (committed or dangling) in ONE listing,
+    * as (version, hasSuccess) — shared by resolve/commit/vacuum so
+    * the layout contract lives in one place. Uses a recursive
+    * `listFiles` to find the `_SUCCESS` markers in a single round
+    * trip instead of one existence RPC per version (N+1 on an object
+    * store).
+    */
+  private def versionDirs(spark: SparkSession, dir: String,
+      table: String): Seq[(Long, Boolean)] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(versionRoot(dir, table))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
+    if (!fs.exists(root)) return Seq.empty
+    val dirs = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-      .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
       .map(_.getPath.getName.stripPrefix("v=").toLong)
-      .sorted
+    val committed = {
+      val it = fs.listFiles(root, true)
+      val b = scala.collection.mutable.Set.empty[Long]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName == "_SUCCESS") {
+          val parent = f.getPath.getParent.getName
+          if (parent.startsWith("v="))
+            b += parent.stripPrefix("v=").toLong
+        }
+      }
+      b.toSet
+    }
+    dirs.sorted.map(v => (v, committed.contains(v)))
   }
+
+  private def committedVersions(spark: SparkSession, dir: String,
+      table: String): Seq[Long] =
+    versionDirs(spark, dir, table).collect { case (v, true) => v }
 
   /** Commit `df` as the next version; returns the new version number. */
   def commitVersion(spark: SparkSession, df: DataFrame, dir: String,
       table: String): Long = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(versionRoot(dir, table))
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val all = if (!fs.exists(root)) Seq.empty[Long]
-      else fs.listStatus(root).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-        .map(_.getPath.getName.stripPrefix("v=").toLong)
+    val all = versionDirs(spark, dir, table).map(_._1)
     val next = (all :+ 0L).max + 1
     df.write.mode(SaveMode.ErrorIfExists)
       .parquet(s"${versionRoot(dir, table)}/v=$next")

@@ -319,7 +319,9 @@ object Sampling {
         "cum_tokens", org.apache.spark.sql.types.LongType,
         nullable = false))
     val rows = rdd.mapPartitionsWithIndex { case (i, it) =>
-      if (bc.value(i) >= budget) Iterator.empty
+      // strictly-greater: a partition whose offset lands EXACTLY on
+      // the budget can still emit zero-token rows (cum == budget)
+      if (bc.value(i) > budget) Iterator.empty
       else {
         var run = bc.value(i)
         it.flatMap { r =>

@@ -141,7 +141,13 @@ object Similarity {
       floor(dot(v, q) / (n1 * n2) * lit(1000000.0)).cast("long")
     val q = df.filter(col(idCol) === queryId)
       .select(col(vecCol).as("q_vec"), l2norm(col(vecCol)).as("q_nrm"))
-    val cand = df.filter(col(idCol) =!= queryId)
+    // ONE corpus scan: collect the pool (ids, vectors, norms, rel)
+    // and compute the poolSize^2 pairwise sims on the driver with the
+    // same left-fold dot the kernel uses (seqDot == VecDot fold,
+    // spec-pinned) — a self-join of the pool would replan the whole
+    // scan per aliased side (Spark never reuses an exchange across
+    // aliases), and the pool is parameter-bounded anyway.
+    val pool = df.filter(col(idCol) =!= queryId)
       .withColumn("nrm", l2norm(col(vecCol)))
       .crossJoin(broadcast(q))
       .withColumn("rel_u",
@@ -150,19 +156,15 @@ object Similarity {
       .limit(poolSize)
       .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"),
         col("nrm"), col("rel_u"))
-    val aSide = cand.select(col("cid").as("a"), col("cvec").as("va"),
-      col("nrm").as("na"))
-    val bSide = cand.select(col("cid").as("b"), col("cvec").as("vb"),
-      col("nrm").as("nb"))
-    val pairs = aSide.crossJoin(broadcast(bSide))
-      .filter(col("a") =!= col("b"))
-      .select(col("a"), col("b"),
-        muCos(col("va"), col("na"), col("vb"), col("nb")).as("sim_u"))
-    // parameter-bounded driver work: poolSize rows + poolSize^2 sims
-    val rels = cand.select(col("cid"), col("rel_u")).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    val sims = pairs.collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
+        r.getDouble(2), r.getLong(3)))
+    val rels = pool.map { case (id, _, _, rel) => (id, rel) }
+    val sims = (for {
+      (ia, va, na, _) <- pool
+      (ib, vb, nb, _) <- pool if ia != ib
+    } yield (ia, ib) ->
+      math.floor(seqDot(va, vb) / (na * nb) * 1e6).toLong).toMap
     val lam = lamNum.toLong
     val lamC = (lamDen - lamNum).toLong
     var picked = Vector.empty[(Long, Long)] // (id, scoreNum)

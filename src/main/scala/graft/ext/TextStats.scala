@@ -283,8 +283,13 @@ object TextStats {
     * Documents with no bigram (≤1 token) score null with n_bigrams 0.
     * Output: (id, n_bigrams, mean_p9).
     */
-  def bigramLmScore(df: DataFrame, idCol: String, textCol: String)
-      : DataFrame = {
+  /** Shared bigram-LM scaffolding (used by [[bigramLmScore]] and
+    * [[bigramSurprisal]] — one copy so the twins cannot diverge):
+    * per-doc bigram stream, (w1, w2) counts, first-word unigram
+    * counts, and the vocab size (the one eager driver action).
+    */
+  private def bigramCounts(df: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame, DataFrame, Long) = {
     val toks = tokens(col(textCol))
     val nb = size(toks) - 1
     val docBigrams = df
@@ -299,6 +304,13 @@ object TextStats {
       .groupBy("w1").agg(count(lit(1)).as("c1"))
     val v = df.select(explode(toks).as("w"))
       .agg(count_distinct(col("w"))).head().getLong(0)
+    (docBigrams, bigramC, unigramC, v)
+  }
+
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val (docBigrams, bigramC, unigramC, v) =
+      bigramCounts(df, idCol, textCol)
     val p9 = expr(s"((c12 + 1L) * 1000000000L) div (c1 + ${v}L)")
     val scored = docBigrams
       .join(bigramC, Seq("w1", "w2"))
@@ -383,20 +395,8 @@ object TextStats {
   def bigramSurprisal(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     import graft.functions.PairFunctions.log2Mu
-    val toks = tokens(col(textCol))
-    val nb = size(toks) - 1
-    val docBigrams = df
-      .select(col(idCol), explode(zip_with(
-        slice(toks, lit(1), greatest(nb, lit(0))),
-        slice(toks, lit(2), greatest(nb, lit(0))),
-        (x, y) => struct(x.as("w1"), y.as("w2")))).as("bg"))
-      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val bigramC = docBigrams.groupBy("w1", "w2")
-      .agg(count(lit(1)).as("c12"))
-    val unigramC = df.select(explode(toks).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("c1"))
-    val v = df.select(explode(toks).as("w"))
-      .agg(count_distinct(col("w"))).head().getLong(0)
+    val (docBigrams, bigramC, unigramC, v) =
+      bigramCounts(df, idCol, textCol)
     val weights = bigramC.join(unigramC, "w1")
       .select(col("w1"), col("w2"),
         (log2Mu(col("c1") + lit(v)) - log2Mu(col("c12") + lit(1L)))

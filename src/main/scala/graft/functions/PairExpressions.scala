@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
@@ -308,6 +308,19 @@ case class StringIntersectSize(left: Expression, right: Expression)
   */
 case class Log2Mu(child: Expression)
     extends UnaryExpression with CodegenFallback {
+  // AbstractDataType (ExpectsInputTypes' vocabulary) is private[sql]
+  // in Spark 4 — declare the contract via checkInputDataTypes so a
+  // non-long child fails AT ANALYSIS with a readable message instead
+  // of a mid-job ClassCastException
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(
+          s"log2mu requires BIGINT input, got ${child.dataType.sql}")
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
     Log2Mu.compute(input.asInstanceOf[Long])

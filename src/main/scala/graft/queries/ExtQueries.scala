@@ -1617,8 +1617,12 @@ object ExtQueries {
       val base = documents(s, d).select(col("doc_id"), col("lang"),
         size(TextStats.tokens(col("text"))).cast("long").as("toks"),
         col("n_chars"),
-        floor(TextStats.qualityScore(col("text")) * 1e6).cast("long")
-          .as("q6"),
+        // empty/whitespace-only text makes qualityScore NaN (0/0
+        // ratios); pin it to 0 so Spark's silent NaN->0 cast and the
+        // oracle's CASE agree instead of diverging
+        when(length(trim(col("text"))) === 0, lit(0L))
+          .otherwise(floor(TextStats.qualityScore(col("text")) * 1e6)
+            .cast("long")).as("q6"),
         md5(col("text")).as("h"))
       val dupKeys = base.groupBy("h").agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2)
@@ -4124,7 +4128,7 @@ object ExtQueries {
     // q23 quality in ppm + md5 dup keys, all exact integers.
     "q181_dataset_card" ->
       """WITH t AS (
-        |  SELECT doc_id, lang, n_chars, md5(text) AS h,
+        |  SELECT doc_id, lang, n_chars, md5(text) AS h, text AS text_raw,
         |    cast(len(string_split_regex(trim(text), '\s+')) AS bigint)
         |      AS toks,
         |    cast(len(string_split_regex(trim(text), '\s+')) AS double)
@@ -4137,12 +4141,13 @@ object ExtQueries {
         |  FROM documents),
         |q AS (
         |  SELECT doc_id, lang, n_chars, h, toks,
-        |    cast(floor((
+        |    CASE WHEN length(trim(text_raw)) = 0 THEN cast(0 AS bigint)
+        |    ELSE cast(floor((
         |      least(n / 100.0, 1.0) * 0.25
         |      + (CASE WHEN ((len - (n - 1)) / n) BETWEEN 3.0 AND 10.0
         |              THEN 1.0 ELSE 0.5 END) * 0.25
         |      + (n_alpha / len) * 0.25
-        |      + (n_uniq / n) * 0.25) * 1000000.0) AS bigint) AS q6
+        |      + (n_uniq / n) * 0.25) * 1000000.0) AS bigint) END AS q6
         |  FROM t),
         |d AS (SELECT h FROM t GROUP BY h HAVING count(*) >= 2)
         |SELECT lang, cast(count(*) AS bigint) AS n_docs,

@@ -83,13 +83,10 @@ object StreamingJobs {
       else array_min(transform(shRaw, s => xxhash64(lit(i), s))))
         .as(s"mh$i")
     }
-    val rowsPerBand = k / bands
-    val bandKeys = (0 until bands).map { b =>
-      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(i => col(s"mh$i"))
-      if (portable) concat_ws("|", lit(b.toString) +: slice: _*)
-      else hash(slice :+ lit(b): _*)
-    }
+    // the SAME key scheme as the at-rest index — shared helper, so a
+    // batch-side change cannot silently zero out the stream's matches
+    val bandKeys = Dedup.bandKeyCols(k, bands, portable,
+      i => col(s"mh$i"))
     val banded = docs
       .select(col(idCol).as("batch_id") +: col("ts") +:
         array_distinct(shRaw).as("sh_b") +: sigs: _*)

@@ -190,6 +190,11 @@ class Round8Spec extends SparkSpec {
     intercept[Exception] {
       Seq(0L).toDF("x").select(log2Mu(col("x"))).collect()
     }
+    // non-long input fails at ANALYSIS, not mid-job
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1).toDF("x").select(log2Mu(col("x"))).collect()
+    }
+    assert(e.getMessage.contains("log2mu requires BIGINT"))
   }
 
   // ------------------------------------------------------------------
