@@ -211,12 +211,16 @@ object Warehouse {
   private def versionRoot(dir: String, table: String): String =
     path(dir, table + "@versions")
 
-  /** All version directories (committed or dangling) in ONE listing,
-    * as (version, hasSuccess) — shared by resolve/commit/vacuum so
-    * the layout contract lives in one place. Uses a recursive
-    * `listFiles` to find the `_SUCCESS` markers in a single round
-    * trip instead of one existence RPC per version (N+1 on an object
-    * store).
+  /** All version directories (committed or dangling) as
+    * (version, hasSuccess) — shared by resolve/commit/vacuum so the
+    * layout contract lives in one place. ONE top-level listing finds
+    * the `v=N` dirs (foreign names — `v=3.tmp`, `_temporary` — are
+    * skipped, not fatal), then one `_SUCCESS` existence probe per
+    * version. That is O(#versions) metadata RPCs, NOT O(#data files):
+    * a recursive listing would enumerate every data file of every
+    * version on each resolve, which on an object store at 100 TB is
+    * the expensive call, while #versions stays small by construction
+    * (vacuum bounds it).
     */
   private def versionDirs(spark: SparkSession, dir: String,
       table: String): Seq[(Long, Boolean)] = {
@@ -226,21 +230,12 @@ object Warehouse {
     if (!fs.exists(root)) return Seq.empty
     val dirs = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-      .map(_.getPath.getName.stripPrefix("v=").toLong)
-    val committed = {
-      val it = fs.listFiles(root, true)
-      val b = scala.collection.mutable.Set.empty[Long]
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName == "_SUCCESS") {
-          val parent = f.getPath.getParent.getName
-          if (parent.startsWith("v="))
-            b += parent.stripPrefix("v=").toLong
-        }
-      }
-      b.toSet
+      .flatMap(s =>
+        s.getPath.getName.stripPrefix("v=").toLongOption
+          .map(v => (v, s.getPath)))
+    dirs.sortBy(_._1).map { case (v, p) =>
+      (v, fs.exists(new Path(p, "_SUCCESS")))
     }
-    dirs.sorted.map(v => (v, committed.contains(v)))
   }
 
   private def committedVersions(spark: SparkSession, dir: String,

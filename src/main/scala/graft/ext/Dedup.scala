@@ -396,6 +396,17 @@ object Dedup {
     * is EXACTLY the index a full rebuild over corpus ∪ batch would
     * produce, row-for-row — band keys and shingles are pure per-doc
     * functions, so index content is a union (spec-pinned).
+    *
+    * PRECONDITION: batch ids must be DISJOINT from docs already in the
+    * index — the ingest cycle guarantees this (the batch is probed and
+    * id-filtered before it is appended, same as the warehouse K1
+    * idempotent-insert gate). Re-appending an overlapping batch
+    * duplicates that doc's band/shingle rows; probes stay correct
+    * (candidates are `distinct`-ed) but index size and the
+    * rebuild-equivalence invariant do not. Checking here would mean
+    * scanning the whole at-rest shingle table per append — at 100 TB
+    * that is the cost this operator exists to avoid, so the gate
+    * belongs upstream where the id set is already known.
     */
   def appendLshIndex(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 8, bands: Int = 4, portable: Boolean = false,

@@ -108,7 +108,13 @@ object Sampling {
       .select(col(strataCol), col("n_s"), col("rate_ppm"))
     val coord = conv(substring(md5(col(keyCol).cast("string")), 1, 8),
       16, 10).cast("long") % lit(1000000L)
-    df.join(broadcast(rated), strataCol)
+    // Null-safe join: groupBy counts a NULL stratum as its own group
+    // (it can even set n_min), so a plain equi-join here would drop
+    // every null-stratum row while the rate table still reflected
+    // them — the null stratum must be sampled like any other.
+    val ratedR = rated.withColumnRenamed(strataCol, "__strata")
+    df.join(broadcast(ratedR), col(strataCol) <=> col("__strata"))
+      .drop("__strata")
       .filter(coord < col("rate_ppm"))
   }
 
@@ -298,11 +304,21 @@ object Sampling {
     * partitions whose offset already exceeds the budget are skipped
     * without reading a row. Driver state = #partitions longs.
     * Output: (key, tokens, score, cum_tokens).
+    *
+    * The partition-sum pass and the emit pass are two jobs over the
+    * same sorted RDD; they agree because the sort key
+    * (score desc, key asc) is TOTAL, so a re-executed sort shuffle
+    * reproduces identical partitions. Precondition: `df` itself must
+    * be deterministic (no `rand()` upstream) — the same invariant
+    * Spark's own `zipWithIndex` carries. Rows with a NULL token count
+    * are dropped up front (a null length can neither consume budget
+    * nor be emitted as a selected document).
     */
   def budgetTake(df: DataFrame, keyCol: String, tokenCol: String,
       scoreCol: String, budget: Long): DataFrame = {
     require(budget >= 0, "budgetTake: budget must be >= 0")
     val ordered = df
+      .filter(col(tokenCol).isNotNull)
       .select(col(keyCol), col(tokenCol).cast("long").as(tokenCol),
         col(scoreCol))
       .orderBy(col(scoreCol).desc, col(keyCol).asc)

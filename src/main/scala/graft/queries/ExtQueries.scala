@@ -1535,8 +1535,11 @@ object ExtQueries {
     // single-pass sample over the union (min-k is mergeable).
     "q176_sample_at_rest" -> ((s, d) => {
       val docs = documents(s, d)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q176_" +
-        Integer.toHexString(d.hashCode) + "/qsk"
+      // Per-invocation unique dir (q167 pattern): a dataset-keyed fixed
+      // path would let two concurrent runs (bench + verify) interleave
+      // the write/append cycle and double-count or drop a shard.
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q176_").toString + "/qsk"
       val qs = Seq("p25" -> (1, 4), "p50" -> (1, 2), "p75" -> (3, 4))
       Sketches.sampleWrite(docs.filter(col("doc_id") % 2 === 0), "lang",
         "doc_id", col("n_chars"), k = 256, path)
@@ -1560,11 +1563,10 @@ object ExtQueries {
     // (Delta/Iceberg contract in plain parquet: immutable v=N dirs,
     // committed = _SUCCESS, latest = one listing).
     "q178_time_travel" -> ((s, d) => {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q178_" +
-        Integer.toHexString(d.hashCode)
-      val root = new org.apache.hadoop.fs.Path(dir)
-      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(root)) fs.delete(root, true)
+      // Per-invocation unique dir (q167 pattern): no shared fixed path,
+      // so concurrent bench + verify runs can't race the two commits.
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_q178_").toString + "/tbl"
       val v1 = orders(s, d).select(col("o_orderkey"),
         col("o_totalprice"))
       graft.etl.Warehouse.commitVersion(s, v1, dir, "snap")
@@ -1582,8 +1584,10 @@ object ExtQueries {
     "q179_priority_at_rest" -> ((s, d) => {
       val ord = orders(s, d).select(col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("long").as("weight"))
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q179_" +
-        Integer.toHexString(d.hashCode) + "/psk"
+      // Per-invocation unique dir (q167 pattern): fixed shared paths
+      // race under concurrent bench + verify runs.
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q179_").toString + "/psk"
       graft.ext.Sampling.prioritySampleWrite(
         ord.filter(col("o_orderkey") % 2 === 0), "o_orderkey", "weight",
         n = 300, path)
@@ -1646,11 +1650,11 @@ object ExtQueries {
     // graded scenario, q69's oracle).
     "q183_index_append" -> ((s, d) => {
       val docs = documents(s, d)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q183_" +
-        Integer.toHexString(d.hashCode) + "/idx"
-      val root = new org.apache.hadoop.fs.Path(path)
-      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(root)) fs.delete(root, true)
+      // Per-invocation unique dir (q167 pattern): fresh dir per run, so
+      // there is no stale state to delete and no write/append race
+      // between concurrent bench + verify invocations.
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q183_").toString + "/idx"
       Dedup.writeLshIndex(docs.filter(col("doc_id") >= 100), "doc_id",
         "text", n = 3, k = 8, bands = 4, portable = true, path = path)
       Dedup.appendLshIndex(

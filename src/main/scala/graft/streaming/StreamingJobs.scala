@@ -65,6 +65,15 @@ object StreamingJobs {
     *
     * `docs` must carry (`idCol`, `textCol`, `ts`) with a watermark
     * already set (as `readEvents` does for events).
+    *
+    * Index-freshness contract: the static sides are SNAPSHOTTED at
+    * query start (Spark resolves the parquet file listing once per
+    * stream-static join); files added later by `appendLshIndex` are
+    * invisible to a running stream, which would then silently miss
+    * near-dups against newly appended corpus docs. Restart the stream
+    * after each index append — the daily-ingest cycle this models
+    * already has that boundary (append happens between batch days),
+    * and a restart re-lists the index at metadata cost only.
     */
   def nearDupStream(spark: SparkSession, indexPath: String,
       docs: DataFrame, idCol: String, textCol: String,
