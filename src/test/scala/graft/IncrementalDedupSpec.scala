@@ -46,4 +46,40 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(plan.contains("dynamicpruning"),
       s"no dynamic partition pruning on the index scan:\n$plan")
   }
+
+  test("appendLshIndex leaves existing index files byte-identical") {
+    // the at-rest append contract (q183): append mode ADDS parquet
+    // files into the same partition dirs; every pre-existing data file
+    // must survive with identical bytes — an append that rewrote or
+    // compacted in place would break concurrent readers and object-
+    // store immutability assumptions.
+    import java.nio.file.{Files, Path => JPath}
+    import scala.jdk.CollectionConverters._
+    val docs = Tables.documents(spark, sf0001)
+    val root = Files.createTempDirectory("graft_appimm")
+    val path = root.toString + "/idx"
+    Dedup.writeLshIndex(docs.filter($"doc_id" >= 100), "doc_id", "text",
+      n = 3, k = 8, bands = 4, portable = true, path = path)
+    def snapshot(): Map[String, (Long, String)] =
+      Files.walk(root).iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map { p =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val dig = md.digest(Files.readAllBytes(p))
+          (root.relativize(p).toString,
+            (Files.size(p), dig.map("%02x".format(_)).mkString))
+        }.toMap
+    val before = snapshot()
+    assert(before.nonEmpty, "index write produced no parquet files")
+    Dedup.appendLshIndex(
+      docs.filter($"doc_id" >= 50 && $"doc_id" < 100), "doc_id", "text",
+      n = 3, k = 8, bands = 4, portable = true, path = path)
+    val after = snapshot()
+    before.foreach { case (f, sig) =>
+      assert(after.get(f).contains(sig),
+        s"append modified or removed pre-existing index file $f")
+    }
+    assert(after.size > before.size, "append added no new files")
+  }
 }

@@ -376,4 +376,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"),
       s"stratum counts not map-side combined in:\n$p")
   }
+
+  test("q180 budget take: no single-task window, no driver-built table") {
+    // the naive cumulative sum is sum().over(Window.orderBy(...)) with
+    // no partitionBy — a partition-less WindowExec that drags the whole
+    // corpus through ONE task; a driver-side selection would surface as
+    // a LocalTableScan. budgetTake's prefix-offset design has neither.
+    val p = plan("q180_budget_select")
+    assert(!p.contains("Window"), s"single-task window shape in:\n$p")
+    assert(!p.contains("LocalTableScan"), s"driver-built result in:\n$p")
+  }
+
+  test("q171/q172 table-valued mixes: weights stay distributed") {
+    // the bounded-strata variants (q96/q101) hold a strata->weight map
+    // on the driver; the table-valued variants must NOT — a collected
+    // weight table would re-enter the plan as a LocalTableScan, and a
+    // global position as a partition-less Window. (The pre-zipWithIndex
+    // stages run inside the RDD lineage; a driver detour would still be
+    // visible here as a local relation.)
+    for (n <- Seq("q171_mix_by_table", "q172_epoch_mix_table")) {
+      val p = plan(n)
+      assert(!p.contains("LocalTableScan"),
+        s"driver-collected table in $n:\n$p")
+      assert(!p.contains("CartesianProduct"), s"cartesian in $n:\n$p")
+    }
+  }
 }
