@@ -588,11 +588,20 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, portable: Boolean = false): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 62,
-      s"maxHamming must be in [0, 62], got $maxHamming")
     val sigs =
       if (portable) simhashSignaturesPortable(df, idCol, textCol)
       else simhashSignatures(df, idCol, textCol)
+    simhashPairsFromSigs(sigs, idCol, maxHamming)
+  }
+
+  /** The Manku block join over an (id, sig) table — shared by the
+    * all-pairs surface ([[simhashNearDups]]) and the distinct-signature
+    * edge surface ([[simhashGroupEdges]]).
+    */
+  private def simhashPairsFromSigs(sigs: DataFrame, idCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 62,
+      s"maxHamming must be in [0, 62], got $maxHamming")
     val nBlocks = maxHamming + 2
     val bounds = (0 to nBlocks).map(i => i * 64 / nBlocks)
     def block(i: Int): Column =
@@ -619,7 +628,7 @@ object Dedup {
       .groupBy("tbl", "bkey")
       .agg(collect_list(struct(col(idCol).as("id"), col("sig"))).as("ms"))
     val pairs =
-      if (df.schema(idCol).dataType == org.apache.spark.sql.types.LongType)
+      if (sigs.schema(idCol).dataType == org.apache.spark.sql.types.LongType)
         // JVM-loop kernel: verify + exactly-once emission per bucket row
         graft.functions.PairFunctions.simhashBucketPairs(
           col("ms"), col("tbl"), maxHamming, nBlocks)
@@ -653,6 +662,56 @@ object Dedup {
       }
     members.select(explode(pairs).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+  }
+
+  /** Identical-signature dup groups: (id, group_id, group_size) where
+    * group_id is the min id sharing the doc's exact simhash signature.
+    *
+    * This is the 100 TB-safe HALF of the simhash surface: on a
+    * template-dense corpus, most near-dup mass sits in
+    * identical-signature clusters, and [[simhashNearDups]]'s all-pairs
+    * contract emits Σ c²/2 rows for a cluster of size c — measured at
+    * 10x replication (BUILD_NOTES round 7), one resampled hash family
+    * collapsed clusters of ~250 docs into single signatures, putting
+    * >80% of the pair volume inside identical-sig groups. Groups +
+    * [[simhashGroupEdges]] carry the same information at linear size:
+    * a doc pair is a near-dup iff same group (hamming 0) or its two
+    * groups are edge-connected (hamming is a pure signature function).
+    *
+    * Shape: one map-side-combined groupBy(sig) for (rep, size), joined
+    * back on sig — a giant identical-sig cluster is one GROUP ROW here
+    * (AQE skew-split handles the membership join), not c²/2 output rows.
+    */
+  def simhashGroups(df: DataFrame, idCol: String, textCol: String,
+      portable: Boolean = false): DataFrame = {
+    val sigs =
+      if (portable) simhashSignaturesPortable(df, idCol, textCol)
+      else simhashSignatures(df, idCol, textCol)
+    val groups = sigs.groupBy("sig")
+      .agg(min(col(idCol)).as("group_id"),
+        count(lit(1)).as("group_size"))
+    sigs.join(groups, "sig")
+      .select(col(idCol), col("group_id"), col("group_size"))
+  }
+
+  /** Near-dup edges BETWEEN distinct signature groups: (rep_a, rep_b,
+    * hamming) with 1 <= hamming <= maxHamming, reps = each group's min
+    * id. The block join runs over DISTINCT signatures — one row per
+    * signature, not per doc — so a million-doc identical-sig cluster
+    * costs one probe row instead of a quadratic bucket. Together with
+    * [[simhashGroups]] this is the linear-size decomposition of
+    * [[simhashNearDups]]'s pair set (DedupSpec asserts the expansion
+    * reproduces it exactly).
+    */
+  def simhashGroupEdges(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, portable: Boolean = false): DataFrame = {
+    val sigs =
+      if (portable) simhashSignaturesPortable(df, idCol, textCol)
+      else simhashSignatures(df, idCol, textCol)
+    val reps = sigs.groupBy("sig").agg(min(col(idCol)).as(idCol))
+    simhashPairsFromSigs(reps, idCol, maxHamming)
+      .select(col("id_a").as("rep_a"), col("id_b").as("rep_b"),
+        col("hamming"))
   }
 
   // ------------------------------------------------------------------

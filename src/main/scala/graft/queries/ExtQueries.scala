@@ -116,11 +116,11 @@ object ExtQueries {
     // {buckets within hamming 2}, so results — and the oracle — are
     // exactly q30's.
     "q53_ann_at_rest" -> ((s, d) => {
-      // stable per-sfDir path + overwrite mode: each run REPLACES the
-      // index instead of leaking a fresh graft_q53* tree under /tmp
-      // per invocation (Verify + 2 bench passes per round add up)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q53_" +
-        Integer.toHexString(d.hashCode) + "/emb"
+      // Per-invocation unique dir (q167 pattern): a stable shared path
+      // would let a concurrent run overwrite the index mid-read. The
+      // few-MB per-run leak under /tmp is the cheaper failure mode.
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q53_").toString + "/emb"
       Similarity.writeBucketed(embeddings(s, d), "embedding", path, nBits = 8)
       Similarity.lshTopKAtRest(s, path, "vec_id", "embedding", 0L, 10,
         nBits = 8, probeHamming = 2)
@@ -186,8 +186,8 @@ object ExtQueries {
     "q77_ivf_at_rest" -> ((s, d) => {
       val emb = embeddings(s, d)
       val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 16)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q77_" +
-        Integer.toHexString(d.hashCode) + "/emb"
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q77_").toString + "/emb"
       Similarity.writeIvf(emb, "vec_id", "embedding", path, cents)
       Similarity.ivfTopKAtRest(s, path, "vec_id", "embedding", 0L, 10,
         cents, nProbe = 3)
@@ -249,14 +249,11 @@ object ExtQueries {
       val base = ord.filter(col("o_orderkey") % 3 =!= 0)
       val batch = ord.filter(col("o_orderkey") % 2 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 2)
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q78_" +
-        Integer.toHexString(d.hashCode)
-      // fresh table per run — merging into a previous run's survivors
-      // would not be the graded scenario
-      val tbl = new org.apache.hadoop.fs.Path(
-        graft.etl.Warehouse.path(dir, "orders_t"))
-      val fs = tbl.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(tbl)) fs.delete(tbl, true)
+      // Per-invocation unique dir (q167 pattern): fresh table per run
+      // (merging into a previous run's survivors would not be the
+      // graded scenario) and no cross-run merge race.
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_q78_").toString
       graft.etl.Warehouse.mergeByKey(s, base, dir, "orders_t",
         Seq("o_orderkey"), Seq("o_orderpriority"))
       graft.etl.Warehouse.mergeByKey(s, batch, dir, "orders_t",
@@ -372,6 +369,22 @@ object ExtQueries {
         maxHamming = 3, portable = true)
         .orderBy("id_a", "id_b")
     }),
+
+    // SimHash, scale-shaped: identical-signature groups (the quadratic
+    // mass of q37's pair output, measured at 10x in BUILD_NOTES round
+    // 7, collapsed to one row per doc) ...
+    "q187_simhash_groups" -> ((s, d) =>
+      Dedup.simhashGroups(documents(s, d), "doc_id", "text",
+        portable = true)
+        .orderBy("doc_id")),
+
+    // ... plus near-dup edges between DISTINCT signatures only — the
+    // linear-size decomposition of q37 (groups + edges expand back to
+    // the exact q37 pair set; DedupScaleSpec asserts it).
+    "q188_simhash_group_edges" -> ((s, d) =>
+      Dedup.simhashGroupEdges(documents(s, d), "doc_id", "text",
+        maxHamming = 3, portable = true)
+        .orderBy("rep_a", "rep_b")),
 
     // Multimodal plumbing: synthetic media table → mapPartitions decode
     // (filter-bank kernel) → per-item frame/byte accounting. The metadata
@@ -521,9 +534,9 @@ object ExtQueries {
     // data.
     "q69_incremental_dedup" -> ((s, d) => {
       val docs = documents(s, d)
-      // stable per-sfDir path, overwrite-on-rebuild (see q53)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q69_" +
-        Integer.toHexString(d.hashCode) + "/idx"
+      // per-invocation unique dir (q167 pattern, see q53)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q69_").toString + "/idx"
       Dedup.writeLshIndex(docs.filter(col("doc_id") >= 50), "doc_id",
         "text", n = 3, k = 8, bands = 4, portable = true, path = path)
       Dedup.incrementalNearDups(s, path, docs.filter(col("doc_id") < 50),
@@ -1728,8 +1741,8 @@ object ExtQueries {
     // read. The oracle filters the full fact set — equality proves the
     // whole maintain-then-read cycle loses and duplicates nothing.
     "q125_zone_maintain" -> ((s, d) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q125_" +
-        Integer.toHexString(d.hashCode) + "/orders_zoned"
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q125_").toString + "/orders_zoned"
       val o = orders(s, d)
       graft.ext.Layout.zoneWrite(
         o.filter(col("o_orderdate") < lit("1997-01-01")),
@@ -1751,8 +1764,8 @@ object ExtQueries {
     // in PlanAuditSpec) — the write pays the shuffle once, every later
     // join rides the layout.
     "q124_bucketed_join" -> ((s, d) => {
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q124_" +
-        Integer.toHexString(d.hashCode)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q124_").toString
       graft.ext.Layout.bucketTableWrite(customer(s, d), "c_custkey", 8,
         "graft_q124_cust", s"$tmp/cust")
       graft.ext.Layout.bucketTableWrite(orders(s, d), "o_custkey", 8,
@@ -1809,8 +1822,8 @@ object ExtQueries {
     // data skipping — the result is identical to the plain filter,
     // which is exactly what the oracle checks).
     "q120_zonemap_read" -> ((s, d) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q120_" +
-        Integer.toHexString(d.hashCode) + "/orders_zoned"
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q120_").toString + "/orders_zoned"
       graft.ext.Layout.zoneWrite(orders(s, d), "o_totalprice", 16, path)
       graft.ext.Layout.zoneRead(s, path, "o_totalprice",
         lit(50000.0), lit(100000.0))
@@ -1843,8 +1856,8 @@ object ExtQueries {
     // terms' bucket dirs (PartitionFilters IN-list). Same result rows
     // as q114 — the layout changes where postings live, not answers.
     "q115_phrase_at_rest" -> ((s, d) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q115_" +
-        Integer.toHexString(d.hashCode) + "/postings"
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q115_").toString + "/postings"
       graft.ext.Index.writePositionalPostings(documents(s, d), "doc_id",
         "text", path)
       graft.ext.Index.phraseAtRest(s, path, Seq("spark", "join"))
@@ -1995,11 +2008,10 @@ object ExtQueries {
     // recount over the whole corpus.
     "q98_postings_segments" -> ((s, d) => {
       val docs = documents(s, d)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q98_" +
-        Integer.toHexString(d.hashCode) + "/segidx"
-      val root = new org.apache.hadoop.fs.Path(path)
-      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(root)) fs.delete(root, true)
+      // per-invocation unique dir (q167 pattern): fresh dir, no stale
+      // state to delete, no cross-run segment-write race
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q98_").toString + "/segidx"
       graft.ext.Index.writeSegment(docs.filter(col("doc_id") >= 50),
         "doc_id", "text", path, seg = 0)
       graft.ext.Index.writeSegment(docs.filter(col("doc_id") < 50),
@@ -2014,8 +2026,8 @@ object ExtQueries {
     // only the hashed bucket directories (PartitionFilters IN-list —
     // the text twin of q53/q77's vector layouts).
     "q94_postings_at_rest" -> ((s, d) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q94_" +
-        Integer.toHexString(d.hashCode) + "/postings"
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q94_").toString + "/postings"
       graft.ext.Index.writePostings(documents(s, d), "doc_id", "text",
         path)
       graft.ext.Index.termLookupAtRest(s, path,
@@ -5084,6 +5096,57 @@ object ExtQueries {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Same signature replay; groups = min-id/count per exact signature.
+    "q187_simhash_groups" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id, md5(t) AS m FROM toks),
+        |sigbits AS (
+        |  SELECT doc_id, b,
+        |    CASE WHEN 2 * sum(((strpos('0123456789abcdef',
+        |        substr(m, cast(b // 4 AS int) + 1, 1)) - 1) >> (b % 4)) & 1)
+        |      > count(*) THEN 1 ELSE 0 END AS bit
+        |  FROM h, (SELECT unnest(range(64)) AS b) bs
+        |  GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN b < 32 THEN bit * (1::BIGINT << b) ELSE 0 END) AS lo,
+        |    sum(CASE WHEN b >= 32 THEN bit * (1::BIGINT << (b - 32)) ELSE 0 END) AS hi
+        |  FROM sigbits GROUP BY doc_id)
+        |SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY lo, hi) AS group_id,
+        |  count(*) OVER (PARTITION BY lo, hi) AS group_size
+        |FROM sig ORDER BY doc_id""".stripMargin,
+
+    // Same signature replay; brute pairwise over the DISTINCT-signature
+    // reps (tiny at sf0.01) — the engine's block join must agree.
+    "q188_simhash_group_edges" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id, md5(t) AS m FROM toks),
+        |sigbits AS (
+        |  SELECT doc_id, b,
+        |    CASE WHEN 2 * sum(((strpos('0123456789abcdef',
+        |        substr(m, cast(b // 4 AS int) + 1, 1)) - 1) >> (b % 4)) & 1)
+        |      > count(*) THEN 1 ELSE 0 END AS bit
+        |  FROM h, (SELECT unnest(range(64)) AS b) bs
+        |  GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN b < 32 THEN bit * (1::BIGINT << b) ELSE 0 END) AS lo,
+        |    sum(CASE WHEN b >= 32 THEN bit * (1::BIGINT << (b - 32)) ELSE 0 END) AS hi
+        |  FROM sigbits GROUP BY doc_id),
+        |reps AS (SELECT lo, hi, min(doc_id) AS rep FROM sig GROUP BY lo, hi)
+        |SELECT rep_a, rep_b, hamming FROM (
+        |  SELECT a.rep AS rep_a, b.rep AS rep_b,
+        |    bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming
+        |  FROM reps a JOIN reps b ON a.rep < b.rep)
+        |WHERE hamming <= 3 ORDER BY rep_a, rep_b""".stripMargin,
 
     "q39_media_neardup" ->
       s"""WITH r AS (
