@@ -280,8 +280,11 @@ object Warehouse {
     val live = committedVersions(spark, dir, table).takeRight(keep).toSet
     fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-      .filterNot(s =>
-        live.contains(s.getPath.getName.stripPrefix("v=").toLong))
+      // same foreign-name tolerance as versionDirs: a dir that doesn't
+      // parse as v=<long> is not ours to delete — skip it, don't throw
+      .filter(s =>
+        s.getPath.getName.stripPrefix("v=").toLongOption
+          .exists(v => !live.contains(v)))
       .foreach(s => fs.delete(s.getPath, true))
   }
 

@@ -312,15 +312,19 @@ object Sampling {
     * be deterministic (no `rand()` upstream) — the same invariant
     * Spark's own `zipWithIndex` carries. Rows with a NULL token count
     * are dropped up front (a null length can neither consume budget
-    * nor be emitted as a selected document).
+    * nor be emitted as a selected document); a non-numeric string
+    * token value errors loudly per ANSI cast semantics — bad data
+    * should fail the job, not silently shrink the selected corpus.
     */
   def budgetTake(df: DataFrame, keyCol: String, tokenCol: String,
       scoreCol: String, budget: Long): DataFrame = {
     require(budget >= 0, "budgetTake: budget must be >= 0")
     val ordered = df
-      .filter(col(tokenCol).isNotNull)
       .select(col(keyCol), col(tokenCol).cast("long").as(tokenCol),
         col(scoreCol))
+      // filter AFTER the cast, on the casted column: a null that
+      // survives to the per-partition pass would NPE getLong
+      .filter(col(tokenCol).isNotNull)
       .orderBy(col(scoreCol).desc, col(keyCol).asc)
     val rdd = ordered.rdd
     val partSums = rdd.mapPartitionsWithIndex { case (i, it) =>

@@ -17,6 +17,39 @@ import graft.streaming.EventsOps
 object ExtQueries {
   private type Q = (SparkSession, String) => DataFrame
 
+  /** Per-invocation temp dir for the at-rest query lifecycles, swept
+    * recursively at JVM exit. Unique-per-run kills the cross-process
+    * write/append races a stable shared path had (two concurrent
+    * bench+verify runs interleaving one index), while the exit hook
+    * keeps repeated in-process passes (bench warmup + 2 timed passes x
+    * ~15 at-rest queries) from growing /tmp without bound — the leak
+    * the old stable-path design existed to prevent.
+    */
+  private val tmpRoots =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val tmpSweepHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tmpRoots.forEach { root =>
+        try {
+          val walk = java.nio.file.Files.walk(root)
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala.toSeq
+              .sortBy(-_.getNameCount) // children before parents
+              .foreach { p =>
+                try { java.nio.file.Files.deleteIfExists(p); () }
+                catch { case _: Throwable => () }
+              }
+          } finally walk.close()
+        } catch { case _: Throwable => () }
+      }))
+  private def tempDir(prefix: String): String = {
+    tmpSweepHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tmpRoots.add(p)
+    p.toString
+  }
+
   val defs: Map[String, Q] = Map(
     // Exact dedup: one shuffle on the content digest.
     "q21_dedup_exact" -> ((s, d) => {
@@ -116,11 +149,10 @@ object ExtQueries {
     // {buckets within hamming 2}, so results — and the oracle — are
     // exactly q30's.
     "q53_ann_at_rest" -> ((s, d) => {
-      // Per-invocation unique dir (q167 pattern): a stable shared path
-      // would let a concurrent run overwrite the index mid-read. The
-      // few-MB per-run leak under /tmp is the cheaper failure mode.
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_q53_").toString + "/emb"
+      // Per-invocation unique dir (tempDir: unique per run + swept at
+      // JVM exit): a stable shared path would let a concurrent run
+      // overwrite the index mid-read.
+      val path = tempDir("graft_q53_") + "/emb"
       Similarity.writeBucketed(embeddings(s, d), "embedding", path, nBits = 8)
       Similarity.lshTopKAtRest(s, path, "vec_id", "embedding", 0L, 10,
         nBits = 8, probeHamming = 2)
@@ -186,8 +218,7 @@ object ExtQueries {
     "q77_ivf_at_rest" -> ((s, d) => {
       val emb = embeddings(s, d)
       val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 16)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_q77_").toString + "/emb"
+      val path = tempDir("graft_q77_") + "/emb"
       Similarity.writeIvf(emb, "vec_id", "embedding", path, cents)
       Similarity.ivfTopKAtRest(s, path, "vec_id", "embedding", 0L, 10,
         cents, nProbe = 3)
@@ -252,8 +283,7 @@ object ExtQueries {
       // Per-invocation unique dir (q167 pattern): fresh table per run
       // (merging into a previous run's survivors would not be the
       // graded scenario) and no cross-run merge race.
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_q78_").toString
+      val dir = tempDir("graft_q78_")
       graft.etl.Warehouse.mergeByKey(s, base, dir, "orders_t",
         Seq("o_orderkey"), Seq("o_orderpriority"))
       graft.etl.Warehouse.mergeByKey(s, batch, dir, "orders_t",
@@ -535,8 +565,7 @@ object ExtQueries {
     "q69_incremental_dedup" -> ((s, d) => {
       val docs = documents(s, d)
       // per-invocation unique dir (q167 pattern, see q53)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_q69_").toString + "/idx"
+      val path = tempDir("graft_q69_") + "/idx"
       Dedup.writeLshIndex(docs.filter(col("doc_id") >= 50), "doc_id",
         "text", n = 3, k = 8, bands = 4, portable = true, path = path)
       Dedup.incrementalNearDups(s, path, docs.filter(col("doc_id") < 50),
@@ -1450,8 +1479,7 @@ object ExtQueries {
       // Per-invocation unique dir: a dataset-keyed fixed path would let
       // two concurrent runs (bench + verify) race the write/append
       // cycle and double-count or drop the delta matrix.
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_q167_").toString + "/cm"
+      val path = tempDir("graft_q167_") + "/cm"
       val toks = documents(s, d)
         .select(col("doc_id"),
           explode(TextStats.tokens(col("text"))).as("tok"))
@@ -1551,8 +1579,7 @@ object ExtQueries {
       // Per-invocation unique dir (q167 pattern): a dataset-keyed fixed
       // path would let two concurrent runs (bench + verify) interleave
       // the write/append cycle and double-count or drop a shard.
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_q176_").toString + "/qsk"
+      val path = tempDir("graft_q176_") + "/qsk"
       val qs = Seq("p25" -> (1, 4), "p50" -> (1, 2), "p75" -> (3, 4))
       Sketches.sampleWrite(docs.filter(col("doc_id") % 2 === 0), "lang",
         "doc_id", col("n_chars"), k = 256, path)
@@ -1578,8 +1605,7 @@ object ExtQueries {
     "q178_time_travel" -> ((s, d) => {
       // Per-invocation unique dir (q167 pattern): no shared fixed path,
       // so concurrent bench + verify runs can't race the two commits.
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_q178_").toString + "/tbl"
+      val dir = tempDir("graft_q178_") + "/tbl"
       val v1 = orders(s, d).select(col("o_orderkey"),
         col("o_totalprice"))
       graft.etl.Warehouse.commitVersion(s, v1, dir, "snap")
@@ -1599,8 +1625,7 @@ object ExtQueries {
         round(col("o_totalprice") * 100).cast("long").as("weight"))
       // Per-invocation unique dir (q167 pattern): fixed shared paths
       // race under concurrent bench + verify runs.
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_q179_").toString + "/psk"
+      val path = tempDir("graft_q179_") + "/psk"
       graft.ext.Sampling.prioritySampleWrite(
         ord.filter(col("o_orderkey") % 2 === 0), "o_orderkey", "weight",
         n = 300, path)
@@ -1666,8 +1691,7 @@ object ExtQueries {
       // Per-invocation unique dir (q167 pattern): fresh dir per run, so
       // there is no stale state to delete and no write/append race
       // between concurrent bench + verify invocations.
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_q183_").toString + "/idx"
+      val path = tempDir("graft_q183_") + "/idx"
       Dedup.writeLshIndex(docs.filter(col("doc_id") >= 100), "doc_id",
         "text", n = 3, k = 8, bands = 4, portable = true, path = path)
       Dedup.appendLshIndex(
@@ -1741,8 +1765,7 @@ object ExtQueries {
     // read. The oracle filters the full fact set — equality proves the
     // whole maintain-then-read cycle loses and duplicates nothing.
     "q125_zone_maintain" -> ((s, d) => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_q125_").toString + "/orders_zoned"
+      val path = tempDir("graft_q125_") + "/orders_zoned"
       val o = orders(s, d)
       graft.ext.Layout.zoneWrite(
         o.filter(col("o_orderdate") < lit("1997-01-01")),
@@ -1764,8 +1787,7 @@ object ExtQueries {
     // in PlanAuditSpec) — the write pays the shuffle once, every later
     // join rides the layout.
     "q124_bucketed_join" -> ((s, d) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_q124_").toString
+      val tmp = tempDir("graft_q124_")
       graft.ext.Layout.bucketTableWrite(customer(s, d), "c_custkey", 8,
         "graft_q124_cust", s"$tmp/cust")
       graft.ext.Layout.bucketTableWrite(orders(s, d), "o_custkey", 8,
@@ -1822,8 +1844,7 @@ object ExtQueries {
     // data skipping — the result is identical to the plain filter,
     // which is exactly what the oracle checks).
     "q120_zonemap_read" -> ((s, d) => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_q120_").toString + "/orders_zoned"
+      val path = tempDir("graft_q120_") + "/orders_zoned"
       graft.ext.Layout.zoneWrite(orders(s, d), "o_totalprice", 16, path)
       graft.ext.Layout.zoneRead(s, path, "o_totalprice",
         lit(50000.0), lit(100000.0))
@@ -1856,8 +1877,7 @@ object ExtQueries {
     // terms' bucket dirs (PartitionFilters IN-list). Same result rows
     // as q114 — the layout changes where postings live, not answers.
     "q115_phrase_at_rest" -> ((s, d) => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_q115_").toString + "/postings"
+      val path = tempDir("graft_q115_") + "/postings"
       graft.ext.Index.writePositionalPostings(documents(s, d), "doc_id",
         "text", path)
       graft.ext.Index.phraseAtRest(s, path, Seq("spark", "join"))
@@ -2010,8 +2030,7 @@ object ExtQueries {
       val docs = documents(s, d)
       // per-invocation unique dir (q167 pattern): fresh dir, no stale
       // state to delete, no cross-run segment-write race
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_q98_").toString + "/segidx"
+      val path = tempDir("graft_q98_") + "/segidx"
       graft.ext.Index.writeSegment(docs.filter(col("doc_id") >= 50),
         "doc_id", "text", path, seg = 0)
       graft.ext.Index.writeSegment(docs.filter(col("doc_id") < 50),
@@ -2026,8 +2045,7 @@ object ExtQueries {
     // only the hashed bucket directories (PartitionFilters IN-list —
     // the text twin of q53/q77's vector layouts).
     "q94_postings_at_rest" -> ((s, d) => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_q94_").toString + "/postings"
+      val path = tempDir("graft_q94_") + "/postings"
       graft.ext.Index.writePostings(documents(s, d), "doc_id", "text",
         path)
       graft.ext.Index.termLookupAtRest(s, path,

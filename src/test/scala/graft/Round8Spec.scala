@@ -408,10 +408,17 @@ class Round8Spec extends SparkSpec {
       .orderBy("k").as[(Long, String)].collect().toSeq ===
       Seq((1L, "a2"), (3L, "c")))
     assert(Warehouse.commitVersion(spark, v1d, dir, "t") === 4L)
+    // foreign dir name (crashed copy tool): tolerated — resolve,
+    // commit and vacuum all skip it rather than throwing, and vacuum
+    // never deletes what it can't parse as v=<long>
+    val foreign = new java.io.File(s"$dir/t@versions/v=3.tmp")
+    assert(foreign.mkdirs())
+    assert(Warehouse.listVersions(spark, dir, "t") === Seq(1L, 2L, 4L))
     // vacuum keep=1: drops v1, v2 and the dangling v3; keeps v4
     Warehouse.vacuumVersions(spark, dir, "t", keep = 1)
     assert(Warehouse.listVersions(spark, dir, "t") === Seq(4L))
     assert(!dangling.exists())
+    assert(foreign.exists(), "vacuum must not touch foreign dir names")
     intercept[IllegalArgumentException] {
       Warehouse.readVersion(spark, dir, "t", 1L)
     }
@@ -475,6 +482,13 @@ class Round8Spec extends SparkSpec {
     // exact-fit boundary: budget 90 keeps both, budget 89 keeps one
     assert(Sampling.budgetTake(d, "k", "tok", "sc", 90L).count() === 2L)
     assert(Sampling.budgetTake(d, "k", "tok", "sc", 89L).count() === 1L)
+    // null token counts are dropped up front — they must never reach
+    // the per-partition sum pass (getLong on null would NPE the job)
+    val withNulls = Seq(
+      (1L, Some(40L), 0.9), (2L, None, 0.8), (3L, Some(30L), 0.7))
+      .toDF("k", "tok", "sc")
+    assert(Sampling.budgetTake(withNulls, "k", "tok", "sc", 100L)
+      .select("k").as[Long].collect().toSeq.sorted === Seq(1L, 3L))
   }
 
   // ------------------------------------------------------------------
