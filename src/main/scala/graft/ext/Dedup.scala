@@ -681,6 +681,11 @@ object Dedup {
     * Shape: one map-side-combined groupBy(sig) for (rep, size), joined
     * back on sig — a giant identical-sig cluster is one GROUP ROW here
     * (AQE skew-split handles the membership join), not c²/2 output rows.
+    * The join recomputes the signature projection on the probe side
+    * (Spark does not reuse exchanges across join aliases — BUILD_NOTES);
+    * the single-scan alternative, a window over sig, would buffer an
+    * entire degenerate cluster in ONE task — exactly the case this
+    * operator exists for — so the second scan is the right price.
     */
   def simhashGroups(df: DataFrame, idCol: String, textCol: String,
       portable: Boolean = false): DataFrame = {
