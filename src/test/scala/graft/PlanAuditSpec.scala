@@ -387,6 +387,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("LocalTableScan"), s"driver-built result in:\n$p")
   }
 
+  test("q187/q188 simhash decomposition: aggregated, never quadratic") {
+    // groups: map-side-combined sig aggregation + membership join;
+    // edges: block join over DISTINCT sigs — neither may plan a
+    // cartesian/NLJ, and both must combine signatures map-side
+    for (n <- Seq("q187_simhash_groups", "q188_simhash_group_edges")) {
+      val p = plan(n)
+      assert(p.contains("partial_"), s"no map-side combine in $n:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"quadratic join shape in $n:\n$p")
+    }
+  }
+
   test("q171/q172 table-valued mixes: weights stay distributed") {
     // the bounded-strata variants (q96/q101) hold a strata->weight map
     // on the driver; the table-valued variants must NOT — a collected
