@@ -73,7 +73,11 @@ object StreamingJobs {
     * near-dups against newly appended corpus docs. Restart the stream
     * after each index append — the daily-ingest cycle this models
     * already has that boundary (append happens between batch days),
-    * and a restart re-lists the index at metadata cost only.
+    * and a restart re-lists the index at metadata cost only. When the
+    * index mutates WITHIN the stream's lifetime, use
+    * [[nearDupRefreshing]] instead: it re-reads the index every
+    * micro-batch (StreamingSpec proves an in-flight append is picked
+    * up by the next batch).
     */
   def nearDupStream(spark: SparkSession, indexPath: String,
       docs: DataFrame, idCol: String, textCol: String,
@@ -118,6 +122,35 @@ object StreamingJobs {
         col("jaccard"))
       .dropDuplicatesWithinWatermark(Seq("batch_id", "corpus_id"))
   }
+
+  /** Index-REFRESHING near-dup stream: the foreachBatch twin of
+    * [[nearDupStream]] for the regime where the at-rest index MUTATES
+    * during the stream's lifetime ([[graft.ext.Dedup.appendLshIndex]]
+    * between batches). Each micro-batch runs the batch
+    * [[graft.ext.Dedup.incrementalNearDups]] against a FRESH read of
+    * the index — one metadata-scale re-list per batch — so files
+    * appended before a batch are visible to it: the freshness contract
+    * the snapshot-at-query-start stream-static join above cannot give.
+    *
+    * Returns the configured `DataStreamWriter`; the caller sets the
+    * trigger/checkpoint and starts it. `sink` receives each batch's
+    * (batch_id, corpus_id, jaccard) results plus the batch id.
+    * foreachBatch may REPLAY a batch on recovery — make `sink`
+    * idempotent (e.g. [[graft.etl.Warehouse.idempotentAppend]] keyed
+    * on (batch_id, corpus_id)).
+    */
+  def nearDupRefreshing(indexPath: String, idCol: String,
+      textCol: String, n: Int = 3, k: Int = 8, bands: Int = 4,
+      threshold: Double = 0.7, portable: Boolean = false,
+      nDirs: Int = 64)(docs: DataFrame)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.ext.Dedup.incrementalNearDups(batch.sparkSession,
+        indexPath, batch, idCol, textCol, n, k, bands, threshold,
+        portable, nDirs), batchId)
+    }
 
   /** Streaming daily distinct active users: watermark-bounded dedup of
     * (user, day) — each user counts ONCE per day no matter how many

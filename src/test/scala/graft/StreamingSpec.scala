@@ -423,6 +423,57 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("nearDupRefreshing: index appended mid-stream is visible to " +
+      "the NEXT micro-batch (snapshot join would miss it)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val idx = Files.createTempDirectory("graft_ndr").toString + "/idx"
+    graft.ext.Dedup.writeLshIndex(docs.filter(col("doc_id") >= 100),
+      "doc_id", "text", path = idx, portable = true)
+    val fileA = docs.filter(col("doc_id") >= 25 && col("doc_id") < 50)
+    val fileB = docs.filter(col("doc_id") < 25)
+    // expectations computed with the batch operator at each index state
+    val want0 = graft.ext.Dedup.incrementalNearDups(spark, idx, fileA,
+      "doc_id", "text", portable = true)
+      .as[(Long, Long, Double)].collect().toSet
+    val dir = Files.createTempDirectory("graft_ndr_in").toString
+    fileA.coalesce(1).write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    // second input file lands after the first so AvailableNow +
+    // maxFilesPerTrigger=1 processes A then B as separate batches
+    fileB.coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val got = scala.collection.mutable.Map
+      .empty[Long, Set[(Long, Long, Double)]]
+    var want1 = Set.empty[(Long, Long, Double)]
+    val q = StreamingJobs.nearDupRefreshing(idx, "doc_id", "text",
+      portable = true)(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")) {
+      (res, batchId) =>
+        got.synchronized {
+          got(batchId) = res.as[(Long, Long, Double)].collect().toSet
+        }
+        if (batchId == 0L) {
+          // the daily-ingest append, mid-stream: 50..99 join the corpus
+          graft.ext.Dedup.appendLshIndex(
+            docs.filter(col("doc_id") >= 50 && col("doc_id") < 100),
+            "doc_id", "text", path = idx, portable = true)
+          want1 = graft.ext.Dedup.incrementalNearDups(spark, idx, fileB,
+            "doc_id", "text", portable = true)
+            .as[(Long, Long, Double)].collect().toSet
+        }
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(got.keySet === Set(0L, 1L))
+    assert(got(0L) === want0)
+    assert(got(1L) === want1)
+    // and the refresh MATTERS: batch 1 found near-dups against the
+    // mid-stream append that a query-start snapshot could never see
+    assert(got(1L).exists(p => p._2 >= 50 && p._2 < 100),
+      "fixture produced no near-dup against the appended 50..99 docs")
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions on gap") {
     // batch Dataset drive of the same state function shape: sessions
     // close inline when a later event arrives past the gap
