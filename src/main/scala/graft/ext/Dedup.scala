@@ -692,6 +692,28 @@ object Dedup {
     val sigs =
       if (portable) simhashSignaturesPortable(df, idCol, textCol)
       else simhashSignatures(df, idCol, textCol)
+    // NULL-text docs produce no signature row (explode of a null token
+    // array) — but this surface owes one row PER DOC, and silently
+    // losing them would turn a downstream "keep id == group_id" pass
+    // into data loss. They re-enter as singleton groups: no content
+    // evidence, no merging (the exact-dup/empty-doc story belongs to
+    // exactGroups, which hashes the raw content).
+    df.select(col(idCol))
+      .join(simhashGroupsFromSigs(sigs, idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("group_id"), col(idCol)).as("group_id"),
+        coalesce(col("group_size"), lit(1L)).as("group_size"))
+  }
+
+  /** [[simhashGroups]] over a precomputed (id, sig) table — covers
+    * only the docs PRESENT in `sigs` (no null-text completion; the
+    * text-taking overload adds it). At 100 TB compute signatures once,
+    * persist, and feed BOTH this and [[simhashGroupEdgesFromSigs]] —
+    * the text-taking forms each re-scan the corpus (Spark does not
+    * reuse exchanges across consumers), which is three tokenize+hash
+    * passes for the joint groups+edges decomposition.
+    */
+  def simhashGroupsFromSigs(sigs: DataFrame, idCol: String): DataFrame = {
     val groups = sigs.groupBy("sig")
       .agg(min(col(idCol)).as("group_id"),
         count(lit(1)).as("group_size"))
@@ -713,6 +735,14 @@ object Dedup {
     val sigs =
       if (portable) simhashSignaturesPortable(df, idCol, textCol)
       else simhashSignatures(df, idCol, textCol)
+    simhashGroupEdgesFromSigs(sigs, idCol, maxHamming)
+  }
+
+  /** [[simhashGroupEdges]] over a precomputed (id, sig) table — see
+    * [[simhashGroupsFromSigs]] for the compute-sigs-once pattern.
+    */
+  def simhashGroupEdgesFromSigs(sigs: DataFrame, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
     val reps = sigs.groupBy("sig").agg(min(col(idCol)).as(idCol))
     simhashPairsFromSigs(reps, idCol, maxHamming)
       .select(col("id_a").as("rep_a"), col("id_b").as("rep_b"),

@@ -95,11 +95,19 @@ object Sampling {
     * Scale shape: one map-side-combined stratum count, the
     * strata-sized rate table broadcasts back, and the thinning is a
     * per-row filter — the corpus itself never shuffles. Output: kept
-    * rows + (n_s, rate_ppm) audit columns.
+    * rows + (n_s, rate_ppm) audit columns. A NULL stratum is a valid
+    * stratum (counted and sampled like any other, null-safe join); a
+    * NULL key is not a valid identity — such rows are excluded from
+    * both the counts and the sample (no md5 coordinate exists).
     */
   def temperatureSample(df: DataFrame, keyCol: String,
       strataCol: String): DataFrame = {
-    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("n_s"))
+    // a NULL key has no md5 coordinate, so it can never be sampled —
+    // exclude such rows from the stratum counts too, or they would
+    // inflate n_s (deflating every other stratum's rate) while being
+    // unconditionally dropped by the coordinate filter below
+    val keyed = df.filter(col(keyCol).isNotNull)
+    val counts = keyed.groupBy(strataCol).agg(count(lit(1)).as("n_s"))
     val nMin = counts.agg(min(col("n_s")).as("n_min"))
     val rated = counts.crossJoin(broadcast(nMin))
       .withColumn("__sq", isqrtExact(col("n_s")))
@@ -113,7 +121,7 @@ object Sampling {
     // every null-stratum row while the rate table still reflected
     // them — the null stratum must be sampled like any other.
     val ratedR = rated.withColumnRenamed(strataCol, "__strata")
-    df.join(broadcast(ratedR), col(strataCol) <=> col("__strata"))
+    keyed.join(broadcast(ratedR), col(strataCol) <=> col("__strata"))
       .drop("__strata")
       .filter(coord < col("rate_ppm"))
   }
@@ -312,9 +320,12 @@ object Sampling {
     * be deterministic (no `rand()` upstream) — the same invariant
     * Spark's own `zipWithIndex` carries. Rows with a NULL token count
     * are dropped up front (a null length can neither consume budget
-    * nor be emitted as a selected document); a non-numeric string
-    * token value errors loudly per ANSI cast semantics — bad data
-    * should fail the job, not silently shrink the selected corpus.
+    * nor be emitted as a selected document); a NEGATIVE token count
+    * errors loudly — it would let the running sum re-enter the budget
+    * after an overflow, making the emitted set partition-dependent
+    * instead of a prefix. Non-numeric string token values error under
+    * the engine-default ANSI cast; a session with ANSI disabled nulls
+    * them into the dropped set instead.
     */
   def budgetTake(df: DataFrame, keyCol: String, tokenCol: String,
       scoreCol: String, budget: Long): DataFrame = {
@@ -325,6 +336,13 @@ object Sampling {
       // filter AFTER the cast, on the casted column: a null that
       // survives to the per-partition pass would NPE getLong
       .filter(col(tokenCol).isNotNull)
+      // negative counts break the prefix contract AND the
+      // offset-past-budget partition skip — refuse them loudly
+      .withColumn(tokenCol,
+        when(col(tokenCol) >= 0, col(tokenCol))
+          .otherwise(raise_error(concat(
+            lit("budgetTake: negative token count for key "),
+            col(keyCol).cast("string")))))
       .orderBy(col(scoreCol).desc, col(keyCol).asc)
     val rdd = ordered.rdd
     val partSums = rdd.mapPartitionsWithIndex { case (i, it) =>

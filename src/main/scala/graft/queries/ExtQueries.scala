@@ -5133,11 +5133,17 @@ object ExtQueries {
         |  SELECT doc_id,
         |    sum(CASE WHEN b < 32 THEN bit * (1::BIGINT << b) ELSE 0 END) AS lo,
         |    sum(CASE WHEN b >= 32 THEN bit * (1::BIGINT << (b - 32)) ELSE 0 END) AS hi
-        |  FROM sigbits GROUP BY doc_id)
-        |SELECT doc_id,
-        |  min(doc_id) OVER (PARTITION BY lo, hi) AS group_id,
-        |  count(*) OVER (PARTITION BY lo, hi) AS group_size
-        |FROM sig ORDER BY doc_id""".stripMargin,
+        |  FROM sigbits GROUP BY doc_id),
+        |g AS (
+        |  SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY lo, hi) AS group_id,
+        |    count(*) OVER (PARTITION BY lo, hi) AS group_size
+        |  FROM sig)
+        |SELECT d.doc_id,
+        |  coalesce(g.group_id, d.doc_id) AS group_id,
+        |  coalesce(g.group_size, 1::BIGINT) AS group_size
+        |FROM documents d LEFT JOIN g USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // Same signature replay; brute pairwise over the DISTINCT-signature
     // reps (tiny at sf0.01) — the engine's block join must agree.

@@ -43,4 +43,20 @@ class DedupScaleSpec extends SparkSpec {
     // edges connect distinct signatures only — no hamming-0 edge
     assert(edges.forall(_._3 >= 1), "edge with hamming 0")
   }
+
+  test("simhashGroups: NULL-text docs re-enter as singleton groups, " +
+      "never silently vanish") {
+    // a null text produces no signature row; the groups surface still
+    // owes one row per doc — losing it would turn a downstream
+    // keep-canonical pass into data loss
+    val d = Seq((1L, Some("a b c a b c")), (2L, None),
+      (3L, Some("a b c a b c")), (4L, None))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashGroups(d, "doc_id", "text", portable = true)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    // identical texts group together; each null-text doc is its OWN
+    // singleton (no content evidence to merge on)
+    assert(got === Seq((1L, 1L, 2L), (2L, 2L, 1L),
+      (3L, 1L, 2L), (4L, 4L, 1L)))
+  }
 }

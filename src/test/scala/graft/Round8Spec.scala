@@ -308,6 +308,31 @@ class Round8Spec extends SparkSpec {
       again.except(out).count() === 0)
   }
 
+  test("temperatureSample: NULL stratum is sampled like any other; " +
+      "NULL keys are excluded from counts and sample") {
+    // null stratum is the SMALLEST -> sets n_min and keeps everything;
+    // a plain equi-join (instead of the null-safe one) would return
+    // zero null-stratum rows and fail this
+    val rows = (1 to 100).map(i => (i.toLong,
+      if (i <= 9) null else if (i <= 50) "a" else "b"))
+    val d = rows.toDF("id", "lang")
+    val out = Sampling.temperatureSample(d, "id", "lang")
+    assert(out.filter(col("lang").isNull).count() === 9L)
+    val rates = out.select("lang", "n_s").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(rates(null) === 9L)
+    // null keys: dropped AND not counted in n_s (they would deflate
+    // the other strata's rates while never being sampled themselves)
+    val withNullKeys = rows.map { case (i, l) => (Some(i), l) } ++
+      (1 to 41).map(_ => (Option.empty[Long], "a"))
+    val d2 = withNullKeys.toDF("id", "lang")
+    val out2 = Sampling.temperatureSample(d2, "id", "lang")
+    assert(out2.filter(col("id").isNull).count() === 0L)
+    val rates2 = out2.select("lang", "n_s").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(rates2("a") === 41L, "null-keyed rows must not inflate n_s")
+  }
+
   // ------------------------------------------------------------------
   // Sketches.sampleWrite/sampleAppend/sampleRead — at-rest lifecycle
   // ------------------------------------------------------------------
@@ -489,6 +514,12 @@ class Round8Spec extends SparkSpec {
       .toDF("k", "tok", "sc")
     assert(Sampling.budgetTake(withNulls, "k", "tok", "sc", 100L)
       .select("k").as[Long].collect().toSeq.sorted === Seq(1L, 3L))
+    // negative token counts error loudly — they would let the running
+    // sum re-enter the budget and make the output partition-dependent
+    val neg = Seq((1L, 60L, 0.9), (2L, -20L, 0.8)).toDF("k", "tok", "sc")
+    intercept[Exception] {
+      Sampling.budgetTake(neg, "k", "tok", "sc", 100L).count()
+    }
   }
 
   // ------------------------------------------------------------------
