@@ -117,7 +117,9 @@ object Entities {
       .union(joined.select(col("kN").as("entityKey"))
         .filter(col("entityKey").isNotNull))
       .distinct()
-    val maxId = matched.agg(coalesce(max("autorId"), lit(0L)).cast("long"))
+    // max over `existing` — identical value (matched left-preserves
+    // existing's id set) without executing the 3-way probe join twice
+    val maxId = e.agg(coalesce(max("autorId"), lit(0L)).cast("long"))
       .head().getLong(0)
     val novel = batch.join(claimedKeys, Seq("entityKey"), "left_anti")
     val novelWithIds = surrogateIds(novel.drop("autorId"), "entityKey",

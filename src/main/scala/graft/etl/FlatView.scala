@@ -80,6 +80,9 @@ object FlatView {
         coalesce(col("paises"), lit("")).as("paises"),
         coalesce(col("paisesCodigo"), lit("")).as("paisesCodigo"),
         coalesce(col("upsFlag"), lit(false)).as("upsFlag"),
-        col("temas"))
+        // same empty-string convention as the five sibling multi-value
+        // columns above — a lone null temas would make the exported
+        // view's contract column-dependent
+        coalesce(col("temas"), lit("")).as("temas"))
   }
 }

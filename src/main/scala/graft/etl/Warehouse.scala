@@ -98,7 +98,13 @@ object Warehouse {
       writer(deduped, SaveMode.Overwrite)
     } else {
       val existing = read(spark, dir, table).select(keys.map(col): _*)
-      writer(deduped.join(existing, keys, "left_anti"), SaveMode.Append)
+      // null-safe anti-join: dropDuplicates treats null keys as equal,
+      // and the existence probe must agree — a null-rejecting equi-join
+      // would classify a null-key row as novel on EVERY rerun, breaking
+      // the re-run-is-a-no-op contract for exactly those rows
+      val cond = keys.map(k => deduped(k) <=> existing(k))
+        .reduce(_ && _)
+      writer(deduped.join(existing, cond, "left_anti"), SaveMode.Append)
     }
   }
 
@@ -304,9 +310,11 @@ object Warehouse {
   def expirePartitions(spark: SparkSession, dir: String, table: String,
       partitionCol: String, cutoff: String): Seq[String] = {
     import org.apache.hadoop.fs.Path
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val base = new Path(path(dir, table))
+    // resolve the FS from the path (like every other mutator here) —
+    // FileSystem.get(conf) is the DEFAULT fs and throws "Wrong FS" for
+    // an s3a:// table on an hdfs-default cluster
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return Nil
     val prefix = s"$partitionCol="
     val expired = fs.listStatus(base).toSeq
@@ -319,8 +327,12 @@ object Warehouse {
     if (expired.nonEmpty) {
       val stage = new Path(base, s".expired-${System.nanoTime()}")
       fs.mkdirs(stage)
-      expired.foreach(s =>
-        fs.rename(s.getPath, new Path(stage, s.getPath.getName)))
+      expired.foreach { s =>
+        // a silently failed rename would leave the partition live while
+        // this method reports it expired — fail like overwriteSwap does
+        require(fs.rename(s.getPath, new Path(stage, s.getPath.getName)),
+          s"expirePartitions: rename failed for ${s.getPath}")
+      }
       fs.delete(stage, true)
     }
     expired.map(s => java.net.URLDecoder.decode(
@@ -437,10 +449,15 @@ object Warehouse {
       .filterNot(keys.contains)
     val b = before.select((keys ++ shared).map(col): _*)
       .withColumn("__b", lit(1))
-    val a = after.select(keys.map(col) ++
+    // keys renamed on the after side so the join can be NULL-SAFE: a
+    // USING join matches with null-rejecting equality, which would
+    // misreport an unchanged null-keyed row as removed + added
+    val a = after.select(keys.map(c => col(c).as(s"__k_$c")) ++
       shared.map(c => col(c).as(s"__a_$c")): _*)
       .withColumn("__a", lit(1))
-    val joined = b.join(a, keys, "full_outer")
+    val joined = b.join(a,
+      keys.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _),
+      "full_outer")
     val changed: Column =
       if (shared.isEmpty) lit(false)
       else shared.map(c => !(col(c) <=> col(s"__a_$c"))).reduce(_ || _)
@@ -450,6 +467,7 @@ object Warehouse {
           .when(col("__a").isNull, "removed")
           .when(changed, "changed"))
       .filter(col("change_type").isNotNull)
-      .select(keys.map(col) :+ col("change_type"): _*)
+      .select(keys.map(c => coalesce(col(c), col(s"__k_$c")).as(c)) :+
+        col("change_type"): _*)
   }
 }

@@ -91,9 +91,8 @@ object StreamingJobs {
     // the batch signatures (StreamingSpec).
     val shRaw = Dedup.shingles(col(textCol), n)
     val sigs = (0 until k).map { i =>
-      (if (portable)
-        Dedup.minhashMd5(shRaw, i)
-      else array_min(transform(shRaw, s => xxhash64(lit(i), s))))
+      (if (portable) Dedup.minhashMd5(shRaw, i)
+      else Dedup.minhashFast(shRaw, i))
         .as(s"mh$i")
     }
     // the SAME key scheme as the at-rest index — shared helper, so a
@@ -159,8 +158,27 @@ object StreamingJobs {
     * dedup state is one row per distinct (user, day) inside the
     * horizon, the count state one row per open day. The batch twin is
     * [[EventsOps.slidingDistinct]] at windowDays = 1.
+    *
+    * PRECONDITION (enforced): the input watermark must cover the full
+    * day bucket (>= 24 hours; Spark disallows re-watermarking here).
+    * `dropDuplicatesWithinWatermark` only guarantees dedup of rows
+    * arriving within the watermark delay, so a 1-hour horizon would
+    * let a user's 09:00 dedup state expire and their 12:30 event
+    * double-count the same day. The cost of the honest horizon is
+    * state held ~a day and counts finalizing ~a day late — the nature
+    * of an exact streaming daily distinct.
     */
-  def dauStream(events: DataFrame): DataFrame =
+  def dauStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark
+    val dayMicros = 24L * 3600 * 1000000
+    val ok = events.queryExecution.analyzed.collect {
+      case e: EventTimeWatermark => e.delay
+    }.exists(d => d.months > 0 ||
+      d.days.toLong * 86400000000L + d.microseconds >= dayMicros)
+    require(ok, "dauStream: input watermark must cover the 1-day dedup" +
+      " bucket (>= 24 hours, e.g. withWatermark(\"ts\", \"26 hours\"))" +
+      " — a shorter horizon double-counts users whose same-day events" +
+      " span it")
     events
       .withColumn("day", expr("timestamp_seconds(" +
         "(unix_timestamp(ts) div 86400L) * 86400L)"))
@@ -168,6 +186,7 @@ object StreamingJobs {
       .groupBy(window(col("ts"), "1 day").as("w"))
       .agg(count(lit(1)).as("n_active"))
       .select(col("w.start").as("day"), col("n_active"))
+  }
 
   /** Streaming → warehouse sink with effective exactly-once-by-key
     * semantics: every micro-batch lands through the K1 idempotent keyed
@@ -194,7 +213,13 @@ object StreamingJobs {
     * choice (chaining a second stateful operator brings its own
     * watermark-propagation semantics).
     */
-  def purchaseContext(events: DataFrame): DataFrame = {
+  def purchaseContext(events: DataFrame): DataFrame =
+    purchaseContextJoin(events, "inner")
+
+  // one body for both join flavors — filters, watermarks, and the
+  // interval predicate must never diverge between them
+  private def purchaseContextJoin(events: DataFrame,
+      joinType: String): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts").as("p_ts"),
         col("value").as("p_value"))
@@ -206,7 +231,7 @@ object StreamingJobs {
       col("user_id") === col("c_user") &&
         col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
         col("c_ts") < col("p_ts"),
-      "inner")
+      joinType)
       .select("user_id", "p_ts", "p_value", "c_ts")
   }
 
@@ -219,21 +244,8 @@ object StreamingJobs {
     * range condition plus both watermarks let matched AND unmatched
     * rows evict.
     */
-  def purchaseContextOuter(events: DataFrame): DataFrame = {
-    val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts").as("p_ts"),
-        col("value").as("p_value"))
-      .withWatermark("p_ts", "1 hour")
-    val clicks = events.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-      .withWatermark("c_ts", "1 hour")
-    purchases.join(clicks,
-      col("user_id") === col("c_user") &&
-        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-        col("c_ts") < col("p_ts"),
-      "left_outer")
-      .select("user_id", "p_ts", "p_value", "c_ts")
-  }
+  def purchaseContextOuter(events: DataFrame): DataFrame =
+    purchaseContextJoin(events, "left_outer")
 
   // ------------------------------------------------------------------
   // transformWithState (Spark 4 arbitrary-state API)
@@ -329,7 +341,12 @@ object StreamingJobs {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.lastTs < gapMs =>
-                  cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1,
+                  // a late cross-batch event merges but must not REWIND
+                  // the session bounds: lastTs only moves forward,
+                  // start only backward
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    lastTs = math.max(s.lastTs, t),
+                    nEvents = s.nEvents + 1,
                     total = s.total + e.value))
                 case Some(s) =>
                   closed ::= ClosedSession(userId,

@@ -485,6 +485,35 @@ class Round8Spec extends SparkSpec {
     assert(small.forall(r => r.getLong(3) === r.getLong(1)))
   }
 
+  test("idempotentAppend: null-key rows are idempotent too") {
+    import graft.etl.Warehouse
+    // dropDuplicates treats null keys as equal; the existence probe
+    // must agree or a null-key row re-appends on every rerun
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_nullkey").toString
+    val d = Seq((Option(1L), "a"), (Option.empty[Long], "b"))
+      .toDF("k", "v")
+    Warehouse.idempotentAppend(spark, d, dir, "t", Seq("k"))
+    Warehouse.idempotentAppend(spark, d, dir, "t", Seq("k"))
+    Warehouse.idempotentAppend(spark, d, dir, "t", Seq("k"))
+    assert(Warehouse.read(spark, dir, "t").count() === 2L)
+  }
+
+  test("tableDiff: null-keyed rows diff null-safely") {
+    import graft.etl.Warehouse
+    val before = Seq((Option(1L), "x"), (Option.empty[Long], "y"))
+      .toDF("k", "v")
+    val same = Seq((Option(1L), "x"), (Option.empty[Long], "y"))
+      .toDF("k", "v")
+    assert(Warehouse.tableDiff(before, same, Seq("k")).count() === 0L,
+      "unchanged null-keyed row must not report added+removed")
+    val changed = Seq((Option(1L), "x"), (Option.empty[Long], "z"))
+      .toDF("k", "v")
+    val d2 = Warehouse.tableDiff(before, changed, Seq("k")).collect()
+    assert(d2.length === 1 && d2.head.getString(1) === "changed" &&
+      d2.head.isNullAt(0))
+  }
+
   // ------------------------------------------------------------------
   // Sampling.budgetTake — token-budget greedy prefix
   // ------------------------------------------------------------------

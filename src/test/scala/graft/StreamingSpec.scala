@@ -346,7 +346,15 @@ class StreamingSpec extends SparkSpec {
       Event(4L, ts("2024-01-02 09:00:00"), 1L, "view", 1.0)))
     val in = spark.readStream.schema(StreamingJobs.eventSchema)
       .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
-      .withWatermark("ts", "1 hour")
+      // the horizon must cover the day bucket (enforced): a 1-hour
+      // watermark would evict user 1's 10:00 dedup state before the
+      // 12:00 event and double-count them
+      .withWatermark("ts", "26 hours")
+    intercept[IllegalArgumentException] {
+      StreamingJobs.dauStream(
+        spark.readStream.schema(StreamingJobs.eventSchema)
+          .parquet(s"$dir/in").withWatermark("ts", "1 hour"))
+    }
     runToMemory(StreamingJobs.dauStream(in), "sj_dau", "update")
     val out = spark.table("sj_dau")
       .groupBy($"day").agg(
