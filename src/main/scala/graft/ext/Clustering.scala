@@ -138,6 +138,20 @@ object Clustering {
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, tau: Double, scaleBits: Int = 10): DataFrame = {
+    // the pair kernel reads the bucket struct positionally (getLong /
+    // float array) — a wrong id or element type would not throw, it
+    // would read garbage ids into the drop-table (same guard as
+    // setSimJoin's)
+    require(df.schema(idCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      "semanticDedup: id column must be bigint (pair kernel contract)")
+    require(df.schema(vecCol).dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, false) ||
+      df.schema(vecCol).dataType ==
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, true),
+      "semanticDedup: vector column must be array<float>")
     val cents = fitLatticeCentroids(df, idCol, vecCol, k, iters, scaleBits)
     df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", Similarity.l2norm(col("v")))

@@ -55,12 +55,25 @@ object VecDotRewrite extends Rule[LogicalPlan] {
           finish @ LambdaFunction(fin: NamedLambdaVariable,
             Seq(fv: NamedLambdaVariable), _))
           if isFloatArray(a) && isFloatArray(b) &&
+            cheapInput(a) && cheapInput(b) &&
             isVarOrDoubleCast(mx, x) && isVarOrDoubleCast(my, y) &&
             isVarOrDoubleCast(macc, acc) && isVarOrDoubleCast(mv, v) &&
             fin.exprId == fv.exprId =>
         If(EqualTo(Size(a), Size(b)), VecDot(a, b),
           Literal(null, DoubleType))
     }
+
+  // the rewrite references each input twice (Size guard + kernel);
+  // that is free for a column reference but would evaluate a COMPUTED
+  // array expression (slice/transform over the embedding) twice per
+  // row — exactly the hot path it exists to speed up — so the rule
+  // only fires on attribute/literal inputs and leaves computed ones
+  // on the single-evaluation zip_with form
+  private def cheapInput(e: Expression): Boolean = e match {
+    case _: org.apache.spark.sql.catalyst.expressions.Attribute => true
+    case _: Literal => true
+    case _ => false
+  }
 }
 
 /** Optimizer rule: rewrite

@@ -14,6 +14,9 @@ case class ScoredId(id: Long, score: Double)
 
 class TopKAggregator(k: Int)
     extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
+  require(k > 0, s"TopKAggregator: k must be positive, got $k")
+  // (k <= 0 would otherwise surface mid-job as b.last on an empty
+  // buffer — NoSuchElementException from the first reduce)
 
   private def keep(xs: Seq[ScoredId]): Seq[ScoredId] =
     xs.sortBy(x => (-x.score, x.id)).take(k)

@@ -72,7 +72,21 @@ object Crossref {
       it.getField("author").as("author"),
       it.getField("subject").as("subject"))
       .filter(length(col("doi")) > 0)
-      .dropDuplicates("doi")
+      // DETERMINISTIC in-batch DOI dedup: dropDuplicates keeps an
+      // arbitrary partition-order winner, so a DOI whose metadata
+      // changed between cursor pages would flip titulo/anio between
+      // runs. The winner here is the lexicographic-min row — identical
+      // when the duplicates are identical (the normal crawl case), and
+      // stable under re-partitioning otherwise (same tiebreak
+      // convention as the documented entity-merge divergence; the
+      // reference keeps arrival order, which no longer exists once the
+      // pages are a distributed dataset).
+      .groupBy(col("doi"))
+      .agg(min(struct(col("titulo"), col("anio"), col("revista"),
+        col("editorial"), col("tipo"), col("citas"), col("referencias"),
+        col("fechaPublicacion"), col("author"), col("subject")))
+        .as("__w"))
+      .select(col("doi"), col("__w.*"))
   }
 
   /** E1+E2 — (work, author, affiliation) grain. Authors with an empty
@@ -94,7 +108,7 @@ object Crossref {
   /** E1 — (work, author) grain with normalized names (C2/C6/C12). */
   def authorOccurrences(works: DataFrame): DataFrame =
     works
-      .select(col("doi"), posexplode(col("author")).as(Seq("pos", "au")))
+      .select(col("doi"), explode(col("author")).as("au"))
       .select(col("doi"),
         Normalize.authorFullName(col("au.given"), col("au.family"),
           col("au.name")).as("nombreLimpio"),

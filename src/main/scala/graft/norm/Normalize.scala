@@ -37,7 +37,9 @@ object Normalize {
     "sect" -> "§", "para" -> "¶", "micro" -> "µ",
   )
 
-  private val entityRe = "&(#x?[0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]*);".r
+  // [xX]: Python html.unescape accepts &#X41; too — lowercase-only 'x'
+  // here left the "#X" decode branch below unreachable
+  private val entityRe = "&(#[xX]?[0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]*);".r
 
   def unescapeHtml(s: String): String =
     if (s == null || s.indexOf('&') < 0) s
@@ -335,18 +337,23 @@ object Normalize {
       .when(isUps && normText.contains("guayaquil"), 3)
       .otherwise(4)
 
-  /** C12 — ORCID URL strip (PIPE:317). */
+  /** C12 — ORCID URL strip (PIPE:317). Unicode-aware trim: the
+    * reference strips with Python `str.strip()`, which removes NBSP /
+    * tab / CR too — Spark's `trim` only removes ASCII space.
+    */
   def orcidBare(c: Column): Column =
-    nullif(trim(regexp_replace(c, "^https?://orcid\\.org/", "")), lit(""))
+    nullif(uniTrim(regexp_replace(c, "^https?://orcid\\.org/", "")),
+      lit(""))
 
-  /** C13 — empty-string → null discipline. */
-  def emptyToNull(c: Column): Column = nullif(trim(c), lit(""))
+  /** C13 — empty-string → null discipline (str.strip-parity trim). */
+  def emptyToNull(c: Column): Column = nullif(uniTrim(c), lit(""))
 
   /** C15 — ";"-packed keyword cell → trimmed, non-empty, lowercased array
-    * (PIPE:436-437).
+    * (PIPE:436-437; str.strip-parity trim, so an NBSP-padded keyword
+    * still dedups/joins against its clean spelling).
     */
   def keywordSplit(c: Column): Column =
-    filter(transform(split(lower(c), ";"), x => trim(x)), x => x =!= "")
+    filter(transform(split(lower(c), ";"), x => uniTrim(x)), x => x =!= "")
 
   /** F4 — UPS membership predicate: normalized target substring of the
     * normalized affiliation (PIPE:20-21,625-629). With

@@ -72,7 +72,11 @@ object CrossrefFetch {
             loop(p - "select", tries, backoff)
           else if (p.contains("sort") || p.contains("order"))
             loop(p - "sort" - "order", tries, backoff)
-          else if (p.get("filter").exists(_.contains("has-affiliation:true")))
+          else if (p.get("filter").exists(_.contains("has-affiliation:true"))
+              && !p.get("filter").contains(datesOnlyFilter))
+            // the replacement must actually CHANGE the params: if the
+            // degraded filter still contains has-affiliation:true this
+            // rung would recurse with identical state forever
             loop(p + ("filter" -> datesOnlyFilter), tries, backoff)
           else
             throw new FetchFailedException(

@@ -88,21 +88,44 @@ class CrossrefScan(path: String, required: StructType)
   override def createReaderFactory(): PartitionReaderFactory = {
     // ship the session's Hadoop settings to the reader tasks — a bare
     // `new Configuration()` there would drop spark.hadoop.* (fs creds,
-    // custom schemes) and fail on non-default filesystems
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val confMap = conf.iterator().asScala
-      .map(e => e.getKey -> e.getValue).toMap
-    new CrossrefReaderFactory(required, confMap)
+    // custom schemes) and fail on non-default filesystems. BROADCAST
+    // once (Hadoop's compact writable form) instead of embedding a
+    // hundreds-of-entries map in every task closure and rebuilding a
+    // Configuration entry-by-entry per partition reader.
+    val sc = SparkSession.active.sparkContext
+    val bc = sc.broadcast(
+      new SerializableHadoopConf(sc.hadoopConfiguration))
+    new CrossrefReaderFactory(required, bc)
+  }
+}
+
+/** Hadoop `Configuration` is not `java.io.Serializable`; this wrapper
+  * round-trips it through its own compact Writable form (the same idea
+  * as Spark's internal SerializableConfiguration, which is
+  * private[spark]).
+  */
+class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
   }
 }
 
 class CrossrefReaderFactory(required: StructType,
-    confMap: Map[String, String]) extends PartitionReaderFactory {
+    conf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
+    extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
     new CrossrefPageReader(
       partition.asInstanceOf[CrossrefPagePartition].file, required,
-      confMap)
+      conf)
 }
 
 /** Reads one JSONL page file, parses each envelope line with Jackson
@@ -111,17 +134,13 @@ class CrossrefReaderFactory(required: StructType,
   * reference's defensive `.get` reads.
   */
 class CrossrefPageReader(file: String, required: StructType,
-    confMap: Map[String, String]) extends PartitionReader[InternalRow] {
+    confBc: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
+    extends PartitionReader[InternalRow] {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-  private val conf = {
-    val c = new org.apache.hadoop.conf.Configuration()
-    confMap.foreach { case (k, v) => c.set(k, v) }
-    c
-  }
   private val stream = {
     val p = new Path(file)
-    p.getFileSystem(conf).open(p)
+    p.getFileSystem(confBc.value.value).open(p)
   }
   private val lines = new java.io.BufferedReader(
     new java.io.InputStreamReader(stream, "UTF-8"))

@@ -23,6 +23,7 @@ CASES = [
     "a\tb\nc\r\nd", " nbsp padded ",
     "Ávila &amp; Co", "José Pérez",  # decomposed é vs composed
     "&lt;tag&gt; &quot;q&quot; &#65; &#x42; &apos;",
+    "&#X42; &#Xe9; &#X2013;",  # uppercase-hex numeric entities
     "&ntilde;o&ntilde;o", "&unknown; &amp;amp;",
     "ESPAÑA Straße Müller ﬁancée",  # ñ, ß, ligature fi (NFKD expands)
     "ＦＵＬＬＷＩＤＴＨ ｔｅｘｔ",  # NFKD folds fullwidth
