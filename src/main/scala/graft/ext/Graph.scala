@@ -54,6 +54,8 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct().localCheckpoint()
     val n = nodes.count()
+    require(n > 0, "pageRank: empty edge list — no nodes to rank " +
+      "(would otherwise surface as a bare divide-by-zero)")
     val base = (3L * RankScale / 20L) / n
     var ranks = nodes.select(col("node"), lit(RankScale / n).as("r"))
     for (_ <- 1 to iters) {

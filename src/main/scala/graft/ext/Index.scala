@@ -101,15 +101,8 @@ object Index {
     val terms = phrase.distinct
     val buckets = terms.map(termBucket(_, nBuckets)).distinct
     val all = spark.read.parquet(path)
-    val bucketLits: Seq[Any] = all.schema("bucket").dataType match {
-      case LongType    => buckets
-      case IntegerType => buckets.map(_.toInt)
-      case StringType  => buckets.map(_.toString)
-      case other => throw new IllegalStateException(
-        s"phraseAtRest: partition column 'bucket' read back as $other; " +
-          "expected long/int/string — pruning contract would silently " +
-          "degrade to a full scan")
-    }
+    val bucketLits = AtRest.partitionLits("phraseAtRest", "bucket",
+      all.schema("bucket").dataType, buckets.map(_.toLong))
     val pos = all.filter(col("bucket").isin(bucketLits: _*) &&
       col("term").isin(terms: _*))
     val aggs = terms.zipWithIndex.map { case (t, i) =>
@@ -154,15 +147,8 @@ object Index {
     import org.apache.spark.sql.expressions.Window
     val buckets = terms.map(termBucket(_, nBuckets)).distinct
     val all = spark.read.parquet(path)
-    val bucketLits: Seq[Any] = all.schema("bucket").dataType match {
-      case LongType    => buckets
-      case IntegerType => buckets.map(_.toInt)
-      case StringType  => buckets.map(_.toString)
-      case other => throw new IllegalStateException(
-        s"termLookupAtRest: partition column 'bucket' read back as " +
-          s"$other; expected long/int/string — pruning contract would " +
-          "silently break")
-    }
+    val bucketLits = AtRest.partitionLits("termLookupAtRest", "bucket",
+      all.schema("bucket").dataType, buckets.map(_.toLong))
     val byTerm = Window.partitionBy("term")
     val ranked = Window.partitionBy("term")
       .orderBy(col("tf").desc, col("doc_id").asc)
@@ -222,14 +208,8 @@ object Index {
     val buckets = terms.map(termBucket(_, nBuckets)).distinct
     val post = spark.read.option("basePath", s"$path/postings")
       .parquet(s"$path/postings")
-    val bucketLits: Seq[Any] = post.schema("bucket").dataType match {
-      case LongType    => buckets
-      case IntegerType => buckets.map(_.toInt)
-      case StringType  => buckets.map(_.toString)
-      case other => throw new IllegalStateException(
-        s"termLookupSegments: partition column 'bucket' read back as " +
-          s"$other; pruning contract would silently break")
-    }
+    val bucketLits = AtRest.partitionLits("termLookupSegments", "bucket",
+      post.schema("bucket").dataType, buckets.map(_.toLong))
     val latest = spark.read.option("basePath", s"$path/docs")
       .parquet(s"$path/docs")
       .groupBy("doc_id")
@@ -277,20 +257,41 @@ object Index {
       .parquet(s"$path/__compact/postings/seg=0")
     docs.coalesce(1).write.mode("overwrite")
       .parquet(s"$path/__compact/docs/seg=0")
-    def swap(name: String): Unit = {
-      val cur = new Path(s"$path/$name")
-      val aside = new Path(s"$path/__old_$name")
-      if (fs.exists(aside)) fs.delete(aside, true)
-      if (!fs.rename(cur, aside))
-        throw new java.io.IOException(s"compactSegments: stash $name failed")
-      if (!fs.rename(new Path(s"$path/__compact/$name"), cur)) {
-        fs.rename(aside, cur)
-        throw new java.io.IOException(s"compactSegments: swap $name failed")
+    // postings + docs must move as ONE logical commit: a compacted
+    // postings dir paired with the OLD manifest (or vice versa) makes
+    // every lookup silently return zero rows — the liveness filter
+    // expects seg numbers the other half no longer has. Stash BOTH,
+    // then promote BOTH; any failure rolls back whatever moved so the
+    // old paired layout is restored. (A hard process crash inside the
+    // window leaves the `__old_*` stashes on disk — recovery is
+    // renaming them back; they are only deleted after both promotes
+    // succeed.)
+    val names = Seq("postings", "docs")
+    def cur(n: String) = new Path(s"$path/$n")
+    def aside(n: String) = new Path(s"$path/__old_$n")
+    try {
+      names.foreach { n =>
+        if (fs.exists(aside(n))) fs.delete(aside(n), true)
+        if (!fs.rename(cur(n), aside(n)))
+          throw new java.io.IOException(
+            s"compactSegments: stash $n failed")
       }
-      fs.delete(aside, true)
+      names.foreach { n =>
+        if (!fs.rename(new Path(s"$path/__compact/$n"), cur(n)))
+          throw new java.io.IOException(
+            s"compactSegments: swap $n failed")
+      }
+    } catch {
+      case e: Throwable =>
+        names.foreach { n =>
+          if (fs.exists(aside(n))) {
+            if (fs.exists(cur(n))) fs.delete(cur(n), true)
+            fs.rename(aside(n), cur(n))
+          }
+        }
+        throw e
     }
-    swap("postings")
-    swap("docs")
+    names.foreach(n => fs.delete(aside(n), true))
     fs.delete(stage, true)
   }
 }

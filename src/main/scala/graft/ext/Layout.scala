@@ -142,32 +142,59 @@ object Layout {
       rowsPerFile: Long): Unit = {
     val zones = spark.read.parquet(path + ".zones")
       .select("file", "mn", "mx", "rows").collect()
-    val overlapping = zones.filter { z =>
-      zones.exists(o => o.getString(0) != z.getString(0) &&
-        !(o.get(2).asInstanceOf[Comparable[Any]].compareTo(z.get(1)) < 0 ||
-          o.get(1).asInstanceOf[Comparable[Any]].compareTo(z.get(2)) > 0))
+    def ov(a: org.apache.spark.sql.Row,
+        b: org.apache.spark.sql.Row): Boolean =
+      !(b.get(2).asInstanceOf[Comparable[Any]].compareTo(a.get(1)) < 0 ||
+        b.get(1).asInstanceOf[Comparable[Any]].compareTo(a.get(2)) > 0)
+    // connected overlap COMPONENTS (driver union-find, #files-scale):
+    // range-partitioning the union of ALL victims could emit a file
+    // spanning the value gap between two distant clusters, which
+    // re-overlaps kept zones by min/max — the next compact would then
+    // rewrite them again, forever. Per-component rewrites stay inside
+    // each component's value range, so compaction converges.
+    val n = zones.length
+    val parent = Array.tabulate(n)(identity)
+    def find(i: Int): Int = {
+      var x = i; while (parent(x) != x) x = parent(x); x
     }
-    if (overlapping.nonEmpty) {
-      val victims = overlapping.map(_.getString(0)).toSeq
-      val keep = zones.filterNot(z => victims.contains(z.getString(0)))
-      val rows = overlapping.map(_.getLong(3)).sum
-      val nOut = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
-      val tmp = path + ".compact"
-      spark.read.parquet(victims: _*)
-        .repartitionByRange(nOut, col(zoneCol))
-        .sortWithinPartitions(zoneCol)
-        .write.mode("overwrite").parquet(tmp)
+    for (i <- 0 until n; j <- i + 1 until n if ov(zones(i), zones(j))) {
+      val (a, b) = (find(i), find(j)); if (a != b) parent(a) = b
+    }
+    val comps = (0 until n).groupBy(find).values
+      .filter(_.size >= 2).toSeq.sortBy(_.head)
+    if (comps.nonEmpty) {
       val fs = new Path(path).getFileSystem(
         spark.sessionState.newHadoopConf())
-      victims.foreach(f => fs.delete(new Path(new java.net.URI(f)), false))
-      val moved = fs.listStatus(new Path(tmp)).toSeq
-        .filter(_.getPath.getName.startsWith("part-"))
-        .map { st =>
-          val dst = new Path(path, st.getPath.getName)
-          fs.rename(st.getPath, dst)
-          dst.toString
-        }
-      fs.delete(new Path(tmp), true)
+      val victimSet = comps.flatten.map(i => zones(i).getString(0)).toSet
+      val keep = zones.filterNot(z => victimSet.contains(z.getString(0)))
+      val tmp = path + ".compact"
+      if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
+      val moved = comps.zipWithIndex.flatMap { case (comp, ci) =>
+        val files = comp.map(i => zones(i).getString(0))
+        val rows = comp.map(i => zones(i).getLong(3)).sum
+        val nOut =
+          math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
+        val ctmp = s"$tmp/c$ci"
+        spark.read.parquet(files: _*)
+          .repartitionByRange(nOut, col(zoneCol))
+          .sortWithinPartitions(zoneCol)
+          .write.mode("overwrite").parquet(ctmp)
+        fs.listStatus(new Path(ctmp)).toSeq
+          .filter(_.getPath.getName.startsWith("part-"))
+          .map { st =>
+            val dst = new Path(path, st.getPath.getName)
+            if (!fs.rename(st.getPath, dst))
+              throw new java.io.IOException(
+                s"zoneCompact: promote ${st.getPath} failed")
+            dst.toString
+          }
+      }
+      // ORDER OF COMMIT: the rewritten files are invisible until the
+      // sidecar lists them, so the new sidecar commits FIRST and the
+      // victim data files are deleted only after — a crash anywhere in
+      // this window leaves a consistent sidecar (old or new) whose
+      // files all still exist; the worst case is orphaned part files,
+      // never a sidecar pointing at deleted data.
       val fresh = spark.read.parquet(moved: _*)
         .groupBy(input_file_name().as("file"))
         .agg(min(col(zoneCol)).as("mn"), max(col(zoneCol)).as("mx"),
@@ -177,17 +204,31 @@ object Layout {
       fresh.unionByName(kept).coalesce(1)
         .write.mode("overwrite").parquet(path + ".zones.next")
       swapZones(spark, path)
+      victimSet.foreach(f =>
+        fs.delete(new Path(new java.net.URI(f)), false))
+      fs.delete(new Path(tmp), true)
     }
   }
 
   /** Staged sidecar swap — the new manifest is fully written before it
-    * replaces the old one (same staged-rename discipline as the
-    * warehouse writers; a reader never sees a half-written sidecar).
+    * replaces the old one, and the old one is STASHED (not deleted)
+    * until the new one is in place: a failure mid-swap restores it, so
+    * a reader never sees a missing or half-written sidecar.
     */
   private def swapZones(spark: SparkSession, path: String): Unit = {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(new Path(path + ".zones"), true)
-    fs.rename(new Path(path + ".zones.next"), new Path(path + ".zones"))
+    val cur = new Path(path + ".zones")
+    val nxt = new Path(path + ".zones.next")
+    val old = new Path(path + ".zones.old")
+    if (fs.exists(old)) fs.delete(old, true)
+    val had = fs.exists(cur)
+    if (had && !fs.rename(cur, old))
+      throw new java.io.IOException("swapZones: stash failed")
+    if (!fs.rename(nxt, cur)) {
+      if (had) fs.rename(old, cur)
+      throw new java.io.IOException("swapZones: swap failed")
+    }
+    fs.delete(old, true)
   }
 
   /** Bucketed catalog-table write: hash-bucket on `key` into `nBuckets`

@@ -152,6 +152,11 @@ object Similarity {
       .crossJoin(broadcast(q))
       .withColumn("rel_u",
         muCos(col(vecCol), col("nrm"), col("q_vec"), col("q_nrm")))
+      // a zero-norm vector (query or corpus) has no cosine — its null
+      // µ-score is unscoreable, and letting it into the pool would NPE
+      // the driver-side getLong; a zero-norm QUERY therefore yields an
+      // empty result, which is the honest answer
+      .filter(col("rel_u").isNotNull)
       .orderBy(col("rel_u").desc, col(idCol).asc)
       .limit(poolSize)
       .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"),
@@ -347,25 +352,13 @@ object Similarity {
     val q = all.filter(col(idCol) === queryId)
       .select(col(vecCol), col("bucket")).head()
     val qVec = q.getSeq[Float](0).toArray
-    val qBucket = q.get(1).asInstanceOf[Number].longValue()
+    // String-typed partition reads (inference disabled) must parse, not
+    // ClassCastException — the same contract as the probe literals
+    val qBucket = AtRest.partitionValue("lshTopKAtRest", "bucket", q.get(1))
     val probes = (0L until (1L << nBits))
       .filter(b => java.lang.Long.bitCount(b ^ qBucket) <= probeHamming)
-    // literal type matches the (inferred) partition column type so the
-    // IN list lands in PartitionFilters untouched by casts. StringType
-    // (partition-type inference disabled) gets string literals; anything
-    // else fails loudly — a silent cast would degrade directory pruning
-    // to a full scan, which at 100 TB is the difference between reading
-    // ~14% and 100% of the table.
-    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
-    val probeLits: Seq[Any] =
-      all.schema("bucket").dataType match {
-        case LongType    => probes
-        case IntegerType => probes.map(_.toInt)
-        case StringType  => probes.map(_.toString)
-        case other => throw new IllegalStateException(
-          s"lshTopKAtRest: partition column 'bucket' read back as $other; " +
-            "expected long/int/string — pruning contract would silently break")
-      }
+    val probeLits = AtRest.partitionLits("lshTopKAtRest", "bucket",
+      all.schema("bucket").dataType, probes)
     all.filter(col(idCol) =!= queryId)
       .filter(col("bucket").isin(probeLits: _*))
       .withColumn("score", trunc(
@@ -581,18 +574,8 @@ object Similarity {
       seqDot(qVec, qVec) - 2.0 * seqDot(qVec, c) + seqDot(c, c)
     val probes = centroids.zipWithIndex
       .map { case (c, i) => (d2q(c), i) }.sorted.take(nProbe).map(_._2)
-    // same partition-type contract as lshTopKAtRest: the IN-list literal
-    // type must match the inferred partition column type or pruning
-    // silently degrades to a full scan
-    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
-    val probeLits: Seq[Any] = all.schema("cell").dataType match {
-      case IntegerType => probes
-      case LongType    => probes.map(_.toLong)
-      case StringType  => probes.map(_.toString)
-      case other => throw new IllegalStateException(
-        s"ivfTopKAtRest: partition column 'cell' read back as $other; " +
-          "expected int/long/string — pruning contract would silently break")
-    }
+    val probeLits = AtRest.partitionLits("ivfTopKAtRest", "cell",
+      all.schema("cell").dataType, probes.map(_.toLong))
     val qNrm = math.sqrt(seqDot(qVec, qVec))
     all.filter(col("cell").isin(probeLits: _*))
       .filter(col(idCol) =!= queryId)

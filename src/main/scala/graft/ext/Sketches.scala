@@ -503,7 +503,10 @@ object Sketches {
       .cast("long")
     val agg = udaf(new MinKPairsAggregator(k),
       Encoders.product[(Long, Long)])
-    df.groupBy(col(groupCol))
+    // same null exclusion as sampleQuantiles — the at-rest shards must
+    // count exactly what they sample or the merged read diverges
+    df.filter(value.isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_part"), agg(h, value.cast("long"))
         .as("pairs"))
   }
@@ -576,7 +579,12 @@ object Sketches {
       expr(s"element_at(__sample, " +
         s"cast(($qNum * __m + ${qDen - 1}) div $qDen AS int))").as(name)
     }
-    df.groupBy(col(groupCol))
+    // null value or key would crash the non-nullable typed-aggregator
+    // encoder mid-job (same hazard kmvDistinct documents); a null value
+    // also has no place in a quantile — exclude the row from BOTH the
+    // sample and n, so positions stay consistent
+    df.filter(value.isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
         sampler(h, value.cast("long")).as("__sample"))
       .withColumn("__m", size(col("__sample")).cast("long"))

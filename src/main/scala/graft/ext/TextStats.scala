@@ -27,8 +27,11 @@ object TextStats {
     * spaces — the chunking step that turns curated documents into
     * retrieval/pretraining units. A pure projection (volume scales with
     * output chunks, never shuffles); every document yields at least one
-    * chunk, and a final partial window is kept, so no trailing text is
-    * dropped. The interpreted higher-order transform is bounded by
+    * chunk, and the final window covers the tail (possibly partial),
+    * so no trailing text is dropped — but a tail start whose window
+    * would be fully contained in the previous chunk is skipped rather
+    * than emitted as a duplicate unit. The interpreted higher-order
+    * transform is bounded by
     * chunk count, like `Dedup.bucketPairs` — volume, not row width,
     * is the cost.
     */
@@ -37,9 +40,15 @@ object TextStats {
     require(stride <= width,
       "stride > width would silently drop interior tokens")
     val w = tokens(c)
-    transform(
+    // drop SUBSUMED tails: when stride < width, any start past
+    // size - width + stride yields a chunk fully contained in its
+    // predecessor — indexing it would inject the exact duplicate
+    // units the dedup operators exist to remove. A start survives iff
+    // it is the first or contributes at least one new token.
+    val starts = filter(
       sequence(lit(0), greatest(size(w) - 1, lit(0)), lit(stride)),
-      s => array_join(slice(w, s + 1, lit(width)), " "))
+      s => s === 0 || s + lit(width - stride) < size(w))
+    transform(starts, s => array_join(slice(w, s + 1, lit(width)), " "))
   }
 
   /** Count of tokens that appear in `words`. */
@@ -456,10 +465,12 @@ object TextStats {
         lit(b) * (col("dl") * lit(nDocs.toDouble) / lit(totToks.toDouble))))
     val perTerm = tf.join(broadcast(docFreq), "t").join(dl, idCol)
       .withColumn("sc", score)
-    // fixed-order combine: coalesce(s_t1, 0) + coalesce(s_t2, 0) + ...
-    val pivots = terms.map(t =>
-      max(when(col("t") === t, col("sc"))).as(s"s_$t"))
-    val combined = terms.map(t => coalesce(col(s"s_$t"), lit(0.0)))
+    // fixed-order combine: coalesce(s_0, 0) + coalesce(s_1, 0) + ...
+    // — INDEXED names, not raw terms: a term containing '.' or '`'
+    // would otherwise parse as nested-field access and fail resolution
+    val pivots = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("t") === t, col("sc"))).as(s"__s_$i") }
+    val combined = terms.indices.map(i => coalesce(col(s"__s_$i"), lit(0.0)))
       .reduceLeft(_ + _)
     perTerm.groupBy(idCol).agg(pivots.head, pivots.tail: _*)
       .withColumn("score6", floor(combined * lit(1e6)).cast("long"))

@@ -4934,7 +4934,9 @@ object ExtQueries {
         |  FROM documents),
         |c AS (
         |  SELECT doc_id,
-        |    list_transform(range(0, greatest(len(w) - 1, 0) + 1, 20),
+        |    list_transform(
+        |      list_filter(range(0, greatest(len(w) - 1, 0) + 1, 20),
+        |        s -> s = 0 OR s + 10 < len(w)),
         |      s -> array_to_string(w[s+1:s+30], ' ')) AS chunks
         |  FROM t),
         |u AS (

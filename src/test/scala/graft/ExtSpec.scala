@@ -459,7 +459,9 @@ class ExtSpec extends SparkSpec {
       .toDF("text")
       .select(TextStats.chunkTokens($"text", 3, 2))
       .as[Seq[String]].collect().toSeq
-    assert(chunks(0) == Seq("t1 t2 t3", "t3 t4 t5", "t5 t6 t7", "t7"))
+    // no subsumed tail: a 4th chunk "t7" would be a strict subset of
+    // "t5 t6 t7" — duplicate retrieval units
+    assert(chunks(0) == Seq("t1 t2 t3", "t3 t4 t5", "t5 t6 t7"))
     assert(chunks(1) == Seq("solo"))
     assert(chunks(2) == Seq("")) // every doc yields at least one chunk
     // no token is dropped: chunks at stride offsets reconstruct the doc
