@@ -163,6 +163,13 @@ object Dedup {
     */
   def bandKeyCols(k: Int, bands: Int, portable: Boolean,
       mh: Int => Column): Seq[Column] = {
+    // bands > k makes every band key an EMPTY slice — all docs land in
+    // one bucket per band, the exact O(n^2) blow-up banding prevents;
+    // bands not dividing k silently drops the trailing minhash
+    // components from every key, changing recall from the configured k
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bandKeyCols: need 1 <= bands <= k with bands dividing k, " +
+        s"got k=$k bands=$bands")
     val rowsPerBand = k / bands
     (0 until bands).map { b =>
       val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(mh)
@@ -202,9 +209,15 @@ object Dedup {
     pairs
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      // hash-set kernel on the hottest verify path: the sets are
+      // distinct by construction, so |A∪B| = |A| + |B| − |A∩B| and the
+      // measured ~35µs/pair interpreted array_intersect/array_union
+      // collapses to one kernel probe (same identity setSimJoin uses)
+      .withColumn("__i",
+        graft.functions.PairFunctions
+          .stringIntersectSize(col("sh_a"), col("sh_b")).cast("double"))
+      .withColumn("jaccard", col("__i") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("__i")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -452,9 +465,13 @@ object Dedup {
     // is tiny; AQE would only downgrade after the shuffle map stage).
     cSh
       .join(broadcast(cands.join(broadcast(bSh), "batch_id")), "corpus_id")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      // same hash-set-kernel Jaccard as verifyJaccard (sets distinct
+      // by construction on both the stored and batch sides)
+      .withColumn("__i",
+        graft.functions.PairFunctions
+          .stringIntersectSize(col("sh_a"), col("sh_b")).cast("double"))
+      .withColumn("jaccard", col("__i") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("__i")))
       .filter(col("jaccard") >= threshold)
       .select("batch_id", "corpus_id", "jaccard")
   }
@@ -1024,7 +1041,7 @@ object Dedup {
       .agg(count(lit(1)).as("__c"))
     val byWindow = org.apache.spark.sql.expressions.Window
       .partitionBy("__wh")
-    perDocWindow
+    val stats = perDocWindow
       .withColumn("__docs", count(lit(1)).over(byWindow))
       .groupBy(idCol)
       .agg(sum(col("__c")).as("n_windows"),
@@ -1033,6 +1050,15 @@ object Dedup {
       .select(id, col("n_windows"), col("n_dup_windows"),
         (expr("n_dup_windows * 1000000L div n_windows").cast("double") /
           1000000.0).as("dup_frac"))
+    // one row PER DOC: a null-text / zero-shingle doc produces no
+    // window rows, but losing it from the stats table would turn a
+    // downstream join into silent data loss (same completion rule as
+    // simhashGroups) — it re-enters with zero windows
+    df.select(id).join(stats, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("dup_frac"), lit(0.0)).as("dup_frac"))
   }
 
   /** Embedding-cosine near-dup pairs above `threshold`, prefiltered by a

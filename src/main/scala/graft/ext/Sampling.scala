@@ -553,8 +553,13 @@ object Sampling {
     val in = df.filter(col(groupCol).isin(weights.map(_._1): _*))
     val counts = in.groupBy(groupCol).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    counts.foreach { case (s, n) =>
-      require(n > 0, s"epochMixOrder: source $s has no documents") }
+    // iterate WEIGHTS, not counts: a weight-listed source absent from
+    // df never appears in counts (its entries are >= 1 by
+    // construction), so checking counts was dead code and the absence
+    // surfaced later as an opaque driver 'key not found'
+    weights.foreach { case (s, _) =>
+      require(counts.contains(s),
+        s"epochMixOrder: source $s has no documents") }
     val byHash = Window.partitionBy(groupCol)
       .orderBy(col("__h").asc, col(idCol).asc)
     val posed = in
@@ -674,13 +679,25 @@ object Sampling {
       distributedPos: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val maxW = 1L << 20
-    val wDim = weightsDf.select(col(groupCol),
-      when(col(weightCol).cast("long").between(1L, maxW),
-        col(weightCol).cast("long"))
-        .otherwise(raise_error(concat(
-          lit(s"mixOrderByTable: weight must be in [1, $maxW], got "),
-          col(weightCol).cast("string"), lit(" for "),
-          col(groupCol).cast("string")))).as("__w"))
+    // aggregate-first so a DUPLICATED source row in weightsDf fails
+    // loudly instead of fanning every doc of that source out to two
+    // positions (the driver-list variant guards this with
+    // weights.distinct; the table variant must too)
+    val wDim = weightsDf
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__dup"),
+        max(col(weightCol).cast("long")).as("__wraw"))
+      .select(col(groupCol),
+        when(col("__dup") =!= 1L,
+          raise_error(concat(
+            lit("mixOrderByTable: duplicate weight rows for source "),
+            col(groupCol).cast("string"))))
+          .otherwise(
+            when(col("__wraw").between(1L, maxW), col("__wraw"))
+              .otherwise(raise_error(concat(
+                lit(s"mixOrderByTable: weight must be in [1, $maxW], got "),
+                col("__wraw").cast("string"), lit(" for "),
+                col(groupCol).cast("string"))))).as("__w"))
     val hashed = df.join(wDim, groupCol)
       .withColumn("__h", md5(col(idCol).cast("string")))
     val posed =
@@ -726,13 +743,26 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     require(total > 0, "epochMixOrderByTable: total must be positive")
     val maxW = 1L << 20
-    val wDim = weightsDf.select(col(groupCol),
-      when(col(weightCol).cast("long").between(1L, maxW),
-        col(weightCol).cast("long"))
-        .otherwise(raise_error(concat(
-          lit(s"epochMixOrderByTable: weight must be in [1, $maxW], got "),
-          col(weightCol).cast("string"), lit(" for "),
-          col(groupCol).cast("string")))).as("__w"))
+    // same duplicate-source guard as mixOrderByTable: a duplicated
+    // weight row would fan every doc of that source out to two
+    // positions in the schedule
+    val wDim = weightsDf
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__dup"),
+        max(col(weightCol).cast("long")).as("__wraw"))
+      .select(col(groupCol),
+        when(col("__dup") =!= 1L,
+          raise_error(concat(
+            lit("epochMixOrderByTable: duplicate weight rows for " +
+              "source "),
+            col(groupCol).cast("string"))))
+          .otherwise(
+            when(col("__wraw").between(1L, maxW), col("__wraw"))
+              .otherwise(raise_error(concat(
+                lit(s"epochMixOrderByTable: weight must be in " +
+                  s"[1, $maxW], got "),
+                col("__wraw").cast("string"), lit(" for "),
+                col(groupCol).cast("string"))))).as("__w"))
     val joined = df.join(wDim, groupCol)
     // totals over sources PRESENT in df — a weight row with no docs
     // must not inflate wSum (it would shrink the epoch bound below

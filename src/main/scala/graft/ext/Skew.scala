@@ -33,7 +33,12 @@ object Skew {
     val cb = b.groupBy(col(keyB).as("key"))
       .agg(count(lit(1)).as("n_b"))
     ca.join(cb, "key")
-      .withColumn("contrib", col("n_a") * col("n_b"))
+      // decimal(38,0): the pathological hot keys this audit exists to
+      // catch are exactly where a LONG n_a*n_b wraps negative — the
+      // worst key would then rank LAST and escape the top-k
+      .withColumn("contrib",
+        (col("n_a").cast("decimal(38,0)") * col("n_b"))
+          .cast("decimal(38,0)"))
       .orderBy(col("contrib").desc, col("key").asc)
       .limit(k)
   }

@@ -85,10 +85,16 @@ object Stats {
       end: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val deltas = df
+      // an interval with no start can't be placed on the line — drop
+      // the row; a null END means STILL OPEN: keep the +1, drop the
+      // -1 (a null delta would otherwise sort first in the window and
+      // shift every count down by one)
+      .filter(start.isNotNull)
       .select(col(keyCol).as("g"),
         explode(array(struct(start.as("t"), lit(1L).as("d")),
           struct(end.as("t"), lit(-1L).as("d")))).as("x"))
       .select(col("g"), col("x.t").as("t"), col("x.d").as("d"))
+      .filter(col("t").isNotNull)
       .groupBy("g", "t").agg(sum(col("d")).as("__ds"))
     val w = Window.partitionBy("g").orderBy("t")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -215,7 +221,10 @@ object Stats {
       .agg(max(col("__nat")).as("n_a"), max(col("__nbt")).as("n_b"),
         sum(term).as("__s"))
       .select(col("n_a"), col("n_b"),
-        expr("__s div (n_a * n_b)").cast("long").as("emd"))
+        // widen the product: a LONG n_a*n_b wraps past ~3e9 rows per
+        // side — exactly the scale the decimal(38,0) sum __s survives
+        expr("__s div (cast(n_a as decimal(38,0)) * n_b)")
+          .cast("long").as("emd"))
   }
 
   /** Grouped MODE (most frequent value, deterministic): per group the
@@ -357,8 +366,14 @@ object Stats {
       loNum: Long, loDen: Long, hiNum: Long, hiDen: Long): DataFrame = {
     val bounds = groupQuantiles(df, groupCol, valCol,
       Seq(("qlo", loNum, loDen), ("qhi", hiNum, hiDen)))
+    // null-safe group join: the quantile groupBy computes bounds for a
+    // NULL group too, and an equi-join here would silently DROP every
+    // null-group row from the winsorized output — data loss, not
+    // clamping (same trap temperatureSample documents)
+    val boundsR = bounds.withColumnRenamed(groupCol, "__g")
     df.withColumn("__v", valCol.cast("long"))
-      .join(bounds, groupCol)
+      .join(boundsR, col(groupCol) <=> col("__g"))
+      .drop("__g")
       .withColumn("clipped",
         greatest(col("qlo"), least(col("__v"), col("qhi"))))
   }
@@ -375,13 +390,18 @@ object Stats {
   def robustOutliers(df: DataFrame, groupCol: String, idCol: String,
       valCol: Column, kNum: Long, kDen: Long): DataFrame = {
     val med = groupQuantiles(df, groupCol, valCol, Seq(("med", 1L, 2L)))
+    // null-safe group joins throughout — see winsorizeByGroup
+    val medR = med.withColumnRenamed(groupCol, "__g")
     val devs = df
       .select(col(idCol), col(groupCol), valCol.cast("long").as("x"))
-      .join(med, groupCol)
+      .join(medR, col(groupCol) <=> col("__g"))
+      .drop("__g")
       .withColumn("__dev", abs(col("x") - col("med")))
     val mad = groupQuantiles(devs, groupCol, col("__dev"),
       Seq(("mad", 1L, 2L)))
-    devs.join(mad, groupCol)
+    val madR = mad.withColumnRenamed(groupCol, "__g2")
+    devs.join(madR, col(groupCol) <=> col("__g2"))
+      .drop("__g2")
       .filter(col("__dev") * kDen > lit(kNum) * col("mad"))
       .select(col(idCol), col(groupCol), col("x"), col("med"), col("mad"))
   }
@@ -540,8 +560,11 @@ object Stats {
           d(col("__cb")) * d(col("__nat")))).as("__d"))
       .select(col("n_a"), col("n_b"),
         col("__d").cast("long").as("d_num"),
+        // cast EACH count before multiplying — the long product wraps
+        // past ~3e9 rows per side; the double product does not
         (col("__d").cast("double") /
-          (col("n_a") * col("n_b")).cast("double")).as("ks"))
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("ks"))
   }
 
   /** Per-group equi-WIDTH histogram (k fixed-width buckets spanning
@@ -566,7 +589,10 @@ object Stats {
       .filter(col("__v").isNotNull)
     val bounds = vals.groupBy(groupCol)
       .agg(min(col("__v")).as("mn"), max(col("__v")).as("mx"))
-    vals.join(broadcast(bounds), Seq(groupCol))
+      .withColumnRenamed(groupCol, "__g")
+    // null-safe group join — see winsorizeByGroup
+    vals.join(broadcast(bounds), col(groupCol) <=> col("__g"))
+      .drop("__g")
       .withColumn("bucket",
         expr(s"((__v - mn) * $k) div (mx - mn + 1)"))
       .groupBy(col(groupCol), col("bucket"), col("mn"), col("mx"))

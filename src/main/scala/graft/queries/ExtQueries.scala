@@ -4263,7 +4263,8 @@ object ExtQueries {
         |cb AS (
         |  SELECT s_nationkey AS key, cast(count(*) AS bigint) AS n_b
         |  FROM supplier GROUP BY 1)
-        |SELECT key, n_a, n_b, n_a * n_b AS contrib
+        |SELECT key, n_a, n_b,
+        |  cast(n_a * n_b AS decimal(38,0)) AS contrib
         |FROM ca JOIN cb USING (key)
         |ORDER BY contrib DESC, key LIMIT 10""".stripMargin,
 
@@ -5297,13 +5298,22 @@ object ExtQueries {
          |wc AS (SELECT doc_id, md5(s) AS wh, count(*) AS c
          |  FROM u GROUP BY 1, 2),
          |nd AS (SELECT doc_id, c,
-         |    count(*) OVER (PARTITION BY wh) AS docs FROM wc)
-         |SELECT doc_id, cast(sum(c) AS bigint) AS n_windows,
-         |  cast(coalesce(sum(CASE WHEN docs >= 2 THEN c END), 0) AS bigint)
-         |    AS n_dup_windows,
-         |  (cast(coalesce(sum(CASE WHEN docs >= 2 THEN c END), 0) AS bigint)
-         |     * 1000000 // cast(sum(c) AS bigint)) / 1000000.0 AS dup_frac
-         |FROM nd GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |    count(*) OVER (PARTITION BY wh) AS docs FROM wc),
+         |agg AS (
+         |  SELECT doc_id, cast(sum(c) AS bigint) AS n_windows,
+         |    cast(coalesce(sum(CASE WHEN docs >= 2 THEN c END), 0)
+         |      AS bigint) AS n_dup_windows,
+         |    (cast(coalesce(sum(CASE WHEN docs >= 2 THEN c END), 0)
+         |      AS bigint)
+         |      * 1000000 // cast(sum(c) AS bigint)) / 1000000.0
+         |      AS dup_frac
+         |  FROM nd GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(a.n_windows, 0) AS n_windows,
+         |  coalesce(a.n_dup_windows, 0) AS n_dup_windows,
+         |  coalesce(a.dup_frac, 0.0) AS dup_frac
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
     },
 
     // Token bucket via the q55 md5-digit assembly; integer weight sum,

