@@ -46,6 +46,12 @@ object Bench {
     // A failing query reports time -1 plus an `errors` entry — it must
     // never read as a near-zero (i.e. fast) measurement.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Action choice: count() — NOTE this lets Catalyst eliminate each
+    // query's final presentation ORDER BY, so the bench measures the
+    // compute, not the final sort. That is deliberate and must stay
+    // CONSISTENT: BASELINE and every BENCH_r*.json were recorded the
+    // same way, so switching to a sort-preserving action (noop write)
+    // would read as a spurious across-the-board regression.
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String]) = {
       spark.catalog.clearCache()
@@ -69,7 +75,16 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
+    // total = PASSING queries only; a failed query would otherwise
+    // read as a speedup. The failed count rides in the JSON so the
+    // headline number can never silently hide a broken query.
     val total = results.map(_._2._1).filter(_ >= 0).sum
+    val nFailed = results.count(_._2._1 < 0)
+    // Locale.ROOT formatting: a comma-decimal default locale (de_DE,
+    // fr_FR) would make every number invalid JSON and lose the round's
+    // bench result at the driver's json.load
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     // Full-precision, full-name dump for humans/the judge. The stdout
     // line below abbreviates because the driver keeps only a 2000-char
     // stdout tail: with 80+ queries, full names + full doubles overflow
@@ -80,7 +95,7 @@ object Bench {
         .mkString("{", ",", "}")
       val errs = results.collect { case (k, (_, Some(e))) => jstr(k) + ":" + jstr(e) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
@@ -89,14 +104,14 @@ object Bench {
     // seconds, numeric sf — ~1.1 KB for 83 queries, so the whole line
     // survives the tail window with room for ~30 more queries.
     val qsShort = results.map { case (k, (v, _)) =>
-      jstr(k.takeWhile(_ != '_')) + ":" + f"$v%.3f"
+      jstr(k.takeWhile(_ != '_')) + ":" + fmt(v)
     }.mkString("{", ",", "}")
     val errsShort = results.collect { case (k, (_, Some(e))) =>
       jstr(k.takeWhile(_ != '_')) + ":" + jstr(e.take(60))
     }.mkString("{", ",", "}")
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsShort,"errors":$errsShort,"sf":$sfNum,"note":"keys are q-number prefixes; full names + precision in bench_detail.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$nFailed,"queries":$qsShort,"errors":$errsShort,"sf":$sfNum,"note":"keys are q-number prefixes; full names + precision in bench_detail.json"}""")
     spark.stop()
   }
 }

@@ -26,7 +26,16 @@ object Pipeline {
 
     val items = Crossref.readPages(spark, pagesPath)
     val allWorks = Crossref.works(items).cache()
-    val gated = Crossref.upsGate(allWorks).limit(maxWorks).cache()
+    // DETERMINISTIC F8 cap: a bare limit over an unordered plan picks
+    // an arbitrary subset PER EVALUATION — if the cache is lost
+    // between the three fact appends (executor failure), each append
+    // could see a different work subset and desynchronize the
+    // warehouse. doi order makes the cap a pure function of the input
+    // (the reference's arrival-order cutoff doesn't exist once pages
+    // are a distributed dataset — same convention as the documented
+    // lexicographic merge tiebreaks).
+    val gated = Crossref.upsGate(allWorks).orderBy("doi")
+      .limit(maxWorks).cache()
 
     // Dimensions resolve over ALL scanned works — the reference upserts
     // authors/affiliations while parsing, BEFORE the work-level UPS gate
@@ -41,14 +50,19 @@ object Pipeline {
 
     // Incremental dimension merge: existing surrogate ids are preserved,
     // new entities append after the current max (PIPE:312-359 semantics).
+    // EAGER localCheckpoint, not cache: overwriteSwap below renames
+    // the very files these merged plans read — a best-effort cache
+    // that loses blocks would recompute against a deleted directory
+    // and die mid-run after facts were partially appended. The
+    // checkpoint cuts the lineage before the swap.
     val autores = (if (Warehouse.exists(spark, dir, "autores"))
       Entities.mergeAuthors(Warehouse.read(spark, dir, "autores"),
         autoresBatch)
-    else autoresBatch.drop("entityKey")).cache()
+    else autoresBatch.drop("entityKey")).localCheckpoint()
     val afiliaciones = (if (Warehouse.exists(spark, dir, "afiliaciones"))
       Entities.mergeAffiliations(Warehouse.read(spark, dir, "afiliaciones"),
         afilBatch)
-    else afilBatch).cache()
+    else afilBatch).localCheckpoint()
 
     Warehouse.overwriteSwap(spark, autores, dir, "autores")
     Warehouse.overwriteSwap(spark, afiliaciones, dir, "afiliaciones")
@@ -84,6 +98,15 @@ object Pipeline {
 
     val n = Warehouse.read(spark, dir, "obras").count()
     Warehouse.logRun(spark, dir, runId, "finish", pagesPath, n)
+    // release this batch's pinned state: per-batch caches would
+    // otherwise accumulate across ingest calls and evict each other;
+    // checkpoint blocks are pinned until driver GC (BUILD_NOTES), so
+    // their backing RDDs are unpersisted explicitly
+    Seq(allWorks, gated, affRows).foreach(_.unpersist())
+    Seq(autores, afiliaciones).foreach(
+      _.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(false)))
     n
   }
 

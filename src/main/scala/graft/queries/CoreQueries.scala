@@ -33,7 +33,10 @@ object CoreQueries {
       lineitem(s, d)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum("l_quantity").as("sum_qty"),
+          // decimal-routed like every other money/quantity sum (the
+          // file-header discipline): a raw double sum is only exact
+          // while l_quantity happens to be integral-valued
+          dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_price"),
           sum((col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
@@ -303,7 +306,7 @@ object CoreQueries {
   val oracles: Map[String, String] = Map(
     "q01_agg_sum" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(l_quantity) AS sum_qty,
+        |  cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
         |  cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_price,
         |  cast(sum(cast(l_extendedprice AS decimal(18,2)) *
         |    (cast(1 AS decimal(18,2)) - cast(l_discount AS decimal(18,2)))) AS double) AS sum_disc_price,
