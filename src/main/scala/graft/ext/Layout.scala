@@ -140,8 +140,10 @@ object Layout {
     */
   def zoneCompact(spark: SparkSession, path: String, zoneCol: String,
       rowsPerFile: Long): Unit = {
-    val zones = spark.read.parquet(path + ".zones")
-      .select("file", "mn", "mx", "rows").collect()
+    val zonesDf = spark.read.parquet(path + ".zones")
+      .select("file", "mn", "mx", "rows")
+    val zSchema = zonesDf.schema
+    val zones = zonesDf.collect()
     def ov(a: org.apache.spark.sql.Row,
         b: org.apache.spark.sql.Row): Boolean =
       !(b.get(2).asInstanceOf[Comparable[Any]].compareTo(a.get(1)) < 0 ||
@@ -169,39 +171,64 @@ object Layout {
       val keep = zones.filterNot(z => victimSet.contains(z.getString(0)))
       val tmp = path + ".compact"
       if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
-      val moved = comps.zipWithIndex.flatMap { case (comp, ci) =>
-        val files = comp.map(i => zones(i).getString(0))
-        val rows = comp.map(i => zones(i).getLong(3)).sum
-        val nOut =
-          math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
-        val ctmp = s"$tmp/c$ci"
-        spark.read.parquet(files: _*)
-          .repartitionByRange(nOut, col(zoneCol))
-          .sortWithinPartitions(zoneCol)
-          .write.mode("overwrite").parquet(ctmp)
-        fs.listStatus(new Path(ctmp)).toSeq
-          .filter(_.getPath.getName.startsWith("part-"))
-          .map { st =>
-            val dst = new Path(path, st.getPath.getName)
-            if (!fs.rename(st.getPath, dst))
-              throw new java.io.IOException(
-                s"zoneCompact: promote ${st.getPath} failed")
-            dst.toString
-          }
+      // Independent component rewrites run CONCURRENTLY: their value
+      // ranges are disjoint by construction, each writes its own ctmp
+      // dir and promotes by per-file rename, and every read here is an
+      // explicit file list (never a directory listing), so the jobs
+      // cannot observe each other. The r7 serial loop paid one
+      // scheduler-floor latency per component, which tripled
+      // q125_zone_maintain; concurrency makes wall-clock ~= the
+      // largest component instead of the sum. Each job also computes
+      // its OWN promoted-file stats (a per-component collect of
+      // listing-sized rows), so the old table-sized post-promote stats
+      // pass is gone — the sidecar is assembled on the driver from the
+      // per-component results.
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(comps.size, 8))
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      val rewriteJobs = comps.zipWithIndex.map { case (comp, ci) =>
+        Future {
+          val files = comp.map(i => zones(i).getString(0))
+          val rows = comp.map(i => zones(i).getLong(3)).sum
+          val nOut =
+            math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
+          val ctmp = s"$tmp/c$ci"
+          spark.read.parquet(files: _*)
+            .repartitionByRange(nOut, col(zoneCol))
+            .sortWithinPartitions(zoneCol)
+            .write.mode("overwrite").parquet(ctmp)
+          val moved = fs.listStatus(new Path(ctmp)).toSeq
+            .filter(_.getPath.getName.startsWith("part-"))
+            .map { st =>
+              val dst = new Path(path, st.getPath.getName)
+              if (!fs.rename(st.getPath, dst))
+                throw new java.io.IOException(
+                  s"zoneCompact: promote ${st.getPath} failed")
+              dst.toString
+            }
+          spark.read.parquet(moved: _*)
+            .groupBy(input_file_name().as("file"))
+            .agg(min(col(zoneCol)).as("mn"), max(col(zoneCol)).as("mx"),
+              count(lit(1)).as("rows"))
+            .collect().toSeq
+        }
       }
+      val freshRows =
+        try rewriteJobs.flatMap(f => Await.result(f, Duration.Inf))
+        finally pool.shutdown()
       // ORDER OF COMMIT: the rewritten files are invisible until the
       // sidecar lists them, so the new sidecar commits FIRST and the
       // victim data files are deleted only after — a crash anywhere in
       // this window leaves a consistent sidecar (old or new) whose
       // files all still exist; the worst case is orphaned part files,
       // never a sidecar pointing at deleted data.
-      val fresh = spark.read.parquet(moved: _*)
-        .groupBy(input_file_name().as("file"))
-        .agg(min(col(zoneCol)).as("mn"), max(col(zoneCol)).as("mx"),
-          count(lit(1)).as("rows"))
-      val kept = spark.createDataFrame(
-        spark.sparkContext.parallelize(keep.toSeq, 1), fresh.schema)
-      fresh.unionByName(kept).coalesce(1)
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(freshRows ++ keep.toSeq, 1),
+          zSchema)
+        .coalesce(1)
         .write.mode("overwrite").parquet(path + ".zones.next")
       swapZones(spark, path)
       victimSet.foreach(f =>

@@ -110,9 +110,16 @@ object CoreQueries {
     }),
 
     // S6/J10 — anti-join existence probe (PIPE:599-601) set-at-a-time.
+    // Probe side is restricted to even custkeys: at every testdata SF
+    // each customer has orders, so the unrestricted anti-join returned
+    // 0 rows and an empty result matches an empty oracle no matter what
+    // the operator does. Against even-key orders the anti-join must
+    // return exactly the odd-key customers — non-empty, deterministic,
+    // and wrong answers can no longer hide behind emptiness.
     "q08_anti_join" -> ((s, d) => {
       customer(s, d)
-        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(orders(s, d).filter(col("o_custkey") % 2 === 0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     }),
@@ -352,7 +359,8 @@ object CoreQueries {
 
     "q08_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_custkey % 2 = 0)
         |ORDER BY c_custkey""".stripMargin,
 
     "q09_theta_join" ->

