@@ -66,7 +66,6 @@ object Bench {
     // headline number can never silently hide a broken query.
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val nFailed = results.count(_._2._1 < 0)
-    def fmt(d: Double): String = EntryKit.fmt3(d)
     // Full-precision, full-name dump for humans/the judge. The stdout
     // line below abbreviates because the driver keeps only a 2000-char
     // stdout tail: with 80+ queries, full names + full doubles overflow
@@ -82,24 +81,37 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
     catch { case _: Throwable => () }
-    // Machine line: the driver keeps only a 2000-char stdout TAIL, and
-    // at 188 queries the old all-queries abbreviation (~2.6 KB) got
-    // truncated mid-JSON — BENCH_r06/r07 both recorded parsed=null. So
-    // the last stdout line now carries the total plus ONLY the q01-q47
-    // baseline subset (the set BASELINE.md's 31.2 s was recorded on,
-    // ~700 bytes); every query's full-precision time and error text is
-    // in bench_detail.json.
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("0")
+    println(machineLine(results.map { case (k, (v, _)) => k -> v },
+      nFailed, sfNum))
+    spark.stop()
+  }
+
+  /** The driver-parseable LAST stdout line. The driver keeps only a
+    * 2000-char stdout TAIL, and at 188 queries the old all-queries
+    * abbreviation (~2.6 KB) got truncated mid-JSON — BENCH_r06/r07
+    * both recorded parsed=null. So this line carries the total plus
+    * ONLY the q01-q47 baseline subset (the set BASELINE.md's 31.2 s
+    * was recorded on, ~700 bytes); every query's full-precision time
+    * and error text is in bench_detail.json. Pure function so
+    * BenchLineSpec can bound its WORST-CASE length against the tail
+    * window — the overflow regression must never come back silently.
+    */
+  def machineLine(results: Seq[(String, Double)], nFailed: Int,
+      sfNum: String): String = {
+    val total = results.map(_._2).filter(_ >= 0).sum
+    def fmt(d: Double): String = EntryKit.fmt3(d)
     def qNum(k: String): Int = {
       val ds = k.drop(1).takeWhile(_.isDigit)
       if (ds.isEmpty) Int.MaxValue else ds.toInt
     }
     val qsShort = results
       .filter { case (k, _) => qNum(k) <= 47 }
-      .map { case (k, (v, _)) => jstr(k.takeWhile(_ != '_')) + ":" + fmt(v) }
+      .map { case (k, v) =>
+        EntryKit.jsonEscape(k.takeWhile(_ != '_')) + ":" + fmt(v)
+      }
       .mkString("{", ",", "}")
-    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
-      .map(_.group(1)).getOrElse("0")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$nFailed,"queries":$qsShort,"sf":$sfNum,"note":"queries = q01-q47 baseline subset; all 188 in bench_detail.json"}""")
-    spark.stop()
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$nFailed,"queries":$qsShort,"sf":$sfNum,"note":"queries = q01-q47 baseline subset; all queries in bench_detail.json"}"""
   }
 }
