@@ -992,6 +992,74 @@ class Round5Spec extends SparkSpec {
       lit(Long.MinValue), lit(Long.MaxValue)).count() === 420L)
   }
 
+  test("zone compact: several disjoint overlap components, concurrent rewrite") {
+    // Three appends at distant value regions create (at least) three
+    // INDEPENDENT overlap components — the shape the round-8 concurrent
+    // per-component rewrite exists for. Pins: every appended overlap
+    // file is rewritten, untouched base files survive, zones end
+    // pairwise disjoint, no rewritten file spans the inter-cluster
+    // gaps (components must not bleed into each other), the data reads
+    // back exactly, and a second compact is a no-op (convergence).
+    val dir = java.nio.file.Files.createTempDirectory("zones3").toString
+    val path = s"$dir/t"
+    graft.ext.Layout.zoneWrite(
+      (1L to 600L).map(i => (i, i * 10L)).toDF("id", "x"), "x", 6, path)
+    val base = graft.ext.Layout.zoneFiles(spark, path,
+      lit(Long.MinValue), lit(Long.MaxValue))
+    // appends land INSIDE the low / middle / high thirds — away from
+    // the 2000-2100 and 4000-4100 boundaries, so no appended file can
+    // span two regions and components stay region-local
+    def app(ids: Range, x0: Long): Unit = graft.ext.Layout.zoneAppend(
+      ids.map(i => (i.toLong, x0 + (i - ids.head) * 2L)).toDF("id", "x"),
+      "x", 1, path)
+    app(1001 to 1010, 505L)   // low cluster
+    app(2001 to 2010, 3005L)  // middle cluster
+    app(3001 to 3010, 5505L)  // high cluster
+    val pre = spark.read.parquet(path + ".zones")
+      .select("file", "mn", "mx").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def overlapsSome(z: (String, Long, Long)) =
+      pre.exists(o => o._1 != z._1 && !(o._3 < z._2 || o._2 > z._3))
+    val ov = pre.filter(overlapsSome)
+    // the construction really produced overlaps in >= 2 distant regions
+    // (=> >= 2 components), and nothing spans the gaps between regions
+    assert(ov.exists(_._3 < 2000L) && ov.exists(_._2 > 4100L),
+      s"expected overlap components in distant regions, got ${ov.toSeq}")
+    assert(!pre.exists(z => z._2 < 2000L && z._3 > 2100L) &&
+      !pre.exists(z => z._2 < 4000L && z._3 > 4100L))
+    graft.ext.Layout.zoneCompact(spark, path, "x", rowsPerFile = 200L)
+    val post = spark.read.parquet(path + ".zones")
+      .select("file", "mn", "mx").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val postFiles = post.map(_._1).toSeq
+    ov.foreach(z => assert(!postFiles.contains(z._1),
+      s"overlapping file ${z._1} survived compaction"))
+    assert(base.exists(postFiles.contains),
+      "compaction rewrote non-overlapping base files")
+    post.foreach { a => post.foreach { b =>
+      if (a._1 != b._1) assert(a._3 < b._2 || a._2 > b._3,
+        s"zones still overlap after compact: $a $b") } }
+    // rewritten files stay inside their component's region
+    assert(!post.exists(z => z._2 < 2000L && z._3 > 2100L) &&
+      !post.exists(z => z._2 < 4000L && z._3 > 4100L),
+      "a rewritten file spans an inter-component gap")
+    // data intact: 600 base + 30 appended rows, values exact per region
+    assert(graft.ext.Layout.zoneRead(spark, path, "x",
+      lit(Long.MinValue), lit(Long.MaxValue)).count() === 630L)
+    val mid = graft.ext.Layout.zoneRead(spark, path, "x",
+      lit(3000L), lit(3030L))
+      .select("x").collect().map(_.getLong(0)).sorted.toSeq
+    assert(mid === ((300L to 303L).map(_ * 10L) ++
+      (0 until 10).map(3005L + _ * 2L)).sorted)
+    // convergence: a second compact finds no overlaps and changes nothing
+    graft.ext.Layout.zoneCompact(spark, path, "x", rowsPerFile = 200L)
+    val post2 = spark.read.parquet(path + ".zones")
+      .select("file", "mn", "mx").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(post2.sortBy(_._1).toSeq === post.sortBy(_._1).toSeq,
+      "second compact was not a no-op")
+  }
+
   // ------------------------------------------------------------------
   // Warehouse.aggState / mergeAggState
   // ------------------------------------------------------------------
