@@ -180,9 +180,9 @@ object Layout {
       // q125_zone_maintain; concurrency makes wall-clock ~= the
       // largest component instead of the sum. Each job also computes
       // its OWN promoted-file stats (a per-component collect of
-      // listing-sized rows), so the old table-sized post-promote stats
-      // pass is gone — the sidecar is assembled on the driver from the
-      // per-component results.
+      // listing-sized rows) so the stats collects overlap with other
+      // components' rewrites instead of running as one trailing job,
+      // and the sidecar is assembled on the driver with no extra scan.
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -216,9 +216,17 @@ object Layout {
             .collect().toSeq
         }
       }
-      val freshRows =
-        try rewriteJobs.flatMap(f => Await.result(f, Duration.Inf))
+      // Await EVERY job before inspecting failures: rethrowing on the
+      // first failed component while siblings are still writing would
+      // hand control back (and, on a retry, delete the .compact tmp
+      // dir) underneath in-flight jobs. After this loop no component
+      // work is in flight, whatever happened.
+      val outcomes =
+        try rewriteJobs.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
         finally pool.shutdown()
+      // .get rethrows the first component failure — only now, with
+      // nothing in flight
+      val freshRows = outcomes.flatMap(_.get)
       // ORDER OF COMMIT: the rewritten files are invisible until the
       // sidecar lists them, so the new sidecar commits FIRST and the
       // victim data files are deleted only after — a crash anywhere in

@@ -1002,31 +1002,42 @@ class Round5Spec extends SparkSpec {
     // back exactly, and a second compact is a no-op (convergence).
     val dir = java.nio.file.Files.createTempDirectory("zones3").toString
     val path = s"$dir/t"
+    // base regions are written PER REGION (one zoneWrite + two
+    // zoneAppends, 2 files each), so every base file is confined to
+    // its region BY CONSTRUCTION — asserting gap containment against
+    // zoneWrite's sampled range bounds would be environment-sensitive
+    // (the sample depends on input slicing, hence on core count)
+    def region(lo: Long): Seq[(Long, Long)] =
+      (0L until 200L).map(i => (lo + i, lo * 10L + i * 10L))
     graft.ext.Layout.zoneWrite(
-      (1L to 600L).map(i => (i, i * 10L)).toDF("id", "x"), "x", 6, path)
+      region(0L).toDF("id", "x"), "x", 2, path)            // x 0..1990
+    graft.ext.Layout.zoneAppend(
+      region(1000L).toDF("id", "x"), "x", 2, path)         // x 10000..11990
+    graft.ext.Layout.zoneAppend(
+      region(2000L).toDF("id", "x"), "x", 2, path)         // x 20000..21990
     val base = graft.ext.Layout.zoneFiles(spark, path,
       lit(Long.MinValue), lit(Long.MaxValue))
-    // appends land INSIDE the low / middle / high thirds — away from
-    // the 2000-2100 and 4000-4100 boundaries, so no appended file can
-    // span two regions and components stay region-local
+    // one overlapping append INSIDE each region -> three independent
+    // overlap components
     def app(ids: Range, x0: Long): Unit = graft.ext.Layout.zoneAppend(
       ids.map(i => (i.toLong, x0 + (i - ids.head) * 2L)).toDF("id", "x"),
       "x", 1, path)
-    app(1001 to 1010, 505L)   // low cluster
-    app(2001 to 2010, 3005L)  // middle cluster
-    app(3001 to 3010, 5505L)  // high cluster
+    app(9001 to 9010, 505L)    // low region
+    app(9101 to 9110, 10505L)  // middle region
+    app(9201 to 9210, 20505L)  // high region
     val pre = spark.read.parquet(path + ".zones")
       .select("file", "mn", "mx").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     def overlapsSome(z: (String, Long, Long)) =
       pre.exists(o => o._1 != z._1 && !(o._3 < z._2 || o._2 > z._3))
     val ov = pre.filter(overlapsSome)
-    // the construction really produced overlaps in >= 2 distant regions
-    // (=> >= 2 components), and nothing spans the gaps between regions
-    assert(ov.exists(_._3 < 2000L) && ov.exists(_._2 > 4100L),
+    // overlaps exist in (at least) the low and high regions => the
+    // compact below must handle >= 2 independent components; nothing
+    // spans the inter-region gaps (guaranteed by construction)
+    assert(ov.exists(_._3 < 2000L) && ov.exists(_._2 >= 20000L),
       s"expected overlap components in distant regions, got ${ov.toSeq}")
-    assert(!pre.exists(z => z._2 < 2000L && z._3 > 2100L) &&
-      !pre.exists(z => z._2 < 4000L && z._3 > 4100L))
+    assert(!pre.exists(z => z._2 < 2000L && z._3 >= 10000L) &&
+      !pre.exists(z => z._2 < 12000L && z._3 >= 20000L))
     graft.ext.Layout.zoneCompact(spark, path, "x", rowsPerFile = 200L)
     val post = spark.read.parquet(path + ".zones")
       .select("file", "mn", "mx").collect()
@@ -1040,17 +1051,17 @@ class Round5Spec extends SparkSpec {
       if (a._1 != b._1) assert(a._3 < b._2 || a._2 > b._3,
         s"zones still overlap after compact: $a $b") } }
     // rewritten files stay inside their component's region
-    assert(!post.exists(z => z._2 < 2000L && z._3 > 2100L) &&
-      !post.exists(z => z._2 < 4000L && z._3 > 4100L),
+    assert(!post.exists(z => z._2 < 2000L && z._3 >= 10000L) &&
+      !post.exists(z => z._2 < 12000L && z._3 >= 20000L),
       "a rewritten file spans an inter-component gap")
-    // data intact: 600 base + 30 appended rows, values exact per region
+    // data intact: 600 base + 30 appended rows, values exact mid-region
     assert(graft.ext.Layout.zoneRead(spark, path, "x",
       lit(Long.MinValue), lit(Long.MaxValue)).count() === 630L)
     val mid = graft.ext.Layout.zoneRead(spark, path, "x",
-      lit(3000L), lit(3030L))
+      lit(10500L), lit(10530L))
       .select("x").collect().map(_.getLong(0)).sorted.toSeq
-    assert(mid === ((300L to 303L).map(_ * 10L) ++
-      (0 until 10).map(3005L + _ * 2L)).sorted)
+    assert(mid === ((1050L to 1053L).map(_ * 10L) ++
+      (0 until 10).map(10505L + _ * 2L)).sorted)
     // convergence: a second compact finds no overlaps and changes nothing
     graft.ext.Layout.zoneCompact(spark, path, "x", rowsPerFile = 200L)
     val post2 = spark.read.parquet(path + ".zones")
