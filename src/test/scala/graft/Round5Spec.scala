@@ -1071,6 +1071,51 @@ class Round5Spec extends SparkSpec {
       "second compact was not a no-op")
   }
 
+  test("zone compact: a failed component leaves the pre-compact sidecar intact") {
+    // Fault injection: delete one component's data file out from under
+    // the sidecar so that component's rewrite job fails. zoneCompact
+    // must (a) throw — only after awaiting every sibling rewrite — and
+    // (b) leave the sidecar EXACTLY as it was (the new sidecar commits
+    // only when all components succeed), so every intact region still
+    // reads exactly. Sibling components may have promoted orphan part
+    // files — harmless by design (reads are sidecar-driven).
+    val dir = java.nio.file.Files.createTempDirectory("zones4").toString
+    val path = s"$dir/t"
+    def region(lo: Long): Seq[(Long, Long)] =
+      (0L until 200L).map(i => (lo + i, lo * 10L + i * 10L))
+    graft.ext.Layout.zoneWrite(
+      region(0L).toDF("id", "x"), "x", 2, path)            // x 0..1990
+    graft.ext.Layout.zoneAppend(
+      region(1000L).toDF("id", "x"), "x", 2, path)         // x 10000..11990
+    def app(ids: Range, x0: Long): Unit = graft.ext.Layout.zoneAppend(
+      ids.map(i => (i.toLong, x0 + (i - ids.head) * 2L)).toDF("id", "x"),
+      "x", 1, path)
+    app(9001 to 9010, 505L)    // component in the low region
+    app(9101 to 9110, 10505L)  // component in the high region
+    val pre = spark.read.parquet(path + ".zones")
+      .select("file", "mn", "mx", "rows").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // kill the high-region overlap file (mn == 10505)
+    val victim = pre.find(_._2 == 10505L).get._1
+    val vp = new org.apache.hadoop.fs.Path(new java.net.URI(victim))
+    assert(vp.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(vp, false))
+    assertThrows[Exception] {
+      graft.ext.Layout.zoneCompact(spark, path, "x", rowsPerFile = 200L)
+    }
+    val post = spark.read.parquet(path + ".zones")
+      .select("file", "mn", "mx", "rows").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(post.sortBy(_._1).toSeq === pre.sortBy(_._1).toSeq,
+      "failed compact mutated the sidecar")
+    // intact low region still reads exactly (base + appended values)
+    val low = graft.ext.Layout.zoneRead(spark, path, "x",
+      lit(500L), lit(530L))
+      .select("x").collect().map(_.getLong(0)).sorted.toSeq
+    assert(low === ((50L to 53L).map(_ * 10L) ++
+      (0 until 10).map(505L + _ * 2L)).sorted)
+  }
+
   // ------------------------------------------------------------------
   // Warehouse.aggState / mergeAggState
   // ------------------------------------------------------------------
