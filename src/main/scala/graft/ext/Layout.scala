@@ -219,14 +219,29 @@ object Layout {
       // Await EVERY job before inspecting failures: rethrowing on the
       // first failed component while siblings are still writing would
       // hand control back (and, on a retry, delete the .compact tmp
-      // dir) underneath in-flight jobs. After this loop no component
-      // work is in flight, whatever happened.
+      // dir) underneath in-flight jobs. The catch is Throwable — NOT
+      // NonFatal — because an InterruptedException mid-loop must not
+      // skip the remaining awaits either (the interrupt is re-asserted
+      // below instead). After this loop no component work is in
+      // flight, whatever happened.
       val outcomes =
-        try rewriteJobs.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
-        finally pool.shutdown()
-      // .get rethrows the first component failure — only now, with
-      // nothing in flight
-      val freshRows = outcomes.flatMap(_.get)
+        try rewriteJobs.map { f =>
+          try Right(Await.result(f, Duration.Inf))
+          catch { case t: Throwable => Left(t) }
+        } finally pool.shutdown()
+      val failures = outcomes.collect { case Left(t) => t }
+      if (failures.nonEmpty) {
+        // surface EVERY component's root cause, not just the first
+        failures.tail.filter(_ ne failures.head)
+          .foreach(failures.head.addSuppressed)
+        if (failures.exists(_.isInstanceOf[InterruptedException]))
+          Thread.currentThread().interrupt()
+        throw failures.head
+      }
+      val freshRows = outcomes.flatMap {
+        case Right(rows) => rows
+        case Left(_) => Nil
+      }
       // ORDER OF COMMIT: the rewritten files are invisible until the
       // sidecar lists them, so the new sidecar commits FIRST and the
       // victim data files are deleted only after — a crash anywhere in

@@ -125,13 +125,8 @@ object AtRestProbe {
       println(f"| ${m}x | ivf_probe(k=$topk) | $nEmb | $probed | $topk | $tQ%.2f |")
     }
     // best-effort cleanup — the per-run corpora are sizeable at 30x
-    def rm(p: java.nio.file.Path): Unit = {
-      import scala.jdk.CollectionConverters._
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.list(p).iterator().asScala.foreach(rm)
-      java.nio.file.Files.deleteIfExists(p)
-    }
-    try rm(work) catch { case _: Throwable => () }
+    try ProbeUtil.deleteRecursively(work)
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -86,18 +86,12 @@ object GraphProbe {
       }
       locally {
         val (out, s) = time(graft.ext.Graph.earliestArrival(
-          e, "src", "dst", "t", sources.withColumnRenamed("node", "node"),
-          rounds = 4).count())
+          e, "src", "dst", "t", sources, rounds = 4).count())
         println(f"| ${m}x | reach(2src,4r) | $nE | $out | $s%.2f |")
       }
     }
-    def rm(p: java.nio.file.Path): Unit = {
-      import scala.jdk.CollectionConverters._
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.list(p).iterator().asScala.foreach(rm)
-      java.nio.file.Files.deleteIfExists(p)
-    }
-    try rm(work) catch { case _: Throwable => () }
+    try ProbeUtil.deleteRecursively(work)
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
