@@ -44,7 +44,16 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
-  test("every oracle key has a query") {
-    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  test("queries and oracles are exactly 1:1") {
+    // Every graded query MUST carry an oracle — the driver downgrades
+    // an oracle-less query to a weaker rows-only check, which this
+    // repo's discipline forbids (all 188 have been fully graded since
+    // round 5; a new query slipping in without SQL would silently
+    // weaken its grade).
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
+      s"asymmetric: only-oracle=${
+        SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+      } only-query=${
+        SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet}")
   }
 }
