@@ -81,7 +81,11 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
     catch { case _: Throwable => () }
-    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+    // strict numeric capture: the old [0-9.]+ class could swallow a
+    // trailing dot from a dir name like sf0.1.bak, and the unquoted
+    // interpolation below would then make the whole machine line
+    // invalid JSON and lose the round's bench result
+    val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
     println(machineLine(results.map { case (k, (v, _)) => k -> v },
       nFailed, sfNum))

@@ -129,14 +129,51 @@ object Layout {
     swapZones(spark, path)
   }
 
+  /** Connected overlap components of inclusive [mn, mx] intervals, by
+    * sort + sweep: order intervals by `mn`, carry a running max `mx`;
+    * an interval whose `mn` exceeds the running max starts a new
+    * component, anything else (touching endpoints included, matching
+    * the `!(b.mx < a.mn || b.mn > a.mx)` pair test) extends it.
+    * Interval-graph connectivity is exactly sweep contiguity, so this
+    * equals the transitive closure an all-pairs union-find computes —
+    * in O(n log n) instead of O(n²). At 100 TB a table has ~10⁶ files;
+    * the pair loop this replaced was 5×10¹¹ driver-side comparisons
+    * (hours in the metadata path, before any data is read), the sweep
+    * is a sort. Components are returned with members ascending, sorted
+    * by first member; singletons (overlap nothing) are dropped.
+    * Exposed at `private[graft]` so the spec can replay a quadratic
+    * oracle against it.
+    */
+  private[graft] def overlapComponents(iv: IndexedSeq[(Any, Any)])
+      : Seq[Seq[Int]] = {
+    def cmp(x: Any, y: Any): Int =
+      x.asInstanceOf[Comparable[Any]].compareTo(y)
+    val order = iv.indices.sortWith((i, j) => cmp(iv(i)._1, iv(j)._1) < 0)
+    val comps = scala.collection.mutable.ArrayBuffer[Seq[Int]]()
+    var cur = List.empty[Int]
+    var curMax: Any = null
+    order.foreach { i =>
+      val (mn, mx) = iv(i)
+      if (cur.nonEmpty && cmp(mn, curMax) <= 0) {
+        cur = i :: cur
+        if (cmp(mx, curMax) > 0) curMax = mx
+      } else {
+        if (cur.lengthCompare(2) >= 0) comps += cur.sorted
+        cur = List(i); curMax = mx
+      }
+    }
+    if (cur.lengthCompare(2) >= 0) comps += cur.sorted
+    comps.sortBy(_.head).toSeq
+  }
+
   /** Zone compaction (the incremental `OPTIMIZE`): find the zones that
     * overlap some other zone, rewrite ONLY those files' rows into fresh
     * range-aligned files, and leave every non-overlapping file
     * untouched — cost scales with the overlap set, not the table. The
-    * overlap test is a sidecar self-join (nFiles² driver-side pairs on
-    * listing-sized data); rewritten rows are re-clustered into
-    * `ceil(rows / rowsPerFile)` files so file size stays stable as the
-    * table grows.
+    * overlap test is an O(n log n) sidecar sweep ([[overlapComponents]]
+    * — listing-sized, never pairwise); rewritten rows are re-clustered
+    * into `ceil(rows / rowsPerFile)` files so file size stays stable as
+    * the table grows.
     */
   def zoneCompact(spark: SparkSession, path: String, zoneCol: String,
       rowsPerFile: Long): Unit = {
@@ -144,26 +181,14 @@ object Layout {
       .select("file", "mn", "mx", "rows")
     val zSchema = zonesDf.schema
     val zones = zonesDf.collect()
-    def ov(a: org.apache.spark.sql.Row,
-        b: org.apache.spark.sql.Row): Boolean =
-      !(b.get(2).asInstanceOf[Comparable[Any]].compareTo(a.get(1)) < 0 ||
-        b.get(1).asInstanceOf[Comparable[Any]].compareTo(a.get(2)) > 0)
-    // connected overlap COMPONENTS (driver union-find, #files-scale):
+    // connected overlap COMPONENTS (driver sweep, #files-scale):
     // range-partitioning the union of ALL victims could emit a file
     // spanning the value gap between two distant clusters, which
     // re-overlaps kept zones by min/max — the next compact would then
     // rewrite them again, forever. Per-component rewrites stay inside
     // each component's value range, so compaction converges.
-    val n = zones.length
-    val parent = Array.tabulate(n)(identity)
-    def find(i: Int): Int = {
-      var x = i; while (parent(x) != x) x = parent(x); x
-    }
-    for (i <- 0 until n; j <- i + 1 until n if ov(zones(i), zones(j))) {
-      val (a, b) = (find(i), find(j)); if (a != b) parent(a) = b
-    }
-    val comps = (0 until n).groupBy(find).values
-      .filter(_.size >= 2).toSeq.sortBy(_.head)
+    val comps = overlapComponents(
+      zones.toIndexedSeq.map(z => (z.get(1), z.get(2))))
     if (comps.nonEmpty) {
       val fs = new Path(path).getFileSystem(
         spark.sessionState.newHadoopConf())
@@ -190,7 +215,14 @@ object Layout {
       implicit val ec: ExecutionContext =
         ExecutionContext.fromExecutorService(pool)
       val rewriteJobs = comps.zipWithIndex.map { case (comp, ci) =>
+        // The Either is produced INSIDE the future body under a
+        // catch-Throwable: Future.apply only converts NonFatal into a
+        // failed future — a fatal error in a rewrite job (OOM,
+        // StackOverflowError) would otherwise unwind the pool thread
+        // with the promise never completed, and the Duration.Inf await
+        // below would hang forever instead of surfacing the failure.
         Future {
+          try Right {
           val files = comp.map(i => zones(i).getString(0))
           val rows = comp.map(i => zones(i).getLong(3)).sum
           val nOut =
@@ -214,6 +246,7 @@ object Layout {
             .agg(min(col(zoneCol)).as("mn"), max(col(zoneCol)).as("mx"),
               count(lit(1)).as("rows"))
             .collect().toSeq
+          } catch { case t: Throwable => Left(t) }
         }
       }
       // Await EVERY job before inspecting failures: rethrowing on the
@@ -226,7 +259,7 @@ object Layout {
       // flight, whatever happened.
       val outcomes =
         try rewriteJobs.map { f =>
-          try Right(Await.result(f, Duration.Inf))
+          try Await.result(f, Duration.Inf)
           catch { case t: Throwable => Left(t) }
         } finally pool.shutdown()
       val failures = outcomes.collect { case Left(t) => t }
@@ -254,8 +287,24 @@ object Layout {
         .coalesce(1)
         .write.mode("overwrite").parquet(path + ".zones.next")
       swapZones(spark, path)
-      victimSet.foreach(f =>
-        fs.delete(new Path(new java.net.URI(f)), false))
+      // Orphan sweep (subsumes the victim delete): a FAILED earlier
+      // compact may have promoted some components' files before its
+      // sidecar commit aborted — unreferenced by any sidecar, so
+      // reads through the manifest stay exact, but a direct directory
+      // read would double-count their rows and the dead bytes
+      // accumulate forever. After a successful commit the new sidecar
+      // is the whole truth, so every data file it does not reference
+      // is deletable. Matching is by basename — part file names embed
+      // a write-UUID, so basenames are unique — which sidesteps
+      // qualified-vs-raw URI mismatches between input_file_name() and
+      // listStatus.
+      val live = (freshRows.iterator ++ keep.iterator)
+        .map(r => new Path(new java.net.URI(r.getString(0))).getName)
+        .toSet
+      fs.listStatus(new Path(path)).toSeq
+        .filter(st => st.getPath.getName.startsWith("part-") &&
+          !live.contains(st.getPath.getName))
+        .foreach(st => fs.delete(st.getPath, false))
       fs.delete(new Path(tmp), true)
     }
   }
@@ -315,15 +364,51 @@ object Layout {
   /** Dictionary for a low-cardinality string column: code = dense rank
     * of the value in value order (deterministic — independent of
     * partitioning and insertion order, unlike assign-on-arrival ids).
-    * The dictionary is |distinct| rows; the single-partition window is
-    * on that table, never the corpus.
+    * The dictionary is |distinct| rows. "Low-cardinality" is now a
+    * MEASURED precondition, not a comment: the distinct count is
+    * checked, and below `maxSingleTask` the ranking is one window over
+    * the |distinct| table; above it the build switches to a bucketed
+    * two-phase rank — sampled split points are collected once as plan
+    * literals, ranks run per-bucket (a PARTITIONED window), and each
+    * bucket's rank offset (the count of values in earlier buckets) is
+    * broadcast back — so a high-cardinality column degrades to a
+    * distributed build instead of dragging the dictionary through one
+    * task. Both paths produce identical codes: global rank by value =
+    * intra-bucket rank + earlier-bucket count, because the bucket
+    * assignment is monotone in the value.
     */
-  def dictBuild(df: DataFrame, c: String): DataFrame = {
+  def dictBuild(df: DataFrame, c: String,
+      maxSingleTask: Long = 1L << 21): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    df.select(col(c).as("value")).filter(col("value").isNotNull)
+    // |distinct| rows feeding the count guard plus the build itself —
+    // cached so the distinct shuffle runs once (MEMORY_AND_DISK,
+    // LRU-evictable; correctness never depends on the cache)
+    val dv = df.select(col(c).as("value")).filter(col("value").isNotNull)
       .distinct()
-      .withColumn("code",
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = dv.count()
+    if (n <= maxSingleTask)
+      dv.withColumn("code",
         row_number().over(Window.orderBy("value")).cast("long"))
+    else {
+      val spark = df.sparkSession
+      val sp = TwoPhase.splits(dv, "value", TwoPhase.buckets(dv),
+        knownCount = n)
+      val bucketed = dv
+        .withColumn("__b", TwoPhase.bucketCol(col("value"), sp))
+      val counts = bucketed.groupBy("__b")
+        .agg(count(lit(1)).as("cnt")).collect()
+        .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val offs = counts.map(_._1)
+        .zip(counts.scanLeft(0L)(_ + _._2).init)
+      import spark.implicits._
+      val offDf = offs.toSeq.toDF("__b", "__off")
+      bucketed.join(broadcast(offDf), Seq("__b"))
+        .withColumn("code",
+          (row_number().over(Window.partitionBy("__b").orderBy("value"))
+            .cast("long") + col("__off")))
+        .select("value", "code")
+    }
   }
 
   /** Replace a string column with its dictionary code (broadcast map-

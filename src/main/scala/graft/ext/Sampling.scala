@@ -388,31 +388,54 @@ object Sampling {
     * with n·W inside bigint range (at 100 TB: pre-scale weights or
     * widen to decimal).
     *
-    * One window over the hash order computes the running offset. The
-    * window is per-shard-able exactly like [[packByTokens]] when a
-    * single global order becomes the bottleneck; the global form is
-    * kept here because sample determinism across engines is the point.
+    * The running offset over the hash order is TWO-PHASED rather than
+    * one corpus-sized partition-less window: the first two hex chars
+    * of the md5 are a 256-way bucketing that is simultaneously
+    * UNIFORM (hash bits — balance needs no sampling) and MONOTONE in
+    * the (hash, key) sample order (a string prefix), so per-bucket
+    * running sums under a PARTITIONED window plus each bucket's
+    * prefix offset (earlier buckets' weight totals, one 256-row
+    * collect) broadcast back reproduce the global prefix sums
+    * EXACTLY — the cross-engine determinism the md5 order exists for
+    * is untouched, and no task ever holds more than ~1/256 of the
+    * corpus.
     */
   def ppsTake(df: DataFrame, keyCol: String, weightCol: String,
       n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(n > 0, "ppsTake: n must be positive")
-    val h = md5(col(keyCol).cast("string"))
-    val w = Window.orderBy(col("__h").asc, col(keyCol).asc)
+    val spark = df.sparkSession
+    // null keys hash to a null md5: the "" sentinel bucket sorts
+    // before every hex bucket, matching their global nulls-first
+    // position in the __h ascending order
+    val withH = df.withColumn("__h", md5(col(keyCol).cast("string")))
+      .withColumn("__hb", coalesce(substring(col("__h"), 1, 2), lit("")))
+    val sums = withH.groupBy("__hb")
+      .agg(sum(col(weightCol)).as("s")).collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .sortBy(_._1)
+    val totalW = sums.map(_._2).sum
+    import spark.implicits._
+    val offDf = sums.map(_._1)
+      .zip(sums.map(_._2).scanLeft(0L)(_ + _).init).toSeq
+      .toDF("__hb", "__off")
+    val w = Window.partitionBy("__hb")
+      .orderBy(col("__h").asc, col(keyCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.partitionBy()
-    val before = coalesce(sum(col(weightCol)).over(w), lit(0L))
-    val total = sum(col(weightCol)).over(wAll)
+    val before =
+      coalesce(sum(col(weightCol)).over(w), lit(0L)) + col("__off")
     // multiples of W in [0, x) = ceil(x/W) for x >= 0; `div` truncates
-    // toward zero = floor on the non-negative domain (DuckDB `//` agrees)
-    df.withColumn("__h", h)
+    // toward zero = floor on the non-negative domain (DuckDB `//`
+    // agrees). W rides as a literal (driver-summed bucket totals) —
+    // a 0 total divs to NULL and selects nothing, as before.
+    withH.join(broadcast(offDf), Seq("__hb"))
       .withColumn("__lo", before * n)
       .withColumn("__hi", (before + col(weightCol)) * n)
-      .withColumn("__total", total)
       .withColumn("n_hits", expr(
-        "(__hi + __total - 1) div __total - (__lo + __total - 1) div __total"))
+        s"(__hi + ${totalW}L - 1) div ${totalW}L - " +
+          s"(__lo + ${totalW}L - 1) div ${totalW}L"))
       .filter(col("n_hits") > 0)
-      .drop("__h", "__lo", "__hi", "__total")
+      .select(df.columns.map(col) :+ col("n_hits"): _*)
   }
 
   /** Deterministic training-order shuffle: permute the corpus into

@@ -189,11 +189,19 @@ object Stats {
     *   EMD = Σ_support |cdfA − cdfB| · gap
     * computed as Σ |cumA·nB − cumB·nA| · gap in decimal(38,0) with ONE
     * integral divide by nA·nB at the end — exact in value units, no
-    * FP. The counts aggregate per snapshot first, so the ordered
-    * cumulative window runs on the MERGED DISTINCT-VALUE table, not
-    * corpus rows (for a 100 TB column, range-partition the support
-    * and two-phase the prefix sums; the relational form here is the
-    * |support|-sized reduction of that).
+    * FP. The counts aggregate per snapshot first, so the cumulative
+    * pass runs on the MERGED DISTINCT-VALUE table, not corpus rows —
+    * and for a continuous metric that support still GROWS with the
+    * data, so the prefix sums are TWO-PHASED rather than pushed
+    * through one global-order window: approxQuantile split points
+    * (collected once as plan literals — they only steer balance, the
+    * sums are exact for any monotone bucketing) bucket the support;
+    * per-bucket cumulative sums run under a PARTITIONED window; each
+    * bucket's prefix offset (the earlier buckets' totals) and the
+    * next non-empty bucket's min value (to close the last row's CDF
+    * gap across the bucket boundary) are computed from one
+    * buckets-sized driver collect and broadcast back. No partition-
+    * less WindowExec anywhere in the plan (PlanAuditSpec pins this).
     */
   def numericDrift(a: DataFrame, b: DataFrame, valCol: Column)
       : DataFrame = {
@@ -203,22 +211,55 @@ object Stats {
       .groupBy("v").agg(count(lit(1)).as("na"))
     val cb = b.select(valCol.cast("long").as("v"))
       .groupBy("v").agg(count(lit(1)).as("nb"))
+    // The support table feeds three actions (split points, bucket
+    // offsets, the final reduction): persist it so the corpus-side
+    // aggregation runs ONCE — at 100 TB the support is the small
+    // output of the big agg, exactly what a cache is for. No
+    // unpersist: the returned (lazy) frame still reads it; blocks are
+    // MEMORY_AND_DISK, LRU-evictable, and correctness never depends
+    // on them (every collected number is exact arithmetic, so a
+    // recompute reproduces it bit-for-bit).
     val merged = ca.join(cb, Seq("v"), "full_outer")
       .na.fill(0L, Seq("na", "nb"))
-    val wOrd = Window.orderBy("v")
-    val wc = wOrd.rowsBetween(Window.unboundedPreceding,
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spark = a.sparkSession
+    val sp = TwoPhase.splits(merged, "v", TwoPhase.buckets(merged))
+    val bucketed = merged
+      .withColumn("__b", TwoPhase.bucketCol(col("v"), sp))
+    // one buckets-sized collect: per-bucket totals + min value
+    val summary = bucketed.groupBy("__b")
+      .agg(sum(col("na")).as("sa"), sum(col("nb")).as("sb"),
+        min(col("v")).as("mn"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .sortBy(_._1)
+    val natTot = summary.map(_._2).sum
+    val nbtTot = summary.map(_._3).sum
+    val offA = summary.map(_._2).scanLeft(0L)(_ + _).init
+    val offB = summary.map(_._3).scanLeft(0L)(_ + _).init
+    val nextMn = summary.indices.map(i =>
+      summary.drop(i + 1).flatMap(_._4).headOption)
+    import spark.implicits._
+    val offDf = summary.indices
+      .map(i => (summary(i)._1, offA(i), offB(i), nextMn(i)))
+      .toDF("__b", "__offa", "__offb", "__nextmn")
+    val wB = Window.partitionBy("__b").orderBy("v")
+    val wBc = wB.rowsBetween(Window.unboundedPreceding,
       Window.currentRow)
-    val wAll = Window.partitionBy()
-    val term = abs(d(col("__ca")) * d(col("__nbt")) -
-      d(col("__cb")) * d(col("__nat"))) * d(col("__gap"))
-    merged
-      .withColumn("__ca", sum(col("na")).over(wc))
-      .withColumn("__cb", sum(col("nb")).over(wc))
-      .withColumn("__nat", sum(col("na")).over(wAll))
-      .withColumn("__nbt", sum(col("nb")).over(wAll))
-      .withColumn("__gap", lead(col("v"), 1).over(wOrd) - col("v"))
+    val term = abs(d(col("__ca")) * d(lit(nbtTot)) -
+      d(col("__cb")) * d(lit(natTot))) * d(col("__gap"))
+    bucketed
+      .join(broadcast(offDf), Seq("__b"))
+      .withColumn("__ca", sum(col("na")).over(wBc) + col("__offa"))
+      .withColumn("__cb", sum(col("nb")).over(wBc) + col("__offb"))
+      .withColumn("__gap",
+        coalesce(lead(col("v"), 1).over(wB), col("__nextmn")) - col("v"))
       .filter(col("__gap").isNotNull)
-      .agg(max(col("__nat")).as("n_a"), max(col("__nbt")).as("n_b"),
+      // max(lit) not lit: an all-filtered input (single distinct
+      // value, or empty) must yield NULL totals, exactly as the
+      // single-window form's max(__nat) over zero rows did
+      .agg(max(lit(natTot)).as("n_a"), max(lit(nbtTot)).as("n_b"),
         sum(term).as("__s"))
       .select(col("n_a"), col("n_b"),
         // widen the product: a LONG n_a*n_b wraps past ~3e9 rows per
@@ -505,15 +546,53 @@ object Stats {
       .withColumn("conf6", expr("n_ab * 1000000L div n_a"))
   }
 
+  /** 2-D Pareto frontier (skyline, both criteria maximized): a row is
+    * on the frontier iff its per-x best y exceeds the best y of every
+    * STRICTLY LARGER x — a running max over x-descending order. The
+    * running max used to be one partition-less window over the
+    * |distinct x| table, which grows with the data for continuous x;
+    * it is now two-phased ([[TwoPhase]]): per-bucket descending
+    * running max under a PARTITIONED window, stitched with each
+    * bucket's suffix max (the best y of all higher buckets, from one
+    * buckets-sized collect) broadcast back. `greatest` skips the null
+    * side, so the top bucket (no suffix) and each bucket's first row
+    * (no intra prefix) degrade exactly like the single-window form.
+    */
   def paretoFrontier(df: DataFrame, xCol: String, yCol: String)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val spark = df.sparkSession
     val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    // |distinct x| rows, feeding three actions — cached like
+    // numericDrift's support table
     val perX = rows.groupBy(col(xCol)).agg(max(col(yCol)).as("__my"))
-    val beforeDesc = Window.orderBy(col(xCol).desc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sp = TwoPhase.splits(perX, xCol, TwoPhase.buckets(perX))
+    val bucketed = perX
+      .withColumn("__b", TwoPhase.bucketCol(col(xCol), sp))
+    val bm = bucketed.groupBy("__b").agg(max(col("__my")).as("m"))
+      .collect().map(r => (r.getInt(0), r.get(1))).sortBy(_._1)
+    // suffix max of bucket maxima STRICTLY ABOVE each bucket — the
+    // x-desc running max crosses bucket boundaries through this
+    val suffix = new Array[Any](bm.length)
+    var run: Any = null
+    for (i <- bm.indices.reverse) {
+      suffix(i) = run
+      run = if (run == null || TwoPhase.cmpLt(run, bm(i)._2)) bm(i)._2
+        else run
+    }
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        bm.indices.map(i => Row(bm(i)._1, suffix(i))), 1),
+      StructType(Seq(StructField("__b", IntegerType, nullable = false),
+        StructField("__sm", perX.schema("__my").dataType))))
+    val wB = Window.partitionBy("__b").orderBy(col(xCol).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val frontier = perX
-      .withColumn("__run", max(col("__my")).over(beforeDesc))
+    val frontier = bucketed.join(broadcast(offDf), Seq("__b"))
+      .withColumn("__run",
+        greatest(max(col("__my")).over(wB), col("__sm")))
       .filter(col("__run").isNull || col("__my") > col("__run"))
       .select(col(xCol), col("__my").as(yCol))
     rows.join(frontier, Seq(xCol, yCol), "left_semi")
@@ -530,13 +609,16 @@ object Stats {
     * and divided out to a double only in the final single expression
     * both engines evaluate identically.
     *
-    * Plan: one count-agg per side (map-side partial — the window then
-    * runs on |distinct values| rows, not sample rows), one full-outer
-    * merge on the value, one running-sum window, one global max. The
-    * unpartitioned window orders |distinct values| rows on one task —
-    * for high-cardinality continuous data at 100 TB, pre-bucket the
-    * value (the test then bounds D within one bucket width) or
-    * range-partition the cumulative like the quantile operators.
+    * Plan: one count-agg per side (map-side partial — the cumulative
+    * pass then runs on |distinct values| rows, not sample rows), one
+    * full-outer merge on the value, and TWO-PHASED prefix sums: the
+    * support is data-growing for continuous metrics, so instead of a
+    * partition-less window the cumulative runs PARTITIONED by a
+    * [[TwoPhase]] bucket with each bucket's prefix offset (the earlier
+    * buckets' totals, from one buckets-sized collect) broadcast back,
+    * then one global max — same shape as [[numericDrift]], minus the
+    * gap term KS doesn't need. No partition-less WindowExec anywhere
+    * (PlanAuditSpec's engine-wide audit pins it).
     */
   def ksDrift(a: DataFrame, b: DataFrame, valCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -545,19 +627,37 @@ object Stats {
       .agg(count(lit(1)).as("__na"))
     val cb = b.select(valCol.as("__v")).groupBy("__v")
       .agg(count(lit(1)).as("__nb"))
+    // persisted for the same three-action reason as numericDrift
     val merged = ca.join(cb, Seq("__v"), "full_outer")
       .na.fill(0L, Seq("__na", "__nb"))
-    val wc = Window.orderBy("__v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spark = a.sparkSession
+    val sp = TwoPhase.splits(merged, "__v", TwoPhase.buckets(merged))
+    val bucketed = merged
+      .withColumn("__b", TwoPhase.bucketCol(col("__v"), sp))
+    val summary = bucketed.groupBy("__b")
+      .agg(sum(col("__na")).as("sa"), sum(col("__nb")).as("sb"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val natTot = summary.map(_._2).sum
+    val nbtTot = summary.map(_._3).sum
+    val offA = summary.map(_._2).scanLeft(0L)(_ + _).init
+    val offB = summary.map(_._3).scanLeft(0L)(_ + _).init
+    import spark.implicits._
+    val offDf = summary.indices
+      .map(i => (summary(i)._1, offA(i), offB(i)))
+      .toDF("__b", "__offa", "__offb")
+    val wBc = Window.partitionBy("__b").orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy()
-    merged
-      .withColumn("__ca", sum(col("__na")).over(wc))
-      .withColumn("__cb", sum(col("__nb")).over(wc))
-      .withColumn("__nat", sum(col("__na")).over(wAll))
-      .withColumn("__nbt", sum(col("__nb")).over(wAll))
-      .agg(max(col("__nat")).as("n_a"), max(col("__nbt")).as("n_b"),
-        max(abs(d(col("__ca")) * d(col("__nbt")) -
-          d(col("__cb")) * d(col("__nat")))).as("__d"))
+    bucketed
+      .join(broadcast(offDf), Seq("__b"))
+      .withColumn("__ca", sum(col("__na")).over(wBc) + col("__offa"))
+      .withColumn("__cb", sum(col("__nb")).over(wBc) + col("__offb"))
+      // max(lit) not lit: empty input must keep yielding NULL totals,
+      // exactly as the single-window form's max over zero rows did
+      .agg(max(lit(natTot)).as("n_a"), max(lit(nbtTot)).as("n_b"),
+        max(abs(d(col("__ca")) * d(lit(nbtTot)) -
+          d(col("__cb")) * d(lit(natTot)))).as("__d"))
       .select(col("n_a"), col("n_b"),
         col("__d").cast("long").as("d_num"),
         // cast EACH count before multiplying — the long product wraps

@@ -40,6 +40,32 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!node.get("queries").has("q106"))
   }
 
+  test("query q-number prefixes are unique (duplicate-JSON-key guard)") {
+    // machineLine keys the baseline subset by q-number prefix
+    // (takeWhile != '_'); two query names sharing a prefix would emit
+    // duplicate JSON keys and silently shadow one timing at the
+    // driver's json.load
+    val prefixes = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_'))
+    val dups = prefixes.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate q-number prefixes: $dups")
+  }
+
+  test("sf dir names with a suffix still yield a numeric sf token") {
+    // the machine line interpolates sfNum unquoted; Bench's capture
+    // regex must never hand it a non-numeric token (e.g. '0.1.' from
+    // sf0.1.bak), which would invalidate the whole line's JSON
+    val re = "sf([0-9]+(?:\\.[0-9]+)?)".r
+    def cap(dir: String): String =
+      re.findFirstMatchIn(dir).map(_.group(1)).getOrElse("0")
+    assert(cap("/root/testdata/sf0.1") == "0.1")
+    assert(cap("/root/testdata/sf0.1.bak") == "0.1")
+    assert(cap("/tmp/nothing") == "0")
+    for (d <- Seq("/x/sf0.1", "/x/sf0.1.bak", "/x/custom")) {
+      val line = Bench.machineLine(Seq("q01_agg_sum" -> 1.0), 0, cap(d))
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    }
+  }
+
   test("oracle_sql.json bytes are deterministic, sorted, and parseable") {
     val json = EntryKit.oracleSqlJson
     assert(json == EntryKit.oracleSqlJson)

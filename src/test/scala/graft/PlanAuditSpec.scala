@@ -409,6 +409,49 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("engine-wide: no graded plan contains a partition-less window " +
+      "unless its input is provably bounded (allowlisted + documented)") {
+    // The round-8 numericDrift escape: a Window.orderBy with no
+    // partitionBy plans as ONE task holding the whole input — fine on
+    // a bounded table, a scale killer on anything data-growing. This
+    // audit walks EVERY graded query's physical plan (AQE off, so the
+    // tree is collectable; subqueries included) and fails on any
+    // partition-less WindowExec whose query is not on the explicit
+    // allowlist below. Each allowlist entry documents WHY the window's
+    // input cannot grow with the data — the next numericDrift cannot
+    // ship silently.
+    val allow: Map[String, String] = Map(
+      "q153_rrf_fusion" -> ("both rank windows run on post-top-k " +
+        "retrieval lists (<= 20 rows, driver-chosen constants)"),
+      "q179_priority_at_rest" -> ("priorityFinalize's windows run " +
+        "above an orderBy().limit(n+1) — input is <= n+1 rows by " +
+        "construction (the mergeable-sketch contract)"),
+      "q184_embedding_drift" -> ("centroidDrift's window input is " +
+        "one row per RP bucket — 2^bits rows, a driver-chosen " +
+        "constant"),
+      "q143_dict" -> ("dictBuild's window input is the distinct " +
+        "table MEASURED <= maxSingleTask (2M) — above the guard the " +
+        "build switches to the bucketed two-phase rank (Round9Spec); " +
+        "the subtree appears twice because the dict is joined twice"),
+      "q164_priority_sample" -> ("priorityFinalize's windows run " +
+        "above an orderBy().limit(n+1) — input is <= n+1 rows by " +
+        "construction")
+    )
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        val ws = partitionlessWindows(fn(spark, sf0001))
+        if (ws.nonEmpty) Some(name -> ws.size) else None
+      }
+    val unexplained = offenders.filterNot { case (n, _) => allow.contains(n) }
+    assert(unexplained.isEmpty,
+      s"partition-less windows outside the allowlist: $unexplained")
+    // and the allowlist itself must not go stale: every entry still
+    // names a live query that still plans a partition-less window
+    val offenderNames = offenders.map(_._1).toSet
+    val stale = allow.keys.filterNot(offenderNames.contains)
+    assert(stale.isEmpty, s"stale allowlist entries: $stale")
+  }
+
   test("q171/q172 table-valued mixes: weights stay distributed") {
     // the bounded-strata variants (q96/q101) hold a strata->weight map
     // on the driver; the table-valued variants must NOT — a collected

@@ -18,4 +18,21 @@ trait SparkSpec extends AnyFunSuite {
     getClass.getClassLoader.getResource(name).getPath
 
   lazy val sf0001 = "/root/testdata/sf0.001"
+
+  /** Partition-less window operators in a query's physical plan —
+    * subqueries included. Planned with AQE OFF: under AQE the
+    * executed plan is an AdaptiveSparkPlanExec LEAF, so a tree
+    * collect would see nothing and the assertion would pass
+    * vacuously. The DataFrame is passed by name so its (lazy)
+    * physical planning happens under the flipped conf.
+    */
+  def partitionlessWindows(df: => org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.queryExecution.executedPlan.collectWithSubqueries {
+      case w: org.apache.spark.sql.execution.window.WindowExecBase
+          if w.partitionSpec.isEmpty => w
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }

@@ -19,7 +19,48 @@ import org.apache.spark.sql.functions._
   * (default 4 16 32).
   */
 object ZoneCompactProbe {
+  /** `meta` mode: wall-clock of the OVERLAP DETECTION alone vs zone
+    * COUNT — a fabricated sidecar of n disjoint zones (plus data-dir
+    * stub so the no-op branch returns before touching any file), so
+    * the measurement is the pure metadata path the round-8 verdict
+    * flagged as O(n²). With the round-9 sweep this must stay sort-
+    * bound: 100k zones in well under a second where the pair loop
+    * was 5×10⁹ comparisons.
+    *
+    * `Test/runMain graft.ZoneCompactProbe meta [zoneCounts...]`
+    * (default 10000 100000 1000000).
+    */
+  def metaMain(counts: Seq[Int]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_zcm")
+    println("| zones | detect_sec |")
+    println("|---|---|")
+    counts.foreach { n =>
+      val path = s"$work/t$n"
+      new java.io.File(path).mkdirs()
+      (0 until n).map(i => (s"file:$path/part-$i.parquet",
+          i.toLong * 10L, i.toLong * 10L + 5L, 100L))
+        .toDF("file", "mn", "mx", "rows")
+        .coalesce(1).write.mode("overwrite").parquet(path + ".zones")
+      val t0 = System.nanoTime()
+      graft.ext.Layout.zoneCompact(spark, path, "x", rowsPerFile = 100L)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"| $n | $sec%.2f |")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("meta")) {
+      metaMain(if (args.length > 1) args.tail.map(_.toInt).toSeq
+        else Seq(10000, 100000, 1000000))
+      return
+    }
     val ks = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(4, 16, 32)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
