@@ -778,17 +778,22 @@ object Dedup {
     * halves label-chain depth, giving O(log n) rounds on any topology
     * (a bare neighbor-propagation loop is O(diameter) and dies on long
     * chains). Every round is two equi-joins + one min-aggregate;
-    * lineage is truncated with `localCheckpoint` so the plan does not
-    * grow with the iteration count. For adversarial billion-edge graphs
+    * lineage is truncated each round via [[Pin]] (executor-local by
+    * default; set a session checkpoint dir for the fault-tolerant
+    * reliable form) so the plan does not grow with the iteration
+    * count. For adversarial billion-edge graphs
     * the same fixpoint can be computed with alternating large-star /
     * small-star rounds (Kiveris et al., "Connected Components in
     * MapReduce", SoCC'14) with fewer skewed shuffles.
     */
-  /** Release a localCheckpoint'd frame's executor blocks. A local
-    * checkpoint pins its materialized RDD for the lifetime of the driver
+  /** Release a [[Pin]]ned frame's executor blocks. A local checkpoint
+    * pins its materialized RDD for the lifetime of the driver
     * reference — in an iterative loop the superseded rounds would pile
     * up in the block store. Only call once nothing can re-read the frame
-    * (a local checkpoint cannot be recomputed).
+    * (a local checkpoint cannot be recomputed). Under Pin's RELIABLE
+    * mode (session checkpoint dir set) the RDD is unpersisted-harmless
+    * — its blocks live as files in the checkpoint dir, whose lifecycle
+    * is the session's (see [[Pin]] cleanup notes).
     */
   private def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
@@ -858,9 +863,9 @@ object Dedup {
     }
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().transform(Pin(_))
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).localCheckpoint()
+      .withColumn("cluster", col("id")).transform(Pin(_))
 
     // one round: (1) min-label propagation along edges, (2) pointer
     // jumping (cluster := cluster of the cluster node — label values are
@@ -875,7 +880,7 @@ object Dedup {
       propagated
         .join(parents, propagated("cluster") === parents("p_id"))
         .select(col("id"), col("p_cluster").as("cluster"))
-        .localCheckpoint()
+        .transform(Pin(_))
     }
     def step(): Unit = {
       val next = round(labels)
@@ -953,7 +958,7 @@ object Dedup {
     var edges = init
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct().transform(Pin(_))
 
     def round(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -970,7 +975,7 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(mSmall.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct()
-      children.localCheckpoint()
+      children.transform(Pin(_))
     }
 
     var iter = 0
@@ -998,7 +1003,7 @@ object Dedup {
       .unionByName(edges.select(col("v").as("cluster")).distinct()
         .select(col("cluster").as("id"), col("cluster")))
     // materialize before freeing the edge blocks the plan reads
-    val out = labels.localCheckpoint()
+    val out = labels.transform(Pin(_))
     freeCheckpoint(edges)
     out
   }

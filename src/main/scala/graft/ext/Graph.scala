@@ -36,7 +36,9 @@ object Graph {
     *   r'(v)    = (3*RankScale div 20) div N  +  17*inflow(v) div 20
     *
     * The expensive part — aggregating a 100 TB fact table down to the
-    * edge list — happens ONCE and is pinned via `localCheckpoint`, so
+    * edge list — happens ONCE and is pinned via [[Pin]] (executor-local by
+    * default; a session checkpoint dir makes it a RELIABLE checkpoint
+    * so a lost executor can't kill a long run), so
     * the `iters` tiny join+agg rounds iterate over the materialized
     * edges, not the upstream plan. The only driver actions are the
     * checkpoint and one node count; ranks stay distributed throughout.
@@ -50,9 +52,9 @@ object Graph {
       .join(outw, col(srcCol) === col("__src"))
       .select(col(srcCol).as("src"), col(dstCol).as("dst"),
         expr(s"$wCol * ${ProbScale}L div __outw").as("p"))
-      .localCheckpoint()
+      .transform(Pin(_))
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct().localCheckpoint()
+      .union(e.select(col("dst"))).distinct().transform(Pin(_))
     val n = nodes.count()
     require(n > 0, "pageRank: empty edge list — no nodes to rank " +
       "(would otherwise surface as a bare divide-by-zero)")
@@ -95,15 +97,15 @@ object Graph {
       .join(outw, col(srcCol) === col("__src"))
       .select(col(srcCol).as("src"), col(dstCol).as("dst"),
         expr(s"$wCol * ${ProbScale}L div __outw").as("p"))
-      .localCheckpoint()
+      .transform(Pin(_))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct()
     // seeds restricted to graph nodes: restart mass must stay in the
     // component the walk can actually reach
     val seeds = sources.select(col(sources.columns.head).as("node"))
       .distinct().join(nodes, Seq("node"), "left_semi")
-      .withColumn("__seed", lit(1)).localCheckpoint()
-    val flagged = nodes.join(seeds, Seq("node"), "left").localCheckpoint()
+      .withColumn("__seed", lit(1)).transform(Pin(_))
+    val flagged = nodes.join(seeds, Seq("node"), "left").transform(Pin(_))
     val nS = seeds.count()
     require(nS > 0, "personalizedPageRank: no seed is a graph node")
     val base = (3L * RankScale / 20L) / nS
@@ -140,7 +142,7 @@ object Graph {
     * makes an iterative operator hash-gradeable.
     *
     * Scale shape: the symmetrized edge list is materialized ONCE
-    * (`localCheckpoint`, same discipline as [[pageRank]]); every round
+    * ([[Pin]], same discipline as [[pageRank]]); every round
     * is equi-joins + one partial-agg count keyed by node id — no
     * driver-side state, no growing lineage re-execution. Alive-set
     * size only shrinks.
@@ -153,7 +155,7 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("v"))
       .distinct()
     val sym = und.union(und.select(col("v"), col("u")))
-      .localCheckpoint()
+      .transform(Pin(_))
     def degrees(alive: DataFrame): DataFrame =
       sym.join(alive.select(col("node").as("u")), "u")
         .join(alive.select(col("node").as("v")), "v")
@@ -168,13 +170,13 @@ object Graph {
     // makes the count a free read, and the early exit returns exactly
     // the `rounds`-peel answer).
     var alive = sym.select(col("u").as("node")).distinct()
-      .localCheckpoint()
+      .transform(Pin(_))
     var n = alive.count()
     var r = 0
     var converged = false
     while (r < rounds && !converged) {
       alive = degrees(alive).filter(col("deg") >= k).select("node")
-        .localCheckpoint()
+        .transform(Pin(_))
       val n2 = alive.count()
       converged = n2 == n
       n = n2
@@ -190,7 +192,7 @@ object Graph {
     * each round expands ONLY the nodes discovered last round (the
     * classic BFS work bound — Σ frontier degrees, not rounds·|E|),
     * anti-joins the visited set, and pins both with an eager
-    * `localCheckpoint` (same lineage discipline as [[kcore]]).
+    * [[Pin]] (same lineage discipline as [[kcore]]).
     * Semantics are "distance ≤ rounds, else absent" — deterministic
     * for any round budget, which keeps the iterative operator
     * hash-gradeable on every engine.
@@ -203,9 +205,9 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("v"))
       .distinct()
     val sym = und.union(und.select(col("v"), col("u")))
-      .localCheckpoint()
+      .transform(Pin(_))
     var dist = sources.select(col(sources.columns.head).as("node"))
-      .distinct().withColumn("dist", lit(0L)).localCheckpoint()
+      .distinct().withColumn("dist", lit(0L)).transform(Pin(_))
     var frontier = dist.select("node")
     var i = 0
     var exhausted = false
@@ -218,10 +220,10 @@ object Graph {
         .select(col("v").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
         .withColumn("dist", lit(i.toLong))
-        .localCheckpoint()
+        .transform(Pin(_))
       exhausted = discovered.isEmpty
       if (!exhausted) {
-        dist = dist.union(discovered).localCheckpoint()
+        dist = dist.union(discovered).transform(Pin(_))
         frontier = discovered.select("node")
       }
     }
@@ -249,9 +251,9 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("v"))
       .distinct()
     val sym = und.union(und.select(col("v"), col("u")))
-      .localCheckpoint()
+      .transform(Pin(_))
     var labels = sym.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+      .withColumn("label", col("node")).transform(Pin(_))
     val w = Window.partitionBy("node")
       .orderBy(col("__c").desc, col("label").asc)
     // (A max_by(label, (count, −label)) struct variant was measured and
@@ -325,9 +327,9 @@ object Graph {
       .select(col(srcCol).as("u"), col(dstCol).as("v"),
         col(tCol).cast("long").as("t"))
     val sym = dir.union(dir.select(col("v"), col("u"), col("t")))
-      .distinct().localCheckpoint()
+      .distinct().transform(Pin(_))
     var arr = sources.select(col(sources.columns.head).as("node"))
-      .distinct().withColumn("arr", lit(0L)).localCheckpoint()
+      .distinct().withColumn("arr", lit(0L)).transform(Pin(_))
     for (_ <- 1 to rounds) {
       val cand = sym
         .join(arr.withColumnRenamed("node", "u"), "u")
@@ -335,7 +337,7 @@ object Graph {
         .select(col("v").as("node"), col("t").as("arr"))
       arr = arr.union(cand)
         .groupBy("node").agg(min(col("arr")).as("arr"))
-        .localCheckpoint()
+        .transform(Pin(_))
     }
     arr
   }

@@ -102,6 +102,15 @@ object Layout {
     * their files may OVERLAP old zones — reads stay correct (the
     * sidecar is exact per file) but pruning degrades as overlaps
     * accumulate. [[zoneCompact]] is the repair.
+    *
+    * SINGLE-WRITER contract (append + compact both): one maintenance
+    * operation at a time per table. The crash-recovery design depends
+    * on it — an `.append.inprogress` marker brackets the window where
+    * data files exist but the sidecar doesn't reference them yet, and
+    * a later [[zoneCompact]] treats any leftover marker as "that append
+    * died: its unreferenced files are garbage" and sweeps them. A
+    * CONCURRENT in-flight append would be indistinguishable from a
+    * crashed one and would lose its uncommitted files to that sweep.
     */
   def zoneAppend(df: DataFrame, zoneCol: String, nFiles: Int,
       path: String): Unit = {
@@ -112,6 +121,12 @@ object Layout {
     def listing: Set[String] = fs.listStatus(new Path(path)).toSeq
       .map(_.getPath.toString).filter(_.contains("part-")).toSet
     val existing = listing
+    // crash marker: created before the first data file can land,
+    // removed only after the sidecar references everything — a
+    // leftover marker tells the next zoneCompact that unreferenced
+    // part files from a dead append may exist and a sweep is due
+    val marker = new Path(path + ".append.inprogress")
+    fs.create(marker, true).close()
     df.repartitionByRange(nFiles, col(zoneCol))
       .sortWithinPartitions(zoneCol)
       .write.mode("append").parquet(path)
@@ -127,6 +142,7 @@ object Layout {
       .coalesce(1)
       .write.mode("overwrite").parquet(path + ".zones.next")
     swapZones(spark, path)
+    fs.delete(marker, false)
   }
 
   /** Connected overlap components of inclusive [mn, mx] intervals, by
@@ -174,6 +190,19 @@ object Layout {
     * — listing-sized, never pairwise); rewritten rows are re-clustered
     * into `ceil(rows / rowsPerFile)` files so file size stays stable as
     * the table grows.
+    *
+    * SINGLE-WRITER contract: one maintenance operation (append or
+    * compact) at a time per table — see [[zoneAppend]]. Crash recovery
+    * is marker-gated: every window in which part files can exist
+    * unreferenced leaves a detectable marker (`<path>.compact` tmp dir
+    * here, `.append.inprogress` from [[zoneAppend]], a stale
+    * `.zones.next`/`.zones.old` from a death inside the sidecar swap),
+    * so the HAPPY path deletes exactly the victim files it already
+    * knows by name — no directory listing — and the full
+    * listing-and-sweep of unreferenced files runs only when a marker
+    * says a prior run died. A concurrent writer's uncommitted files
+    * would look exactly like a dead run's garbage to that sweep —
+    * hence the contract.
     */
   def zoneCompact(spark: SparkSession, path: String, zoneCol: String,
       rowsPerFile: Long): Unit = {
@@ -181,6 +210,15 @@ object Layout {
       .select("file", "mn", "mx", "rows")
     val zSchema = zonesDf.schema
     val zones = zonesDf.collect()
+    val fsEarly = new Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    // crash markers, captured BEFORE this run creates/clears any of
+    // them: a leftover means some prior append/compact died inside a
+    // window where promoted or appended part files may be
+    // unreferenced by the sidecar — only then is the listing sweep due
+    val staleMarkers = Seq(path + ".compact", path + ".append.inprogress",
+      path + ".zones.next", path + ".zones.old")
+      .map(new Path(_)).filter(fsEarly.exists)
     // connected overlap COMPONENTS (driver sweep, #files-scale):
     // range-partitioning the union of ALL victims could emit a file
     // spanning the value gap between two distant clusters, which
@@ -287,27 +325,66 @@ object Layout {
         .coalesce(1)
         .write.mode("overwrite").parquet(path + ".zones.next")
       swapZones(spark, path)
-      // Orphan sweep (subsumes the victim delete): a FAILED earlier
-      // compact may have promoted some components' files before its
-      // sidecar commit aborted — unreferenced by any sidecar, so
+      // Victim delete, by the NAMES the sidecar already gave us — the
+      // happy path pays zero directory listings. The new sidecar
+      // committed first, so a crash mid-delete leaves only
+      // unreferenced files (never a sidecar pointing at deleted
+      // data); the still-present `.compact` tmp dir marks that crash
+      // for the next run's sweep.
+      victimSet.foreach(f =>
+        fs.delete(new Path(new java.net.URI(f)), false))
+      // Listing sweep ONLY when a marker says a prior run died: a
+      // failed earlier compact may have promoted files (or a failed
+      // append landed files) its sidecar commit never referenced —
       // reads through the manifest stay exact, but a direct directory
       // read would double-count their rows and the dead bytes
-      // accumulate forever. After a successful commit the new sidecar
-      // is the whole truth, so every data file it does not reference
-      // is deletable. Matching is by basename — part file names embed
-      // a write-UUID, so basenames are unique — which sidesteps
-      // qualified-vs-raw URI mismatches between input_file_name() and
-      // listStatus.
-      val live = (freshRows.iterator ++ keep.iterator)
-        .map(r => new Path(new java.net.URI(r.getString(0))).getName)
-        .toSet
-      fs.listStatus(new Path(path)).toSeq
-        .filter(st => st.getPath.getName.startsWith("part-") &&
-          !live.contains(st.getPath.getName))
-        .foreach(st => fs.delete(st.getPath, false))
+      // accumulate forever. After this run's successful commit the
+      // new sidecar is the whole truth, so every data file it does
+      // not reference is deletable.
+      if (staleMarkers.nonEmpty)
+        sweepUnreferenced(fs, path,
+          (freshRows.iterator ++ keep.iterator)
+            .map(r => r.getString(0)).toSet)
       fs.delete(new Path(tmp), true)
+      fs.delete(new Path(path + ".append.inprogress"), false)
+    } else if (staleMarkers.nonEmpty) {
+      // Nothing overlaps, but a prior run died (e.g. after its sidecar
+      // commit and before its victim delete, leaving no overlaps to
+      // trigger the branch above): the committed sidecar is already
+      // the whole truth — sweep unreferenced files and clear the
+      // markers so the next compact is back on the zero-listing path.
+      sweepUnreferenced(fsEarly, path,
+        zones.iterator.map(_.getString(0)).toSet)
+      staleMarkers.foreach { m =>
+        // a stale .zones.next/.zones.old is swap debris only when the
+        // live sidecar exists; .zones is never in staleMarkers
+        fs2Delete(fsEarly, m)
+      }
     }
   }
+
+  /** Delete every `part-*` file under `path` the sidecar does not
+    * reference. Matching is by basename — part file names embed a
+    * write-UUID, so basenames are unique — which sidesteps
+    * qualified-vs-raw URI mismatches between `input_file_name()` and
+    * `listStatus`. Callers gate this on a crash marker: under the
+    * single-writer contract an unreferenced part file can only be a
+    * dead run's garbage.
+    */
+  private def sweepUnreferenced(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, liveUris: Set[String]): Unit = {
+    val live =
+      liveUris.map(f => new Path(new java.net.URI(f)).getName)
+    fs.listStatus(new Path(path)).toSeq
+      .filter(st => st.getPath.getName.startsWith("part-") &&
+        !live.contains(st.getPath.getName))
+      .foreach(st => fs.delete(st.getPath, false))
+  }
+
+  /** Recursive-if-directory delete (tmp dirs vs marker files). */
+  private def fs2Delete(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Unit =
+    if (fs.exists(p)) fs.delete(p, fs.getFileStatus(p).isDirectory)
 
   /** Staged sidecar swap — the new manifest is fully written before it
     * replaces the old one, and the old one is STASHED (not deleted)
@@ -378,14 +455,18 @@ object Layout {
     * assignment is monotone in the value.
     */
   def dictBuild(df: DataFrame, c: String,
-      maxSingleTask: Long = 1L << 21): DataFrame = {
+      maxSingleTask: Long = TwoPhase.defaultMaxSingleTask): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // |distinct| rows feeding the count guard plus the build itself —
-    // cached so the distinct shuffle runs once (MEMORY_AND_DISK,
-    // LRU-evictable; correctness never depends on the cache)
+    // cached so the distinct shuffle runs once. MEMORY_ONLY, not
+    // MEMORY_AND_DISK: memory blocks are LRU-evictable so repeated
+    // builds in a long session stay bounded by the storage pool
+    // (disk blocks would accumulate until session end); correctness
+    // never depends on the cache — an evicted block's recompute is
+    // bit-exact
     val dv = df.select(col(c).as("value")).filter(col("value").isNotNull)
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val n = dv.count()
     if (n <= maxSingleTask)
       dv.withColumn("code",

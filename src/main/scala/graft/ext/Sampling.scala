@@ -384,9 +384,11 @@ object Sampling {
     * arithmetic (no RNG, no floats). `n_hits` is the number of grid
     * points inside the row's interval (≥ 2 means the row stands in
     * for that many sample slots — keep it as the replication factor
-    * for downstream estimators). Weights must be non-negative bigints
-    * with n·W inside bigint range (at 100 TB: pre-scale weights or
-    * widen to decimal).
+    * for downstream estimators). Weights are integer by contract and
+    * CAST TO LONG at entry (a decimal/double weight column truncates
+    * — pre-scale fractional weights to integer units first); n·W must
+    * fit a long, so at extreme scale pre-scale weights down rather
+    * than widening: the grid arithmetic is long end to end.
     *
     * The running offset over the hash order is TWO-PHASED rather than
     * one corpus-sized partition-less window: the first two hex chars
@@ -408,10 +410,15 @@ object Sampling {
     // null keys hash to a null md5: the "" sentinel bucket sorts
     // before every hex bucket, matching their global nulls-first
     // position in the __h ascending order
+    // normalize the weight to LONG once: the bucket sums below are
+    // read back with getLong, which a decimal/double sum would break
+    // with a ClassCastException — the cast makes the integer contract
+    // explicit instead of type-dependent
     val withH = df.withColumn("__h", md5(col(keyCol).cast("string")))
       .withColumn("__hb", coalesce(substring(col("__h"), 1, 2), lit("")))
+      .withColumn("__w", col(weightCol).cast("long"))
     val sums = withH.groupBy("__hb")
-      .agg(sum(col(weightCol)).as("s")).collect()
+      .agg(sum(col("__w")).as("s")).collect()
       .map(r => (r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
       .sortBy(_._1)
     val totalW = sums.map(_._2).sum
@@ -423,14 +430,14 @@ object Sampling {
       .orderBy(col("__h").asc, col(keyCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val before =
-      coalesce(sum(col(weightCol)).over(w), lit(0L)) + col("__off")
+      coalesce(sum(col("__w")).over(w), lit(0L)) + col("__off")
     // multiples of W in [0, x) = ceil(x/W) for x >= 0; `div` truncates
     // toward zero = floor on the non-negative domain (DuckDB `//`
     // agrees). W rides as a literal (driver-summed bucket totals) —
     // a 0 total divs to NULL and selects nothing, as before.
     withH.join(broadcast(offDf), Seq("__hb"))
       .withColumn("__lo", before * n)
-      .withColumn("__hi", (before + col(weightCol)) * n)
+      .withColumn("__hi", (before + col("__w")) * n)
       .withColumn("n_hits", expr(
         s"(__hi + ${totalW}L - 1) div ${totalW}L - " +
           s"(__lo + ${totalW}L - 1) div ${totalW}L"))

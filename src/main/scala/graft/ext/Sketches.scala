@@ -102,9 +102,18 @@ object Sketches {
     * enumeration, union top-k, membership probes — runs on the
     * |groups|·k sketch table, pinned once. Integer outputs
     * (k_union, k_both, ppm ratio) make the estimate engine-exact.
+    *
+    * ALL-PAIRS contract, measured: the pair stage is |groups|²/2 —
+    * right for the dimension-sized group sets the operator is for
+    * (languages, sources, shards), quadratic ruin for a key mistaken
+    * as a group. The group count is CHECKED against `maxGroups` (one
+    * cheap count over the checkpointed |groups|·k sketch table) and
+    * an over-bound input fails loudly instead of detonating a
+    * trillion-pair cross join; callers with a genuinely large — and
+    * genuinely wanted — group set raise the bound explicitly.
     */
-  def kmvJaccard(df: DataFrame, groupCol: String, value: Column, k: Int)
-      : DataFrame = {
+  def kmvJaccard(df: DataFrame, groupCol: String, value: Column, k: Int,
+      maxGroups: Long = 4096L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sk = df.filter(value.isNotNull)
       .groupBy(col(groupCol).as("g"))
@@ -113,6 +122,13 @@ object Sketches {
       .select(col("g"), explode(col("__sk")).as("h"))
       .localCheckpoint()
     val gs = sk.select("g").distinct()
+    val nGroups = gs.count()
+    require(nGroups <= maxGroups,
+      s"kmvJaccard: $nGroups groups exceed maxGroups=$maxGroups — the " +
+        "pair stage is all-pairs (|groups|^2/2). Pass a coarser " +
+        "groupCol, or raise maxGroups explicitly if " +
+        s"~${nGroups * nGroups / 2} sketch-pair comparisons are " +
+        "genuinely intended")
     val pairs = gs.select(col("g").as("ga"))
       .crossJoin(gs.select(col("g").as("gb")))
       .filter(col("ga") < col("gb"))

@@ -202,8 +202,22 @@ object Stats {
     * gap across the bucket boundary) are computed from one
     * buckets-sized driver collect and broadcast back. No partition-
     * less WindowExec anywhere in the plan (PlanAuditSpec pins this).
+    *
+    * The two-phase machinery pays an always-on floor of ~3 extra jobs,
+    * which the project's DriftProbe measured as a ~3× slowdown below
+    * ~3M support (crossover table in BUILD_NOTES). So, like
+    * [[graft.ext.Layout.dictBuild]], "support grows with the data" is
+    * now a MEASURED branch, not an assumption: the support is counted
+    * (one cheap job over the cached table) and below `maxSingleTask`
+    * the prefix sums run as the original single-window form — that
+    * window's input is ≤ maxSingleTask rows by construction
+    * (PlanAuditSpec's allowlist documents the bound); above it the
+    * two-phase path engages. Both paths are exact integer arithmetic
+    * over the same support, so they agree bit-for-bit (Round9Spec
+    * pins parity against a driver-side BigInt oracle on both).
     */
-  def numericDrift(a: DataFrame, b: DataFrame, valCol: Column)
+  def numericDrift(a: DataFrame, b: DataFrame, valCol: Column,
+      maxSingleTask: Long = TwoPhase.defaultMaxSingleTask)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = (c: Column) => c.cast("decimal(38,0)")
@@ -211,17 +225,43 @@ object Stats {
       .groupBy("v").agg(count(lit(1)).as("na"))
     val cb = b.select(valCol.cast("long").as("v"))
       .groupBy("v").agg(count(lit(1)).as("nb"))
-    // The support table feeds three actions (split points, bucket
-    // offsets, the final reduction): persist it so the corpus-side
-    // aggregation runs ONCE — at 100 TB the support is the small
-    // output of the big agg, exactly what a cache is for. No
-    // unpersist: the returned (lazy) frame still reads it; blocks are
-    // MEMORY_AND_DISK, LRU-evictable, and correctness never depends
-    // on them (every collected number is exact arithmetic, so a
-    // recompute reproduces it bit-for-bit).
+    // The support table feeds up to four actions (the guard count,
+    // split points, bucket offsets, the final reduction): persist it
+    // so the corpus-side aggregation runs ONCE — at 100 TB the
+    // support is the small output of the big agg, exactly what a
+    // cache is for. MEMORY_ONLY, deliberately not MEMORY_AND_DISK:
+    // memory blocks are LRU-evictable so repeated calls in a long
+    // session stay bounded by the storage pool, where disk-stored
+    // blocks would accumulate until session end. No unpersist: the
+    // returned (lazy) frame still reads it; correctness never depends
+    // on the cache (every number is exact arithmetic, so an evicted
+    // block's recompute reproduces it bit-for-bit).
     val merged = ca.join(cb, Seq("v"), "full_outer")
       .na.fill(0L, Seq("na", "nb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val n = merged.count()
+    if (n <= maxSingleTask) {
+      // measured-small support: one window task holding ≤ maxSingleTask
+      // rows — the pre-two-phase form, byte-for-byte
+      val wOrd = Window.orderBy("v")
+      val wc = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val wAll = Window.partitionBy()
+      val term = abs(d(col("__ca")) * d(col("__nbt")) -
+        d(col("__cb")) * d(col("__nat"))) * d(col("__gap"))
+      return merged
+        .withColumn("__ca", sum(col("na")).over(wc))
+        .withColumn("__cb", sum(col("nb")).over(wc))
+        .withColumn("__nat", sum(col("na")).over(wAll))
+        .withColumn("__nbt", sum(col("nb")).over(wAll))
+        .withColumn("__gap", lead(col("v"), 1).over(wOrd) - col("v"))
+        .filter(col("__gap").isNotNull)
+        .agg(max(col("__nat")).as("n_a"), max(col("__nbt")).as("n_b"),
+          sum(term).as("__s"))
+        .select(col("n_a"), col("n_b"),
+          expr("__s div (cast(n_a as decimal(38,0)) * n_b)")
+            .cast("long").as("emd"))
+    }
     val spark = a.sparkSession
     val sp = TwoPhase.splits(merged, "v", TwoPhase.buckets(merged))
     val bucketed = merged
@@ -558,18 +598,33 @@ object Stats {
     * side, so the top bucket (no suffix) and each bucket's first row
     * (no intra prefix) degrade exactly like the single-window form.
     */
-  def paretoFrontier(df: DataFrame, xCol: String, yCol: String)
+  def paretoFrontier(df: DataFrame, xCol: String, yCol: String,
+      maxSingleTask: Long = TwoPhase.defaultMaxSingleTask)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     val spark = df.sparkSession
     val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
-    // |distinct x| rows, feeding three actions — cached like
-    // numericDrift's support table
+    // |distinct x| rows, feeding up to four actions — cached like
+    // numericDrift's support table (MEMORY_ONLY: LRU-bounded,
+    // recompute bit-exact)
     val perX = rows.groupBy(col(xCol)).agg(max(col(yCol)).as("__my"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sp = TwoPhase.splits(perX, xCol, TwoPhase.buckets(perX))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // MEASURED small-support branch — see numericDrift for rationale;
+    // the running-max window's input is ≤ maxSingleTask rows here
+    val nX = perX.count()
+    if (nX <= maxSingleTask) {
+      val beforeDesc = Window.orderBy(col(xCol).desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val frontier = perX
+        .withColumn("__run", max(col("__my")).over(beforeDesc))
+        .filter(col("__run").isNull || col("__my") > col("__run"))
+        .select(col(xCol), col("__my").as(yCol))
+      return rows.join(frontier, Seq(xCol, yCol), "left_semi")
+    }
+    val sp = TwoPhase.splits(perX, xCol, TwoPhase.buckets(perX),
+      knownCount = nX)
     val bucketed = perX
       .withColumn("__b", TwoPhase.bucketCol(col(xCol), sp))
     val bm = bucketed.groupBy("__b").agg(max(col("__my")).as("m"))
@@ -619,20 +674,46 @@ object Stats {
     * then one global max — same shape as [[numericDrift]], minus the
     * gap term KS doesn't need. No partition-less WindowExec anywhere
     * (PlanAuditSpec's engine-wide audit pins it).
+    *
+    * Small supports take the original single-window form behind the
+    * same MEASURED `maxSingleTask` guard as [[numericDrift]] — see
+    * there for the rationale, cache policy, and parity pinning.
     */
-  def ksDrift(a: DataFrame, b: DataFrame, valCol: Column): DataFrame = {
+  def ksDrift(a: DataFrame, b: DataFrame, valCol: Column,
+      maxSingleTask: Long = TwoPhase.defaultMaxSingleTask): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = (c: Column) => c.cast("decimal(38,0)")
     val ca = a.select(valCol.as("__v")).groupBy("__v")
       .agg(count(lit(1)).as("__na"))
     val cb = b.select(valCol.as("__v")).groupBy("__v")
       .agg(count(lit(1)).as("__nb"))
-    // persisted for the same three-action reason as numericDrift
+    // cached for the same multi-action reason as numericDrift
+    // (MEMORY_ONLY: LRU-bounded, recompute bit-exact)
     val merged = ca.join(cb, Seq("__v"), "full_outer")
       .na.fill(0L, Seq("__na", "__nb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val n = merged.count()
+    if (n <= maxSingleTask) {
+      val wc = Window.orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      return merged
+        .withColumn("__ca", sum(col("__na")).over(wc))
+        .withColumn("__cb", sum(col("__nb")).over(wc))
+        .withColumn("__nat", sum(col("__na")).over(wAll))
+        .withColumn("__nbt", sum(col("__nb")).over(wAll))
+        .agg(max(col("__nat")).as("n_a"), max(col("__nbt")).as("n_b"),
+          max(abs(d(col("__ca")) * d(col("__nbt")) -
+            d(col("__cb")) * d(col("__nat")))).as("__d"))
+        .select(col("n_a"), col("n_b"),
+          col("__d").cast("long").as("d_num"),
+          (col("__d").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")))
+            .as("ks"))
+    }
     val spark = a.sparkSession
-    val sp = TwoPhase.splits(merged, "__v", TwoPhase.buckets(merged))
+    val sp = TwoPhase.splits(merged, "__v", TwoPhase.buckets(merged),
+      knownCount = n)
     val bucketed = merged
       .withColumn("__b", TwoPhase.bucketCol(col("__v"), sp))
     val summary = bucketed.groupBy("__b")

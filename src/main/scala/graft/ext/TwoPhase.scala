@@ -19,6 +19,16 @@ import org.apache.spark.sql.types._
   */
 private[graft] object TwoPhase {
 
+  /** Shared small-support guard for the two-phase operators: below
+    * this MEASURED count the single-window form wins (DriftProbe's
+    * crossover is ~3M support; 2M leaves margin and matches
+    * dictBuild's long-standing bound), and one window task holding
+    * ≤ 2M pre-aggregated rows is comfortably within executor memory.
+    * Every use site counts its (cached) support before branching —
+    * the bound is checked, never assumed.
+    */
+  val defaultMaxSingleTask: Long = 1L << 21
+
   /** Bucket count for a session: shuffle-partitions clamped to
     * [8, 64] — enough parallelism to matter, small enough that the
     * per-bucket offset table is always a trivial broadcast.

@@ -433,6 +433,19 @@ class PlanAuditSpec extends SparkSpec {
         "table MEASURED <= maxSingleTask (2M) — above the guard the " +
         "build switches to the bucketed two-phase rank (Round9Spec); " +
         "the subtree appears twice because the dict is joined twice"),
+      "q147_numeric_drift" -> ("numericDrift's windows run on the " +
+        "merged distinct-value support MEASURED <= maxSingleTask " +
+        "(2M) — above the guard the prefix sums switch to the " +
+        "bucketed two-phase form (Round9Spec pins both paths against " +
+        "a BigInt oracle and the above-guard plan shape)"),
+      "q152_ks_drift" -> ("ksDrift's windows run on the merged " +
+        "distinct-value support MEASURED <= maxSingleTask (2M) — " +
+        "above the guard the cumulative switches to the bucketed " +
+        "two-phase form (Round9Spec)"),
+      "q109_skyline" -> ("paretoFrontier's running-max window runs " +
+        "on the per-distinct-x table MEASURED <= maxSingleTask (2M) " +
+        "— above the guard it switches to the bucketed two-phase " +
+        "running max (Round9Spec)"),
       "q164_priority_sample" -> ("priorityFinalize's windows run " +
         "above an orderBy().limit(n+1) — input is <= n+1 rows by " +
         "construction")

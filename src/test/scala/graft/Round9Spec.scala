@@ -78,22 +78,32 @@ class Round9Spec extends SparkSpec {
       Seq(Seq(0, 1, 3, 4)))
   }
 
-  // ---- zoneCompact: orphan sweep after a successful commit ----
+  // ---- zoneCompact: marker-gated orphan sweep ----
 
-  test("zoneCompact deletes unreferenced part files (orphans from a " +
-      "failed earlier compact) after the sidecar commit") {
+  private def plantOrphan(path: String): java.io.File = {
+    // a copy of a real part file under a part- name no sidecar
+    // references — what an aborted run's promoted/appended files
+    // look like
+    val d = new java.io.File(path)
+    val src = d.listFiles().filter(_.getName.startsWith("part-")).head
+    val orphan = new java.io.File(d,
+      s"part-99999-orphan${d.listFiles().length}.snappy.parquet")
+    java.nio.file.Files.copy(src.toPath, orphan.toPath)
+    assert(orphan.exists())
+    orphan
+  }
+
+  test("zoneCompact sweeps unreferenced part files after the sidecar " +
+      "commit when a crash marker shows a prior run died") {
     val dir = java.nio.file.Files.createTempDirectory("zones9").toString
     val path = s"$dir/t"
     graft.ext.Layout.zoneWrite(
       (1L to 200L).map(i => (i, i * 10L)).toDF("id", "x"), "x", 4, path)
-    // plant an orphan: a copy of a real part file under a part- name
-    // no sidecar references (what an aborted compact's promoted files
-    // look like)
-    val d = new java.io.File(path)
-    val src = d.listFiles().filter(_.getName.startsWith("part-")).head
-    val orphan = new java.io.File(d, "part-99999-orphan.snappy.parquet")
-    java.nio.file.Files.copy(src.toPath, orphan.toPath)
-    assert(orphan.exists())
+    val orphan = plantOrphan(path)
+    // the marker an aborted compact leaves: its tmp dir was never
+    // cleaned (cleanup is the last step of a successful run)
+    val markerDir = new java.io.File(path + ".compact")
+    assert(markerDir.mkdir())
     // direct directory read now double-counts — the condition the
     // sweep exists to repair
     assert(spark.read.parquet(path).count() > 200L)
@@ -103,6 +113,7 @@ class Round9Spec extends SparkSpec {
         .toDF("id", "x"), "x", 1, path)
     graft.ext.Layout.zoneCompact(spark, path, "x", rowsPerFile = 100L)
     assert(!orphan.exists(), "orphan part file survived the sweep")
+    assert(!markerDir.exists(), "crash marker survived the compact")
     // directory read and sidecar agree again — no loss, no double count
     assert(spark.read.parquet(path).count() === 220L)
     val sidecarRows = spark.read.parquet(path + ".zones")
@@ -114,6 +125,57 @@ class Round9Spec extends SparkSpec {
     listed.foreach { f =>
       assert(new java.io.File(new java.net.URI(f)).exists(), f)
     }
+  }
+
+  test("zoneCompact happy path pays no listing sweep (unreferenced " +
+      "file without a marker is outside the single-writer crash model " +
+      "and is left alone) while victims are still deleted by name") {
+    val dir = java.nio.file.Files.createTempDirectory("zones9h").toString
+    val path = s"$dir/t"
+    graft.ext.Layout.zoneWrite(
+      (1L to 200L).map(i => (i, i * 10L)).toDF("id", "x"), "x", 4, path)
+    graft.ext.Layout.zoneAppend(
+      (201L to 220L).map(i => (i, 1001L + (i - 201L) * 10L))
+        .toDF("id", "x"), "x", 1, path)
+    val victims = spark.read.parquet(path + ".zones")
+      .select("file", "mn", "mx").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .filter(z => z._2 <= 1191L && z._3 >= 1001L).map(_._1)
+    assert(victims.length >= 2, "fixture produced no overlap victims")
+    val orphan = plantOrphan(path)
+    graft.ext.Layout.zoneCompact(spark, path, "x", rowsPerFile = 100L)
+    // no marker -> no listing sweep: the planted file survives
+    // (pinning the gate; a REAL orphan always comes with a marker)
+    assert(orphan.exists(), "happy-path compact ran the listing sweep")
+    // victims deleted by known name, commit intact
+    victims.foreach { f =>
+      assert(!new java.io.File(new java.net.URI(f)).exists(),
+        s"victim $f survived")
+    }
+    assert(graft.ext.Layout.zoneRead(spark, path, "x",
+      lit(Long.MinValue), lit(Long.MaxValue)).count() === 220L)
+  }
+
+  test("zoneCompact recovery branch: a leftover append marker with NO " +
+      "overlaps still triggers the sweep and clears the marker") {
+    val dir = java.nio.file.Files.createTempDirectory("zones9r").toString
+    val path = s"$dir/t"
+    graft.ext.Layout.zoneWrite(
+      (1L to 200L).map(i => (i, i * 10L)).toDF("id", "x"), "x", 4, path)
+    val orphan = plantOrphan(path)
+    // what a zoneAppend that died between its data write and its
+    // sidecar commit leaves behind
+    val marker = new java.io.File(path + ".append.inprogress")
+    assert(marker.createNewFile())
+    graft.ext.Layout.zoneCompact(spark, path, "x", rowsPerFile = 100L)
+    assert(!orphan.exists(), "orphan survived the recovery sweep")
+    assert(!marker.exists(), "append marker survived the recovery sweep")
+    assert(spark.read.parquet(path).count() === 200L)
+    // second compact: no markers, no overlaps -> pure no-op
+    val before = new java.io.File(path).listFiles().map(_.getName).sorted
+    graft.ext.Layout.zoneCompact(spark, path, "x", rowsPerFile = 100L)
+    val after = new java.io.File(path).listFiles().map(_.getName).sorted
+    assert(after.toSeq === before.toSeq)
   }
 
   // ---- dictBuild: guarded single-task path vs two-phase path ----
@@ -155,32 +217,46 @@ class Round9Spec extends SparkSpec {
   }
 
   test("numericDrift bucketed prefix sums equal the single-window " +
-      "math (randomized vs a driver-side BigInt oracle)") {
+      "math (randomized vs a driver-side BigInt oracle, BOTH guard " +
+      "paths)") {
     val rnd = new scala.util.Random(147)
     for (trial <- 0 until 5) {
       // supports wide enough that approxQuantile yields real buckets,
       // with duplicated values on both sides
       val a = Seq.fill(400)(rnd.nextInt(200).toLong * 3L)
       val b = Seq.fill(300)(rnd.nextInt(200).toLong * 3L + rnd.nextInt(2))
-      val out = graft.ext.Stats.numericDrift(
+      val want = emdOracle(a, b)
+      // default guard: measured-small support -> single-window path
+      val small = graft.ext.Stats.numericDrift(
         a.toDF("v"), b.toDF("v"), col("v")).collect().head
-      assert((out.getLong(0), out.getLong(1)) === ((400L, 300L)),
-        s"trial $trial totals")
-      assert(out.getLong(2) === emdOracle(a, b), s"trial $trial emd")
+      assert((small.getLong(0), small.getLong(1)) === ((400L, 300L)),
+        s"trial $trial totals (small path)")
+      assert(small.getLong(2) === want, s"trial $trial emd (small path)")
+      // maxSingleTask = 0 forces the bucketed two-phase path
+      val two = graft.ext.Stats.numericDrift(
+        a.toDF("v"), b.toDF("v"), col("v"), maxSingleTask = 0L)
+        .collect().head
+      assert((two.getLong(0), two.getLong(1), two.getLong(2)) ===
+        ((400L, 300L, want)), s"trial $trial (two-phase path)")
     }
   }
 
   test("numericDrift edge cases: empty inputs and single-point " +
-      "support keep the pre-two-phase NULL semantics") {
-    val empty = spark.emptyDataset[Long].toDF("v")
-    val out = graft.ext.Stats.numericDrift(empty, empty, col("v"))
-      .collect().head
-    assert(out.isNullAt(0) && out.isNullAt(1) && out.isNullAt(2))
-    // single shared point: no CDF gap rows -> NULL row, like the old
-    // max-over-zero-rows aggregation produced
-    val one = graft.ext.Stats.numericDrift(
-      Seq(5L, 5L).toDF("v"), Seq(5L).toDF("v"), col("v")).collect().head
-    assert(one.isNullAt(0) && one.isNullAt(1) && one.isNullAt(2))
+      "support keep the pre-two-phase NULL semantics on both paths") {
+    for (guard <- Seq(0L, graft.ext.TwoPhase.defaultMaxSingleTask)) {
+      val empty = spark.emptyDataset[Long].toDF("v")
+      val out = graft.ext.Stats.numericDrift(empty, empty, col("v"),
+        maxSingleTask = guard).collect().head
+      assert(out.isNullAt(0) && out.isNullAt(1) && out.isNullAt(2),
+        s"guard=$guard empty")
+      // single shared point: no CDF gap rows -> NULL row, like the old
+      // max-over-zero-rows aggregation produced
+      val one = graft.ext.Stats.numericDrift(
+        Seq(5L, 5L).toDF("v"), Seq(5L).toDF("v"), col("v"),
+        maxSingleTask = guard).collect().head
+      assert(one.isNullAt(0) && one.isNullAt(1) && one.isNullAt(2),
+        s"guard=$guard single point")
+    }
   }
 
   // ---- ksDrift / paretoFrontier / ppsTake: two-phase parity ----
@@ -199,10 +275,15 @@ class Round9Spec extends SparkSpec {
         val dev = (BigInt(cumA) * b.size - BigInt(cumB) * a.size).abs
         if (dev > best) best = dev
       }
-      val out = graft.ext.Stats.ksDrift(
-        a.toDF("v"), b.toDF("v"), col("v")).collect().head
-      assert((out.getLong(0), out.getLong(1), out.getLong(2)) ===
-        ((a.size.toLong, b.size.toLong, best.toLong)), s"trial $trial")
+      // both guard paths must reproduce the replay
+      for (guard <- Seq(0L, graft.ext.TwoPhase.defaultMaxSingleTask)) {
+        val out = graft.ext.Stats.ksDrift(
+          a.toDF("v"), b.toDF("v"), col("v"), maxSingleTask = guard)
+          .collect().head
+        assert((out.getLong(0), out.getLong(1), out.getLong(2)) ===
+          ((a.size.toLong, b.size.toLong, best.toLong)),
+          s"trial $trial guard=$guard")
+      }
     }
   }
 
@@ -212,15 +293,18 @@ class Round9Spec extends SparkSpec {
     val pts = (0 until 3000).map { i =>
       (i.toLong, rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong)
     }
-    val got = graft.ext.Stats.paretoFrontier(
-      pts.toDF("id", "x", "y"), "x", "y")
-      .select("id").collect().map(_.getLong(0)).toSet
     val want = pts.filter { case (_, x, y) =>
       !pts.exists { case (_, x2, y2) =>
         (x2 >= x && y2 >= y) && (x2 > x || y2 > y)
       }
     }.map(_._1).toSet
-    assert(got === want)
+    // both guard paths: forced two-phase AND the measured-small window
+    for (guard <- Seq(0L, graft.ext.TwoPhase.defaultMaxSingleTask)) {
+      val got = graft.ext.Stats.paretoFrontier(
+        pts.toDF("id", "x", "y"), "x", "y", maxSingleTask = guard)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got === want, s"guard=$guard")
+    }
   }
 
   test("ppsTake hash-prefix buckets reproduce the global prefix sums " +
@@ -250,30 +334,50 @@ class Round9Spec extends SparkSpec {
   }
 
   test("ksDrift, paretoFrontier, and ppsTake plan no partition-less " +
-      "windows (the two-phase point)") {
+      "windows above the guard (the two-phase point)") {
+    // maxSingleTask = 0 forces the above-guard two-phase plan on a
+    // small fixture; the default-guard small path is allowlisted in
+    // PlanAuditSpec with its measured bound
     val rnd = new scala.util.Random(3)
     val a = Seq.fill(60)(rnd.nextInt(30).toDouble).toDF("v")
     assert(partitionlessWindows(
-      graft.ext.Stats.ksDrift(a, a, col("v"))).isEmpty)
+      graft.ext.Stats.ksDrift(a, a, col("v"), maxSingleTask = 0L)).isEmpty)
     val pts = (0 until 60)
       .map(i => (i.toLong, rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
       .toDF("id", "x", "y")
     assert(partitionlessWindows(
-      graft.ext.Stats.paretoFrontier(pts, "x", "y")).isEmpty)
+      graft.ext.Stats.paretoFrontier(pts, "x", "y", maxSingleTask = 0L))
+      .isEmpty)
     val s = (0 until 60).map(i => (s"k$i", (i % 7).toLong)).toDF("k", "w")
     assert(partitionlessWindows(
       graft.ext.Sampling.ppsTake(s, "k", "w", n = 5)).isEmpty)
   }
 
-  test("numericDrift plan contains no partition-less window and " +
-      "broadcasts the bucket-offset table") {
+  test("numericDrift above-guard plan contains no partition-less " +
+      "window and broadcasts the bucket-offset table") {
     val rnd = new scala.util.Random(7)
     val a = Seq.fill(50)(rnd.nextInt(40).toLong).toDF("v")
-    val df = graft.ext.Stats.numericDrift(a, a, col("v"))
+    val df = graft.ext.Stats.numericDrift(a, a, col("v"),
+      maxSingleTask = 0L)
     val bad = partitionlessWindows(df)
     assert(bad.isEmpty, s"partition-less window: $bad")
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"),
       s"offset table not broadcast in:\n$p")
+  }
+
+  test("ppsTake casts weights to long at entry: a decimal weight " +
+      "column draws identically to its long twin instead of throwing") {
+    val rows = (0 until 120).map(i => (s"k$i", (i % 9 + 1).toLong))
+    val longDf = rows.toDF("k", "w")
+    val decDf = longDf.withColumn("w", col("w").cast("decimal(20,0)"))
+    val fromLong = graft.ext.Sampling.ppsTake(longDf, "k", "w", n = 11)
+      .select("k", "n_hits").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fromDec = graft.ext.Sampling.ppsTake(decDf, "k", "w", n = 11)
+      .select("k", "n_hits").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromDec === fromLong)
+    assert(fromLong.values.sum === 11L)
   }
 }
