@@ -1388,6 +1388,34 @@ object ExtQueries {
         .orderBy("c_nationkey", "acct_bucket")
     }),
 
+    // t-closeness audit (Li et al. '07), ordered form: per nation, the
+    // exact-rational 1-D EMD between the nation's account-balance
+    // bucket distribution and the global one. Decimal internals cast
+    // to bigint at the graded surface (q168 lesson).
+    "q189_tcloseness" -> ((s, d) => {
+      val bucketed = customer(s, d).withColumn("acct_bucket",
+        expr("(cast(round(c_acctbal * 100, 0) AS bigint) + 100000L)" +
+          " div 100000L"))
+      graft.ext.Quality.tCloseness(bucketed, Seq("c_nationkey"),
+        col("acct_bucket"), ordered = true)
+        .select(col("c_nationkey"), col("class_size"),
+          col("emd_num").cast("long").as("emd_num"),
+          col("emd_den").cast("long").as("emd_den"), col("t_ppm"))
+        .orderBy("c_nationkey")
+    }),
+
+    // t-closeness, categorical form (variational distance) on the
+    // market-segment sensitive attribute — the skewness-attack check
+    // l-diversity (q158) cannot express.
+    "q190_tcloseness_cat" -> ((s, d) => {
+      graft.ext.Quality.tCloseness(customer(s, d), Seq("c_nationkey"),
+        col("c_mktsegment"), ordered = false)
+        .select(col("c_nationkey"), col("class_size"),
+          col("emd_num").cast("long").as("emd_num"),
+          col("emd_den").cast("long").as("emd_den"), col("t_ppm"))
+        .orderBy("c_nationkey")
+    }),
+
     // Containment near-dups (asymmetric overlap — quote/subset
     // detection): same portable band join as q36, exact
     // |A∩B|/min(|A|,|B|) >= 2/3 verify in pure integers.
@@ -3656,6 +3684,75 @@ object ExtQueries {
         |FROM g
         |WHERE class_size < 4 OR n_sensitive < 3
         |ORDER BY c_nationkey, acct_bucket""".stripMargin,
+
+    // Independent replay of the ordered t-closeness EMD: the same
+    // exact-integer common-denominator form (P·N − G·ng over ng·N),
+    // cumsum over a zero-filled class×value spine, |prefix| sum over
+    // the first m−1 prefixes, normalized by m−1. All operands
+    // non-negative at the `//`, so DuckDB floor = Spark div.
+    "q189_tcloseness" ->
+      """WITH b AS (
+        |  SELECT c_nationkey,
+        |    (cast(round(c_acctbal * 100, 0) AS bigint) + 100000)
+        |      // 100000 AS v
+        |  FROM customer),
+        |g AS (SELECT v, cast(count(*) AS bigint) AS gc
+        |      FROM b GROUP BY 1),
+        |t AS (SELECT cast(sum(gc) AS bigint) AS n,
+        |             cast(count(*) AS bigint) AS m FROM g),
+        |grp AS (SELECT c_nationkey, cast(count(*) AS bigint) AS ng
+        |        FROM b GROUP BY 1),
+        |pg AS (SELECT c_nationkey, v, cast(count(*) AS bigint) AS p
+        |       FROM b GROUP BY 1, 2),
+        |sp AS (SELECT grp.c_nationkey, grp.ng, g.v, g.gc
+        |       FROM grp CROSS JOIN g),
+        |dd AS (SELECT sp.c_nationkey, sp.ng, sp.v,
+        |         coalesce(pg.p, 0) * t.n - sp.gc * sp.ng AS diff
+        |       FROM sp CROSS JOIN t LEFT JOIN pg
+        |         ON sp.c_nationkey = pg.c_nationkey AND sp.v = pg.v),
+        |c AS (SELECT c_nationkey, ng,
+        |        sum(diff) OVER (PARTITION BY c_nationkey
+        |          ORDER BY v) AS cum,
+        |        row_number() OVER (PARTITION BY c_nationkey
+        |          ORDER BY v) AS rn
+        |      FROM dd)
+        |SELECT c.c_nationkey, max(c.ng) AS class_size,
+        |  cast(coalesce(sum(abs(c.cum))
+        |    FILTER (WHERE c.rn < t.m), 0) AS bigint) AS emd_num,
+        |  cast(max(c.ng) * t.n * (t.m - 1) AS bigint) AS emd_den,
+        |  cast((coalesce(sum(abs(c.cum))
+        |      FILTER (WHERE c.rn < t.m), 0) * 1000000)
+        |    // (max(c.ng) * t.n * (t.m - 1)) AS bigint) AS t_ppm
+        |FROM c CROSS JOIN t
+        |GROUP BY c.c_nationkey, t.n, t.m
+        |ORDER BY c.c_nationkey""".stripMargin,
+
+    // Categorical t-closeness: variational distance ½Σ|p−q| with the
+    // ½ folded into the denominator — no cumsum, one spine pass.
+    "q190_tcloseness_cat" ->
+      """WITH b AS (
+        |  SELECT c_nationkey, c_mktsegment AS v FROM customer),
+        |g AS (SELECT v, cast(count(*) AS bigint) AS gc
+        |      FROM b GROUP BY 1),
+        |t AS (SELECT cast(sum(gc) AS bigint) AS n FROM g),
+        |grp AS (SELECT c_nationkey, cast(count(*) AS bigint) AS ng
+        |        FROM b GROUP BY 1),
+        |pg AS (SELECT c_nationkey, v, cast(count(*) AS bigint) AS p
+        |       FROM b GROUP BY 1, 2),
+        |sp AS (SELECT grp.c_nationkey, grp.ng, g.v, g.gc
+        |       FROM grp CROSS JOIN g),
+        |dd AS (SELECT sp.c_nationkey, sp.ng,
+        |         abs(coalesce(pg.p, 0) * t.n - sp.gc * sp.ng) AS ad
+        |       FROM sp CROSS JOIN t LEFT JOIN pg
+        |         ON sp.c_nationkey = pg.c_nationkey AND sp.v = pg.v)
+        |SELECT dd.c_nationkey, max(dd.ng) AS class_size,
+        |  cast(sum(dd.ad) AS bigint) AS emd_num,
+        |  cast(max(dd.ng) * t.n * 2 AS bigint) AS emd_den,
+        |  cast((sum(dd.ad) * 1000000)
+        |    // (max(dd.ng) * t.n * 2) AS bigint) AS t_ppm
+        |FROM dd CROSS JOIN t
+        |GROUP BY dd.c_nationkey, t.n
+        |ORDER BY dd.c_nationkey""".stripMargin,
 
     // Same band join as q36's replay; containment verify in integers
     // (all operands non-negative, so `//` = Spark's div).

@@ -84,6 +84,73 @@ class Round10Spec extends SparkSpec {
     assert(e.getMessage.contains("all-pairs"))
   }
 
+  // ---- tCloseness: exact-rational EMD audit ----
+
+  test("tCloseness ordered matches a hand-computed EMD") {
+    // global over v∈{1,2,3}: counts (2,2,3), N=7, m=3
+    // A = [1,1,2]: diffs (2·7−2·3, 1·7−2·3, 0−3·3) = (8,1,−9),
+    //   cums (8,9,0) → num=17, den=3·7·2=42
+    // B = [2,3,3,3]: diffs (−8,−1,9), cums (−8,−9,0) → num=17, den=56
+    val df = Seq(("A", 1), ("A", 1), ("A", 2),
+      ("B", 2), ("B", 3), ("B", 3), ("B", 3)).toDF("g", "v")
+    val out = graft.ext.Quality
+      .tCloseness(df, Seq("g"), col("v"), ordered = true)
+      .orderBy("g")
+      .select(col("g"), col("class_size"),
+        col("emd_num").cast("long"), col("emd_den").cast("long"),
+        col("t_ppm"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      ("A", 3L, 17L, 42L, 17L * 1000000L / 42L),
+      ("B", 4L, 17L, 56L, 17L * 1000000L / 56L)))
+  }
+
+  test("tCloseness categorical is the variational distance, and a " +
+      "class matching the global distribution scores zero") {
+    val df = Seq(("A", 1), ("A", 1), ("A", 2),
+      ("B", 2), ("B", 3), ("B", 3), ("B", 3)).toDF("g", "v")
+    val cat = graft.ext.Quality
+      .tCloseness(df, Seq("g"), col("v"), ordered = false)
+      .orderBy("g")
+      .select(col("emd_num").cast("long"), col("emd_den").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // Σ|diff| = 18 for both; den = 2·ng·N
+    assert(cat.toSeq === Seq((18L, 42L), (18L, 56L)))
+    // two classes, each one copy of the same distribution → EMD 0
+    val uniform = Seq(("A", 1), ("A", 2), ("B", 1), ("B", 2))
+      .toDF("g", "v")
+    val zeros = graft.ext.Quality
+      .tCloseness(uniform, Seq("g"), col("v"), ordered = true)
+      .select(col("emd_num").cast("long"), col("t_ppm")).collect()
+    assert(zeros.forall(r => r.getLong(0) == 0L && r.getLong(1) == 0L))
+  }
+
+  test("tCloseness guards: bounded sensitive domain, ordered needs " +
+      ">= 2 values, empty input returns empty") {
+    val wide = (0 until 50).map(i => ("g", i)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Quality.tCloseness(wide, Seq("g"), col("v"),
+        maxDomain = 10L)
+    }
+    assert(e.getMessage.contains("maxDomain"))
+    val single = Seq(("g", 1), ("g", 1)).toDF("g", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ext.Quality.tCloseness(single, Seq("g"), col("v"),
+        ordered = true)
+    }
+    assert(e2.getMessage.contains("2 distinct"))
+    // single-value domain is fine categorically (distance 0)…
+    val catOk = graft.ext.Quality.tCloseness(single, Seq("g"),
+      col("v"), ordered = false).select("t_ppm").collect()
+    assert(catOk.map(_.getLong(0)).toSeq === Seq(0L))
+    // …and an empty input yields an empty audit, not an error
+    val empty = Seq.empty[(String, Int)].toDF("g", "v")
+    assert(graft.ext.Quality.tCloseness(empty, Seq("g"), col("v"))
+      .count() === 0L)
+  }
+
   test("kmvJaccard under the bound (or with the bound raised " +
       "explicitly) still estimates") {
     val df = (0 until 300)
