@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over edge lists. Companion to the
@@ -123,6 +123,84 @@ object Graph {
             expr("17L * coalesce(__in, 0L) div 20L")).as("r"))
     }
     ranks
+  }
+
+  /** HITS (Kleinberg, JACM '99, "Authoritative Sources in a
+    * Hyperlinked Environment"): mutually-reinforcing hub and authority
+    * scores — the complement to [[pageRank]]'s single popularity axis.
+    * On a curation graph (sources → documents, citers → cited) a good
+    * HUB points at many good authorities and a good AUTHORITY is
+    * pointed at by many good hubs:
+    *
+    *   rawA(v) = Σ_{u→v} w(u,v)·hub(u)
+    *   auth(v) = rawA(v)·ProbScale div max_v rawA(v)
+    *   rawH(u) = Σ_{u→v} w(u,v)·auth(v)
+    *   hub(u)  = rawH(u)·ProbScale div max_u rawH(u)
+    *
+    * The paper normalizes by the L2 norm (irrational — not
+    * replayable); this uses MAX-normalization instead, which divides
+    * every score by the same positive constant per half-step, so the
+    * per-round ranking order is identical and the fixed point's
+    * relative structure is preserved while every number stays exact
+    * integer arithmetic (decimal38 sums, one floor division) — the
+    * same determinism discipline as [[pageRank]]'s div-based
+    * recurrence, hash-gradeable on any engine. max rawA/rawH are
+    * provably > 0 every round (the max-normalized side always has a
+    * node at ProbScale with an incident edge), so the division never
+    * degenerates.
+    *
+    * Scale shape: the edge list is aggregated and pinned ONCE
+    * ([[Pin]] — reliable checkpoint when the session has a checkpoint
+    * dir); each of the `iters` rounds is two keyed join+agg steps
+    * plus two 1-row max aggregates that ride as broadcast cross
+    * joins. Unlike [[pageRank]]'s LINEAR recurrence (each round's
+    * ranks feed exactly one consumer, so the lazy plan stays a
+    * chain), each raw score table here feeds TWO consumers — its max
+    * and its normalized select — so an un-pinned plan would double
+    * per half-step and recompute the base joins 4^iters times; the
+    * raw tables are therefore [[Pin]]ned every round (2·iters bounded
+    * materializations, the same per-round lineage discipline as
+    * [[kcore]]/[[bfs]]). Scores stay distributed; zero/negative-
+    * weight edges are dropped at entry (they contribute nothing and
+    * would let the max degenerate).
+    *
+    * Output: every node with `auth` and `hub` in [0, ProbScale]
+    * (0 for nodes with no in-/out-edges respectively).
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, iters: Int = 4): DataFrame = {
+    require(iters >= 1, "hits: iters must be >= 1")
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val e = edges.filter(col(wCol) > 0)
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).cast("long").as("w"))
+      .transform(Pin(_))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct().transform(Pin(_))
+    require(nodes.count() > 0,
+      "hits: empty edge list — no nodes to score")
+    var hub = nodes.select(col("node"), lit(ProbScale).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val rawA = e.join(hub, e("src") === hub("node"))
+        .groupBy(col("dst")).agg(sum(d(col("w")) * col("h")).as("__raw"))
+        .transform(Pin(_))
+      val mA = rawA.agg(max(col("__raw")).as("__mx"))
+      auth = rawA.crossJoin(broadcast(mA))
+        .select(col("dst").as("node"),
+          expr(s"(__raw * ${ProbScale}L) div __mx").as("a"))
+      val rawH = e.join(auth, e("dst") === auth("node"))
+        .groupBy(col("src")).agg(sum(d(col("w")) * col("a")).as("__raw"))
+        .transform(Pin(_))
+      val mH = rawH.agg(max(col("__raw")).as("__mx"))
+      hub = rawH.crossJoin(broadcast(mH))
+        .select(col("src").as("node"),
+          expr(s"(__raw * ${ProbScale}L) div __mx").as("h"))
+    }
+    nodes.join(auth, Seq("node"), "left")
+      .join(hub, Seq("node"), "left")
+      .select(col("node"), coalesce(col("a"), lit(0L)).as("auth"),
+        coalesce(col("h"), lit(0L)).as("hub"))
   }
 
   /** k-core: the maximal subgraph where every node keeps degree ≥ `k`

@@ -865,6 +865,20 @@ object ExtQueries {
         .orderBy("node")
     }),
 
+    // HITS hubs & authorities (Kleinberg '99) on the same nation-level
+    // trade graph as q93 — integer max-normalized fixed point, exact
+    // on both engines.
+    "q191_hits" -> ((s, d) => {
+      val e = lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src_n"), col("s_nationkey").as("dst_n"))
+        .agg(count(lit(1)).as("w"))
+      graft.ext.Graph.hits(e, "src_n", "dst_n", "w", iters = 4)
+        .orderBy("node")
+    }),
+
     // Personalized PageRank from a 3-nation seed set over the same
     // trade graph — TrustRank-style authority relative to a whitelist;
     // restart mass splits over the seeds only, all fixed-point.
@@ -5471,6 +5485,53 @@ object ExtQueries {
          |${(1 to 8).map(round).mkString(",\n")}
          |SELECT node, cast(r AS bigint) AS pagerank
          |FROM pr8 ORDER BY node""".stripMargin
+    },
+
+    // HITS replay: same unrolled-CTE discipline as q93 — per round,
+    // two weighted join+sum steps and two scalar-subquery max
+    // normalizations; all operands non-negative so `//` = Spark div.
+    // Every round CTE is AS MATERIALIZED: each raw table feeds two
+    // consumers (its max and its normalized select), and DuckDB
+    // INLINES plain CTEs per reference — un-materialized, the replay
+    // re-expands the base join 4^rounds times (the engine-side twin
+    // of the lineage-doubling Graph.hits pins away).
+    "q191_hits" -> {
+      def round(k: Int) =
+        s"""ra$k AS MATERIALIZED (
+           |  SELECT e.dst AS node, sum(e.w * h.h) AS raw
+           |  FROM h${k - 1} h JOIN edges e ON e.src = h.node
+           |  GROUP BY 1),
+           |a$k AS MATERIALIZED (SELECT node,
+           |  (raw * 1000000) // (SELECT max(raw) FROM ra$k) AS a
+           |  FROM ra$k),
+           |rh$k AS MATERIALIZED (
+           |  SELECT e.src AS node, sum(e.w * a.a) AS raw
+           |  FROM a$k a JOIN edges e ON e.dst = a.node
+           |  GROUP BY 1),
+           |h$k AS MATERIALIZED (SELECT node,
+           |  (raw * 1000000) // (SELECT max(raw) FROM rh$k) AS h
+           |  FROM rh$k)""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         |    count(*) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2),
+         |edges AS MATERIALIZED (SELECT src, dst,
+         |  cast(w AS hugeint) AS w FROM e0 WHERE w > 0),
+         |nodes AS MATERIALIZED (SELECT src AS node FROM edges
+         |  UNION SELECT dst FROM edges),
+         |h0 AS (SELECT node, cast(1000000 AS hugeint) AS h FROM nodes),
+         |${(1 to 4).map(round).mkString(",\n")}
+         |SELECT n.node,
+         |  cast(coalesce(a4.a, 0) AS bigint) AS auth,
+         |  cast(coalesce(h4.h, 0) AS bigint) AS hub
+         |FROM nodes n
+         |LEFT JOIN a4 ON n.node = a4.node
+         |LEFT JOIN h4 ON n.node = h4.node
+         |ORDER BY n.node""".stripMargin
     },
 
     // Same unrolled fixed-point replay as q93, with the restart mass

@@ -84,6 +84,47 @@ class Round10Spec extends SparkSpec {
     assert(e.getMessage.contains("all-pairs"))
   }
 
+  // ---- HITS: integer max-normalized hubs & authorities ----
+
+  test("hits matches a hand-computed one-iteration fixed point") {
+    // 1→3 (w=1), 2→3 (w=2), 3→4 (w=1); hub0 = 1e6 everywhere.
+    // rawA: 3 ← 1·1e6 + 2·1e6 = 3e6; 4 ← 1e6; max 3e6
+    //   → auth(3)=1e6, auth(4)=333333
+    // rawH: 1 ← 1·auth(3)=1e6; 2 ← 2·auth(3)=2e6; 3 ← 1·auth(4)
+    //   =333333; max 2e6 → hub(1)=500000, hub(2)=1e6, hub(3)=166666
+    val e = Seq((1L, 3L, 1L), (2L, 3L, 2L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val out = graft.ext.Graph.hits(e, "src", "dst", "w", iters = 1)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (1L, 0L, 500000L), (2L, 0L, 1000000L),
+      (3L, 1000000L, 166666L), (4L, 333333L, 0L)))
+  }
+
+  test("hits invariants: scores bounded by the scale, the best hub " +
+      "and authority hit it exactly, and zero-weight edges are inert") {
+    val rnd = new scala.util.Random(77)
+    val edges = (0 until 300)
+      .map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong,
+        (rnd.nextInt(5) + 1).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst", "w")
+    val out = graft.ext.Graph.hits(edges, "src", "dst", "w", iters = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.forall { case (a, h) =>
+      a >= 0 && a <= 1000000L && h >= 0 && h <= 1000000L })
+    assert(out.map(_._1).max === 1000000L)
+    assert(out.map(_._2).max === 1000000L)
+    // appending zero-weight edges changes nothing
+    val withZero = edges.union(
+      Seq((0L, 29L, 0L), (5L, 7L, 0L)).toDF("src", "dst", "w"))
+    val a = graft.ext.Graph.hits(edges, "src", "dst", "w", iters = 2)
+      .orderBy("node").collect().toSeq
+    val b = graft.ext.Graph.hits(withZero, "src", "dst", "w", iters = 2)
+      .orderBy("node").collect().toSeq
+    assert(a === b)
+  }
+
   // ---- tCloseness: exact-rational EMD audit ----
 
   test("tCloseness ordered matches a hand-computed EMD") {
