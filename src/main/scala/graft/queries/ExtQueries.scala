@@ -587,6 +587,20 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Hilbert d-index on the same (doc_id, n_chars) grid as q68's
+    // z-value — the locality-superior clustering key (unit-step curve;
+    // Round10Spec proves bijection + adjacency and measures fewer
+    // files touched per box query than Z-order).
+    "q192_hilbert" -> ((s, d) => {
+      graft.ext.Layout.withHilbert(
+        documents(s, d).select(col("doc_id"),
+          pmod(col("doc_id"), lit(256)).as("hx"),
+          pmod(col("n_chars"), lit(256)).as("hy")),
+        "hx", "hy", 8, "h")
+        .select(col("doc_id"), col("h"))
+        .orderBy("doc_id")
+    }),
+
     // Benchmark-contamination check — the standard decontamination op:
     // which training documents contain any 13-gram from the eval set
     // (here: docs 0-19 as the stand-in benchmark)? The benchmark
@@ -5083,6 +5097,36 @@ object ExtQueries {
         s"((((n_chars % 1024) >> $i) & 1) << ${2 * i + 1})"))
       s"""SELECT doc_id, (${terms.mkString(" | ")}) AS z
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    // Hilbert xy2d replayed as chained per-level CTEs — each level
+    // consumes bit i, adds the gray-coded quadrant offset, masks to
+    // the low i bits and applies the reflect+swap; identical integer
+    // math to Layout.withHilbert (all operands non-negative).
+    "q192_hilbert" -> {
+      def level(i: Int) = {
+        val s = 1L << i
+        val rx = s"((x >> $i) & 1)"; val ry = s"((y >> $i) & 1)"
+        val xm = s"(x & ${s - 1})"; val ym = s"(y & ${s - 1})"
+        s"""hl$i AS (SELECT doc_id,
+           |  CASE WHEN $ry = 0 THEN
+           |    CASE WHEN $rx = 1 THEN ${s - 1} - $ym ELSE $ym END
+           |  ELSE $xm END AS x,
+           |  CASE WHEN $ry = 0 THEN
+           |    CASE WHEN $rx = 1 THEN ${s - 1} - $xm ELSE $xm END
+           |  ELSE $ym END AS y,
+           |  d + ${s * s} * (CASE WHEN $rx = 1 AND $ry = 1 THEN 2
+           |    WHEN $rx = 1 THEN 3 WHEN $ry = 1 THEN 1
+           |    ELSE 0 END) AS d
+           |FROM hl${i + 1})""".stripMargin
+      }
+      s"""WITH hl8 AS (SELECT doc_id,
+         |  cast(doc_id % 256 AS bigint) AS x,
+         |  cast(n_chars % 256 AS bigint) AS y,
+         |  cast(0 AS bigint) AS d
+         |FROM documents),
+         |${(7 to 0 by -1).map(level).mkString(",\n")}
+         |SELECT doc_id, d AS h FROM hl0 ORDER BY doc_id""".stripMargin
     },
 
     "q63_contamination" ->

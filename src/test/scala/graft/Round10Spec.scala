@@ -84,6 +84,68 @@ class Round10Spec extends SparkSpec {
     assert(e.getMessage.contains("all-pairs"))
   }
 
+  // ---- Hilbert curve layout ----
+
+  test("withHilbert is a bijection with unit-step adjacency — the " +
+      "defining Hilbert property, exhaustively at bits=3") {
+    val bits = 3; val n = 1 << bits
+    val cells = (0 until n).flatMap(x => (0 until n).map(y => (x, y)))
+      .toDF("x", "y")
+    val d2xy = graft.ext.Layout.withHilbert(cells, "x", "y", bits, "h")
+      .collect().map(r => (r.getLong(2), (r.getInt(0), r.getInt(1))))
+      .toMap
+    assert(d2xy.keySet === (0L until (n.toLong * n)).toSet,
+      "d must be a bijection onto [0, 4^bits)")
+    (0L until (n.toLong * n - 1)).foreach { d =>
+      val (x1, y1) = d2xy(d); val (x2, y2) = d2xy(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"consecutive d=$d,${d + 1} must be edge-adjacent cells")
+    }
+    // first-order fixed points: (0,0)→0, (0,1)→1, (1,1)→2, (1,0)→3
+    val o1 = graft.ext.Layout.withHilbert(
+      Seq((0, 0), (0, 1), (1, 1), (1, 0)).toDF("x", "y"), "x", "y", 1, "h")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(o1 === Map((0, 0) -> 0L, (0, 1) -> 1L, (1, 1) -> 2L,
+      (1, 0) -> 3L))
+  }
+
+  test("hilbert d-ranges touch no more files than z-order ranges on " +
+      "every small box query (deterministic locality comparison)") {
+    // 32x32 grid split into 12 equal-index-range "files"; for every
+    // 4x4 box, count distinct files its cells land in under each
+    // curve. nFiles is deliberately NOT a power of 4: quadrant-aligned
+    // file boundaries make the curves tie exactly (both are
+    // quadrant-recursive); real file counts straddle quadrant seams,
+    // and there Z-order's inter-quadrant jumps cost extra files while
+    // Hilbert's unit steps keep each file one contiguous blob
+    // (measured here: H avg 1.77 / max 5 vs Z avg 1.88 / max 7).
+    val bits = 5; val n = 1 << bits; val nFiles = 12
+    val cellsPerFile = (n * n) / nFiles
+    val cells = (0 until n).flatMap(x => (0 until n).map(y => (x, y)))
+      .toDF("x", "y")
+    val h = graft.ext.Layout.withHilbert(cells, "x", "y", bits, "h")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+      .toMap
+    val z = cells.select(col("x"), col("y"),
+      graft.ext.Layout.zValue(col("x"), col("y"), bits).as("z"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+      .toMap
+    def filesTouched(idx: Map[(Int, Int), Long]): Seq[Int] =
+      for (bx <- 0 until (n - 4); by <- 0 until (n - 4)) yield {
+        val boxCells = for (dx <- 0 until 4; dy <- 0 until 4)
+          yield idx((bx + dx, by + dy))
+        boxCells.map(_ / cellsPerFile).distinct.size
+      }
+    val hf = filesTouched(h); val zf = filesTouched(z)
+    val hAvg = hf.sum.toDouble / hf.size
+    val zAvg = zf.sum.toDouble / zf.size
+    assert(hAvg < zAvg,
+      s"hilbert should touch fewer files on average (h=$hAvg z=$zAvg)")
+    assert(hf.max < zf.max,
+      s"hilbert worst-case box should beat z-order's " +
+        s"(h=${hf.max} z=${zf.max})")
+  }
+
   // ---- HITS: integer max-normalized hubs & authorities ----
 
   test("hits matches a hand-computed one-iteration fixed point") {
