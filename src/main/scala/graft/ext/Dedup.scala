@@ -1414,6 +1414,83 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Winnowing fingerprints (MOSS)
+  // ------------------------------------------------------------------
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD '03 — the MOSS algorithm): from each document's position
+    * grams, keep only the RIGHTMOST-MINIMAL hash in every window of
+    * `w` consecutive gram hashes. Density is ~2/(w+1) of the gram
+    * count, with the paper's guarantee intact: any substring shared
+    * between two documents of length >= w + g − 1 still yields at
+    * least one shared fingerprint — winnowing is the principled
+    * sampling layer on top of [[dupSpans]]'s exhaustive gram pass.
+    *
+    * At 100 TB this is the difference that matters: dupSpans shuffles
+    * EVERY position gram (g× byte amplification); winnowing cuts the
+    * shuffled index ~(w+1)/2× with a provable detection bound instead
+    * of a hope. The min-selection itself never leaves the document:
+    * one window pass PARTITIONED by doc id (PlanAuditSpec-safe), so
+    * the corpus-scale shuffle only ever sees the selected
+    * fingerprints.
+    *
+    * Portability: gram identity is hex md5 (same digest trick as
+    * dupSpans/CDC) and "minimal" is its LEXICOGRAPHIC minimum — both
+    * engines order the same 32-char strings identically, so the
+    * selection replays exactly. The rightmost tie-break rides in one
+    * struct-min: min(struct(hash, −pos)) picks the smallest hash and,
+    * among equals, the largest position (the paper's rule, which makes
+    * the fingerprint set position-robust for repeated grams).
+    *
+    * Output: one row per distinct (doc, fp, fp_pos) selection —
+    * documents shorter than w + g − 1 have no full window and emit
+    * nothing.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      g: Int, w: Int): DataFrame = {
+    require(g >= 2, s"winnowFingerprints: gram length must be >= 2, got $g")
+    require(w >= 1, s"winnowFingerprints: window must be >= 1, got $w")
+    import org.apache.spark.sql.expressions.Window
+    val withLen = df.select(col(idCol), col(textCol).as("__t"),
+      length(col(textCol)).as("__n"))
+    val grams = withLen.filter(col("__n") >= g + w - 1)
+      .select(col(idCol), col("__t"),
+        (col("__n") - g).as("__maxp"),
+        explode(sequence(lit(0), col("__n") - g)).as("p"))
+      .select(col(idCol), col("p"), col("__maxp"),
+        md5(col("__t").substr(col("p") + 1, lit(g))).as("k"))
+    val win = Window.partitionBy(idCol).orderBy("p")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("__m",
+        min(struct(col("k"), (-col("p")).as("np"))).over(win))
+      // anchor rows with a FULL w-window only — the tail's truncated
+      // windows are sub-windows of earlier full ones and add nothing
+      .filter(col("p") <= col("__maxp") - (w - 1))
+      .select(col(idCol), col("__m.k").as("fp"),
+        (-col("__m.np")).as("fp_pos"))
+      .distinct()
+  }
+
+  /** Cross-document match candidates from winnowed fingerprints — the
+    * MOSS ranking step: documents sharing >= `minShared` distinct
+    * fingerprints, with the shared count. The join key is the
+    * fingerprint hash, so the shuffle carries the winnowed index
+    * (~2/(w+1) of the gram volume), never the corpus.
+    */
+  def winnowMatches(df: DataFrame, idCol: String, textCol: String,
+      g: Int, w: Int, minShared: Long): DataFrame = {
+    val fp = winnowFingerprints(df, idCol, textCol, g, w)
+      .select(col(idCol), col("fp")).distinct()
+    fp.select(col(idCol).as("id_a"), col("fp"))
+      .join(fp.select(col(idCol).as("id_b"), col("fp")), "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  // ------------------------------------------------------------------
   // Content-defined chunking dedup (CDC)
   // ------------------------------------------------------------------
 

@@ -999,6 +999,34 @@ object ExtQueries {
       Dedup.dupSpans(documents(s, d), "doc_id", "text", g = 40)
         .orderBy("doc_id")),
 
+    // Winnowing (MOSS) fingerprint selection: per doc, the number of
+    // full windows, distinct fingerprint hashes, and selections —
+    // density lands at the paper's ~2/(w+1) of the window count.
+    "q193_winnowing" -> ((s, d) => {
+      val per = Dedup
+        .winnowFingerprints(documents(s, d), "doc_id", "text",
+          g = 20, w = 8)
+        .groupBy("doc_id")
+        .agg(countDistinct(col("fp")).as("n_fp"),
+          count(lit(1)).as("n_sel"))
+      documents(s, d).select(col("doc_id"),
+          greatest(length(col("text")) - lit(26), lit(0))
+            .cast("long").as("n_windows"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_windows"),
+          coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+          coalesce(col("n_sel"), lit(0L)).as("n_sel"))
+        .orderBy("doc_id")
+    }),
+
+    // MOSS match ranking over the winnowed index: doc pairs sharing
+    // >= 2 distinct fingerprints — the shuffle carries ~2/(w+1) of
+    // the gram volume, never the corpus.
+    "q194_winnow_matches" -> ((s, d) =>
+      Dedup.winnowMatches(documents(s, d), "doc_id", "text",
+        g = 20, w = 8, minShared = 2L)
+        .orderBy("id_a", "id_b")),
+
     // 2-D skyline: parts maximizing (size, retailprice) — sort-scan
     // frontier vs the oracle's quadratic NOT EXISTS dominance replay.
     "q109_skyline" -> ((s, d) =>
@@ -2952,6 +2980,62 @@ object ExtQueries {
         |  cast(coalesce(dup_chars, 0) AS bigint) AS dup_chars
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Winnowing replay: same gram pass as q108's, then the
+    // rightmost-min selection in two steps (window min, then a
+    // join-back picking the max position attaining it — SQL's way of
+    // expressing the struct-min) — identical selections to
+    // Dedup.winnowFingerprints' min(struct(hash, −pos)).
+    "q193_winnowing" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |gr AS (SELECT doc_id, unnest(generate_series(0, n - 20)) AS p,
+        |    text, n
+        |  FROM d WHERE n >= 27),
+        |g2 AS (SELECT doc_id, p, n - 20 AS maxp,
+        |  md5(substr(text, p + 1, 20)) AS k FROM gr),
+        |wm AS (SELECT * FROM (
+        |  SELECT doc_id, p, maxp, min(k) OVER win AS wmin
+        |  FROM g2 WINDOW win AS (PARTITION BY doc_id ORDER BY p
+        |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING))
+        |  WHERE p <= maxp - 7),
+        |sel AS (SELECT w.doc_id, w.wmin AS fp, max(g2.p) AS fp_pos
+        |  FROM wm w JOIN g2 ON g2.doc_id = w.doc_id
+        |    AND g2.p BETWEEN w.p AND w.p + 7 AND g2.k = w.wmin
+        |  GROUP BY w.doc_id, w.p, w.wmin),
+        |fps AS (SELECT DISTINCT doc_id, fp, fp_pos FROM sel),
+        |per AS (SELECT doc_id, count(DISTINCT fp) AS n_fp,
+        |    count(*) AS n_sel
+        |  FROM fps GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  cast(CASE WHEN n >= 27 THEN n - 26 ELSE 0 END AS bigint)
+        |    AS n_windows,
+        |  cast(coalesce(n_fp, 0) AS bigint) AS n_fp,
+        |  cast(coalesce(n_sel, 0) AS bigint) AS n_sel
+        |FROM d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Match ranking replay: distinct (doc, fp) selections self-joined
+    // on the fingerprint hash. fp_pos is irrelevant to matching, so
+    // the two-step rightmost pick is unnecessary here — distinct
+    // window minima ARE the fingerprint hash set.
+    "q194_winnow_matches" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |gr AS (SELECT doc_id, unnest(generate_series(0, n - 20)) AS p,
+        |    text, n
+        |  FROM d WHERE n >= 27),
+        |g2 AS (SELECT doc_id, p, n - 20 AS maxp,
+        |  md5(substr(text, p + 1, 20)) AS k FROM gr),
+        |wm AS (SELECT * FROM (
+        |  SELECT doc_id, p, maxp, min(k) OVER win AS wmin
+        |  FROM g2 WINDOW win AS (PARTITION BY doc_id ORDER BY p
+        |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING))
+        |  WHERE p <= maxp - 7),
+        |fp AS (SELECT DISTINCT doc_id, wmin AS fp FROM wm)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  cast(count(*) AS bigint) AS shared
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Quadratic dominance replay — any false frontier row or omission
     // diverges from the definitional NOT EXISTS form.

@@ -146,6 +146,58 @@ class Round10Spec extends SparkSpec {
         s"(h=${hf.max} z=${zf.max})")
   }
 
+  // ---- Winnowing fingerprints (MOSS) ----
+
+  test("winnowing guarantee: a shared substring of length w+g-1 " +
+      "always yields a shared fingerprint") {
+    val g = 6; val w = 4
+    val planted = "ZQXWVYUTSPM" // length g+w-1 = 9... padded below
+    val core = planted.take(g + w - 1)
+    val rnd = new scala.util.Random(42)
+    def noise(n: Int) =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq(
+      (1L, noise(40) + core + noise(40)),
+      (2L, noise(55) + core + noise(25)),
+      (3L, noise(90))).toDF("doc_id", "text")
+    val pairs = graft.ext.Dedup
+      .winnowMatches(docs, "doc_id", "text", g, w, minShared = 1L)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)),
+      "docs sharing a w+g-1 substring must share a fingerprint")
+  }
+
+  test("winnowing rightmost-min tie rule and density bounds") {
+    // uniform text: every gram hash equal, so each window selects its
+    // RIGHTMOST position — n_sel = n_windows, n_fp = 1
+    val uni = Seq((1L, "aaaaaaaaaa")).toDF("doc_id", "text") // n=10
+    val fp = graft.ext.Dedup
+      .winnowFingerprints(uni, "doc_id", "text", g = 2, w = 3)
+    // grams p in [0,8]; full windows anchor p in [0,6] -> select p+2
+    val sel = fp.orderBy("fp_pos").collect()
+      .map(r => r.getInt(2))
+    assert(sel.toSeq === (2 to 8).toSeq)
+    assert(fp.select("fp").distinct().count() === 1L)
+    // density: selections per doc within [windows/w, windows] on the
+    // real corpus sample, and positions strictly valid
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .limit(50)
+    val g = 20; val w = 8
+    val stats = graft.ext.Dedup
+      .winnowFingerprints(docs, "doc_id", "text", g, w)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sel"))
+      .join(docs.select(col("doc_id"),
+        (length(col("text")) - lit(g + w - 2)).as("n_win")), "doc_id")
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(stats.nonEmpty)
+    stats.foreach { case (nSel, nWin) =>
+      assert(nSel <= nWin, "cannot select more than one per window")
+      assert(nSel * w >= nWin,
+        "each fingerprint covers at most w windows")
+    }
+  }
+
   // ---- HITS: integer max-normalized hubs & authorities ----
 
   test("hits matches a hand-computed one-iteration fixed point") {
