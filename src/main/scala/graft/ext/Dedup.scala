@@ -1478,13 +1478,30 @@ object Dedup {
     * fingerprints, with the shared count. The join key is the
     * fingerprint hash, so the shuffle carries the winnowed index
     * (~2/(w+1) of the gram volume), never the corpus.
+    *
+    * `maxDf` is MOSS's common-fingerprint cap: a fingerprint held by
+    * F documents yields F²/2 pairs, so at open-web scale boilerplate
+    * (license headers, templates) detonates the self-join on a few
+    * hot keys. Fingerprints held by more than `maxDf` docs are
+    * dropped BEFORE the pair join — exactly the paper's practice of
+    * ignoring extremely common fingerprints, which stops matching on
+    * shared boilerplate rather than shared content anyway. Default
+    * keeps everything (bounded corpora); set it (e.g. 1000) for
+    * open-domain runs.
     */
   def winnowMatches(df: DataFrame, idCol: String, textCol: String,
-      g: Int, w: Int, minShared: Long): DataFrame = {
+      g: Int, w: Int, minShared: Long,
+      maxDf: Long = Long.MaxValue): DataFrame = {
     val fp = winnowFingerprints(df, idCol, textCol, g, w)
       .select(col(idCol), col("fp")).distinct()
-    fp.select(col(idCol).as("id_a"), col("fp"))
-      .join(fp.select(col(idCol).as("id_b"), col("fp")), "fp")
+    val kept =
+      if (maxDf == Long.MaxValue) fp
+      else fp.join(
+        fp.groupBy("fp").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf).select("fp"),
+        "fp")
+    kept.select(col(idCol).as("id_a"), col("fp"))
+      .join(kept.select(col(idCol).as("id_b"), col("fp")), "fp")
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)

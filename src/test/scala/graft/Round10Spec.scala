@@ -168,6 +168,34 @@ class Round10Spec extends SparkSpec {
       "docs sharing a w+g-1 substring must share a fingerprint")
   }
 
+  test("winnowMatches maxDf drops boilerplate fingerprints before " +
+      "the pair join") {
+    val g = 6; val w = 4
+    val boiler = "LICENSEHEADERX" // shared by ALL docs
+    val core = "ZQXWVYUTS" // w+g-1, shared by docs 1 and 2 only
+    val rnd = new scala.util.Random(7)
+    def noise(n: Int) =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq(
+      (1L, boiler + noise(30) + core + noise(30)),
+      (2L, noise(30) + core + noise(30) + boiler),
+      (3L, noise(20) + boiler + noise(40)),
+      (4L, noise(60) + boiler)).toDF("doc_id", "text")
+    // uncapped: the boilerplate links every pair
+    val all = graft.ext.Dedup
+      .winnowMatches(docs, "doc_id", "text", g, w, minShared = 1L)
+      .count()
+    assert(all === 6L, "boilerplate should link all 4C2 pairs uncapped")
+    // df cap at 2: boilerplate fingerprints (df=4) drop, the planted
+    // core (df=2) survives — only (1,2) remains
+    val capped = graft.ext.Dedup
+      .winnowMatches(docs, "doc_id", "text", g, w, minShared = 1L,
+        maxDf = 2L)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq === Seq((1L, 2L)))
+  }
+
   test("winnowing rightmost-min tie rule and density bounds") {
     // uniform text: every gram hash equal, so each window selects its
     // RIGHTMOST position — n_sel = n_windows, n_fp = 1

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev: MEASURED scaling of the winnowing fingerprint family
+  * (q193/q194) on replicated corpora — the claim to verify is that the
+  * winnowed index stays a ~2/(w+1) fraction of the gram volume at
+  * every corpus size (the shuffle-reduction the operator exists for),
+  * that within-replica match structure is reproduced exactly m-fold
+  * (pair count grows linearly, never quadratically), and that wall
+  * time tracks corpus size, not pair-space size.
+  *
+  * Same corpus construction as [[ScaleProbe]]: every token of replica
+  * i gets an "_<i>" suffix, so replicas reproduce the original's
+  * within-replica shared substrings exactly while sharing (almost) no
+  * 20-char grams across replicas — the m× invariant rides in the
+  * measurement as a correctness check.
+  *
+  * `Test/runMain graft.WinnowProbe [multipliers...]` (default 1 3 10).
+  */
+object WinnowProbe {
+  def main(args: Array[String]): Unit = {
+    val mults = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 3, 10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.1"
+    val work = java.nio.file.Files.createTempDirectory("graft_winnow")
+    val (g, w) = (20, 8)
+
+    def replicateDocs(m: Int): String = {
+      val out = s"$work/docs_x$m"
+      val base = Tables.documents(spark, d).select("doc_id", "text")
+      (0 until m).map { i =>
+        base.select(
+          (col("doc_id") + i * 10000000L).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"$$1_$i").as("text"))
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    println("| mult | docs | grams | fingerprints | reduction | " +
+      "pairs | sec_index | sec_match |")
+    println("|---|---|---|---|---|---|---|---|")
+    mults.foreach { m =>
+      val docs = spark.read.parquet(replicateDocs(m))
+      val nDocs = docs.count()
+      // gram volume = what dupSpans would shuffle
+      val grams = docs
+        .select(greatest(length(col("text")) - (g - 1), lit(0))
+          .cast("long").as("ng"))
+        .agg(sum("ng")).collect()(0).getLong(0)
+      val (nFp, sIdx) = time(graft.ext.Dedup
+        .winnowFingerprints(docs, "doc_id", "text", g, w).count())
+      val (nPairs, sMatch) = time(graft.ext.Dedup
+        .winnowMatches(docs, "doc_id", "text", g, w, minShared = 2L)
+        .count())
+      println(f"| ${m}x | $nDocs | $grams | $nFp | " +
+        f"${grams.toDouble / nFp}%.1fx | $nPairs | $sIdx%.2f | " +
+        f"$sMatch%.2f |")
+    }
+    spark.stop()
+  }
+}
