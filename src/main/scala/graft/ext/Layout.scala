@@ -108,6 +108,124 @@ object Layout {
       .drop("__h")
       .write.mode("overwrite").parquet(path)
 
+  /** Exact d-interval decomposition of an axis-aligned cell box under
+    * the Hilbert curve — the planning half of Hilbert-clustered
+    * pruning (the Hilbert R-tree idea, Kamel & Faloutsos VLDB '94):
+    * a 2-D box maps to a SHORT list of 1-D d-ranges, which then prune
+    * a d-keyed file manifest exactly like any 1-D zone map.
+    *
+    * Quadrant recursion mirroring [[withHilbert]] level for level:
+    * visit the four quadrants in the curve's gray order; a quadrant
+    * disjoint from the box is skipped (with its whole 4^level d-block),
+    * a fully-contained quadrant emits its d-block as ONE interval, a
+    * straddled quadrant recurses with the box intersected and
+    * transformed into the child frame (the same reflect+swap the
+    * column expression applies — axis-aligned boxes stay axis-aligned
+    * under both). Driver-side, O(box perimeter · bits) work and
+    * intervals — metadata-scale, never data-scale. Intervals are
+    * returned merged (adjacent d-blocks coalesce), inclusive ends.
+    *
+    * Coordinates are clamped to the grid; an empty box is an empty
+    * list. Exposed `private[graft]` so the spec can replay an
+    * exhaustive covered-cells oracle against it.
+    */
+  private[graft] def hilbertBoxIntervals(bits: Int, xLo: Long,
+      xHi: Long, yLo: Long, yHi: Long): Seq[(Long, Long)] = {
+    require(bits >= 1 && bits <= 30, "bits must be in [1, 30]")
+    val n = 1L << bits
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    // quadrants in d visit order: (rx,ry) 00, 01, 11, 10 — must match
+    // withHilbert's gray coding exactly
+    val quads = Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L))
+    def rec(b: Int, bx0: Long, bx1: Long, by0: Long, by1: Long,
+        d0: Long): Unit = {
+      if (b == 0) { acc += ((d0, d0)); return }
+      val s = 1L << (b - 1)
+      quads.zipWithIndex.foreach { case ((rx, ry), q) =>
+        val qx0 = rx * s; val qy0 = ry * s
+        val ix0 = math.max(bx0, qx0); val ix1 = math.min(bx1, qx0 + s - 1)
+        val iy0 = math.max(by0, qy0); val iy1 = math.min(by1, qy0 + s - 1)
+        if (ix0 <= ix1 && iy0 <= iy1) {
+          val dq = d0 + q * s * s
+          if (ix0 == qx0 && ix1 == qx0 + s - 1 &&
+              iy0 == qy0 && iy1 == qy0 + s - 1)
+            acc += ((dq, dq + s * s - 1))
+          else {
+            // quadrant-local coords, then the child-frame transform:
+            // ry==0 → (reflect both if rx==1, then swap axes)
+            var (lx0, lx1) = (ix0 - qx0, ix1 - qx0)
+            var (ly0, ly1) = (iy0 - qy0, iy1 - qy0)
+            if (ry == 0L) {
+              if (rx == 1L) {
+                val (fx0, fx1) = (s - 1 - lx1, s - 1 - lx0)
+                val (fy0, fy1) = (s - 1 - ly1, s - 1 - ly0)
+                lx0 = fx0; lx1 = fx1; ly0 = fy0; ly1 = fy1
+              }
+              val (tx0, tx1) = (lx0, lx1)
+              lx0 = ly0; lx1 = ly1; ly0 = tx0; ly1 = tx1
+            }
+            rec(b - 1, lx0, lx1, ly0, ly1, dq)
+          }
+        }
+      }
+    }
+    val (cx0, cx1) = (math.max(xLo, 0L), math.min(xHi, n - 1))
+    val (cy0, cy1) = (math.max(yLo, 0L), math.min(yHi, n - 1))
+    if (cx0 > cx1 || cy0 > cy1) return Seq.empty
+    rec(bits, cx0, cx1, cy0, cy1, 0L)
+    // recursion emits in ascending d order; merge touching intervals
+    acc.foldLeft(List.empty[(Long, Long)]) {
+      case ((s0, e0) :: tail, (s1, e1)) if s1 <= e0 + 1 =>
+        (s0, math.max(e0, e1)) :: tail
+      case (out, iv) => iv :: out
+    }.reverse
+  }
+
+  /** Hilbert-clustered zone-mapped write: cluster on the d-index and
+    * persist the standard per-file (mn, mx, rows) sidecar OVER d —
+    * [[zoneWrite]] with a 2-D key. The d column (`hCol`) stays in the
+    * data so reads can push the d-range predicate into the scan.
+    */
+  def hilbertZoneWrite(df: DataFrame, xCol: String, yCol: String,
+      bits: Int, hCol: String, nFiles: Int, path: String): Unit =
+    zoneWrite(withHilbert(df, xCol, yCol, bits, hCol), hCol, nFiles,
+      path)
+
+  /** The surviving file list for a 2-D box — [[zoneFiles]] driven by
+    * the box's d-interval decomposition; exposed so tests can assert
+    * the prune skipped files.
+    */
+  def hilbertBoxFiles(spark: SparkSession, path: String, bits: Int,
+      xLo: Long, xHi: Long, yLo: Long, yHi: Long): Seq[String] = {
+    val iv = hilbertBoxIntervals(bits, xLo, xHi, yLo, yHi)
+    if (iv.isEmpty) return Seq.empty
+    spark.read.parquet(path + ".zones")
+      .select("file", "mn", "mx").collect()
+      .filter { r =>
+        val (mn, mx) = (r.getLong(1), r.getLong(2))
+        iv.exists { case (lo, hi) => !(mx < lo || mn > hi) }
+      }
+      .map(_.getString(0)).toSeq
+  }
+
+  /** 2-D box query over a [[hilbertZoneWrite]] table: prune files by
+    * the box's d-intervals against the sidecar (planning is
+    * listing-scale — no data file touched before the prune), then
+    * apply the exact (x, y) box predicate to the survivors. At 100 TB
+    * the cost is the files whose d-range the box's curve segments
+    * enter — the locality property that makes Hilbert the better
+    * clustering — never the corpus.
+    */
+  def hilbertBoxRead(spark: SparkSession, path: String, xCol: String,
+      yCol: String, bits: Int, xLo: Long, xHi: Long, yLo: Long,
+      yHi: Long): DataFrame = {
+    val files = hilbertBoxFiles(spark, path, bits, xLo, xHi, yLo, yHi)
+    val pred = col(xCol) >= xLo && col(xCol) <= xHi &&
+      col(yCol) >= yLo && col(yCol) <= yHi
+    if (files.isEmpty) spark.read.parquet(path).where(lit(false))
+    else spark.read.parquet(files: _*).where(pred)
+  }
+
   /** Z-order clustered write: range-partition on the z-value (one range
     * shuffle — sampled bounds, balanced files) and sort within
     * partitions, so each of the `nFiles` output files covers a compact

@@ -1027,6 +1027,23 @@ object ExtQueries {
         g = 20, w = 8, minShared = 2L)
         .orderBy("id_a", "id_b")),
 
+    // Hilbert-clustered at-rest 2-D box query: write with a d-keyed
+    // zone sidecar, prune files via the box's exact d-interval
+    // decomposition (Hilbert R-tree planning), exact box predicate on
+    // the survivors. Oracle is the plain box filter.
+    "q195_hilbert_at_rest" -> ((s, d) => {
+      val path = tempDir("graft_q195_") + "/docs_hilbert"
+      val base = documents(s, d).select(col("doc_id"),
+        pmod(col("doc_id"), lit(256)).as("hx"),
+        pmod(col("n_chars"), lit(256)).as("hy"))
+      graft.ext.Layout.hilbertZoneWrite(base, "hx", "hy", 8, "h", 16,
+        path)
+      graft.ext.Layout.hilbertBoxRead(s, path, "hx", "hy", 8,
+        32L, 95L, 100L, 199L)
+        .select("doc_id", "hx", "hy")
+        .orderBy("doc_id")
+    }),
+
     // 2-D skyline: parts maximizing (size, retailprice) — sort-scan
     // frontier vs the oracle's quadratic NOT EXISTS dominance replay.
     "q109_skyline" -> ((s, d) =>
@@ -3036,6 +3053,17 @@ object ExtQueries {
         |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // The at-rest plumbing (decomposition + sidecar prune) cannot
+    // change the ANSWER, only the files touched — so the replay is
+    // the definitional box filter.
+    "q195_hilbert_at_rest" ->
+      """SELECT doc_id, cast(doc_id % 256 AS bigint) AS hx,
+        |  cast(n_chars % 256 AS bigint) AS hy
+        |FROM documents
+        |WHERE doc_id % 256 BETWEEN 32 AND 95
+        |  AND n_chars % 256 BETWEEN 100 AND 199
+        |ORDER BY doc_id""".stripMargin,
 
     // Quadratic dominance replay — any false frontier row or omission
     // diverges from the definitional NOT EXISTS form.

@@ -146,6 +146,61 @@ class Round10Spec extends SparkSpec {
         s"(h=${hf.max} z=${zf.max})")
   }
 
+  test("hilbertBoxIntervals covers exactly the box's cells — " +
+      "exhaustive over every box at bits=3") {
+    val bits = 3; val n = 1 << bits
+    val cells = (0 until n).flatMap(x => (0 until n).map(y => (x, y)))
+      .toDF("x", "y")
+    val d = graft.ext.Layout.withHilbert(cells, "x", "y", bits, "h")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+      .toMap
+    for (x0 <- 0 until n; x1 <- x0 until n;
+         y0 <- 0 until n; y1 <- y0 until n) {
+      val iv = graft.ext.Layout.hilbertBoxIntervals(bits,
+        x0, x1, y0, y1)
+      // merged, sorted, disjoint
+      iv.sliding(2).foreach {
+        case Seq((_, e0), (s1, _)) => assert(s1 > e0 + 1)
+        case _ =>
+      }
+      val covered = d.filter { case (_, dd) =>
+        iv.exists { case (lo, hi) => dd >= lo && dd <= hi } }.keySet
+      val expected = d.keySet.filter { case (x, y) =>
+        x >= x0 && x <= x1 && y >= y0 && y <= y1 }
+      assert(covered === expected,
+        s"box ($x0..$x1, $y0..$y1): intervals $iv")
+    }
+    // clamping and emptiness
+    assert(graft.ext.Layout.hilbertBoxIntervals(bits, -5, 2, -5, 2)
+      === graft.ext.Layout.hilbertBoxIntervals(bits, 0, 2, 0, 2))
+    assert(graft.ext.Layout.hilbertBoxIntervals(bits, 9, 12, 0, 7)
+      .isEmpty)
+  }
+
+  test("hilbertBoxRead prunes files via the d-intervals and returns " +
+      "exactly the box") {
+    val bits = 5; val n = 1 << bits
+    val rows = (0 until n).flatMap(x => (0 until n).map(y =>
+      (x.toLong * 100 + y, x, y))).toDF("id", "gx", "gy")
+    val dir = java.nio.file.Files
+      .createTempDirectory("hilb10").toString + "/grid"
+    graft.ext.Layout.hilbertZoneWrite(rows, "gx", "gy", bits, "h",
+      16, dir)
+    val (x0, x1, y0, y1) = (4L, 11L, 20L, 27L)
+    val files = graft.ext.Layout.hilbertBoxFiles(spark, dir, bits,
+      x0, x1, y0, y1)
+    assert(files.nonEmpty && files.size < 16,
+      s"an 8x8 box on a 32x32 grid must prune some of 16 files " +
+        s"(read ${files.size})")
+    val got = graft.ext.Layout.hilbertBoxRead(spark, dir, "gx", "gy",
+      bits, x0, x1, y0, y1).select("id").collect()
+      .map(_.getLong(0)).sorted
+    val want = rows.filter(col("gx").between(x0, x1) &&
+      col("gy").between(y0, y1)).select("id").collect()
+      .map(_.getLong(0)).sorted
+    assert(got.toSeq === want.toSeq && got.length === 64)
+  }
+
   // ---- Winnowing fingerprints (MOSS) ----
 
   test("winnowing guarantee: a shared substring of length w+g-1 " +
