@@ -157,6 +157,49 @@ object Quality {
       .filter(col("k_violation") === 1 || col("l_violation") === 1)
   }
 
+  /** Pairwise functional-dependency DISCOVERY over a bounded column
+    * set — the level-1 lattice of TANE (Huhtala et al., Comput. J.
+    * '99), the data-profiling complement to [[fdViolations]] (which
+    * CHECKS a given FD; this one FINDS them). For every ordered pair
+    * (a → b) of distinct columns, the g3 error (Kivinen & Mannila):
+    * the minimum number of rows to remove for the FD to hold exactly,
+    * = n_rows − Σ_a max_b |rows(a,b)| — integer-exact, so "holds" is
+    * g3 = 0 and approximate FDs rank by g3 directly. Nulls group as
+    * ordinary values (TANE's convention).
+    *
+    * Shape: one (a,b)-keyed aggregation per pair — c·(c−1) passes,
+    * each reading ONLY its two columns (ReadSchema-pruned, so per-pass
+    * IO is ~2/c of a full-width scan; map-side partial aggs
+    * throughout, output is one row per pair). The quadratic pair
+    * count is a PROFILE-scale contract: `cols` is CHECKED against a
+    * hard bound and an over-wide set fails loudly rather than
+    * launching hundreds of corpus passes.
+    */
+  def fdDiscover(df: DataFrame, cols: Seq[String],
+      maxCols: Int = 12): DataFrame = {
+    require(cols.size >= 2, "fdDiscover: need at least two columns")
+    require(cols.distinct.size == cols.size,
+      "fdDiscover: duplicate columns in the profile set")
+    require(cols.size <= maxCols,
+      s"fdDiscover: ${cols.size} columns means " +
+        s"${cols.size * (cols.size - 1)} corpus passes — profile-scale " +
+        "only; raise maxCols explicitly if that is intended")
+    cols.flatMap(a => cols.filter(_ != a).map(b => (a, b)))
+      .map { case (a, b) =>
+        df.groupBy(col(a).as("__l"), col(b).as("__r"))
+          .agg(count(lit(1)).as("__n"))
+          .groupBy(col("__l"))
+          .agg(max(col("__n")).as("__mx"), sum(col("__n")).as("__tot"))
+          .agg(count(lit(1)).as("n_lhs"),
+            sum(col("__tot") - col("__mx")).as("__g3"))
+          .select(lit(a).as("lhs"), lit(b).as("rhs"), col("n_lhs"),
+            coalesce(col("__g3"), lit(0L)).as("g3"),
+            (coalesce(col("__g3"), lit(0L)) === 0).cast("int")
+              .as("holds"))
+      }
+      .reduce(_ unionByName _)
+  }
+
   /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE '07) — the
     * privacy metric l-diversity misses: an equivalence class can hold
     * `l` distinct sensitive values and still leak (skewness attack) if

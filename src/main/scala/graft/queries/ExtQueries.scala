@@ -1461,6 +1461,18 @@ object ExtQueries {
         .orderBy("c_nationkey", "acct_bucket")
     }),
 
+    // Pairwise FD discovery (TANE level 1) on a 4-column customer
+    // profile: every ordered column pair with its exact g3 error —
+    // the key column holds against everything, nothing else does.
+    "q196_fd_discover" -> ((s, d) => {
+      val bucketed = customer(s, d).withColumn("acct_bucket",
+        expr("(cast(round(c_acctbal * 100, 0) AS bigint) + 100000L)" +
+          " div 100000L"))
+      graft.ext.Quality.fdDiscover(bucketed,
+        Seq("c_custkey", "c_nationkey", "c_mktsegment", "acct_bucket"))
+        .orderBy("lhs", "rhs")
+    }),
+
     // t-closeness audit (Li et al. '07), ordered form: per nation, the
     // exact-rational 1-D EMD between the nation's account-balance
     // bucket distribution and the global one. Decimal internals cast
@@ -3824,6 +3836,32 @@ object ExtQueries {
         |FROM g
         |WHERE class_size < 4 OR n_sensitive < 3
         |ORDER BY c_nationkey, acct_bucket""".stripMargin,
+
+    // Per-pair g3 replay (max-per-lhs subtracted from group totals),
+    // one UNION ALL branch per ordered pair — count(*) over lhs
+    // groups (not count(DISTINCT)) so a null lhs group counts, as in
+    // the operator.
+    "q196_fd_discover" -> {
+      val cols = Seq("c_custkey", "c_nationkey", "c_mktsegment",
+        "acct_bucket")
+      val per = cols.flatMap(a => cols.filter(_ != a).map(b => (a, b)))
+        .map { case (a, b) =>
+          s"""SELECT '$a' AS lhs, '$b' AS rhs,
+             |  cast(count(*) AS bigint) AS n_lhs,
+             |  cast(sum(tot - mx) AS bigint) AS g3,
+             |  CASE WHEN sum(tot - mx) = 0 THEN 1 ELSE 0 END AS holds
+             |FROM (SELECT $a, max(n) AS mx, sum(n) AS tot
+             |  FROM (SELECT $a, $b, count(*) AS n FROM bkt
+             |    GROUP BY 1, 2) GROUP BY $a)""".stripMargin
+        }
+      s"""WITH bkt AS (
+         |  SELECT c_custkey, c_nationkey, c_mktsegment,
+         |    (cast(round(c_acctbal * 100, 0) AS bigint) + 100000)
+         |      // 100000 AS acct_bucket
+         |  FROM customer)
+         |${per.mkString("", "\nUNION ALL\n", "")}
+         |ORDER BY lhs, rhs""".stripMargin
+    },
 
     // Independent replay of the ordered t-closeness EMD: the same
     // exact-integer common-denominator form (P·N − G·ng over ng·N),

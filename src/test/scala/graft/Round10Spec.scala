@@ -201,6 +201,55 @@ class Round10Spec extends SparkSpec {
     assert(got.toSeq === want.toSeq && got.length === 64)
   }
 
+  test("hilbertBoxRead pushes the box predicate into the parquet " +
+      "scan of the surviving files") {
+    val bits = 4; val n = 1 << bits
+    val rows = (0 until n).flatMap(x => (0 until n).map(y =>
+      (x.toLong * 100 + y, x, y))).toDF("id", "gx", "gy")
+    val dir = java.nio.file.Files
+      .createTempDirectory("hilb10p").toString + "/grid"
+    graft.ext.Layout.hilbertZoneWrite(rows, "gx", "gy", bits, "h",
+      4, dir)
+    val df = graft.ext.Layout.hilbertBoxRead(spark, dir, "gx", "gy",
+      bits, 2L, 5L, 6L, 9L)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual(gx,2)") &&
+      pushed.contains("LessThanOrEqual(gy,9)"),
+      s"box bounds must reach the scan as pushed filters: $pushed")
+  }
+
+  test("hilbert tables compose with the 1-D zone maintenance ops: " +
+      "append + compact keep box reads exact") {
+    // the sidecar is d-keyed, so zoneAppend/zoneCompact work on a
+    // hilbert table unchanged — the 2-D layout rides the existing
+    // 1-D maintenance lifecycle
+    val bits = 5; val n = 1 << bits
+    val base = (0 until n).flatMap(x => (0 until n / 2).map(y =>
+      (x.toLong * 100 + y, x, y))).toDF("id", "gx", "gy")
+    val delta = (0 until n).flatMap(x => (n / 2 until n).map(y =>
+      (x.toLong * 100 + y, x, y))).toDF("id", "gx", "gy")
+    val dir = java.nio.file.Files
+      .createTempDirectory("hilb10m").toString + "/grid"
+    graft.ext.Layout.hilbertZoneWrite(base, "gx", "gy", bits, "h",
+      8, dir)
+    graft.ext.Layout.zoneAppend(
+      graft.ext.Layout.withHilbert(delta, "gx", "gy", bits, "h"),
+      "h", 4, dir)
+    graft.ext.Layout.zoneCompact(spark, dir, "h", rowsPerFile = 128L)
+    val (x0, x1, y0, y1) = (10L, 21L, 12L, 19L) // straddles the halves
+    val got = graft.ext.Layout.hilbertBoxRead(spark, dir, "gx", "gy",
+      bits, x0, x1, y0, y1).select("id").collect()
+      .map(_.getLong(0)).sorted
+    val want = base.unionByName(delta)
+      .filter(col("gx").between(x0, x1) && col("gy").between(y0, y1))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === want.toSeq && got.length === 12 * 8)
+  }
+
   // ---- Winnowing fingerprints (MOSS) ----
 
   test("winnowing guarantee: a shared substring of length w+g-1 " +
@@ -320,6 +369,39 @@ class Round10Spec extends SparkSpec {
     val b = graft.ext.Graph.hits(withZero, "src", "dst", "w", iters = 2)
       .orderBy("node").collect().toSeq
     assert(a === b)
+  }
+
+  // ---- fdDiscover: pairwise FD discovery with exact g3 ----
+
+  test("fdDiscover matches hand-computed g3 errors and flags the key") {
+    // k is a key; a -> b fails on a=1 (b in {x,y}, 3+1 rows -> g3=1);
+    // b -> a fails on b=x (a in {1,2}, 3+2 rows -> g3=2)
+    val df = Seq((10L, 1, "x"), (11L, 1, "x"), (12L, 1, "x"),
+      (13L, 1, "y"), (14L, 2, "x"), (15L, 2, "x"))
+      .toDF("k", "a", "b")
+    val out = graft.ext.Quality.fdDiscover(df, Seq("k", "a", "b"))
+      .orderBy("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+    assert(out.toSeq === Seq(
+      ("a", "b", 2L, 1L, 0), ("a", "k", 2L, 4L, 0),
+      ("b", "a", 2L, 2L, 0), ("b", "k", 2L, 4L, 0),
+      ("k", "a", 6L, 0L, 1), ("k", "b", 6L, 0L, 1)))
+  }
+
+  test("fdDiscover guards: null lhs groups count, wide column sets " +
+      "fail loudly") {
+    val withNull = Seq((Some(1), "x"), (None, "y"), (None, "y"))
+      .toDF("a", "b")
+    val r = graft.ext.Quality.fdDiscover(withNull, Seq("a", "b"))
+      .filter(col("lhs") === "a").collect().head
+    assert(r.getLong(2) === 2L && r.getLong(3) === 0L,
+      "null lhs must form a group; a -> b holds here")
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Quality.fdDiscover(withNull,
+        (1 to 13).map(i => s"c$i"))
+    }
+    assert(e.getMessage.contains("profile-scale"))
   }
 
   // ---- tCloseness: exact-rational EMD audit ----
