@@ -200,6 +200,68 @@ object Quality {
       .reduce(_ unionByName _)
   }
 
+  /** Benford's-law first-significant-digit audit (Newcomb 1881 /
+    * Benford 1938; Nigrini's fraud-detection staple): natural
+    * multi-magnitude quantities put digit d first with probability
+    * log10(1 + 1/d) — fabricated or truncated data doesn't. Per
+    * group: the observed count of each leading digit 1-9 and a
+    * scaled chi-square divergence against the Benford expectation.
+    *
+    * Exactness discipline: the input must be a non-negative INTEGER
+    * column (pre-scale money to cents — a double's engine-specific
+    * string rendering would break replay); the leading digit is the
+    * first character of the integer's decimal string, and the
+    * expectation enters as fixed ppm literals (301030, 176091, …),
+    * so the statistic is floor-division integer arithmetic end to
+    * end: chi2_scaled = Σ_d (obs_d·10⁶ − n·ppm_d)² div (n·ppm_d·10⁶).
+    * (One floor per digit term; identical on any engine. The ÷10⁶
+    * keeps the statistic in conventional chi-square units.)
+    *
+    * Shape: one projection (leading digit is a substring of the
+    * already-materialized value) + one (group, digit) count-agg +
+    * one 9-row-per-group pivot-free reduction — map-side combine
+    * throughout, output O(groups). Zeros contribute nothing (no
+    * leading digit); rows ≤ 0 are dropped with them.
+    */
+  def benfordAudit(df: DataFrame, groupCol: String, intValue: Column)
+      : DataFrame = {
+    // log10(1 + 1/d) in ppm, d = 1..9 (sums to 1e6 − 2 from floors)
+    val ppm = Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L,
+      57992L, 51153L, 45757L)
+    val digits = df
+      .select(col(groupCol).as("g"), intValue.cast("long").as("__v"))
+      .filter(col("__v") > 0)
+      .select(col("g"),
+        substring(col("__v").cast("string"), 1, 1).cast("int")
+          .as("digit"))
+    val counts = digits.groupBy("g", "digit")
+      .agg(count(lit(1)).as("obs"))
+    val totals = counts.groupBy("g").agg(sum("obs").as("n"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val expPpm = ppm.zipWithIndex.tail
+      .foldLeft(when(col("digit") === 1, lit(ppm.head))) {
+        case (acc, (p, i)) => acc.when(col("digit") === i + 1, lit(p))
+      }
+    // 9-digit spine per group: an EXPECTED digit that never occurs
+    // still contributes its n·p/10⁶ chi-square mass (obs = 0), which
+    // a counts-only sum would silently drop
+    val spine = totals.crossJoin(broadcast(
+      df.sparkSession.range(1, 10)
+        .select(col("id").cast("int").as("digit"))))
+      .join(counts, Seq("g", "digit"), "left")
+      .na.fill(0L, Seq("obs"))
+    spine
+      .withColumn("__p", expPpm)
+      .withColumn("__num",
+        d(col("obs")) * lit(1000000L) - d(col("n")) * col("__p"))
+      .groupBy(col("g").as(groupCol))
+      .agg(max(col("n")).as("n"),
+        sum(expr("(__num * __num) div (cast(n as decimal(38,0))" +
+          " * __p * 1000000)")).as("chi2_scaled"),
+        sum(when(col("obs") > 0, 1).otherwise(0)).cast("long")
+          .as("digits_seen"))
+  }
+
   /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE '07) — the
     * privacy metric l-diversity misses: an equivalence class can hold
     * `l` distinct sensitive values and still leak (skewness attack) if

@@ -1461,6 +1461,15 @@ object ExtQueries {
         .orderBy("c_nationkey", "acct_bucket")
     }),
 
+    // Benford first-digit audit per order priority on exact cents —
+    // integer chi-square divergence against the log10(1+1/d) ppm
+    // expectation.
+    "q197_benford" -> ((s, d) =>
+      graft.ext.Quality.benfordAudit(orders(s, d), "o_orderpriority",
+        expr("cast(round(o_totalprice * 100, 0) AS bigint)"))
+        .orderBy("o_orderpriority")),
+
+
     // Pairwise FD discovery (TANE level 1) on a 4-column customer
     // profile: every ordered column pair with its exact g3 error —
     // the key column holds against everything, nothing else does.
@@ -3836,6 +3845,36 @@ object ExtQueries {
         |FROM g
         |WHERE class_size < 4 OR n_sensitive < 3
         |ORDER BY c_nationkey, acct_bucket""".stripMargin,
+
+    // Digit spine replay with the same fixed ppm literals; hugeint
+    // through the squared term (obs·10⁶ squares past bigint at
+    // ~15k-row groups), one floor per digit term like the operator.
+    "q197_benford" ->
+      """WITH v AS (SELECT o_orderpriority AS g,
+        |    cast(round(o_totalprice * 100, 0) AS bigint) AS v
+        |  FROM orders),
+        |dg AS (SELECT g,
+        |    cast(substr(cast(v AS varchar), 1, 1) AS int) AS digit
+        |  FROM v WHERE v > 0),
+        |c AS (SELECT g, digit, cast(count(*) AS bigint) AS obs
+        |  FROM dg GROUP BY 1, 2),
+        |t AS (SELECT g, cast(sum(obs) AS bigint) AS n FROM c GROUP BY 1),
+        |p AS (SELECT * FROM (VALUES (1, 301030), (2, 176091),
+        |  (3, 124939), (4, 96910), (5, 79181), (6, 66947),
+        |  (7, 57992), (8, 51153), (9, 45757)) AS pp(digit, ppm)),
+        |sp AS (SELECT t.g, t.n, p.digit,
+        |    cast(p.ppm AS hugeint) AS ppm,
+        |    cast(coalesce(c.obs, 0) AS hugeint) AS obs
+        |  FROM t CROSS JOIN p
+        |  LEFT JOIN c ON c.g = t.g AND c.digit = p.digit)
+        |SELECT g AS o_orderpriority, max(n) AS n,
+        |  cast(sum(((obs * 1000000 - n * ppm)
+        |      * (obs * 1000000 - n * ppm))
+        |    // (n * ppm * 1000000)) AS bigint) AS chi2_scaled,
+        |  cast(sum(CASE WHEN obs > 0 THEN 1 ELSE 0 END) AS bigint)
+        |    AS digits_seen
+        |FROM sp GROUP BY g ORDER BY o_orderpriority""".stripMargin,
+
 
     // Per-pair g3 replay (max-per-lhs subtracted from group totals),
     // one UNION ALL branch per ordered pair — count(*) over lhs

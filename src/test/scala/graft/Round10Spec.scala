@@ -404,6 +404,47 @@ class Round10Spec extends SparkSpec {
     assert(e.getMessage.contains("profile-scale"))
   }
 
+  // ---- benfordAudit: exact first-digit divergence ----
+
+  test("benfordAudit matches a driver-side BigInt replay, keeps " +
+      "absent-digit mass, and drops non-positive values") {
+    val ppm = Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L,
+      57992L, 51153L, 45757L)
+    val rnd = new scala.util.Random(31)
+    // group A: 1000 values all leading-digit 9 (maximal skew);
+    // group B: spread; plus zero/negative rows that must be dropped
+    val rows =
+      (0 until 1000).map(_ => ("A", 900L + rnd.nextInt(100))) ++
+      (0 until 500).map(_ => ("B", (rnd.nextInt(8999) + 1000).toLong)) ++
+      Seq(("A", 0L), ("B", -5L))
+    val df = rows.toDF("g", "v")
+    val got = graft.ext.Quality.benfordAudit(df, "g", col("v"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // BigInt replay of the documented formula
+    def replay(vs: Seq[Long]): (Long, Long, Long) = {
+      val pos = vs.filter(_ > 0)
+      val obs = pos.groupBy(_.toString.head.asDigit)
+        .map { case (d, xs) => d -> xs.size.toLong }
+      val n = BigInt(pos.size)
+      val chi = (1 to 9).map { dd =>
+        val o = BigInt(obs.getOrElse(dd, 0L))
+        val p = BigInt(ppm(dd - 1))
+        val num = o * 1000000 - n * p
+        num * num / (n * p * 1000000)
+      }.sum
+      (n.toLong, chi.toLong, obs.size.toLong)
+    }
+    val expA = replay(rows.filter(_._1 == "A").map(_._2))
+    val expB = replay(rows.filter(_._1 == "B").map(_._2))
+    assert(got.toSeq === Seq(("A", expA._1, expA._2, expA._3),
+      ("B", expB._1, expB._2, expB._3)))
+    // the all-9s group must carry the absent digits' n·p mass
+    assert(expA._3 === 1L && expA._2 > 10000L,
+      s"maximal skew must score huge (got ${expA._2})")
+  }
+
   // ---- tCloseness: exact-rational EMD audit ----
 
   test("tCloseness ordered matches a hand-computed EMD") {
