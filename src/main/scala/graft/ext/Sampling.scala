@@ -832,4 +832,76 @@ object Sampling {
       .select(col("global_pos"), col(groupCol), col(idCol), col("epoch"),
         col("pos"))
   }
+
+  /** Deterministic uniform negative sampling for contrastive /
+    * retrieval training: for each anchor, `k` pseudo-random negatives
+    * drawn from `pool`, excluding the anchor itself and every
+    * (anchor, positive) pair in `positives`. The standard trick at
+    * corpus scale — hash the pool once into a pseudo-random RING
+    * (dense rank 0..P−1 ordered by md5(id)), give each anchor a
+    * hash-derived start offset, and take a contiguous slice of
+    * `k + oversample` ring slots — makes the candidate volume
+    * O(|anchors|·(k+oversample)) instead of the |anchors|×|pool|
+    * cross join a rejection sampler would need, while staying fully
+    * reproducible (no RNG: same negatives on any re-run, retry,
+    * engine, or partitioning — the property that makes training-data
+    * builds auditable). Ring adjacency is md5-order adjacency, so a
+    * slice is an unbiased uniform draw for any hash-independent
+    * positive relation.
+    *
+    * Slots that hit the anchor itself or a positive are discarded and
+    * later slots take their place (slice order = preference order, so
+    * survivors are stable under changing `oversample`); `rk` numbers
+    * the kept negatives 1..k in slice order. An anchor with fewer than
+    * `k` surviving candidates returns fewer rows — size `oversample`
+    * ≥ the plausible positives-per-slice (binomial tail; positives are
+    * hash-independent of ring order). Wrap-around duplicates (pool
+    * smaller than the slice) keep their earliest slot.
+    *
+    * Plan: pool distinct + ring rank via range-sort + zipWithIndex (the
+    * `surrogateIdsDistributed` discipline — no global window task),
+    * slot explode, one equi-join on ring rank, one left-anti equi-join
+    * on the positive pairs, and a per-anchor window over ≤ k+oversample
+    * rows. Two pool passes (count + rank), both map-side bounded.
+    */
+  def negativeSample(anchors: DataFrame, anchorCol: String,
+      pool: DataFrame, idCol: String,
+      positives: DataFrame, posAnchorCol: String, posCol: String,
+      k: Int, oversample: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && oversample >= 0,
+      s"negativeSample: need k > 0 and oversample >= 0 (got $k, " +
+        s"$oversample)")
+    val ids = pool.select(col(idCol)).distinct()
+    val p = ids.count()
+    require(p > 0, "negativeSample: empty pool")
+    val ring = zipIndexed(
+      ids.withColumn("__h", md5(col(idCol).cast("string"))),
+      Seq(col("__h"), col(idCol)), "__r")
+      .select(col(idCol).as("neg_id"), col("__r"))
+    // 60-bit start offset from md5(anchor|neg) — domain-separated from
+    // the ring hash so an anchor's own ring position doesn't bias its
+    // slice; 15 hex digits < 2^60 fit a long exactly on every engine
+    val start = pmod(
+      conv(substring(md5(concat(col(anchorCol).cast("string"),
+        lit("|neg"))), 1, 15), 16, 10).cast("long"), lit(p))
+    val cand = anchors.select(col(anchorCol)).distinct()
+      .withColumn("__s", start)
+      .select(col(anchorCol), col("__s"),
+        explode(sequence(lit(0), lit(k + oversample - 1))).as("__slot"))
+      .withColumn("__r", pmod(col("__s") + col("__slot"), lit(p)))
+      .join(ring, "__r")
+      .filter(!(col("neg_id") <=> col(anchorCol)))
+    val kept = cand.join(
+        positives.select(col(posAnchorCol).as("__pa"),
+          col(posCol).as("__pc")),
+        col(anchorCol) === col("__pa") && col("neg_id") === col("__pc"),
+        "left_anti")
+      .groupBy(col(anchorCol), col("neg_id"))
+      .agg(min(col("__slot")).as("__slot"))
+    val w = Window.partitionBy(col(anchorCol)).orderBy(col("__slot"))
+    kept.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(anchorCol), col("rk"), col("neg_id"))
+  }
 }

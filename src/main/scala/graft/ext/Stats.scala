@@ -820,4 +820,279 @@ object Stats {
       .withColumn("f16", score6(lit(2L) * col("tp"),
         lit(2L) * col("tp") + col("fp") + col("fn")))
   }
+
+  /** Cohen's kappa (Cohen 1960) — chance-corrected agreement between
+    * two label columns (two annotators, or a classifier vs truth).
+    * Accuracy alone flatters any rater on a skewed label distribution;
+    * kappa subtracts the agreement the marginals would produce by
+    * chance: κ = (p_o − p_e)/(1 − p_e). The whole statistic is exact
+    * integer/decimal arithmetic over counts:
+    *   p_o = agree/n,  p_e = Σ_c nA_c·nB_c / n²,
+    *   κ_num = agree·n − Σ_c nA_c·nB_c,  κ_den = n² − Σ_c nA_c·nB_c
+    * reported as ppm floors (κ as sign·(|num|·10⁶ div den) — explicit
+    * sign split so the truncation direction is engine-independent for
+    * negative kappa). Nulls are ordinary labels (null-safe equality
+    * for agreement, groupBy for marginals). Perfect-chance degenerate
+    * input (κ_den = 0, e.g. both raters constant) yields null.
+    *
+    * Plan: one (a, b) count-agg — at most |classes|² rows — then
+    * literal-sized rollups and a 1-row × 1-row join. Broadcast-scale
+    * after the first agg at any corpus size.
+    */
+  def agreementKappa(df: DataFrame, aCol: Column, bCol: Column)
+      : DataFrame = {
+    val conf = df.select(aCol.as("__a"), bCol.as("__b"))
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__n"))
+    val byA = conf.groupBy(col("__a").as("cls"))
+      .agg(sum(col("__n")).as("__na"))
+    val byB = conf.groupBy(col("__b").as("cls"))
+      .agg(sum(col("__n")).as("__nb"))
+    val chance = byA.join(byB, Seq("cls"), "full_outer")
+      .na.fill(0L, Seq("__na", "__nb"))
+      .agg(coalesce(
+        sum(col("__na").cast("decimal(38,0)") * col("__nb")),
+        lit(0).cast("decimal(38,0)")).as("__S"))
+    conf
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("n"),
+        coalesce(sum(when(col("__a") <=> col("__b"), col("__n"))
+          .otherwise(lit(0L))), lit(0L)).as("agree"))
+      .crossJoin(chance) // two 1-row aggregates
+      .withColumn("__num", expr("cast(agree AS decimal(38,0)) * n - __S"))
+      .withColumn("__den", expr("cast(n AS decimal(38,0)) * n - __S"))
+      .select(col("n"), col("agree"),
+        when(col("n") > 0,
+          expr("(cast(agree AS decimal(38,0)) * 1000000) div n")
+            .cast("long")).as("po_ppm"),
+        when(col("n") > 0,
+          expr("(__S * 1000000) div (cast(n AS decimal(38,0)) * n)")
+            .cast("long")).as("pe_ppm"),
+        when(col("__den") > 0,
+          (when(col("__num") < 0, lit(-1L)).otherwise(lit(1L)) *
+            expr("(abs(__num) * 1000000) div __den").cast("long")))
+          .as("kappa_ppm"))
+  }
+
+  /** Prefix sums over a per-group ordered support table — the shared
+    * kernel behind [[rocAucByGroup]] and [[spearmanByGroup]]: for each
+    * support row (g, v, counts…) the sum of each count over rows of
+    * the same group with STRICTLY smaller v. A per-group distinct-value
+    * support grows with the data for continuous columns, so a plain
+    * `Window.partitionBy(g).orderBy(v)` would put one group's whole
+    * support in one task — the same 100×-scale killer the two-phase
+    * drift rewrites removed. Same cure, generalized to grouped form:
+    * bucket v by split points collected once as plan literals (exact
+    * for ANY monotone bucketing — they only steer balance), run the
+    * cumulative window PARTITIONED by (g, bucket), and add per-(g,
+    * bucket) offsets computed DISTRIBUTIVELY: a window over the
+    * (g, bucket) totals table partitioned by g and ordered by bucket —
+    * at most `TwoPhase.buckets` (≤ 64) rows per group at any scale, so
+    * no driver collect and no single fat task anywhere. Below the
+    * measured `maxSingleTask` support count the one-window-per-group
+    * form runs instead (its input is ≤ maxSingleTask rows total by
+    * construction — the same measured branch dictBuild/numericDrift
+    * use, floor cost one count job).
+    *
+    * Contract: (g, v) pairs are distinct in `support` (it is the
+    * output of a groupBy over exactly those columns at every call
+    * site), so strict-below equals the ROWS-frame prefix.
+    */
+  private[graft] def groupedCumBelow(support: DataFrame,
+      gCols: Seq[String], vCol: String, cntCols: Seq[String],
+      maxSingleTask: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = support.count()
+    def below(c: String) = s"__below_$c"
+    if (n <= maxSingleTask) {
+      val w = Window.partitionBy(gCols.map(col): _*).orderBy(col(vCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cntCols.foldLeft(support)((df, c) =>
+        df.withColumn(below(c), coalesce(sum(col(c)).over(w), lit(0L))))
+    } else {
+      val sp = TwoPhase.splits(support, vCol, TwoPhase.buckets(support),
+        knownCount = n)
+      val bucketed = support
+        .withColumn("__b", TwoPhase.bucketCol(col(vCol), sp))
+      val gb = (gCols :+ "__b").map(col)
+      val perGB = bucketed.groupBy(gb: _*)
+        .agg(sum(col(cntCols.head)).as(s"__s_${cntCols.head}"),
+          cntCols.tail.map(c => sum(col(c)).as(s"__s_$c")): _*)
+      val wOff = Window.partitionBy(gCols.map(col): _*)
+        .orderBy(col("__b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = cntCols.foldLeft(perGB)((df, c) =>
+          df.withColumn(s"__off_$c",
+            coalesce(sum(col(s"__s_$c")).over(wOff), lit(0L))))
+        .select(gb ++ cntCols.map(c => col(s"__off_$c")): _*)
+      val wIn = Window.partitionBy(gb: _*).orderBy(col(vCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cntCols.foldLeft(bucketed.join(offs, gCols :+ "__b"))((df, c) =>
+          df.withColumn(below(c),
+            coalesce(sum(col(c)).over(wIn), lit(0L)) +
+              col(s"__off_$c")))
+        .drop("__b")
+        .drop(cntCols.map(c => s"__off_$c"): _*)
+    }
+  }
+
+  /** Per-group ROC-AUC, exact (Mann-Whitney with the standard tie
+    * correction): the probability a uniformly drawn positive outscores
+    * a uniformly drawn negative, ties counting ½ — the
+    * threshold-free quality-classifier audit (does the scorer actually
+    * rank keep-worthy documents above junk?) that accuracy-at-a-cutoff
+    * (q155/classifierEval) can't give. Per (group, distinct score s):
+    * pos_s positives and neg_s negatives; then
+    *   2·U = Σ_s pos_s · (2·negBelow(s) + neg_s),
+    *   auc_ppm = ⌊10⁶ · 2U / (2·n_pos·n_neg)⌋
+    * — integer end to end (products in decimal(38,0)), so any engine
+    * reproduces it bit-for-bit. Scores must be integer-valued
+    * (pre-scale to cents/ppm, the repo-wide discipline); null scores
+    * are dropped (unscored rows), null labels count as negative.
+    * Groups with no positives or no negatives yield null.
+    *
+    * Plan: one (g, s) count-agg over the corpus (map-side combine),
+    * then [[groupedCumBelow]] on the distinct-score support — two-phase
+    * partitioned windows above the measured single-task bound, never a
+    * group-sized single task — and one final group agg. The support is
+    * persisted MEMORY_ONLY across its multiple actions (guard count /
+    * splits / reduction), same rationale as numericDrift.
+    */
+  def rocAucByGroup(df: DataFrame, groupCol: String, score: Column,
+      label: Column,
+      maxSingleTask: Long = TwoPhase.defaultMaxSingleTask): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val support = df
+      .select(col(groupCol), score.cast("long").as("__s"),
+        when(label, lit(1L)).otherwise(lit(0L)).as("__p"))
+      .filter(col("__s").isNotNull)
+      .groupBy(col(groupCol), col("__s"))
+      .agg(sum(col("__p")).as("__pos"),
+        (count(lit(1)) - sum(col("__p"))).as("__neg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    groupedCumBelow(support, Seq(groupCol), "__s", Seq("__neg"),
+        maxSingleTask)
+      .groupBy(col(groupCol))
+      .agg(sum(col("__pos")).as("n_pos"), sum(col("__neg")).as("n_neg"),
+        sum(d(col("__pos")) *
+          (d(col("__below___neg")) * 2 + d(col("__neg")))).as("__num2"))
+      .select(col(groupCol), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("(__num2 * 1000000) div " +
+            "(cast(n_pos AS decimal(38,0)) * n_neg * 2)").cast("long"))
+          .as("auc_ppm"))
+  }
+
+  /** Per-group Spearman rank correlation with average-rank ties —
+    * Pearson on the rank transform, the standard monotone-association
+    * audit (do two quality signals RANK documents the same way, even
+    * when their scales disagree?). Ranks are exact integers in doubled
+    * units (2·avgRank = 2·countBelow + ties + 1, always integral), built
+    * from the per-group distinct-value supports via [[groupedCumBelow]]
+    * and joined back to rows by (group, value) — two equi-joins, no
+    * group-sized window task. The correlation itself is
+    * [[pearsonByGroup]] on those exact rank integers: decimal(38,0)
+    * sums, one final fixed double formula truncated to 6 dp (`rho6`) —
+    * the scale-factor 2 cancels. Values must be integer-valued; rows
+    * with a null on either side are dropped (rank positions must
+    * agree across both columns). Zero rank variance (a constant
+    * column) yields null.
+    */
+  def spearmanByGroup(df: DataFrame, groupCol: String, x: Column,
+      y: Column,
+      maxSingleTask: Long = TwoPhase.defaultMaxSingleTask): DataFrame = {
+    val rows = df.select(col(groupCol), x.cast("long").as("__x"),
+        y.cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    def ranks2(vc: String, out: String): DataFrame = {
+      val sup = rows.groupBy(col(groupCol), col(vc).as("__v"))
+        .agg(count(lit(1)).as("__t"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      groupedCumBelow(sup, Seq(groupCol), "__v", Seq("__t"),
+          maxSingleTask)
+        .select(col(groupCol), col("__v").as(vc),
+          (col("__below___t") * 2 + col("__t") + 1).as(out))
+    }
+    val ranked = rows
+      .join(ranks2("__x", "__rx2"), Seq(groupCol, "__x"))
+      .join(ranks2("__y", "__ry2"), Seq(groupCol, "__y"))
+    pearsonByGroup(ranked, groupCol, col("__rx2"), col("__ry2"))
+      .withColumnRenamed("r6", "rho6")
+  }
+
+  /** Position-discount weights for [[rankingEval]]: ⌊2²⁰ / log₂(i+1)⌋
+    * for i = 1..k. log₂ is irrational, but the positions are a FIXED
+    * finite set, so the discounts enter the plan (and the graded
+    * oracle, which is generated from this same function) as integer
+    * literals — the Benford-ppm recipe: transcendental constants are
+    * fine as long as they are constants, not per-row math.
+    */
+  def ndcgWeights(k: Int): Seq[Long] =
+    (1 to k).map(i =>
+      ((1L << 20).toDouble / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** Ranking evaluation — NDCG@k and MRR@k per query group: does the
+    * scorer put the relevant items FIRST, position-discounted? The
+    * retrieval-quality audit next to q182's set-overlap ANN recall
+    * (recall is order-blind; NDCG is the metric that actually grades
+    * a ranked surface). Per group, items rank by (score desc, `tie`
+    * asc — the caller supplies the total tie-break, so the ranking is
+    * deterministic on any engine);
+    *   DCG  = Σ_{i≤k} rel(item at i) · w(i),
+    *   IDCG = the same sum over the top-k relevances in desc order,
+    *   ndcg_ppm = ⌊10⁶·DCG/IDCG⌋,  rr_ppm = ⌊10⁶/firstRelPos⌋
+    * with w(i) the fixed integer literals of [[ndcgWeights]] — every
+    * number integer arithmetic end to end. Scores and gains must be
+    * integer-valued; null score = unranked (dropped), null gain = 0,
+    * gains must be non-negative. A group with zero relevant items in
+    * its ideal top-k yields null ndcg (and null rr if none in the
+    * actual top-k).
+    *
+    * Plan: BOTH rankings (actual and ideal) go through
+    * [[Sampling.groupedRowNumber]] — range-partitioned global sort +
+    * zipWithIndex, never a single-task-per-group window — then a
+    * broadcast join against the k-row weight table and one group agg.
+    * A billion-item query group costs two distributed sorts, not one
+    * sequential task.
+    */
+  def rankingEval(df: DataFrame, groupCol: String, score: Column,
+      tie: Column, rel: Column, k: Int): DataFrame = {
+    require(k >= 1 && k <= 10000,
+      s"rankingEval: k must be in [1, 10000] (got $k — the weight " +
+        "table is a broadcast literal list)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wDf = broadcast(ndcgWeights(k).zipWithIndex
+      .map { case (wt, i) => (i + 1L, wt) }.toDF("__pos", "__w"))
+    val base = df.select(col(groupCol), score.cast("long").as("__sc"),
+        tie.as("__tie"),
+        coalesce(rel.cast("long"), lit(0L)).as("__rel"))
+      .filter(col("__sc").isNotNull)
+    def topSum(ordered: DataFrame, out: String, withFirst: Boolean)
+        : DataFrame = {
+      val agg1 = sum(col("__rel").cast("decimal(38,0)") * col("__w"))
+        .cast("long").as(out)
+      val aggs = if (withFirst)
+        Seq(min(when(col("__rel") > 0, col("__pos"))).as("first_rel_pos"))
+      else Nil
+      ordered.filter(col("__pos") <= k)
+        .join(wDf, "__pos")
+        .groupBy(col(groupCol))
+        .agg(agg1, aggs: _*)
+    }
+    val actual = topSum(Sampling.groupedRowNumber(base, groupCol,
+      Seq(col("__sc").desc, col("__tie").asc), "__pos"),
+      "dcg_scaled", withFirst = true)
+    val ideal = topSum(Sampling.groupedRowNumber(base, groupCol,
+      Seq(col("__rel").desc, col("__tie").asc), "__pos"),
+      "idcg_scaled", withFirst = false)
+    val n = base.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    n.join(actual, Seq(groupCol)).join(ideal, Seq(groupCol))
+      .select(col(groupCol), col("n"), col("dcg_scaled"),
+        col("idcg_scaled"),
+        when(col("idcg_scaled") > 0,
+          expr("(cast(dcg_scaled AS decimal(38,0)) * 1000000)" +
+            " div idcg_scaled").cast("long")).as("ndcg_ppm"),
+        col("first_rel_pos"),
+        when(col("first_rel_pos").isNotNull,
+          expr("1000000 div first_rel_pos").cast("long")).as("rr_ppm"))
+  }
 }

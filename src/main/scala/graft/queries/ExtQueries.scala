@@ -1469,6 +1469,67 @@ object ExtQueries {
         expr("cast(round(o_totalprice * 100, 0) AS bigint)"))
         .orderBy("o_orderpriority")),
 
+    // Cohen's kappa of the langID guesser vs the true label —
+    // chance-corrected agreement next to q155's per-class P/R/F1
+    // (accuracy flatters any skewed-marginal classifier; kappa
+    // doesn't). Exact integer counts end to end.
+    "q198_kappa" -> ((s, d) =>
+      graft.ext.Stats.agreementKappa(
+        TextStats.withLangId(documents(s, d), "doc_id", "text"),
+        col("lang_guess"), col("lang"))),
+
+    // Exact per-group ROC-AUC (Mann-Whitney, tie-corrected): does
+    // price rank finished orders above the rest, per priority? The
+    // threshold-free scorer audit — integer 2U numerator over the
+    // distinct-score support, grouped two-phase cumsum above the
+    // measured single-task bound.
+    "q199_roc_auc" -> ((s, d) =>
+      graft.ext.Stats.rocAucByGroup(orders(s, d), "o_orderpriority",
+        expr("cast(round(o_totalprice * 100, 0) AS bigint)"),
+        col("o_orderstatus") === "F")
+        .orderBy("o_orderpriority")),
+
+    // Per-language Spearman rank correlation between character length
+    // and token count — the monotone-association twin of q105's
+    // Pearson, on exact average-rank integers (doubled units).
+    "q200_spearman" -> ((s, d) =>
+      graft.ext.Stats.spearmanByGroup(
+        documents(s, d)
+          .withColumn("__tok", TextStats.tokenCount(col("text"))),
+        "lang", col("n_chars"), col("__tok"))
+        .orderBy("lang")),
+
+    // Deterministic uniform negative sampling: for ~1% of documents
+    // as anchors, 5 ring-slice negatives each from the whole corpus,
+    // excluding same-language documents as positives — the
+    // contrastive-training pair builder, O(anchors·slice) not
+    // anchors×pool.
+    "q201_neg_sample" -> ((s, d) => {
+      val docs = documents(s, d)
+      val anch = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("anchor"), col("lang"))
+      val positives = anch
+        .join(docs.select(col("lang"), col("doc_id").as("pos_id")),
+          "lang")
+        .select("anchor", "pos_id")
+      graft.ext.Sampling.negativeSample(
+        anch.select("anchor"), "anchor", docs, "doc_id",
+        positives, "anchor", "pos_id", k = 5, oversample = 25)
+        .orderBy("anchor", "rk")
+    }),
+
+    // NDCG@10 + MRR per priority: does price rank finished (rel 2) and
+    // partial (rel 1) orders first? Fixed integer log2 discounts,
+    // distributed per-group ranking — the ranked-surface audit q182's
+    // order-blind recall can't give.
+    "q202_ranking_eval" -> ((s, d) =>
+      graft.ext.Stats.rankingEval(orders(s, d), "o_orderpriority",
+        expr("cast(round(o_totalprice * 100, 0) AS bigint)"),
+        col("o_orderkey"),
+        expr("CASE o_orderstatus WHEN 'F' THEN 2 WHEN 'P' THEN 1" +
+          " ELSE 0 END"),
+        k = 10)
+        .orderBy("o_orderpriority")),
 
     // Pairwise FD discovery (TANE level 1) on a 4-column customer
     // profile: every ordered column pair with its exact g3 error —
@@ -3875,6 +3936,204 @@ object ExtQueries {
         |    AS digits_seen
         |FROM sp GROUP BY g ORDER BY o_orderpriority""".stripMargin,
 
+    // Kappa replay: q155's langID guess CTE, then the exact count
+    // formula in hugeint. Sign split keeps the truncation direction
+    // engine-independent for negative kappa; all other operands are
+    // non-negative, so `//` floor = Spark's truncating div.
+    "q198_kappa" -> {
+      val de = markerSql(TextStats.stopwords("de"))
+      val en = markerSql(TextStats.stopwords("en"))
+      val es = markerSql(TextStats.stopwords("es"))
+      val fr = markerSql(TextStats.stopwords("fr"))
+      s"""WITH scored AS (
+         |  SELECT lang,
+         |    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
+         |    length(text) AS len,
+         |    $de AS s_de, $en AS s_en, $es AS s_es, $fr AS s_fr
+         |  FROM documents),
+         |guessed AS (
+         |  SELECT lang, CASE
+         |    WHEN cjk * 2 > len THEN 'zh'
+         |    WHEN s_de = greatest(s_de, s_en, s_es, s_fr)
+         |      AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'de'
+         |    WHEN s_en = greatest(s_de, s_en, s_es, s_fr)
+         |      AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'en'
+         |    WHEN s_es = greatest(s_de, s_en, s_es, s_fr)
+         |      AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'es'
+         |    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr)
+         |      AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'fr'
+         |    ELSE 'und' END AS guess
+         |  FROM scored),
+         |conf AS (SELECT guess AS a, lang AS b,
+         |    cast(count(*) AS bigint) AS n
+         |  FROM guessed GROUP BY 1, 2),
+         |ma AS (SELECT a AS cls, sum(n) AS na FROM conf GROUP BY 1),
+         |mb AS (SELECT b AS cls, sum(n) AS nb FROM conf GROUP BY 1),
+         |sS AS (SELECT cast(coalesce(sum(
+         |      cast(coalesce(na, 0) AS hugeint) * coalesce(nb, 0)), 0)
+         |    AS hugeint) AS s
+         |  FROM ma FULL JOIN mb ON ma.cls = mb.cls),
+         |t AS (SELECT cast(coalesce(sum(n), 0) AS bigint) AS n,
+         |    cast(coalesce(sum(CASE WHEN a IS NOT DISTINCT FROM b
+         |      THEN n ELSE 0 END), 0) AS bigint) AS agree
+         |  FROM conf)
+         |SELECT n, agree,
+         |  cast(CASE WHEN n > 0 THEN
+         |    (cast(agree AS hugeint) * 1000000) // n END AS bigint)
+         |    AS po_ppm,
+         |  cast(CASE WHEN n > 0 THEN
+         |    (s * 1000000) // (cast(n AS hugeint) * n) END AS bigint)
+         |    AS pe_ppm,
+         |  cast(CASE WHEN (cast(n AS hugeint) * n - s) > 0 THEN
+         |    (CASE WHEN (cast(agree AS hugeint) * n - s) < 0
+         |      THEN -1 ELSE 1 END) *
+         |    ((abs(cast(agree AS hugeint) * n - s) * 1000000)
+         |      // (cast(n AS hugeint) * n - s)) END AS bigint)
+         |    AS kappa_ppm
+         |FROM t, sS""".stripMargin
+    },
+
+    // AUC replay: per-(group, score) counts, strict-below negatives
+    // via a 1-PRECEDING cumulative window, then the same integer 2U
+    // formula in hugeint.
+    "q199_roc_auc" ->
+      """WITH v AS (SELECT o_orderpriority AS g,
+        |    cast(round(o_totalprice * 100, 0) AS bigint) AS s,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS p
+        |  FROM orders),
+        |c AS (SELECT g, s, cast(sum(p) AS bigint) AS pos,
+        |    cast(count(*) - sum(p) AS bigint) AS neg
+        |  FROM v GROUP BY 1, 2),
+        |w AS (SELECT g, pos, neg,
+        |    cast(coalesce(sum(neg) OVER (PARTITION BY g ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS hugeint) AS below
+        |  FROM c),
+        |a AS (SELECT g, cast(sum(pos) AS bigint) AS n_pos,
+        |    cast(sum(neg) AS bigint) AS n_neg,
+        |    sum(cast(pos AS hugeint) * (below * 2 + neg)) AS num2
+        |  FROM w GROUP BY g)
+        |SELECT g AS o_orderpriority, n_pos, n_neg,
+        |  cast(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    (num2 * 1000000) // (cast(n_pos AS hugeint) * n_neg * 2)
+        |    END AS bigint) AS auc_ppm
+        |FROM a ORDER BY o_orderpriority""".stripMargin,
+
+    // Spearman replay: doubled average ranks from rank() + a per-value
+    // tie count (2·avg = 2·rank_min + ties − 1), then q105's exact-sum
+    // Pearson formula with hugeint sums and the same one-double-
+    // division 6-dp floor.
+    "q200_spearman" ->
+      """WITH t AS (SELECT lang, cast(n_chars AS bigint) AS x,
+        |    cast(len(string_split_regex(trim(text), '\s+')) AS bigint)
+        |      AS y
+        |  FROM documents),
+        |r AS (SELECT lang,
+        |    2 * rank() OVER (PARTITION BY lang ORDER BY x)
+        |      + count(*) OVER (PARTITION BY lang, x) - 1 AS rx2,
+        |    2 * rank() OVER (PARTITION BY lang ORDER BY y)
+        |      + count(*) OVER (PARTITION BY lang, y) - 1 AS ry2
+        |  FROM t),
+        |a AS (SELECT lang, cast(count(*) AS bigint) AS n,
+        |    sum(cast(rx2 AS hugeint)) AS sx,
+        |    sum(cast(ry2 AS hugeint)) AS sy,
+        |    sum(cast(rx2 AS hugeint) * ry2) AS sxy,
+        |    sum(cast(rx2 AS hugeint) * rx2) AS sxx,
+        |    sum(cast(ry2 AS hugeint) * ry2) AS syy
+        |  FROM r GROUP BY lang)
+        |SELECT lang, n,
+        |  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+        |    THEN floor(cast(n * sxy - sx * sy AS double) /
+        |      (sqrt(cast(n * sxx - sx * sx AS double)) *
+        |       sqrt(cast(n * syy - sy * sy AS double))) * 1000000)
+        |      / 1000000 END AS rho6
+        |FROM a ORDER BY lang""".stripMargin,
+
+    // Ring replay: md5-ordered dense rank over the pool, 15-hex-digit
+    // start offsets (digit-parsed, bigint-safe: < 2^60), slot unnest,
+    // self/positive exclusion, earliest-slot dedup, per-anchor
+    // row_number — step for step the operator's contract.
+    "q201_neg_sample" -> {
+      val h15 = (0 until 15).map(i =>
+        "(strpos('0123456789abcdef', substr(md5(cast(anchor AS varchar)" +
+          s" || '|neg'), ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
+        .mkString("(", " + ", ")")
+      s"""WITH ids AS (SELECT DISTINCT doc_id FROM documents),
+         |ring AS (SELECT doc_id AS neg_id,
+         |    row_number() OVER (ORDER BY md5(cast(doc_id AS varchar)),
+         |      doc_id) - 1 AS r
+         |  FROM ids),
+         |np AS (SELECT cast(count(*) AS bigint) AS p FROM ids),
+         |anch AS (SELECT doc_id AS anchor, lang FROM documents
+         |  WHERE doc_id % 97 = 0),
+         |st AS (SELECT anchor, $h15 % p AS s0 FROM anch, np),
+         |sl AS (SELECT anchor, s0, unnest(range(0, 30)) AS slot
+         |  FROM st),
+         |cand AS (SELECT anchor, slot, (s0 + slot) % p AS r
+         |  FROM sl, np),
+         |j AS (SELECT c.anchor, c.slot, ring.neg_id
+         |  FROM cand c JOIN ring USING (r)
+         |  WHERE ring.neg_id <> c.anchor),
+         |pos AS (SELECT a.anchor, d.doc_id AS pos_id
+         |  FROM anch a JOIN documents d ON d.lang = a.lang),
+         |ap AS (SELECT j.anchor, j.slot, j.neg_id FROM j
+         |  LEFT JOIN pos ON pos.anchor = j.anchor
+         |    AND pos.pos_id = j.neg_id
+         |  WHERE pos.anchor IS NULL),
+         |ded AS (SELECT anchor, neg_id, min(slot) AS slot
+         |  FROM ap GROUP BY 1, 2)
+         |SELECT anchor, rk, neg_id FROM (
+         |  SELECT anchor, neg_id, cast(row_number() OVER (
+         |    PARTITION BY anchor ORDER BY slot) AS int) AS rk
+         |  FROM ded)
+         |WHERE rk <= 5 ORDER BY anchor, rk""".stripMargin
+    },
+
+    // NDCG replay: both rankings as row_number windows with the same
+    // (score desc, orderkey) / (rel desc, orderkey) total tie-breaks,
+    // and the discount weights as the SAME integer literals the plan
+    // uses (generated from Stats.ndcgWeights — transcendental
+    // constants are exact once they're literals).
+    "q202_ranking_eval" -> {
+      val wVals = graft.ext.Stats.ndcgWeights(10).zipWithIndex
+        .map { case (wt, i) => s"(${i + 1}, $wt)" }.mkString(", ")
+      s"""WITH b AS (SELECT o_orderpriority AS g,
+         |    cast(round(o_totalprice * 100, 0) AS bigint) AS s,
+         |    o_orderkey AS tie,
+         |    CASE o_orderstatus WHEN 'F' THEN 2 WHEN 'P' THEN 1
+         |      ELSE 0 END AS rel
+         |  FROM orders),
+         |w AS (SELECT * FROM (VALUES $wVals) AS t(pos, wt)),
+         |act AS (SELECT g, rel,
+         |    row_number() OVER (PARTITION BY g ORDER BY s DESC, tie)
+         |      AS pos
+         |  FROM b),
+         |idl AS (SELECT g, rel,
+         |    row_number() OVER (PARTITION BY g ORDER BY rel DESC, tie)
+         |      AS pos
+         |  FROM b),
+         |a AS (SELECT g,
+         |    cast(sum(cast(rel AS hugeint) * wt) AS bigint) AS dcg,
+         |    min(CASE WHEN rel > 0 THEN act.pos END) AS frp
+         |  FROM act JOIN w ON act.pos = w.pos WHERE act.pos <= 10
+         |  GROUP BY g),
+         |i AS (SELECT g,
+         |    cast(sum(cast(rel AS hugeint) * wt) AS bigint) AS idcg
+         |  FROM idl JOIN w ON idl.pos = w.pos WHERE idl.pos <= 10
+         |  GROUP BY g),
+         |nn AS (SELECT g, cast(count(*) AS bigint) AS n
+         |  FROM b GROUP BY g)
+         |SELECT nn.g AS o_orderpriority, n, dcg AS dcg_scaled,
+         |  idcg AS idcg_scaled,
+         |  cast(CASE WHEN idcg > 0 THEN
+         |    (cast(dcg AS hugeint) * 1000000) // idcg END AS bigint)
+         |    AS ndcg_ppm,
+         |  cast(frp AS bigint) AS first_rel_pos,
+         |  cast(CASE WHEN frp IS NOT NULL THEN 1000000 // frp END
+         |    AS bigint) AS rr_ppm
+         |FROM nn JOIN a ON nn.g = a.g JOIN i ON nn.g = i.g
+         |ORDER BY o_orderpriority""".stripMargin
+    },
 
     // Per-pair g3 replay (max-per-lhs subtracted from group totals),
     // one UNION ALL branch per ordered pair — count(*) over lhs

@@ -525,4 +525,211 @@ class Round10Spec extends SparkSpec {
       maxGroups = 2L).select("jaccard_ppm").collect().head.getLong(0)
     assert(j === 1000000L)
   }
+
+  // ---- agreementKappa: chance-corrected agreement ----
+
+  test("agreementKappa matches the closed form on a hand-built " +
+      "table, sign-splits negative kappa, and nulls the degenerate " +
+      "denominator") {
+    // 2×2: agree on 20 yes + 15 no, disagree 10 + 5. n=50, agree=35,
+    // p_o=0.70; marginals A: 30/20, B: 25/25 → S=30·25+20·25=1250,
+    // p_e=0.50, κ=(1750−1250)/(2500−1250)=0.4
+    val rows =
+      Seq.fill(20)(("y", "y")) ++ Seq.fill(15)(("n", "n")) ++
+      Seq.fill(10)(("y", "n")) ++ Seq.fill(5)(("n", "y"))
+    val got = graft.ext.Stats.agreementKappa(rows.toDF("a", "b"),
+      col("a"), col("b")).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3), got.getLong(4)) ===
+      ((50L, 35L, 700000L, 500000L, 400000L)))
+    // systematic disagreement: n=2, agree=0, S=2 → κ = −2/2 = −1;
+    // the sign split must carry it through exactly
+    val neg = graft.ext.Stats.agreementKappa(
+      Seq(("y", "n"), ("n", "y")).toDF("a", "b"), col("a"), col("b"))
+      .collect().head
+    assert(neg.getLong(4) === -1000000L)
+    // both raters constant: κ_den = 0 → null kappa, p_o = p_e = 1
+    val degen = graft.ext.Stats.agreementKappa(
+      Seq(("y", "y"), ("y", "y")).toDF("a", "b"), col("a"), col("b"))
+      .collect().head
+    assert(degen.getLong(2) === 1000000L &&
+      degen.getLong(3) === 1000000L && degen.isNullAt(4))
+  }
+
+  // ---- rocAucByGroup: exact tie-corrected AUC ----
+
+  test("rocAucByGroup matches a BigInt pair-count replay with heavy " +
+      "ties, nulls one-class groups, and the two-phase path agrees " +
+      "bit-for-bit") {
+    val rnd = new scala.util.Random(77)
+    val rows = (0 until 800).map { _ =>
+      ("g" + rnd.nextInt(3), rnd.nextInt(40).toLong, rnd.nextInt(3) == 0)
+    } ++ (0 until 10).map(_ => ("onlyneg", rnd.nextInt(40).toLong, false))
+    val df = rows.toDF("g", "s", "lab")
+    // direct pairwise definition: P(pos > neg) + ½·P(tie), in ppm
+    def replay(xs: Seq[(Long, Boolean)]): Option[Long] = {
+      val pos = xs.filter(_._2).map(_._1)
+      val neg = xs.filter(!_._2).map(_._1)
+      if (pos.isEmpty || neg.isEmpty) None
+      else {
+        val num2 = (for (p <- pos; n <- neg) yield
+          if (p > n) BigInt(2) else if (p == n) BigInt(1)
+          else BigInt(0)).sum
+        Some(((num2 * 1000000) /
+          (BigInt(2) * pos.size * neg.size)).toLong)
+      }
+    }
+    val exp = rows.groupBy(_._1).map { case (g, xs) =>
+      g -> ((xs.count(_._3).toLong, xs.count(!_._3).toLong,
+        replay(xs.map(t => (t._2, t._3)))))
+    }
+    for (maxSingle <- Seq(Long.MaxValue, 0L)) { // one-window / two-phase
+      val got = graft.ext.Stats.rocAucByGroup(df, "g", col("s"),
+          col("lab"), maxSingleTask = maxSingle)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+        .toMap
+      assert(got === exp, s"maxSingleTask=$maxSingle")
+    }
+    // null scores drop; a null label counts as negative
+    val nd = Seq(("g", Option(5L), Option(true)),
+      ("g", Option.empty[Long], Option(true)),
+      ("g", Option(3L), Option.empty[Boolean])).toDF("g", "s", "lab")
+    val one = graft.ext.Stats.rocAucByGroup(nd, "g", col("s"),
+      col("lab")).collect().head
+    assert((one.getLong(1), one.getLong(2), one.getLong(3)) ===
+      ((1L, 1L, 1000000L)))
+  }
+
+  // ---- spearmanByGroup: rank correlation with average-rank ties ----
+
+  test("spearmanByGroup is ±1 on monotone data, matches a driver " +
+      "replay under ties, and the two-phase path agrees") {
+    val mono = (1 to 50).map(i => ("up", i.toLong, 2L * i)) ++
+      (1 to 50).map(i => ("down", i.toLong, 1000L - 3L * i))
+    val gotMono = graft.ext.Stats.spearmanByGroup(mono.toDF("g", "x", "y"),
+        "g", col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // perfect ascent floors to 0.999999, not 1.0: sqrt(a)·sqrt(b) is
+    // one ulp above the exact integer num, so num/den < 1 before the
+    // 6-dp floor — deterministic IEEE on every engine (the q105
+    // discipline); the descending group floors DOWN to exactly −1.0
+    assert(gotMono === Map("up" -> 0.999999, "down" -> -1.0))
+    // heavy ties: small value domains
+    val rnd = new scala.util.Random(31)
+    val tied = (0 until 600).map { _ =>
+      val x = rnd.nextInt(8).toLong
+      ("g" + rnd.nextInt(2), x, x / 2 + rnd.nextInt(5).toLong)
+    }
+    def r2s(vs: Seq[Long]): Map[Long, Long] = {
+      val t = vs.groupBy(identity).map { case (v, g) => v -> g.size.toLong }
+      t.map { case (v, tv) =>
+        v -> (2L * vs.count(_ < v) + tv + 1L)
+      }
+    }
+    def replay(xs: Seq[(Long, Long)]): Double = {
+      val (rx, ry) = (r2s(xs.map(_._1)), r2s(xs.map(_._2)))
+      val n = BigInt(xs.size)
+      val px = xs.map(p => BigInt(rx(p._1)))
+      val py = xs.map(p => BigInt(ry(p._2)))
+      val (sx, sy) = (px.sum, py.sum)
+      val sxy = px.zip(py).map { case (a, b) => a * b }.sum
+      val sxx = px.map(a => a * a).sum
+      val syy = py.map(a => a * a).sum
+      val num = (n * sxy - sx * sy).toDouble
+      val den = math.sqrt((n * sxx - sx * sx).toDouble) *
+        math.sqrt((n * syy - sy * sy).toDouble)
+      math.floor(num / den * 1e6) / 1e6
+    }
+    val exp = tied.groupBy(_._1).map { case (g, xs) =>
+      g -> replay(xs.map(t => (t._2, t._3)))
+    }
+    for (maxSingle <- Seq(Long.MaxValue, 0L)) {
+      val got = graft.ext.Stats.spearmanByGroup(tied.toDF("g", "x", "y"),
+          "g", col("x"), col("y"), maxSingleTask = maxSingle)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      assert(got === exp, s"maxSingleTask=$maxSingle")
+    }
+  }
+
+  // ---- negativeSample: deterministic ring-slice negatives ----
+
+  test("negativeSample is deterministic, excludes self and positives, " +
+      "numbers survivors 1..k in slice order, and is prefix-stable " +
+      "under oversample growth") {
+    val pool = (1L to 40L).toDF("id")
+    val anchors = Seq(1L, 7L, 13L).toDF("a")
+    val positives = Seq((1L, 2L), (1L, 3L), (7L, 10L)).toDF("pa", "pc")
+    def run(m: Int) = graft.ext.Sampling.negativeSample(anchors, "a",
+        pool, "id", positives, "pa", "pc", k = 4, oversample = m)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val r1 = run(6)
+    assert(r1 === run(6), "same inputs must reproduce exactly")
+    assert(r1 === run(20), "larger oversample must keep the prefix")
+    val posSet = Set((1L, 2L), (1L, 3L), (7L, 10L))
+    assert(r1.forall { case (a, _, n) => a != n && !posSet((a, n)) })
+    r1.groupBy(_._1).foreach { case (a, rs) =>
+      assert(rs.map(_._2).sorted === (1 to rs.size), s"anchor $a")
+      assert(rs.size === 4, s"anchor $a should fill k")
+    }
+    // ring wrap: slice longer than the pool → deduped, distinct
+    val tiny = graft.ext.Sampling.negativeSample(
+        Seq(9L).toDF("a"), "a", (1L to 5L).toDF("id"), "id",
+        Seq.empty[(Long, Long)].toDF("pa", "pc"), "pa", "pc",
+        k = 3, oversample = 10)
+      .collect().map(r => r.getLong(2)).toSeq
+    assert(tiny.size === 3 && tiny.distinct.size === 3)
+    // fewer survivors than k: pool {1,2}, anchor 1 → only one negative
+    val scarce = graft.ext.Sampling.negativeSample(
+        Seq(1L).toDF("a"), "a", (1L to 2L).toDF("id"), "id",
+        Seq.empty[(Long, Long)].toDF("pa", "pc"), "pa", "pc",
+        k = 3, oversample = 5)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(scarce === Seq((1, 2L)))
+  }
+
+  // ---- rankingEval: NDCG@k + MRR on fixed integer discounts ----
+
+  test("rankingEval matches a hand-built example, nulls zero-IDCG " +
+      "groups, cuts MRR at k, and handles null score/gain per contract") {
+    val w = graft.ext.Stats.ndcgWeights(3)
+    assert(w.head === (1L << 20)) // log2(2) = 1: no discount at pos 1
+    assert(w === w.sorted.reverse && w.distinct === w)
+    val rows = Seq(
+      // g: relevant items at actual pos 2 (rel 2) and 4 (rel 1, > k)
+      ("g", 10L, 1L, 0L), ("g", 9L, 2L, 2L), ("g", 8L, 3L, 0L),
+      ("g", 7L, 4L, 1L),
+      // z: nothing relevant at all → null ndcg
+      ("z", 5L, 1L, 0L), ("z", 4L, 2L, 0L),
+      // m: only relevant item ranks below k → dcg 0, rr null
+      ("m", 9L, 1L, 0L), ("m", 8L, 2L, 0L), ("m", 7L, 3L, 0L),
+      ("m", 6L, 4L, 3L))
+    val got = graft.ext.Stats.rankingEval(rows.toDF("g", "s", "t", "r"),
+        "g", col("s"), col("t"), col("r"), k = 3)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6))))).toMap
+    val gDcg = 2 * w(1)
+    val gIdcg = 2 * w(0) + w(1)
+    assert(got("g") === ((4L, gDcg, gIdcg,
+      Some((BigInt(gDcg) * 1000000 / gIdcg).toLong), Some(2L),
+      Some(500000L))))
+    assert(got("z") === ((2L, 0L, 0L, None, None, None)))
+    assert(got("m") === ((4L, 0L, 3 * w(0), Some(0L), None, None)))
+    // null score = unranked (dropped from n and both rankings);
+    // null gain = 0
+    val nd = Seq(("h", Option(5L), 1L, Option(2L)),
+      ("h", Option.empty[Long], 2L, Option(9L)),
+      ("h", Option(4L), 3L, Option.empty[Long])).toDF("g", "s", "t", "r")
+    val h = graft.ext.Stats.rankingEval(nd, "g", col("s"), col("t"),
+      col("r"), k = 3).collect().head
+    assert((h.getLong(1), h.getLong(2), h.getLong(3), h.getLong(4),
+      h.getLong(5), h.getLong(6)) ===
+      ((2L, 2 * w(0), 2 * w(0), 1000000L, 1L, 1000000L)))
+  }
 }
