@@ -1531,6 +1531,46 @@ object ExtQueries {
         k = 10)
         .orderBy("o_orderpriority")),
 
+    // Calibration audit (reliability diagram + ECE/MCE): a price-
+    // derived pseudo-confidence vs order-finished — the third
+    // classifier-eval axis next to q155's point metrics and q199's
+    // threshold-free AUC. Exact integer bins end to end.
+    "q203_calibration" -> ((s, d) =>
+      graft.ext.Stats.calibrationAudit(orders(s, d),
+        expr("least(1000000L, cast(round(o_totalprice * 100, 0)" +
+          " AS bigint) div 55)"),
+        col("o_orderstatus") === "F", bins = 10)
+        .orderBy("bin")),
+
+    // Fleiss' kappa across THREE heuristic quality raters (length /
+    // token-count / density terciles) over documents — do independent
+    // cheap signals agree on which documents are big/small beyond the
+    // marginals' chance agreement? Multi-rater form q198's two-column
+    // Cohen contract can't express.
+    "q204_fleiss" -> ((s, d) => {
+      val base = documents(s, d).select(col("doc_id"),
+        col("n_chars").cast("long").as("len"),
+        TextStats.tokenCount(col("text")).cast("long").as("tok"))
+      def tier(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+        when(c < lo, "low").when(c < hi, "mid").otherwise(lit("high"))
+      val raters =
+        base.select(col("doc_id"), lit("len").as("rater"),
+          tier(col("len"), 220, 380).as("cat"))
+        .union(base.select(col("doc_id"), lit("tok").as("rater"),
+          tier(col("tok"), 40, 70).as("cat")))
+        .union(base.select(col("doc_id"), lit("dens").as("rater"),
+          tier(expr("len div tok"), 5, 6).as("cat")))
+      graft.ext.Stats.fleissKappa(raters, "doc_id", "rater", "cat")
+    }),
+
+    // Gini concentration of order revenue per priority — the
+    // corpus-concentration audit (how unequal is spend within each
+    // priority class?). Exact rank-sum closed form, ppm floor.
+    "q205_gini" -> ((s, d) =>
+      graft.ext.Stats.giniConcentration(orders(s, d), "o_orderpriority",
+        expr("cast(round(o_totalprice * 100, 0) AS bigint)"))
+        .orderBy("o_orderpriority")),
+
     // Pairwise FD discovery (TANE level 1) on a 4-column customer
     // profile: every ordered column pair with its exact g3 error —
     // the key column holds against everything, nothing else does.
@@ -4134,6 +4174,86 @@ object ExtQueries {
          |FROM nn JOIN a ON nn.g = a.g JOIN i ON nn.g = i.g
          |ORDER BY o_orderpriority""".stripMargin
     },
+
+    // Calibration replay: same pseudo-confidence, equal-width bins,
+    // per-bin integer deviations |10^6*pos - sumconf|, ONE floor at
+    // the end for ECE (sum of floors != floor of sum), per-bin floor
+    // max for MCE.
+    "q203_calibration" ->
+      """WITH v AS (SELECT
+        |    least(1000000, cast(round(o_totalprice * 100, 0) AS bigint)
+        |      // 55) AS c,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS p
+        |  FROM orders),
+        |b AS (SELECT least(9, (c * 10) // 1000000) AS bin,
+        |    cast(count(*) AS bigint) AS n, cast(sum(p) AS bigint) AS pos,
+        |    sum(cast(c AS hugeint)) AS sumc
+        |  FROM v GROUP BY 1),
+        |d AS (SELECT *, abs(cast(pos AS hugeint) * 1000000 - sumc)
+        |    AS dev FROM b),
+        |t AS (SELECT sum(n) AS nn, sum(dev) AS devsum,
+        |    max(dev // n) AS mce FROM d)
+        |SELECT bin, n, pos,
+        |  cast(sumc // n AS bigint) AS avg_conf_ppm,
+        |  cast((pos * 1000000) // n AS bigint) AS acc_ppm,
+        |  cast((pos * 1000000) // n - sumc // n AS bigint) AS gap_ppm,
+        |  cast(devsum // nn AS bigint) AS ece_ppm,
+        |  cast(mce AS bigint) AS mce_ppm
+        |FROM d, t ORDER BY bin""".stripMargin,
+
+    // Fleiss replay: the same three threshold raters in SQL, then the
+    // closed form A=S2-Nn, B=Nn(n-1), C=sum T_c^2, D=(Nn)^2 in hugeint
+    // with the kappa sign split.
+    "q204_fleiss" ->
+      """WITH base AS (SELECT doc_id, cast(n_chars AS bigint) AS len,
+        |    cast(len(string_split_regex(trim(text), '\s+')) AS bigint)
+        |      AS tok
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, 'len' AS rater, CASE WHEN len < 220 THEN 'low'
+        |    WHEN len < 380 THEN 'mid' ELSE 'high' END AS cat FROM base
+        |  UNION ALL
+        |  SELECT doc_id, 'tok', CASE WHEN tok < 40 THEN 'low'
+        |    WHEN tok < 70 THEN 'mid' ELSE 'high' END FROM base
+        |  UNION ALL
+        |  SELECT doc_id, 'dens', CASE WHEN len // tok < 5 THEN 'low'
+        |    WHEN len // tok < 6 THEN 'mid' ELSE 'high' END FROM base),
+        |nic AS (SELECT doc_id, cat, cast(count(*) AS bigint) AS n
+        |  FROM r GROUP BY 1, 2),
+        |s AS (SELECT cast(count(DISTINCT doc_id) AS hugeint) AS ni,
+        |    sum(cast(n AS hugeint) * n) AS s2 FROM nic),
+        |t AS (SELECT sum(cast(tt AS hugeint) * tt) AS c FROM
+        |  (SELECT sum(n) AS tt FROM nic GROUP BY cat)),
+        |f AS (SELECT ni, s2 - ni * 3 AS a, ni * 3 * 2 AS b, c,
+        |    (ni * 3) * (ni * 3) AS d FROM s, t)
+        |SELECT cast(ni AS bigint) AS n_items,
+        |  cast(3 AS bigint) AS n_raters,
+        |  cast((a * 1000000) // b AS bigint) AS pbar_ppm,
+        |  cast((c * 1000000) // d AS bigint) AS pe_ppm,
+        |  cast(CASE WHEN b * (d - c) > 0 THEN
+        |    (CASE WHEN a * d - b * c < 0 THEN -1 ELSE 1 END) *
+        |    ((abs(a * d - b * c) * 1000000) // (b * (d - c)))
+        |    END AS bigint) AS kappa_ppm
+        |FROM f""".stripMargin,
+
+    // Gini replay: ascending row_number per group (tie order is
+    // provably irrelevant — equal values swap without changing the
+    // rank-weighted sum), hugeint rank-sum closed form, ppm floor.
+    "q205_gini" ->
+      """WITH v AS (SELECT o_orderpriority AS g,
+        |    cast(round(o_totalprice * 100, 0) AS bigint) AS x
+        |  FROM orders),
+        |r AS (SELECT g, x, row_number() OVER
+        |    (PARTITION BY g ORDER BY x) AS i FROM v),
+        |a AS (SELECT g, cast(count(*) AS bigint) AS n,
+        |    cast(sum(x) AS bigint) AS total,
+        |    sum(cast(i AS hugeint) * x) AS ix
+        |  FROM r GROUP BY g)
+        |SELECT g AS o_orderpriority, n, total,
+        |  cast(CASE WHEN total > 0 THEN
+        |    ((2 * ix - (cast(n AS hugeint) + 1) * total) * 1000000)
+        |      // (cast(n AS hugeint) * total) END AS bigint) AS gini_ppm
+        |FROM a ORDER BY o_orderpriority""".stripMargin,
 
     // Per-pair g3 replay (max-per-lhs subtracted from group totals),
     // one UNION ALL branch per ordered pair — count(*) over lhs

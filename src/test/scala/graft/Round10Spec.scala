@@ -732,4 +732,140 @@ class Round10Spec extends SparkSpec {
       h.getLong(5), h.getLong(6)) ===
       ((2L, 2 * w(0), 2 * w(0), 1000000L, 1L, 1000000L)))
   }
+
+  // ---- calibrationAudit: reliability bins + ECE/MCE ----
+
+  test("calibrationAudit is zero-ECE on perfectly calibrated bins, " +
+      "matches hand-computed deviations otherwise, drops null conf, " +
+      "and raises on out-of-range confidence") {
+    // bin 0 (conf 250k): 4 rows, 1 pos -> acc = avgconf, dev 0;
+    // bin 1 (conf 750k): 4 rows, 3 pos -> dev 0
+    val calib = (Seq.fill(4)(250000L).map((_, false)).updated(0,
+        (250000L, true)) ++
+      Seq.fill(4)(750000L).map((_, true)).updated(0, (750000L, false)))
+      .toDF("c", "lab")
+    val z = graft.ext.Stats.calibrationAudit(calib, col("c"),
+        col("lab"), bins = 2)
+      .orderBy("bin").collect()
+    assert(z.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSeq ===
+      Seq((0L, 4L, 1L, 250000L, 250000L, 0L),
+        (1L, 4L, 3L, 750000L, 750000L, 0L)))
+    assert(z.forall(r => r.getLong(6) === 0L && r.getLong(7) === 0L))
+    // overconfident bin: conf 900k x2, 0 pos -> dev = 1800000;
+    // underconfident: conf 100k x2, 2 pos -> dev = 2000000 - 200000
+    val mis = Seq((900000L, false), (900000L, false),
+      (100000L, true), (100000L, true)).toDF("c", "lab")
+    val m = graft.ext.Stats.calibrationAudit(mis, col("c"),
+        col("lab"), bins = 2)
+      .orderBy("bin").collect()
+    // ece = (1800000 + 1800000) / 4 = 900000; mce = 1800000/2 = 900000
+    assert(m.map(r => (r.getLong(0), r.getLong(5), r.getLong(6),
+      r.getLong(7))).toSeq ===
+      Seq((0L, 900000L, 900000L, 900000L),
+        (1L, -900000L, 900000L, 900000L)))
+    // conf exactly 10^6 lands in the TOP bin; null conf drops;
+    // null label counts negative
+    val edge = Seq((Option(1000000L), Option(true)),
+      (Option.empty[Long], Option(true)),
+      (Option(0L), Option.empty[Boolean])).toDF("c", "lab")
+    val e = graft.ext.Stats.calibrationAudit(edge, col("c"),
+        col("lab"), bins = 4).orderBy("bin").collect()
+    assert(e.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq((0L, 1L, 0L), (3L, 1L, 1L)))
+    val boom = intercept[Exception] {
+      Seq((1000001L, true)).toDF("c", "lab")
+        .transform(d => graft.ext.Stats.calibrationAudit(d, col("c"),
+          col("lab"))).collect()
+    }
+    assert(boom.getMessage != null)
+  }
+
+  // ---- fleissKappa: multi-rater chance-corrected agreement ----
+
+  test("fleissKappa matches a BigInt replay of the closed form, is " +
+      "exactly 1 under perfect agreement, nulls the one-category " +
+      "degenerate, and rejects ragged rater counts") {
+    // randomized vs replay (N=60 items, n=4 raters, 3 cats)
+    val rnd = new scala.util.Random(13)
+    val rows = for (i <- 0 until 60; r <- 0 until 4)
+      yield (i.toLong, s"r$r", "c" + rnd.nextInt(3))
+    def replay(xs: Seq[(Long, String, String)]): (Long, Long, Long) = {
+      val nic = xs.groupBy(t => (t._1, t._3)).map(_._2.size)
+      val nI = BigInt(xs.map(_._1).distinct.size)
+      val n = BigInt(4)
+      val s2 = nic.map(c => BigInt(c) * c).sum
+      val tc = xs.groupBy(_._3).map(kv => BigInt(kv._2.size))
+      val (a, b) = (s2 - nI * n, nI * n * (n - 1))
+      val (c, d) = (tc.map(t => t * t).sum, (nI * n) * (nI * n))
+      def ppm(num: BigInt, den: BigInt) =
+        ((num.abs * 1000000 / den) * num.signum).toLong
+      (ppm(a, b), ppm(c, d), ppm(a * d - b * c, b * (d - c)))
+    }
+    val got = graft.ext.Stats.fleissKappa(rows.toDF("i", "r", "c"),
+      "i", "r", "c").collect().head
+    assert((got.getLong(0), got.getLong(1)) === ((60L, 4L)))
+    assert((got.getLong(2), got.getLong(3), got.getLong(4)) ===
+      replay(rows))
+    // perfect agreement across >= 2 categories: kappa exactly 1
+    val perfect = for (i <- 0 until 10; r <- 0 until 3)
+      yield (i.toLong, s"r$r", if (i % 2 == 0) "a" else "b")
+    val p = graft.ext.Stats.fleissKappa(perfect.toDF("i", "r", "c"),
+      "i", "r", "c").collect().head
+    assert(p.getLong(4) === 1000000L)
+    // every rating identical: pe = 1 -> null kappa
+    val const = for (i <- 0 until 5; r <- 0 until 2)
+      yield (i.toLong, s"r$r", "only")
+    val cRow = graft.ext.Stats.fleissKappa(const.toDF("i", "r", "c"),
+      "i", "r", "c").collect().head
+    assert(cRow.getLong(2) === 1000000L && cRow.getLong(3) === 1000000L
+      && cRow.isNullAt(4))
+    // ragged rater counts fail loudly; empty input is a null row
+    val ragged = Seq((1L, "r0", "a"), (1L, "r1", "a"), (2L, "r0", "a"))
+    val err = intercept[IllegalArgumentException] {
+      graft.ext.Stats.fleissKappa(ragged.toDF("i", "r", "c"),
+        "i", "r", "c")
+    }
+    assert(err.getMessage.contains("same rater count"))
+    val empty = graft.ext.Stats.fleissKappa(
+      Seq.empty[(Long, String, String)].toDF("i", "r", "c"),
+      "i", "r", "c").collect().head
+    assert(empty.getLong(0) === 0L && empty.isNullAt(4))
+  }
+
+  // ---- giniConcentration: exact rank-sum closed form ----
+
+  test("giniConcentration is 0 on equal values, (n-1)/n on a single " +
+      "holder, matches a BigInt replay with ties, and raises on " +
+      "negatives") {
+    val df = (Seq.fill(8)(("eq", 25L)) ++
+      (("one", 100L) +: Seq.fill(9)(("one", 0L))) ++
+      (0 until 500).map(i => ("rnd", (i * i * 7919L) % 97))).toDF("g", "x")
+    val got = graft.ext.Stats.giniConcentration(df, "g", col("x"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(got("eq") === ((8L, 200L, Some(0L))))
+    // single holder of everything: G = (n-1)/n = 0.9
+    assert(got("one") === ((10L, 100L, Some(900000L))))
+    def replay(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      val n = BigInt(s.size)
+      val ix = s.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+      val tot = s.map(BigInt(_)).sum
+      ((BigInt(2) * ix - (n + 1) * tot) * 1000000 / (n * tot)).toLong
+    }
+    assert(got("rnd")._3 === Some(replay(
+      (0 until 500).map(i => (i * i * 7919L) % 97))))
+    // all-zero total -> null; negative value raises
+    val z = graft.ext.Stats.giniConcentration(
+      Seq(("z", 0L), ("z", 0L)).toDF("g", "x"), "g", col("x"))
+      .collect().head
+    assert(z.isNullAt(3))
+    val boom = intercept[Exception] {
+      graft.ext.Stats.giniConcentration(
+        Seq(("n", -1L)).toDF("g", "x"), "g", col("x")).collect()
+    }
+    assert(boom.getMessage != null)
+  }
 }
