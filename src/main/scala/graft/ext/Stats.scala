@@ -1218,6 +1218,49 @@ object Stats {
       .toDF("n_items", "n_raters", "pbar_ppm", "pe_ppm", "kappa_ppm")
   }
 
+  /** EXACT per-group quantiles at corpus scale — the third point on
+    * the repo's quantile spectrum: q61's builtin `percentile` is exact
+    * but sorts every group's full value multiset through one task;
+    * [[Sketches.sampleQuantiles]] is one-pass but sampled. This is
+    * exact AND scale-safe: it reduces the corpus to the per-group
+    * DISTINCT-VALUE support with counts (one map-side-combined agg),
+    * runs [[groupedCumBelow]] over the support (two-phase partitioned
+    * windows above the measured single-task bound), and reads each
+    * quantile as the unique support row whose cumulative range covers
+    * the rank — a billion-row group costs its support size, never a
+    * group-sized sort task. Quantiles are ppm integers; the rank is
+    * the lower empirical quantile r = (q·(n−1)) div 10⁶ + 1 (q=0 →
+    * min, q=10⁶ → max), engine-exact by construction. Values must be
+    * integer-valued; nulls drop. One output row per (group, q_ppm).
+    */
+  def exactQuantilesByGroup(df: DataFrame, groupCol: String, x: Column,
+      qPpm: Seq[Long],
+      maxSingleTask: Long = TwoPhase.defaultMaxSingleTask): DataFrame = {
+    require(qPpm.nonEmpty && qPpm.size <= 1000,
+      s"exactQuantilesByGroup: 1..1000 quantiles (got ${qPpm.size} — " +
+        "the list becomes a plan-literal explode)")
+    require(qPpm.forall(q => q >= 0 && q <= 1000000L),
+      s"exactQuantilesByGroup: q_ppm must be in [0, 1000000]")
+    val support = df.select(col(groupCol), x.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col(groupCol), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val totals = support.groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n"))
+    groupedCumBelow(support, Seq(groupCol), "__v", Seq("__c"),
+        maxSingleTask)
+      .join(totals, groupCol)
+      .withColumn("q_ppm", explode(array(qPpm.map(lit): _*)))
+      // decimal product: q·(n−1) overflows long only past n ~ 9·10¹²
+      .withColumn("__r", expr(
+        "(cast(q_ppm AS decimal(38,0)) * (n - 1)) div 1000000 + 1"))
+      .filter(col("__below___c") < col("__r") &&
+        col("__r") <= col("__below___c") + col("__c"))
+      .select(col(groupCol), col("q_ppm"), col("n"),
+        col("__v").as("value"))
+  }
+
   /** Per-group Gini concentration of a non-negative integer value
     * column — the corpus-concentration audit (is 90% of the training
     * data from 1% of the domains?). Exact closed form over ascending

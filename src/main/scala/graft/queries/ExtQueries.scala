@@ -1571,6 +1571,36 @@ object ExtQueries {
         expr("cast(round(o_totalprice * 100, 0) AS bigint)"))
         .orderBy("o_orderpriority")),
 
+    // EXACT per-group quantiles at corpus scale (p1/p25/p50/p75/p99
+    // of order value per priority): support counts + grouped
+    // two-phase cumsum — exact where q61's full-group sort and q97's
+    // sampling each trade something away.
+    "q206_exact_quantiles" -> ((s, d) =>
+      graft.ext.Stats.exactQuantilesByGroup(orders(s, d),
+        "o_orderpriority",
+        expr("cast(round(o_totalprice * 100, 0) AS bigint)"),
+        Seq(10000L, 250000L, 500000L, 750000L, 990000L))
+        .orderBy("o_orderpriority", "q_ppm")),
+
+    // Market-basket association rules (A-priori level 2): which part
+    // brands co-occur in an order beyond chance — directed pairs with
+    // exact supports, confidence and lift ppm.
+    "q207_assoc_rules" -> ((s, d) =>
+      graft.ext.Mining.assocRules(
+        lineitem(s, d).join(part(s, d),
+          col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("basket"),
+            col("p_brand").as("item")),
+        "basket", "item", minSupport = 10, maxBasketSize = 100)
+        .orderBy("antecedent", "consequent")),
+
+    // First-order Markov transition matrix over user event streams —
+    // the sequence-mining companion to q41's funnel: where do users
+    // actually GO after each event type, with exact ppm probabilities.
+    "q208_transitions" -> ((s, d) =>
+      EventsOps.transitions(events(s, d))
+        .orderBy("prev_type", "next_type")),
+
     // Pairwise FD discovery (TANE level 1) on a 4-column customer
     // profile: every ordered column pair with its exact g3 error —
     // the key column holds against everything, nothing else does.
@@ -4254,6 +4284,76 @@ object ExtQueries {
         |    ((2 * ix - (cast(n AS hugeint) + 1) * total) * 1000000)
         |      // (cast(n AS hugeint) * total) END AS bigint) AS gini_ppm
         |FROM a ORDER BY o_orderpriority""".stripMargin,
+
+    // Exact-quantile replay: per-(group, value) support counts, a
+    // strict-below cumulative window, and the same lower-empirical
+    // rank r = (q*(n-1))//10^6 + 1 picked from the covering support
+    // row.
+    "q206_exact_quantiles" ->
+      """WITH v AS (SELECT o_orderpriority AS g,
+        |    cast(round(o_totalprice * 100, 0) AS bigint) AS x
+        |  FROM orders),
+        |sup AS (SELECT g, x, cast(count(*) AS bigint) AS c
+        |  FROM v GROUP BY 1, 2),
+        |cw AS (SELECT g, x, c, cast(coalesce(sum(c) OVER (
+        |      PARTITION BY g ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS hugeint) AS below
+        |  FROM sup),
+        |n AS (SELECT g, cast(sum(c) AS bigint) AS n FROM sup GROUP BY g),
+        |q AS (SELECT unnest([10000, 250000, 500000, 750000, 990000])
+        |    AS qv)
+        |SELECT cw.g AS o_orderpriority, cast(qv AS bigint) AS q_ppm,
+        |  n.n AS n, cw.x AS value
+        |FROM cw JOIN n ON cw.g = n.g CROSS JOIN q
+        |WHERE below < (cast(qv AS hugeint) * (n.n - 1)) // 1000000 + 1
+        |  AND (cast(qv AS hugeint) * (n.n - 1)) // 1000000 + 1
+        |    <= below + c
+        |ORDER BY o_orderpriority, q_ppm""".stripMargin,
+
+    // Association-rule replay: distinct (basket, item), basket-key
+    // self-join with item inequality, HAVING the support floor, then
+    // the conf/lift hugeint floors.
+    "q207_assoc_rules" ->
+      """WITH txn AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i
+        |    FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |nb AS (SELECT cast(count(DISTINCT b) AS bigint) AS n FROM txn),
+        |pr AS (SELECT l.i AS antecedent, r.i AS consequent,
+        |    cast(count(*) AS bigint) AS sup_pair
+        |  FROM txn l JOIN txn r ON l.b = r.b AND l.i <> r.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 10),
+        |sup AS (SELECT i, cast(count(*) AS bigint) AS n
+        |  FROM txn GROUP BY i)
+        |SELECT antecedent, consequent, nb.n AS n_baskets,
+        |  sa.n AS sup_ant, sc.n AS sup_cons, sup_pair,
+        |  cast((cast(sup_pair AS hugeint) * 1000000) // sa.n AS bigint)
+        |    AS conf_ppm,
+        |  cast((cast(sup_pair AS hugeint) * nb.n * 1000000) //
+        |    (cast(sa.n AS hugeint) * sc.n) AS bigint) AS lift_ppm
+        |FROM pr CROSS JOIN nb
+        |JOIN sup sa ON pr.antecedent = sa.i
+        |JOIN sup sc ON pr.consequent = sc.i
+        |ORDER BY antecedent, consequent""".stripMargin,
+
+    // Transition replay: lag over the same (ts, event_id) total order
+    // per user, pair counts, per-prev rollup, ppm floor.
+    "q208_transitions" ->
+      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts)
+        |  FROM events),
+        |p AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type,
+        |    event_type AS next_type
+        |  FROM e),
+        |c AS (SELECT prev_type, next_type,
+        |    cast(count(*) AS bigint) AS n_pair
+        |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, cast(sum(n_pair) AS bigint) AS n_prev
+        |  FROM c GROUP BY 1)
+        |SELECT c.prev_type, next_type, n_pair, n_prev,
+        |  cast((cast(n_pair AS hugeint) * 1000000) // n_prev AS bigint)
+        |    AS prob_ppm
+        |FROM c JOIN t ON c.prev_type = t.prev_type
+        |ORDER BY c.prev_type, next_type""".stripMargin,
 
     // Per-pair g3 replay (max-per-lhs subtracted from group totals),
     // one UNION ALL branch per ordered pair — count(*) over lhs

@@ -205,6 +205,39 @@ object EventsOps {
       .agg(countDistinct("user_id").as("users"))
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * streams: counts of consecutive (prev → next) event-type pairs in
+    * (ts, event_id) order — the tie column makes the ordering total,
+    * so the matrix replays engine-exactly — with per-prev transition
+    * probabilities as ppm floors (prob_ppm = ⌊10⁶·n_pair/n_prev⌋; the
+    * row's probabilities sum to ≤ 10⁶ with the deficit < |next| ulps,
+    * a floor-arithmetic invariant specs can assert). The sequence-
+    * mining companion to [[funnel]]: the funnel answers "how many
+    * reach step k", the matrix answers "where do they go instead".
+    * First events (no predecessor) contribute no pair. One
+    * user-partition window (lag 1) — the standard per-user pass every
+    * sessionization already pays — then one (prev, next) count-agg
+    * (at most |event types|² rows) and a literal-sized rollup join.
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .withColumn("__prev", lag(col("event_type"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("prev_type"),
+        col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_pair"))
+    val byPrev = pairs.groupBy(col("prev_type"))
+      .agg(sum(col("n_pair")).as("n_prev"))
+    pairs.join(byPrev, "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n_pair"),
+        col("n_prev"),
+        expr("cast((cast(n_pair AS decimal(38,0)) * 1000000)" +
+          " div n_prev AS long)").as("prob_ppm"))
+  }
+
   def bucketDedup(events: DataFrame, bucket: String): DataFrame =
     events
       .groupBy(window(col("ts"), bucket).as("w"), col("user_id"),

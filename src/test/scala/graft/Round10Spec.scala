@@ -868,4 +868,109 @@ class Round10Spec extends SparkSpec {
     }
     assert(boom.getMessage != null)
   }
+
+  // ---- exactQuantilesByGroup: exact at-scale order statistics ----
+
+  test("exactQuantilesByGroup matches a driver sort replay with heavy " +
+      "ties, pins min/median/max ranks, and the two-phase path agrees " +
+      "bit-for-bit") {
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 900).map(_ =>
+      ("g" + rnd.nextInt(3), rnd.nextInt(25).toLong)) ++
+      Seq(("tiny", 7L)) // 1-element group: every q reads the element
+    val qs = Seq(0L, 250000L, 500000L, 750000L, 1000000L)
+    def replay(xs: Seq[Long]): Seq[(Long, Long)] = {
+      val s = xs.sorted
+      qs.map(q => q -> s(((q * (s.size - 1)) / 1000000L).toInt))
+    }
+    val exp = rows.groupBy(_._1).flatMap { case (g, xs) =>
+      replay(xs.map(_._2)).map { case (q, v) => (g, q) -> v }
+    }
+    for (maxSingle <- Seq(Long.MaxValue, 0L)) {
+      val got = graft.ext.Stats.exactQuantilesByGroup(
+          rows.toDF("g", "x"), "g", col("x"), qs,
+          maxSingleTask = maxSingle)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+      assert(got === exp, s"maxSingleTask=$maxSingle")
+      assert(got(("tiny", 0L)) === 7L && got(("tiny", 1000000L)) === 7L)
+    }
+    // exactly one row per (group, q) — the covering-range read is
+    // unique even when one support row covers several quantiles
+    val n = graft.ext.Stats.exactQuantilesByGroup(
+      Seq(("g", 5L), ("g", 5L), ("g", 5L)).toDF("g", "x"),
+      "g", col("x"), qs).collect()
+    assert(n.length === qs.size && n.forall(_.getLong(3) === 5L))
+    intercept[IllegalArgumentException] {
+      graft.ext.Stats.exactQuantilesByGroup(
+        Seq(("g", 1L)).toDF("g", "x"), "g", col("x"), Seq(1000001L))
+    }
+  }
+
+  // ---- Mining.assocRules: A-priori level 2 ----
+
+  test("assocRules matches hand-computed support/confidence/lift, " +
+      "collapses duplicate basket rows, and rejects oversized baskets") {
+    // baskets: {a,b} x3, {a,c} x1, {b,c} x1, {a} x1 -> N=6
+    // sup a=5, b=4, c=2, ab=3, ac=1, bc=1
+    val rows = Seq(
+      (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"), (3L, "b"),
+      (4L, "a"), (4L, "c"), (5L, "b"), (5L, "c"), (6L, "a"),
+      (1L, "a")) // duplicate row must not inflate supports
+    val got = graft.ext.Mining.assocRules(rows.toDF("b", "i"), "b", "i",
+        minSupport = 1)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))).toMap
+    assert(got.size === 6) // all directed pairs present at minSupport=1
+    // a->b: conf 3/5, lift 3*6/(5*4) = 0.9
+    assert(got(("a", "b")) === ((6L, 5L, 4L, 3L, 600000L, 900000L)))
+    // b->a: conf 3/4, same lift
+    assert(got(("b", "a")) === ((6L, 4L, 5L, 3L, 750000L, 900000L)))
+    // b->c: conf 1/4, lift 6/(4*2) = 0.75
+    assert(got(("b", "c")) === ((6L, 4L, 2L, 1L, 250000L, 750000L)))
+    // minSupport filters pairs, not items
+    val f = graft.ext.Mining.assocRules(rows.toDF("b", "i"), "b", "i",
+      minSupport = 3).collect()
+    assert(f.map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("a", "b"), ("b", "a")))
+    val big = rows ++ Seq((7L, "a"), (7L, "b"), (7L, "c"))
+    val err = intercept[IllegalArgumentException] {
+      graft.ext.Mining.assocRules(big.toDF("b", "i"), "b", "i",
+        minSupport = 1, maxBasketSize = 2)
+    }
+    assert(err.getMessage.contains("maxBasketSize"))
+    // empty input: no rows, no guard trip
+    assert(graft.ext.Mining.assocRules(
+      Seq.empty[(Long, String)].toDF("b", "i"), "b", "i",
+      minSupport = 1).collect().isEmpty)
+  }
+
+  // ---- EventsOps.transitions: Markov matrix ----
+
+  test("transitions counts consecutive pairs per user in total order, " +
+      "floors row probabilities whose sum is within |next| of 10^6, " +
+      "and ignores single-event users") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    // user 1: v -> c -> v -> e ; user 2: v -> c ; user 3: only e
+    val ev = Seq(
+      (1L, ts(0), 1L, "v"), (2L, ts(1), 1L, "c"),
+      (3L, ts(2), 1L, "v"), (4L, ts(3), 1L, "e"),
+      (5L, ts(0), 2L, "v"), (6L, ts(1), 2L, "c"),
+      (7L, ts(0), 3L, "e"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.streaming.EventsOps.transitions(ev)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // pairs: u1 v->c, c->v, v->e; u2 v->c; u3 contributes none.
+    // prev=v total 3: probs floor to 666666 + 333333 = 999999 —
+    // the <=10^6 row-sum deficit (< |next|) the scaladoc promises
+    assert(got === Map(
+      ("v", "c") -> ((2L, 3L, 666666L)),
+      ("v", "e") -> ((1L, 3L, 333333L)),
+      ("c", "v") -> ((1L, 1L, 1000000L))))
+  }
 }
