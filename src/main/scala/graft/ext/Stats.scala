@@ -1261,6 +1261,49 @@ object Stats {
         col("__v").as("value"))
   }
 
+  /** Robust per-group outlier profile — median / MAD / outlier count,
+    * the outlier audit that survives what it measures (mean/stddev
+    * move with every outlier they're supposed to flag; the median and
+    * the median absolute deviation have 50% breakdown). Exact at any
+    * scale: both medians come from [[exactQuantilesByGroup]] (support
+    * counts + grouped two-phase cumsum — no group-sized sort task),
+    * and the flag is pure integer arithmetic:
+    *   outlier ⇔ |x − med| · kDen > kNum · mad
+    * with the fence k = kNum/kDen rational so callers can fold in the
+    * 1.4826 normal-consistency constant exactly (e.g. the classic
+    * "3 robust sigmas" is kNum=44478, kDen=10000). A zero-MAD group
+    * (over half the mass on one value) flags every x ≠ med — the
+    * textbook caveat, documented rather than papered over. Values
+    * must be integer-valued; nulls drop.
+    *
+    * Plan: two support-agg + quantile-read passes (the second over
+    * the |x−med| deviations) and two per-group equi-joins; one final
+    * count-agg. Everything map-side combined or support-sized.
+    */
+  def robustProfile(df: DataFrame, groupCol: String, x: Column,
+      kNum: Long, kDen: Long,
+      maxSingleTask: Long = TwoPhase.defaultMaxSingleTask): DataFrame = {
+    require(kNum >= 0 && kDen > 0,
+      s"robustProfile: need kNum >= 0, kDen > 0 (got $kNum/$kDen)")
+    val rows = df.select(col(groupCol), x.cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+    val med = exactQuantilesByGroup(rows, groupCol, col("__x"),
+        Seq(500000L), maxSingleTask)
+      .select(col(groupCol), col("value").as("median"))
+    val dev = rows.join(med, groupCol)
+      .withColumn("__d", abs(col("__x") - col("median")))
+    val mad = exactQuantilesByGroup(dev, groupCol, col("__d"),
+        Seq(500000L), maxSingleTask)
+      .select(col(groupCol), col("value").as("mad"))
+    dev.join(mad, groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), min(col("median")).as("median"),
+        min(col("mad")).as("mad"), // constant per group: min = the value
+        sum(when(col("__d").cast("decimal(38,0)") * kDen >
+          col("mad").cast("decimal(38,0)") * kNum, 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   /** Per-group Gini concentration of a non-negative integer value
     * column — the corpus-concentration audit (is 90% of the training
     * data from 1% of the domains?). Exact closed form over ascending

@@ -598,4 +598,84 @@ object TextStats {
         (col("__s").cast("double") / 128.0).as("logit"),
         (col("__s") > 0L).as("keep"))
   }
+
+  /** Heaps'-law vocabulary growth curve (Heaps 1978): distinct-token
+    * vocabulary size after each corpus-prefix checkpoint — the
+    * dedup/coverage audit that tells you whether more data is still
+    * buying new vocabulary or just repeating the old (sublinear V(n) ~
+    * K·nᵝ is healthy text; a flat curve means saturation, a linear one
+    * means ID-like noise in the token stream). `ordCol` defines the
+    * corpus order (any monotone ingest key), `checkpoints` are VALUES
+    * of that column (plan literals, ≤ 1000); each output row reports
+    * the prefix ordCol ≤ c: documents, running token count, distinct
+    * vocabulary.
+    *
+    * Plan: a token's prefix membership is decided by its FIRST
+    * occurrence (min ordCol — one map-side-combined agg over the
+    * exploded tokens), so vocabulary at every checkpoint is ONE
+    * conditional-sum pass over the |vocab|-sized first-occurrence
+    * table — no per-checkpoint scans, no distinct-per-prefix shuffle,
+    * no window anywhere. Doc/token prefix totals are the same
+    * conditional sums over the per-doc counts. Two 1-row aggregates
+    * crossJoined and exploded back to one row per checkpoint.
+    */
+  def heapsVocabGrowth(df: DataFrame, ordCol: String, textCol: String,
+      checkpoints: Seq[Long]): DataFrame = {
+    require(checkpoints.nonEmpty && checkpoints.size <= 1000,
+      s"heapsVocabGrowth: 1..1000 checkpoints (got ${checkpoints.size})")
+    require(checkpoints.distinct.size == checkpoints.size,
+      "heapsVocabGrowth: duplicate checkpoints")
+    val cps = checkpoints.sorted
+    val base = df.select(col(ordCol).cast("long").as("__o"),
+        tokens(col(textCol)).as("__w"))
+      .filter(col("__o").isNotNull)
+    val firstOcc = base
+      .select(col("__o"), explode(col("__w")).as("__t"))
+      .groupBy(col("__t")).agg(min(col("__o")).as("__f"))
+    val vocabRow = firstOcc.agg(
+      sum(when(col("__f") <= cps.head, 1L).otherwise(0L)).as("__v0"),
+      cps.tail.zipWithIndex.map { case (c, i) =>
+        sum(when(col("__f") <= c, 1L).otherwise(0L)).as(s"__v${i + 1}")
+      }: _*)
+    val docRow = base.select(col("__o"), size(col("__w")).as("__n"))
+      .agg(
+        sum(when(col("__o") <= cps.head, 1L).otherwise(0L)).as("__d0"),
+        (cps.tail.zipWithIndex.map { case (c, i) =>
+          sum(when(col("__o") <= c, 1L).otherwise(0L)).as(s"__d${i + 1}")
+        } ++ cps.zipWithIndex.map { case (c, i) =>
+          sum(when(col("__o") <= c, col("__n").cast("long"))
+            .otherwise(0L)).as(s"__t$i")
+        }): _*)
+    docRow.crossJoin(vocabRow) // 1 row x 1 row
+      .select(explode(array(cps.zipWithIndex.map { case (c, i) =>
+        struct(lit(c).as("checkpoint"), col(s"__d$i").as("n_docs"),
+          col(s"__t$i").as("n_tokens"), col(s"__v$i").as("vocab"))
+      }: _*)).as("__s"))
+      .select(col("__s.checkpoint"), col("__s.n_docs"),
+        col("__s.n_tokens"), col("__s.vocab"))
+  }
+
+  /** Distinct-n diversity (Li et al. NAACL'16): unique n-grams over
+    * total n-grams per group, in ppm — the standard repetitiveness /
+    * mode-collapse audit for generated or scraped text (low distinct-2
+    * = the corpus keeps saying the same thing). Grams come from the
+    * same codegen'd [[Dedup.shingles]] pass the dedup family uses
+    * (including its short-text fallback: a document shorter than n
+    * contributes its whole text as one gram). Exact integer counts;
+    * one explode + two aggs, map-side combined, no window.
+    */
+  def distinctN(df: DataFrame, groupCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1 && n <= 16, s"distinctN: n must be in [1, 16]")
+    val per = df.select(col(groupCol),
+        explode(Dedup.shingles(col(textCol), n)).as("__g"))
+      .groupBy(col(groupCol), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    per.groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n_grams"),
+        count(lit(1)).as("n_unique"))
+      .select(col(groupCol), col("n_grams"), col("n_unique"),
+        expr("cast((cast(n_unique AS decimal(38,0)) * 1000000)" +
+          " div n_grams AS long)").as("distinct_ppm"))
+  }
 }

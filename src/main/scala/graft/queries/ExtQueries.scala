@@ -1601,6 +1601,31 @@ object ExtQueries {
       EventsOps.transitions(events(s, d))
         .orderBy("prev_type", "next_type")),
 
+    // Robust outlier profile per priority: exact median + MAD from
+    // the support-counts quantile kernel, and the count beyond 3
+    // robust sigmas (k = 3 * 1.4826 as the rational 44478/10000).
+    "q209_robust_outliers" -> ((s, d) =>
+      graft.ext.Stats.robustProfile(orders(s, d), "o_orderpriority",
+        expr("cast(round(o_totalprice * 100, 0) AS bigint)"),
+        kNum = 44478, kDen = 10000)
+        .orderBy("o_orderpriority")),
+
+    // Heaps'-law vocabulary growth over the documents corpus in
+    // doc_id order — is more data still buying new vocabulary?
+    // First-occurrence agg + one conditional-sum pass, no
+    // per-checkpoint scans.
+    "q210_heaps" -> ((s, d) =>
+      TextStats.heapsVocabGrowth(documents(s, d), "doc_id", "text",
+        Seq(50L, 100L, 200L, 400L, 800L, 1600L, 3200L))
+        .orderBy("checkpoint")),
+
+    // Distinct-2 diversity per language — the repetitiveness /
+    // mode-collapse audit, on the same codegen'd shingle pass the
+    // dedup family uses.
+    "q211_distinct_n" -> ((s, d) =>
+      TextStats.distinctN(documents(s, d), "lang", "text", n = 2)
+        .orderBy("lang")),
+
     // Pairwise FD discovery (TANE level 1) on a 4-column customer
     // profile: every ordered column pair with its exact g3 error —
     // the key column holds against everything, nothing else does.
@@ -4354,6 +4379,78 @@ object ExtQueries {
         |    AS prob_ppm
         |FROM c JOIN t ON c.prev_type = t.prev_type
         |ORDER BY c.prev_type, next_type""".stripMargin,
+
+    // Robust-profile replay: the r-th order statistic (same lower
+    // rank formula) via row_number for median and for the MAD over
+    // |x - median|, then the integer fence count.
+    "q209_robust_outliers" ->
+      """WITH v AS (SELECT o_orderpriority AS g,
+        |    cast(round(o_totalprice * 100, 0) AS bigint) AS x
+        |  FROM orders),
+        |n AS (SELECT g, cast(count(*) AS bigint) AS n
+        |  FROM v GROUP BY g),
+        |rv AS (SELECT g, x, row_number() OVER
+        |    (PARTITION BY g ORDER BY x) AS rn FROM v),
+        |med AS (SELECT rv.g, x AS median FROM rv JOIN n ON rv.g = n.g
+        |  WHERE rn = (500000 * (n - 1)) // 1000000 + 1),
+        |dv AS (SELECT v.g, abs(x - median) AS d, median
+        |  FROM v JOIN med ON v.g = med.g),
+        |rd AS (SELECT g, d, row_number() OVER
+        |    (PARTITION BY g ORDER BY d) AS rn FROM dv),
+        |mad AS (SELECT rd.g, d AS mad FROM rd JOIN n ON rd.g = n.g
+        |  WHERE rn = (500000 * (n - 1)) // 1000000 + 1)
+        |SELECT dv.g AS o_orderpriority, n.n AS n,
+        |  min(dv.median) AS median, min(mad.mad) AS mad,
+        |  cast(sum(CASE WHEN cast(d AS hugeint) * 10000 >
+        |    cast(mad.mad AS hugeint) * 44478 THEN 1 ELSE 0 END)
+        |    AS bigint) AS n_outliers
+        |FROM dv JOIN mad ON dv.g = mad.g JOIN n ON dv.g = n.g
+        |GROUP BY dv.g, n.n ORDER BY o_orderpriority""".stripMargin,
+
+    // Heaps replay: per-token first occurrence, then one conditional
+    // sum per checkpoint over the first-occurrence table and the
+    // per-doc counts.
+    "q210_heaps" ->
+      """WITH base AS (SELECT doc_id AS o,
+        |    string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |fo AS (SELECT t, min(o) AS f FROM
+        |  (SELECT o, unnest(w) AS t FROM base) GROUP BY t),
+        |cp AS (SELECT unnest([50, 100, 200, 400, 800, 1600, 3200])
+        |    AS c),
+        |docs AS (SELECT c,
+        |    cast(sum(CASE WHEN o <= c THEN 1 ELSE 0 END) AS bigint)
+        |      AS n_docs,
+        |    cast(sum(CASE WHEN o <= c THEN len(w) ELSE 0 END)
+        |      AS bigint) AS n_tokens
+        |  FROM base CROSS JOIN cp GROUP BY c),
+        |voc AS (SELECT c,
+        |    cast(sum(CASE WHEN f <= c THEN 1 ELSE 0 END) AS bigint)
+        |      AS vocab
+        |  FROM fo CROSS JOIN cp GROUP BY c)
+        |SELECT cast(docs.c AS bigint) AS checkpoint, n_docs, n_tokens,
+        |  vocab
+        |FROM docs JOIN voc ON docs.c = voc.c
+        |ORDER BY checkpoint""".stripMargin,
+
+    // Distinct-2 replay on the shared shingle replay (same short-text
+    // fallback), per-gram counts then the ppm floor.
+    "q211_distinct_n" -> {
+      val sh2 = shinglesSqlN(2)
+      s"""WITH t AS (SELECT lang,
+         |    string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |sh AS (SELECT lang, ($sh2) AS shingles FROM t),
+         |g AS (SELECT lang, unnest(shingles) AS gm FROM sh),
+         |per AS (SELECT lang, gm, count(*) AS c FROM g GROUP BY 1, 2),
+         |a AS (SELECT lang, cast(sum(c) AS bigint) AS n_grams,
+         |    cast(count(*) AS bigint) AS n_unique
+         |  FROM per GROUP BY lang)
+         |SELECT lang, n_grams, n_unique,
+         |  cast((cast(n_unique AS hugeint) * 1000000) // n_grams
+         |    AS bigint) AS distinct_ppm
+         |FROM a ORDER BY lang""".stripMargin
+    },
 
     // Per-pair g3 replay (max-per-lhs subtracted from group totals),
     // one UNION ALL branch per ordered pair — count(*) over lhs

@@ -973,4 +973,83 @@ class Round10Spec extends SparkSpec {
       ("v", "e") -> ((1L, 3L, 333333L)),
       ("c", "v") -> ((1L, 1L, 1000000L))))
   }
+
+  // ---- robustProfile: median / MAD / fence count ----
+
+  test("robustProfile matches a driver median/MAD replay, flags the " +
+      "planted outlier and nothing else, and zero-MAD groups flag " +
+      "every off-median value") {
+    // g: 1..9 plus a planted 1000 -> median is the lower-median of 10
+    val g = (1L to 9L).map(("g", _)) :+ (("g", 1000L))
+    // z: >half the mass on 5 -> mad 0, every x != 5 is an outlier
+    val z = Seq.fill(5)(("z", 5L)) ++ Seq(("z", 6L), ("z", 7L))
+    val got = graft.ext.Stats.robustProfile((g ++ z).toDF("g", "x"),
+        "g", col("x"), kNum = 44478, kDen = 10000)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    // g sorted: 1..9,1000; n=10, r=(5e5*9)//1e6+1=5 -> median 5;
+    // deviations sorted: 0,1,1,2,2,3,3,4,4,995 -> mad = dev[5th] = 2;
+    // fence = 2*4.4478 = 8.8956: only 995 exceeds
+    assert(got("g") === ((10L, 5L, 2L, 1L)))
+    // z: n=7, r=4 -> median 5; devs 0,0,0,0,0,1,2 -> mad 0; fence 0:
+    // the two non-median values flag
+    assert(got("z") === ((7L, 5L, 0L, 2L)))
+    // randomized replay with ties
+    val rnd = new scala.util.Random(59)
+    val rr = (0 until 700).map(_ => ("r", rnd.nextInt(50).toLong))
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s(((500000L * (s.size - 1)) / 1000000L).toInt)
+    }
+    val m = lowerMedian(rr.map(_._2))
+    val devs = rr.map(t => math.abs(t._2 - m))
+    val md = lowerMedian(devs)
+    val out = devs.count(d => d * 10000L > md * 44478L)
+    val rGot = graft.ext.Stats.robustProfile(rr.toDF("g", "x"), "g",
+      col("x"), 44478, 10000).collect().head
+    assert((rGot.getLong(1), rGot.getLong(2), rGot.getLong(3),
+      rGot.getLong(4)) === ((700L, m, md, out.toLong)))
+  }
+
+  // ---- heapsVocabGrowth: vocabulary growth curve ----
+
+  test("heapsVocabGrowth counts prefix docs/tokens/vocab exactly at " +
+      "each checkpoint and attributes each token to its first " +
+      "occurrence") {
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b"), (3L, "d"), (4L, "a d e"),
+      (5L, "f f f")).toDF("id", "text")
+    val got = graft.ext.TextStats.heapsVocabGrowth(docs, "id", "text",
+        Seq(2L, 4L, 5L))
+      .orderBy("checkpoint").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // <=2: docs 2, tokens 5, vocab {a,b,c}; <=4: docs 4, tokens 9,
+    // vocab {a,b,c,d,e}; <=5: docs 5, tokens 12, vocab +f
+    assert(got.toSeq === Seq((2L, 2L, 5L, 3L), (4L, 4L, 9L, 5L),
+      (5L, 5L, 12L, 6L)))
+    intercept[IllegalArgumentException] {
+      graft.ext.TextStats.heapsVocabGrowth(docs, "id", "text",
+        Seq(1L, 1L))
+    }
+  }
+
+  // ---- distinctN: unique/total n-gram diversity ----
+
+  test("distinctN matches hand-counted bigram diversity, applies the " +
+      "short-text fallback, and is 10^6 on an all-unique group") {
+    val df = Seq(
+      ("rep", "x y x y x y"), // bigrams: xy,yx,xy,yx,xy -> 5 total, 2 uniq
+      ("uni", "a b c d"),     // ab,bc,cd -> 3 total, 3 uniq
+      ("sho", "solo"))        // short-text fallback: 1 gram "solo"
+      .toDF("g", "text")
+    val got = graft.ext.TextStats.distinctN(df, "g", "text", n = 2)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got === Map(
+      "rep" -> ((5L, 2L, 400000L)),
+      "uni" -> ((3L, 3L, 1000000L)),
+      "sho" -> ((1L, 1L, 1000000L))))
+  }
 }
