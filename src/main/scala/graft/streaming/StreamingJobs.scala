@@ -518,6 +518,43 @@ object StreamingJobs {
     * append-log ingestion guarantee; a late event older than the open
     * interval would need bitemporal state, out of scope.
     */
+  case class TransState(last: String)
+
+  case class TransPair(user_id: Long, prev_type: String,
+      next_type: String)
+
+  /** STREAMING twin of `EventsOps.transitions`' pair extraction:
+    * per-user state is O(1) — the LAST event type only (ewmaStream's
+    * cheapest-shape class, not scd2's history). Each micro-batch
+    * sorts its in-batch disorder by (ts, event_id) — cross-batch
+    * order is the append-log contract shared with ewmaStream/
+    * scd2Stream — and emits one (prev → next) pair per consecutive
+    * step, INCLUDING the step that crosses the micro-batch boundary
+    * via the saved state (append semantics). The matrix itself is the
+    * same downstream (prev, next) count-agg + ppm rollup the batch
+    * operator runs; the emitted pair multiset is spec-pinned equal to
+    * the batch lag pass on the same events.
+    */
+  def transitionsStream(events: Dataset[Event]): Dataset[TransPair] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event],
+            state: GroupState[TransState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var prev = state.getOption.map(_.last)
+          val out = List.newBuilder[TransPair]
+          sorted.foreach { e =>
+            prev.foreach(p => out += TransPair(uid, p, e.event_type))
+            prev = Some(e.event_type)
+          }
+          prev.foreach(p => state.update(TransState(p)))
+          out.result().iterator
+      }
+  }
+
   def scd2Stream(events: Dataset[Event]): Dataset[Scd2Closed] = {
     import events.sparkSession.implicits._
     events

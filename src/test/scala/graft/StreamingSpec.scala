@@ -494,4 +494,50 @@ class StreamingSpec extends SparkSpec {
     // (the final open session per user stays in state)
     assert(got == Seq((1L, 2L, 3.0)))
   }
+
+  test("transitionsStream: the boundary-crossing pair needs the O(1) " +
+      "state, and the pair multiset equals the batch lag pass") {
+    val dir = Files.createTempDirectory("graft_trans").toString
+    def drop(rows: Seq[Event]): Unit =
+      rows.toDF()
+        .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    // user 1: v,c | then v in batch 2 -> pair (c, v) crosses batches;
+    // user 2: single event per batch -> BOTH its pairs cross batches
+    drop(Seq(Event(1L, ts("2024-01-01 10:01:00"), 1L, "v", 1.0),
+      Event(2L, ts("2024-01-01 10:02:00"), 1L, "c", 1.0),
+      Event(5L, ts("2024-01-01 10:01:00"), 2L, "e", 1.0)))
+    drop(Seq(Event(3L, ts("2024-01-01 10:03:00"), 1L, "v", 1.0),
+      Event(6L, ts("2024-01-01 10:02:00"), 2L, "v", 1.0)))
+    drop(Seq(Event(7L, ts("2024-01-01 10:03:00"), 2L, "c", 1.0)))
+    val in = spark.readStream.schema(StreamingJobs.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+    runToMemory(StreamingJobs.transitionsStream(in).toDF(),
+      "sj_trans", "append")
+    val streamed = spark.table("sj_trans")
+      .select($"user_id", $"prev_type", $"next_type")
+      .as[(Long, String, String)].collect().toSeq.sorted
+    assert(streamed === Seq((1L, "v", "c"), (1L, "c", "v"),
+      (2L, "e", "v"), (2L, "v", "c")).sorted)
+    // aggregated, the streamed pairs reproduce the batch matrix
+    val ev = Seq(
+      Event(1L, ts("2024-01-01 10:01:00"), 1L, "v", 1.0),
+      Event(2L, ts("2024-01-01 10:02:00"), 1L, "c", 1.0),
+      Event(3L, ts("2024-01-01 10:03:00"), 1L, "v", 1.0),
+      Event(5L, ts("2024-01-01 10:01:00"), 2L, "e", 1.0),
+      Event(6L, ts("2024-01-01 10:02:00"), 2L, "v", 1.0),
+      Event(7L, ts("2024-01-01 10:03:00"), 2L, "c", 1.0))
+    val batch = graft.streaming.EventsOps.transitions(ev.toDF())
+      .select($"prev_type", $"next_type", $"n_pair")
+      .as[(String, String, Long)].collect().toSet
+    val streamedAgg = spark.table("sj_trans")
+      .groupBy($"prev_type", $"next_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_pair"))
+      .as[(String, String, Long)].collect().toSet
+    assert(batch.nonEmpty && streamedAgg === batch)
+  }
 }
