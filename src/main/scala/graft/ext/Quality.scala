@@ -356,4 +356,61 @@ object Quality {
     out.withColumn("t_ppm",
       expr("(emd_num * 1000000) div emd_den").cast("long"))
   }
+
+  /** Chi-square independence audit between two categorical columns —
+    * the 2-D analog of the Benford 1-D goodness-of-fit, and the
+    * statistical complement of [[fdDiscover]]: g3 measures DETERMINED
+    * dependence (a function), χ² measures distributional association
+    * far short of it (do `source` and `lang` mix independently, or is
+    * one source all-Chinese?). Uses the zero-cell-free identity
+    *   χ² = n·(Σ_observed o²/(r_a·c_b)) − n
+    * so only OBSERVED contingency cells are touched, reported as
+    *   stat_ppm = Σ_cells ⌊10⁶·n·o²/(r_a·c_b)⌋ − 10⁶·n
+    * — per-cell floors, so the value is engine-exact and within
+    * |cells| ulps of true 10⁶·χ² (the transitions row-sum discipline).
+    * Also Cramér's V² (the [0,1]-normalized effect size; squared —
+    * its square root is irrational) as v2_ppm = stat_ppm div
+    * (n·(min(|A|,|B|)−1)), and dof = (|A|−1)(|B|−1). Nulls are
+    * ordinary categories. Groups with a single row or a single
+    * category on either side yield null stat (dof 0).
+    *
+    * Plan: one (a, b) count-agg (cells ≤ |A|·|B|, map-side combined),
+    * two marginal rollups joined back by key, one 1-row total
+    * crossJoined — fully distributed, no collect, no window. Decimal
+    * (38,0) per-cell terms: 10⁶·n·o² overflows (loudly, ANSI) only
+    * past n ~ 2·10¹⁰ in the worst all-one-cell case.
+    */
+  def chiSquareIndependence(df: DataFrame, aCol: Column, bCol: Column)
+      : DataFrame = {
+    val cells = df.select(aCol.as("__a"), bCol.as("__b"))
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__o"))
+    val ra = cells.groupBy("__a").agg(sum(col("__o")).as("__ra"))
+    val cb = cells.groupBy("__b").agg(sum(col("__o")).as("__cb"))
+    val tot = cells.agg(coalesce(sum(col("__o")), lit(0L)).as("n"),
+      countDistinct(col("__a")).as("__ka"),
+      countDistinct(col("__b")).as("__kb"))
+    cells.join(ra, "__a").join(cb, "__b")
+      .crossJoin(broadcast(tot)) // 1-row totals
+      .withColumn("__t", expr(
+        "(cast(n AS decimal(38,0)) * 1000000 * __o * __o)" +
+          " div (cast(__ra AS decimal(38,0)) * __cb)"))
+      .groupBy(col("n"), col("__ka"), col("__kb"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("__t")).as("__s"))
+      .select(col("n"),
+        ((col("__ka") - 1) * (col("__kb") - 1)).as("dof"),
+        col("n_cells"),
+        // greatest(0, ·): the per-cell floors can dip a few ulps below
+        // the true chi-square's 0 at perfect independence, and the two
+        // engines' integer divisions disagree on negatives — clamping
+        // at the true statistic's hard floor removes the ambiguity
+        when(col("n") > 1 && col("__ka") > 1 && col("__kb") > 1,
+          expr("cast(greatest(cast(0 AS decimal(38,0))," +
+            " __s - cast(n AS decimal(38,0)) * 1000000) AS long)"))
+          .as("stat_ppm"),
+        when(col("n") > 1 && col("__ka") > 1 && col("__kb") > 1,
+          expr("cast(greatest(cast(0 AS decimal(38,0))," +
+            " __s - cast(n AS decimal(38,0)) * 1000000) div " +
+            "(cast(n AS decimal(38,0)) * (least(__ka, __kb) - 1))" +
+            " AS long)")).as("v2_ppm"))
+  }
 }

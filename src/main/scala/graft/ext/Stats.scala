@@ -1246,15 +1246,20 @@ object Stats {
       .groupBy(col(groupCol), col("__v"))
       .agg(count(lit(1)).as("__c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    val totals = support.groupBy(col(groupCol))
+    // rank table: |groups|·|qs| rows — the decimal rank arithmetic
+    // runs HERE, once per (group, q), so the per-support-row work
+    // below is a join probe + two long compares (measured 2×+ win
+    // over evaluating the decimal div per support row per quantile)
+    val ranks = support.groupBy(col(groupCol))
       .agg(sum(col("__c")).as("n"))
-    groupedCumBelow(support, Seq(groupCol), "__v", Seq("__c"),
-        maxSingleTask)
-      .join(totals, groupCol)
       .withColumn("q_ppm", explode(array(qPpm.map(lit): _*)))
       // decimal product: q·(n−1) overflows long only past n ~ 9·10¹²
       .withColumn("__r", expr(
-        "(cast(q_ppm AS decimal(38,0)) * (n - 1)) div 1000000 + 1"))
+        "(cast(q_ppm AS decimal(38,0)) * (n - 1)) div 1000000 + 1")
+        .cast("long")) // the rank itself is ≤ n: always a long
+    groupedCumBelow(support, Seq(groupCol), "__v", Seq("__c"),
+        maxSingleTask)
+      .join(ranks, groupCol)
       .filter(col("__below___c") < col("__r") &&
         col("__r") <= col("__below___c") + col("__c"))
       .select(col(groupCol), col("q_ppm"), col("n"),

@@ -1626,6 +1626,14 @@ object ExtQueries {
       TextStats.distinctN(documents(s, d), "lang", "text", n = 2)
         .orderBy("lang")),
 
+    // Chi-square independence of lang x source — the statistical
+    // complement of q196's FD (determined dependence vs
+    // distributional association): is language mix uniform across
+    // sources? Zero-cell-free identity, per-cell ppm floors.
+    "q212_chi2_indep" -> ((s, d) =>
+      graft.ext.Quality.chiSquareIndependence(documents(s, d),
+        col("lang"), col("source"))),
+
     // Pairwise FD discovery (TANE level 1) on a 4-column customer
     // profile: every ordered column pair with its exact g3 error —
     // the key column holds against everything, nothing else does.
@@ -4451,6 +4459,35 @@ object ExtQueries {
          |    AS bigint) AS distinct_ppm
          |FROM a ORDER BY lang""".stripMargin
     },
+
+    // Chi-square replay: observed cells + marginals, the same
+    // per-cell hugeint floors of 10^6*n*o^2/(ra*cb), the same
+    // greatest(0, sum - 10^6*n) clamp.
+    "q212_chi2_indep" ->
+      """WITH cells AS (SELECT lang AS a, source AS b,
+        |    cast(count(*) AS bigint) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a),
+        |cb AS (SELECT b, sum(o) AS cb FROM cells GROUP BY b),
+        |tot AS (SELECT cast(coalesce(sum(o), 0) AS bigint) AS n,
+        |    cast(count(DISTINCT a) AS bigint) AS ka,
+        |    cast(count(DISTINCT b) AS bigint) AS kb
+        |  FROM cells),
+        |t AS (SELECT (cast(n AS hugeint) * 1000000 * o * o) //
+        |    (cast(ra AS hugeint) * cb) AS term
+        |  FROM cells JOIN ra USING (a) JOIN cb USING (b)
+        |  CROSS JOIN tot),
+        |s AS (SELECT cast(count(*) AS bigint) AS n_cells,
+        |    sum(term) AS s FROM t)
+        |SELECT n, (ka - 1) * (kb - 1) AS dof, n_cells,
+        |  cast(CASE WHEN n > 1 AND ka > 1 AND kb > 1 THEN
+        |    greatest(0, s - cast(n AS hugeint) * 1000000)
+        |    END AS bigint) AS stat_ppm,
+        |  cast(CASE WHEN n > 1 AND ka > 1 AND kb > 1 THEN
+        |    greatest(0, s - cast(n AS hugeint) * 1000000) //
+        |    (cast(n AS hugeint) * (least(ka, kb) - 1))
+        |    END AS bigint) AS v2_ppm
+        |FROM s, tot""".stripMargin,
 
     // Per-pair g3 replay (max-per-lhs subtracted from group totals),
     // one UNION ALL branch per ordered pair — count(*) over lhs

@@ -1052,4 +1052,50 @@ class Round10Spec extends SparkSpec {
       "uni" -> ((3L, 3L, 1000000L)),
       "sho" -> ((1L, 1L, 1000000L))))
   }
+
+  // ---- chiSquareIndependence: 2-D categorical association ----
+
+  test("chiSquareIndependence matches hand floors on a 2x2, is 0 at " +
+      "independence and n at perfect 2x2 association, nulls " +
+      "degenerates, and matches a BigInt replay") {
+    def mk(cells: Seq[(String, String, Int)]) =
+      cells.flatMap { case (a, b, k) => Seq.fill(k)((a, b)) }
+        .toDF("a", "b")
+    def run(cells: Seq[(String, String, Int)]) = {
+      val r = graft.ext.Quality.chiSquareIndependence(mk(cells),
+        col("a"), col("b")).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))
+    }
+    // [[10,20],[20,10]]: true chi2 = 100/15; per-cell floors give
+    // 2*6666666 + 2*26666666 - 60e6 = 6666664 (within 4 ulps)
+    assert(run(Seq(("x", "u", 10), ("x", "v", 20), ("y", "u", 20),
+      ("y", "v", 10))) === ((60L, 1L, 4L, Some(6666664L),
+      Some(111111L))))
+    // uniform 2x2: exactly independent -> 0
+    assert(run(Seq(("x", "u", 10), ("x", "v", 10), ("y", "u", 10),
+      ("y", "v", 10))) === ((40L, 1L, 4L, Some(0L), Some(0L))))
+    // diagonal 2x2: chi2 = n (the 2x2 maximum), V^2 = 1
+    assert(run(Seq(("x", "u", 10), ("y", "v", 10))) ===
+      ((20L, 1L, 2L, Some(20000000L), Some(1000000L))))
+    // one-category side: dof 0, null stat
+    assert(run(Seq(("x", "u", 5), ("x", "v", 5))) ===
+      ((10L, 0L, 2L, None, None)))
+    // randomized BigInt replay of the exact per-cell floor sum
+    val rnd = new scala.util.Random(67)
+    val rows = (0 until 500).map(_ =>
+      ("a" + rnd.nextInt(4), "b" + rnd.nextInt(3)))
+    val byCell = rows.groupBy(identity).map { case (k, v) =>
+      (k._1, k._2, v.size) }.toSeq
+    val n = BigInt(rows.size)
+    val raM = rows.groupBy(_._1).map(kv => kv._1 -> BigInt(kv._2.size))
+    val cbM = rows.groupBy(_._2).map(kv => kv._1 -> BigInt(kv._2.size))
+    val s = byCell.map { case (a, b, o) =>
+      n * 1000000 * o * o / (raM(a) * cbM(b)) }.sum
+    val stat = (s - n * 1000000).max(BigInt(0))
+    val v2 = stat / (n * (math.min(raM.size, cbM.size) - 1))
+    assert(run(byCell) === ((500L, 6L, byCell.size.toLong,
+      Some(stat.toLong), Some(v2.toLong))))
+  }
 }
