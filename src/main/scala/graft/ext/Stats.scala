@@ -1156,8 +1156,10 @@ object Stats {
     * LLM judges labeling the same corpus). Input is long form: one row
     * per (item, rater) with a category; every item must be rated by
     * exactly the same number of raters n ≥ 2 (checked — one bounded
-    * agg job, loud failure), duplicate (item, rater) rows are the
-    * caller's bug and surface through that same check. With n_ic the
+    * agg job, loud failure). Duplicate (item, rater) rows are the
+    * caller's bug: they trip the check when they unbalance per-item
+    * totals, but UNIFORM duplication passes it and inflates n —
+    * dedupe upstream if the input can repeat. With n_ic the
     * per-(item, category) counts, N items, n raters:
     *   P̄  = (Σ_ic n_ic² − N·n) / (N·n·(n−1)),
     *   P̄e = Σ_c (Σ_i n_ic)² / (N·n)²,
