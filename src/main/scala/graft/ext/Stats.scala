@@ -1268,6 +1268,81 @@ object Stats {
         col("__v").as("value"))
   }
 
+  /** Per-group percentile-rank / CDF table — the rank-normalization
+    * transform (map a value to its quantile position, the
+    * scale-free feature encoding) as a SUPPORT-sized table to join
+    * back wherever needed, rather than a per-row window pass:
+    *   pr_ppm  = ⌊10⁶ · below / (n−1)⌋   (SQL percent_rank of the
+    *     value's first row; null for single-row groups),
+    *   cdf_ppm = ⌊10⁶ · (below + cnt) / n⌋   (inclusive ECDF).
+    * Exact integers via [[groupedCumBelow]] — no group-sized window
+    * task at any support size; one output row per (group, value).
+    */
+  def percentileRank(df: DataFrame, groupCol: String, x: Column,
+      maxSingleTask: Long = TwoPhase.defaultMaxSingleTask): DataFrame = {
+    val support = df.select(col(groupCol), x.cast("long").as("value"))
+      .filter(col("value").isNotNull)
+      .groupBy(col(groupCol), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val totals = support.groupBy(col(groupCol))
+      .agg(sum(col("cnt")).as("n"))
+    groupedCumBelow(support, Seq(groupCol), "value", Seq("cnt"),
+        maxSingleTask)
+      .join(totals, groupCol)
+      .select(col(groupCol), col("value"), col("cnt"), col("n"),
+        when(col("n") > 1, expr(
+          "cast((cast(__below_cnt AS decimal(38,0)) * 1000000)" +
+            " div (n - 1) AS long)")).as("pr_ppm"),
+        expr("cast(((cast(__below_cnt AS decimal(38,0)) + cnt)" +
+          " * 1000000) div n AS long)").as("cdf_ppm"))
+  }
+
+  /** One-sample Kolmogorov-Smirnov statistic against the CONTINUOUS
+    * uniform on [0, m) — the distribution audit for the engine's own
+    * hash discipline (md5-derived coordinates drive hashSplit /
+    * negativeSample / ppsTake; this measures how uniform they actually
+    * are), and the one-sample complement of ksDrift's two-sample form.
+    * D = sup_v max((below+cnt)·m − v·n, v·n − below·m) / (n·m) — the
+    * two one-sided gaps at each ECDF jump, exact decimal integers
+    * inside (n·m overflows a long already at n ~ 2·10⁹ for m = 2³²),
+    * reported as d_ppm = ⌊10⁶·maxNum/(n·m)⌋. Values outside [0, m)
+    * raise per row. 1-row output; empty input yields an empty frame.
+    *
+    * Plan: value-support count-agg, [[groupedCumBelow]] under a
+    * constant group (two-phase partitioned windows above the measured
+    * bound — a billion-value support never funnels one sort task),
+    * one max-agg.
+    */
+  def ksUniform(df: DataFrame, x: Column, m: Long,
+      maxSingleTask: Long = TwoPhase.defaultMaxSingleTask): DataFrame = {
+    require(m >= 1, s"ksUniform: m must be >= 1 (got $m)")
+    val v = when(x.isNull, x)
+      .when(x >= 0 && x < m, x)
+      .otherwise(raise_error(concat(
+        lit(s"ksUniform: value out of [0, $m): "), x.cast("string"))))
+      .cast("long")
+    val support = df.select(v.as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+      .withColumn("__g", lit(1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    groupedCumBelow(support, Seq("__g"), "__v", Seq("__c"),
+        maxSingleTask)
+      .crossJoin(broadcast(
+        support.agg(coalesce(sum(col("__c")), lit(0L)).as("n"))))
+      .withColumn("__dev", greatest(
+        (d(col("__below___c")) + col("__c")) * m - d(col("__v")) * col("n"),
+        d(col("__v")) * col("n") - d(col("__below___c")) * m))
+      .groupBy(col("n"))
+      .agg(max(col("__dev")).as("__dnum"))
+      .select(col("n"),
+        expr("cast((__dnum * 1000000)" +
+          " div (cast(n AS decimal(38,0)) * " + m + "L) AS long)")
+          .as("d_ppm"))
+  }
+
   /** Robust per-group outlier profile — median / MAD / outlier count,
     * the outlier audit that survives what it measures (mean/stddev
     * move with every outlier they're supposed to flag; the median and

@@ -1634,6 +1634,23 @@ object ExtQueries {
       graft.ext.Quality.chiSquareIndependence(documents(s, d),
         col("lang"), col("source"))),
 
+    // Percentile-rank / CDF table of order value per priority — the
+    // rank-normalization transform as a support-sized join table,
+    // exact percent_rank and inclusive-ECDF ppm per distinct value.
+    "q213_percentile_rank" -> ((s, d) =>
+      graft.ext.Stats.percentileRank(orders(s, d), "o_orderpriority",
+        expr("cast(round(o_totalprice * 100, 0) AS bigint)"))
+        .orderBy("o_orderpriority", "value")),
+
+    // One-sample KS of the md5 32-bit coordinate of o_orderkey vs
+    // continuous uniform on [0, 2^32) — the audit of the hash
+    // discipline hashSplit/ppsTake/negativeSample stand on.
+    "q214_ks_uniform" -> ((s, d) =>
+      graft.ext.Stats.ksUniform(orders(s, d),
+        expr("cast(conv(substring(md5(cast(o_orderkey AS string))," +
+          " 1, 8), 16, 10) AS bigint)"),
+        m = 4294967296L)),
+
     // Pairwise FD discovery (TANE level 1) on a 4-column customer
     // profile: every ordered column pair with its exact g3 error —
     // the key column holds against everything, nothing else does.
@@ -4488,6 +4505,53 @@ object ExtQueries {
         |    (cast(n AS hugeint) * (least(ka, kb) - 1))
         |    END AS bigint) AS v2_ppm
         |FROM s, tot""".stripMargin,
+
+    // Percentile-rank replay: support counts, strict-below cumulative
+    // window, percent_rank = below/(n-1) and inclusive ECDF floors.
+    "q213_percentile_rank" ->
+      """WITH v AS (SELECT o_orderpriority AS g,
+        |    cast(round(o_totalprice * 100, 0) AS bigint) AS value
+        |  FROM orders),
+        |sup AS (SELECT g, value, cast(count(*) AS bigint) AS cnt
+        |  FROM v GROUP BY 1, 2),
+        |c AS (SELECT g, value, cnt, cast(coalesce(sum(cnt) OVER (
+        |      PARTITION BY g ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS hugeint) AS below
+        |  FROM sup),
+        |n AS (SELECT g, cast(sum(cnt) AS bigint) AS n
+        |  FROM sup GROUP BY g)
+        |SELECT c.g AS o_orderpriority, value, cnt, n.n AS n,
+        |  cast(CASE WHEN n.n > 1 THEN
+        |    (below * 1000000) // (n.n - 1) END AS bigint) AS pr_ppm,
+        |  cast(((below + cnt) * 1000000) // n.n AS bigint) AS cdf_ppm
+        |FROM c JOIN n ON c.g = n.g
+        |ORDER BY o_orderpriority, value""".stripMargin,
+
+    // KS replay: the same 8-hex md5 coordinate (digit-parsed), the
+    // two one-sided gap numerators at each ECDF jump over a shared
+    // n*2^32 denominator, one max, one ppm floor.
+    "q214_ks_uniform" -> {
+      val h8 = (0 until 8).map(i =>
+        "(strpos('0123456789abcdef', substr(md5(cast(o_orderkey" +
+          s" AS varchar)), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}")
+        .mkString("(", " + ", ")")
+      s"""WITH v AS (SELECT $h8 AS x FROM orders),
+         |sup AS (SELECT x, cast(count(*) AS bigint) AS c
+         |  FROM v GROUP BY x),
+         |cw AS (SELECT x, c, cast(coalesce(sum(c) OVER (ORDER BY x
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS hugeint) AS below
+         |  FROM sup),
+         |n AS (SELECT cast(sum(c) AS bigint) AS n FROM sup)
+         |SELECT n.n AS n,
+         |  cast((max(greatest(
+         |      (below + c) * 4294967296 - cast(x AS hugeint) * n.n,
+         |      cast(x AS hugeint) * n.n - below * 4294967296))
+         |    * 1000000) // (cast(n.n AS hugeint) * 4294967296)
+         |    AS bigint) AS d_ppm
+         |FROM cw, n GROUP BY n.n""".stripMargin
+    },
 
     // Per-pair g3 replay (max-per-lhs subtracted from group totals),
     // one UNION ALL branch per ordered pair — count(*) over lhs

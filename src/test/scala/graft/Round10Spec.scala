@@ -1098,4 +1098,64 @@ class Round10Spec extends SparkSpec {
     assert(run(byCell) === ((500L, 6L, byCell.size.toLong,
       Some(stat.toLong), Some(v2.toLong))))
   }
+
+  // ---- percentileRank: rank-normalization table ----
+
+  test("percentileRank pins percent_rank/ECDF on a hand case, nulls " +
+      "single-row groups, and the two-phase path agrees bit-for-bit") {
+    val rows = Seq(("g", 10L), ("g", 10L), ("g", 20L), ("solo", 7L))
+    for (maxSingle <- Seq(Long.MaxValue, 0L)) {
+      val got = graft.ext.Stats.percentileRank(rows.toDF("g", "x"),
+          "g", col("x"), maxSingleTask = maxSingle)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3),
+            if (r.isNullAt(4)) None else Some(r.getLong(4)),
+            r.getLong(5)))).toMap
+      assert(got === Map(
+        ("g", 10L) -> ((2L, 3L, Some(0L), 666666L)),
+        ("g", 20L) -> ((1L, 3L, Some(1000000L), 1000000L)),
+        ("solo", 7L) -> ((1L, 1L, None, 1000000L))),
+        s"maxSingleTask=$maxSingle")
+    }
+  }
+
+  // ---- ksUniform: one-sample uniformity audit ----
+
+  test("ksUniform pins hand ECDF gaps, matches a BigInt replay on " +
+      "hashed data, and raises out-of-range values") {
+    def run(xs: Seq[Long], m: Long, maxSingle: Long = Long.MaxValue) =
+      graft.ext.Stats.ksUniform(xs.toDF("x"), col("x"), m,
+        maxSingleTask = maxSingle)
+        .collect().head match {
+        case r => (r.getLong(0), r.getLong(1))
+      }
+    // all mass at 0 in [0,10): ECDF jumps to 1 at 0 -> D = 1
+    assert(run(Seq(0L, 0L), 10L) === ((2L, 1000000L)))
+    // perfect grid 0..3 on [0,4): D = 1/n = 1/4
+    assert(run(Seq(0L, 1L, 2L, 3L), 4L) === ((4L, 250000L)))
+    // {0,5} on [0,10): jump to 1/2 at 0 -> D = 1/2
+    assert(run(Seq(0L, 5L), 10L) === ((2L, 500000L)))
+    // BigInt replay on md5-ish data, both kernel paths
+    val rnd = new scala.util.Random(83)
+    val m = 1L << 20
+    val xs = (0 until 400).map(_ => rnd.nextLong(m))
+    def replay(vs: Seq[Long]): Long = {
+      val n = BigInt(vs.size)
+      val sorted = vs.groupBy(identity).map { case (v, g) =>
+        (v, g.size) }.toSeq.sortBy(_._1)
+      var below = BigInt(0); var best = BigInt(0)
+      sorted.foreach { case (v, c) =>
+        val up = (below + c) * m - BigInt(v) * n
+        val dn = BigInt(v) * n - below * m
+        best = best.max(up).max(dn); below += c
+      }
+      (best * 1000000 / (n * m)).toLong
+    }
+    for (maxSingle <- Seq(Long.MaxValue, 0L))
+      assert(run(xs, m, maxSingle) === ((400L, replay(xs))),
+        s"maxSingleTask=$maxSingle")
+    val boom = intercept[Exception] { run(Seq(10L), 10L) }
+    assert(boom.getMessage != null)
+  }
 }
