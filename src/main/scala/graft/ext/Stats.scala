@@ -1386,6 +1386,83 @@ object Stats {
           .as("n_outliers"))
   }
 
+  /** Krippendorff's alpha, nominal metric (Krippendorff 1970/2004) —
+    * the agreement statistic for RAGGED rater counts, i.e. exactly the
+    * input [[fleissKappa]]'s constant-n contract rejects loudly
+    * (missing ratings are the NORM in real annotation projects).
+    * Items with a single rating are excluded (nothing to pair); over
+    * pairable items, with n_ic the per-(item, category) counts and
+    * m_i = Σ_c n_ic:
+    *   observed disagreement Σ_{c≠c'} o_cc' = Σ_i (m_i² − Σ_c n_ic²)
+    *     / (m_i − 1)   (the coincidence-matrix off-diagonal mass),
+    *   n·· = Σ m_i,  n_c = Σ_i n_ic,  D = n··² − Σ_c n_c²,
+    *   α = 1 − (n··−1)·[Σ_m S_m/(m−1)] / D.
+    * The distributed work is the (item, cat) count-agg, its per-item
+    * rollup, a per-RATER-COUNT rollup (S_m per distinct m — bounded
+    * by `maxDistinctM`, checked via a limited collect), and one
+    * Σ n_c² decimal agg; the final α is exact BigInt FRACTION
+    * arithmetic over those few scalars (the per-m denominators m−1
+    * make it rational — gcd-reduced, never floating), ppm floor with
+    * the [[agreementKappa]] sign split (α < 0 = systematic
+    * disagreement). Null α when D = 0 (one category total) or
+    * n·· < 2; a 1-row all-null frame on empty/unpairable input.
+    */
+  def krippendorffAlpha(df: DataFrame, itemCol: String,
+      raterCol: String, catCol: String,
+      maxDistinctM: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nic = df.select(col(itemCol).as("__i"), col(raterCol).as("__r"),
+        col(catCol).as("__c"))
+      .groupBy("__i", "__c").agg(count(lit(1)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val perItem = nic.groupBy("__i")
+      .agg(sum(col("__n")).as("__m"),
+        sum(col("__n").cast("decimal(38,0)") * col("__n")).as("__s2"))
+      .filter(col("__m") >= 2)
+    val byM = perItem.groupBy("__m")
+      .agg(count(lit(1)).as("__cnt"),
+        sum(col("__m").cast("decimal(38,0)") * col("__m") -
+          col("__s2")).as("__sm"))
+      .limit(maxDistinctM + 1).collect()
+    require(byM.length <= maxDistinctM,
+      s"krippendorffAlpha: more than $maxDistinctM distinct rater " +
+        "counts — raise maxDistinctM deliberately")
+    def nullRow = Seq((0L, 0L, Option.empty[Long]))
+      .toDF("n_items", "n_values", "alpha_ppm")
+    if (byM.isEmpty) { nic.unpersist(); return nullRow }
+    val nItems = byM.map(_.getLong(1)).sum
+    val nn = byM.map(r => r.getLong(0) * r.getLong(1)).map(BigInt(_)).sum
+    val sc2 = BigInt(nic
+      .join(perItem.select(col("__i")), "__i") // pairable items only
+      .groupBy("__c").agg(sum(col("__n")).as("__t"))
+      .agg(coalesce(sum(col("__t").cast("decimal(38,0)") * col("__t")),
+        lit(0).cast("decimal(38,0)")).as("__sc2"))
+      .collect().head.getDecimal(0).toBigInteger)
+    nic.unpersist()
+    val d = nn * nn - sc2
+    // A = Σ_m S_m/(m−1) as an exact gcd-reduced fraction
+    var (aNum, aDen) = (BigInt(0), BigInt(1))
+    byM.foreach { r =>
+      val m = BigInt(r.getLong(0))
+      val sm = BigInt(r.getDecimal(2).toBigInteger)
+      val den = m - 1
+      aNum = aNum * den + sm * aDen
+      aDen = aDen * den
+      val g = aNum.gcd(aDen)
+      if (g > 1) { aNum /= g; aDen /= g }
+    }
+    val alpha: Option[Long] =
+      if (nn < 2 || d <= 0) None
+      else {
+        val num = d * aDen - (nn - 1) * aNum // α = num / (d·aDen)
+        val den = d * aDen
+        Some(((num.abs * 1000000 / den) * num.signum).toLong)
+      }
+    Seq((nItems, nn.toLong, alpha))
+      .toDF("n_items", "n_values", "alpha_ppm")
+  }
+
   /** Per-group Gini concentration of a non-negative integer value
     * column — the corpus-concentration audit (is 90% of the training
     * data from 1% of the domains?). Exact closed form over ascending

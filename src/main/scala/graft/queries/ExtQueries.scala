@@ -1651,6 +1651,28 @@ object ExtQueries {
           " 1, 8), 16, 10) AS bigint)"),
         m = 4294967296L)),
 
+    // Krippendorff's alpha over q204's raters made RAGGED (the
+    // density rater only covers even doc_ids) — the canonical
+    // agreement statistic for exactly the missing-rating input
+    // Fleiss rejects loudly. Exact BigInt rational end to end.
+    "q215_krippendorff" -> ((s, d) => {
+      val base = documents(s, d).select(col("doc_id"),
+        col("n_chars").cast("long").as("len"),
+        TextStats.tokenCount(col("text")).cast("long").as("tok"))
+      def tier(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+        when(c < lo, "low").when(c < hi, "mid").otherwise(lit("high"))
+      val raters =
+        base.select(col("doc_id"), lit("len").as("rater"),
+          tier(col("len"), 220, 380).as("cat"))
+        .union(base.select(col("doc_id"), lit("tok").as("rater"),
+          tier(col("tok"), 40, 70).as("cat")))
+        .union(base.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), lit("dens").as("rater"),
+            tier(expr("len div tok"), 5, 6).as("cat")))
+      graft.ext.Stats.krippendorffAlpha(raters, "doc_id", "rater",
+        "cat")
+    }),
+
     // Pairwise FD discovery (TANE level 1) on a 4-column customer
     // profile: every ordered column pair with its exact g3 error —
     // the key column holds against everything, nothing else does.
@@ -4552,6 +4574,52 @@ object ExtQueries {
          |    AS bigint) AS d_ppm
          |FROM cw, n GROUP BY n.n""".stripMargin
     },
+
+    // Krippendorff replay: same ragged raters; rater counts are
+    // {2,3} BY CONSTRUCTION, so A = S3/2 + S2 enters in doubled
+    // units (2A = S3 + 2*S2) and everything stays hugeint:
+    // alpha = (2D - (n..-1)*(S3 + 2*S2)) / (2D), sign-split floor.
+    "q215_krippendorff" ->
+      s"""WITH base AS (SELECT doc_id, cast(n_chars AS bigint) AS len,
+         |    cast(len(string_split_regex(trim(text), '\\s+')) AS bigint)
+         |      AS tok
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, 'len' AS rater, CASE WHEN len < 220 THEN 'low'
+         |    WHEN len < 380 THEN 'mid' ELSE 'high' END AS cat FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 'tok', CASE WHEN tok < 40 THEN 'low'
+         |    WHEN tok < 70 THEN 'mid' ELSE 'high' END FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 'dens', CASE WHEN len // tok < 5 THEN 'low'
+         |    WHEN len // tok < 6 THEN 'mid' ELSE 'high' END FROM base
+         |  WHERE doc_id % 2 = 0),
+         |nic AS (SELECT doc_id, cat, cast(count(*) AS bigint) AS n
+         |  FROM r GROUP BY 1, 2),
+         |per AS (SELECT doc_id, sum(n) AS m,
+         |    sum(cast(n AS hugeint) * n) AS s2
+         |  FROM nic GROUP BY doc_id),
+         |pair AS (SELECT * FROM per WHERE m >= 2),
+         |sm AS (SELECT
+         |    cast(coalesce(sum(CASE WHEN m = 3 THEN m * m - s2
+         |      ELSE 0 END), 0) AS hugeint) AS s3,
+         |    cast(coalesce(sum(CASE WHEN m = 2 THEN m * m - s2
+         |      ELSE 0 END), 0) AS hugeint) AS s2s,
+         |    cast(coalesce(sum(m), 0) AS hugeint) AS nn,
+         |    cast(count(*) AS bigint) AS ni
+         |  FROM pair),
+         |nc AS (SELECT cast(coalesce(sum(cast(t AS hugeint) * t), 0)
+         |    AS hugeint) AS sc2 FROM (
+         |  SELECT sum(n) AS t FROM nic JOIN pair USING (doc_id)
+         |  GROUP BY cat)),
+         |f AS (SELECT ni, nn, nn * nn - sc2 AS d,
+         |    s3 + 2 * s2s AS a2 FROM sm, nc)
+         |SELECT ni AS n_items, cast(nn AS bigint) AS n_values,
+         |  cast(CASE WHEN nn >= 2 AND d > 0 THEN
+         |    (CASE WHEN 2 * d - (nn - 1) * a2 < 0 THEN -1 ELSE 1 END) *
+         |    ((abs(2 * d - (nn - 1) * a2) * 1000000) // (2 * d))
+         |    END AS bigint) AS alpha_ppm
+         |FROM f""".stripMargin,
 
     // Per-pair g3 replay (max-per-lhs subtracted from group totals),
     // one UNION ALL branch per ordered pair — count(*) over lhs

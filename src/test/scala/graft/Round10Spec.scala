@@ -1158,4 +1158,63 @@ class Round10Spec extends SparkSpec {
     val boom = intercept[Exception] { run(Seq(10L), 10L) }
     assert(boom.getMessage != null)
   }
+
+  // ---- krippendorffAlpha: ragged-rater agreement ----
+
+  test("krippendorffAlpha pins hand cases (0 / 1 / -0.5), excludes " +
+      "single-rating items, accepts ragged counts, nulls one-category " +
+      "input, and matches a BigInt replay") {
+    def run(rows: Seq[(Long, String, String)]) = {
+      val r = graft.ext.Stats.krippendorffAlpha(
+        rows.toDF("i", "r", "c"), "i", "r", "c").collect().head
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    }
+    // i1 {a,a}, i2 {a,b}, i3 {b} (excluded): A=2, D=16-10=6,
+    // alpha = 1 - 3*2/6 = 0
+    assert(run(Seq((1L, "r1", "a"), (1L, "r2", "a"),
+      (2L, "r1", "a"), (2L, "r2", "b"), (3L, "r1", "b"))) ===
+      ((2L, 4L, Some(0L))))
+    // perfect agreement across 2 categories
+    assert(run(Seq((1L, "r1", "a"), (1L, "r2", "a"),
+      (2L, "r1", "b"), (2L, "r2", "b"))) === ((2L, 4L, Some(1000000L))))
+    // systematic disagreement: both items {a,b} -> alpha = -0.5
+    assert(run(Seq((1L, "r1", "a"), (1L, "r2", "b"),
+      (2L, "r1", "a"), (2L, "r2", "b"))) === ((2L, 4L, Some(-500000L))))
+    // one category total: D = 0 -> null
+    assert(run(Seq((1L, "r1", "x"), (1L, "r2", "x"),
+      (2L, "r1", "x"))) === ((1L, 2L, None)))
+    // nothing pairable
+    assert(run(Seq((1L, "r1", "a"), (2L, "r1", "b"))) ===
+      ((0L, 0L, None)))
+    // randomized ragged replay (m in {2,3,4}) vs driver BigInt
+    val rnd = new scala.util.Random(97)
+    val rows = (0 until 300).flatMap { i =>
+      val m = 2 + rnd.nextInt(3)
+      (0 until m).map(r => (i.toLong, s"r$r", "c" + rnd.nextInt(3)))
+    }
+    def replay(xs: Seq[(Long, String, String)]): (Long, Long, Long) = {
+      val byItem = xs.groupBy(_._1)
+      val pairable = byItem.filter(_._2.size >= 2)
+      val nn = BigInt(pairable.values.map(_.size).sum)
+      var (aN, aD) = (BigInt(0), BigInt(1))
+      pairable.values.groupBy(_.size).foreach { case (m, items) =>
+        val sm = items.map { it =>
+          val s2 = it.groupBy(_._3).values.map(g =>
+            BigInt(g.size) * g.size).sum
+          BigInt(m) * m - s2
+        }.sum
+        aN = aN * (m - 1) + sm * aD; aD = aD * (m - 1)
+      }
+      val sc2 = pairable.values.flatten.groupBy(_._3).values
+        .map(g => BigInt(g.size) * g.size).sum
+      val d = nn * nn - sc2
+      val num = d * aD - (nn - 1) * aN
+      val den = d * aD
+      (pairable.size.toLong, nn.toLong,
+        ((num.abs * 1000000 / den) * num.signum).toLong)
+    }
+    val (ei, en, ea) = replay(rows)
+    assert(run(rows) === ((ei, en, Some(ea))))
+  }
 }
