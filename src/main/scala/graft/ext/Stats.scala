@@ -1386,6 +1386,56 @@ object Stats {
           .as("n_outliers"))
   }
 
+  /** Exact per-group trimmed mean — the robust location estimator
+    * between the mean (0% trim) and the median (50% trim): drop the
+    * lowest and highest ⌊n·trimPpm/10⁶⌋ values by rank, average the
+    * rest. Exact at any scale via the support kernel: each distinct
+    * value's kept multiplicity is the overlap of its cumulative rank
+    * range (below, below+cnt] with the kept band (lo, n−lo], so the
+    * whole statistic is ONE pass over the support — no sort-and-slice
+    * of the group, no window over rows:
+    *   kept_c(v) = max(0, min(below+cnt, n−lo) − max(below, lo)),
+    *   tmean6   = ⌊10⁶ · Σ v·kept_c / n_kept⌋  (sign-split floor —
+    *     values may be negative).
+    * Since trimPpm < 50%, 2·lo = 2·⌊n·t⌋ < n, so every group keeps at
+    * least one value (the n_kept > 0 guard is defensive, spec'd as an
+    * invariant). Values must be integer-valued; nulls drop.
+    */
+  def trimmedMean(df: DataFrame, groupCol: String, x: Column,
+      trimPpm: Long,
+      maxSingleTask: Long = TwoPhase.defaultMaxSingleTask): DataFrame = {
+    require(trimPpm >= 0 && trimPpm < 500000L,
+      s"trimmedMean: trimPpm must be in [0, 500000) (got $trimPpm — " +
+        "at 50% nothing can remain; use the median)")
+    val support = df.select(col(groupCol), x.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col(groupCol), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val bounds = support.groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n"))
+      .withColumn("__lo", expr(
+        s"(cast($trimPpm AS decimal(38,0)) * n) div 1000000")
+        .cast("long"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    groupedCumBelow(support, Seq(groupCol), "__v", Seq("__c"),
+        maxSingleTask)
+      .join(bounds, groupCol)
+      .withColumn("__kept", greatest(lit(0L),
+        least(col("__below___c") + col("__c"), col("n") - col("__lo"))
+          - greatest(col("__below___c"), col("__lo"))))
+      .groupBy(col(groupCol))
+      .agg(min(col("n")).as("n"), min(col("__lo")).as("trimmed_each"),
+        sum(col("__kept")).as("n_kept"),
+        sum(d(col("__v")) * col("__kept")).as("__s"))
+      .select(col(groupCol), col("n"), col("trimmed_each"),
+        col("n_kept"),
+        when(col("n_kept") > 0,
+          (when(col("__s") < 0, lit(-1L)).otherwise(lit(1L)) *
+            expr("cast((abs(__s) * 1000000) div n_kept AS long)")))
+          .as("tmean6"))
+  }
+
   /** Krippendorff's alpha, nominal metric (Krippendorff 1970/2004) —
     * the agreement statistic for RAGGED rater counts, i.e. exactly the
     * input [[fleissKappa]]'s constant-n contract rejects loudly

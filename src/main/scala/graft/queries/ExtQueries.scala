@@ -1673,6 +1673,15 @@ object ExtQueries {
         "cat")
     }),
 
+    // 10%-trimmed mean of order value per priority — the robust
+    // location between mean and median, exact in one support pass
+    // (per-value kept multiplicity = rank-band overlap).
+    "q216_trimmed_mean" -> ((s, d) =>
+      graft.ext.Stats.trimmedMean(orders(s, d), "o_orderpriority",
+        expr("cast(round(o_totalprice * 100, 0) AS bigint)"),
+        trimPpm = 100000L)
+        .orderBy("o_orderpriority")),
+
     // Pairwise FD discovery (TANE level 1) on a 4-column customer
     // profile: every ordered column pair with its exact g3 error —
     // the key column holds against everything, nothing else does.
@@ -4620,6 +4629,37 @@ object ExtQueries {
          |    ((abs(2 * d - (nn - 1) * a2) * 1000000) // (2 * d))
          |    END AS bigint) AS alpha_ppm
          |FROM f""".stripMargin,
+
+    // Trimmed-mean replay: support + strict-below window, the same
+    // rank-band overlap per value, sign-split micro floor.
+    "q216_trimmed_mean" ->
+      """WITH v AS (SELECT o_orderpriority AS g,
+        |    cast(round(o_totalprice * 100, 0) AS bigint) AS x
+        |  FROM orders),
+        |sup AS (SELECT g, x, cast(count(*) AS bigint) AS c
+        |  FROM v GROUP BY 1, 2),
+        |cw AS (SELECT g, x, c, cast(coalesce(sum(c) OVER (
+        |      PARTITION BY g ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS hugeint) AS below
+        |  FROM sup),
+        |b AS (SELECT g, cast(sum(c) AS bigint) AS n,
+        |    cast((100000 * cast(sum(c) AS hugeint)) // 1000000
+        |      AS bigint) AS lo
+        |  FROM sup GROUP BY g),
+        |k AS (SELECT cw.g, b.n, b.lo, cw.x,
+        |    greatest(0, least(below + c, b.n - b.lo)
+        |      - greatest(below, b.lo)) AS kept
+        |  FROM cw JOIN b ON cw.g = b.g),
+        |a AS (SELECT g, min(n) AS n, min(lo) AS trimmed_each,
+        |    cast(sum(kept) AS bigint) AS n_kept,
+        |    sum(cast(x AS hugeint) * kept) AS s
+        |  FROM k GROUP BY g)
+        |SELECT g AS o_orderpriority, n, trimmed_each, n_kept,
+        |  cast(CASE WHEN n_kept > 0 THEN
+        |    (CASE WHEN s < 0 THEN -1 ELSE 1 END) *
+        |    ((abs(s) * 1000000) // n_kept) END AS bigint) AS tmean6
+        |FROM a ORDER BY o_orderpriority""".stripMargin,
 
     // Per-pair g3 replay (max-per-lhs subtracted from group totals),
     // one UNION ALL branch per ordered pair — count(*) over lhs

@@ -1217,4 +1217,62 @@ class Round10Spec extends SparkSpec {
     val (ei, en, ea) = replay(rows)
     assert(run(rows) === ((ei, en, Some(ea))))
   }
+
+  // ---- trimmedMean: exact one-pass robust location ----
+
+  test("trimmedMean drops exactly the rank band, matches a driver " +
+      "sort-and-slice replay with ties and negatives, nulls emptied " +
+      "groups, and the two-phase path agrees") {
+    // hand case: 1..10, trim 10% -> lo=1: keep 2..9, mean 5.5
+    val hand = (1L to 10L).map(("h", _))
+    // outlier resistance: same but 10 -> 10000; trimmed mean unchanged
+    val outl = ((1L to 9L) :+ 10000L).map(("o", _))
+    // negatives: -5..4 trim 20% (lo=2): keep -3..2, sum -3, mean -0.5
+    val neg = (-5L to 4L).map(("n", _))
+    // tiny group: n=2, trim 40% -> lo=0: keeps all (floor)
+    val tiny = Seq(("t", 1L), ("t", 3L))
+    def run(rows: Seq[(String, Long)], t: Long, maxSingle: Long) =
+      graft.ext.Stats.trimmedMean(rows.toDF("g", "x"), "g", col("x"),
+          trimPpm = t, maxSingleTask = maxSingle)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    for (maxSingle <- Seq(Long.MaxValue, 0L)) {
+      val got = run(hand ++ outl, 100000L, maxSingle)
+      assert(got("h") === ((10L, 1L, 8L, Some(5500000L))),
+        s"maxSingleTask=$maxSingle")
+      assert(got("o") === ((10L, 1L, 8L, Some(5500000L))),
+        "the 10000 outlier must not move the 10%-trimmed mean")
+    }
+    assert(run(neg, 200000L, Long.MaxValue)("n") ===
+      ((10L, 2L, 6L, Some(-500000L))))
+    assert(run(tiny, 400000L, Long.MaxValue)("t") ===
+      ((2L, 0L, 2L, Some(2000000L))))
+    // randomized replay vs sort-and-slice, heavy ties
+    val rnd = new scala.util.Random(29)
+    val rr = (0 until 777).map(_ => ("r", rnd.nextInt(30).toLong - 10))
+    val t = 150000L
+    val s = rr.map(_._2).sorted
+    val lo = (BigInt(t) * s.size / 1000000).toInt
+    val kept = s.slice(lo, s.size - lo)
+    val exp = {
+      val sum = kept.map(BigInt(_)).sum
+      ((sum.abs * 1000000 / kept.size) * sum.signum).toLong
+    }
+    assert(run(rr, t, Long.MaxValue)("r") ===
+      ((777L, lo.toLong, kept.size.toLong, Some(exp))))
+    // everything trimmed: n=1 with 40% trim -> lo=0 keeps 1... use
+    // n=2, trim 499999 ppm -> lo=0; n=4 trim 499999 -> lo=1, keep 2;
+    // the genuinely-emptied case needs lo*2 >= n: n=2, lo=1 via 50%
+    // is rejected by the require — so construct n=3, trim 40% -> lo=1,
+    // keep 1 (never empty for trim<50%: kept = n-2*lo >= 1). Assert
+    // the invariant instead of an unreachable null:
+    assert(run(Seq(("k", 9L), ("k", 1L), ("k", 5L)), 400000L,
+      Long.MaxValue)("k") === ((3L, 1L, 1L, Some(5000000L))))
+    intercept[IllegalArgumentException] {
+      graft.ext.Stats.trimmedMean(Seq(("g", 1L)).toDF("g", "x"), "g",
+        col("x"), trimPpm = 500000L)
+    }
+  }
 }
