@@ -301,7 +301,8 @@ object Layout {
     * operation at a time per table. The crash-recovery design depends
     * on it — an `.append.inprogress` marker brackets the window where
     * data files exist but the sidecar doesn't reference them yet, and
-    * a later [[zoneCompact]] treats any leftover marker as "that append
+    * the next maintenance op — [[zoneCompact]], or [[zoneAppend]]
+    * itself at entry — treats any leftover marker as "that append
     * died: its unreferenced files are garbage" and sweeps them. A
     * CONCURRENT in-flight append would be indistinguishable from a
     * crashed one and would lose its uncommitted files to that sweep.
@@ -314,12 +315,20 @@ object Layout {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     def listing: Set[String] = fs.listStatus(new Path(path)).toSeq
       .map(_.getPath.toString).filter(_.contains("part-")).toSet
-    val existing = listing
     // crash marker: created before the first data file can land,
     // removed only after the sidecar references everything — a
-    // leftover marker tells the next zoneCompact that unreferenced
-    // part files from a dead append may exist and a sweep is due
+    // leftover marker tells the next maintenance op that unreferenced
+    // part files from a dead append may exist and a sweep is due.
+    // A PRE-EXISTING marker means a prior append died in that window;
+    // run the sweep NOW (the sidecar just read is the whole truth
+    // under the single-writer contract) — overwriting and later
+    // deleting the marker without it would erase the only evidence of
+    // the dead run and leave its orphans double-counting direct
+    // directory reads forever.
     val marker = new Path(path + ".append.inprogress")
+    if (fs.exists(marker))
+      sweepUnreferenced(fs, path, prior.map(_.getString(0)).toSet)
+    val existing = listing
     fs.create(marker, true).close()
     df.repartitionByRange(nFiles, col(zoneCol))
       .sortWithinPartitions(zoneCol)

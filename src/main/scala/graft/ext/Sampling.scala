@@ -413,10 +413,20 @@ object Sampling {
     // normalize the weight to LONG once: the bucket sums below are
     // read back with getLong, which a decimal/double sum would break
     // with a ClassCastException — the cast makes the integer contract
-    // explicit instead of type-dependent
+    // explicit instead of type-dependent. A FRACTIONAL weight would
+    // truncate silently under that cast (weights in (0,1) become 0
+    // and are never sampled), so non-integer values fail loudly per
+    // row first — the ksUniform/giniConcentration raise_error
+    // discipline; integral-valued doubles/decimals pass through
+    val wLong = when(col(weightCol).isNull ||
+        col(weightCol) === floor(col(weightCol)), col(weightCol))
+      .otherwise(raise_error(concat(
+        lit("ppsTake: non-integer weight (long cast would truncate): "),
+        col(weightCol).cast("string"))))
+      .cast("long")
     val withH = df.withColumn("__h", md5(col(keyCol).cast("string")))
       .withColumn("__hb", coalesce(substring(col("__h"), 1, 2), lit("")))
-      .withColumn("__w", col(weightCol).cast("long"))
+      .withColumn("__w", wLong)
     val sums = withH.groupBy("__hb")
       .agg(sum(col("__w")).as("s")).collect()
       .map(r => (r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1)))

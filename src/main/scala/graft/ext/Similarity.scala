@@ -136,6 +136,17 @@ object Similarity {
     require(k >= 1 && poolSize >= k, "mmrTopK: need poolSize >= k >= 1")
     require(lamNum >= 1 && lamDen >= lamNum,
       "mmrTopK: need 0 < lamNum/lamDen <= 1")
+    // loud bound on the driver-side stage (kmvJaccard's guard style):
+    // the greedy holds poolSize vectors and poolSize² pairwise sims on
+    // the driver — fine at re-ranker pool sizes, quadratic blowup if a
+    // caller passes a corpus-scale pool expecting it to distribute
+    require(poolSize <= 4096,
+      s"mmrTopK: poolSize=$poolSize exceeds 4096 — the greedy stage " +
+        "is driver-side all-pairs " +
+        s"(~${BigInt(poolSize) * poolSize} sims, " +
+        s"${poolSize} vectors collected). MMR is a RE-RANKER: shrink " +
+        "the pool, or pre-select candidates with bruteTopK/lshTopK " +
+        "first")
     val spark = df.sparkSession
     val muCos = (v: Column, n1: Column, q: Column, n2: Column) =>
       floor(dot(v, q) / (n1 * n2) * lit(1000000.0)).cast("long")

@@ -127,7 +127,7 @@ object Sketches {
       s"kmvJaccard: $nGroups groups exceed maxGroups=$maxGroups — the " +
         "pair stage is all-pairs (|groups|^2/2). Pass a coarser " +
         "groupCol, or raise maxGroups explicitly if " +
-        s"~${nGroups * nGroups / 2} sketch-pair comparisons are " +
+        s"~${BigInt(nGroups) * nGroups / 2} sketch-pair comparisons are " +
         "genuinely intended")
     val pairs = gs.select(col("g").as("ga"))
       .crossJoin(gs.select(col("g").as("gb")))

@@ -1185,10 +1185,14 @@ object Stats {
     val perItem = nic.groupBy("__i")
       .agg(sum(col("__n")).as("__ni"),
         sum(col("__n").cast("decimal(38,0)") * col("__n")).as("__s2i"))
-    // one bounded collect: (distinct raters-per-item values) ≤ checked 1
+    // one bounded collect: only "exactly one distinct raters-per-item
+    // value" matters, so limit(2) suffices — a contract-violating
+    // input with millions of distinct counts must not do an unbounded
+    // driver collect (or build a huge error string) just to fail
+    // (krippendorffAlpha's maxDistinctM+1 bound, same discipline)
     val nDist = perItem.groupBy("__ni").agg(count(lit(1)).as("__cnt"),
         sum(col("__s2i")).as("__s2"))
-      .collect()
+      .limit(2).collect()
     if (nDist.isEmpty) { // empty input: degenerate 1-row, all null
       nic.unpersist()
       return Seq((0L, 0L, Option.empty[Long], Option.empty[Long],
@@ -1197,7 +1201,7 @@ object Stats {
     }
     require(nDist.length == 1,
       "fleissKappa: every item must have the same rater count (got " +
-        s"counts ${nDist.map(_.get(0)).mkString(", ")})")
+        s">= 2 distinct counts, e.g. ${nDist.map(_.get(0)).mkString(", ")})")
     val n = nDist.head.getLong(0)
     require(n >= 2, s"fleissKappa: need >= 2 raters per item (got $n)")
     val nItems = nDist.head.getLong(1) // Σ items, same collected row

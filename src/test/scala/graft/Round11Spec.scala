@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 pins: the four r10 ADVICE fixes — zoneAppend reclaims a
+  * dead prior append's orphans at entry instead of erasing its marker,
+  * fleissKappa bounds its contract-check collect, ppsTake fails loudly
+  * on fractional weights instead of silently truncating them to zero,
+  * and kmvJaccard's guard message survives huge group counts.
+  */
+class Round11Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def plantOrphan(path: String): java.io.File = {
+    val d = new java.io.File(path)
+    val src = d.listFiles().filter(_.getName.startsWith("part-")).head
+    val orphan = new java.io.File(d,
+      s"part-99999-orphan${d.listFiles().length}.snappy.parquet")
+    java.nio.file.Files.copy(src.toPath, orphan.toPath)
+    assert(orphan.exists())
+    orphan
+  }
+
+  // ---- zoneAppend: entry sweep of a dead prior append ----
+
+  test("zoneAppend with a pre-existing crash marker sweeps the dead " +
+      "run's orphans at entry; direct directory reads stay exact") {
+    val dir = java.nio.file.Files.createTempDirectory("zones11").toString
+    val path = s"$dir/t"
+    graft.ext.Layout.zoneWrite(
+      (1L to 100L).map(i => (i, i * 10L)).toDF("id", "x"), "x", 4, path)
+    // what a zoneAppend that died between its data write and its
+    // sidecar commit leaves behind: unreferenced part files + marker
+    val orphan = plantOrphan(path)
+    val marker = new java.io.File(path + ".append.inprogress")
+    assert(marker.createNewFile())
+    graft.ext.Layout.zoneAppend(
+      (101L to 140L).map(i => (i, i * 10L)).toDF("id", "x"),
+      "x", 2, path)
+    assert(!orphan.exists(),
+      "dead append's orphan survived the entry sweep — a direct " +
+        "directory read would double-count it forever")
+    assert(!marker.exists() ||
+      !new java.io.File(path + ".append.inprogress").exists(),
+      "marker not cleared after the successful append")
+    // direct directory read (no sidecar) must see exactly the live rows
+    assert(spark.read.parquet(path).count() === 140L)
+    // sidecar references every live file and its row counts are exact
+    val zones = spark.read.parquet(path + ".zones")
+    assert(zones.agg(sum("rows")).collect().head.getLong(0) === 140L)
+    val live = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName).toSet
+    val referenced = zones.select("file").collect()
+      .map(r => new java.io.File(
+        new java.net.URI(r.getString(0)).getPath).getName).toSet
+    assert(referenced === live)
+  }
+
+  test("zoneAppend without a marker performs no sweep and no extra " +
+      "listing work on the happy path (files before == files after " +
+      "minus the appended batch)") {
+    val dir = java.nio.file.Files.createTempDirectory("zones11b").toString
+    val path = s"$dir/t"
+    graft.ext.Layout.zoneWrite(
+      (1L to 50L).map(i => (i, i * 3L)).toDF("id", "x"), "x", 2, path)
+    val before = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName).toSet
+    graft.ext.Layout.zoneAppend(
+      (51L to 60L).map(i => (i, i * 3L)).toDF("id", "x"), "x", 1, path)
+    val after = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName).toSet
+    assert(before.subsetOf(after), "happy-path append deleted a file")
+    assert(spark.read.parquet(path).count() === 60L)
+  }
+
+  // ---- ppsTake: loud guard on fractional weights ----
+
+  test("ppsTake raises on fractional weights instead of silently " +
+      "truncating them to zero; integral-valued doubles pass and " +
+      "draw identically to their long twin") {
+    val rows = (0 until 90).map(i => (s"k$i", (i % 7 + 1).toLong))
+    val longDf = rows.toDF("k", "w")
+    // integral-valued double weights: same draw as the long twin
+    val dblDf = longDf.withColumn("w", col("w").cast("double"))
+    val fromLong = graft.ext.Sampling.ppsTake(longDf, "k", "w", n = 9)
+      .select("k", "n_hits").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fromDbl = graft.ext.Sampling.ppsTake(dblDf, "k", "w", n = 9)
+      .select("k", "n_hits").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromDbl === fromLong)
+    // fractional weights (the silent-truncation hazard: 0.4 -> 0L,
+    // never sampled) now fail loudly per row
+    val fracDf = longDf.withColumn("w", col("w") / lit(2.5))
+    val boom = intercept[Exception] {
+      graft.ext.Sampling.ppsTake(fracDf, "k", "w", n = 9).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(boom).exists(_.contains("non-integer weight")),
+      s"wrong failure: ${messages(boom).mkString(" | ")}")
+  }
+
+  // ---- mmrTopK: loud bound on the driver-side pool ----
+
+  test("mmrTopK rejects a corpus-scale poolSize with the pair-count " +
+      "message before touching any data") {
+    val df = (0L to 5L).map(i => (i, Array(1.0f, i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val err = intercept[IllegalArgumentException] {
+      graft.ext.Similarity.mmrTopK(df, "vec_id", "embedding",
+        queryId = 0L, k = 10, poolSize = 5000)
+    }
+    assert(err.getMessage.contains("driver-side all-pairs"))
+    assert(err.getMessage.contains((BigInt(5000) * 5000).toString))
+    // the bound itself is fine
+    assert(graft.ext.Similarity.mmrTopK(df, "vec_id", "embedding",
+      queryId = 0L, k = 2, poolSize = 4).count() === 2L)
+  }
+
+  // ---- fleissKappa: bounded contract-check collect ----
+
+  test("fleissKappa's ragged-counts rejection happens via a bounded " +
+      "collect (limit 2) and a truncated message") {
+    // 3 distinct rater counts — the message must not enumerate all of
+    // them (bounded collect sees at most 2)
+    val ragged = Seq(
+      (1L, "r0", "a"), (1L, "r1", "a"),
+      (2L, "r0", "a"), (2L, "r1", "a"), (2L, "r2", "b"),
+      (3L, "r0", "a"), (3L, "r1", "b"), (3L, "r2", "a"), (3L, "r3", "b"))
+    val err = intercept[IllegalArgumentException] {
+      graft.ext.Stats.fleissKappa(ragged.toDF("i", "r", "c"),
+        "i", "r", "c")
+    }
+    assert(err.getMessage.contains("same rater count"))
+    // the limit(2) bound: at most two example counts in the message
+    val counts = Seq(2L, 3L, 4L).count(c =>
+      err.getMessage.split("e\\.g\\.").last.contains(c.toString))
+    assert(counts <= 2, s"unbounded enumeration: ${err.getMessage}")
+  }
+}
