@@ -36,13 +36,33 @@ object CrossrefFetch {
   final case class Response(status: Int, body: String,
       retryAfter: Option[Double] = None)
 
-  /** (url, query params) => response. Tests script this; production
-    * wraps a real HTTP client.
+  /** (url, query params, headers) => response. Tests script this;
+    * production wraps a real HTTP client. The headers argument carries
+    * the [[Etiquette]] identity on EVERY request — a transport that
+    * drops it silently forfeits the API's polite pool.
     */
-  type Transport = (String, Map[String, String]) => Response
+  type Transport = (String, Map[String, String], Map[String, String])
+    => Response
 
   final case class RetryPolicy(maxTries: Int = 6, baseBackoff: Double = 1.0,
       maxBackoff: Double = 30.0)
+
+  /** Crawl etiquette, mirrored from the reference (PIPE:16-17 builds
+    * `User-Agent: UPS-ETL/1.0 (mailto:…)` onto the session so every
+    * request self-identifies; PIPE:733 sleeps 0.3 s between cursor
+    * pages). Both are POLICY, not plumbing: the Crossref API routes
+    * identified callers to its polite pool and rate-limits anonymous
+    * ones, and the inter-page delay keeps a long crawl a good citizen
+    * regardless of how fast pages return. Fields are injectable so
+    * tests assert the header map and the pacing hook instead of
+    * serving real waits.
+    */
+  final case class Etiquette(product: String = "graft-etl/1.0",
+      mailto: Option[String] = None, pageDelay: Double = 0.3) {
+    /** The headers every request carries. */
+    def headers: Map[String, String] = Map("User-Agent" ->
+      (product + mailto.fold("")(m => s" (mailto:$m)")))
+  }
 
   /** Outcome of a resilient GET: the OK response plus the params that
     * finally worked — the caller keeps using the degraded params for
@@ -60,11 +80,14 @@ object CrossrefFetch {
   def getWithRetry(transport: Transport, url: String,
       params: Map[String, String], datesOnlyFilter: String,
       policy: RetryPolicy = RetryPolicy(),
-      sleep: Double => Unit = s => Thread.sleep((s * 1000).toLong)): Fetched = {
+      sleep: Double => Unit = s => Thread.sleep((s * 1000).toLong),
+      etiquette: Etiquette = Etiquette()): Fetched = {
 
     @tailrec
     def loop(p: Map[String, String], tries: Int, backoff: Double): Fetched = {
-      val resp = transport(url, p)
+      // etiquette headers ride EVERY attempt, retries and degraded
+      // rungs included — the reference sets them on the session once
+      val resp = transport(url, p, etiquette.headers)
       resp.status match {
         case 400 =>
           // degradation ladder, one rung per attempt, immediate retry
@@ -107,7 +130,8 @@ object CrossrefFetch {
   def fetchPages(transport: Transport, url: String,
       initialParams: Map[String, String], datesOnlyFilter: String,
       maxPages: Int = 10000, policy: RetryPolicy = RetryPolicy(),
-      sleep: Double => Unit = s => Thread.sleep((s * 1000).toLong))
+      sleep: Double => Unit = s => Thread.sleep((s * 1000).toLong),
+      etiquette: Etiquette = Etiquette())
       : Seq[String] = {
     val pages = Seq.newBuilder[String]
     var params = initialParams + ("cursor" -> "*")
@@ -117,7 +141,7 @@ object CrossrefFetch {
     while (!done && page < maxPages) {
       page += 1
       val got = getWithRetry(transport, url, params, datesOnlyFilter,
-        policy, sleep)
+        policy, sleep, etiquette)
       params = got.params // keep any degradation for subsequent pages
       val msg = mapper.readTree(got.response.body).path("message")
       // a 2xx body without message.items is NOT end-of-data — treating
@@ -138,6 +162,9 @@ object CrossrefFetch {
         else {
           prevCursor = next
           params += ("cursor" -> next.get)
+          // inter-page pacing (PIPE:733): after every page that will
+          // be followed by another request, never after the last
+          if (etiquette.pageDelay > 0) sleep(etiquette.pageDelay)
         }
       }
     }

@@ -25,7 +25,7 @@ class CrossrefFetchSpec extends AnyFunSuite {
 
   test("400 ladder degrades select -> sort/order -> dates-only filter") {
     val seen = mutable.Buffer.empty[Map[String, String]]
-    val transport: CrossrefFetch.Transport = (_, p) => {
+    val transport: CrossrefFetch.Transport = (_, p, _) => {
       seen += p
       if (p.contains("select") || p.contains("sort") || p.contains("order")
         || p("filter").contains("has-affiliation:true"))
@@ -52,7 +52,7 @@ class CrossrefFetchSpec extends AnyFunSuite {
   test("retryable statuses back off 1,2,4... capped, Retry-After wins") {
     val sleeps = mutable.Buffer.empty[Double]
     var calls = 0
-    val transport: CrossrefFetch.Transport = (_, _) => {
+    val transport: CrossrefFetch.Transport = (_, _, _) => {
       calls += 1
       calls match {
         case 1 => Response(503, "")
@@ -71,7 +71,7 @@ class CrossrefFetchSpec extends AnyFunSuite {
 
   test("gives up after maxTries retryable responses") {
     var calls = 0
-    val transport: CrossrefFetch.Transport = (_, _) => {
+    val transport: CrossrefFetch.Transport = (_, _, _) => {
       calls += 1; Response(503, "overloaded")
     }
     val e = intercept[CrossrefFetch.FetchFailedException] {
@@ -84,7 +84,7 @@ class CrossrefFetchSpec extends AnyFunSuite {
 
   test("non-retryable status fails immediately") {
     intercept[CrossrefFetch.FetchFailedException] {
-      CrossrefFetch.getWithRetry((_, _) => Response(404, "nope"), "u",
+      CrossrefFetch.getWithRetry((_, _, _) => Response(404, "nope"), "u",
         Map(), datesOnly, sleep = noSleep)
     }
   }
@@ -93,7 +93,7 @@ class CrossrefFetchSpec extends AnyFunSuite {
     def page(items: Int, next: String) =
       s"""{"message":{"items":[${Seq.fill(items)("{}").mkString(",")}],
          |"next-cursor":"$next"}}""".stripMargin
-    val transport: CrossrefFetch.Transport = (_, p) =>
+    val transport: CrossrefFetch.Transport = (_, p, _) =>
       p("cursor") match {
         case "*"  => Response(200, page(2, "c1"))
         case "c1" => Response(200, page(1, "c2"))
@@ -106,7 +106,7 @@ class CrossrefFetchSpec extends AnyFunSuite {
   }
 
   test("cursor pagination stops on a repeated cursor (no infinite loop)") {
-    val transport: CrossrefFetch.Transport = (_, _) =>
+    val transport: CrossrefFetch.Transport = (_, _, _) =>
       Response(200,
         """{"message":{"items":[{}],"next-cursor":"same"}}""")
     val pages = CrossrefFetch.fetchPages(transport, "u", Map(), datesOnly,
@@ -115,7 +115,7 @@ class CrossrefFetchSpec extends AnyFunSuite {
   }
 
   test("2xx body without message.items fails loudly, not as end-of-data") {
-    val transport: CrossrefFetch.Transport = (_, _) =>
+    val transport: CrossrefFetch.Transport = (_, _, _) =>
       Response(200, """{"status":"error","detail":"proxy hiccup"}""")
     val e = intercept[CrossrefFetch.FetchFailedException] {
       CrossrefFetch.fetchPages(transport, "u", Map(), datesOnly,
@@ -124,9 +124,61 @@ class CrossrefFetchSpec extends AnyFunSuite {
     assert(e.getMessage.contains("without message.items"))
   }
 
+  test("etiquette: the User-Agent/mailto header map rides EVERY " +
+      "scripted request — retries and degraded rungs included") {
+    val headersSeen = mutable.Buffer.empty[Map[String, String]]
+    val et = CrossrefFetch.Etiquette(
+      product = "graft-etl/1.0", mailto = Some("ops@example.org"))
+    var calls = 0
+    val transport: CrossrefFetch.Transport = (_, _, h) => {
+      headersSeen += h
+      calls += 1
+      calls match {
+        case 1 => Response(400, "bad select") // degradation rung
+        case 2 => Response(503, "")           // retry rung
+        case _ => Response(200, "ok")
+      }
+    }
+    val got = CrossrefFetch.getWithRetry(transport, "u",
+      Map("select" -> "DOI"), datesOnly, sleep = noSleep, etiquette = et)
+    assert(got.response.status == 200)
+    assert(headersSeen.size == 3)
+    assert(headersSeen.forall(_ == Map(
+      "User-Agent" -> "graft-etl/1.0 (mailto:ops@example.org)")))
+    // no mailto: the product alone, no dangling parenthetical
+    assert(CrossrefFetch.Etiquette(product = "x/2.0").headers ==
+      Map("User-Agent" -> "x/2.0"))
+  }
+
+  test("etiquette: inter-page pacing sleeps pageDelay between pages, " +
+      "never after the last page, and 0 disables it") {
+    def page(next: String) =
+      s"""{"message":{"items":[{}],"next-cursor":"$next"}}"""
+    val transport: CrossrefFetch.Transport = (_, p, _) =>
+      p("cursor") match {
+        case "*"  => Response(200, page("c1"))
+        case "c1" => Response(200, page("c2"))
+        case "c2" => Response(200, """{"message":{"items":[]}}""")
+        case c    => fail(s"unexpected cursor $c")
+      }
+    val sleeps = mutable.Buffer.empty[Double]
+    val pages = CrossrefFetch.fetchPages(transport, "u", Map(), datesOnly,
+      sleep = sleeps += _,
+      etiquette = CrossrefFetch.Etiquette(pageDelay = 0.3))
+    assert(pages.size == 2)
+    // 3 requests -> paced after pages 1 and 2 (each followed by another
+    // request), not after the empty terminal page
+    assert(sleeps.toSeq == Seq(0.3, 0.3))
+    sleeps.clear()
+    CrossrefFetch.fetchPages(transport, "u", Map(), datesOnly,
+      sleep = sleeps += _,
+      etiquette = CrossrefFetch.Etiquette(pageDelay = 0.0))
+    assert(sleeps.isEmpty)
+  }
+
   test("degraded params persist across subsequent pages") {
     val cursorsWithSelect = mutable.Buffer.empty[(String, Boolean)]
-    val transport: CrossrefFetch.Transport = (_, p) => {
+    val transport: CrossrefFetch.Transport = (_, p, _) => {
       cursorsWithSelect += ((p("cursor"), p.contains("select")))
       if (p.contains("select")) Response(400, "bad select")
       else p("cursor") match {
