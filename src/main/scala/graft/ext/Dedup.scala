@@ -1175,15 +1175,15 @@ object Dedup {
     // sides, and Spark recomputes an aliased subplan per self-join side
     // (no cross-alias exchange reuse — see ReuseCheck) — unpersisted
     // this whole build ran 3x. The bench's clearCache() between queries
-    // releases it; callers embedding this in a longer pipeline should
-    // unpersist after consuming the result.
+    // releases it; callers embedding this in a longer pipeline release
+    // it (with every other operator cache) via OpCaches.release().
     val ranked = tokf.join(vocab, "s")
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("dfc"), col("s")))).as("srt"))
       .select(col("id"),
         transform(col("srt"), x => x.getField("s")).as("sh"),
         size(col("srt")).as("sz"))
-      .persist()
+      .transform(OpCaches.pin)
     // overlap bound ⌈τ·sz⌉ = (tauNum·sz + tauDen - 1) div tauDen
     val oMin = floor((col("sz") * tauNum + (tauDen - 1))
       .cast("double") / tauDen).cast("int")
@@ -1284,7 +1284,7 @@ object Dedup {
     // consumer (same no-cross-alias-reuse reality as setSimJoin's
     // ranked — unpersisted this whole build ran 4x). The bench's
     // clearCache() between queries releases it; callers embedding this
-    // in longer pipelines should unpersist when done.
+    // in longer pipelines release it via OpCaches.release().
     val ranked = grams.join(gdf, "g")
       .groupBy("id")
       .agg(slice(sort_array(collect_list(struct(col("dfc"), col("g")))),
@@ -1292,7 +1292,7 @@ object Dedup {
       .select(col("id"),
         transform(col("pgx"), x => x.getField("g")).as("pg"),
         size(col("pgx")).as("np"))
-      .persist()
+      .transform(OpCaches.pin)
     // rich strings (np == p): the c smallest shared grams of any
     // qualifying pair are a c-subset of BOTH prefixes -> tuple keys
     val combos = (0 until p).combinations(c).toSeq

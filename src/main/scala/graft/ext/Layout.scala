@@ -669,7 +669,7 @@ object Layout {
     // bit-exact
     val dv = df.select(col(c).as("value")).filter(col("value").isNotNull)
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .transform(OpCaches.pin)
     val n = dv.count()
     if (n <= maxSingleTask)
       dv.withColumn("code",

@@ -38,7 +38,7 @@ object Mining {
       .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .filter(col("__b").isNotNull && col("__i").isNotNull)
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .transform(OpCaches.pin)
     val stats = txns.groupBy(col("__b"))
       .agg(count(lit(1)).as("__s"))
       .agg(max(col("__s")).as("__mx"), count(lit(1)).as("__nb"))

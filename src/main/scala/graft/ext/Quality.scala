@@ -304,7 +304,7 @@ object Quality {
     // below — feeds the guard count, the N/m collect, and the spine
     // join, so cache it (MEMORY_ONLY: LRU-bounded, recompute exact)
     val global = base.groupBy("__v").agg(count(lit(1)).as("__gc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .transform(OpCaches.pin)
     val m = global.count()
     require(m <= maxDomain,
       s"tCloseness: sensitive domain has $m values, exceeding " +

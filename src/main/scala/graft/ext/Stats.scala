@@ -232,13 +232,17 @@ object Stats {
     // cache is for. MEMORY_ONLY, deliberately not MEMORY_AND_DISK:
     // memory blocks are LRU-evictable so repeated calls in a long
     // session stay bounded by the storage pool, where disk-stored
-    // blocks would accumulate until session end. No unpersist: the
-    // returned (lazy) frame still reads it; correctness never depends
-    // on the cache (every number is exact arithmetic, so an evicted
-    // block's recompute reproduces it bit-for-bit).
+    // blocks would accumulate until session end. No inline unpersist:
+    // the returned (lazy) frame still reads it; correctness never
+    // depends on the cache (every number is exact arithmetic, so an
+    // evicted block's recompute reproduces it bit-for-bit). The pin
+    // registers the cache with OpCaches so long-running sessions can
+    // release every operator cache deterministically
+    // (OpCaches.release) instead of accumulating block-manager
+    // entries until session end.
     val merged = ca.join(cb, Seq("v"), "full_outer")
       .na.fill(0L, Seq("na", "nb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .transform(OpCaches.pin)
     val n = merged.count()
     if (n <= maxSingleTask) {
       // measured-small support: one window task holding ≤ maxSingleTask
@@ -610,7 +614,7 @@ object Stats {
     // numericDrift's support table (MEMORY_ONLY: LRU-bounded,
     // recompute bit-exact)
     val perX = rows.groupBy(col(xCol)).agg(max(col(yCol)).as("__my"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .transform(OpCaches.pin)
     // MEASURED small-support branch — see numericDrift for rationale;
     // the running-max window's input is ≤ maxSingleTask rows here
     val nX = perX.count()
@@ -691,7 +695,7 @@ object Stats {
     // (MEMORY_ONLY: LRU-bounded, recompute bit-exact)
     val merged = ca.join(cb, Seq("__v"), "full_outer")
       .na.fill(0L, Seq("__na", "__nb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .transform(OpCaches.pin)
     val n = merged.count()
     if (n <= maxSingleTask) {
       val wc = Window.orderBy("__v")
@@ -967,7 +971,7 @@ object Stats {
       .groupBy(col(groupCol), col("__s"))
       .agg(sum(col("__p")).as("__pos"),
         (count(lit(1)) - sum(col("__p"))).as("__neg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .transform(OpCaches.pin)
     groupedCumBelow(support, Seq(groupCol), "__s", Seq("__neg"),
         maxSingleTask)
       .groupBy(col(groupCol))
@@ -1005,7 +1009,7 @@ object Stats {
     def ranks2(vc: String, out: String): DataFrame = {
       val sup = rows.groupBy(col(groupCol), col(vc).as("__v"))
         .agg(count(lit(1)).as("__t"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        .transform(OpCaches.pin)
       groupedCumBelow(sup, Seq(groupCol), "__v", Seq("__t"),
           maxSingleTask)
         .select(col(groupCol), col("__v").as(vc),
@@ -1181,7 +1185,7 @@ object Stats {
     val nic = df.select(col(itemCol).as("__i"), col(raterCol).as("__r"),
         col(catCol).as("__c"))
       .groupBy("__i", "__c").agg(count(lit(1)).as("__n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .transform(OpCaches.pin)
     val perItem = nic.groupBy("__i")
       .agg(sum(col("__n")).as("__ni"),
         sum(col("__n").cast("decimal(38,0)") * col("__n")).as("__s2i"))
@@ -1251,7 +1255,7 @@ object Stats {
       .filter(col("__v").isNotNull)
       .groupBy(col(groupCol), col("__v"))
       .agg(count(lit(1)).as("__c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .transform(OpCaches.pin)
     // rank table: |groups|·|qs| rows — the decimal rank arithmetic
     // runs HERE, once per (group, q), so the per-support-row work
     // below is a join probe + two long compares (measured 2×+ win
@@ -1288,7 +1292,7 @@ object Stats {
       .filter(col("value").isNotNull)
       .groupBy(col(groupCol), col("value"))
       .agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .transform(OpCaches.pin)
     val totals = support.groupBy(col(groupCol))
       .agg(sum(col("cnt")).as("n"))
     groupedCumBelow(support, Seq(groupCol), "value", Seq("cnt"),
@@ -1330,7 +1334,7 @@ object Stats {
       .filter(col("__v").isNotNull)
       .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
       .withColumn("__g", lit(1))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .transform(OpCaches.pin)
     val d = (c: Column) => c.cast("decimal(38,0)")
     groupedCumBelow(support, Seq("__g"), "__v", Seq("__c"),
         maxSingleTask)
@@ -1415,7 +1419,7 @@ object Stats {
       .filter(col("__v").isNotNull)
       .groupBy(col(groupCol), col("__v"))
       .agg(count(lit(1)).as("__c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .transform(OpCaches.pin)
     val bounds = support.groupBy(col(groupCol))
       .agg(sum(col("__c")).as("n"))
       .withColumn("__lo", expr(
@@ -1469,7 +1473,7 @@ object Stats {
     val nic = df.select(col(itemCol).as("__i"), col(raterCol).as("__r"),
         col(catCol).as("__c"))
       .groupBy("__i", "__c").agg(count(lit(1)).as("__n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .transform(OpCaches.pin)
     val perItem = nic.groupBy("__i")
       .agg(sum(col("__n")).as("__m"),
         sum(col("__n").cast("decimal(38,0)") * col("__n")).as("__s2"))
