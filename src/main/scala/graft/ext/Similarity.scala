@@ -503,6 +503,17 @@ object Similarity {
     * is the one watch item (a hot cell concentrates candidates), which
     * trained balanced centroids + AQE skew-split absorb.
     *
+    * SCALING CONTRACT (measured, SfProbe r11): the cell COUNT must
+    * grow with the corpus. With the query set = the corpus (self-kNN)
+    * and a FIXED nCells, per-cell volume grows ∝ n and candidate pairs
+    * grow ∝ n²/nCells — the 1×/3×/10×/30× replication probe measured
+    * exponent 1.30 (30× = 146 s) for the graded q84's fixed 16 cells.
+    * Holding the TARGET CELL SIZE constant instead (nCells ≈ n/500,
+    * the standard IVF nlist rule) keeps per-query candidate work
+    * constant and total work linear: same probe, exponent 0.79,
+    * 30× = 15 s. Callers sizing for a real corpus pass
+    * `nCells ∝ rows / targetCellSize`, never a constant.
+    *
     * Determinism for grading: distances/argsort reuse the bit-exact
     * `sqDist` fold shapes (ties → lowest cell index, matching the
     * oracle's `ORDER BY d2, c_idx`); scores truncate to 6 decimals;

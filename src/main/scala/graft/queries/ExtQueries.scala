@@ -1682,6 +1682,72 @@ object ExtQueries {
         trimPpm = 100000L)
         .orderBy("o_orderpriority")),
 
+    // Degenerate-agreement fixture GRADED cross-engine: every rater
+    // assigns the same single category, so observed and chance
+    // agreement are both exactly 1 and the kappa ratio is 0/0 — the
+    // honest answer is NULL (not 1), and BOTH engines must take that
+    // divide-by-zero branch identically. Pins q204's edge case on the
+    // oracle path, not just in unit specs.
+    "q217_fleiss_degenerate" -> ((s, d) => {
+      val items = orders(s, d)
+        .select(pmod(col("o_orderkey"), lit(37L)).as("doc_id"))
+        .distinct()
+      val raters = items.select(col("doc_id"), lit("r0").as("rater"),
+          lit("only").as("cat"))
+        .union(items.select(col("doc_id"), lit("r1").as("rater"),
+          lit("only").as("cat")))
+      graft.ext.Stats.fleissKappa(raters, "doc_id", "rater", "cat")
+    }),
+
+    // Stream-stream interval join graded THROUGH the streaming engine:
+    // events replay as 6 event-time-ordered file buckets (one
+    // micro-batch each — mtime order is the FileStreamSource contract,
+    // forced strictly increasing below), purchaseContext's watermarked
+    // interval join runs under Trigger.AvailableNow, and foreachBatch
+    // materializes every emitted row. Ordered buckets mean no row is
+    // ever below the 1-hour watermark on arrival, so the inner join's
+    // accumulated output equals the batch interval join EXACTLY — the
+    // determinism that makes a streaming run oracle-gradeable. The
+    // batch twin is q67; this row grades the streaming operator
+    // itself (state store, watermark eviction, per-batch emission).
+    "q218_stream_interval_join" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val dir = tempDir("graft_q218_")
+      val ev = events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val bounds = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).collect().head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val span = math.max(1L, hi - lo + 1)
+      // FileStreamSource feeds oldest-mtime-first: stamp bucket b's
+      // freshly-written file(s) with t0 + b seconds (t0 = 10 minutes
+      // ago), so bucket order == mtime order == event-time order.
+      // Already-stamped files sit far below the fresh-write mtime and
+      // are left alone.
+      val t0 = (System.currentTimeMillis() / 60000L) * 60000L - 600000L
+      (0 until 6).foreach { b =>
+        ev.filter(expr(
+            s"(unix_micros(ts) - ${lo}L) * 6 div ${span}L") === b.toLong)
+          .coalesce(1).write.mode("append").parquet(s"$dir/in")
+        new java.io.File(s"$dir/in").listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.lastModified() > t0 + 10000L)
+          .foreach(_.setLastModified(t0 + b * 1000L))
+      }
+      val in = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+      val q = graft.streaming.StreamingJobs.purchaseContext(in)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(s"$dir/out")
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      s.read.parquet(s"$dir/out")
+        .orderBy("user_id", "p_ts", "c_ts")
+    }),
+
     // Pairwise FD discovery (TANE level 1) on a 4-column customer
     // profile: every ordered column pair with its exact g3 error —
     // the key column holds against everything, nothing else does.
@@ -4660,6 +4726,48 @@ object ExtQueries {
         |    (CASE WHEN s < 0 THEN -1 ELSE 1 END) *
         |    ((abs(s) * 1000000) // n_kept) END AS bigint) AS tmean6
         |FROM a ORDER BY o_orderpriority""".stripMargin,
+
+    // Degenerate Fleiss replay: the same closed form as q204 with
+    // n = 2 raters; p_o = p_e = 1 makes the kappa denominator 0, and
+    // the CASE's missing ELSE must yield NULL on both engines.
+    "q217_fleiss_degenerate" ->
+      """WITH items AS (SELECT DISTINCT o_orderkey % 37 AS doc_id
+        |    FROM orders),
+        |r AS (SELECT doc_id, 'r0' AS rater, 'only' AS cat FROM items
+        |  UNION ALL
+        |  SELECT doc_id, 'r1', 'only' FROM items),
+        |nic AS (SELECT doc_id, cat, cast(count(*) AS bigint) AS n
+        |  FROM r GROUP BY 1, 2),
+        |s AS (SELECT cast(count(DISTINCT doc_id) AS hugeint) AS ni,
+        |    sum(cast(n AS hugeint) * n) AS s2 FROM nic),
+        |t AS (SELECT sum(cast(tt AS hugeint) * tt) AS c FROM
+        |  (SELECT sum(n) AS tt FROM nic GROUP BY cat)),
+        |f AS (SELECT ni, s2 - ni * 2 AS a, ni * 2 AS b, c,
+        |    (ni * 2) * (ni * 2) AS d FROM s, t)
+        |SELECT cast(ni AS bigint) AS n_items,
+        |  cast(2 AS bigint) AS n_raters,
+        |  cast((a * 1000000) // b AS bigint) AS pbar_ppm,
+        |  cast((c * 1000000) // d AS bigint) AS pe_ppm,
+        |  cast(CASE WHEN b * (d - c) > 0 THEN
+        |    (CASE WHEN a * d - b * c < 0 THEN -1 ELSE 1 END) *
+        |    ((abs(a * d - b * c) * 1000000) // (b * (d - c)))
+        |    END AS bigint) AS kappa_ppm
+        |FROM f""".stripMargin,
+
+    // Streaming interval-join replay: the accumulated foreachBatch
+    // output of the watermarked stream-stream join equals the plain
+    // batch interval join (ordered event-time buckets mean nothing
+    // ever arrives below the watermark, so no drops).
+    "q218_stream_interval_join" ->
+      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
+        |p AS (SELECT user_id, ts AS p_ts, value AS p_value FROM e
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS c_user, ts AS c_ts FROM e
+        |      WHERE event_type = 'click')
+        |SELECT user_id, p_ts, p_value, c_ts
+        |FROM p JOIN c ON user_id = c_user
+        |  AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts
+        |ORDER BY user_id, p_ts, c_ts""".stripMargin,
 
     // Per-pair g3 replay (max-per-lhs subtracted from group totals),
     // one UNION ALL branch per ordered pair — count(*) over lhs
