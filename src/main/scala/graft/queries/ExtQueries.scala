@@ -50,6 +50,53 @@ object ExtQueries {
     p.toString
   }
 
+  /** Replay the events table through the STREAMING engine with a
+    * deterministic micro-batch schedule: 6 event-time-ordered file
+    * buckets (FileStreamSource feeds oldest-mtime-first; each bucket's
+    * freshly-written file is stamped strictly later than the previous
+    * bucket's — already-stamped files sit far below the fresh-write
+    * mtime and are left alone), one file per trigger under
+    * Trigger.AvailableNow, emissions materialized per micro-batch via
+    * foreachBatch. Event-time-ordered batches mean no row ever
+    * arrives below a watermark, which is what makes a streaming run's
+    * accumulated output a deterministic, oracle-gradeable function of
+    * the input. `tagBatch` adds the micro-batch id (update-mode
+    * consumers keep a key's LAST emission).
+    */
+  private def streamReplay(s: SparkSession, d: String, dir: String,
+      job: DataFrame => DataFrame, mode: String,
+      tagBatch: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val bounds = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).collect().head
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(1L, hi - lo + 1)
+    val t0 = (System.currentTimeMillis() / 60000L) * 60000L - 600000L
+    (0 until 6).foreach { b =>
+      ev.filter(expr(
+          s"(unix_micros(ts) - ${lo}L) * 6 div ${span}L") === b.toLong)
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+      new java.io.File(s"$dir/in").listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.lastModified() > t0 + 10000L)
+        .foreach(_.setLastModified(t0 + b * 1000L))
+    }
+    val in = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val q = job(in).writeStream.outputMode(mode)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val out =
+          if (tagBatch) batch.withColumn("__batch", lit(id)) else batch
+        out.write.mode("append").parquet(s"$dir/out")
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    s.read.parquet(s"$dir/out")
+  }
+
   val defs: Map[String, Q] = Map(
     // Exact dedup: one shuffle on the content digest.
     "q21_dedup_exact" -> ((s, d) => {
@@ -1711,41 +1758,53 @@ object ExtQueries {
     // batch twin is q67; this row grades the streaming operator
     // itself (state store, watermark eviction, per-batch emission).
     "q218_stream_interval_join" -> ((s, d) => {
-      import org.apache.spark.sql.streaming.Trigger
       val dir = tempDir("graft_q218_")
-      val ev = events(s, d)
-        .select("event_id", "ts", "user_id", "event_type", "value")
-      val bounds = ev.agg(min(unix_micros(col("ts"))).as("lo"),
-        max(unix_micros(col("ts"))).as("hi")).collect().head
-      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-      val span = math.max(1L, hi - lo + 1)
-      // FileStreamSource feeds oldest-mtime-first: stamp bucket b's
-      // freshly-written file(s) with t0 + b seconds (t0 = 10 minutes
-      // ago), so bucket order == mtime order == event-time order.
-      // Already-stamped files sit far below the fresh-write mtime and
-      // are left alone.
-      val t0 = (System.currentTimeMillis() / 60000L) * 60000L - 600000L
-      (0 until 6).foreach { b =>
-        ev.filter(expr(
-            s"(unix_micros(ts) - ${lo}L) * 6 div ${span}L") === b.toLong)
-          .coalesce(1).write.mode("append").parquet(s"$dir/in")
-        new java.io.File(s"$dir/in").listFiles()
-          .filter(f => f.getName.startsWith("part-") &&
-            f.lastModified() > t0 + 10000L)
-          .foreach(_.setLastModified(t0 + b * 1000L))
-      }
-      val in = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
-      val q = graft.streaming.StreamingJobs.purchaseContext(in)
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", s"$dir/ckpt")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(s"$dir/out")
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(300000)
-      s.read.parquet(s"$dir/out")
+      streamReplay(s, d, dir,
+        in => graft.streaming.StreamingJobs.purchaseContext(in),
+        "append")
         .orderBy("user_id", "p_ts", "c_ts")
+    }),
+
+    // Streaming daily-active-users graded through the stateful dedup +
+    // windowed-agg path (dropDuplicatesWithinWatermark state machine):
+    // update-mode emissions per micro-batch land in foreachBatch with
+    // their batch id; a day's final count is its LAST emission. The
+    // 26-hour watermark makes multi-batch replay exact BY DESIGN —
+    // (user, day) duplicates can only arrive within day d, and the
+    // watermark lags 26 h > the day's width, so dedup state never
+    // evicts early no matter how batches split (dauStream's
+    // documented horizon contract). Oracle: count(DISTINCT user) per
+    // epoch day.
+    "q219_stream_dau" -> ((s, d) => {
+      val dir = tempDir("graft_q219_")
+      val perBatch = streamReplay(s, d, dir,
+        in => graft.streaming.StreamingJobs.dauStream(
+          in.withWatermark("ts", "26 hours")),
+        "update", tagBatch = true)
+      perBatch.groupBy("day")
+        .agg(max(struct(col("__batch"), col("n_active"))).as("m"))
+        .select(col("day"), col("m.n_active").as("n_active"))
+        .orderBy("day")
+    }),
+
+    // First-order user transitions graded through the ARBITRARY-state
+    // path (flatMapGroupsWithState, append): per-user last-event-type
+    // state crosses micro-batches, so a user's first event in batch k
+    // pairs with their last event of batch k-1 — the accumulated
+    // emissions equal the batch lead() pairs exactly when batches are
+    // event-time ordered (streamReplay's contract). Completes the
+    // streaming anchor set: q218 join state, q219 dedup+agg state,
+    // q220 arbitrary state.
+    "q220_stream_transitions" -> ((s, d) => {
+      val dir = tempDir("graft_q220_")
+      streamReplay(s, d, dir,
+        in => {
+          import s.implicits._
+          graft.streaming.StreamingJobs.transitionsStream(
+            in.as[graft.streaming.StreamingJobs.Event]).toDF()
+        },
+        "append")
+        .orderBy("user_id", "prev_type", "next_type")
     }),
 
     // Pairwise FD discovery (TANE level 1) on a 4-column customer
@@ -4768,6 +4827,28 @@ object ExtQueries {
         |FROM p JOIN c ON user_id = c_user
         |  AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts
         |ORDER BY user_id, p_ts, c_ts""".stripMargin,
+
+    // Streaming DAU replay: the final per-day update-mode emission is
+    // exactly the batch daily distinct-user count.
+    "q219_stream_dau" ->
+      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events)
+        |SELECT make_timestamp((epoch(ts)::bigint // 86400) * 86400
+        |    * 1000000) AS day,
+        |  count(DISTINCT user_id) AS n_active
+        |FROM e GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // Streaming transitions replay: accumulated append-mode emissions
+    // of the per-user last-type state machine equal the batch lead()
+    // pairs under the event-time-ordered replay.
+    "q220_stream_transitions" ->
+      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
+        |p AS (SELECT user_id, event_type AS prev_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM e)
+        |SELECT user_id, prev_type, next_type
+        |FROM p WHERE next_type IS NOT NULL
+        |ORDER BY user_id, prev_type, next_type""".stripMargin,
 
     // Per-pair g3 replay (max-per-lhs subtracted from group totals),
     // one UNION ALL branch per ordered pair — count(*) over lhs
