@@ -1079,6 +1079,16 @@ object Dedup {
     * `nBits=0` disables the prefilter (exact, quadratic — small inputs
     * only); that mode keeps a plain self-join, since one all-rows bucket
     * must stream rather than collect.
+    *
+    * SCALING CONTRACT (measured, SfProbe r11 — knnJoin's rule, same
+    * mechanism): the BUCKET COUNT (2^nBits) must grow with the corpus.
+    * At fixed nBits, per-bucket volume grows ∝ n and pair volume
+    * ∝ n²/2^nBits — the q39/q62 10× tails (exponents 0.95/0.80) are
+    * that quadratic term emerging. Hold the target bucket SIZE
+    * constant instead: nBits ≈ log2(n / targetBucketSize), i.e. one
+    * extra bit per corpus doubling, keeps pair volume linear. Callers
+    * sizing for a real corpus derive nBits from the row count, never
+    * a constant.
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 8): DataFrame = {

@@ -134,6 +134,16 @@ object SfProbe {
           emb, "vec_id", "embedding", nCells)
         graft.ext.Similarity.knnJoin(emb, "vec_id", "embedding", k = 3,
           cents, nProbe = 3)
+      }),
+      // embeddingNearDups' contract: one extra sign-RP bit per corpus
+      // doubling (constant target bucket size) — vs q39's fixed 8 bits
+      "q39_media_scaled" -> ((s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        val nBits = 8 + math.max(0,
+          (math.log(docs.count() / 5000.0) / math.log(2)).ceil.toInt)
+        graft.ext.Multimodal.nearDupMedia(
+          graft.ext.Multimodal.syntheticMedia(s, docs),
+          threshold = 0.9, nBits = nBits)
       }))
     // SPARK_GRAFT_PROBE_ONLY=all sweeps EVERY graded query (the
     // full-coverage headroom audit); a comma list filters; unset =
