@@ -1193,7 +1193,7 @@ object Dedup {
       .select(col("id"),
         transform(col("srt"), x => x.getField("s")).as("sh"),
         size(col("srt")).as("sz"))
-      .transform(OpCaches.pin)
+      .transform(OpCaches.pinDisk)
     // overlap bound ⌈τ·sz⌉ = (tauNum·sz + tauDen - 1) div tauDen
     val oMin = floor((col("sz") * tauNum + (tauDen - 1))
       .cast("double") / tauDen).cast("int")
@@ -1302,7 +1302,7 @@ object Dedup {
       .select(col("id"),
         transform(col("pgx"), x => x.getField("g")).as("pg"),
         size(col("pgx")).as("np"))
-      .transform(OpCaches.pin)
+      .transform(OpCaches.pinDisk)
     // rich strings (np == p): the c smallest shared grams of any
     // qualifying pair are a c-subset of BOTH prefixes -> tuple keys
     val combos = (0 until p).combinations(c).toSeq

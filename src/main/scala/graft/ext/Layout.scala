@@ -199,7 +199,8 @@ object Layout {
       xLo: Long, xHi: Long, yLo: Long, yHi: Long): Seq[String] = {
     val iv = hilbertBoxIntervals(bits, xLo, xHi, yLo, yHi)
     if (iv.isEmpty) return Seq.empty
-    spark.read.parquet(path + ".zones")
+    spark.read.parquet(sidecarPath(new Path(path).getFileSystem(
+        spark.sessionState.newHadoopConf()), path))
       .select("file", "mn", "mx").collect()
       .filter { r =>
         val (mn, mx) = (r.getLong(1), r.getLong(2))
@@ -286,7 +287,8 @@ object Layout {
     */
   def zoneFiles(spark: SparkSession, path: String, lo: Column,
       hi: Column): Seq[String] =
-    spark.read.parquet(path + ".zones")
+    spark.read.parquet(sidecarPath(new Path(path).getFileSystem(
+        spark.sessionState.newHadoopConf()), path))
       .where(!(col("mx") < lo || col("mn") > hi))
       .select("file").collect().map(_.getString(0)).toSeq
 
@@ -310,9 +312,13 @@ object Layout {
   def zoneAppend(df: DataFrame, zoneCol: String, nFiles: Int,
       path: String): Unit = {
     val spark = df.sparkSession
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    // a prior swap that died between its stash and its promote left no
+    // live `.zones` — roll forward (single-writer, so no rename race)
+    // before reading it
+    recoverZones(fs, path)
     val prior = spark.read.parquet(path + ".zones")
       .select("file", "mn", "mx", "rows").collect()
-    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     def listing: Set[String] = fs.listStatus(new Path(path)).toSeq
       .map(_.getPath.toString).filter(_.contains("part-")).toSet
     // crash marker: created before the first data file can land,
@@ -409,19 +415,25 @@ object Layout {
     */
   def zoneCompact(spark: SparkSession, path: String, zoneCol: String,
       rowsPerFile: Long): Unit = {
+    val fsEarly = new Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    // crash markers, captured BEFORE this run creates/clears any of
+    // them — and BEFORE recoverZones consumes .zones.next/.zones.old,
+    // which are themselves evidence a prior run died (its victims may
+    // be unreferenced): a leftover means some prior append/compact
+    // died inside a window where promoted or appended part files may
+    // be unreferenced by the sidecar — only then is the listing sweep
+    // due
+    val staleMarkers = Seq(path + ".compact", path + ".append.inprogress",
+      path + ".zones.next", path + ".zones.old")
+      .map(new Path(_)).filter(fsEarly.exists)
+    // roll a crashed mid-swap sidecar forward before reading it (see
+    // recoverZones — single-writer, so no rename race)
+    recoverZones(fsEarly, path)
     val zonesDf = spark.read.parquet(path + ".zones")
       .select("file", "mn", "mx", "rows")
     val zSchema = zonesDf.schema
     val zones = zonesDf.collect()
-    val fsEarly = new Path(path).getFileSystem(
-      spark.sessionState.newHadoopConf())
-    // crash markers, captured BEFORE this run creates/clears any of
-    // them: a leftover means some prior append/compact died inside a
-    // window where promoted or appended part files may be
-    // unreferenced by the sidecar — only then is the listing sweep due
-    val staleMarkers = Seq(path + ".compact", path + ".append.inprogress",
-      path + ".zones.next", path + ".zones.old")
-      .map(new Path(_)).filter(fsEarly.exists)
     // connected overlap COMPONENTS (driver sweep, #files-scale):
     // range-partitioning the union of ALL victims could emit a file
     // spanning the value gap between two distant clusters, which
@@ -594,6 +606,48 @@ object Layout {
     * until the new one is in place: a failure mid-swap restores it, so
     * a reader never sees a missing or half-written sidecar.
     */
+  /** Where the live sidecar is, tolerating a crash INSIDE a prior
+    * [[swapZones]] (stash done, promote not): `.zones` when present;
+    * else the fully-committed `.zones.next` (it was completely written
+    * before the swap began — rolling FORWARD loses nothing); else the
+    * stashed `.zones.old`. Non-mutating, so a concurrent reader can
+    * never race a live writer's renames; the next MAINTENANCE op
+    * repairs the names via [[recoverZones]] under the single-writer
+    * contract.
+    */
+  private def sidecarPath(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): String = {
+    if (fs.exists(new Path(path + ".zones"))) path + ".zones"
+    else if (fs.exists(new Path(path + ".zones.next"))) path + ".zones.next"
+    else if (fs.exists(new Path(path + ".zones.old"))) path + ".zones.old"
+    else path + ".zones" // read fails loudly on a truly absent sidecar
+  }
+
+  /** Mutating twin of [[sidecarPath]] for MAINTENANCE entries (append/
+    * compact — single-writer, so no rename race): if a prior swap died
+    * between its stash and its promote, promote the fully-committed
+    * `.zones.next` now and drop the stash; if only the stash survives
+    * (promote also lost `.next` somehow), restore it. After this the
+    * live sidecar is back at `.zones` and the op proceeds normally.
+    */
+  private def recoverZones(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    val cur = new Path(path + ".zones")
+    val nxt = new Path(path + ".zones.next")
+    val old = new Path(path + ".zones.old")
+    if (!fs.exists(cur)) {
+      if (fs.exists(nxt)) {
+        if (!fs.rename(nxt, cur))
+          throw new java.io.IOException("recoverZones: promote failed")
+        fs.delete(old, true)
+      } else if (fs.exists(old)) {
+        if (!fs.rename(old, cur))
+          throw new java.io.IOException("recoverZones: restore failed")
+      }
+    }
+    ()
+  }
+
   private def swapZones(spark: SparkSession, path: String): Unit = {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val cur = new Path(path + ".zones")

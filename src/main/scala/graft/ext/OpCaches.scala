@@ -24,23 +24,50 @@ import org.apache.spark.storage.StorageLevel
   * safe at ANY time for the exactness reason above.
   *
   * Retention: the registry holds the frame strongly between pin and
-  * release — no NEW retention, because Spark's CacheManager already
-  * holds the cached plan strongly for as long as the cache exists
-  * (that is precisely the leak being managed). A frame someone else
-  * uncached in the meantime (`spark.catalog.clearCache()`, an inline
-  * unpersist) is simply dropped from the registry at the next release.
+  * release — no NEW retention while the cache entry exists, because
+  * Spark's CacheManager already holds the cached plan strongly for as
+  * long as it does (that is precisely the leak being managed). Frames
+  * someone ELSE uncached (`spark.catalog.clearCache()` between bench
+  * queries, an inline unpersist) are pruned on every [[pin]] as well
+  * as on [[release]], so the registry is bounded by the number of
+  * LIVE caches even in sessions that never call release().
   */
 object OpCaches {
 
   private val reg =
     java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
 
-  /** Persist MEMORY_ONLY and register for deterministic release. */
-  def pin(df: DataFrame): DataFrame = {
-    df.persist(StorageLevel.MEMORY_ONLY)
+  /** Drop entries whose cache no longer exists — their plans must not
+    * outlive the block-manager entries they were registered for.
+    */
+  private def prune(): Unit = {
+    val it = reg.iterator()
+    while (it.hasNext)
+      if (it.next().storageLevel == StorageLevel.NONE) it.remove()
+  }
+
+  private def register(df: DataFrame, level: StorageLevel): DataFrame = {
+    prune()
+    df.persist(level)
     reg.add(df)
     df
   }
+
+  /** Persist MEMORY_ONLY and register for deterministic release — the
+    * default for small support tables whose recompute is one exact
+    * agg pass (LRU eviction is cheap to repair).
+    */
+  def pin(df: DataFrame): DataFrame =
+    register(df, StorageLevel.MEMORY_ONLY)
+
+  /** Persist MEMORY_AND_DISK and register — for intermediates whose
+    * recompute is a corpus-scale BUILD (setSimJoin's ranked prefixes:
+    * shingle join + groupBy + sort, consumed 3-4× by aliased
+    * self-join sides): spilling to local disk beats re-running the
+    * build, so eviction-to-disk is the right degradation.
+    */
+  def pinDisk(df: DataFrame): DataFrame =
+    register(df, StorageLevel.MEMORY_AND_DISK)
 
   /** Non-blocking unpersist of every still-cached registered frame;
     * always empties the registry. Returns how many frames were

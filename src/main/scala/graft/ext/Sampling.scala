@@ -384,11 +384,13 @@ object Sampling {
     * arithmetic (no RNG, no floats). `n_hits` is the number of grid
     * points inside the row's interval (≥ 2 means the row stands in
     * for that many sample slots — keep it as the replication factor
-    * for downstream estimators). Weights are integer by contract and
-    * CAST TO LONG at entry (a decimal/double weight column truncates
-    * — pre-scale fractional weights to integer units first); n·W must
-    * fit a long, so at extreme scale pre-scale weights down rather
-    * than widening: the grid arithmetic is long end to end.
+    * for downstream estimators). Weights are integer by contract:
+    * integral-valued decimal/double columns are cast to long at
+    * entry, and a FRACTIONAL weight raises per row (silent truncation
+    * would make (0,1) weights unsampleable — pre-scale fractional
+    * weights to integer units first); n·W must fit a long, so at
+    * extreme scale pre-scale weights down rather than widening: the
+    * grid arithmetic is long end to end.
     *
     * The running offset over the hash order is TWO-PHASED rather than
     * one corpus-sized partition-less window: the first two hex chars

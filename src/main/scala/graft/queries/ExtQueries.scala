@@ -81,7 +81,15 @@ object ExtQueries {
       new java.io.File(s"$dir/in").listFiles()
         .filter(f => f.getName.startsWith("part-") &&
           f.lastModified() > t0 + 10000L)
-        .foreach(_.setLastModified(t0 + b * 1000L))
+        .foreach { f =>
+          // a silently-failed stamp (mtime-rejecting mount) would let
+          // same-granularity mtimes tie-break by random part name and
+          // replay buckets out of event-time order — rows would drop
+          // below the watermark and grade silently wrong; fail loudly
+          require(f.setLastModified(t0 + b * 1000L),
+            s"streamReplay: cannot set mtime on $f — the ordered-" +
+              "replay watermark contract depends on it")
+        }
     }
     val in = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
@@ -105,7 +113,14 @@ object ExtQueries {
           out.write.mode("append").parquet(s"$dir/out")
         }
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(300000)
+      // a timed-out run must FAIL, not fall through to grading the
+      // partial output the still-running stream keeps appending to
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "streamReplay: streaming query did not finish in 300 s — " +
+            "refusing to grade partial output")
+      }
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.read.parquet(s"$dir/out")
   }

@@ -163,8 +163,10 @@ object CrossrefFetch {
           prevCursor = next
           params += ("cursor" -> next.get)
           // inter-page pacing (PIPE:733): after every page that will
-          // be followed by another request, never after the last
-          if (etiquette.pageDelay > 0) sleep(etiquette.pageDelay)
+          // be followed by another request, never after the last —
+          // including when maxPages (not end-of-data) ends the crawl
+          if (etiquette.pageDelay > 0 && page < maxPages)
+            sleep(etiquette.pageDelay)
         }
       }
     }

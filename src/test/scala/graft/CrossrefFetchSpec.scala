@@ -174,6 +174,14 @@ class CrossrefFetchSpec extends AnyFunSuite {
       sleep = sleeps += _,
       etiquette = CrossrefFetch.Etiquette(pageDelay = 0.0))
     assert(sleeps.isEmpty)
+    // maxPages cap: a capped crawl must not sleep after its LAST page
+    // either (the cap, not end-of-data, ends it)
+    sleeps.clear()
+    val capped = CrossrefFetch.fetchPages(transport, "u", Map(),
+      datesOnly, maxPages = 2, sleep = sleeps += _,
+      etiquette = CrossrefFetch.Etiquette(pageDelay = 0.3))
+    assert(capped.size == 2)
+    assert(sleeps.toSeq == Seq(0.3))
   }
 
   test("degraded params persist across subsequent pages") {

@@ -67,9 +67,20 @@ object SfProbe {
       def w(df: DataFrame, name: String): Unit =
         df.repartition(32).write.mode("overwrite")
           .parquet(s"$out/$name.parquet")
+      // Two independent decorrelations per replica: the token suffix
+      // makes SHINGLE spaces disjoint (text dedup sees replicas as
+      // unrelated), and the per-replica letter rotation makes BYTE
+      // DISTRIBUTIONS differ (the media ops' byte-correlation features
+      // are robust to a suffix — without the rotation every replica of
+      // a doc is a mutual near-dup and the near-dup OUTPUT itself
+      // grows quadratically in m, drowning the operator's own cost).
+      val az = "abcdefghijklmnopqrstuvwxyz"
       w(shifted(Tables.documents(spark, base), m) { (df, i) =>
+        val rot = az.drop(i % 26) + az.take(i % 26)
         df.select((col("doc_id") + i * 10000000L).as("doc_id"),
-          regexp_replace(col("text"), "(\\S+)", s"$$1_$i").as("text"),
+          translate(
+            regexp_replace(col("text"), "(\\S+)", s"$$1_$i"),
+            az, rot).as("text"),
           col("lang"), col("source"), col("n_chars"))
       }, "documents")
       w(shifted(Tables.customer(spark, base), m) { (df, i) =>
@@ -153,8 +164,13 @@ object SfProbe {
     val qs =
       if (only.contains(Set("all")))
         SparkEntry.queries.toSeq.sortBy(_._1) ++ extras
-      else (slowest.map(n => n -> SparkEntry.queries(n)) ++ extras)
-        .filter { case (n, _) => only.forall(_.contains(n)) }
+      else {
+        // a filter may name ANY graded query, not just the slowest-10
+        val pool = (slowest ++ only.getOrElse(Set.empty))
+          .distinct.filter(SparkEntry.queries.contains)
+          .map(n => n -> SparkEntry.queries(n)) ++ extras
+        pool.filter { case (n, _) => only.forall(_.contains(n)) }
+      }
     val names = qs.map(_._1)
 
     // Bench's measurement discipline: clearCache before each sample,
@@ -212,9 +228,13 @@ object SfProbe {
       (n, ts, e)
     }
     val json = rows.map { case (n, ts, e) =>
+      // a failed multiplier (-1 sample) makes the fit NaN — emit null,
+      // NaN is not valid JSON and the failure record is the one line
+      // a consumer most needs to parse
+      val eStr = if (e.isNaN) "null" else f"$e%.3f"
       EntryKit.jsonEscape(n) + ":{\"t\":[" +
         ts.map(t => f"${t._2}%.3f").mkString(",") +
-        f"""],"exponent":$e%.3f}"""
+        s"""],"exponent":$eStr}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"sf_scale_probe","unit":"sec","base":"$base",""" +
       s""""mults":[${mults.mkString(",")}],"queries":$json}""")
