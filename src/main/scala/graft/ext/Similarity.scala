@@ -46,9 +46,29 @@ object Similarity {
     * w_j[i] = ((i*31 + j*17) mod 7) - 3 ∈ [-3, 3]. Deterministic across
     * engines and sessions (no RNG at plan time), good enough for sign-LSH.
     */
-  def rpDot(v: Column, j: Int, dim: Int): Column =
+  /** The j-th sign-RP hyperplane: weights w(i) = ((i·a_j + b_j) mod 7)
+    * − 3 with a DISTINCT (stride, phase) pair per bit — a_j = 1 + j%6,
+    * b_j = (j div 6)%7, so the family holds 42 distinct hyperplanes.
+    *
+    * Two properties this shape buys, both r11-measured (RpSkewPeek):
+    * (1) DISTINCTNESS in j. The previous `(i·31 + j·17) % 7` was
+    * linear in j under one mod-7, so it was PERIODIC in j with period
+    * 7 — at ANY nBits only 7 hyperplanes existed and the bucket count
+    * froze near 2^7 (122 measured), turning every "bucket-bounded"
+    * pair join quadratic at scale regardless of the bit budget.
+    * (2) BALANCE. gcd(a_j, 7) = 1, so over any 7 consecutive dims the
+    * weights are a permutation of {−3..3} (sum exactly 0) — the
+    * hyperplane passes near the data mean even for BIASED vectors
+    * (the media byte-correlation features are all-positive-leaning;
+    * an unbalanced random family measured a 40%-of-rows hot bucket).
+    * Callers get ≤ 42 informative bits — 4·10^12 buckets, far past
+    * any bucket-count a pair join wants.
+    */
+  def rpDot(v: Column, j: Int, dim: Int): Column = {
+    val (a, b) = (1 + j % 6, (j / 6) % 7)
     dot(v, lit((0 until dim)
-      .map(i => (((i * 31 + j * 17) % 7) - 3).toFloat).toArray))
+      .map(i => (((i * a + b) % 7) - 3).toFloat).toArray))
+  }
 
   /** Cross-set semantic contamination: for every TRAIN vector, the
     * best-matching BENCHMARK vector with cosine ≥ `threshold`, found

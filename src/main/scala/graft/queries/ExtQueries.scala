@@ -2948,10 +2948,14 @@ object ExtQueries {
     s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> list_contains($arr, t)))"
   }
 
-  private def rpDotSqlFor(v: String, j: Int): String =
+  private def rpDotSqlFor(v: String, j: Int): String = {
+    // the (stride, phase) pair is computed HERE so the SQL literal
+    // matches Similarity.rpDot's family exactly
+    val (a, b) = (1 + j % 6, (j / 6) % 7)
     s"""list_reduce(list_prepend(0.0, list_transform(range(len($v)),
-       |  i -> cast($v[i+1] AS double) * (((i*31 + $j*17) % 7) - 3))),
+       |  i -> cast($v[i+1] AS double) * (((i*$a + $b) % 7) - 3))),
        |  (a, b) -> a + b)""".stripMargin
+  }
 
   private def bucketSqlFor(v: String): String =
     (0 until 8).map(j =>
