@@ -1086,9 +1086,22 @@ object Dedup {
     * ∝ n²/2^nBits — the q39/q62 10× tails (exponents 0.95/0.80) are
     * that quadratic term emerging. Hold the target bucket SIZE
     * constant instead: nBits ≈ log2(n / targetBucketSize), i.e. one
-    * extra bit per corpus doubling, keeps pair volume linear. Callers
-    * sizing for a real corpus derive nBits from the row count, never
-    * a constant.
+    * extra bit per corpus doubling, keeps CANDIDATE volume linear.
+    * Callers sizing for a real corpus derive nBits from the row
+    * count, never a constant. (Requires a hyperplane family that is
+    * actually distinct AND balanced per bit — see [[Similarity.rpDot]]
+    * for the r11 fix and its measurements.)
+    *
+    * VOLUME CONTRACT (measured, PairGrowthPeek r11): the OUTPUT is the
+    * above-threshold pair set itself, and for a corpus whose
+    * similarity graph is dense the answer is inherently quadratic —
+    * 30× replicated media features hold 198M genuine cos ≥ 0.9 pairs
+    * vs 265k at 1× (~n²), while time PER EMITTED PAIR improved
+    * (1.2 µs → 0.55 µs). No blocking can emit fewer pairs than exist:
+    * at that density, enumerate-then-cluster must be replaced by a
+    * representative-based dedup (threshold tighter, or cluster via
+    * `dedupClusters`/`dedupKeep` which keep one row per component
+    * instead of materializing every edge).
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 8): DataFrame = {
