@@ -106,10 +106,18 @@ object Similarity {
   }
 
   /** Sign-LSH bucket id: nBits sign bits packed into a long. */
-  def rpBucket(v: Column, nBits: Int, dim: Int = 64): Column =
+  def rpBucket(v: Column, nBits: Int, dim: Int = 64): Column = {
+    // the (stride, phase) family holds exactly 42 distinct
+    // hyperplanes (see rpDot); bit 43 would silently duplicate bit 0
+    // and add NO bucket resolution — fail loudly instead
+    require(nBits >= 1 && nBits <= 42,
+      s"rpBucket: nBits=$nBits outside [1, 42] — the hyperplane " +
+        "family has 42 distinct members; more bits would duplicate " +
+        "earlier ones and buy no extra buckets")
     (0 until nBits).map(j =>
       when(rpDot(v, j, dim) > 0, shiftleft(lit(1L), j)).otherwise(0L))
       .reduce((a, b) => a.bitwiseOR(b))
+  }
 
   /** Exact top-k by cosine against the embedding of `queryId`. Norms are
     * computed once per row (not per pair); the top-k compiles to

@@ -104,6 +104,42 @@ class Round11Spec extends SparkSpec {
     assert(zones.agg(sum("rows")).collect().head.getLong(0) === 90L)
   }
 
+  // ---- sign-RP hyperplane family: distinct AND balanced ----
+
+  test("rpDot's 42 hyperplanes are pairwise distinct, each is balanced " +
+      "over any 7 consecutive dims, and bucket counts GROW with nBits " +
+      "instead of freezing (the r11 period-7 bug)") {
+    // reconstruct the weight vectors exactly as rpDot builds them
+    def weights(j: Int, dim: Int): Seq[Int] = {
+      val (a, b) = (1 + j % 6, (j / 6) % 7)
+      (0 until dim).map(i => ((i * a + b) % 7) - 3)
+    }
+    val fam = (0 until 42).map(weights(_, 64))
+    assert(fam.distinct.size === 42, "duplicate hyperplanes in family")
+    // balance: any 7 consecutive weights are a permutation of -3..3
+    for (j <- 0 until 42; off <- 0 until 57)
+      assert(fam(j).slice(off, off + 7).sorted === (-3 to 3).toSeq,
+        s"hyperplane $j unbalanced at offset $off")
+    // the guard
+    val v = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "vec")
+    val boom = intercept[IllegalArgumentException] {
+      graft.ext.Similarity.rpBucket(col("vec"), 43)
+    }
+    assert(boom.getMessage.contains("42"))
+    // bucket resolution grows with bits on biased all-positive data
+    // (the measured failure mode of both broken families)
+    val rnd = new scala.util.Random(11)
+    val feats = (0 until 2000).map { k =>
+      (k.toLong, Array.fill(8)(50.0f + rnd.nextInt(200)))
+    }.toDF("id", "vec")
+    def buckets(bits: Int): Long = feats.select(
+      graft.ext.Similarity.rpBucket(col("vec"), bits).as("b"))
+      .distinct().count()
+    val (b8, b12, b16) = (buckets(8), buckets(12), buckets(16))
+    assert(b8 < b12 && b12 < b16,
+      s"bucket count frozen: $b8 / $b12 / $b16")
+  }
+
   // ---- ppsTake: loud guard on fractional weights ----
 
   test("ppsTake raises on fractional weights instead of silently " +
