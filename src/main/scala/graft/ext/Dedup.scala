@@ -1088,9 +1088,11 @@ object Dedup {
     * constant instead: nBits ≈ log2(n / targetBucketSize), i.e. one
     * extra bit per corpus doubling, keeps CANDIDATE volume linear.
     * Callers sizing for a real corpus derive nBits from the row
-    * count, never a constant. (Requires a hyperplane family that is
-    * actually distinct AND balanced per bit — see [[Similarity.rpDot]]
-    * for the r11 fix and its measurements.)
+    * count, never a constant — capped at 21, the fixed family's
+    * antipodal-free size; past that the rule needs a seeded Gaussian
+    * family. (Requires a hyperplane family that is actually distinct,
+    * balanced per bit, AND free of negation pairs — see
+    * [[Similarity.rpDot]] for the r11/r12 fixes and measurements.)
     *
     * VOLUME CONTRACT (measured, PairGrowthPeek r11): the OUTPUT is the
     * above-threshold pair set itself, and for a corpus whose

@@ -47,10 +47,11 @@ object Similarity {
     * engines and sessions (no RNG at plan time), good enough for sign-LSH.
     */
   /** The j-th sign-RP hyperplane: weights w(i) = ((i·a_j + b_j) mod 7)
-    * − 3 with a DISTINCT (stride, phase) pair per bit — a_j = 1 + j%6,
-    * b_j = (j div 6)%7, so the family holds 42 distinct hyperplanes.
+    * − 3 with a DISTINCT (stride, phase) pair per bit — a_j = 1 + j%3,
+    * b_j = (j div 3)%7, so the family holds 21 distinct hyperplanes.
     *
-    * Two properties this shape buys, both r11-measured (RpSkewPeek):
+    * Three properties this shape buys, the first two r11-measured
+    * (RpSkewPeek), the third r12-added:
     * (1) DISTINCTNESS in j. The previous `(i·31 + j·17) % 7` was
     * linear in j under one mod-7, so it was PERIODIC in j with period
     * 7 — at ANY nBits only 7 hyperplanes existed and the bucket count
@@ -61,11 +62,25 @@ object Similarity {
     * hyperplane passes near the data mean even for BIASED vectors
     * (the media byte-correlation features are all-positive-leaning;
     * an unbalanced random family measured a 40%-of-rows hot bucket).
-    * Callers get ≤ 42 informative bits — 4·10^12 buckets, far past
-    * any bucket-count a pair join wants.
+    * (3) NO ANTIPODAL PAIRS. The negation of (a, b) under this weight
+    * formula is (7−a, (6−b) mod 7): a hyperplane and its negation
+    * give complementary sign bits, so carrying BOTH buys no bucket
+    * resolution. Restricting a_j to {1, 2, 3} keeps exactly one
+    * member of each negation pair in the family (7−a ∈ {4, 5, 6} is
+    * never enumerated); r11's a_j ∈ {1..6} family of 42 "distinct"
+    * members was really 21 antipodal pairs, so bits past 21 silently
+    * duplicated (complemented) earlier ones and bucket growth froze —
+    * measured: 21→30 bits grew distinct buckets ~10%, not 2^9×.
+    * Callers get ≤ 21 informative bits — 2·10^6 buckets; a corpus
+    * needing more buckets than that wants a seeded-RNG Gaussian
+    * family (engine-portability is the only reason for this fixed
+    * integer one).
     */
   def rpDot(v: Column, j: Int, dim: Int): Column = {
-    val (a, b) = (1 + j % 6, (j / 6) % 7)
+    require(j >= 0 && j < 21,
+      s"rpDot: hyperplane index $j outside [0, 21) — the " +
+        "antipodal-free (stride, phase) family has 21 members")
+    val (a, b) = (1 + j % 3, (j / 3) % 7)
     dot(v, lit((0 until dim)
       .map(i => (((i * a + b) % 7) - 3).toFloat).toArray))
   }
@@ -107,13 +122,14 @@ object Similarity {
 
   /** Sign-LSH bucket id: nBits sign bits packed into a long. */
   def rpBucket(v: Column, nBits: Int, dim: Int = 64): Column = {
-    // the (stride, phase) family holds exactly 42 distinct
-    // hyperplanes (see rpDot); bit 43 would silently duplicate bit 0
-    // and add NO bucket resolution — fail loudly instead
-    require(nBits >= 1 && nBits <= 42,
-      s"rpBucket: nBits=$nBits outside [1, 42] — the hyperplane " +
-        "family has 42 distinct members; more bits would duplicate " +
-        "earlier ones and buy no extra buckets")
+    // the antipodal-free (stride, phase) family holds exactly 21
+    // informative hyperplanes (see rpDot); bit 22 would be the
+    // complement of an earlier bit and add NO bucket resolution —
+    // fail loudly instead
+    require(nBits >= 1 && nBits <= 21,
+      s"rpBucket: nBits=$nBits outside [1, 21] — the hyperplane " +
+        "family has 21 antipodal-free members; more bits would " +
+        "complement earlier ones and buy no extra buckets")
     (0 until nBits).map(j =>
       when(rpDot(v, j, dim) > 0, shiftleft(lit(1L), j)).otherwise(0L))
       .reduce((a, b) => a.bitwiseOR(b))

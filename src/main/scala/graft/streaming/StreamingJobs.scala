@@ -306,6 +306,18 @@ object StreamingJobs {
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 
+  /** In-batch sort key for every stateful job here. Full-precision:
+    * `getTime` is MILLISECOND-truncated, so two same-user events in
+    * one micro-batch differing only below the millisecond would
+    * otherwise tie and fall back to event_id order — which can invert
+    * their true event-time order and (e.g.) flip a transition pair vs
+    * the batch oracle's full-microsecond ORDER BY ts. `getNanos`
+    * carries the complete sub-second component, restoring the exact
+    * (instant, event_id) total order the batch twins use.
+    */
+  private def evKey(e: Event): (Long, Int, Long) =
+    (e.ts.getTime / 1000L, e.ts.getNanos, e.event_id)
+
   case class SessionState(start: Long, lastTs: Long, nEvents: Long,
       total: Double)
 
@@ -334,7 +346,7 @@ object StreamingJobs {
               new java.sql.Timestamp(s.start),
               new java.sql.Timestamp(s.lastTs), s.nEvents, s.total))
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = rows.toSeq.sortBy(evKey)
             var closed = List.empty[ClosedSession]
             var cur = state.getOption
             sorted.foreach { e =>
@@ -391,7 +403,7 @@ object StreamingJobs {
       .flatMapGroupsWithState[AnomState, Anomaly](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[Event], state: GroupState[AnomState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = rows.toSeq.sortBy(evKey)
           var win = state.getOption.map(_.window).getOrElse(Nil)
           val out = scala.collection.mutable.ListBuffer.empty[Anomaly]
           sorted.foreach { e =>
@@ -438,7 +450,7 @@ object StreamingJobs {
       .groupByKey(_.user_id)
       .mapGroupsWithState[EwmaState, EwmaOut](GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[Event], state: GroupState[EwmaState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = rows.toSeq.sortBy(evKey)
           var s = state.getOption.getOrElse(EwmaState(0L, 0L))
           sorted.foreach { e =>
             val x = math.round(e.value * 100) * 1000000L
@@ -543,7 +555,7 @@ object StreamingJobs {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[Event],
             state: GroupState[TransState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = rows.toSeq.sortBy(evKey)
           var prev = state.getOption.map(_.last)
           val out = List.newBuilder[TransPair]
           sorted.foreach { e =>
@@ -563,7 +575,7 @@ object StreamingJobs {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[Event],
             state: GroupState[Scd2State]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = rows.toSeq.sortBy(evKey)
           var closed = List.empty[Scd2Closed]
           var cur = state.getOption
           sorted.foreach { e =>

@@ -106,26 +106,35 @@ class Round11Spec extends SparkSpec {
 
   // ---- sign-RP hyperplane family: distinct AND balanced ----
 
-  test("rpDot's 42 hyperplanes are pairwise distinct, each is balanced " +
-      "over any 7 consecutive dims, and bucket counts GROW with nBits " +
-      "instead of freezing (the r11 period-7 bug)") {
+  test("rpDot's 21 hyperplanes are pairwise distinct, antipodal-free, " +
+      "each is balanced over any 7 consecutive dims, and bucket counts " +
+      "GROW with nBits instead of freezing (the r11 period-7 bug and " +
+      "the r12 negation-pair bug)") {
     // reconstruct the weight vectors exactly as rpDot builds them
     def weights(j: Int, dim: Int): Seq[Int] = {
-      val (a, b) = (1 + j % 6, (j / 6) % 7)
+      val (a, b) = (1 + j % 3, (j / 3) % 7)
       (0 until dim).map(i => ((i * a + b) % 7) - 3)
     }
-    val fam = (0 until 42).map(weights(_, 64))
-    assert(fam.distinct.size === 42, "duplicate hyperplanes in family")
+    val fam = (0 until 21).map(weights(_, 64))
+    assert(fam.distinct.size === 21, "duplicate hyperplanes in family")
+    // r12: NO member's negation is in the family — a hyperplane and
+    // its negation give complementary sign bits, so an antipodal pair
+    // adds zero bucket resolution (the r11 a∈{1..6} family was 21
+    // such pairs masquerading as 42 members)
+    val famSet = fam.toSet
+    for (j <- 0 until 21)
+      assert(!famSet.contains(fam(j).map(-_)),
+        s"hyperplane $j's negation is also in the family")
     // balance: any 7 consecutive weights are a permutation of -3..3
-    for (j <- 0 until 42; off <- 0 until 57)
+    for (j <- 0 until 21; off <- 0 until 57)
       assert(fam(j).slice(off, off + 7).sorted === (-3 to 3).toSeq,
         s"hyperplane $j unbalanced at offset $off")
     // the guard
     val v = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "vec")
     val boom = intercept[IllegalArgumentException] {
-      graft.ext.Similarity.rpBucket(col("vec"), 43)
+      graft.ext.Similarity.rpBucket(col("vec"), 22)
     }
-    assert(boom.getMessage.contains("42"))
+    assert(boom.getMessage.contains("21"))
     // bucket resolution grows with bits on biased all-positive data
     // (the measured failure mode of both broken families)
     val rnd = new scala.util.Random(11)

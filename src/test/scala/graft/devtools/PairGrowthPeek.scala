@@ -28,8 +28,8 @@ object PairGrowthPeek {
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
     Seq(1, 10, 30).foreach { m =>
-      val nBits = 8 + math.max(0,
-        (math.log(m * 5000 / 5000.0) / math.log(2)).ceil.toInt)
+      val nBits = math.min(21, 8 + math.max(0,
+        (math.log(m * 5000 / 5000.0) / math.log(2)).ceil.toInt))
       val out = graft.ext.Multimodal.nearDupMedia(
         graft.ext.Multimodal.syntheticMedia(spark, docs(m)),
         threshold = 0.9, nBits = nBits).count()
