@@ -150,6 +150,24 @@ object Multimodal {
     Dedup.embeddingNearDups(feats, "mediaId", "feature", threshold, nBits)
   }
 
+  /** Representative-based media dedup — the LINEAR-OUTPUT at-scale
+    * shape of [[nearDupMedia]] (same frame-0 feature, same sign-RP
+    * buckets), per [[graft.ext.Dedup.embeddingDedupGroups]]: one
+    * (mediaId, group_rep, cos6) row per item instead of the
+    * inherently-quadratic pair set this corpus holds (r11
+    * adjudication: 198M genuine cos ≥ 0.9 pairs at 30×). The single
+    * pass over `extractFeatures` matters doubly here — the decode is
+    * the expensive stage.
+    */
+  def dedupGroupsMedia(items: Dataset[MediaItem], threshold: Double,
+      nBits: Int = 8): DataFrame = {
+    val feats = extractFeatures(items)
+      .filter(col("frameIdx") === 0)
+      .select(col("mediaId"), col("feature"))
+    Dedup.embeddingDedupGroups(feats, "mediaId", "feature", threshold,
+      nBits)
+  }
+
   /** Synthesize a deterministic media table from the documents corpus
     * (bytes = UTF-8 of the text) — the test substrate in a container with
     * no real media files.

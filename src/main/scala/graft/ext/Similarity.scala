@@ -568,6 +568,18 @@ object Similarity {
     require(k > 0, "knnJoin: k must be positive")
     require(nProbe > 0 && nProbe <= centroids.size,
       s"knnJoin: nProbe must be in [1, ${centroids.size}], got $nProbe")
+    // The centroid table rides the PLAN as literals: ivfCell and the
+    // probe argsort each evaluate |centroids| folds per row, and the
+    // serialized plan carries |centroids|·dim floats to every task.
+    // Both are fine for any sane nlist (n/500 at 100 TB of 64-dim
+    // vectors is ~3M cells — but that corpus ships TRAINED centroids
+    // as a broadcast-joined TABLE, not plan literals). Fail loudly at
+    // the point where plan-literal centroids stop being the right
+    // mechanism instead of letting task serialization degrade.
+    require(centroids.size <= 65536,
+      s"knnJoin: ${centroids.size} plan-literal centroids — beyond " +
+        "65536, ship centroids as a broadcast-joined table (offline-" +
+        "trained IVF), not plan literals")
     import org.apache.spark.sql.expressions.Window
     val corpus = df.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
       .withColumn("cell", ivfCell(col("n_vec"), centroids))
@@ -585,15 +597,21 @@ object Similarity {
       .withColumn("cell", explode(probeCells))
     val w = Window.partitionBy("q_id")
       .orderBy(col("score").desc, col("n_id").asc)
-    // shuffle_hash (not broadcast): both sides exchange on cell, which
-    // (a) is the only plan that exists when the corpus is 100 TB, and
-    // (b) puts the 16-centroid ivfCell argmin in its OWN codegen stage.
-    // Left as a broadcast join, ivfCell + join + scoring fuse into one
-    // whole-stage method big enough to trip the JIT's huge-method
-    // bailout, and the per-pair scoring loop runs deoptimized —
-    // measured 5-12s vs ~1.2s for this exact split at the sf0.1 pair
-    // volume. Norms ride as columns so the pair loop does ONE VecDot.
-    queries.join(corpus.hint("shuffle_hash"), Seq("cell"))
+    // shuffle_hash on BOTH sides (not broadcast): both sides exchange
+    // on cell, which (a) is the only plan that exists when the corpus
+    // is 100 TB, and (b) puts the 16-centroid ivfCell argmin in its
+    // OWN codegen stage. Left as a broadcast join, ivfCell + join +
+    // scoring fuse into one whole-stage method big enough to trip the
+    // JIT's huge-method bailout, and the per-pair scoring loop runs
+    // deoptimized — measured 5-12s vs ~1.2s for this exact split at
+    // the sf0.1 pair volume. Hinting ONLY the corpus side still let
+    // the planner broadcast the QUERY side when its size estimate
+    // cleared the threshold — at the r11 30× probe that built a
+    // 450k-row exploded vector table on the driver and OOM'd an 8 GiB
+    // heap; hinting both sides pins the exchange at every scale.
+    // Norms ride as columns so the pair loop does ONE VecDot.
+    queries.hint("shuffle_hash")
+      .join(corpus.hint("shuffle_hash"), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("score", trunc(
         dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")), 6))

@@ -326,6 +326,26 @@ object ExtQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // The same kNN self-join graded UNDER ITS SCALING CONTRACT
+    // (Similarity.knnJoin scaladoc, r11-measured): the cell count is
+    // DERIVED from the corpus — nCells = max(nProbe, n/100), the IVF
+    // nlist rule holding target cell size constant — so candidate
+    // volume stays ~nProbe·targetCellSize per query at every SF
+    // (measured 30× tail exponent 0.79 vs 1.79 for q84's fixed 16
+    // cells). q84 stays graded as the small-corpus fixed-cell variant;
+    // THIS row is the plan you run at 100×. The oracle derives the
+    // same count from the same table in SQL.
+    "q84_knn_scaled" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val nProbe = 3
+      val nCells = math.max(nProbe, (emb.count() / 100L).toInt)
+      val cents = Similarity.seedCentroids(emb, "vec_id", "embedding",
+        nCells)
+      Similarity.knnJoin(emb, "vec_id", "embedding", k = 3, cents,
+        nProbe = nProbe)
+        .orderBy("q_id", "rank")
+    }),
+
     // Strictly-ordered conversion funnel over one shared user-partition
     // shuffle (no per-step self-joins).
     "q85_funnel" -> ((s, d) =>
@@ -925,6 +945,45 @@ object ExtQueries {
           Similarity.trunc(col("cosine"), 6).as("cos6"))
         .orderBy("id_a", "id_b")
     }),
+
+    // Media dedup in its AT-SCALE shape: one (media_id, group_rep) row
+    // per item via bucket-representative assignment — q39's pair set
+    // is genuinely ~n² in this corpus (198M pairs at 30×, r11
+    // adjudication), so the pair query stays the small-corpus variant
+    // and THIS row is the 100× plan: linear output, one cosine per
+    // item, single pass over the decode.
+    "q221_media_dedup_groups" -> ((s, d) =>
+      graft.ext.Multimodal.dedupGroupsMedia(
+        graft.ext.Multimodal.syntheticMedia(s, documents(s, d)),
+        threshold = 0.9, nBits = 8)
+        .withColumnRenamed("id", "media_id")
+        .orderBy("media_id")),
+
+    // Frame-grain video dedup in its at-scale shape (q62's analog):
+    // every sampled frame gets its bucket-representative group, then a
+    // per-video rollup (min frame-group owner) — linear in frames where
+    // q62's pair rollup is quadratic in near-dup density.
+    "q222_frame_dedup_groups" -> ((s, d) => {
+      val media = graft.ext.Multimodal.syntheticMedia(s, documents(s, d))
+      val feats = graft.ext.Multimodal.extractFeatures(media)
+        .filter(col("kind") === "video")
+        .select((col("mediaId") * 100 + col("frameIdx")).as("fid"),
+          col("feature"))
+      graft.ext.Dedup.embeddingDedupGroups(feats, "fid", "feature",
+        threshold = 0.98, nBits = 8)
+        .groupBy((col("id") / 100).cast("long").as("media_id"))
+        .agg(min((col("group_rep") / 100).cast("long")).as("media_rep"),
+          count(lit(1)).as("n_frames"))
+        .orderBy("media_id")
+    }),
+
+    // Embedding dedup in its at-scale shape (q35's analog) on the real
+    // embeddings table.
+    "q223_embedding_dedup_groups" -> ((s, d) =>
+      graft.ext.Dedup.embeddingDedupGroups(embeddings(s, d), "vec_id",
+        "embedding", threshold = 0.35, nBits = 8)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")),
 
     // SCD Type-2 history build over the event log: one validity
     // interval per per-user attribute change (lag detects changes,
@@ -2689,6 +2748,20 @@ object ExtQueries {
       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16))"""
       .stripMargin
 
+  /** `c` with the cell count DERIVED from the corpus — the scaled twin
+    * of [[ivfSeedCte]] for q84_knn_scaled: nCells = greatest(3,
+    * n div 100), the same rule the Spark side computes, so the oracle
+    * follows the scaling contract rather than replaying a constant.
+    */
+  private lazy val ivfSeedCteScaled: String =
+    """c AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_idx,
+      |    embedding AS c_vec
+      |  FROM embeddings
+      |  QUALIFY row_number() OVER (ORDER BY vec_id) <=
+      |    greatest(3, (SELECT count(*) FROM embeddings) // 100))"""
+      .stripMargin
+
   /** Full-vector IVF assignment + query probes (a, cell, q, probes) —
     * needs `c`; shared by q65 and q73.
     */
@@ -3206,6 +3279,31 @@ object ExtQueries {
     // cosine, rank per query. Reuses q65's assignment CTEs.
     "q84_knn_join" ->
       s"""WITH $ivfSeedCte,
+         |$ivfProbeCtes,
+         |cand AS (
+         |  SELECT pa.vec_id AS q_id, ce.vec_id AS n_id
+         |  FROM a pa JOIN cell ce ON pa.c_idx = ce.cell
+         |  WHERE pa.rn <= 3 AND ce.vec_id <> pa.vec_id),
+         |sc AS (
+         |  SELECT cand.q_id, cand.n_id,
+         |    floor((${cosineSql("eq.embedding", "en.embedding")}) * 1000000)
+         |      / 1000000 AS score
+         |  FROM cand
+         |  JOIN embeddings eq ON eq.vec_id = cand.q_id
+         |  JOIN embeddings en ON en.vec_id = cand.n_id),
+         |rk AS (
+         |  SELECT q_id, n_id, score,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score DESC, n_id ASC) AS rank
+         |  FROM sc)
+         |SELECT q_id, rank, n_id, score FROM rk
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    // q84 under the derived-nCells scaling contract: identical
+    // assignment/probe/score/rank replay, with the seed CTE computing
+    // nCells from the corpus row count.
+    "q84_knn_scaled" ->
+      s"""WITH $ivfSeedCteScaled,
          |$ivfProbeCtes,
          |cand AS (
          |  SELECT pa.vec_id AS q_id, ce.vec_id AS n_id
@@ -6566,6 +6664,102 @@ object ExtQueries {
          |  ON a.bucket = b.bucket AND a.media_id < b.media_id
          |WHERE (${cosineSql("a.feature", "b.feature")}) >= 0.9
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Representative assignment replay: same feature/bucket CTEs as
+    // q39, then min-id rep per bucket, ONE cosine per item.
+    "q221_media_dedup_groups" ->
+      s"""WITH r AS (
+         |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         |    octet_length(encode(text)) AS nb,
+         |    CASE WHEN doc_id % 3 = 2
+         |      THEN greatest(1, least(16, (n_chars * 100) // 1000))
+         |      ELSE 1 END AS n_frames
+         |  FROM documents),
+         |f AS (
+         |  SELECT media_id,
+         |    (${mediaFeatureSqlFor("0", "nb // n_frames")}) AS feature
+         |  FROM r),
+         |bk AS (
+         |  SELECT media_id, feature,
+         |    cast(${bucketSqlFor("feature")} AS bigint) AS bucket
+         |  FROM f),
+         |rp AS (SELECT bucket, min(media_id) AS rep_id
+         |       FROM bk GROUP BY bucket),
+         |j AS (
+         |  SELECT m.media_id, m.feature, rb.feature AS rep_f, rp.rep_id
+         |  FROM bk m JOIN rp USING (bucket)
+         |  JOIN bk rb ON rb.media_id = rp.rep_id),
+         |c AS (
+         |  SELECT media_id, rep_id,
+         |    CASE WHEN (${dotSql("feature", "feature")}) > 0
+         |      AND (${dotSql("rep_f", "rep_f")}) > 0
+         |    THEN cast(floor((${cosineSql("feature", "rep_f")}) * 1000000)
+         |      AS bigint) END AS cos6
+         |  FROM j)
+         |SELECT media_id,
+         |  CASE WHEN cos6 >= 900000 THEN rep_id ELSE media_id END
+         |    AS group_rep,
+         |  cos6
+         |FROM c ORDER BY media_id""".stripMargin,
+
+    // q62's feature CTEs, then per-frame rep assignment and the
+    // per-video min-group rollup.
+    "q222_frame_dedup_groups" ->
+      s"""WITH v AS (
+         |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         |    octet_length(encode(text)) AS nb,
+         |    greatest(1, least(16, (n_chars * 100) // 1000)) AS n_frames
+         |  FROM documents WHERE doc_id % 3 = 2),
+         |fr AS (
+         |  SELECT media_id, hx, nb, n_frames, unnest(range(n_frames)) AS f
+         |  FROM v),
+         |feat AS (
+         |  SELECT media_id * 100 + f AS fid,
+         |    (${mediaFeatureSqlFor("(f * nb) // n_frames",
+              "((f+1) * nb) // n_frames - (f * nb) // n_frames")}) AS feature
+         |  FROM fr),
+         |bk AS (
+         |  SELECT fid, feature,
+         |    cast(${bucketSqlFor("feature")} AS bigint) AS bucket
+         |  FROM feat),
+         |rp AS (SELECT bucket, min(fid) AS rep_id FROM bk GROUP BY bucket),
+         |j AS (
+         |  SELECT m.fid, m.feature, rb.feature AS rep_f, rp.rep_id
+         |  FROM bk m JOIN rp USING (bucket)
+         |  JOIN bk rb ON rb.fid = rp.rep_id),
+         |g AS (
+         |  SELECT fid,
+         |    CASE WHEN (${dotSql("feature", "feature")}) > 0
+         |        AND (${dotSql("rep_f", "rep_f")}) > 0
+         |        AND cast(floor((${cosineSql("feature", "rep_f")}) * 1000000)
+         |          AS bigint) >= 980000
+         |      THEN rep_id ELSE fid END AS group_rep
+         |  FROM j)
+         |SELECT fid // 100 AS media_id, min(group_rep // 100) AS media_rep,
+         |  count(*) AS n_frames
+         |FROM g GROUP BY 1 ORDER BY media_id""".stripMargin,
+
+    "q223_embedding_dedup_groups" ->
+      s"""WITH bk AS (
+         |  SELECT vec_id AS id, embedding AS v,
+         |    cast(${bucketSqlFor("embedding")} AS bigint) AS bucket
+         |  FROM embeddings),
+         |rp AS (SELECT bucket, min(id) AS rep_id FROM bk GROUP BY bucket),
+         |j AS (
+         |  SELECT m.id, m.v, rb.v AS rep_v, rp.rep_id
+         |  FROM bk m JOIN rp USING (bucket)
+         |  JOIN bk rb ON rb.id = rp.rep_id),
+         |c AS (
+         |  SELECT id, rep_id,
+         |    CASE WHEN (${dotSql("v", "v")}) > 0
+         |      AND (${dotSql("rep_v", "rep_v")}) > 0
+         |    THEN cast(floor((${cosineSql("v", "rep_v")}) * 1000000)
+         |      AS bigint) END AS cos6
+         |  FROM j)
+         |SELECT id AS vec_id,
+         |  CASE WHEN cos6 >= 350000 THEN rep_id ELSE id END AS group_rep,
+         |  cos6
+         |FROM c ORDER BY vec_id""".stripMargin,
     "q38_media_features" ->
       """SELECT doc_id AS media_id,
         |  CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'image'

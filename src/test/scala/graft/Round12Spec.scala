@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 pins: the antipodal-free RP family's graded consequences,
+  * the representative-based (linear-output) embedding dedup shape,
+  * knnJoin's plan-literal centroid bound and broadcast-proof exchange,
+  * and the stateful streaming jobs' full-precision in-batch ordering.
+  */
+class Round12Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- local replicas of the portable kernels (independent of the
+  // ---- Spark expressions they verify) ----
+
+  /** rpDot's family, reconstructed: w(i) = ((i·(1+j%3) + (j/3)%7) % 7) − 3. */
+  private def rpWeights(j: Int, dim: Int): Array[Double] = {
+    val (a, b) = (1 + j % 3, (j / 3) % 7)
+    Array.tabulate(dim)(i => (((i * a + b) % 7) - 3).toDouble)
+  }
+
+  /** The same left-to-right sequential double fold as VecDot. */
+  private def dotL2R(x: Array[Float], w: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < x.length) { acc += x(i).toDouble * w(i); i += 1 }
+    acc
+  }
+
+  private def dotFF(x: Array[Float], y: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < x.length) { acc += x(i).toDouble * y(i).toDouble; i += 1 }
+    acc
+  }
+
+  private def localBucket(v: Array[Float], nBits: Int): Long =
+    (0 until nBits).map { j =>
+      if (dotL2R(v, rpWeights(j, v.length)) > 0) 1L << j else 0L
+    }.reduce(_ | _)
+
+  // ---- embeddingDedupGroups: linear output, exact rep assignment ----
+
+  test("embeddingDedupGroups emits exactly one row per item whose " +
+      "group_rep is the bucket's min id iff the cosine to it clears " +
+      "the threshold (independent local replica), and zero vectors " +
+      "keep themselves with NULL cos6") {
+    val rnd = new scala.util.Random(12)
+    val dim = 8
+    val base = (0 until 60).map { k =>
+      (k.toLong, Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    }
+    // near-dups of the first few ids (tiny jitter -> same bucket,
+    // cosine ~1) plus one zero vector
+    val dups = (0 until 10).map { k =>
+      (100L + k, base(k)._2.map(x => x * 1.0001f))
+    }
+    val rows = base ++ dups :+ (999L, Array.fill(dim)(0f))
+    val df = rows.toDF("id", "vec")
+    val thr = 0.9
+    val out = graft.ext.Dedup
+      .embeddingDedupGroups(df, "id", "vec", thr, nBits = 8)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    assert(out.size === rows.size, "not one row per item")
+    // independent replica of the whole rule
+    val byBucket = rows.groupBy { case (_, v) => localBucket(v, 8) }
+    for ((_, ms) <- byBucket) {
+      val rep = ms.minBy(_._1)
+      for ((id, v) <- ms) {
+        val nv = math.sqrt(dotFF(v, v))
+        val nr = math.sqrt(dotFF(rep._2, rep._2))
+        val cos6 =
+          if (nv > 0 && nr > 0)
+            Some(math.floor(dotFF(v, rep._2) / (nv * nr) * 1e6).toLong)
+          else None
+        val expectRep =
+          if (cos6.exists(_ >= math.floor(thr * 1e6).toLong)) rep._1 else id
+        assert(out(id) === ((expectRep, cos6)),
+          s"id $id: got ${out(id)}, expected ($expectRep, $cos6)")
+      }
+    }
+    // fixture sanity: at least one planted near-dup adopted a
+    // representative (not all — a lower-id random vector landing in a
+    // dup's bucket becomes a low-cosine rep, and the dup then keeps
+    // itself: exactly the documented representative-dedup semantics,
+    // which the replica loop above verified case by case); the zero
+    // vector kept itself with NULL cos6
+    assert((0 until 10).exists(k => out(100L + k)._1 != 100L + k),
+      "no planted near-dup adopted a representative")
+    assert(out(999L) === ((999L, None)))
+  }
+
+  test("dedupGroupsMedia output is linear in the media count while the " +
+      "pair query's output is not bounded by it") {
+    // same kind (doc_id % 3 == 1 -> audio, single whole-content
+    // frame) so identical text means identical frame-0 features;
+    // mixing kinds would window the bytes differently per kind
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "web", 43L),
+      (4L, "the quick brown fox jumps over the lazy dog", "en", "web", 43L),
+      (7L, "the quick brown fox jumps over the lazy dog", "en", "web", 43L),
+      (10L, "completely different content with other bytes!", "en", "web", 46L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = graft.ext.Multimodal.syntheticMedia(spark, docs)
+    val groups = graft.ext.Multimodal
+      .dedupGroupsMedia(media, threshold = 0.9, nBits = 8).collect()
+    assert(groups.length === 4, "one row per media item")
+    // identical bytes -> identical features -> same bucket, cos = 1:
+    // 4 and 7 adopt 1
+    val g = groups.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g(4L) === 1L && g(7L) === 1L)
+    assert(g(1L) === 1L)
+  }
+
+  // ---- knnJoin: loud plan-literal centroid bound, no broadcast ----
+
+  test("knnJoin refuses more than 65536 plan-literal centroids with " +
+      "the broadcast-table guidance") {
+    val df = Seq((1L, Array(1f, 0f))).toDF("id", "v")
+    val cents = Seq.fill(65537)(Array(1f, 0f))
+    val boom = intercept[IllegalArgumentException] {
+      graft.ext.Similarity.knnJoin(df, "id", "v", k = 1, cents, nProbe = 1)
+    }
+    assert(boom.getMessage.contains("65536"))
+    assert(boom.getMessage.contains("broadcast"))
+  }
+
+  test("knnJoin's cell join never broadcasts either side — the plan " +
+      "that OOM'd an 8g driver at the r11 30x probe is unreachable") {
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 200).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat()))).toDF("id", "v")
+    val cents = graft.ext.Similarity.seedCentroids(df, "id", "v", 4)
+    val res = graft.ext.Similarity.knnJoin(df, "id", "v", k = 2,
+      cents, nProbe = 2)
+    res.collect() // finalize the AQE plan
+    val p = res.queryExecution.executedPlan.toString()
+    assert(!p.contains("BroadcastHashJoin"),
+      s"cell join got broadcast:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"expected a shuffled hash cell join in:\n$p")
+  }
+
+  // ---- stateful streaming: sub-millisecond in-batch ordering ----
+
+  test("transitionsStream orders same-millisecond in-batch events by " +
+      "the full-microsecond instant, not by event_id (batch drive of " +
+      "the state function)") {
+    import graft.streaming.StreamingJobs.Event
+    // one user, one batch: the FIRST event in time has the LARGER id
+    // and the two events differ only below the millisecond — a
+    // (getTime, event_id) key would invert them
+    val ds = Seq(
+      Event(5L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00.000200"),
+        1L, "x", 1.0),
+      Event(2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00.000800"),
+        1L, "y", 1.0)).toDS()
+    val pairs = graft.streaming.StreamingJobs.transitionsStream(ds)
+      .collect().map(p => (p.prev_type, p.next_type)).toSeq
+    assert(pairs === Seq(("x", "y")),
+      s"sub-millisecond order lost: $pairs")
+  }
+}
