@@ -62,10 +62,22 @@ object ExtQueries {
     * accumulated output a deterministic, oracle-gradeable function of
     * the input. `tagBatch` adds the micro-batch id (update-mode
     * consumers keep a key's LAST emission).
+    *
+    * `arrival` is the ARRIVAL order of the 6 event-time buckets
+    * (default: event-time order). A permutation that delivers a bucket
+    * AFTER buckets with later event times (e.g. 0,1,2,4,5,3) makes
+    * every row of that bucket arrive below any watermark shorter than
+    * the bucket gap — the deterministic way to grade the DROP branch
+    * of `withWatermark`, which the in-order replay can never reach.
+    * The drop stays oracle-gradeable because the watermark at the late
+    * bucket's micro-batch is pinned by the PREVIOUS batches' max event
+    * time (watermarks update at batch boundaries), so exactly the late
+    * bucket drops — the oracle is the batch twin minus that bucket.
     */
   private def streamReplay(s: SparkSession, d: String, dir: String,
       job: DataFrame => DataFrame, mode: String,
-      tagBatch: Boolean = false): DataFrame = {
+      tagBatch: Boolean = false,
+      arrival: Seq[Int] = 0 until 6): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val ev = events(s, d)
       .select("event_id", "ts", "user_id", "event_type", "value")
@@ -73,8 +85,10 @@ object ExtQueries {
       max(unix_micros(col("ts"))).as("hi")).collect().head
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val span = math.max(1L, hi - lo + 1)
+    require(arrival.sorted == (0 until 6),
+      s"streamReplay: arrival must be a permutation of 0..5, got $arrival")
     val t0 = (System.currentTimeMillis() / 60000L) * 60000L - 600000L
-    (0 until 6).foreach { b =>
+    arrival.zipWithIndex.foreach { case (b, i) =>
       ev.filter(expr(
           s"(unix_micros(ts) - ${lo}L) * 6 div ${span}L") === b.toLong)
         .coalesce(1).write.mode("append").parquet(s"$dir/in")
@@ -84,9 +98,9 @@ object ExtQueries {
         .foreach { f =>
           // a silently-failed stamp (mtime-rejecting mount) would let
           // same-granularity mtimes tie-break by random part name and
-          // replay buckets out of event-time order — rows would drop
+          // replay buckets out of arrival order — rows would drop
           // below the watermark and grade silently wrong; fail loudly
-          require(f.setLastModified(t0 + b * 1000L),
+          require(f.setLastModified(t0 + i * 1000L),
             s"streamReplay: cannot set mtime on $f — the ordered-" +
               "replay watermark contract depends on it")
         }
@@ -1905,6 +1919,34 @@ object ExtQueries {
         },
         "append")
         .orderBy("user_id", "prev_type", "next_type")
+    }),
+
+    // The DROP branch of withWatermark, graded: bucket 3 (of the 6
+    // event-time buckets) is deliberately delivered LAST, after buckets
+    // 4 and 5 have advanced the watermark ~10 days past its newest
+    // event (the buckets are ~5-day ranges; the delay is 1 hour), so
+    // EVERY bucket-3 row arrives below the watermark and the stateful
+    // aggregation must discard it — state for those windows was already
+    // finalized and evicted. Update-mode emissions + batch-id tag, a
+    // window's count is its LAST emission (q219's convention). Oracle:
+    // the batch tumbling count over the SAME bucket formula with bucket
+    // 3 removed — a row set that differs from the no-watermark batch
+    // twin (Round12Spec pins the difference), which is what proves the
+    // drop actually happened rather than the replay never exercising it.
+    "q224_stream_late_drop" -> ((s, d) => {
+      val dir = tempDir("graft_q224_")
+      val perBatch = streamReplay(s, d, dir,
+        in => in.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour").as("w"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_events")),
+        "update", tagBatch = true, arrival = Seq(0, 1, 2, 4, 5, 3))
+      perBatch
+        .groupBy(col("w.start").as("window_start"), col("event_type"))
+        .agg(max(struct(col("__batch"), col("n_events"))).as("m"))
+        .select(col("window_start"), col("event_type"),
+          col("m.n_events").as("n_events"))
+        .orderBy("window_start", "event_type")
     }),
 
     // Pairwise FD discovery (TANE level 1) on a 4-column customer
@@ -4992,6 +5034,20 @@ object ExtQueries {
         |SELECT user_id, prev_type, next_type
         |FROM p WHERE next_type IS NOT NULL
         |ORDER BY user_id, prev_type, next_type""".stripMargin,
+
+    // Late-bucket replay: the streaming run's final per-window counts
+    // equal the batch tumbling counts WITHOUT bucket 3 — the bucket
+    // delivered below the watermark. Same 6-bucket formula as the
+    // replay: floor((us - lo) * 6 / (hi - lo + 1)).
+    "q224_stream_late_drop" ->
+      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
+        |b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        |      FROM e),
+        |f AS (SELECT e.* FROM e, b
+        |      WHERE ((epoch_us(ts) - lo) * 6) // (hi - lo + 1) <> 3)
+        |SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n_events
+        |FROM f GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     // Per-pair g3 replay (max-per-lhs subtracted from group totals),
     // one UNION ALL branch per ordered pair — count(*) over lhs
