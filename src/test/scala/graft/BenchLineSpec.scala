@@ -41,11 +41,20 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   test("query q-number prefixes are unique (duplicate-JSON-key guard)") {
-    // machineLine keys the baseline subset by q-number prefix
-    // (takeWhile != '_'); two query names sharing a prefix would emit
-    // duplicate JSON keys and silently shadow one timing at the
-    // driver's json.load
-    val prefixes = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_'))
+    // machineLine keys by q-number prefix (takeWhile != '_') but only
+    // emits the q01–q47 baseline subset; two SUBSET names sharing a
+    // prefix would emit duplicate JSON keys and silently shadow one
+    // timing at the driver's json.load. Outside the subset, prefix
+    // twins are legitimate (q84_knn_join / q84_knn_scaled grade the
+    // fixed-cell and derived-cell shapes of one operator) — no
+    // artifact keys them by prefix: bench_detail.json and
+    // CORRECTNESS use full names.
+    val prefixes = SparkEntry.queries.keys.toSeq
+      .filter { k =>
+        val ds = k.drop(1).takeWhile(_.isDigit)
+        ds.nonEmpty && ds.toInt <= 47
+      }
+      .map(_.takeWhile(_ != '_'))
     val dups = prefixes.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate q-number prefixes: $dups")
   }
