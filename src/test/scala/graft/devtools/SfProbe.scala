@@ -132,20 +132,10 @@ object SfProbe {
     }
 
     val dirs = mults.map(m => m -> buildScaled(m)).toMap
-    // The measured FIX for q84's super-linear growth: a corpus-scale
-    // self-kNN must grow the IVF cell count with the corpus (constant
-    // target cell SIZE → per-query candidate work constant → total
-    // work linear); the graded q84 keeps its fixed 16 cells because
-    // correctness at one SF doesn't depend on the rule.
+    // (q84_knn_scaled — the derived-cell fix this probe first measured
+    // in r11 — is a GRADED row since r12, so it comes from
+    // SparkEntry.queries like everything else.)
     val extras: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-      "q84_knn_scaled" -> ((s: SparkSession, dir: String) => {
-        val emb = Tables.embeddings(s, dir)
-        val nCells = math.max(16, (emb.count() / 500L).toInt)
-        val cents = graft.ext.Similarity.seedCentroids(
-          emb, "vec_id", "embedding", nCells)
-        graft.ext.Similarity.knnJoin(emb, "vec_id", "embedding", k = 3,
-          cents, nProbe = 3)
-      }),
       // embeddingNearDups' contract: one extra sign-RP bit per corpus
       // doubling (constant target bucket size) — vs q39's fixed 8 bits
       "q39_media_scaled" -> ((s: SparkSession, dir: String) => {
