@@ -446,21 +446,20 @@ object Similarity {
     dot(v, v) - lit(2.0) * dot(v, lit(c)) + lit(seqDot(c, c))
 
   /** IVF coarse-quantizer cell id: argmin over `centroids` of squared
-    * L2 distance, ties broken to the lowest centroid index
-    * (`array_position` returns the FIRST index of the min, and the min
-    * is bit-equal to exactly the distances that produced it). One
-    * projection, no shuffle; the distances array evaluates each of the
-    * `centroids.size` fused VecDot kernels exactly once per row — a
-    * least()/when() argmin chain re-evaluates every distance per
-    * branch, which bloated the expression tree ~16x at 16 cells. At
+    * L2 distance, ties broken to the lowest centroid index. One
+    * projection, no shuffle. Since r12 this is the [[graft.functions
+    * .IvfKernel]] expression — the former `array(sqDist(v, c*))` +
+    * array_position tree inlined O(nCells·dim) generated code and blew
+    * Janino's 64 KB method limit at 120 cells (whole stage silently
+    * fell back to interpreted eval at the r12 30× probe); the kernel
+    * call is O(1) generated code at ANY nlist, bit-identical distances
+    * and tie rule (Round12Spec pins both against the tree form). At
     * 100 TB this is the "index build" map pass of an inverted-file ANN
     * index (Jégou et al., TPAMI'11).
     */
-  def ivfCell(v: Column, centroids: Seq[Array[Float]]): Column = {
-    require(centroids.nonEmpty, "ivfCell: need at least one centroid")
-    val d = array(centroids.map(c => sqDist(v, c)): _*)
-    (array_position(d, array_min(d)) - 1).cast("int")
-  }
+  def ivfCell(v: Column, centroids: Seq[Array[Float]]): Column =
+    graft.functions.IvfFunctions.cellOf(v,
+      graft.functions.IvfFunctions.kernel(centroids))
 
   /** Deterministic seeded coarse centroids: the embeddings of the
     * `nCells` smallest ids. Production IVF trains centroids offline on a
@@ -568,33 +567,32 @@ object Similarity {
     require(k > 0, "knnJoin: k must be positive")
     require(nProbe > 0 && nProbe <= centroids.size,
       s"knnJoin: nProbe must be in [1, ${centroids.size}], got $nProbe")
-    // The centroid table rides the PLAN as literals: ivfCell and the
-    // probe argsort each evaluate |centroids| folds per row, and the
-    // serialized plan carries |centroids|·dim floats to every task.
-    // Both are fine for any sane nlist (n/500 at 100 TB of 64-dim
-    // vectors is ~3M cells — but that corpus ships TRAINED centroids
-    // as a broadcast-joined TABLE, not plan literals). Fail loudly at
-    // the point where plan-literal centroids stop being the right
-    // mechanism instead of letting task serialization degrade.
+    // The centroid matrix rides the PLAN as one referenced object
+    // (IvfKernel): generated code is O(1) in nlist, and task
+    // serialization carries |centroids|·dim floats — fine for any sane
+    // nlist (n/500 at 100 TB of 64-dim vectors is ~3M cells — but that
+    // corpus ships TRAINED centroids as a broadcast-joined TABLE, not
+    // a plan object). Fail loudly at the point where plan-shipped
+    // centroids stop being the right mechanism instead of letting task
+    // serialization degrade.
     require(centroids.size <= 65536,
-      s"knnJoin: ${centroids.size} plan-literal centroids — beyond " +
+      s"knnJoin: ${centroids.size} plan-shipped centroids — beyond " +
         "65536, ship centroids as a broadcast-joined table (offline-" +
-        "trained IVF), not plan literals")
+        "trained IVF), not a plan object")
     import org.apache.spark.sql.expressions.Window
+    val kern = graft.functions.IvfFunctions.kernel(centroids)
     val corpus = df.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-      .withColumn("cell", ivfCell(col("n_vec"), centroids))
+      .withColumn("cell",
+        graft.functions.IvfFunctions.cellOf(col("n_vec"), kern))
       .withColumn("n_nrm", l2norm(col("n_vec")))
-    // Plan-side probe selection: argsort of (distance, index) structs —
-    // struct ordering compares d first, then i, reproducing the
-    // driver-side `.sorted.take(nProbe)` of the single-query path.
-    val dists = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(sqDist(col("q_vec"), c).as("d"), lit(i).cast("int").as("i"))
-    }: _*)
-    val probeCells = transform(slice(array_sort(dists), 1, nProbe),
-      s => s.getField("i"))
+    // Plan-side probe selection: the kernel's (distance, index) argsort
+    // take-nProbe, reproducing the driver-side `.sorted.take(nProbe)`
+    // of the single-query path (and the former argsort-of-structs
+    // expression tree, bit for bit).
     val queries = df.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("q_nrm", l2norm(col("q_vec")))
-      .withColumn("cell", explode(probeCells))
+      .withColumn("cell", explode(
+        graft.functions.IvfFunctions.probesOf(col("q_vec"), kern, nProbe)))
     val w = Window.partitionBy("q_id")
       .orderBy(col("score").desc, col("n_id").asc)
     // shuffle_hash on BOTH sides (not broadcast): both sides exchange

@@ -162,6 +162,53 @@ class Round12Spec extends SparkSpec {
       s"sub-millisecond order lost: $pairs")
   }
 
+  // ---- IvfKernel: O(1)-codegen cell/probe == the expression tree ----
+
+  test("IvfKernel cell and probes are bit-identical to the pre-r12 " +
+      "expression-tree forms at a Janino-breaking 200-cell nlist " +
+      "(the tree form inlined O(nCells*dim) generated code and fell " +
+      "out of whole-stage codegen at 120 cells)") {
+    import graft.functions.{IvfFunctions, VectorFunctions}
+    val rnd = new scala.util.Random(84)
+    val dim = 64
+    val nCells = 200
+    val nProbe = 5
+    val cents: Seq[Array[Float]] =
+      Seq.fill(nCells)(Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    val df = Seq.fill(300)(Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    // the EXACT tree ivfCell/knnJoin used before r12
+    def sqTree(v: org.apache.spark.sql.Column, c: Array[Float]) = {
+      val cc = { var a = 0.0; var i = 0
+        while (i < c.length) { a += c(i).toDouble * c(i).toDouble; i += 1 }
+        a }
+      VectorFunctions.vecDot(v, v) -
+        lit(2.0) * VectorFunctions.vecDot(v, lit(c)) + lit(cc)
+    }
+    val dTree = array(cents.map(c => sqTree(col("v"), c)): _*)
+    val cellTree = (array_position(dTree, array_min(dTree)) - 1)
+      .cast("int")
+    val sTree = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(sqTree(col("v"), c).as("d"), lit(i).cast("int").as("i"))
+    }: _*)
+    val probesTree = transform(slice(array_sort(sTree), 1, nProbe),
+      s => s.getField("i"))
+    val kern = IvfFunctions.kernel(cents)
+    val got = df.select(col("id"),
+        IvfFunctions.cellOf(col("v"), kern).as("cell_k"),
+        cellTree.as("cell_t"),
+        IvfFunctions.probesOf(col("v"), kern, nProbe).as("p_k"),
+        probesTree.as("p_t"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2),
+        s"cell mismatch at id ${r.getLong(0)}")
+      assert(r.getSeq[Int](3) == r.getSeq[Int](4),
+        s"probe mismatch at id ${r.getLong(0)}")
+    }
+  }
+
   // ---- q224: the DROP branch of withWatermark, proven dropped ----
 
   test("q224 late-bucket replay drops EXACTLY the late bucket: graded " +
