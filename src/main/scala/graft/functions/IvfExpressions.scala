@@ -88,30 +88,217 @@ final class IvfKernel(matrix: Array[Array[Float]]) extends Serializable {
         Ordering.Int))
     new GenericArrayData(order.take(nProbe).map(_._2))
   }
+
+  // ------------------------------------------------------------------
+  // Two-level (hierarchical) assignment — the O(√nlist)-per-row path
+  // ------------------------------------------------------------------
+  //
+  // Flat assignment scans every centroid: O(nlist·dim) per row, so with
+  // the nlist ∝ n scaling contract the assignment PASS is O(n²/
+  // targetCellSize) asymptotically. Decomposed measurement
+  // (CellBalancePeek, BUILD_NOTES r12): at every host-measurable
+  // volume (≤100× sf0.1, nlist ≤ 400) the pass is immaterial (~1 s of
+  // a ~20 s knnJoin) — the term only bites at true-scale nlist (~10⁶),
+  // where production IVF assigns through an approximate coarse
+  // quantizer (faiss quantizer=HNSW, IMI). This is the deterministic,
+  // engine-replayable equivalent: ~√nlist SUPER-centroids (every
+  // `step`-th centroid of the seeded list), each centroid attached to
+  // its nearest super (ties → lower super index), assignment = argmin
+  // super then argmin within the top-2 supers' members. O(√nlist·dim)
+  // per row. APPROXIMATE by contract: a vector whose true nearest
+  // centroid lives outside both supers gets its best reachable cell —
+  // acceptable for ANN candidate generation (recall measured in
+  // Round12Spec), NOT for exact cell replays (the graded flat rows
+  // keep `cell`). On THIS testdata's near-orthogonal embeddings the
+  // restricted assignment also skews cell balance (+26 % join
+  // candidates at 100×), so hier stays non-default.
+
+  private lazy val superStep: Int =
+    math.max(1, math.ceil(math.sqrt(nCells.toDouble)).toInt)
+  /** Super j is centroid j·step — a deterministic spread of the list. */
+  private lazy val superIds: Array[Int] =
+    Array.range(0, nCells, superStep)
+  private lazy val members: Array[Array[Int]] = {
+    val m = Array.fill(superIds.length)(
+      scala.collection.mutable.ArrayBuffer.empty[Int])
+    var c = 0
+    while (c < nCells) {
+      val cv = matrix(c)
+      var best = 0
+      var bestD = Double.NaN
+      var j = 0
+      while (j < superIds.length) {
+        val s = matrix(superIds(j))
+        val n = math.min(cv.length, s.length)
+        var vc = 0.0
+        var i = 0
+        while (i < n) { vc += cv(i).toDouble * s(i).toDouble; i += 1 }
+        val d = (cNorms(c) - 2.0 * vc) + cNorms(superIds(j))
+        if (j == 0 || java.lang.Double.compare(d, bestD) < 0) {
+          best = j; bestD = d
+        }
+        j += 1
+      }
+      m(best) += c
+      c += 1
+    }
+    m.map(_.toArray)
+  }
+
+  private def distTo(v: ArrayData, vv: Double, c: Int): Double = {
+    val cent = matrix(c)
+    val n = math.min(v.numElements(), cent.length)
+    var vc = 0.0
+    var j = 0
+    while (j < n) { vc += v.getFloat(j).toDouble * cent(j).toDouble; j += 1 }
+    (vv - 2.0 * vc) + cNorms(c)
+  }
+
+  private def vNorm(v: ArrayData): Double = {
+    val vn = v.numElements()
+    var vv = 0.0
+    var i = 0
+    while (i < vn) { val x = v.getFloat(i).toDouble; vv += x * x; i += 1 }
+    vv
+  }
+
+  /** Super indices (into superIds) sorted by distance to v, ties low —
+    * the rare fallback path when two supers' members can't fill a
+    * probe list; the hot paths use the allocation-free [[top2Supers]].
+    */
+  private def superOrder(v: ArrayData, vv: Double): Array[Int] =
+    Array.range(0, superIds.length)
+      .map(j => (distTo(v, vv, superIds(j)), j))
+      .sortBy(identity)(Ordering.Tuple2(Ordering.Double.TotalOrdering,
+        Ordering.Int))
+      .map(_._2)
+
+  /** The two nearest supers, one primitive scan, ties → lower index.
+    * (A first cut sorted ALL supers into boxed (Double, Int) tuples
+    * per row — the allocation/boxing constant made hier SLOWER than
+    * the flat scan at every measured nlist; see BUILD_NOTES r12.)
+    */
+  private def top2Supers(v: ArrayData, vv: Double): (Int, Int) = {
+    var b1 = -1; var d1 = Double.NaN
+    var b2 = -1; var d2 = Double.NaN
+    var j = 0
+    while (j < superIds.length) {
+      val d = distTo(v, vv, superIds(j))
+      if (b1 < 0 || java.lang.Double.compare(d, d1) < 0) {
+        b2 = b1; d2 = d1; b1 = j; d1 = d
+      } else if (b2 < 0 || java.lang.Double.compare(d, d2) < 0) {
+        b2 = j; d2 = d
+      }
+      j += 1
+    }
+    (b1, if (b2 < 0) b1 else b2)
+  }
+
+  /** Two-level argmin cell: argmin over the TOP-2 supers' members
+    * (one super alone misassigns vectors near super boundaries — on
+    * uniform-random data single-super recall measured ~40% vs ~2× that
+    * with the second super; clustered data, the real IVF regime, sits
+    * far higher — Round12Spec pins both). Ties → lower centroid index.
+    */
+  def cellHier(v: ArrayData): Int = {
+    val vv = vNorm(v)
+    val (s1, s2) = top2Supers(v, vv)
+    var best = -1
+    var bestD = Double.NaN
+    var pass = 0
+    while (pass < (if (s2 != s1) 2 else 1)) {
+      val mem = members(if (pass == 0) s1 else s2)
+      var i = 0
+      while (i < mem.length) {
+        val c = mem(i)
+        val d = distTo(v, vv, c)
+        if (best < 0 || java.lang.Double.compare(d, bestD) < 0 ||
+            (java.lang.Double.compare(d, bestD) == 0 && c < best)) {
+          best = c; bestD = d
+        }
+        i += 1
+      }
+      pass += 1
+    }
+    best
+  }
+
+  /** Two-level probe list: pool the top-2 supers' members (walking
+    * further supers nearest-first only if the pool can't fill
+    * `nProbe` — the rare fallback), then select the `nProbe`
+    * (distance, index)-smallest by repeated primitive scans (nProbe is
+    * small; no boxed sort).
+    */
+  def probesHier(v: ArrayData, nProbe: Int): ArrayData = {
+    val vv = vNorm(v)
+    val (s1, s2) = top2Supers(v, vv)
+    var pool: Array[Int] =
+      if (s2 != s1) members(s1) ++ members(s2) else members(s1)
+    if (pool.length < nProbe) {
+      // rare: tiny supers — extend nearest-first until full coverage
+      val order = superOrder(v, vv)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var j = 0
+      while (j < order.length && buf.length < nProbe) {
+        buf ++= members(order(j))
+        j += 1
+      }
+      pool = buf.toArray
+    }
+    val dp = new Array[Double](pool.length)
+    var i = 0
+    while (i < pool.length) { dp(i) = distTo(v, vv, pool(i)); i += 1 }
+    val n = math.min(nProbe, pool.length)
+    val out = new Array[Int](n)
+    val taken = new Array[Boolean](pool.length)
+    var r = 0
+    while (r < n) {
+      var bi = -1
+      var k = 0
+      while (k < pool.length) {
+        if (!taken(k) && (bi < 0 ||
+            java.lang.Double.compare(dp(k), dp(bi)) < 0 ||
+            (java.lang.Double.compare(dp(k), dp(bi)) == 0 &&
+              pool(k) < pool(bi)))) bi = k
+        k += 1
+      }
+      taken(bi) = true
+      out(r) = pool(bi)
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
-/** Argmin IVF cell assignment — O(1) generated code (see [[IvfKernel]]). */
-case class IvfCellExpr(child: Expression, kernel: IvfKernel)
-    extends UnaryExpression {
+/** Argmin IVF cell assignment — O(1) generated code (see [[IvfKernel]]).
+  * `hier = true` routes through the two-level quantizer (O(√nlist) per
+  * row, approximate by contract).
+  */
+case class IvfCellExpr(child: Expression, kernel: IvfKernel,
+    hier: Boolean = false) extends UnaryExpression {
   override def dataType: DataType = IntegerType
 
   override def nullSafeEval(v: Any): Any =
-    kernel.cell(v.asInstanceOf[ArrayData])
+    if (hier) kernel.cellHier(v.asInstanceOf[ArrayData])
+    else kernel.cell(v.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("ivfKernel", kernel,
       classOf[IvfKernel].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.cell($c);")
+    val m = if (hier) "cellHier" else "cell"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.$m($c);")
   }
 
   override protected def withNewChildInternal(n: Expression): IvfCellExpr =
     copy(child = n)
 }
 
-/** Top-`nProbe` IVF probe cells — O(1) generated code (see [[IvfKernel]]). */
-case class IvfProbesExpr(child: Expression, kernel: IvfKernel, nProbe: Int)
-    extends UnaryExpression {
+/** Top-`nProbe` IVF probe cells — O(1) generated code (see [[IvfKernel]]).
+  * `hier = true` routes through the two-level quantizer.
+  */
+case class IvfProbesExpr(child: Expression, kernel: IvfKernel, nProbe: Int,
+    hier: Boolean = false) extends UnaryExpression {
   require(nProbe > 0 && nProbe <= kernel.nCells,
     s"IvfProbesExpr: nProbe must be in [1, ${kernel.nCells}], got $nProbe")
 
@@ -119,14 +306,16 @@ case class IvfProbesExpr(child: Expression, kernel: IvfKernel, nProbe: Int)
     ArrayType(IntegerType, containsNull = false)
 
   override def nullSafeEval(v: Any): Any =
-    kernel.probes(v.asInstanceOf[ArrayData], nProbe)
+    if (hier) kernel.probesHier(v.asInstanceOf[ArrayData], nProbe)
+    else kernel.probes(v.asInstanceOf[ArrayData], nProbe)
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("ivfKernel", kernel,
       classOf[IvfKernel].getName)
+    val m = if (hier) "probesHier" else "probes"
     nullSafeCodeGen(ctx, ev,
-      c => s"${ev.value} = $ref.probes($c, $nProbe);")
+      c => s"${ev.value} = $ref.$m($c, $nProbe);")
   }
 
   override protected def withNewChildInternal(n: Expression): IvfProbesExpr =
@@ -140,9 +329,10 @@ object IvfFunctions {
   def kernel(centroids: Seq[Array[Float]]): IvfKernel =
     new IvfKernel(centroids.toArray)
 
-  def cellOf(v: Column, k: IvfKernel): Column =
-    Bridge.column(IvfCellExpr(Bridge.expression(v), k))
+  def cellOf(v: Column, k: IvfKernel, hier: Boolean = false): Column =
+    Bridge.column(IvfCellExpr(Bridge.expression(v), k, hier))
 
-  def probesOf(v: Column, k: IvfKernel, nProbe: Int): Column =
-    Bridge.column(IvfProbesExpr(Bridge.expression(v), k, nProbe))
+  def probesOf(v: Column, k: IvfKernel, nProbe: Int,
+      hier: Boolean = false): Column =
+    Bridge.column(IvfProbesExpr(Bridge.expression(v), k, nProbe, hier))
 }

@@ -209,6 +209,67 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("two-level (hier) assignment: probe lists are valid and " +
+      "distinct, assignment recall vs flat argmin is high on " +
+      "CLUSTERED data (the real IVF regime), the hier kNN join " +
+      "recovers most exact-join edges, and evaluation is " +
+      "deterministic") {
+    import graft.functions.IvfFunctions
+    val rnd = new scala.util.Random(1212)
+    val dim = 16
+    val nCells = 100
+    val cents: Seq[Array[Float]] =
+      Seq.fill(nCells)(Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    val kern = IvfFunctions.kernel(cents)
+    // CLUSTERED vectors — the real IVF regime (centroids come from
+    // k-means on the data, so data concentrates around them); on
+    // uniform-random data the nearest super barely predicts the
+    // nearest cell and two-level recall collapses toward chance —
+    // that regime is documented, not contracted.
+    val vecs = (0 until 400).map { i =>
+      val c = cents(rnd.nextInt(nCells))
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.3f))
+    }
+    val df = vecs.toDF("id", "v")
+    val both = df.select(col("id"),
+        IvfFunctions.cellOf(col("v"), kern).as("flat"),
+        IvfFunctions.cellOf(col("v"), kern, hier = true).as("hier"),
+        IvfFunctions.probesOf(col("v"), kern, 5, hier = true).as("ph"))
+      .collect()
+    // hier probe list always has nProbe entries, all valid distinct
+    // cell ids. (Its head may legitimately BEAT cellHier's assignment:
+    // probesHier pools >= 2 supers while cellHier scans one, so the
+    // probe side has strictly better recall by construction.)
+    both.foreach { r =>
+      val ph = r.getSeq[Int](3)
+      assert(ph.length == 5 && ph.forall(c => c >= 0 && c < nCells))
+      assert(ph.distinct.length == ph.length)
+    }
+    // recall: the approximate contract must hold meaningfully —
+    // two-level argmin matches flat argmin on a strong majority of
+    // random vectors (seeded, deterministic)
+    val agree = both.count(r => r.getInt(1) == r.getInt(2))
+    assert(agree >= both.length * 0.7,
+      s"hier assignment recall too low: $agree/${both.length}")
+    // end-to-end: hier kNN join recovers most exact-join edges
+    val exact = graft.ext.Similarity
+      .knnJoin(df, "id", "v", k = 3, cents, nProbe = 3)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hier = graft.ext.Similarity
+      .knnJoin(df, "id", "v", k = 3, cents, nProbe = 3, hier = true)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & hier).size.toDouble / exact.size
+    assert(recall >= 0.6,
+      f"hier kNN edge recall $recall%.2f below the contract floor")
+    // determinism: a second evaluation is identical
+    val again = df.select(
+        IvfFunctions.cellOf(col("v"), kern, hier = true)).collect()
+      .map(_.getInt(0)).toSeq
+    assert(again == both.map(_.getInt(2)).toSeq)
+  }
+
   // ---- q224: the DROP branch of withWatermark, proven dropped ----
 
   test("q224 late-bucket replay drops EXACTLY the late bucket: graded " +

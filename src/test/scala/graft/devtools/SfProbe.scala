@@ -136,6 +136,19 @@ object SfProbe {
     // in r11 — is a GRADED row since r12, so it comes from
     // SparkEntry.queries like everything else.)
     val extras: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      // knnJoin's second-order contract: with nCells ∝ n, FLAT
+      // assignment is O(n·nlist) — the measured quadratic term past
+      // ~60×. The two-level quantizer (hier = true) is the O(√nlist)
+      // assignment path; this variant measures it under the same
+      // derived-nCells rule as the graded q84_knn_scaled.
+      "q84_knn_hier" -> ((s: SparkSession, dir: String) => {
+        val emb = Tables.embeddings(s, dir)
+        val nCells = math.max(16, (emb.count() / 500L).toInt)
+        val cents = graft.ext.Similarity.seedCentroids(
+          emb, "vec_id", "embedding", nCells)
+        graft.ext.Similarity.knnJoin(emb, "vec_id", "embedding", k = 3,
+          cents, nProbe = 3, hier = true)
+      }),
       // embeddingNearDups' contract: one extra sign-RP bit per corpus
       // doubling (constant target bucket size) — vs q39's fixed 8 bits
       "q39_media_scaled" -> ((s: SparkSession, dir: String) => {
