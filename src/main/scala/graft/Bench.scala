@@ -76,7 +76,7 @@ object Bench {
         .mkString("{", ",", "}")
       val errs = results.collect { case (k, (_, Some(e))) => jstr(k) + ":" + jstr(e) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"baseline_subset":${baselineSubset(results.map { case (k, (v, _)) => k -> v })},"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"baseline_subset":${EntryKit.fmt3(baselineSubset(results.map { case (k, (v, _)) => k -> v }))},"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detail + "\n")

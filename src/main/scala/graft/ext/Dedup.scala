@@ -1107,8 +1107,14 @@ object Dedup {
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 8): DataFrame = {
+    // saturate at the family bound HERE: the documented sizing rule is
+    // log2(n/targetBucketSize), and a caller applying it to a large
+    // corpus must get the family's best 21 bits, not a plan-time abort
+    // from rpBucket's require (the cap is a property of the hyperplane
+    // family this function chose, so this function owns it)
+    val bits = math.min(nBits, 21)
     val withNrm = df.withColumn("nrm", Similarity.l2norm(col(vecCol)))
-    if (nBits == 0) {
+    if (bits == 0) {
       val a = withNrm.select(col(idCol).as("id_a"),
         col(vecCol).as("v_a"), col("nrm").as("nrm_a"))
       val b = withNrm.select(col(idCol).as("id_b"),
@@ -1121,7 +1127,7 @@ object Dedup {
         .select("id_a", "id_b", "cosine")
     } else {
       val members = withNrm
-        .withColumn("bucket", Similarity.rpBucket(col(vecCol), nBits))
+        .withColumn("bucket", Similarity.rpBucket(col(vecCol), bits))
         .groupBy("bucket")
         .agg(collect_list(struct(col(idCol).as("id"),
           col(vecCol).as("v"), col("nrm"))).as("ms"))
@@ -1188,11 +1194,14 @@ object Dedup {
   def embeddingDedupGroups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // same family-bound saturation as embeddingNearDups: the
+    // documented one-bit-per-doubling rule must not abort past 21
+    val bits = math.min(nBits, 21)
     val t6 = math.floor(threshold * 1e6).toLong
     val w = Window.partitionBy("bucket")
     df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", Similarity.l2norm(col("v")))
-      .withColumn("bucket", Similarity.rpBucket(col("v"), nBits))
+      .withColumn("bucket", Similarity.rpBucket(col("v"), bits))
       .withColumn("rep",
         min(struct(col("id"), col("v"), col("nrm"))).over(w))
       .withColumn("cos6",

@@ -558,27 +558,31 @@ object Similarity {
     * `nCells ∝ rows / targetCellSize`, never a constant.
     *
     * SECOND-ORDER CONTRACT (measured AND decomposed, SfProbe +
-    * CellBalancePeek r12): with nCells ∝ n, flat assignment is
-    * asymptotically the quadratic term — every row scans every
-    * centroid, O(n·nlist·dim) = O(n²·dim/targetCellSize) — but at
-    * every volume measurable on this host it is IMMATERIAL: at 100×
-    * sf0.1 (200k vectors, nlist 400) the whole assignment pass is
-    * ~1 s of a ~20 s query, and candidate volume grows linearly
-    * (91.4M → 319.4M pairs for 30× → 100×, ratio 3.5 ≈ volume ratio).
-    * The term matters at true scale (nlist ~10⁶: a 3M-cell flat scan
-    * per row is arithmetically prohibitive), where production systems
-    * assign through approximate coarse quantizers (faiss HNSW/IMI).
-    * `hier = true` is that path here: [[graft.functions.IvfKernel]]'s
-    * deterministic two-level quantizer (argmin over ~√nlist supers,
-    * then the top-2 supers' members — O(√nlist·dim) per row),
-    * APPROXIMATE by contract, recall/determinism pinned in
-    * Round12Spec. Measured honestly: at nlist ≤ 400 over this
-    * testdata's NEAR-ORTHOGONAL synthetic embeddings it is strictly
-    * worse (no assignment speedup at these sizes; +26 % candidates
-    * from cell-balance skew — restricted assignment concentrates hot
-    * cells, max 1200 → 2600 at 100×) — so it stays NON-default and
-    * ungraded; its regime is clustered real embeddings at large
-    * nlist, which no ≤100× replication of this testdata reaches.
+    * CellBalancePeek r12, at THIS row's own nlist rule n/100): with
+    * nCells ∝ n, flat assignment is asymptotically the quadratic
+    * term — every row scans every centroid, O(n·nlist·dim) =
+    * O(n²·dim/targetCellSize) — but at every volume measurable on
+    * this host it is sub-dominant: at 100× sf0.1 (200k vectors,
+    * nlist 2000) the whole assignment pass is 4.0 s of a ~15 s
+    * query, and candidate volume is exactly linear by structure
+    * (uniform 100-row cells → n·nProbe·100: 18M at 30×, 60M at
+    * 100×). The term matters at true scale (nlist ~10⁶: a 3M-cell
+    * flat scan per row is arithmetically prohibitive), where
+    * production systems assign through approximate coarse quantizers
+    * (faiss HNSW/IMI). `hier = true` is that path here:
+    * [[graft.functions.IvfKernel]]'s deterministic two-level
+    * quantizer (argmin over ~√nlist supers, then the top-2 supers'
+    * members — O(√nlist·dim) per row), APPROXIMATE by contract,
+    * recall/determinism pinned in Round12Spec. Measured honestly at
+    * MATCHED nlist (the first A/B compared different nlist rules —
+    * see BUILD_NOTES r12): outputs identical on this testdata, yet
+    * hier ~2.6× slower end-to-end, because the flat scan is one
+    * contiguous monomorphic loop the JIT runs at SIMD-class speed
+    * while the call-per-centroid hier shape runs ~12× slower per
+    * element — the 15× arithmetic advantage at nlist=2000 does not
+    * survive the JIT. So hier stays NON-default and ungraded; its
+    * regime (nlist ≳ 3·10⁴, clustered embeddings) is unreachable on
+    * ≤100× replications of this testdata.
     *
     * Determinism for grading: distances/argsort reuse the bit-exact
     * `sqDist` fold shapes (ties → lowest cell index, matching the

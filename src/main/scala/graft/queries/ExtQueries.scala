@@ -118,8 +118,13 @@ object ExtQueries {
     // engine's CPU count. Measured 20.7 s → ~5 s on the graded join.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
-    val jobDf = job(in)
+    // job(in) runs INSIDE the try: a throw at DataFrame-construction
+    // time (AnalysisException etc.) must still restore the session's
+    // shuffle partitions, or every later query in the session silently
+    // runs at width 4
+    var jobDf: DataFrame = null
     try {
+      jobDf = job(in)
       val q = jobDf.writeStream.outputMode(mode)
         .option("checkpointLocation", s"$dir/ckpt")
         .foreachBatch { (batch: DataFrame, id: Long) =>

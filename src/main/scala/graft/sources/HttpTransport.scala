@@ -60,7 +60,12 @@ object HttpTransport {
     */
   def parseRetryAfter(value: String,
       now: java.time.Instant = java.time.Instant.now()): Option[Double] =
-    value.trim.toDoubleOption.orElse {
+    // clamp the numeric branch like the date branch: a negative value
+    // (skewed server) must mean "retry now", not sleep(-1) →
+    // IllegalArgumentException; non-finite values (toDoubleOption
+    // accepts "Infinity"/"NaN") must not hang the crawl forever
+    value.trim.toDoubleOption.filter(_.isFinite)
+      .map(d => math.max(0.0, d)).orElse {
       try {
         val at = java.time.ZonedDateTime.parse(value.trim,
           java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)

@@ -316,7 +316,12 @@ object StreamingJobs {
     * (instant, event_id) total order the batch twins use.
     */
   private def evKey(e: Event): (Long, Int, Long) =
-    (e.ts.getTime / 1000L, e.ts.getNanos, e.event_id)
+    // floorDiv, not truncating division: getNanos is the NON-NEGATIVE
+    // fraction of the epoch second, so a pre-epoch instant like
+    // -500 ms is (second −1, nanos 5e8) — truncation would pair it
+    // with second 0 and sort it AFTER +200 ms, inverting true event
+    // order for sub-second pre-epoch pairs
+    (Math.floorDiv(e.ts.getTime, 1000L), e.ts.getNanos, e.event_id)
 
   case class SessionState(start: Long, lastTs: Long, nEvents: Long,
       total: Double)

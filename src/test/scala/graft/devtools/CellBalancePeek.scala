@@ -13,7 +13,9 @@ object CellBalancePeek {
     val dir = args(0)
     val emb = Tables.embeddings(spark, dir)
     val n = emb.count()
-    val nCells = math.max(16, (n / 500L).toInt)
+    // the graded q84_knn_scaled rule (max(nProbe=3, n/100)) so the
+    // decomposition describes the graded row's regime
+    val nCells = math.max(3, (n / 100L).toInt)
     val cents = graft.ext.Similarity.seedCentroids(
       emb, "vec_id", "embedding", nCells)
     val kern = graft.functions.IvfFunctions.kernel(cents)

@@ -143,11 +143,16 @@ object SfProbe {
       // derived-nCells rule as the graded q84_knn_scaled.
       "q84_knn_hier" -> ((s: SparkSession, dir: String) => {
         val emb = Tables.embeddings(s, dir)
-        val nCells = math.max(16, (emb.count() / 500L).toInt)
+        // EXACTLY the graded q84_knn_scaled rule (max(nProbe, n/100))
+        // so the hier-vs-flat A/B compares the same nlist regime — the
+        // first cut used n/500 and confounded the comparison (5×
+        // bigger cells → 5× more candidates charged to hier)
+        val nProbe = 3
+        val nCells = math.max(nProbe, (emb.count() / 100L).toInt)
         val cents = graft.ext.Similarity.seedCentroids(
           emb, "vec_id", "embedding", nCells)
         graft.ext.Similarity.knnJoin(emb, "vec_id", "embedding", k = 3,
-          cents, nProbe = 3, hier = true)
+          cents, nProbe = nProbe, hier = true)
       }),
       // embeddingNearDups' contract: one extra sign-RP bit per corpus
       // doubling (constant target bucket size) — vs q39's fixed 8 bits
