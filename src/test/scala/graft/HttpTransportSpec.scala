@@ -116,6 +116,12 @@ class HttpTransportSpec extends AnyFunSuite {
     assert(HttpTransport.parseRetryAfter(
       "Wed, 21 Oct 2015 07:28:00 GMT").contains(0.0))
     assert(HttpTransport.parseRetryAfter("not-a-date").isEmpty)
+    // numeric branch clamps like the date branch: negative -> retry
+    // now (sleep(-1) would throw); non-finite -> unusable, ignored
+    assert(HttpTransport.parseRetryAfter("-1").contains(0.0))
+    assert(HttpTransport.parseRetryAfter("Infinity").isEmpty)
+    assert(HttpTransport.parseRetryAfter("NaN").isEmpty)
+    assert(HttpTransport.parseRetryAfter("2.5").contains(2.5))
   }
 
   test("5xx backoff doubles from 1s and gives up after maxTries " +

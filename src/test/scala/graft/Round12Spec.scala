@@ -162,6 +162,21 @@ class Round12Spec extends SparkSpec {
       s"sub-millisecond order lost: $pairs")
   }
 
+  test("evKey floors pre-epoch instants: -500 ms sorts BEFORE +200 ms " +
+      "(truncating division paired them into the same second and " +
+      "inverted the pair)") {
+    import graft.streaming.StreamingJobs.Event
+    val before = new java.sql.Timestamp(-500L) // 1969-12-31 23:59:59.5
+    val after = new java.sql.Timestamp(200L)   // 1970-01-01 00:00:00.2
+    val ds = Seq(
+      Event(9L, after, 1L, "late", 1.0),
+      Event(1L, before, 1L, "early", 1.0)).toDS()
+    val pairs = graft.streaming.StreamingJobs.transitionsStream(ds)
+      .collect().map(p => (p.prev_type, p.next_type)).toSeq
+    assert(pairs === Seq(("early", "late")),
+      s"pre-epoch order lost: $pairs")
+  }
+
   // ---- IvfKernel: O(1)-codegen cell/probe == the expression tree ----
 
   test("IvfKernel cell and probes are bit-identical to the pre-r12 " +
