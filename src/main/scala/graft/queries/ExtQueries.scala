@@ -1926,6 +1926,27 @@ object ExtQueries {
         .orderBy("user_id", "prev_type", "next_type")
     }),
 
+    // The LEFT-OUTER stream-stream join's delayed-null branch, graded:
+    // purchases with no click in the preceding hour emit (user, p_ts,
+    // p_value, NULL) only once the engine can PROVE no match is coming
+    // — i.e. the global watermark (min over both sides' event-time
+    // maxima, minus the 1-hour delay) has passed p_ts. Under the
+    // ordered replay + the default no-data final micro-batch, that
+    // proof eventually covers every purchase below min(max_p, max_c)
+    // − 1h; purchases above it hold in state at stream end and NEVER
+    // emit their null row — which is exactly what the oracle replays
+    // (inner pairs ∪ null rows for unmatched purchases below the
+    // final watermark). q218 grades the inner join's state mechanics;
+    // this row grades outer EVICTION-TIME emission, the branch q218
+    // can't reach.
+    "q225_stream_outer_join" -> ((s, d) => {
+      val dir = tempDir("graft_q225_")
+      streamReplay(s, d, dir,
+        in => graft.streaming.StreamingJobs.purchaseContextOuter(in),
+        "append")
+        .orderBy(col("user_id"), col("p_ts"), col("c_ts").asc_nulls_first)
+    }),
+
     // The DROP branch of withWatermark, graded: bucket 3 (of the 6
     // event-time buckets) is deliberately delivered LAST, after buckets
     // 4 and 5 have advanced the watermark ~10 days past its newest
@@ -5039,6 +5060,37 @@ object ExtQueries {
         |SELECT user_id, prev_type, next_type
         |FROM p WHERE next_type IS NOT NULL
         |ORDER BY user_id, prev_type, next_type""".stripMargin,
+
+    // Outer-join replay: inner pairs plus one null row per unmatched
+    // purchase whose p_ts lies below the FINAL global watermark =
+    // min(max purchase ts, max click ts) − 1 hour (Spark's
+    // multipleWatermarkPolicy=min default; the no-data final
+    // micro-batch flushes evictable state). Unmatched purchases above
+    // the watermark are still in state at stream end → absent.
+    "q225_stream_outer_join" ->
+      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
+        |p AS (SELECT user_id, ts AS p_ts, value AS p_value FROM e
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS c_user, ts AS c_ts FROM e
+        |      WHERE event_type = 'click'),
+        |wm AS (SELECT least((SELECT max(p_ts) FROM p),
+        |                    (SELECT max(c_ts) FROM c))
+        |         - INTERVAL 1 HOUR AS w),
+        |matched AS (
+        |  SELECT user_id, p_ts, p_value, c_ts
+        |  FROM p JOIN c ON user_id = c_user
+        |    AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts),
+        |unmatched AS (
+        |  SELECT p.user_id, p.p_ts, p.p_value,
+        |    cast(NULL AS timestamp) AS c_ts
+        |  FROM p, wm
+        |  WHERE p.p_ts < wm.w AND NOT EXISTS (
+        |    SELECT 1 FROM c WHERE c.c_user = p.user_id
+        |      AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+        |      AND c.c_ts < p.p_ts))
+        |SELECT * FROM matched
+        |UNION ALL SELECT * FROM unmatched
+        |ORDER BY user_id, p_ts, c_ts NULLS FIRST""".stripMargin,
 
     // Late-bucket replay: the streaming run's final per-window counts
     // equal the batch tumbling counts WITHOUT bucket 3 — the bucket

@@ -285,6 +285,42 @@ class Round12Spec extends SparkSpec {
     assert(again == both.map(_.getInt(2)).toSeq)
   }
 
+  // ---- q225: outer-join delayed nulls, proven non-vacuous ----
+
+  test("q225 outer stream join: null rows emit for unmatched purchases " +
+      "below the final global watermark, and unmatched purchases ABOVE " +
+      "it are held in state and absent — both branches non-vacuous") {
+    val d = sf0001
+    val graded =
+      SparkEntry.queries("q225_stream_outer_join")(spark, d).collect()
+    val ev = Tables.events(spark, d)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val wm = new java.sql.Timestamp(math.min(
+      p.agg(max("p_ts")).head.getTimestamp(0).getTime,
+      c.agg(max("c_ts")).head.getTimestamp(0).getTime) - 3600000L)
+    val unmatched = p.join(c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") < col("p_ts"),
+        "left_anti")
+    val heldAbove = unmatched.filter(col("p_ts") >= lit(wm)).count()
+    val nullRows = graded.count(_.isNullAt(3))
+    assert(nullRows > 0, "no delayed null emissions — branch vacuous")
+    assert(heldAbove > 0,
+      "no unmatched purchase above the watermark — absence untested")
+    // the held purchases are genuinely absent from the graded output
+    val gradedNullKeys = graded.filter(_.isNullAt(3))
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    val heldKeys = unmatched.filter(col("p_ts") >= lit(wm))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    assert(gradedNullKeys.intersect(heldKeys).isEmpty,
+      "a held-in-state purchase leaked a null emission")
+  }
+
   // ---- q224: the DROP branch of withWatermark, proven dropped ----
 
   test("q224 late-bucket replay drops EXACTLY the late bucket: graded " +
