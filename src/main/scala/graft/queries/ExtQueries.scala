@@ -118,6 +118,13 @@ object ExtQueries {
     // engine's CPU count. Measured 20.7 s → ~5 s on the graded join.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
+    // q225's outer-join nulls flush in the no-data final micro-batch;
+    // that engine behavior defaults ON but is configurable — PIN it so
+    // the replay's determinism contract can't be broken by a session
+    // that disabled it
+    val prevNoData =
+      s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     // job(in) runs INSIDE the try: a throw at DataFrame-construction
     // time (AnalysisException etc.) must still restore the session's
     // shuffle partitions, or every later query in the session silently
@@ -141,7 +148,11 @@ object ExtQueries {
           "streamReplay: streaming query did not finish in 300 s — " +
             "refusing to grade partial output")
       }
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+        prevNoData)
+    }
     // A job that legitimately emits ZERO rows in every micro-batch
     // never appends to $dir/out, so the directory may not exist —
     // grade that as an empty result with the job's schema, not a
