@@ -88,6 +88,13 @@ class HttpTransportSpec extends AnyFunSuite {
     } finally stop()
   }
 
+  test("queryString: empty params yield an empty string; keys sort; " +
+      "spaces percent-encode (never '+')") {
+    assert(HttpTransport.queryString(Map.empty) == "")
+    assert(HttpTransport.queryString(Map("b" -> "2", "a" -> "1 x")) ==
+      "a=1%20x&b=2")
+  }
+
   test("429 with numeric Retry-After: the wait honors the header, " +
       "then the retry succeeds") {
     val (url, seen, stop) = stub {

@@ -285,6 +285,28 @@ class Round12Spec extends SparkSpec {
     assert(again == both.map(_.getInt(2)).toSeq)
   }
 
+  test("probesHier fallback: when the top-2 supers cannot fill nProbe, " +
+      "the walk extends nearest-first and still returns nProbe valid " +
+      "distinct cells") {
+    import graft.functions.IvfFunctions
+    val rnd = new scala.util.Random(77)
+    val dim = 8
+    // 9 cells -> ceil(sqrt(9)) = 3 supers of ~3 members each: nProbe=8
+    // exceeds any two supers' pool, forcing the nearest-first fallback
+    val cents: Seq[Array[Float]] =
+      Seq.fill(9)(Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    val kern = IvfFunctions.kernel(cents)
+    val df = Seq.fill(50)(Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got = df.select(
+        IvfFunctions.probesOf(col("v"), kern, 8).as("p")).collect()
+    got.foreach { r =>
+      val p = r.getSeq[Int](0)
+      assert(p.length == 8, s"fallback under-filled: $p")
+      assert(p.distinct.length == 8 && p.forall(c => c >= 0 && c < 9))
+    }
+  }
+
   // ---- q225: outer-join delayed nulls, proven non-vacuous ----
 
   test("q225 outer stream join: null rows emit for unmatched purchases " +
