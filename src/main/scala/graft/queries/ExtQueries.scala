@@ -77,20 +77,32 @@ object ExtQueries {
   private def streamReplay(s: SparkSession, d: String, dir: String,
       job: DataFrame => DataFrame, mode: String,
       tagBatch: Boolean = false,
-      arrival: Seq[Int] = 0 until 6): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val ev = events(s, d)
-      .select("event_id", "ts", "user_id", "event_type", "value")
-    val bounds = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+      arrival: Seq[Int] = 0 until 6): DataFrame =
+    streamReplaySrc(s, dir,
+      events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value"),
+      job, mode, tagBatch, arrival)
+
+  /** The bucket-writing half of the replay contract, shared by every
+    * engine-graded stream: write `src` (which must carry a `ts`
+    * timestamp column) under `dir/in` as `arrival.length` event-time
+    * buckets whose mtimes strictly increase in ARRIVAL order — the
+    * FileStreamSource oldest-first schedule.
+    */
+  private def writeReplayBuckets(src: DataFrame, dir: String,
+      arrival: Seq[Int]): Unit = {
+    val nB = arrival.length
+    require(arrival.sorted == (0 until nB),
+      s"streamReplay: arrival must be a permutation of 0..${nB - 1}," +
+        s" got $arrival")
+    val bounds = src.agg(min(unix_micros(col("ts"))).as("lo"),
       max(unix_micros(col("ts"))).as("hi")).collect().head
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val span = math.max(1L, hi - lo + 1)
-    require(arrival.sorted == (0 until 6),
-      s"streamReplay: arrival must be a permutation of 0..5, got $arrival")
     val t0 = (System.currentTimeMillis() / 60000L) * 60000L - 600000L
     arrival.zipWithIndex.foreach { case (b, i) =>
-      ev.filter(expr(
-          s"(unix_micros(ts) - ${lo}L) * 6 div ${span}L") === b.toLong)
+      src.filter(expr(
+          s"(unix_micros(ts) - ${lo}L) * $nB div ${span}L") === b.toLong)
         .coalesce(1).write.mode("append").parquet(s"$dir/in")
       new java.io.File(s"$dir/in").listFiles()
         .filter(f => f.getName.startsWith("part-") &&
@@ -105,7 +117,15 @@ object ExtQueries {
               "replay watermark contract depends on it")
         }
     }
-    val in = s.readStream.schema(ev.schema)
+  }
+
+  private def streamReplaySrc(s: SparkSession, dir: String,
+      src: DataFrame, job: DataFrame => DataFrame, mode: String,
+      tagBatch: Boolean = false,
+      arrival: Seq[Int] = 0 until 6): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    writeReplayBuckets(src, dir, arrival)
+    val in = s.readStream.schema(src.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
     // Stateful streaming cost here is NOT the data: it's per-batch
     // state-store checkpointing — one store instance (with its HDFS
@@ -166,6 +186,50 @@ object ExtQueries {
       s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
+  }
+
+  /** The WRITER-shaped replay: same bucket schedule and session-conf
+    * pins as [[streamReplaySrc]], but the job supplies its own
+    * `DataStreamWriter` (foreachBatch jobs like `nearDupRefreshing`
+    * own their sink — the sink IS the graded behavior there, e.g. an
+    * index append between micro-batches). The writer's sink is
+    * responsible for materializing to `dir/out`; this returns the
+    * read-back output (empty-DataFrame fallback is the caller's
+    * problem — a foreachBatch job that emits nothing anywhere has no
+    * schema to fall back to, so we fail loudly instead).
+    */
+  private def streamReplayWriter(s: SparkSession, dir: String,
+      src: DataFrame, arrival: Seq[Int])(
+      mkWriter: DataFrame => org.apache.spark.sql.streaming
+        .DataStreamWriter[org.apache.spark.sql.Row]): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    writeReplayBuckets(src, dir, arrival)
+    val in = s.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val prevNoData =
+      s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    try {
+      val q = mkWriter(in)
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "streamReplayWriter: streaming query did not finish in 300 s" +
+            " — refusing to grade partial output")
+      }
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+        prevNoData)
+    }
+    require(new java.io.File(s"$dir/out").exists(),
+      "streamReplayWriter: the job's sink wrote nothing to out/ — " +
+        "nothing to grade")
+    s.read.parquet(s"$dir/out")
   }
 
   val defs: Map[String, Q] = Map(
@@ -1986,6 +2050,116 @@ object ExtQueries {
         .orderBy("window_start", "event_type")
     }),
 
+    // Streaming near-dup vs the corpus AT REST, graded through the
+    // engine: the <50 batch docs arrive as an ordered 6-bucket stream
+    // (synthetic 1-hour-spaced event times), MinHash-banded with the
+    // stateless per-row projection, probe the persisted writeLshIndex
+    // via STREAM-STATIC joins, verify by exact Jaccard, and collapse
+    // multi-band hits with dropDuplicatesWithinWatermark — the
+    // continuous-ingest twin of q69, which is exactly this row's
+    // oracle (same index parameters, same threshold; the accumulated
+    // append-mode emissions equal the batch incremental probe because
+    // band keys and Jaccard are pure per-doc functions and no row
+    // ever arrives below the watermark under the ordered replay).
+    "q226_stream_neardup" -> ((s, d) => {
+      val docs = documents(s, d)
+      val root = tempDir("graft_q226_")
+      val path = root + "/idx"
+      Dedup.writeLshIndex(docs.filter(col("doc_id") >= 50), "doc_id",
+        "text", n = 3, k = 8, bands = 4, portable = true, path = path)
+      val batchDocs = docs.filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text"),
+          // offset the synthetic event times a year past the epoch:
+          // a ts of exactly 0 (doc 0) sits AT the stream's initial
+          // watermark and dropDuplicatesWithinWatermark discards it
+          // as late — found by the seed-2 sweep, where doc 0 has a
+          // near-dup partner (the offset cancels in the bucket
+          // formula, so arrival order and splits are unchanged)
+          timestamp_seconds(col("doc_id") * 3600 + 31536000L).as("ts"))
+      streamReplaySrc(s, root, batchDocs,
+        in => graft.streaming.StreamingJobs.nearDupStream(s, path,
+          in.withWatermark("ts", "1 hour"), "doc_id", "text",
+          n = 3, k = 8, bands = 4, threshold = 0.5, portable = true),
+        "append")
+        .select("batch_id", "corpus_id", "jaccard")
+        .orderBy("batch_id", "corpus_id")
+    }),
+
+    // Index-REFRESHING streaming near-dup, graded through the engine:
+    // the foreachBatch twin (nearDupRefreshing) re-reads the at-rest
+    // index EVERY micro-batch, so an appendLshIndex landing between
+    // batches is visible to later batches — the freshness contract the
+    // snapshot-at-start stream-static join (q226) cannot give. Replay:
+    // the initial index holds the >= 50 corpus EXCEPT docs 200-299;
+    // batch docs < 50 arrive as TWO buckets (0-24, then 25-49); after
+    // bucket 0's results are sunk, docs 200-299 are APPENDED. The
+    // graded output is therefore (batch<25 vs corpus∉[200,300)) ∪
+    // (batch 25-49 vs all corpus) — bucket-0 probes must NOT see the
+    // appended docs (not in the index yet), bucket-1 probes MUST. The
+    // 200-299 window is chosen so BOTH branches bite on the primary
+    // fixture (Round13Spec pins it): batch doc 8's only near-dup
+    // partner (245) is appended → absent, and a bucket-1 doc's
+    // partner (45→267) is appended → present.
+    "q227_stream_neardup_refresh" -> ((s, d) => {
+      val docs = documents(s, d)
+      val root = tempDir("graft_q227_")
+      val path = root + "/idx"
+      val appendedRange = col("doc_id") >= 200 && col("doc_id") < 300
+      Dedup.writeLshIndex(
+        docs.filter(col("doc_id") >= 50 && !appendedRange), "doc_id",
+        "text", n = 3, k = 8, bands = 4, portable = true, path = path)
+      val batchDocs = docs.filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text"),
+          // offset the synthetic event times a year past the epoch:
+          // a ts of exactly 0 (doc 0) sits AT the stream's initial
+          // watermark and dropDuplicatesWithinWatermark discards it
+          // as late — found by the seed-2 sweep, where doc 0 has a
+          // near-dup partner (the offset cancels in the bucket
+          // formula, so arrival order and splits are unchanged)
+          timestamp_seconds(col("doc_id") * 3600 + 31536000L).as("ts"))
+      streamReplayWriter(s, root, batchDocs, 0 until 2) { in =>
+        graft.streaming.StreamingJobs.nearDupRefreshing(path, "doc_id",
+          "text", n = 3, k = 8, bands = 4, threshold = 0.5,
+          portable = true)(in) { (res, batchId) =>
+          // materialize THIS batch's probe results before mutating the
+          // index — the append must be invisible to the batch that
+          // triggered it and visible to the next one
+          res.write.mode("append").parquet(root + "/out")
+          if (batchId == 0L)
+            Dedup.appendLshIndex(docs.filter(appendedRange),
+              "doc_id", "text", n = 3, k = 8, bands = 4,
+              portable = true, path = path)
+        }
+      }
+        .orderBy("batch_id", "corpus_id")
+    }),
+
+    // Streaming HLL distinct-user sketch graded through the engine:
+    // hllStream's mapGroupsWithState carries the 256-register array
+    // as per-type state across micro-batches; registers are a
+    // max-semilattice, so the LAST update-mode emission per type must
+    // equal the batch finalize (q150's math) REGARDLESS of how the
+    // replay buckets split the events — closing the set: every
+    // streaming state machine is now oracle-graded (q218 join, q219
+    // dedup+windows, q220 arbitrary state, q224 drop, q225 outer
+    // eviction, q226/q227 stream-static probes, q228 sketch state).
+    "q228_stream_hll" -> ((s, d) => {
+      val dir = tempDir("graft_q228_")
+      val perBatch = streamReplay(s, d, dir,
+        in => {
+          import s.implicits._
+          graft.streaming.StreamingJobs.hllStream(
+            in.as[graft.streaming.StreamingJobs.Event]).toDF()
+        },
+        "update", tagBatch = true)
+      perBatch.groupBy("event_type")
+        .agg(max(struct(col("__batch"), col("used"), col("reg_sum")))
+          .as("m"))
+        .select(col("event_type"), col("m.used").as("used"),
+          col("m.reg_sum").as("reg_sum"))
+        .orderBy("event_type")
+    }),
+
     // Pairwise FD discovery (TANE level 1) on a 4-column customer
     // profile: every ordered column pair with its exact g3 error —
     // the key column holds against everything, nothing else does.
@@ -2963,6 +3137,32 @@ object ExtQueries {
        |  SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
        |  FROM banded a JOIN banded b ON a.bkey = b.bkey
        |  WHERE a.doc_id < 50 AND b.doc_id >= 50),
+       |pairs AS (SELECT * FROM (
+       |  SELECT c.batch_id, c.corpus_id,
+       |    cast(len(list_intersect(a.s, b.s)) AS double)
+       |      / cast(len(list_distinct(list_concat(a.s, b.s))) AS double)
+       |      AS jaccard
+       |  FROM cand c
+       |  JOIN dsh a ON a.doc_id = c.batch_id
+       |  JOIN dsh b ON b.doc_id = c.corpus_id)
+       |  WHERE jaccard >= 0.5)
+       |SELECT batch_id, corpus_id, jaccard FROM pairs
+       |ORDER BY batch_id, corpus_id""".stripMargin
+
+  /** q227's replay: the refreshing stream's visibility boundary — the
+    * first arrival bucket (docs < 25) probes only the initial index
+    * (>= 50 minus the 200-299 window), the second (25-49) also sees
+    * the 200-299 docs appended after bucket 0. Everything else is
+    * q69's pipeline verbatim.
+    */
+  private def refreshingDedupReplaySql: String =
+    s"""WITH $fuzzyBaseCtes,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+       |  FROM banded a JOIN banded b ON a.bkey = b.bkey
+       |  WHERE (a.doc_id < 25 AND b.doc_id >= 50
+       |          AND b.doc_id NOT BETWEEN 200 AND 299)
+       |     OR (a.doc_id >= 25 AND a.doc_id < 50 AND b.doc_id >= 50)),
        |pairs AS (SELECT * FROM (
        |  SELECT c.batch_id, c.corpus_id,
        |    cast(len(list_intersect(a.s, b.s)) AS double)
@@ -4144,6 +4344,32 @@ object ExtQueries {
          |  hi0 + lo0 // (1::BIGINT << 30) AS harm_hi,
          |  lo0 % (1::BIGINT << 30) AS harm_lo
          |FROM f ORDER BY event_type""".stripMargin
+    },
+
+    // Streaming HLL replay: the final per-type register state equals
+    // the batch registers (max-semilattice — q150's digit-by-digit md5
+    // replay, summarized to the graded used/reg_sum surface).
+    "q228_stream_hll" -> {
+      val tail56 = (2 until 16).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * ${1L << (4 * (15 - i))}")
+        .mkString("(", "\n      + ", ")")
+      s"""WITH v AS (
+         |  SELECT event_type, md5(cast(user_id AS varchar)) AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |b AS (
+         |  SELECT event_type,
+         |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+         |      + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+         |    cast($tail56 AS bigint) AS tail
+         |  FROM v),
+         |r AS (
+         |  SELECT event_type, bucket,
+         |    max(CASE WHEN tail = 0 THEN 57
+         |        ELSE 57 - length(bin(tail)) END) AS m
+         |  FROM b GROUP BY event_type, bucket)
+         |SELECT event_type, cast(count(*) AS bigint) AS used,
+         |  cast(sum(m) AS bigint) AS reg_sum
+         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
     },
 
     // Window self-join replay of the w=5 neighborhood: rank within
@@ -6514,6 +6740,13 @@ object ExtQueries {
     // at-rest index holds exactly the corpus band rows, so the
     // incremental probe must equal this slice of the full recompute.
     "q69_incremental_dedup" -> incrementalDedupReplaySql,
+
+    // the streaming probe accumulates exactly the batch incremental
+    // probe's pairs under the ordered replay
+    "q226_stream_neardup" -> incrementalDedupReplaySql,
+
+    // the refreshing stream's per-bucket index-visibility boundary
+    "q227_stream_neardup_refresh" -> refreshingDedupReplaySql,
 
     // Probing after write(>=100) + append(50..99) must be
     // indistinguishable from probing a full rebuild over >= 50 — the
