@@ -1109,10 +1109,11 @@ object Dedup {
       threshold: Double, nBits: Int = 8): DataFrame = {
     // saturate at the family bound HERE: the documented sizing rule is
     // log2(n/targetBucketSize), and a caller applying it to a large
-    // corpus must get the family's best 21 bits, not a plan-time abort
-    // from rpBucket's require (the cap is a property of the hyperplane
-    // family this function chose, so this function owns it)
-    val bits = math.min(nBits, 21)
+    // corpus must get the family's best MaxRpBits bits, not a
+    // plan-time abort from rpBucket's require (the cap is a property
+    // of the hyperplane family this function chose, so this function
+    // owns it — and reads the bound from the family, never a copy)
+    val bits = math.min(nBits, Similarity.MaxRpBits)
     val withNrm = df.withColumn("nrm", Similarity.l2norm(col(vecCol)))
     if (bits == 0) {
       val a = withNrm.select(col(idCol).as("id_a"),
@@ -1168,16 +1169,24 @@ object Dedup {
     * corpus holds ~n² genuine near-dup pairs (198M at 30×), where any
     * pair-enumerating operator is output-bound quadratic.
     *
-    * Plan: bucket tag map-side → ONE shuffle (a bucket-partitioned
-    * window whose `min(struct(id, v, nrm))` carries the
-    * representative's vector to every bucket-mate WITHOUT a second
-    * pass over the input — this matters when the input is an
-    * expensive pipeline: `Multimodal` feeds a mapPartitions decode
-    * here, and a groupBy-reps + join-back would run it twice) → one
-    * cosine per row. Never a pair join, never a broadcast of corpus
-    * rows. At 100 TB, derive `nBits` by the one-bit-per-doubling rule
-    * (capped at 21 — [[Similarity.rpDot]]) so per-bucket volume, and
-    * with it the window sort, stays constant.
+    * Plan: bucket tag map-side → `groupBy(bucket).agg(min(struct(id,
+    * v, nrm)))` for the representatives (PARTIAL-aggregated map-side,
+    * so the shuffle carries one candidate struct per map task per
+    * bucket and a dense semantic cluster concentrating one bucket
+    * cannot funnel its rows through a single task's sort — the
+    * failure mode of the window form this replaced, which shipped
+    * every row plus its window buffer through a bucket-partitioned
+    * WindowExec) → join the ≤2^nBits rep rows back on `bucket`
+    * (broadcast when the rep table is small; Round13Spec pins
+    * bit-equality with the retired window form) → one cosine per
+    * row. Never a pair join, never a broadcast of corpus rows. At
+    * 100 TB, derive `nBits` by the one-bit-per-doubling rule (capped
+    * at [[Similarity.MaxRpBits]]) so per-bucket volume stays
+    * constant. Trade-off the caller owns: the input is scanned TWICE
+    * (rep aggregation + join probe; Spark does not reuse exchanges
+    * across self-join sides) — when it is an expensive pipeline
+    * (e.g. the `Multimodal` mapPartitions decode), persist the
+    * projected (id, vec) features first.
     *
     * Recall semantics (documented, not a bug): a near-dup pair split
     * across buckets, or two dups each below threshold to the bucket
@@ -1193,10 +1202,45 @@ object Dedup {
     */
   def embeddingDedupGroups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // same family-bound saturation as embeddingNearDups: the
-    // documented one-bit-per-doubling rule must not abort past 21
-    val bits = math.min(nBits, 21)
+    // documented one-bit-per-doubling rule must not abort past the
+    // family bound
+    val bits = math.min(nBits, Similarity.MaxRpBits)
+    val t6 = math.floor(threshold * 1e6).toLong
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", Similarity.l2norm(col("v")))
+      .withColumn("bucket", Similarity.rpBucket(col("v"), bits))
+    val reps = base.groupBy("bucket")
+      .agg(min(struct(col("id"), col("v"), col("nrm"))).as("rep"))
+    // ≤ 2^bits rep rows: broadcast while that provably fits (the
+    // vectors make a rep row fat — 2^12 × ~0.5 KB ≈ 2 MB is safe;
+    // past that let the planner/AQE pick, a bucket-keyed shuffle join
+    // of one rep row per bucket against the base)
+    val repSide = if (bits <= 12) broadcast(reps) else reps
+    base.join(repSide, "bucket")
+      .withColumn("cos6",
+        when(col("nrm") > 0 && col("rep.nrm") > 0,
+          floor(Similarity.dot(col("v"), col("rep.v")) /
+            (col("nrm") * col("rep.nrm")) * lit(1e6)).cast("long")))
+      .select(col("id"),
+        when(col("cos6") >= t6, col("rep.id")).otherwise(col("id"))
+          .as("group_rep"),
+        col("cos6"))
+  }
+
+  /** The retired bucket-partitioned-window form of
+    * [[embeddingDedupGroups]] — kept ONLY as the equality witness
+    * (Round13Spec pins the groupBy+join-back rewrite bit-equal to it):
+    * `min(struct).over(Window.partitionBy(bucket))` funnels each
+    * bucket through one task's sort and ships every vector twice
+    * (row + window buffer), so a dense semantic cluster concentrating
+    * a bucket serializes regardless of nBits.
+    */
+  private[graft] def embeddingDedupGroupsWindowed(df: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      nBits: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bits = math.min(nBits, Similarity.MaxRpBits)
     val t6 = math.floor(threshold * 1e6).toLong
     val w = Window.partitionBy("bucket")
     df.select(col(idCol).as("id"), col(vecCol).as("v"))

@@ -77,9 +77,9 @@ object Similarity {
     * integer one).
     */
   def rpDot(v: Column, j: Int, dim: Int): Column = {
-    require(j >= 0 && j < 21,
-      s"rpDot: hyperplane index $j outside [0, 21) — the " +
-        "antipodal-free (stride, phase) family has 21 members")
+    require(j >= 0 && j < MaxRpBits,
+      s"rpDot: hyperplane index $j outside [0, $MaxRpBits) — the " +
+        s"antipodal-free (stride, phase) family has $MaxRpBits members")
     val (a, b) = (1 + j % 3, (j / 3) % 7)
     dot(v, lit((0 until dim)
       .map(i => (((i * a + b) % 7) - 3).toFloat).toArray))
@@ -120,16 +120,25 @@ object Similarity {
         col("__best.cos6").as("cos6"))
   }
 
+  /** The hyperplane family's size: exactly this many DISTINCT,
+    * antipodal-free sign-RP bits exist (see [[rpDot]] — a_j ∈ {1,2,3}
+    * × b_j ∈ {0..6}). THE shared bound: [[rpBucket]]'s require and
+    * every caller's nBits saturation clamp (Dedup's one-bit-per-
+    * doubling sizing rule) reference this constant, so the family
+    * size can never silently diverge from the clamps.
+    */
+  val MaxRpBits: Int = 21
+
   /** Sign-LSH bucket id: nBits sign bits packed into a long. */
   def rpBucket(v: Column, nBits: Int, dim: Int = 64): Column = {
-    // the antipodal-free (stride, phase) family holds exactly 21
-    // informative hyperplanes (see rpDot); bit 22 would be the
-    // complement of an earlier bit and add NO bucket resolution —
-    // fail loudly instead
-    require(nBits >= 1 && nBits <= 21,
-      s"rpBucket: nBits=$nBits outside [1, 21] — the hyperplane " +
-        "family has 21 antipodal-free members; more bits would " +
-        "complement earlier ones and buy no extra buckets")
+    // the antipodal-free (stride, phase) family holds exactly
+    // MaxRpBits informative hyperplanes (see rpDot); one more bit
+    // would be the complement of an earlier bit and add NO bucket
+    // resolution — fail loudly instead
+    require(nBits >= 1 && nBits <= MaxRpBits,
+      s"rpBucket: nBits=$nBits outside [1, $MaxRpBits] — the " +
+        s"hyperplane family has $MaxRpBits antipodal-free members; " +
+        "more bits would complement earlier ones and buy no extra buckets")
     (0 until nBits).map(j =>
       when(rpDot(v, j, dim) > 0, shiftleft(lit(1L), j)).otherwise(0L))
       .reduce((a, b) => a.bitwiseOR(b))

@@ -27,11 +27,20 @@ import org.apache.spark.sql.types._
   * `(VecDot(v,v) - 2.0·VecDot(v,c)) + seqDot(c,c)` with left-to-right
   * double folds over min-length prefixes — the exact fold shapes of the
   * expression tree it replaces; argmin takes the FIRST index attaining
-  * the minimum (array_position semantics) and probe selection sorts by
-  * (distance, index) under the same total order Spark's array_sort
-  * gives doubles (java.lang.Double.compare: NaN greatest, -0.0 < 0.0).
+  * the minimum (array_position semantics) and probe selection orders by
+  * (distance, index) under java.lang.Double.compare (NaN greatest,
+  * -0.0 < 0.0). Spark SQL itself compares doubles with -0.0 == 0.0
+  * (SQLOrderingUtil), a WEAKER order than the kernel's — the two
+  * coincide here only because -0.0 is unreachable for these distances
+  * (sums/differences of finite products in round-to-nearest yield -0.0
+  * only from exact cancellation of negatives, and v·v, c·c ≥ 0 make
+  * the total non-negative or truly negative-rounded); NaN order never
+  * fires on finite inputs. So the contract vs the replaced array_sort
+  * trees is coincidence-of-orders on the reachable domain, not
+  * order-identity — Round12Spec pins the equality empirically.
   */
-final class IvfKernel(matrix: Array[Array[Float]]) extends Serializable {
+final class IvfKernel(val matrix: Array[Array[Float]])
+    extends Serializable {
   require(matrix.nonEmpty, "IvfKernel: need at least one centroid")
   val nCells: Int = matrix.length
 
@@ -77,17 +86,56 @@ final class IvfKernel(matrix: Array[Array[Float]]) extends Serializable {
     best
   }
 
-  /** The `nProbe` nearest cell ids, (distance, index)-sorted — the
-    * argsort-of-structs shape of the expression tree it replaces.
+  /** The `nProbe` nearest cell ids, (distance, index)-ordered — the
+    * argsort-of-structs shape of the expression tree it replaces,
+    * selected by `nProbe` allocation-free primitive scans (the same
+    * selection [[probesHier]] uses) instead of a full boxed sort of
+    * all nCells tuples per row: nProbe is small and nCells can be
+    * 65536, so the boxing/allocation constant of the sort — the cost
+    * that made the first hier cut slower than the flat scan — is the
+    * dominant term the selection removes. Strict `<` keeps the FIRST
+    * (lowest) index on distance ties, exactly the (distance, index)
+    * sort order.
     */
   def probes(v: ArrayData, nProbe: Int): ArrayData = {
     val d = dists(v)
-    val order = Array.range(0, d.length)
-      .map(i => (d(i), i))
-      .sortBy(identity)(Ordering.Tuple2(Ordering.Double.TotalOrdering,
-        Ordering.Int))
-    new GenericArrayData(order.take(nProbe).map(_._2))
+    val n = math.min(nProbe, d.length)
+    val out = new Array[Int](n)
+    val taken = new Array[Boolean](d.length)
+    var r = 0
+    while (r < n) {
+      var bi = -1
+      var k = 0
+      while (k < d.length) {
+        if (!taken(k) &&
+            (bi < 0 || java.lang.Double.compare(d(k), d(bi)) < 0)) bi = k
+        k += 1
+      }
+      taken(bi) = true
+      out(r) = bi
+      r += 1
+    }
+    new GenericArrayData(out)
   }
+
+  /** Content equality over the centroid matrix: two kernels built from
+    * the same centroids ARE the same kernel. IvfCellExpr/IvfProbesExpr
+    * include the kernel in case-class equality, so without this,
+    * separately constructed kernels over identical centroids (pqEncode
+    * builds one per call) would never compare equal — defeating
+    * Catalyst subexpression elimination and plan canonicalization for
+    * repeated identical centroid sets.
+    */
+  override def equals(o: Any): Boolean = o match {
+    case k: IvfKernel =>
+      (this eq k) || java.util.Arrays.deepEquals(
+        matrix.asInstanceOf[Array[AnyRef]],
+        k.matrix.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override val hashCode: Int =
+    java.util.Arrays.deepHashCode(matrix.asInstanceOf[Array[AnyRef]])
 
   // ------------------------------------------------------------------
   // Two-level (hierarchical) assignment — the O(√nlist)-per-row path

@@ -158,7 +158,7 @@ object SfProbe {
       // doubling (constant target bucket size) — vs q39's fixed 8 bits
       "q39_media_scaled" -> ((s: SparkSession, dir: String) => {
         val docs = Tables.documents(s, dir)
-        val nBits = math.min(21, 8 + math.max(0,
+        val nBits = math.min(graft.ext.Similarity.MaxRpBits, 8 + math.max(0,
           (math.log(docs.count() / 5000.0) / math.log(2)).ceil.toInt))
         graft.ext.Multimodal.nearDupMedia(
           graft.ext.Multimodal.syntheticMedia(s, docs),
