@@ -53,7 +53,12 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, err)
     }
-    val passes = Seq.fill(2)(ordered.map { case (name, fn) => name -> once(fn) })
+    // THREE interleaved passes (was 2, r12 verdict item 8): the
+    // shared-host band is ±25 % on single runs and the judge-vs-builder
+    // gate comparison needs the tighter min-of-3; per-pass subset
+    // subtotals ride in bench_detail.json so the spread itself is
+    // recorded evidence, not an anecdote.
+    val passes = Seq.fill(3)(ordered.map { case (name, fn) => name -> once(fn) })
     val results = ordered.map { case (name, _) =>
       val samples = passes.map(_.find(_._1 == name).get._2)
       val ok = samples.collect { case (t, None) => t }
@@ -76,7 +81,13 @@ object Bench {
         .mkString("{", ",", "}")
       val errs = results.collect { case (k, (_, Some(e))) => jstr(k) + ":" + jstr(e) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"baseline_subset":${EntryKit.fmt3(baselineSubset(results.map { case (k, (v, _)) => k -> v }))},"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      // per-pass subset subtotals: the recorded host-band evidence —
+      // baseline_subset stays the per-query-min aggregate (the gate
+      // number), these show what any SINGLE pass would have read
+      val passSubsets = passes.map(p => EntryKit.fmt3(baselineSubset(
+        p.collect { case (k, (t, None)) => k -> t })))
+        .mkString("[", ",", "]")
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"baseline_subset":${EntryKit.fmt3(baselineSubset(results.map { case (k, (v, _)) => k -> v }))},"baseline_subset_passes":$passSubsets,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
