@@ -582,16 +582,18 @@ object Similarity {
     * [[graft.functions.IvfKernel]]'s deterministic two-level
     * quantizer (argmin over ~√nlist supers, then the top-2 supers'
     * members — O(√nlist·dim) per row), APPROXIMATE by contract,
-    * recall/determinism pinned in Round12Spec. Measured honestly at
-    * MATCHED nlist (the first A/B compared different nlist rules —
-    * see BUILD_NOTES r12): outputs identical on this testdata, yet
-    * hier ~2.6× slower end-to-end, because the flat scan is one
-    * contiguous monomorphic loop the JIT runs at SIMD-class speed
-    * while the call-per-centroid hier shape runs ~12× slower per
-    * element — the 15× arithmetic advantage at nlist=2000 does not
-    * survive the JIT. So hier stays NON-default and ungraded; its
-    * regime (nlist ≳ 3·10⁴, clustered embeddings) is unreachable on
-    * ≤100× replications of this testdata.
+    * recall/determinism pinned in Round12Spec. r13 RE-adjudication
+    * (IvfRegimeProbe + BUILD_NOTES — r12's "hier 2.6× slower" was an
+    * artifact of the hier tables being lazily REBUILT per task, fixed
+    * by the driver-side prepareHier): on clustered vectors the hier
+    * ASSIGNMENT wins from nlist ≈ 400 (1.6×) up to 16× at nlist
+    * 3·10⁴ with ~99.9 % cell agreement, and end-to-end knnJoin at
+    * matched derived nlist is parity-to-slightly-ahead (SfProbe 30×:
+    * 2.18 s hier vs 2.34 s flat). hier stays NON-default for the
+    * GRADED rows because the oracle replays exact flat cells and the
+    * shipped near-orthogonal testdata skews hier's cell balance
+    * (+26 % join candidates at 100× — BUILD_NOTES r12); a real
+    * clustered corpus at nlist ≳ 10³ should pass `hier = true`.
     *
     * Determinism for grading: distances/argsort reuse the bit-exact
     * `sqDist` fold shapes (ties → lowest cell index, matching the

@@ -157,17 +157,33 @@ final class IvfKernel(val matrix: Array[Array[Float]])
   // centroid lives outside both supers gets its best reachable cell —
   // acceptable for ANN candidate generation (recall measured in
   // Round12Spec), NOT for exact cell replays (the graded flat rows
-  // keep `cell`). On THIS testdata's near-orthogonal embeddings the
-  // restricted assignment also skews cell balance (+26 % join
-  // candidates at 100×), so hier stays non-default.
+  // keep `cell`). In its design regime (clustered vectors, large
+  // nlist) the assignment is measured 1.6×–16× faster than flat at
+  // nlist 400–3·10⁴ with ~99.9 % agreement (IvfRegimeProbe, r13);
+  // it stays non-default only because the graded oracles replay
+  // exact flat cells and the near-orthogonal shipped testdata skews
+  // its cell balance (+26 % join candidates at 100×, r12).
 
-  private lazy val superStep: Int =
-    math.max(1, math.ceil(math.sqrt(nCells.toDouble)).toInt)
-  /** Super j is centroid j·step — a deterministic spread of the list. */
-  private lazy val superIds: Array[Int] =
-    Array.range(0, nCells, superStep)
-  private lazy val members: Array[Array[Int]] = {
-    val m = Array.fill(superIds.length)(
+  // Hier tables are plain (serializable) fields built ONCE via
+  // [[prepareHier]] — on the DRIVER when IvfFunctions builds a
+  // hier=true column — and shipped with the kernel. The first cut
+  // held them in lazy vals: a lazy val's computed value does NOT
+  // survive Java serialization usefully (every deserialized task
+  // instance re-enters lzycompute), so each task paid the full
+  // O(nlist^1.5·dim) build before its first row — thread-dump
+  // evidence in BUILD_NOTES r13 (all 32 workers inside
+  // members$lzycompute at nlist 10⁴ while row work is microseconds).
+  private var superIdsV: Array[Int] = null
+  private var membersV: Array[Array[Int]] = null
+
+  /** Build the two-level tables once (idempotent, thread-safe); call
+    * before the kernel ships if the plan uses a hier path.
+    */
+  private[functions] def prepareHier(): this.type = synchronized {
+    if (membersV != null) return this
+    val step = math.max(1, math.ceil(math.sqrt(nCells.toDouble)).toInt)
+    val sup = Array.range(0, nCells, step)
+    val m = Array.fill(sup.length)(
       scala.collection.mutable.ArrayBuffer.empty[Int])
     var c = 0
     while (c < nCells) {
@@ -175,13 +191,13 @@ final class IvfKernel(val matrix: Array[Array[Float]])
       var best = 0
       var bestD = Double.NaN
       var j = 0
-      while (j < superIds.length) {
-        val s = matrix(superIds(j))
+      while (j < sup.length) {
+        val s = matrix(sup(j))
         val n = math.min(cv.length, s.length)
         var vc = 0.0
         var i = 0
         while (i < n) { vc += cv(i).toDouble * s(i).toDouble; i += 1 }
-        val d = (cNorms(c) - 2.0 * vc) + cNorms(superIds(j))
+        val d = (cNorms(c) - 2.0 * vc) + cNorms(sup(j))
         if (j == 0 || java.lang.Double.compare(d, bestD) < 0) {
           best = j; bestD = d
         }
@@ -190,7 +206,24 @@ final class IvfKernel(val matrix: Array[Array[Float]])
       m(best) += c
       c += 1
     }
-    m.map(_.toArray)
+    superIdsV = sup
+    membersV = m.map(_.toArray)
+    this
+  }
+
+  /** Whether the hier tables are built (visible to the spec that pins
+    * the built-once-ships-with-the-kernel contract).
+    */
+  private[graft] def hierPrepared: Boolean = membersV != null
+
+  /** Super j is centroid j·step — a deterministic spread of the list. */
+  private def superIds: Array[Int] = {
+    if (membersV == null) prepareHier()
+    superIdsV
+  }
+  private def members: Array[Array[Int]] = {
+    if (membersV == null) prepareHier()
+    membersV
   }
 
   private def distTo(v: ArrayData, vv: Double, c: Int): Double = {
@@ -377,10 +410,16 @@ object IvfFunctions {
   def kernel(centroids: Seq[Array[Float]]): IvfKernel =
     new IvfKernel(centroids.toArray)
 
-  def cellOf(v: Column, k: IvfKernel, hier: Boolean = false): Column =
+  def cellOf(v: Column, k: IvfKernel, hier: Boolean = false): Column = {
+    // build the two-level tables DRIVER-SIDE so they ship with the
+    // kernel — a task must never pay the O(nlist^1.5·dim) build
+    if (hier) k.prepareHier()
     Bridge.column(IvfCellExpr(Bridge.expression(v), k, hier))
+  }
 
   def probesOf(v: Column, k: IvfKernel, nProbe: Int,
-      hier: Boolean = false): Column =
+      hier: Boolean = false): Column = {
+    if (hier) k.prepareHier()
     Bridge.column(IvfProbesExpr(Bridge.expression(v), k, nProbe, hier))
+  }
 }

@@ -146,6 +146,37 @@ class Round13Spec extends SparkSpec {
     assert(stream.nonEmpty)
   }
 
+  // ---- hier tables built once, driver-side, and shipped ----
+
+  test("building a hier=true column prepares the kernel's two-level " +
+      "tables DRIVER-side, the prepared tables survive java " +
+      "serialization, and hier assignment is identical across the " +
+      "round-trip") {
+    val rnd = new scala.util.Random(136)
+    val cents = Seq.fill(64)(Array.fill(8)(rnd.nextFloat()))
+    val k = graft.functions.IvfFunctions.kernel(cents)
+    assert(!k.hierPrepared)
+    graft.functions.IvfFunctions.cellOf(col("v"), k, hier = true)
+    assert(k.hierPrepared,
+      "cellOf(hier=true) must build the tables before the plan ships — " +
+        "a task rebuilding them pays O(nlist^1.5 * dim) per task " +
+        "(the r13 thread-dump finding)")
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(k); oos.close()
+    val k2 = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[graft.functions.IvfKernel]
+    assert(k2.hierPrepared, "prepared tables must ride serialization")
+    val vs = Seq.fill(50)(Array.fill(8)(rnd.nextFloat()))
+    vs.foreach { v =>
+      val ad = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        v.map(x => x: Any))
+      assert(k.cellHier(ad) == k2.cellHier(ad))
+      assert(k.cell(ad) == k2.cell(ad))
+    }
+  }
+
   // ---- shared RP family bound ----
 
   test("nBits saturation reads the family bound: MaxRpBits-sized and " +
