@@ -69,9 +69,18 @@ object WinnowProbe {
       val (nPairs, sMatch) = time(graft.ext.Dedup
         .winnowMatches(docs, "doc_id", "text", g, w, minShared = 2L)
         .count())
+      // cross-replica pairs = corpus-construction contamination (the
+      // "_i" suffixes are not prefix-free: "_1" is a prefix of "_1x",
+      // so long char-grain grams can coincide across those replicas) —
+      // attribute them so the operator's own within-replica linearity
+      // is readable
+      val cross = graft.ext.Dedup
+        .winnowMatches(docs, "doc_id", "text", g, w, minShared = 2L)
+        .filter(expr("id_a div 10000000L") =!= expr("id_b div 10000000L"))
+        .count()
       println(f"| ${m}x | $nDocs | $grams | $nFp | " +
-        f"${grams.toDouble / nFp}%.1fx | $nPairs | $sIdx%.2f | " +
-        f"$sMatch%.2f |")
+        f"${grams.toDouble / nFp}%.1fx | $nPairs | $cross cross | " +
+        f"$sIdx%.2f | $sMatch%.2f |")
     }
     spark.stop()
   }
