@@ -2139,10 +2139,10 @@ object ExtQueries {
     // as per-type state across micro-batches; registers are a
     // max-semilattice, so the LAST update-mode emission per type must
     // equal the batch finalize (q150's math) REGARDLESS of how the
-    // replay buckets split the events — closing the set: every
-    // streaming state machine is now oracle-graded (q218 join, q219
-    // dedup+windows, q220 arbitrary state, q224 drop, q225 outer
-    // eviction, q226/q227 stream-static probes, q228 sketch state).
+    // replay buckets split the events. (The full engine-graded set:
+    // q218 join, q219 dedup+windows, q220/q229/q231 arbitrary state,
+    // q224 drop, q225 outer eviction, q226/q227 stream-static probes,
+    // q228 sketch state, q230 O(1) running state.)
     "q228_stream_hll" -> ((s, d) => {
       val dir = tempDir("graft_q228_")
       val perBatch = streamReplay(s, d, dir,
@@ -2158,6 +2158,67 @@ object ExtQueries {
         .select(col("event_type"), col("m.used").as("used"),
           col("m.reg_sum").as("reg_sum"))
         .orderBy("event_type")
+    }),
+
+    // Incremental SCD2 maintenance graded through the engine:
+    // scd2Stream's per-user open-interval state crosses micro-batches
+    // (a change in batch k closes an interval opened in batch k-1),
+    // interval bounds carry FULL microsecond precision (the ms-grain
+    // state this round's grading caught would truncate ~every bound
+    // on this fixture). Accumulated append-mode emissions == the
+    // batch SCD2 history's CLOSED rows under the ordered replay.
+    "q229_stream_scd2" -> ((s, d) => {
+      val dir = tempDir("graft_q229_")
+      streamReplay(s, d, dir,
+        in => {
+          import s.implicits._
+          graft.streaming.StreamingJobs.scd2Stream(
+            in.as[graft.streaming.StreamingJobs.Event]).toDF()
+        },
+        "append")
+        .select(col("user_id"), col("attr").as("event_type"),
+          col("valid_from"), col("valid_to"), col("version"))
+        .orderBy("user_id", "version")
+    }),
+
+    // Streaming EWMA graded through the engine: ewmaStream's O(1)
+    // per-user state (count, smoothed value) folds each micro-batch
+    // through the integer recurrence; the LAST update-mode emission
+    // per user == the batch ewmaFinal fold (q122's oracle verbatim).
+    "q230_stream_ewma" -> ((s, d) => {
+      val dir = tempDir("graft_q230_")
+      val perBatch = streamReplay(s, d, dir,
+        in => {
+          import s.implicits._
+          graft.streaming.StreamingJobs.ewmaStream(
+            in.as[graft.streaming.StreamingJobs.Event],
+            aNum = 1, aDen = 5).toDF()
+        },
+        "update", tagBatch = true)
+      perBatch.groupBy("user_id")
+        .agg(max(struct(col("__batch"), col("n"), col("ewma6"))).as("m"))
+        .select(col("user_id"), col("m.n").as("n"),
+          col("m.ewma6").as("ewma6"))
+        .orderBy("user_id")
+    }),
+
+    // Streaming rolling-window anomaly detection graded through the
+    // engine: anomalyStream's per-type trailing-20 ring crosses
+    // micro-batches (a spike in batch k tests against a window filled
+    // in batch k-1); accumulated append-mode flags == the batch
+    // windowed z-test (q112's oracle verbatim) under the ordered
+    // replay's cross-batch event-time contract.
+    "q231_stream_anomaly" -> ((s, d) => {
+      val dir = tempDir("graft_q231_")
+      streamReplay(s, d, dir,
+        in => {
+          import s.implicits._
+          graft.streaming.StreamingJobs.anomalyStream(
+            in.as[graft.streaming.StreamingJobs.Event],
+            n = 20, k = 3).toDF()
+        },
+        "append")
+        .orderBy("event_id")
     }),
 
     // Pairwise FD discovery (TANE level 1) on a 4-column customer
@@ -3155,6 +3216,46 @@ object ExtQueries {
     * the 200-299 docs appended after bucket 0. Everything else is
     * q69's pipeline verbatim.
     */
+  /** q122's replay — shared with q230 (the streaming fold's final
+    * per-user state is the same ordered integer recurrence).
+    */
+  private lazy val ewmaReplaySql: String =
+    """WITH e AS (SELECT user_id, event_id,
+        |    cast(ts AS timestamp) AS ts,
+        |    cast(round(value * 100) AS bigint) * 1000000 AS x
+        |  FROM events),
+        |l AS (SELECT user_id, count(*) AS n,
+        |    list(x ORDER BY ts, event_id) AS xs
+        |  FROM e GROUP BY user_id)
+        |SELECT user_id, n,
+        |  CASE WHEN len(xs) = 1 THEN xs[1]
+        |    ELSE list_reduce(xs, (acc, v) -> (1 * v + 4 * acc) // 5)
+        |  END AS ewma6
+        |FROM l ORDER BY user_id""".stripMargin
+
+  /** q112's replay — shared with q231 (the streaming trailing-ring's
+    * accumulated flags are the same windowed z-test).
+    */
+  private lazy val anomalyReplaySql: String =
+    """WITH e AS (
+        |  SELECT event_id, cast(ts AS timestamp) AS ts, event_type,
+        |    cast(round(value * 100) AS bigint) AS x
+        |  FROM events),
+        |r AS (
+        |  SELECT event_id, event_type, x,
+        |    count(*) OVER w AS cnt,
+        |    sum(x) OVER w AS s1,
+        |    sum(x * x) OVER w AS s2
+        |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, event_type, x AS x_cents,
+        |  cast((20 * x - s1) * (20 * x - s1) AS bigint) AS dev2,
+        |  cast(9 * (20 * s2 - s1 * s1) AS bigint) AS bound2
+        |FROM r
+        |WHERE cnt = 20
+        |  AND (20 * x - s1) * (20 * x - s1) > 9 * (20 * s2 - s1 * s1)
+        |ORDER BY event_id""".stripMargin
+
   private def refreshingDedupReplaySql: String =
     s"""WITH $fuzzyBaseCtes,
        |cand AS (
@@ -6093,19 +6194,13 @@ object ExtQueries {
 
     // Same ordered list + left fold; list_reduce's implicit seed is the
     // first element, matching the operator's zero.
-    "q122_ewma" ->
-      """WITH e AS (SELECT user_id, event_id,
-        |    cast(ts AS timestamp) AS ts,
-        |    cast(round(value * 100) AS bigint) * 1000000 AS x
-        |  FROM events),
-        |l AS (SELECT user_id, count(*) AS n,
-        |    list(x ORDER BY ts, event_id) AS xs
-        |  FROM e GROUP BY user_id)
-        |SELECT user_id, n,
-        |  CASE WHEN len(xs) = 1 THEN xs[1]
-        |    ELSE list_reduce(xs, (acc, v) -> (1 * v + 4 * acc) // 5)
-        |  END AS ewma6
-        |FROM l ORDER BY user_id""".stripMargin,
+    "q122_ewma" -> ewmaReplaySql,
+
+    // the streaming fold's final state is the same ordered integer
+    // recurrence
+    "q230_stream_ewma" -> ewmaReplaySql,
+
+    
 
     // Count-distinct-per-group replay of the FD definition.
     "q123_fd_audit" ->
@@ -6230,25 +6325,13 @@ object ExtQueries {
 
     // Same trailing-window integer z-test; ts cast like every events
     // oracle, (ts, event_id) frame order.
-    "q112_anomaly" ->
-      """WITH e AS (
-        |  SELECT event_id, cast(ts AS timestamp) AS ts, event_type,
-        |    cast(round(value * 100) AS bigint) AS x
-        |  FROM events),
-        |r AS (
-        |  SELECT event_id, event_type, x,
-        |    count(*) OVER w AS cnt,
-        |    sum(x) OVER w AS s1,
-        |    sum(x * x) OVER w AS s2
-        |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
-        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
-        |SELECT event_id, event_type, x AS x_cents,
-        |  cast((20 * x - s1) * (20 * x - s1) AS bigint) AS dev2,
-        |  cast(9 * (20 * s2 - s1 * s1) AS bigint) AS bound2
-        |FROM r
-        |WHERE cnt = 20
-        |  AND (20 * x - s1) * (20 * x - s1) > 9 * (20 * s2 - s1 * s1)
-        |ORDER BY event_id""".stripMargin,
+    "q112_anomaly" -> anomalyReplaySql,
+
+    // the streaming ring's accumulated flags are the same windowed
+    // z-test
+    "q231_stream_anomaly" -> anomalyReplaySql,
+
+    
 
     // Integer ppm-share replay over the same subset rule.
     "q111_drift" ->
@@ -7205,6 +7288,27 @@ object ExtQueries {
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |    IS NULL AS is_current
         |FROM f ORDER BY user_id, version""".stripMargin,
+
+    // Streaming SCD2 replay: the accumulated closed intervals are
+    // q90's history minus each user's open (is_current) row — full
+    // microsecond bounds.
+    "q229_stream_scd2" ->
+      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
+        |c AS (SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM e),
+        |f AS (SELECT user_id, event_type, ts, event_id FROM c
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |g AS (SELECT user_id, event_type, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS valid_to,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS version
+        |  FROM f)
+        |SELECT user_id, event_type, valid_from, valid_to, version
+        |FROM g WHERE valid_to IS NOT NULL
+        |ORDER BY user_id, version""".stripMargin,
 
     // Window digests + doc frequency via a window count; the fraction
     // replays Spark's exact long `div` then /1e6 double step.
