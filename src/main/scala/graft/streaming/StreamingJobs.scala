@@ -323,6 +323,9 @@ object StreamingJobs {
     // order for sub-second pre-epoch pairs
     (Math.floorDiv(e.ts.getTime, 1000L), e.ts.getNanos, e.event_id)
 
+  // start/lastTs in MICROSECONDS (tsUs) — same full-precision contract
+  // as Scd2State: emitted session bounds must be the exact event
+  // times, and the shipped fixture is ~all sub-millisecond
   case class SessionState(start: Long, lastTs: Long, nEvents: Long,
       total: Double)
 
@@ -348,16 +351,17 @@ object StreamingJobs {
             val s = state.get
             state.remove()
             Iterator(ClosedSession(userId,
-              new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.lastTs), s.nEvents, s.total))
+              tsFromUs(s.start), tsFromUs(s.lastTs), s.nEvents, s.total))
           } else {
             val sorted = rows.toSeq.sortBy(evKey)
             var closed = List.empty[ClosedSession]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              // full-microsecond bounds (tsUs); the gap test compares
+              // in the same unit (gapMs scaled to µs)
+              val t = tsUs(e)
               cur match {
-                case Some(s) if t - s.lastTs < gapMs =>
+                case Some(s) if t - s.lastTs < gapMs * 1000L =>
                   // a late cross-batch event merges but must not REWIND
                   // the session bounds: lastTs only moves forward,
                   // start only backward
@@ -367,8 +371,8 @@ object StreamingJobs {
                     total = s.total + e.value))
                 case Some(s) =>
                   closed ::= ClosedSession(userId,
-                    new java.sql.Timestamp(s.start),
-                    new java.sql.Timestamp(s.lastTs), s.nEvents, s.total)
+                    tsFromUs(s.start), tsFromUs(s.lastTs),
+                    s.nEvents, s.total)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
