@@ -88,14 +88,18 @@ final class IvfKernel(val matrix: Array[Array[Float]])
 
   /** The `nProbe` nearest cell ids, (distance, index)-ordered — the
     * argsort-of-structs shape of the expression tree it replaces,
-    * selected by `nProbe` allocation-free primitive scans (the same
+    * selected by `nProbe` boxing-free primitive scans (the same
     * selection [[probesHier]] uses) instead of a full boxed sort of
     * all nCells tuples per row: nProbe is small and nCells can be
-    * 65536, so the boxing/allocation constant of the sort — the cost
-    * that made the first hier cut slower than the flat scan — is the
-    * dominant term the selection removes. Strict `<` keeps the FIRST
-    * (lowest) index on distance ties, exactly the (distance, index)
-    * sort order.
+    * 65536, so the boxing constant of the sort — the cost that made
+    * the first hier cut slower than the flat scan — is the dominant
+    * term the selection removes. NOT allocation-free: it allocates
+    * the dists array plus one Boolean[nCells] mask per row (64 KB at
+    * nCells=65536), and selection is O(nProbe·nCells) — fine for the
+    * small nProbe (≤ ~10) every caller uses; a caller wanting large
+    * nProbe at large nCells should add a bounded max-heap variant
+    * rather than widen this one. Strict `<` keeps the FIRST (lowest)
+    * index on distance ties, exactly the (distance, index) sort order.
     */
   def probes(v: ArrayData, nProbe: Int): ArrayData = {
     val d = dists(v)
@@ -173,8 +177,14 @@ final class IvfKernel(val matrix: Array[Array[Float]])
   // O(nlist^1.5·dim) build before its first row — thread-dump
   // evidence in BUILD_NOTES r13 (all 32 workers inside
   // members$lzycompute at nlist 10⁴ while row work is microseconds).
-  private var superIdsV: Array[Int] = null
-  private var membersV: Array[Array[Int]] = null
+  // @volatile: prepareHier publishes membersV LAST, and the unsynchronized
+  // accessors read superIdsV only after observing membersV != null — the
+  // volatile write/read pair gives the happens-before that makes both
+  // fields (and the arrays they reference) safely visible to any executor
+  // thread that races a late prepareHier (ADVICE r13: plain fields were
+  // x86-safe in practice but not JMM-guaranteed).
+  @volatile private var superIdsV: Array[Int] = null
+  @volatile private var membersV: Array[Array[Int]] = null
 
   /** Build the two-level tables once (idempotent, thread-safe); call
     * before the kernel ships if the plan uses a hier path.
