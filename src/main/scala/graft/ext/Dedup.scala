@@ -1185,8 +1185,9 @@ object Dedup {
     * constant. Trade-off the caller owns: the input is scanned TWICE
     * (rep aggregation + join probe; Spark does not reuse exchanges
     * across self-join sides) — when it is an expensive pipeline
-    * (e.g. the `Multimodal` mapPartitions decode), persist the
-    * projected (id, vec) features first.
+    * (e.g. the `Multimodal` mapPartitions decode), materialize
+    * [[dedupGroupFeatures]] once and call [[embeddingDedupGroupsOf]]
+    * on it (the q222 frame path does exactly this).
     *
     * Recall semantics (documented, not a bug): a near-dup pair split
     * across buckets, or two dups each below threshold to the bucket
@@ -1201,15 +1202,40 @@ object Dedup {
     * itself).
     */
   def embeddingDedupGroups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nBits: Int = 8): DataFrame = {
+      threshold: Double, nBits: Int = 8): DataFrame =
+    embeddingDedupGroupsOf(
+      dedupGroupFeatures(df, idCol, vecCol, nBits), threshold, nBits)
+
+  /** The projected feature frame `(id, v, nrm, bucket)` that
+    * [[embeddingDedupGroupsOf]] consumes — split out (r13 verdict
+    * item 5) so a caller with an EXPENSIVE upstream (e.g. the
+    * `Multimodal` mapPartitions frame decode) can materialize it ONCE
+    * (persist, or write-to-parquet + read-back for the no-pinned-
+    * memory form) before the group logic's two scans; `df` fed
+    * straight to [[embeddingDedupGroups]] is otherwise evaluated
+    * twice (rep aggregation + join probe — Spark does not reuse
+    * exchanges across self-join sides). Same `nBits` must be passed
+    * to both halves (both apply the [[Similarity.MaxRpBits]] clamp).
+    */
+  def dedupGroupFeatures(df: DataFrame, idCol: String, vecCol: String,
+      nBits: Int = 8): DataFrame = {
     // same family-bound saturation as embeddingNearDups: the
     // documented one-bit-per-doubling rule must not abort past the
     // family bound
     val bits = math.min(nBits, Similarity.MaxRpBits)
-    val t6 = math.floor(threshold * 1e6).toLong
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", Similarity.l2norm(col("v")))
       .withColumn("bucket", Similarity.rpBucket(col("v"), bits))
+  }
+
+  /** [[embeddingDedupGroups]] over a pre-projected
+    * [[dedupGroupFeatures]] frame — the reuse path for expensive
+    * upstreams (see there).
+    */
+  def embeddingDedupGroupsOf(base: DataFrame, threshold: Double,
+      nBits: Int = 8): DataFrame = {
+    val bits = math.min(nBits, Similarity.MaxRpBits)
+    val t6 = math.floor(threshold * 1e6).toLong
     val reps = base.groupBy("bucket")
       .agg(min(struct(col("id"), col("v"), col("nrm"))).as("rep"))
     // ≤ 2^bits rep rows: broadcast while that provably fits (the
