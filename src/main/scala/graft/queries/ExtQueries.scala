@@ -15,7600 +15,23 @@ import graft.streaming.EventsOps
   * paths are covered by unit tests and rows-only checks.
   */
 object ExtQueries {
-  private type Q = (SparkSession, String) => DataFrame
-
-  /** Per-invocation temp dir for the at-rest query lifecycles, swept
-    * recursively at JVM exit. Unique-per-run kills the cross-process
-    * write/append races a stable shared path had (two concurrent
-    * bench+verify runs interleaving one index), while the exit hook
-    * keeps repeated in-process passes (bench warmup + 2 timed passes x
-    * ~15 at-rest queries) from growing /tmp without bound — the leak
-    * the old stable-path design existed to prevent.
-    */
-  private val tmpRoots =
-    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
-  private lazy val tmpSweepHook: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      tmpRoots.forEach { root =>
-        try {
-          val walk = java.nio.file.Files.walk(root)
-          try {
-            import scala.jdk.CollectionConverters._
-            walk.iterator().asScala.toSeq
-              .sortBy(-_.getNameCount) // children before parents
-              .foreach { p =>
-                try { java.nio.file.Files.deleteIfExists(p); () }
-                catch { case _: Throwable => () }
-              }
-          } finally walk.close()
-        } catch { case _: Throwable => () }
-      }))
-  private def tempDir(prefix: String): String = {
-    tmpSweepHook
-    val p = java.nio.file.Files.createTempDirectory(prefix)
-    tmpRoots.add(p)
-    p.toString
-  }
-
-  /** Replay the events table through the STREAMING engine with a
-    * deterministic micro-batch schedule: 6 event-time-ordered file
-    * buckets (FileStreamSource feeds oldest-mtime-first; each bucket's
-    * freshly-written file is stamped strictly later than the previous
-    * bucket's — already-stamped files sit far below the fresh-write
-    * mtime and are left alone), one file per trigger under
-    * Trigger.AvailableNow, emissions materialized per micro-batch via
-    * foreachBatch. Event-time-ordered batches mean no row ever
-    * arrives below a watermark, which is what makes a streaming run's
-    * accumulated output a deterministic, oracle-gradeable function of
-    * the input. `tagBatch` adds the micro-batch id (update-mode
-    * consumers keep a key's LAST emission).
-    *
-    * `arrival` is the ARRIVAL order of the 6 event-time buckets
-    * (default: event-time order). A permutation that delivers a bucket
-    * AFTER buckets with later event times (e.g. 0,1,2,4,5,3) makes
-    * every row of that bucket arrive below any watermark shorter than
-    * the bucket gap — the deterministic way to grade the DROP branch
-    * of `withWatermark`, which the in-order replay can never reach.
-    * The drop stays oracle-gradeable because the watermark at the late
-    * bucket's micro-batch is pinned by the PREVIOUS batches' max event
-    * time (watermarks update at batch boundaries), so exactly the late
-    * bucket drops — the oracle is the batch twin minus that bucket.
-    */
-  private def streamReplay(s: SparkSession, d: String, dir: String,
-      job: DataFrame => DataFrame, mode: String,
-      tagBatch: Boolean = false,
-      arrival: Seq[Int] = 0 until 6): DataFrame =
-    streamReplaySrc(s, dir,
-      events(s, d)
-        .select("event_id", "ts", "user_id", "event_type", "value"),
-      job, mode, tagBatch, arrival)
-
-  /** The bucket-writing half of the replay contract, shared by every
-    * engine-graded stream: write `src` (which must carry a `ts`
-    * timestamp column) under `dir/in` as `arrival.length` event-time
-    * buckets whose mtimes strictly increase in ARRIVAL order — the
-    * FileStreamSource oldest-first schedule.
-    */
-  private def writeReplayBuckets(src: DataFrame, dir: String,
-      arrival: Seq[Int]): Unit = {
-    val nB = arrival.length
-    require(arrival.sorted == (0 until nB),
-      s"streamReplay: arrival must be a permutation of 0..${nB - 1}," +
-        s" got $arrival")
-    val bounds = src.agg(min(unix_micros(col("ts"))).as("lo"),
-      max(unix_micros(col("ts"))).as("hi")).collect().head
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val span = math.max(1L, hi - lo + 1)
-    val t0 = (System.currentTimeMillis() / 60000L) * 60000L - 600000L
-    arrival.zipWithIndex.foreach { case (b, i) =>
-      src.filter(expr(
-          s"(unix_micros(ts) - ${lo}L) * $nB div ${span}L") === b.toLong)
-        .coalesce(1).write.mode("append").parquet(s"$dir/in")
-      new java.io.File(s"$dir/in").listFiles()
-        .filter(f => f.getName.startsWith("part-") &&
-          f.lastModified() > t0 + 10000L)
-        .foreach { f =>
-          // a silently-failed stamp (mtime-rejecting mount) would let
-          // same-granularity mtimes tie-break by random part name and
-          // replay buckets out of arrival order — rows would drop
-          // below the watermark and grade silently wrong; fail loudly
-          require(f.setLastModified(t0 + i * 1000L),
-            s"streamReplay: cannot set mtime on $f — the ordered-" +
-              "replay watermark contract depends on it")
-        }
-    }
-  }
-
-  private def streamReplaySrc(s: SparkSession, dir: String,
-      src: DataFrame, job: DataFrame => DataFrame, mode: String,
-      tagBatch: Boolean = false,
-      arrival: Seq[Int] = 0 until 6): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    writeReplayBuckets(src, dir, arrival)
-    val in = s.readStream.schema(src.schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
-    // Stateful streaming cost here is NOT the data: it's per-batch
-    // state-store checkpointing — one store instance (with its HDFS
-    // commit files) per SHUFFLE PARTITION per stateful operator per
-    // micro-batch, so the session's 32 partitions × 6 batches fsync
-    // ~200 store snapshots for a few thousand rows. Pin the stream's
-    // state width to 4 for the run (the checkpoint fixes it per
-    // query anyway) and restore the session default after — a real
-    // deployment sizes this to its key cardinality, not to the batch
-    // engine's CPU count. Measured 20.7 s → ~5 s on the graded join.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    // q225's outer-join nulls flush in the no-data final micro-batch;
-    // that engine behavior defaults ON but is configurable — PIN it so
-    // the replay's determinism contract can't be broken by a session
-    // that disabled it
-    val prevNoData =
-      s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
-    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    // job(in) runs INSIDE the try: a throw at DataFrame-construction
-    // time (AnalysisException etc.) must still restore the session's
-    // shuffle partitions, or every later query in the session silently
-    // runs at width 4
-    var jobDf: DataFrame = null
-    try {
-      jobDf = job(in)
-      val q = jobDf.writeStream.outputMode(mode)
-        .option("checkpointLocation", s"$dir/ckpt")
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          val out =
-            if (tagBatch) batch.withColumn("__batch", lit(id)) else batch
-          out.write.mode("append").parquet(s"$dir/out")
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      // a timed-out run must FAIL, not fall through to grading the
-      // partial output the still-running stream keeps appending to
-      if (!q.awaitTermination(300000)) {
-        q.stop()
-        throw new IllegalStateException(
-          "streamReplay: streaming query did not finish in 300 s — " +
-            "refusing to grade partial output")
-      }
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
-        prevNoData)
-    }
-    // A job that legitimately emits ZERO rows in every micro-batch
-    // never appends to $dir/out, so the directory may not exist —
-    // grade that as an empty result with the job's schema, not a
-    // path-not-found failure.
-    if (new java.io.File(s"$dir/out").exists()) s.read.parquet(s"$dir/out")
-    else {
-      val schema =
-        if (tagBatch) jobDf.schema
-          .add("__batch", org.apache.spark.sql.types.LongType)
-        else jobDf.schema
-      s.createDataFrame(
-        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    }
-  }
-
-  /** The WRITER-shaped replay: same bucket schedule and session-conf
-    * pins as [[streamReplaySrc]], but the job supplies its own
-    * `DataStreamWriter` (foreachBatch jobs like `nearDupRefreshing`
-    * own their sink — the sink IS the graded behavior there, e.g. an
-    * index append between micro-batches). The writer's sink is
-    * responsible for materializing to `dir/out`; this returns the
-    * read-back output (empty-DataFrame fallback is the caller's
-    * problem — a foreachBatch job that emits nothing anywhere has no
-    * schema to fall back to, so we fail loudly instead).
-    */
-  private def streamReplayWriter(s: SparkSession, dir: String,
-      src: DataFrame, arrival: Seq[Int])(
-      mkWriter: DataFrame => org.apache.spark.sql.streaming
-        .DataStreamWriter[org.apache.spark.sql.Row]): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    writeReplayBuckets(src, dir, arrival)
-    val in = s.readStream.schema(src.schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    val prevNoData =
-      s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
-    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    try {
-      val q = mkWriter(in)
-        .option("checkpointLocation", s"$dir/ckpt")
-        .trigger(Trigger.AvailableNow()).start()
-      if (!q.awaitTermination(300000)) {
-        q.stop()
-        throw new IllegalStateException(
-          "streamReplayWriter: streaming query did not finish in 300 s" +
-            " — refusing to grade partial output")
-      }
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
-        prevNoData)
-    }
-    require(new java.io.File(s"$dir/out").exists(),
-      "streamReplayWriter: the job's sink wrote nothing to out/ — " +
-        "nothing to grade")
-    s.read.parquet(s"$dir/out")
-  }
-
-  val defs: Map[String, Q] = Map(
-    // Exact dedup: one shuffle on the content digest.
-    "q21_dedup_exact" -> ((s, d) => {
-      Dedup.exactGroups(documents(s, d), "doc_id", "text")
-        .orderBy("content_hash")
-    }),
-
-    // Token statistics — pure projection.
-    "q22_text_tokens" -> ((s, d) => {
-      val t = col("text")
-      documents(s, d).select(
-        col("doc_id"),
-        TextStats.tokenCount(t).as("n_tokens"),
-        TextStats.bpeishTokens(t).as("n_bpeish"),
-        ((length(t) - (TextStats.tokenCount(t) - 1)).cast("double") /
-          TextStats.tokenCount(t).cast("double")).as("mean_token_len"))
-        .orderBy("doc_id")
-    }),
-
-    // Quality scoring — length band, token shape, alpha & distinct ratios.
-    "q23_text_quality" -> ((s, d) => {
-      documents(s, d).select(
-        col("doc_id"),
-        TextStats.qualityScore(col("text")).as("quality"))
-        .orderBy("doc_id")
-    }),
-
-    // Language ID heuristic + agreement with the labeled lang column
-    // (explode + broadcast marker join — one shuffle, all codegen).
-    "q24_lang_id" -> ((s, d) => {
-      TextStats.withLangId(documents(s, d), "doc_id", "text")
-        .select(col("lang_guess").as("guess"), col("lang"))
-        .groupBy("guess", "lang")
-        .agg(count(lit(1)).as("n"))
-        .orderBy("guess", "lang")
-    }),
-
-    // Order-sensitive polynomial fingerprint.
-    "q25_fingerprint" -> ((s, d) => {
-      documents(s, d).select(
-        col("doc_id"),
-        TextStats.fingerprint(col("text")).as("fp"))
-        .orderBy("doc_id")
-    }),
-
-    // Portable MinHash signature (K=4, 3-word shingles, md5 family),
-    // computed explode-side with partial-aggregated min (codegen'd).
-    "q26_minhash_sig" -> ((s, d) => {
-      Dedup.minhashSignatures(documents(s, d), "doc_id", "text",
-        n = 3, k = 4, portable = true)
-        .orderBy("doc_id")
-    }),
-
-    // LSH banding on the portable signature: 2 bands × 2 rows.
-    // Candidates = docs agreeing on a full band slice (cross-band
-    // collisions included — the bucket key is the slice VALUES, no band
-    // index, matching the oracle's band-less join). Single-pass bucket
-    // shape: one signature aggregation, one shuffle, local pair
-    // emission — not a self-join that would compute signatures twice.
-    "q27_minhash_bands" -> ((s, d) => {
-      Dedup.minhashSignatures(documents(s, d), "doc_id", "text",
-        n = 3, k = 4, portable = true)
-        .select(col("doc_id"), explode(array(
-          struct(col("mh0").as("k1"), col("mh1").as("k2")),
-          struct(col("mh2").as("k1"), col("mh3").as("k2")))).as("b"))
-        .groupBy("b.k1", "b.k2").agg(collect_list(col("doc_id")).as("ids"))
-        .select(explode(Dedup.bucketPairs(col("ids"),
-          org.apache.spark.sql.types.LongType)).as("p"))
-        .select(col("p.id_a"), col("p.id_b")).distinct()
-        .orderBy("id_a", "id_b")
-    }),
-
-    // Exact brute-force cosine top-k against vec_id=0 (the ANN baseline).
-    "q28_cosine_topk" -> ((s, d) => {
-      Similarity.bruteTopK(embeddings(s, d), "vec_id", "embedding", 0L, 10)
-    }),
-
-    // Sign-random-projection bucketing (the ANN scale path's partition key).
-    "q29_rp_bucket" -> ((s, d) => {
-      embeddings(s, d).select(
-        col("vec_id"),
-        Similarity.rpBucket(col("embedding"), 8).as("bucket"))
-        .orderBy("vec_id")
-    }),
-
-    // Multi-probe LSH ANN top-k (bucket hamming <= 2), exact rerank.
-    "q30_ann_topk" -> ((s, d) => {
-      Similarity.lshTopK(embeddings(s, d), "vec_id", "embedding", 0L, 10,
-        nBits = 8, probeHamming = 2)
-    }),
-
-    // The ANN scale path, graded end-to-end: build the bucket-partitioned
-    // index (writeBucketed), then answer the same top-k via partition
-    // pruning — the probe IN-list lands in the scan's PartitionFilters,
-    // touching ~14% of the directories instead of scanning everything
-    // (the 100 TB difference vs q30's in-memory form). Probe set ==
-    // {buckets within hamming 2}, so results — and the oracle — are
-    // exactly q30's.
-    "q53_ann_at_rest" -> ((s, d) => {
-      // Per-invocation unique dir (tempDir: unique per run + swept at
-      // JVM exit): a stable shared path would let a concurrent run
-      // overwrite the index mid-read.
-      val path = tempDir("graft_q53_") + "/emb"
-      Similarity.writeBucketed(embeddings(s, d), "embedding", path, nBits = 8)
-      Similarity.lshTopKAtRest(s, path, "vec_id", "embedding", 0L, 10,
-        nBits = 8, probeHamming = 2)
-    }),
-
-    // IVF ANN top-k: inverted-file coarse quantizer — assign every
-    // vector to its nearest centroid (argmin squared-L2, ties to the
-    // lowest index), probe the 3 cells nearest the query, exact cosine
-    // rerank inside them. The data-adaptive complement to q30/q53's
-    // data-oblivious sign-LSH; at rest `cell` is a partition key with
-    // exactly q53's directory-pruning story. Centroids here are the
-    // seeded deterministic pick (16 smallest ids) so the oracle can
-    // replay assignment bit-for-bit; production swaps in offline-trained
-    // k-means centroids without touching the search path.
-    "q65_ivf_ann" -> ((s, d) => {
-      val emb = embeddings(s, d)
-      val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 16)
-      Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10, cents,
-        nProbe = 3)
-    }),
-
-    // Bloom-pruned fact⋈dim join: the dim keys aggregate into ONE
-    // serialized bloom filter (Spark's own BloomFilterAggregate /
-    // BloomFilterMightContain pair, applied explicitly), the fact scan
-    // drops non-joining rows BEFORE its exchange, the exact join removes
-    // the false positives — so the oracle is the plain join, and the
-    // shuffle carries ~1/5 of orders instead of all of it.
-    "q74_bloom_join" -> ((s, d) => {
-      val dim = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
-      Bloom.prunedJoin(orders(s, d), dim, "o_custkey", "c_custkey",
-        expectedItems = 100000L)
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("cnt"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
-            .as("total"))
-        .orderBy("o_orderpriority")
-    }),
-
-    // Exact heavy hitters via Misra–Gries sketch + bounded recount:
-    // terms above a 1/32 stream share. Pass 1 is one aggregation with
-    // a 32-slot mergeable buffer (one row out, no term shuffle); pass 2
-    // recounts only the ≤32 candidates. The MG completeness bound makes
-    // the output EXACTLY the oracle's HAVING clause at any scale.
-    "q75_heavy_hitters" -> ((s, d) => {
-      val tok = documents(s, d)
-        .select(explode(TextStats.tokens(col("text"))).as("term"))
-      Sketches.heavyHittersFrac(tok, col("term"), invPhi = 32)
-        .orderBy("term")
-    }),
-
-    // Top-50 bigram collocations by association lift (exp-PMI) — corpus
-    // statistics for vocab/tokenizer curation. Fixed-association-order
-    // IEEE arithmetic + 6-decimal truncation keeps the score replayable.
-    "q76_collocations" -> ((s, d) =>
-      TextStats.collocations(documents(s, d), col("text"), k = 50,
-        minCount = 2)),
-
-    // q65's IVF search over an AT-REST index: cells are partition
-    // directories (writeIvf), the probe IN-list lands in
-    // PartitionFilters, and only ~3/16 of the index is read — q53's
-    // directory-pruning story with data-adaptive cells. Same parameters
-    // as q65, so the oracle IS q65's.
-    "q77_ivf_at_rest" -> ((s, d) => {
-      val emb = embeddings(s, d)
-      val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 16)
-      val path = tempDir("graft_q77_") + "/emb"
-      Similarity.writeIvf(emb, "vec_id", "embedding", path, cents)
-      Similarity.ivfTopKAtRest(s, path, "vec_id", "embedding", 0L, 10,
-        cents, nProbe = 3)
-    }),
-
-    // Batch KNN self-join: 3 nearest neighbors of EVERY vector (the
-    // kNN-graph builder) via IVF-cell blocking — corpus rows keyed by
-    // their cell, query rows exploded to their 3 nearest cells
-    // (plan-side argsort, no driver probes), one equi-join + one
-    // window; never a cross product. Oracle replays assignment,
-    // probing, scoring, and ranking.
-    "q84_knn_join" -> ((s, d) => {
-      val emb = embeddings(s, d)
-      val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 16)
-      Similarity.knnJoin(emb, "vec_id", "embedding", k = 3, cents,
-        nProbe = 3)
-        .orderBy("q_id", "rank")
-    }),
-
-    // The same kNN self-join graded UNDER ITS SCALING CONTRACT
-    // (Similarity.knnJoin scaladoc, r11-measured): the cell count is
-    // DERIVED from the corpus — nCells = max(nProbe, n/100), the IVF
-    // nlist rule holding target cell size constant — so candidate
-    // volume stays ~nProbe·targetCellSize per query at every SF
-    // (measured 30× tail exponent 0.79 vs 1.79 for q84's fixed 16
-    // cells). q84 stays graded as the small-corpus fixed-cell variant;
-    // THIS row is the plan you run at 100×. The oracle derives the
-    // same count from the same table in SQL.
-    "q84_knn_scaled" -> ((s, d) => {
-      val emb = embeddings(s, d)
-      val nProbe = 3
-      val nCells = math.max(nProbe, (emb.count() / 100L).toInt)
-      val cents = Similarity.seedCentroids(emb, "vec_id", "embedding",
-        nCells)
-      Similarity.knnJoin(emb, "vec_id", "embedding", k = 3, cents,
-        nProbe = nProbe)
-        .orderBy("q_id", "rank")
-    }),
-
-    // Strictly-ordered conversion funnel over one shared user-partition
-    // shuffle (no per-step self-joins).
-    "q85_funnel" -> ((s, d) =>
-      EventsOps.funnel(events(s, d), Seq("view", "click", "purchase"))
-        .orderBy("step")),
-
-    // Weekly cohort retention triangle; weeks are epoch integer math,
-    // so the cohort assignment replays in any engine.
-    "q86_retention" -> ((s, d) =>
-      EventsOps.retention(events(s, d))
-        .orderBy("cohort_week", "week_offset")),
-
-    // Deterministic training-order shuffle: md5-keyed shard + dense
-    // within-shard position (a reproducible global permutation with no
-    // sequential global sort).
-    "q87_shard_shuffle" -> ((s, d) =>
-      graft.ext.Sampling.shuffleShards(documents(s, d), "doc_id", 8)
-        .select(col("doc_id"), col("shard"), col("pos"))
-        .orderBy("doc_id")),
-
-    // BPE merge training: 6 merge rounds learned from the corpus
-    // word-count table — per round one vocab-table pair count + one
-    // LIMIT-1 collect, merges applied as a single leftmost
-    // non-overlapping regexp replace (greedy BPE). Oracle unrolls the
-    // 6 rounds as chained CTEs.
-    "q89_bpe_merges" -> ((s, d) =>
-      TextStats.bpeMerges(documents(s, d), "text", 6)
-        .orderBy("round")),
-
-    // Copy-on-write keyed MERGE at rest: load a base orders snapshot,
-    // merge an update+insert batch (even keys, price doubled) with
-    // mergeByKey — which rewrites ONLY the partitions the batch touches
-    // — and read the table back. Grades the production upsert path
-    // end-to-end (the reference's UPDATE-join + INSERT-missing,
-    // PIPE:417-435, as one idempotent partition-pruned merge).
-    "q78_merge_at_rest" -> ((s, d) => {
-      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-        "o_totalprice", "o_orderpriority")
-      val ord = orders(s, d).select(cols.map(col): _*)
-      val base = ord.filter(col("o_orderkey") % 3 =!= 0)
-      val batch = ord.filter(col("o_orderkey") % 2 === 0)
-        .withColumn("o_totalprice", col("o_totalprice") * 2)
-      // Per-invocation unique dir (q167 pattern): fresh table per run
-      // (merging into a previous run's survivors would not be the
-      // graded scenario) and no cross-run merge race.
-      val dir = tempDir("graft_q78_")
-      graft.etl.Warehouse.mergeByKey(s, base, dir, "orders_t",
-        Seq("o_orderkey"), Seq("o_orderpriority"))
-      graft.etl.Warehouse.mergeByKey(s, batch, dir, "orders_t",
-        Seq("o_orderkey"), Seq("o_orderpriority"))
-      graft.etl.Warehouse.read(s, dir, "orders_t")
-        .select(cols.map(col): _*).orderBy("o_orderkey")
-    }),
-
-    // Skew-safe exact distinct-count: phase 1 builds per-(key, shard)
-    // collect_set state on 16 reducers per hot key, phase 2 merges the
-    // shard sets — the shape AQE cannot split (distinct state has no
-    // map-side combine). The salting is semantically invisible, so the
-    // oracle is the plain COUNT(DISTINCT).
-    "q79_skew_distinct" -> ((s, d) => {
-      Skew.saltedAgg(events(s, d), Seq("event_type"),
-        saltFrom = col("event_id"),
-        phase1 = Seq(collect_set(col("user_id")).as("us")),
-        phase2 = Seq(size(array_distinct(flatten(collect_list(col("us")))))
-          .cast("long").as("users")))
-        .orderBy("event_type")
-    }),
-
-    // BM25 retrieval over the corpus for a fixed query bag (one rare
-    // term, two common): linear idf + dyadic k1/b keep every arithmetic
-    // step IEEE-exactly replayable; the oracle mirrors the association
-    // order term by term.
-    "q80_bm25" -> ((s, d) =>
-      TextStats.bm25TopK(documents(s, d), "doc_id", "text",
-        Seq("dup", "merge", "spark"), 20)),
-
-    // Integer-lattice Lloyd k-means (2 assignment passes, 1 centroid
-    // update): quantize → argmin squared-L2 → floor-div means → argmin.
-    // Pure int64 arithmetic end to end, so the oracle replays cluster
-    // ids AND distances bit-for-bit.
-    "q81_kmeans" -> ((s, d) =>
-      Clustering.kmeansLattice(embeddings(s, d), "vec_id", "embedding",
-        k = 8, iters = 2)
-        .orderBy("vec_id")),
-
-    // SemDeDup: k-means clusters (q81's), then cosine-prune inside each
-    // cluster — pairwise work bounded by cluster size, never O(n²).
-    // Output = the drop table (who is a dup of whom).
-    "q82_semantic_dedup" -> ((s, d) =>
-      Clustering.semanticDedup(embeddings(s, d), "vec_id", "embedding",
-        k = 8, iters = 2, tau = 0.3)
-        .withColumnRenamed("id", "vec_id")
-        .orderBy("vec_id")),
-
-    // EXACT Jaccard join (τ = 1/2) over 3-gram shingle sets via PPJoin
-    // prefix filtering — guaranteed recall where minhash/simhash are
-    // probabilistic. The prefix filter is semantically invisible, so
-    // the oracle is the naive quadratic join.
-    "q83_setsim_join" -> ((s, d) =>
-      Dedup.setSimJoin(documents(s, d), "doc_id", "text",
-        n = 3, tauNum = 1, tauDen = 2)),
-
-    // Tumbling 1-hour windows (stream-shaped aggregation, batch run).
-    "q31_events_tumbling" -> ((s, d) => {
-      EventsOps.tumbling(events(s, d), "1 hour")
-        .orderBy("window_start", "event_type")
-    }),
-
-    // Sliding 1-hour/30-minute windows (TimeWindow Expand).
-    "q32_events_sliding" -> ((s, d) => {
-      EventsOps.sliding(events(s, d), "1 hour", "30 minutes")
-        .orderBy("window_start", "event_type")
-    }),
-
-    // Event-time-bounded dedup (dropDuplicatesWithinWatermark analog).
-    "q33_watermark_dedup" -> ((s, d) => {
-      EventsOps.bucketDedup(events(s, d), "10 minutes")
-        .orderBy("user_id", "event_type", "bucket_start")
-    }),
-
-    // Session windows, 30-minute gap.
-    "q34_events_session" -> ((s, d) => {
-      EventsOps.sessions(events(s, d), "30 minutes")
-        .orderBy("user_id", "session_start")
-    }),
-
-    // Embedding-cosine near-dup pairs with the sign-RP bucket prefilter
-    // (nBits=8): the pair join is equi-keyed on the bucket, never a
-    // single-key all-pairs cross — the shape that survives 100 TB.
-    // Identical vectors always share a bucket, so exact duplicates are
-    // never lost; the graded semantics are "same-bucket pairs above the
-    // threshold" and the oracle replays the bucket.
-    "q35_embedding_neardup" -> ((s, d) => {
-      Dedup.embeddingNearDups(embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.35, nBits = 8)
-        .select(col("id_a"), col("id_b"),
-          Similarity.trunc(col("cosine"), 6).as("cos6"))
-        .orderBy("id_a", "id_b")
-    }),
-
-    // End-to-end fuzzy dedup — the flagship LLM-pipeline operator:
-    // shingle → minhash → LSH band join → Jaccard verify, graded with
-    // the portable md5 family + literal band keys so DuckDB replays the
-    // ENTIRE pipeline (banding included). The xxhash64 fast path keeps
-    // identical plan shape and is covered by ExtSpec.
-    "q36_minhash_neardup" -> ((s, d) => {
-      Dedup.minhashNearDups(documents(s, d), "doc_id", "text",
-        n = 3, k = 8, bands = 4, threshold = 0.5, portable = true)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // SimHash near-dups, portable md5 bit family: the 2-of-5 block join
-    // is lossless for hamming<=3, so the DuckDB oracle replays the
-    // semantics as a brute-force per-bit-majority + hamming filter.
-    // The xxhash64 fast path shares every operator except the token
-    // hash and is asserted pair-set-equal to brute force in ExtSpec.
-    "q37_simhash" -> ((s, d) => {
-      Dedup.simhashNearDups(documents(s, d), "doc_id", "text",
-        maxHamming = 3, portable = true)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // SimHash, scale-shaped: identical-signature groups (the quadratic
-    // mass of q37's pair output, measured at 10x in BUILD_NOTES round
-    // 7, collapsed to one row per doc) ...
-    "q187_simhash_groups" -> ((s, d) =>
-      Dedup.simhashGroups(documents(s, d), "doc_id", "text",
-        portable = true)
-        .orderBy("doc_id")),
-
-    // ... plus near-dup edges between DISTINCT signatures only — the
-    // linear-size decomposition of q37 (groups + edges expand back to
-    // the exact q37 pair set; DedupScaleSpec asserts it).
-    "q188_simhash_group_edges" -> ((s, d) =>
-      Dedup.simhashGroupEdges(documents(s, d), "doc_id", "text",
-        maxHamming = 3, portable = true)
-        .orderBy("rep_a", "rep_b")),
-
-    // Multimodal plumbing: synthetic media table → mapPartitions decode
-    // (filter-bank kernel) → per-item frame/byte accounting. The metadata
-    // rules are pure functions of the documents table, so the oracle can
-    // replay them without the binary column.
-    "q38_media_features" -> ((s, d) => {
-      val media = graft.ext.Multimodal.syntheticMedia(s, documents(s, d))
-      graft.ext.Multimodal.extractFeatures(media)
-        .groupBy(col("mediaId").as("media_id"), col("kind"))
-        .agg(count(lit(1)).as("n_frames"), min("byteLen").as("byte_len"))
-        .orderBy("media_id")
-    }),
-
-    // Pairs -> dedup groups: connected components over the verified
-    // near-dup pair graph (min-label propagation; "keep one per
-    // cluster" = id == cluster). Oracle replays the fixpoint as a
-    // recursive transitive closure.
-    "q49_dedup_clusters" -> ((s, d) => {
-      val pairs = Dedup.minhashNearDups(documents(s, d), "doc_id", "text",
-        n = 3, k = 8, bands = 4, threshold = 0.5, portable = true)
-      Dedup.dedupClusters(pairs.select("id_a", "id_b"))
-        .orderBy("id")
-    }),
-
-    // Same cluster assignment via alternating large-star/small-star
-    // contraction (Kiveris SoCC'14) — the skew-safe CC variant; must
-    // reach the identical fixpoint, so it shares q49's recursive oracle.
-    "q54_dedup_clusters_star" -> ((s, d) => {
-      val pairs = Dedup.minhashNearDups(documents(s, d), "doc_id", "text",
-        n = 3, k = 8, bands = 4, threshold = 0.5, portable = true)
-      Dedup.dedupClustersStar(pairs.select("id_a", "id_b"))
-        .orderBy("id")
-    }),
-
-    // Deterministic hash split (train/val/test by md5 coordinate of the
-    // key): reproducible across engines, re-runs, retries, partitionings
-    // — the property rand()-sampling lacks. Pure projection + one agg.
-    "q55_hash_split" -> ((s, d) => {
-      graft.ext.Sampling.withHashSplit(documents(s, d), "doc_id",
-        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
-        .groupBy("split")
-        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
-        .orderBy("split")
-    }),
-
-    // Per-group quota sampling (dataset mixing): top-3 docs per language
-    // by quality score, total-order tie-break — one window shuffle.
-    "q56_quota_sample" -> ((s, d) => {
-      val scored = documents(s, d).select(col("doc_id"), col("lang"),
-        TextStats.qualityScore(col("text")).as("quality"))
-      graft.ext.Sampling.quotaPerGroup(scored, Seq("lang"),
-        Seq(col("quality").desc, col("doc_id").asc), 3)
-        .orderBy("lang", "doc_id")
-    }),
-
-    // Stratified down-sampling to mixture weights: per-language keep
-    // rates applied as a deterministic map-side Bernoulli filter (same
-    // hash coordinate as q55 — no shuffle, reproducible kept set).
-    "q64_stratified_sample" -> ((s, d) => {
-      graft.ext.Sampling.stratifiedSample(documents(s, d), "doc_id",
-        "lang", Map("en" -> 0.5, "es" -> 0.25, "zh" -> 1.0))
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_kept"),
-          sum(col("n_chars")).as("chars_kept"))
-        .orderBy("lang")
-    }),
-
-    // KMV distinct-count sketch: per-source distinct-text estimate from
-    // the 16 smallest md5 coordinates. The engine-portable alternative
-    // to HyperLogLog (whose registers no other engine can replay): the
-    // dedup-on-insert bounded buffer makes it ONE aggregation pass —
-    // k-element partial buffers map-side, no distinct shuffle of the
-    // values. 20 sources x 25 distinct texts > k, so the graded rows
-    // all take the (k-1)/h_k estimator branch (the exact branch is
-    // spec-covered).
-    "q66_kmv_distinct" -> ((s, d) => {
-      graft.ext.Sketches.kmvDistinct(documents(s, d), "source",
-        col("text"), k = 16)
-        .orderBy("source")
-    }),
-
-    // IVF-PQ ANN search (the faiss-standard pairing, end to end):
-    // probe the 3 IVF cells nearest the query, score asymmetrically —
-    // unquantized query vs each candidate's PQ reconstruction — top-10
-    // by approximate cosine. At rest the scan reads (cell, codes) only:
-    // 32x less I/O than the float vectors, partition-pruned by cell.
-    "q73_ivfpq_ann" -> ((s, d) => {
-      val emb = embeddings(s, d)
-      val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 16)
-      val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding",
-        m = 8, k = 16)
-      Similarity.ivfPqTopK(emb, "vec_id", "embedding", 0L, 10, cents,
-        cbs, nProbe = 3)
-    }),
-
-    // Product quantization (8 blocks x 16 centroids over 64 dims = 32x
-    // embedding compression): per-block argmin codes plus the cosine of
-    // the reconstruction against the original — the quantizer AND its
-    // fidelity audit in one graded pass. Codebooks are the seeded
-    // deterministic pick (block slices of the 16 smallest-id vectors)
-    // so DuckDB replays assignment bit-for-bit.
-    "q72_pq_codes" -> ((s, d) => {
-      val emb = embeddings(s, d)
-      val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding",
-        m = 8, k = 16)
-      emb.withColumn("codes",
-          Similarity.pqEncode(col("embedding"), cbs))
-        .select(col("vec_id"),
-          concat_ws(",", col("codes").cast("array<string>")).as("codes"),
-          Similarity.trunc(Similarity.cosine(col("embedding"),
-            Similarity.pqReconstruct(col("codes"), cbs)), 6)
-            .as("recon_cos6"))
-        .orderBy("vec_id")
-    }),
-
-    // Fuzzy-dedup REMOVAL, end to end: minhash near-dup pairs → star
-    // contraction clusters → keep the canonical (min-id) member per
-    // cluster, every unclustered doc passes through. The composition a
-    // corpus curator actually runs; the delete set is tiny so the final
-    // anti-join broadcasts — the corpus is never shuffled.
-    "q71_fuzzy_curation" -> ((s, d) => {
-      val docs = documents(s, d)
-      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
-        n = 3, k = 8, bands = 4, threshold = 0.5, portable = true)
-      Dedup.keepCanonical(docs, "doc_id", pairs.select("id_a", "id_b"))
-        .select(col("doc_id"), col("lang"), col("source"))
-        .orderBy("doc_id")
-    }),
-
-    // Overlapping token-window chunking (width 30, stride 20): the step
-    // that turns curated documents into retrieval/pretraining units.
-    // Pure projection — output volume = chunks, no shuffle.
-    "q70_chunk" -> ((s, d) => {
-      documents(s, d).select(col("doc_id"),
-        posexplode(TextStats.chunkTokens(col("text"), 30, 20))
-          .as(Seq("chunk_idx", "chunk")))
-        .withColumn("n_tok", TextStats.tokenCount(col("chunk")))
-        .orderBy("doc_id", "chunk_idx")
-    }),
-
-    // Incremental fuzzy dedup: near-dups of a new batch (docs 0-49)
-    // against an at-rest corpus LSH index (docs 50+), graded end-to-end
-    // — index build (one corpus pass, paid once) + broadcast band probe
-    // (no corpus shuffle) + Jaccard verify against stored shingles. The
-    // daily-ingest shape: at 100 TB, re-running minhashNearDups over
-    // corpus+batch would reshingle the whole corpus to dedup 0.1% new
-    // data.
-    "q69_incremental_dedup" -> ((s, d) => {
-      val docs = documents(s, d)
-      // per-invocation unique dir (q167 pattern, see q53)
-      val path = tempDir("graft_q69_") + "/idx"
-      Dedup.writeLshIndex(docs.filter(col("doc_id") >= 50), "doc_id",
-        "text", n = 3, k = 8, bands = 4, portable = true, path = path)
-      Dedup.incrementalNearDups(s, path, docs.filter(col("doc_id") < 50),
-        "doc_id", "text", n = 3, k = 8, bands = 4, threshold = 0.5,
-        portable = true)
-        .orderBy("batch_id", "corpus_id")
-    }),
-
-    // Z-order (Morton) clustering key: bit-interleave doc_id and
-    // n_chars so a range-partitioned write gives per-file min/max
-    // selectivity on BOTH columns (multi-dim data skipping — the
-    // OPTIMIZE ZORDER BY primitive). The graded part is the key's bit
-    // math; the layout/locality property is spec-asserted on real
-    // written files.
-    "q68_zorder" -> ((s, d) => {
-      documents(s, d).select(col("doc_id"),
-        graft.ext.Layout.zValue(pmod(col("doc_id"), lit(1024)),
-          pmod(col("n_chars"), lit(1024)), 10).as("z"))
-        .orderBy("doc_id")
-    }),
-
-    // Hilbert d-index on the same (doc_id, n_chars) grid as q68's
-    // z-value — the locality-superior clustering key (unit-step curve;
-    // Round10Spec proves bijection + adjacency and measures fewer
-    // files touched per box query than Z-order).
-    "q192_hilbert" -> ((s, d) => {
-      graft.ext.Layout.withHilbert(
-        documents(s, d).select(col("doc_id"),
-          pmod(col("doc_id"), lit(256)).as("hx"),
-          pmod(col("n_chars"), lit(256)).as("hy")),
-        "hx", "hy", 8, "h")
-        .select(col("doc_id"), col("h"))
-        .orderBy("doc_id")
-    }),
-
-    // Benchmark-contamination check — the standard decontamination op:
-    // which training documents contain any 13-gram from the eval set
-    // (here: docs 0-19 as the stand-in benchmark)? The benchmark
-    // shingle set is small by construction → broadcast to the training
-    // scan; at 100 TB this is a map-side probe, no shuffle of the
-    // corpus.
-    "q63_contamination" -> ((s, d) => {
-      val docs = documents(s, d)
-      val benchGrams = docs.filter(col("doc_id") < 20)
-        .select(explode(array_distinct(
-          Dedup.shingles(col("text"), 13))).as("s"))
-        .distinct()
-      docs.filter(col("doc_id") >= 20)
-        .select(col("doc_id"),
-          explode(array_distinct(Dedup.shingles(col("text"), 13))).as("s"))
-        .join(broadcast(benchGrams), "s")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_contaminated_grams"))
-        .orderBy("doc_id")
-    }),
-
-    // Frame-level multimodal near-dup: videos sharing ANY near-dup
-    // sampled frame (not just frame 0) — the frame explode rides the
-    // same single-pass bucketed pair search, then rolls up to media
-    // pairs. Frame ids pack as mediaId*100+frame (frames < 100 by the
-    // sampler's cap of 16).
-    "q62_frame_neardup" -> ((s, d) => {
-      val media = graft.ext.Multimodal.syntheticMedia(s, documents(s, d))
-      val feats = graft.ext.Multimodal.extractFeatures(media)
-        .filter(col("kind") === "video")
-        .select((col("mediaId") * 100 + col("frameIdx")).as("fid"),
-          col("feature"))
-      Dedup.embeddingNearDups(feats, "fid", "feature",
-        threshold = 0.98, nBits = 8)
-        .select((col("id_a") / 100).cast("long").as("media_a"),
-          (col("id_b") / 100).cast("long").as("media_b"), col("cosine"))
-        .filter(col("media_a") =!= col("media_b"))
-        .groupBy("media_a", "media_b")
-        .agg(count(lit(1)).as("n_frame_pairs"),
-          graft.ext.Similarity.trunc(max(col("cosine")), 6).as("max_cos6"))
-        .orderBy("media_a", "media_b")
-    }),
-
-    // Corpus length-distribution stats per language — the numbers a
-    // curation team sets its thresholds from. Exact interpolated
-    // percentiles (Spark `percentile` == DuckDB `quantile_cont`
-    // definition); integer inputs keep the interpolation arithmetic
-    // bit-identical across engines.
-    "q61_length_quantiles" -> ((s, d) => {
-      documents(s, d)
-        .groupBy("lang")
-        .agg(
-          count(lit(1)).as("n"),
-          percentile(col("n_chars"), lit(0.25)).as("p25"),
-          percentile(col("n_chars"), lit(0.5)).as("p50"),
-          percentile(col("n_chars"), lit(0.75)).as("p75"),
-          percentile(col("n_chars"), lit(0.95)).as("p95"))
-        .orderBy("lang")
-    }),
-
-    // End-to-end curation pipeline — the composition a corpus team
-    // actually runs: exact-dedup survivor gate (semi-join against the
-    // keep set), quality floor, PII redaction, deterministic split
-    // assignment. One scan feeds the gate and the projection; every
-    // stage is an operator graded standalone elsewhere.
-    "q60_curation_pipeline" -> ((s, d) => {
-      val docs = documents(s, d)
-      val keep = Dedup.exactGroups(docs, "doc_id", "text")
-        .select(col("keep_id").as("doc_id"))
-      val gated = docs.join(keep, Seq("doc_id"), "left_semi")
-        .filter(TextStats.qualityScore(col("text")) >= 0.5)
-      graft.ext.Sampling.withHashSplit(gated, "doc_id",
-        Seq(("train", 0.9), ("val", 0.1)))
-        .select(col("doc_id"), col("lang"), col("split"),
-          TextStats.redactPii(col("text")).as("clean"),
-          TextStats.tokenCount(col("text")).as("n_tokens"))
-        .orderBy("doc_id")
-    }),
-
-    // Sequence packing: per-shard concat-and-chunk token binning (the
-    // pretraining-batch layout step) — one window shuffle on the shard.
-    "q58_pack" -> ((s, d) => {
-      val withTok = documents(s, d).select(col("doc_id"),
-        TextStats.tokenCount(col("text")).cast("long").as("n_tok"))
-      graft.ext.Sampling.packByTokens(withTok, "doc_id", "n_tok",
-        windowTokens = 512, nShards = 8)
-        .orderBy("doc_id")
-    }),
-
-    // PII-style redaction (emails → <EMAIL>, URLs → <URL>, long digit
-    // runs → <NUM>): three codegen'd regexp passes, no shuffle.
-    "q57_redact" -> ((s, d) => {
-      documents(s, d).select(col("doc_id"),
-        TextStats.redactPii(col("text")).as("clean"))
-        .orderBy("doc_id")
-    }),
-
-    // Repetition scoring (Gopher/RefinedWeb-style duplicate-n-gram
-    // fraction) at 2- and 3-gram granularity — pure projection.
-    "q48_repetition" -> ((s, d) => {
-      documents(s, d).select(
-        col("doc_id"),
-        TextStats.repetitionScore(col("text"), 2).as("rep2"),
-        TextStats.repetitionScore(col("text"), 3).as("rep3"))
-        .orderBy("doc_id")
-    }),
-
-    // Characteristic terms per doc: tf * N / df (linear idf — exact
-    // rational weights), top-3 with term tie-break.
-    "q51_tfidf_terms" -> ((s, d) => {
-      TextStats.tfIdfTopK(documents(s, d), "doc_id", "text", 3)
-        .orderBy("doc_id", "rank")
-    }),
-
-    // Int8 quantization round-trip audit: per vector, the shared scale,
-    // a checksum of the codes, and the max reconstruction error — all
-    // exact IEEE arithmetic, hash-compared against the DuckDB replay.
-    "q50_embedding_quant" -> ((s, d) => {
-      val qs = Similarity.quantizeInt8(col("embedding"))
-      embeddings(s, d).select(col("vec_id"), qs.as("qs"), col("embedding"))
-        .select(
-          col("vec_id"),
-          col("qs.scale").as("scale"),
-          aggregate(col("qs.q"), lit(0L), (a, x) => a + x).as("q_sum"),
-          array_max(zip_with(Similarity.dequantInt8(col("qs")),
-            col("embedding"),
-            (dq, x) => abs(dq.cast("double") - x.cast("double"))))
-            .as("max_err"))
-        .orderBy("vec_id")
-    }),
-
-    // Typed Aggregator UDAF: per-label top-3 vectors by cosine vs the
-    // query vector — bounded top-k buffers merged map/reduce-side, then
-    // exploded to rows. Oracle replays via a row_number window.
-    "q46_topk_udaf" -> ((s, d) => {
-      import s.implicits._
-      import graft.functions.{ScoredId, TopKAggregator}
-      val emb = embeddings(s, d)
-      val q = emb.filter(col("vec_id") === 0L)
-        .select(col("embedding").as("q_vec"),
-          Similarity.l2norm(col("embedding")).as("q_nrm"))
-      val scored = emb.filter(col("vec_id") =!= 0L)
-        .crossJoin(broadcast(q))
-        .select(col("label"), col("vec_id"),
-          Similarity.trunc(Similarity.dot(col("embedding"), col("q_vec")) /
-            (Similarity.l2norm(col("embedding")) * col("q_nrm")), 6)
-            .as("score"))
-      val topk = new TopKAggregator(3).toColumn
-      scored.as[(Int, Long, Double)]
-        .groupByKey(_._1)
-        .mapValues(r => ScoredId(r._2, r._3))
-        .agg(topk.name("top"))
-        .toDF("label", "top")
-        .select(col("label"), posexplode(col("top")).as(Seq("rank", "s")))
-        .select(col("label"), (col("rank") + 1).as("rank"),
-          col("s.id").as("vec_id"), col("s.score").as("score"))
-        .orderBy("label", "rank")
-    }),
-
-    // As-of join: each purchase paired with the user's latest
-    // prior-or-same click timestamp and value (union+window composition;
-    // no range cross-join).
-    "q45_events_asof" -> ((s, d) => {
-      val e = events(s, d)
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select("user_id", "ts", "event_id")
-      val clicks = e.filter(col("event_type") === "click")
-        .select("user_id", "ts", "value")
-      EventsOps.asofJoin(purchases, clicks, "user_id", "ts", "ts", "value")
-        .select(col("user_id"), col("event_id"),
-          col("asof_ts").as("last_click_ts"),
-          col("asof_value").as("last_click_value"))
-        .orderBy("user_id", "event_id")
-    }),
-
-    // Interval join (Flink-style): click → purchases by the same user
-    // within the next hour. Time-bucketed equi-join on
-    // (user, ts div span) — never a per-key cross product; the exact
-    // range predicate only sees same-bucket candidates.
-    "q67_interval_join" -> ((s, d) => {
-      val e = events(s, d)
-      val clicks = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("event_id"), col("ts"))
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id"), col("ts"))
-      EventsOps.intervalJoin(clicks, purchases, "user_id", "ts", "ts",
-        lowerSec = 0L, upperSec = 3600L)
-        .select(col("user_id"), col("event_id").as("l_event"),
-          col("r_event_id").as("r_event"),
-          (unix_micros(col("r_ts")) - unix_micros(col("ts")))
-            .as("delta_us"))
-        .orderBy("l_event", "r_event")
-    }),
-
-    // Row-frame window aggregate: per-user 3-row moving average over
-    // the event stream (decimal-exact sum cast to double BEFORE the
-    // division so both engines round identically).
-    "q52_moving_avg" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts"), col("event_id")).rowsBetween(-2, 0)
-      events(s, d).select(col("user_id"), col("event_id"),
-        (sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
-          count(lit(1)).over(w)).as("mavg3"))
-        .orderBy("user_id", "event_id")
-    }),
-
-    // Semi-structured JSON column: schema-on-read of events.props with
-    // from_json (the engine's JSON-path surface; CrossRef ingest uses the
-    // same declared-schema approach at the envelope level).
-    "q40_props_json" -> ((s, d) => {
-      events(s, d)
-        .select(from_json(col("props"),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("k",
-              org.apache.spark.sql.types.IntegerType))))
-          .getField("k").as("k"), col("value"))
-        .groupBy((col("k") % 10).as("k_bucket"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,2)")).cast("double")
-            .as("total_value"))
-        .orderBy("k_bucket")
-    }),
-
-    // Multimodal near-dup composition with the real filter-bank decode
-    // and the bucketed pair join — fully oracle-checked: DuckDB replays
-    // feature extraction (integer byte correlations from the hex of the
-    // content), sign-RP bucketing and the cosine verify.
-    "q39_media_neardup" -> ((s, d) => {
-      graft.ext.Multimodal.nearDupMedia(
-        graft.ext.Multimodal.syntheticMedia(s, documents(s, d)),
-        threshold = 0.9, nBits = 8)
-        .select(col("id_a"), col("id_b"),
-          Similarity.trunc(col("cosine"), 6).as("cos6"))
-        .orderBy("id_a", "id_b")
-    }),
-
-    // Media dedup in its AT-SCALE shape: one (media_id, group_rep) row
-    // per item via bucket-representative assignment — q39's pair set
-    // is genuinely ~n² in this corpus (198M pairs at 30×, r11
-    // adjudication), so the pair query stays the small-corpus variant
-    // and THIS row is the 100× plan: linear output, one cosine per
-    // item, single pass over the decode.
-    "q221_media_dedup_groups" -> ((s, d) =>
-      graft.ext.Multimodal.dedupGroupsMedia(
-        graft.ext.Multimodal.syntheticMedia(s, documents(s, d)),
-        threshold = 0.9, nBits = 8)
-        .withColumnRenamed("id", "media_id")
-        .orderBy("media_id")),
-
-    // Frame-grain video dedup in its at-scale shape (q62's analog):
-    // every sampled frame gets its bucket-representative group, then a
-    // per-video rollup (min frame-group owner) — linear in frames where
-    // q62's pair rollup is quadratic in near-dup density.
-    "q222_frame_dedup_groups" -> ((s, d) => {
-      val media = graft.ext.Multimodal.syntheticMedia(s, documents(s, d))
-      val feats = graft.ext.Multimodal.extractFeatures(media)
-        .filter(col("kind") === "video")
-        .select((col("mediaId") * 100 + col("frameIdx")).as("fid"),
-          col("feature"))
-      graft.ext.Dedup.embeddingDedupGroups(feats, "fid", "feature",
-        threshold = 0.98, nBits = 8)
-        .groupBy((col("id") / 100).cast("long").as("media_id"))
-        .agg(min((col("group_rep") / 100).cast("long")).as("media_rep"),
-          count(lit(1)).as("n_frames"))
-        .orderBy("media_id")
-    }),
-
-    // Embedding dedup in its at-scale shape (q35's analog) on the real
-    // embeddings table.
-    "q223_embedding_dedup_groups" -> ((s, d) =>
-      graft.ext.Dedup.embeddingDedupGroups(embeddings(s, d), "vec_id",
-        "embedding", threshold = 0.35, nBits = 8)
-        .withColumnRenamed("id", "vec_id")
-        .orderBy("vec_id")),
-
-    // SCD Type-2 history build over the event log: one validity
-    // interval per per-user attribute change (lag detects changes,
-    // lead/row_number close the intervals — a single user-partition
-    // shuffle end to end).
-    "q90_scd2" -> ((s, d) =>
-      EventsOps.scd2(events(s, d))
-        .orderBy("user_id", "version")),
-
-    // Exact duplicated-window detection (substring-grain dedup): share
-    // of each document's 8-token windows that also occur in another
-    // document. Linear explode → (doc,window) count → window-partition
-    // doc frequency → per-doc rollup; no self-join, nothing cached.
-    "q91_dup_windows" -> ((s, d) =>
-      Dedup.dupWindowStats(documents(s, d), "doc_id", "text", n = 8)
-        .orderBy("doc_id")),
-
-    // Hashing-trick linear quality classifier: md5-bucketed token
-    // features, integer weight sum over 128 (exact in double), keep =
-    // positive logit. The fastText-scorer shape with deterministic
-    // stand-in weights.
-    "q92_quality_logit" -> ((s, d) =>
-      TextStats.logitScore(documents(s, d), "doc_id", "text")
-        .orderBy("doc_id")),
-
-    // Integer-exact weighted PageRank over the customer-nation →
-    // supplier-nation trade graph: the 100 TB fact table aggregates
-    // ONCE down to a |nations|^2-bounded edge list (checkpointed), then
-    // 8 tiny join+agg rounds. All fixed-point arithmetic — replays
-    // bit-for-bit in the oracle's unrolled CTEs.
-    "q93_pagerank" -> ((s, d) => {
-      val e = lineitem(s, d)
-        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
-        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("c_nationkey").as("src_n"), col("s_nationkey").as("dst_n"))
-        .agg(count(lit(1)).as("w"))
-      graft.ext.Graph.pageRank(e, "src_n", "dst_n", "w", iters = 8)
-        .select(col("node"), col("r").as("pagerank"))
-        .orderBy("node")
-    }),
-
-    // HITS hubs & authorities (Kleinberg '99) on the same nation-level
-    // trade graph as q93 — integer max-normalized fixed point, exact
-    // on both engines.
-    "q191_hits" -> ((s, d) => {
-      val e = lineitem(s, d)
-        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
-        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("c_nationkey").as("src_n"), col("s_nationkey").as("dst_n"))
-        .agg(count(lit(1)).as("w"))
-      graft.ext.Graph.hits(e, "src_n", "dst_n", "w", iters = 4)
-        .orderBy("node")
-    }),
-
-    // Personalized PageRank from a 3-nation seed set over the same
-    // trade graph — TrustRank-style authority relative to a whitelist;
-    // restart mass splits over the seeds only, all fixed-point.
-    "q163_ppr" -> ((s, d) => {
-      val e = lineitem(s, d)
-        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
-        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("c_nationkey").as("src_n"),
-          col("s_nationkey").as("dst_n"))
-        .agg(count(lit(1)).as("w"))
-      val seeds = nation(s, d).filter(col("n_nationkey") <= 2)
-        .select(col("n_nationkey"))
-      graft.ext.Graph.personalizedPageRank(e, "src_n", "dst_n", "w",
-        seeds, iters = 8)
-        .select(col("node"), col("r").as("ppr"))
-        .orderBy("node")
-    }),
-
-    // Per-node triangle counts on the trade graph — degree-ordered
-    // node-iterator (Schank-Wagner): wedge join on the low endpoint of
-    // the acyclic orientation, one closure join; each triangle counted
-    // at its unique apex, then exploded to credit all three corners.
-    "q95_triangles" -> ((s, d) => {
-      val e = lineitem(s, d)
-        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
-        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("c_nationkey").as("src_n"),
-          col("s_nationkey").as("dst_n"))
-        .agg(count(lit(1)).as("w"))
-      graft.ext.Graph.triangleCounts(e, "src_n", "dst_n")
-        .orderBy("node")
-    }),
-
-    // Weighted-interleave mixture order: closed-form global position
-    // (pure per-row integer arithmetic over the tiny per-source count
-    // map — NO global sort/row_number), graded against the oracle's
-    // independent ORDER BY definition of the same permutation.
-    "q96_mix_order" -> ((s, d) =>
-      graft.ext.Sampling.mixOrder(documents(s, d), "doc_id", "source",
-        Seq("src0" -> 5L, "src1" -> 3L, "src2" -> 2L, "src3" -> 1L))
-        .orderBy("global_pos")),
-
-    // Snapshot diff by key (table-versioning audit): synthesize an
-    // "after" snapshot with removals (%7), value changes (%2 price
-    // doubled), and additions (%11 re-keyed), then classify via one
-    // null-safe full-outer join. Unchanged rows never leave the join.
-    "q103_table_diff" -> ((s, d) => {
-      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-        "o_totalprice", "o_orderpriority")
-      val base = orders(s, d).select(cols.map(col): _*)
-      val after = base.filter(col("o_orderkey") % 7 =!= 0)
-        .withColumn("o_totalprice",
-          when(col("o_orderkey") % 2 === 0, col("o_totalprice") * 2)
-            .otherwise(col("o_totalprice")))
-        .unionByName(base.filter(col("o_orderkey") % 11 === 0)
-          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
-      graft.etl.Warehouse.tableDiff(base, after, Seq("o_orderkey"))
-        .orderBy("o_orderkey")
-    }),
-
-    // Gap-filled hourly series per event type: empty buckets become
-    // zero rows between each key's first and last activity (the step
-    // chart/alerting densification a bare groupBy can't produce).
-    "q104_gapfill" -> ((s, d) =>
-      EventsOps.gapFill(events(s, d), "event_type", widthSec = 3600L)
-        .orderBy("event_type", "bucket")),
-
-    // Per-group Pearson r from exact decimal sums — order-independent
-    // accumulation, one fixed closed-form double expression at the end
-    // (builtin corr streams FP moments and is not even run-to-run
-    // stable).
-    "q105_corr" -> ((s, d) =>
-      graft.ext.Stats.pearsonByGroup(
-        documents(s, d)
-          .withColumn("__y", TextStats.tokenCount(col("text"))),
-        "lang", col("n_chars"), col("__y"))
-        .orderBy("lang")),
-
-    // Exact edit-distance self-join (fuzzy key matching): every customer
-    // name pair within Levenshtein distance 1, via pigeonhole segment
-    // blocking — no cross join; the oracle brute-forces the quadratic
-    // form, proving zero false negatives at sf scale.
-    "q106_editdist_join" -> ((s, d) =>
-      Dedup.editDistanceJoin(
-        customer(s, d).select(col("c_custkey").as("id"),
-          col("c_name").as("s")),
-        "id", "s", d = 1)
-        .orderBy("id_a", "id_b")),
-
-    // Bigram-LM fluency score (KenLM-style quality filter): add-one
-    // smoothed bigram probs trained on the corpus itself, each doc
-    // scored by its mean smoothed bigram probability — exact integer
-    // arithmetic end to end (floor(1e9·p) per position, bigint sums).
-    "q107_bigram_lm" -> ((s, d) =>
-      TextStats.bigramLmScore(documents(s, d), "doc_id", "text")
-        .orderBy("doc_id")),
-
-    // Substring-level dedup (Lee et al. ACL'22, position-gram variant):
-    // per doc, maximal spans of text whose every 40-char window also
-    // appears in another document — boilerplate whole-doc dedup misses.
-    "q108_dup_spans" -> ((s, d) =>
-      Dedup.dupSpans(documents(s, d), "doc_id", "text", g = 40)
-        .orderBy("doc_id")),
-
-    // Winnowing (MOSS) fingerprint selection: per doc, the number of
-    // full windows, distinct fingerprint hashes, and selections —
-    // density lands at the paper's ~2/(w+1) of the window count.
-    "q193_winnowing" -> ((s, d) => {
-      val per = Dedup
-        .winnowFingerprints(documents(s, d), "doc_id", "text",
-          g = 20, w = 8)
-        .groupBy("doc_id")
-        .agg(countDistinct(col("fp")).as("n_fp"),
-          count(lit(1)).as("n_sel"))
-      documents(s, d).select(col("doc_id"),
-          greatest(length(col("text")) - lit(26), lit(0))
-            .cast("long").as("n_windows"))
-        .join(per, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_windows"),
-          coalesce(col("n_fp"), lit(0L)).as("n_fp"),
-          coalesce(col("n_sel"), lit(0L)).as("n_sel"))
-        .orderBy("doc_id")
-    }),
-
-    // MOSS match ranking over the winnowed index: doc pairs sharing
-    // >= 2 distinct fingerprints — the shuffle carries ~2/(w+1) of
-    // the gram volume, never the corpus.
-    "q194_winnow_matches" -> ((s, d) =>
-      Dedup.winnowMatches(documents(s, d), "doc_id", "text",
-        g = 20, w = 8, minShared = 2L)
-        .orderBy("id_a", "id_b")),
-
-    // Hilbert-clustered at-rest 2-D box query: write with a d-keyed
-    // zone sidecar, prune files via the box's exact d-interval
-    // decomposition (Hilbert R-tree planning), exact box predicate on
-    // the survivors. Oracle is the plain box filter.
-    "q195_hilbert_at_rest" -> ((s, d) => {
-      val path = tempDir("graft_q195_") + "/docs_hilbert"
-      val base = documents(s, d).select(col("doc_id"),
-        pmod(col("doc_id"), lit(256)).as("hx"),
-        pmod(col("n_chars"), lit(256)).as("hy"))
-      graft.ext.Layout.hilbertZoneWrite(base, "hx", "hy", 8, "h", 16,
-        path)
-      graft.ext.Layout.hilbertBoxRead(s, path, "hx", "hy", 8,
-        32L, 95L, 100L, 199L)
-        .select("doc_id", "hx", "hy")
-        .orderBy("doc_id")
-    }),
-
-    // 2-D skyline: parts maximizing (size, retailprice) — sort-scan
-    // frontier vs the oracle's quadratic NOT EXISTS dominance replay.
-    "q109_skyline" -> ((s, d) =>
-      graft.ext.Stats.paretoFrontier(
-        part(s, d).select("p_partkey", "p_size", "p_retailprice"),
-        "p_size", "p_retailprice")
-        .orderBy("p_partkey")),
-
-    // Exact-phrase search (contamination primitive): docs containing
-    // the verbatim token sequence, with match counts — positional
-    // lists only for the phrase terms, no position self-joins.
-    "q114_phrase_search" -> ((s, d) =>
-      graft.ext.Index.phraseMatches(documents(s, d), "doc_id", "text",
-        Seq("spark", "join"))
-        .orderBy("doc_id")),
-
-    // Frequent 3-step user journeys (funnel discovers nothing; this
-    // mines the orders users actually follow). Top-25, total-ordered.
-    "q117_top_paths" -> ((s, d) =>
-      EventsOps.topPaths(events(s, d), steps = 3, k = 25)),
-
-    // Grouped mode: most common event type per user-id decade —
-    // deterministic tie-break on the value.
-    "q118_mode" -> ((s, d) =>
-      graft.ext.Stats.modeByGroup(
-        events(s, d).withColumn("g", (col("user_id") / 10).cast("long")),
-        "g", col("event_type"))
-        .orderBy("g")),
-
-    // Winsorization per priority class: order totals (cents) clamped
-    // into their group's exact [p05, p95] — rank-based integer
-    // quantiles, both bounds from ONE distinct-value pass.
-    "q127_winsorize" -> ((s, d) =>
-      graft.ext.Stats.winsorizeByGroup(
-        orders(s, d).select(col("o_orderkey"),
-          col("o_orderpriority").as("g"),
-          round(col("o_totalprice") * 100).cast("long").as("cents")),
-        "g", col("cents"), 1, 20, 19, 20)
-        .select("o_orderkey", "g", "cents", "qlo", "qhi", "clipped")
-        .orderBy("o_orderkey")),
-
-    // Median/MAD robust outliers per event type (the median twin of
-    // q112's mean/variance z-test — immune to the outliers it hunts):
-    // |x − med| > 5·MAD, all integer cross-multiplication.
-    "q128_robust_outliers" -> ((s, d) =>
-      graft.ext.Stats.robustOutliers(
-        events(s, d), "event_type", "event_id",
-        round(col("value") * 100).cast("long"), kNum = 5, kDen = 1)
-        .orderBy("event_id")),
-
-    // LOCF forward-fill: hourly per-type gauge series where empty
-    // buckets inherit the last observed value (cents); in-bucket
-    // winner is the latest event by (ts, event_id).
-    "q129_locf" -> ((s, d) =>
-      EventsOps.locf(events(s, d), "event_type", widthSec = 3600L)
-        .orderBy("event_type", "bucket")),
-
-    // 2x2 chi-square feature screen: order priority vs "status = F",
-    // significance flag fully cross-multiplied in decimal(38,0)
-    // (384/100 ~ the 95% df=1 critical value).
-    "q130_chi_assoc" -> ((s, d) =>
-      graft.ext.Stats.chiAssoc(orders(s, d), "o_orderpriority",
-        col("o_orderstatus") === "F", kNum = 384, kDen = 100)
-        .orderBy("cat")),
-
-    // Bounded multi-source BFS on the bipartite customer-supplier
-    // trade graph (q119's), 4 frontier rounds from suppliers 1-2.
-    "q131_bfs" -> ((s, d) => {
-      val e = lineitem(s, d)
-        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-      val sources = supplier(s, d).filter(col("s_suppkey") <= 2)
-        .select((col("s_suppkey") * 2 + 1).as("node"))
-      graft.ext.Graph.bfsHops(e, "src", "dst", sources, rounds = 4)
-        .orderBy("node")
-    }),
-
-    // Pairwise language token-set similarity from KMV sketches: one
-    // bounded-buffer agg pass over the corpus, then sketch-table-only
-    // set-op estimation (k=16).
-    "q132_kmv_jaccard" -> ((s, d) =>
-      graft.ext.Sketches.kmvJaccard(
-        documents(s, d)
-          .select(col("lang"),
-            explode(TextStats.tokens(col("text"))).as("tok"))
-          .filter(length(col("tok")) > 0),
-        "lang", col("tok"), k = 16)
-        .orderBy("ga", "gb")),
-
-    // Equi-depth deciles of line-item price per return flag: all 10
-    // exact rank-based bounds from one distinct-value pass.
-    "q133_deciles" -> ((s, d) =>
-      graft.ext.Stats.equiDepthBounds(
-        lineitem(s, d).select(col("l_returnflag").as("g"),
-          round(col("l_extendedprice") * 100).cast("long").as("cents")),
-        "g", col("cents"), k = 10)
-        .orderBy("g")),
-
-    // Hourly OHLC bars per event type: open/close by the (ts,
-    // event_id) total order via min_by/max_by — one agg pass, no
-    // window.
-    "q134_ohlc" -> ((s, d) =>
-      EventsOps.ohlc(events(s, d), "event_type", widthSec = 3600L)
-        .orderBy("event_type", "bucket")),
-
-    // Exact trailing-7-day distinct active users per event type:
-    // bounded Expand membership, one distinct agg — never a self-join.
-    "q135_sliding_dau" -> ((s, d) =>
-      EventsOps.slidingDistinct(events(s, d), "event_type",
-        windowDays = 7)
-        .orderBy("event_type", "day")),
-
-    // Deterministic synchronous label propagation on the bipartite
-    // trade graph: 4 sweeps, most-frequent neighbor label, min-label
-    // ties.
-    "q136_lpa" -> ((s, d) => {
-      val e = lineitem(s, d)
-        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-      graft.ext.Graph.labelPropagation(e, "src", "dst", rounds = 4, packedArgmax = true)
-        .orderBy("node")
-    }),
-
-    // Catalog-style per-column profile of orders: null/distinct
-    // counts + native min/max, one logical pass, O(columns) output.
-    "q137_profile" -> ((s, d) =>
-      graft.ext.Quality.profile(orders(s, d),
-        Seq("o_orderkey", "o_custkey", "o_orderstatus",
-          "o_orderdate", "o_orderpriority"))
-        .orderBy("col_name")),
-
-    // Time-weighted gauge average per event type: each reading holds
-    // until the next; decimal-exact cents×seconds integral, integral
-    // divide at the end.
-    "q138_twa" -> ((s, d) =>
-      EventsOps.timeWeightedAvg(events(s, d), "event_type")
-        .orderBy("event_type")),
-
-    // Per-type metric trend: exact-decimal least-squares slope of
-    // cents over epoch seconds (drift detection), q105's sum pattern.
-    "q139_trend" -> ((s, d) =>
-      graft.ext.Stats.trendByGroup(events(s, d), "event_type",
-        unix_timestamp(col("ts")), round(col("value") * 100).cast("long"))
-        .orderBy("event_type")),
-
-    // Orders in flight per priority class: sweep-line concurrency over
-    // [orderdate, last shipdate) — delta explode + running sum on the
-    // change-point table, never an interval×instant join.
-    "q140_concurrency" -> ((s, d) => {
-      val spans = lineitem(s, d)
-        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_orderkey"), col("o_orderpriority").as("g"))
-        .agg(min(col("o_orderdate")).as("st"),
-          max(col("l_shipdate")).as("en"))
-      graft.ext.Stats.concurrency(spans, "g", col("st"), col("en"))
-        .orderBy("g", "t")
-    }),
-
-    // Linear conversion attribution: each purchase's credit splits
-    // equally (exact 1e6 div n ppm) over the user's click/view touches
-    // in the preceding hour — the bucketed interval join (q67's
-    // kernel) keeps the touch pairing an equi-join, and the per-
-    // purchase touch count is one window on the joined pairs.
-    "q141_attribution" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val ev = events(s, d)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id"), col("ts"))
-      val touches = ev.filter(col("event_type").isin("click", "view"))
-        .select(col("user_id"), col("event_id"), col("ts"),
-          col("event_type"))
-      EventsOps.intervalJoin(purchases, touches, "user_id",
-        "ts", "ts", lowerSec = -3600, upperSec = 0, rightPrefix = "t_")
-        .withColumn("__n",
-          count(lit(1)).over(Window.partitionBy("event_id")))
-        .groupBy(col("t_event_type").as("touch_type"))
-        .agg(count(lit(1)).as("touches"),
-          sum(expr("1000000L div __n")).as("credit_ppm"))
-        .orderBy("touch_type")
-    }),
-
-    // Trending parts month-over-month: integer-ppm lift vs the
-    // adjacent previous bucket only, min support both sides, total
-    // tie order, TakeOrderedAndProject board.
-    "q142_trending" -> ((s, d) =>
-      graft.ext.Stats.trending(lineitem(s, d), col("l_partkey"),
-        expr("year(l_shipdate) * 12 + month(l_shipdate)"),
-        minCount = 2, k = 25)),
-
-    // Dictionary encode/aggregate/decode roundtrip: order priorities
-    // become dense value-ordered codes (shuffles move 8-byte codes,
-    // not strings); the graded output proves code assignment and the
-    // roundtrip.
-    "q143_dict" -> ((s, d) => {
-      val dict = graft.ext.Layout.dictBuild(orders(s, d),
-        "o_orderpriority")
-      val enc = graft.ext.Layout.dictEncode(orders(s, d),
-        "o_orderpriority", dict)
-      enc.groupBy(col("o_orderpriority").as("code"))
-        .agg(count(lit(1)).as("n"))
-        .join(dict, Seq("code"))
-        .select("value", "code", "n")
-        .orderBy("code")
-    }),
-
-    // Percentile-rank feature scaling: order totals normalized to
-    // [0, 1e6] ppm within their priority class; ties share a rank so
-    // equal inputs get equal features.
-    "q144_percentile_rank" -> ((s, d) =>
-      graft.ext.Stats.percentileRank(
-        orders(s, d).select(col("o_orderkey"),
-          col("o_orderpriority").as("g"),
-          round(col("o_totalprice") * 100).cast("long").as("cents")),
-        "g", "o_orderkey", col("cents"))
-        .orderBy("o_orderkey")),
-
-    // Revenue-concentration audit: exact Gini (ppm) of per-supplier
-    // revenue within each supplier nation — the unit aggregation runs
-    // first, so the ranking window sees |suppliers| rows.
-    "q145_gini" -> ((s, d) => {
-      val rev = lineitem(s, d)
-        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("s_nationkey").as("g"), col("s_suppkey"))
-        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
-          .as("cents"))
-      graft.ext.Stats.giniByGroup(rev, "g", col("cents"))
-        .orderBy("g")
-    }),
-
-    // Temporal reachability on the trade graph: earliest day (epoch
-    // days) goods/information can reach each party from customers 1-5
-    // along ship-date-increasing paths, 4 relaxation rounds.
-    "q146_temporal_reach" -> ((s, d) => {
-      val e = lineitem(s, d)
-        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"),
-          datediff(col("l_shipdate"), lit("1970-01-01")).as("t"))
-      val sources = customer(s, d).filter(col("c_custkey") <= 5)
-        .select((col("c_custkey") * 2).as("node"))
-      graft.ext.Graph.earliestArrival(e, "src", "dst", "t", sources,
-        rounds = 4)
-        .orderBy("node")
-    }),
-
-    // Numeric feature drift: exact earth-mover distance (cents) between
-    // finished and open orders' total-price distributions.
-    "q147_numeric_drift" -> ((s, d) => {
-      val o = orders(s, d).withColumn("cents",
-        round(col("o_totalprice") * 100).cast("long"))
-      graft.ext.Stats.numericDrift(
-        o.filter(col("o_orderstatus") === "F"),
-        o.filter(col("o_orderstatus") =!= "F"),
-        col("cents"))
-    }),
-
-    // CDC apply: fold a deterministic synthetic change log (two update
-    // waves, a delete wave, an insert wave — later sequence wins) onto
-    // the orders snapshot; the base is scanned once and never shuffled.
-    "q148_cdc_apply" -> ((s, d) => {
-      val base = orders(s, d).select(
-        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
-      val u1 = base.filter(col("o_orderkey") % 7 === 0)
-        .withColumn("price_cents", col("price_cents") + 100L)
-        .withColumn("op", lit("U")).withColumn("seq", lit(1L))
-      val u2 = base.filter(col("o_orderkey") % 14 === 0)
-        .withColumn("price_cents", col("price_cents") + 200L)
-        .withColumn("op", lit("U")).withColumn("seq", lit(2L))
-      val del = base.filter(col("o_orderkey") % 11 === 0)
-        .withColumn("op", lit("D")).withColumn("seq", lit(3L))
-      val ins = base.filter(col("o_orderkey") % 13 === 0)
-        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
-        .withColumn("price_cents", lit(4200L))
-        .withColumn("op", lit("I")).withColumn("seq", lit(1L))
-      val changes = u1.unionByName(u2).unionByName(del).unionByName(ins)
-      graft.etl.Warehouse.applyChanges(base, changes, Seq("o_orderkey"))
-        .orderBy("o_orderkey")
-    }),
-
-    // Systematic PPS sample: ~500 orders drawn proportional to their
-    // price in cents — md5-ordered layout, exact integer grid crossing,
-    // no RNG; n_hits doubles as the replication factor for heavy rows.
-    "q149_pps_sample" -> ((s, d) => {
-      val o = orders(s, d).select(col("o_orderkey"),
-        round(col("o_totalprice") * 100).cast("long").as("weight"))
-      graft.ext.Sampling.ppsTake(o, "o_orderkey", "weight", n = 500)
-        .orderBy("o_orderkey")
-    }),
-
-    // Portable HLL registers per event type over user ids: one
-    // map-side-combined pass, 256-bucket explicit md5 layout, exact
-    // dyadic harmonic-mean numerator — the mergeable distinct sketch.
-    "q150_hll_distinct" -> ((s, d) => {
-      Sketches.hllRegisters(events(s, d), "event_type", col("user_id"))
-        .orderBy("event_type")
-    }),
-
-    // Sorted-neighborhood blocking (third blocking family next to LSH
-    // and pigeonhole): (lang, n_chars) sort, w=5 neighborhood, exact
-    // token-set Jaccard >= 1/2 verify via the hash-set intersect
-    // kernel. Candidates are exactly (w-1)·n — linear by construction.
-    "q151_sorted_neighborhood" -> ((s, d) => {
-      Dedup.sortedNeighborhood(documents(s, d), "doc_id", "text",
-        blockCol = "lang", orderCol = "n_chars", w = 5,
-        tauNum = 1, tauDen = 2)
-        .orderBy("a_id", "b_id")
-    }),
-
-    // Exact two-sample Kolmogorov-Smirnov drift between the click and
-    // view value distributions — cross-multiplied integer CDF gap, one
-    // FP division at the very end.
-    "q152_ks_drift" -> ((s, d) => {
-      val e = events(s, d)
-      graft.ext.Stats.ksDrift(
-        e.filter(col("event_type") === "click"),
-        e.filter(col("event_type") === "view"),
-        col("value"))
-    }),
-
-    // Reciprocal-rank fusion of two retrieval rankings (BM25 keyword
-    // top-20 and cosine-ANN top-20 over the aligned embedding table):
-    // score = Σ 1/(60+rank), the standard hybrid-search combiner. Both
-    // rank windows run on <= 20 rows (post-top-k), so the single-
-    // partition row_number is constant work at any corpus size.
-    "q153_rrf_fusion" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val bm = TextStats.bm25TopK(documents(s, d), "doc_id", "text",
-        Seq("dup", "merge", "spark"), 20)
-        .withColumn("r_bm", row_number().over(
-          Window.orderBy(col("score6").desc, col("doc_id").asc)))
-        .select(col("doc_id"), col("r_bm"))
-      val emb = embeddings(s, d)
-      val q = emb.filter(col("vec_id") === 0L)
-        .select(col("embedding").as("q_vec"),
-          Similarity.l2norm(col("embedding")).as("q_nrm"))
-      val cos = emb.filter(col("vec_id") =!= 0L)
-        .crossJoin(broadcast(q))
-        .select(col("vec_id").as("doc_id"),
-          floor(Similarity.dot(col("embedding"), col("q_vec")) /
-            (Similarity.l2norm(col("embedding")) * col("q_nrm"))
-            * lit(1e6)).cast("long").as("cs6"))
-        .orderBy(col("cs6").desc, col("doc_id").asc).limit(20)
-        .withColumn("r_cos", row_number().over(
-          Window.orderBy(col("cs6").desc, col("doc_id").asc)))
-        .select(col("doc_id"), col("r_cos"))
-      bm.join(cos, Seq("doc_id"), "full_outer")
-        .withColumn("rrf9", floor(
-          (coalesce(lit(1.0) / (lit(60.0) + col("r_bm").cast("double")),
-            lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60.0) + col("r_cos").cast("double")),
-              lit(0.0))) * lit(1e9)).cast("long"))
-        .orderBy(col("rrf9").desc, col("doc_id").asc).limit(10)
-        .select(col("doc_id"), col("r_bm"), col("r_cos"), col("rrf9"))
-    }),
-
-    // Survivorship merge: bag-of-words cluster key (md5 of the sorted
-    // distinct token set), then per-cluster golden record — min id,
-    // member count, mode lang/source, max n_chars.
-    "q154_survivorship" -> ((s, d) => {
-      val key = md5(array_join(array_sort(
-        array_distinct(TextStats.tokens(col("text")))), " "))
-      Dedup.survivorship(documents(s, d), "doc_id", key,
-        modeCols = Seq("lang", "source"), maxCols = Seq("n_chars"))
-        .orderBy("canonical_id")
-    }),
-
-    // Per-class precision/recall/F1 of the heuristic language IDer
-    // against the labeled lang column — the eval harness for any
-    // curation classifier (the confusion matrix itself is q24).
-    "q155_langid_eval" -> ((s, d) => {
-      val guessed = TextStats.withLangId(documents(s, d), "doc_id", "text")
-      graft.ext.Stats.classifierEval(guessed,
-        col("lang_guess"), col("lang"))
-        .orderBy("cls")
-    }),
-
-    // Per-language equi-width histogram (k=10) of document lengths —
-    // the shape profile next to q133's equi-depth quantile bounds.
-    "q156_hist_equiwidth" -> ((s, d) => {
-      graft.ext.Stats.equiWidthHist(documents(s, d), "lang",
-        col("n_chars"), k = 10)
-        .orderBy("lang", "bucket")
-    }),
-
-    // Fellegi-Sunter probabilistic record linkage over the part
-    // catalog: sorted-neighborhood candidates (block p_brand, order
-    // p_retailprice, w=5 — linear by construction), integer milli-bit
-    // agreement weights per field, three-way link decision.
-    "q157_linkage" -> ((s, d) => {
-      import graft.ext.Linkage.FieldWeight
-      val p = part(s, d).withColumn("p_name_first",
-        substring_index(col("p_name"), " ", 1))
-      graft.ext.Linkage.fellegiSunter(p, "p_partkey",
-        blockCol = "p_brand", orderCol = "p_retailprice", w = 5,
-        fields = Seq(FieldWeight("p_type", 4500L, -800L),
-          FieldWeight("p_size", 3200L, -600L),
-          FieldWeight("p_name_first", 2600L, -1500L)),
-        upperMb = 6000L, lowerMb = -2000L)
-        .orderBy("a_id", "b_id")
-    }),
-
-    // k-anonymity / l-diversity release audit on customer: QI =
-    // (nation, coarse account-balance bucket), sensitive = market
-    // segment; emits only the violating equivalence classes.
-    "q158_kanon" -> ((s, d) => {
-      val bucketed = customer(s, d).withColumn("acct_bucket",
-        expr("(cast(round(c_acctbal * 100, 0) AS bigint) + 100000L)" +
-          " div 100000L"))
-      graft.ext.Quality.kAnonymityAudit(bucketed,
-        Seq("c_nationkey", "acct_bucket"), col("c_mktsegment"),
-        k = 4, l = 3)
-        .orderBy("c_nationkey", "acct_bucket")
-    }),
-
-    // Benford first-digit audit per order priority on exact cents —
-    // integer chi-square divergence against the log10(1+1/d) ppm
-    // expectation.
-    "q197_benford" -> ((s, d) =>
-      graft.ext.Quality.benfordAudit(orders(s, d), "o_orderpriority",
-        expr("cast(round(o_totalprice * 100, 0) AS bigint)"))
-        .orderBy("o_orderpriority")),
-
-    // Cohen's kappa of the langID guesser vs the true label —
-    // chance-corrected agreement next to q155's per-class P/R/F1
-    // (accuracy flatters any skewed-marginal classifier; kappa
-    // doesn't). Exact integer counts end to end.
-    "q198_kappa" -> ((s, d) =>
-      graft.ext.Stats.agreementKappa(
-        TextStats.withLangId(documents(s, d), "doc_id", "text"),
-        col("lang_guess"), col("lang"))),
-
-    // Exact per-group ROC-AUC (Mann-Whitney, tie-corrected): does
-    // price rank finished orders above the rest, per priority? The
-    // threshold-free scorer audit — integer 2U numerator over the
-    // distinct-score support, grouped two-phase cumsum above the
-    // measured single-task bound.
-    "q199_roc_auc" -> ((s, d) =>
-      graft.ext.Stats.rocAucByGroup(orders(s, d), "o_orderpriority",
-        expr("cast(round(o_totalprice * 100, 0) AS bigint)"),
-        col("o_orderstatus") === "F")
-        .orderBy("o_orderpriority")),
-
-    // Per-language Spearman rank correlation between character length
-    // and token count — the monotone-association twin of q105's
-    // Pearson, on exact average-rank integers (doubled units).
-    "q200_spearman" -> ((s, d) =>
-      graft.ext.Stats.spearmanByGroup(
-        documents(s, d)
-          .withColumn("__tok", TextStats.tokenCount(col("text"))),
-        "lang", col("n_chars"), col("__tok"))
-        .orderBy("lang")),
-
-    // Deterministic uniform negative sampling: for ~1% of documents
-    // as anchors, 5 ring-slice negatives each from the whole corpus,
-    // excluding same-language documents as positives — the
-    // contrastive-training pair builder, O(anchors·slice) not
-    // anchors×pool.
-    "q201_neg_sample" -> ((s, d) => {
-      val docs = documents(s, d)
-      val anch = docs.filter(col("doc_id") % 97 === 0)
-        .select(col("doc_id").as("anchor"), col("lang"))
-      val positives = anch
-        .join(docs.select(col("lang"), col("doc_id").as("pos_id")),
-          "lang")
-        .select("anchor", "pos_id")
-      graft.ext.Sampling.negativeSample(
-        anch.select("anchor"), "anchor", docs, "doc_id",
-        positives, "anchor", "pos_id", k = 5, oversample = 25)
-        .orderBy("anchor", "rk")
-    }),
-
-    // NDCG@10 + MRR per priority: does price rank finished (rel 2) and
-    // partial (rel 1) orders first? Fixed integer log2 discounts,
-    // distributed per-group ranking — the ranked-surface audit q182's
-    // order-blind recall can't give.
-    "q202_ranking_eval" -> ((s, d) =>
-      graft.ext.Stats.rankingEval(orders(s, d), "o_orderpriority",
-        expr("cast(round(o_totalprice * 100, 0) AS bigint)"),
-        col("o_orderkey"),
-        expr("CASE o_orderstatus WHEN 'F' THEN 2 WHEN 'P' THEN 1" +
-          " ELSE 0 END"),
-        k = 10)
-        .orderBy("o_orderpriority")),
-
-    // Calibration audit (reliability diagram + ECE/MCE): a price-
-    // derived pseudo-confidence vs order-finished — the third
-    // classifier-eval axis next to q155's point metrics and q199's
-    // threshold-free AUC. Exact integer bins end to end.
-    "q203_calibration" -> ((s, d) =>
-      graft.ext.Stats.calibrationAudit(orders(s, d),
-        expr("least(1000000L, cast(round(o_totalprice * 100, 0)" +
-          " AS bigint) div 55)"),
-        col("o_orderstatus") === "F", bins = 10)
-        .orderBy("bin")),
-
-    // Fleiss' kappa across THREE heuristic quality raters (length /
-    // token-count / density terciles) over documents — do independent
-    // cheap signals agree on which documents are big/small beyond the
-    // marginals' chance agreement? Multi-rater form q198's two-column
-    // Cohen contract can't express.
-    "q204_fleiss" -> ((s, d) => {
-      val base = documents(s, d).select(col("doc_id"),
-        col("n_chars").cast("long").as("len"),
-        TextStats.tokenCount(col("text")).cast("long").as("tok"))
-      def tier(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
-        when(c < lo, "low").when(c < hi, "mid").otherwise(lit("high"))
-      val raters =
-        base.select(col("doc_id"), lit("len").as("rater"),
-          tier(col("len"), 220, 380).as("cat"))
-        .union(base.select(col("doc_id"), lit("tok").as("rater"),
-          tier(col("tok"), 40, 70).as("cat")))
-        .union(base.select(col("doc_id"), lit("dens").as("rater"),
-          tier(expr("len div tok"), 5, 6).as("cat")))
-      graft.ext.Stats.fleissKappa(raters, "doc_id", "rater", "cat")
-    }),
-
-    // Gini concentration of order revenue per priority — the
-    // corpus-concentration audit (how unequal is spend within each
-    // priority class?). Exact rank-sum closed form, ppm floor.
-    "q205_gini" -> ((s, d) =>
-      graft.ext.Stats.giniConcentration(orders(s, d), "o_orderpriority",
-        expr("cast(round(o_totalprice * 100, 0) AS bigint)"))
-        .orderBy("o_orderpriority")),
-
-    // EXACT per-group quantiles at corpus scale (p1/p25/p50/p75/p99
-    // of order value per priority): support counts + grouped
-    // two-phase cumsum — exact where q61's full-group sort and q97's
-    // sampling each trade something away.
-    "q206_exact_quantiles" -> ((s, d) =>
-      graft.ext.Stats.exactQuantilesByGroup(orders(s, d),
-        "o_orderpriority",
-        expr("cast(round(o_totalprice * 100, 0) AS bigint)"),
-        Seq(10000L, 250000L, 500000L, 750000L, 990000L))
-        .orderBy("o_orderpriority", "q_ppm")),
-
-    // Market-basket association rules (A-priori level 2): which part
-    // brands co-occur in an order beyond chance — directed pairs with
-    // exact supports, confidence and lift ppm.
-    "q207_assoc_rules" -> ((s, d) =>
-      graft.ext.Mining.assocRules(
-        lineitem(s, d).join(part(s, d),
-          col("l_partkey") === col("p_partkey"))
-          .select(col("l_orderkey").as("basket"),
-            col("p_brand").as("item")),
-        "basket", "item", minSupport = 10, maxBasketSize = 100)
-        .orderBy("antecedent", "consequent")),
-
-    // First-order Markov transition matrix over user event streams —
-    // the sequence-mining companion to q41's funnel: where do users
-    // actually GO after each event type, with exact ppm probabilities.
-    "q208_transitions" -> ((s, d) =>
-      EventsOps.transitions(events(s, d))
-        .orderBy("prev_type", "next_type")),
-
-    // Robust outlier profile per priority: exact median + MAD from
-    // the support-counts quantile kernel, and the count beyond 3
-    // robust sigmas (k = 3 * 1.4826 as the rational 44478/10000).
-    "q209_robust_outliers" -> ((s, d) =>
-      graft.ext.Stats.robustProfile(orders(s, d), "o_orderpriority",
-        expr("cast(round(o_totalprice * 100, 0) AS bigint)"),
-        kNum = 44478, kDen = 10000)
-        .orderBy("o_orderpriority")),
-
-    // Heaps'-law vocabulary growth over the documents corpus in
-    // doc_id order — is more data still buying new vocabulary?
-    // First-occurrence agg + one conditional-sum pass, no
-    // per-checkpoint scans.
-    "q210_heaps" -> ((s, d) =>
-      TextStats.heapsVocabGrowth(documents(s, d), "doc_id", "text",
-        Seq(50L, 100L, 200L, 400L, 800L, 1600L, 3200L))
-        .orderBy("checkpoint")),
-
-    // Distinct-2 diversity per language — the repetitiveness /
-    // mode-collapse audit, on the same codegen'd shingle pass the
-    // dedup family uses.
-    "q211_distinct_n" -> ((s, d) =>
-      TextStats.distinctN(documents(s, d), "lang", "text", n = 2)
-        .orderBy("lang")),
-
-    // Chi-square independence of lang x source — the statistical
-    // complement of q196's FD (determined dependence vs
-    // distributional association): is language mix uniform across
-    // sources? Zero-cell-free identity, per-cell ppm floors.
-    "q212_chi2_indep" -> ((s, d) =>
-      graft.ext.Quality.chiSquareIndependence(documents(s, d),
-        col("lang"), col("source"))),
-
-    // Percentile-rank / CDF table of order value per priority — the
-    // rank-normalization transform as a support-sized join table,
-    // exact percent_rank and inclusive-ECDF ppm per distinct value.
-    "q213_percentile_rank" -> ((s, d) =>
-      graft.ext.Stats.percentileRank(orders(s, d), "o_orderpriority",
-        expr("cast(round(o_totalprice * 100, 0) AS bigint)"))
-        .orderBy("o_orderpriority", "value")),
-
-    // One-sample KS of the md5 32-bit coordinate of o_orderkey vs
-    // continuous uniform on [0, 2^32) — the audit of the hash
-    // discipline hashSplit/ppsTake/negativeSample stand on.
-    "q214_ks_uniform" -> ((s, d) =>
-      graft.ext.Stats.ksUniform(orders(s, d),
-        expr("cast(conv(substring(md5(cast(o_orderkey AS string))," +
-          " 1, 8), 16, 10) AS bigint)"),
-        m = 4294967296L)),
-
-    // Krippendorff's alpha over q204's raters made RAGGED (the
-    // density rater only covers even doc_ids) — the canonical
-    // agreement statistic for exactly the missing-rating input
-    // Fleiss rejects loudly. Exact BigInt rational end to end.
-    "q215_krippendorff" -> ((s, d) => {
-      val base = documents(s, d).select(col("doc_id"),
-        col("n_chars").cast("long").as("len"),
-        TextStats.tokenCount(col("text")).cast("long").as("tok"))
-      def tier(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
-        when(c < lo, "low").when(c < hi, "mid").otherwise(lit("high"))
-      val raters =
-        base.select(col("doc_id"), lit("len").as("rater"),
-          tier(col("len"), 220, 380).as("cat"))
-        .union(base.select(col("doc_id"), lit("tok").as("rater"),
-          tier(col("tok"), 40, 70).as("cat")))
-        .union(base.filter(col("doc_id") % 2 === 0)
-          .select(col("doc_id"), lit("dens").as("rater"),
-            tier(expr("len div tok"), 5, 6).as("cat")))
-      graft.ext.Stats.krippendorffAlpha(raters, "doc_id", "rater",
-        "cat")
-    }),
-
-    // 10%-trimmed mean of order value per priority — the robust
-    // location between mean and median, exact in one support pass
-    // (per-value kept multiplicity = rank-band overlap).
-    "q216_trimmed_mean" -> ((s, d) =>
-      graft.ext.Stats.trimmedMean(orders(s, d), "o_orderpriority",
-        expr("cast(round(o_totalprice * 100, 0) AS bigint)"),
-        trimPpm = 100000L)
-        .orderBy("o_orderpriority")),
-
-    // Degenerate-agreement fixture GRADED cross-engine: every rater
-    // assigns the same single category, so observed and chance
-    // agreement are both exactly 1 and the kappa ratio is 0/0 — the
-    // honest answer is NULL (not 1), and BOTH engines must take that
-    // divide-by-zero branch identically. Pins q204's edge case on the
-    // oracle path, not just in unit specs.
-    "q217_fleiss_degenerate" -> ((s, d) => {
-      val items = orders(s, d)
-        .select(pmod(col("o_orderkey"), lit(37L)).as("doc_id"))
-        .distinct()
-      val raters = items.select(col("doc_id"), lit("r0").as("rater"),
-          lit("only").as("cat"))
-        .union(items.select(col("doc_id"), lit("r1").as("rater"),
-          lit("only").as("cat")))
-      graft.ext.Stats.fleissKappa(raters, "doc_id", "rater", "cat")
-    }),
-
-    // Stream-stream interval join graded THROUGH the streaming engine:
-    // events replay as 6 event-time-ordered file buckets (one
-    // micro-batch each — mtime order is the FileStreamSource contract,
-    // forced strictly increasing below), purchaseContext's watermarked
-    // interval join runs under Trigger.AvailableNow, and foreachBatch
-    // materializes every emitted row. Ordered buckets mean no row is
-    // ever below the 1-hour watermark on arrival, so the inner join's
-    // accumulated output equals the batch interval join EXACTLY — the
-    // determinism that makes a streaming run oracle-gradeable. The
-    // batch twin is q67; this row grades the streaming operator
-    // itself (state store, watermark eviction, per-batch emission).
-    "q218_stream_interval_join" -> ((s, d) => {
-      val dir = tempDir("graft_q218_")
-      streamReplay(s, d, dir,
-        in => graft.streaming.StreamingJobs.purchaseContext(in),
-        "append")
-        .orderBy("user_id", "p_ts", "c_ts")
-    }),
-
-    // Streaming daily-active-users graded through the stateful dedup +
-    // windowed-agg path (dropDuplicatesWithinWatermark state machine):
-    // update-mode emissions per micro-batch land in foreachBatch with
-    // their batch id; a day's final count is its LAST emission. The
-    // 26-hour watermark makes multi-batch replay exact BY DESIGN —
-    // (user, day) duplicates can only arrive within day d, and the
-    // watermark lags 26 h > the day's width, so dedup state never
-    // evicts early no matter how batches split (dauStream's
-    // documented horizon contract). Oracle: count(DISTINCT user) per
-    // epoch day.
-    "q219_stream_dau" -> ((s, d) => {
-      val dir = tempDir("graft_q219_")
-      val perBatch = streamReplay(s, d, dir,
-        in => graft.streaming.StreamingJobs.dauStream(
-          in.withWatermark("ts", "26 hours")),
-        "update", tagBatch = true)
-      perBatch.groupBy("day")
-        .agg(max(struct(col("__batch"), col("n_active"))).as("m"))
-        .select(col("day"), col("m.n_active").as("n_active"))
-        .orderBy("day")
-    }),
-
-    // First-order user transitions graded through the ARBITRARY-state
-    // path (flatMapGroupsWithState, append): per-user last-event-type
-    // state crosses micro-batches, so a user's first event in batch k
-    // pairs with their last event of batch k-1 — the accumulated
-    // emissions equal the batch lead() pairs exactly when batches are
-    // event-time ordered (streamReplay's contract). Completes the
-    // streaming anchor set: q218 join state, q219 dedup+agg state,
-    // q220 arbitrary state.
-    "q220_stream_transitions" -> ((s, d) => {
-      val dir = tempDir("graft_q220_")
-      streamReplay(s, d, dir,
-        in => {
-          import s.implicits._
-          graft.streaming.StreamingJobs.transitionsStream(
-            in.as[graft.streaming.StreamingJobs.Event]).toDF()
-        },
-        "append")
-        .orderBy("user_id", "prev_type", "next_type")
-    }),
-
-    // The LEFT-OUTER stream-stream join's delayed-null branch, graded:
-    // purchases with no click in the preceding hour emit (user, p_ts,
-    // p_value, NULL) only once the engine can PROVE no match is coming
-    // — i.e. the global watermark (min over both sides' event-time
-    // maxima, minus the 1-hour delay) has passed p_ts. Under the
-    // ordered replay + the default no-data final micro-batch, that
-    // proof eventually covers every purchase below min(max_p, max_c)
-    // − 1h; purchases above it hold in state at stream end and NEVER
-    // emit their null row — which is exactly what the oracle replays
-    // (inner pairs ∪ null rows for unmatched purchases below the
-    // final watermark). q218 grades the inner join's state mechanics;
-    // this row grades outer EVICTION-TIME emission, the branch q218
-    // can't reach.
-    "q225_stream_outer_join" -> ((s, d) => {
-      val dir = tempDir("graft_q225_")
-      streamReplay(s, d, dir,
-        in => graft.streaming.StreamingJobs.purchaseContextOuter(in),
-        "append")
-        .orderBy(col("user_id"), col("p_ts"), col("c_ts").asc_nulls_first)
-    }),
-
-    // The DROP branch of withWatermark, graded: bucket 3 (of the 6
-    // event-time buckets) is deliberately delivered LAST, after buckets
-    // 4 and 5 have advanced the watermark ~10 days past its newest
-    // event (the buckets are ~5-day ranges; the delay is 1 hour), so
-    // EVERY bucket-3 row arrives below the watermark and the stateful
-    // aggregation must discard it — state for those windows was already
-    // finalized and evicted. Update-mode emissions + batch-id tag, a
-    // window's count is its LAST emission (q219's convention). Oracle:
-    // the batch tumbling count over the SAME bucket formula with bucket
-    // 3 removed — a row set that differs from the no-watermark batch
-    // twin (Round12Spec pins the difference), which is what proves the
-    // drop actually happened rather than the replay never exercising it.
-    "q224_stream_late_drop" -> ((s, d) => {
-      val dir = tempDir("graft_q224_")
-      val perBatch = streamReplay(s, d, dir,
-        in => in.withWatermark("ts", "1 hour")
-          .groupBy(window(col("ts"), "1 hour").as("w"),
-            col("event_type"))
-          .agg(count(lit(1)).as("n_events")),
-        "update", tagBatch = true, arrival = Seq(0, 1, 2, 4, 5, 3))
-      perBatch
-        .groupBy(col("w.start").as("window_start"), col("event_type"))
-        .agg(max(struct(col("__batch"), col("n_events"))).as("m"))
-        .select(col("window_start"), col("event_type"),
-          col("m.n_events").as("n_events"))
-        .orderBy("window_start", "event_type")
-    }),
-
-    // Streaming near-dup vs the corpus AT REST, graded through the
-    // engine: the <50 batch docs arrive as an ordered 6-bucket stream
-    // (synthetic 1-hour-spaced event times), MinHash-banded with the
-    // stateless per-row projection, probe the persisted writeLshIndex
-    // via STREAM-STATIC joins, verify by exact Jaccard, and collapse
-    // multi-band hits with dropDuplicatesWithinWatermark — the
-    // continuous-ingest twin of q69, which is exactly this row's
-    // oracle (same index parameters, same threshold; the accumulated
-    // append-mode emissions equal the batch incremental probe because
-    // band keys and Jaccard are pure per-doc functions and no row
-    // ever arrives below the watermark under the ordered replay).
-    "q226_stream_neardup" -> ((s, d) => {
-      val docs = documents(s, d)
-      val root = tempDir("graft_q226_")
-      val path = root + "/idx"
-      Dedup.writeLshIndex(docs.filter(col("doc_id") >= 50), "doc_id",
-        "text", n = 3, k = 8, bands = 4, portable = true, path = path)
-      val batchDocs = docs.filter(col("doc_id") < 50)
-        .select(col("doc_id"), col("text"),
-          // offset the synthetic event times a year past the epoch:
-          // a ts of exactly 0 (doc 0) sits AT the stream's initial
-          // watermark and dropDuplicatesWithinWatermark discards it
-          // as late — found by the seed-2 sweep, where doc 0 has a
-          // near-dup partner (the offset cancels in the bucket
-          // formula, so arrival order and splits are unchanged)
-          timestamp_seconds(col("doc_id") * 3600 + 31536000L).as("ts"))
-      streamReplaySrc(s, root, batchDocs,
-        in => graft.streaming.StreamingJobs.nearDupStream(s, path,
-          in.withWatermark("ts", "1 hour"), "doc_id", "text",
-          n = 3, k = 8, bands = 4, threshold = 0.5, portable = true),
-        "append")
-        .select("batch_id", "corpus_id", "jaccard")
-        .orderBy("batch_id", "corpus_id")
-    }),
-
-    // Index-REFRESHING streaming near-dup, graded through the engine:
-    // the foreachBatch twin (nearDupRefreshing) re-reads the at-rest
-    // index EVERY micro-batch, so an appendLshIndex landing between
-    // batches is visible to later batches — the freshness contract the
-    // snapshot-at-start stream-static join (q226) cannot give. Replay:
-    // the initial index holds the >= 50 corpus EXCEPT docs 200-299;
-    // batch docs < 50 arrive as TWO buckets (0-24, then 25-49); after
-    // bucket 0's results are sunk, docs 200-299 are APPENDED. The
-    // graded output is therefore (batch<25 vs corpus∉[200,300)) ∪
-    // (batch 25-49 vs all corpus) — bucket-0 probes must NOT see the
-    // appended docs (not in the index yet), bucket-1 probes MUST. The
-    // 200-299 window is chosen so BOTH branches bite on the primary
-    // fixture (Round13Spec pins it): batch doc 8's only near-dup
-    // partner (245) is appended → absent, and a bucket-1 doc's
-    // partner (45→267) is appended → present.
-    "q227_stream_neardup_refresh" -> ((s, d) => {
-      val docs = documents(s, d)
-      val root = tempDir("graft_q227_")
-      val path = root + "/idx"
-      val appendedRange = col("doc_id") >= 200 && col("doc_id") < 300
-      Dedup.writeLshIndex(
-        docs.filter(col("doc_id") >= 50 && !appendedRange), "doc_id",
-        "text", n = 3, k = 8, bands = 4, portable = true, path = path)
-      val batchDocs = docs.filter(col("doc_id") < 50)
-        .select(col("doc_id"), col("text"),
-          // offset the synthetic event times a year past the epoch:
-          // a ts of exactly 0 (doc 0) sits AT the stream's initial
-          // watermark and dropDuplicatesWithinWatermark discards it
-          // as late — found by the seed-2 sweep, where doc 0 has a
-          // near-dup partner (the offset cancels in the bucket
-          // formula, so arrival order and splits are unchanged)
-          timestamp_seconds(col("doc_id") * 3600 + 31536000L).as("ts"))
-      streamReplayWriter(s, root, batchDocs, 0 until 2) { in =>
-        graft.streaming.StreamingJobs.nearDupRefreshing(path, "doc_id",
-          "text", n = 3, k = 8, bands = 4, threshold = 0.5,
-          portable = true)(in) { (res, batchId) =>
-          // materialize THIS batch's probe results before mutating the
-          // index — the append must be invisible to the batch that
-          // triggered it and visible to the next one
-          res.write.mode("append").parquet(root + "/out")
-          if (batchId == 0L)
-            Dedup.appendLshIndex(docs.filter(appendedRange),
-              "doc_id", "text", n = 3, k = 8, bands = 4,
-              portable = true, path = path)
-        }
-      }
-        .orderBy("batch_id", "corpus_id")
-    }),
-
-    // Streaming HLL distinct-user sketch graded through the engine:
-    // hllStream's mapGroupsWithState carries the 256-register array
-    // as per-type state across micro-batches; registers are a
-    // max-semilattice, so the LAST update-mode emission per type must
-    // equal the batch finalize (q150's math) REGARDLESS of how the
-    // replay buckets split the events. (The full engine-graded set:
-    // q218 join, q219 dedup+windows, q220/q229/q231 arbitrary state,
-    // q224 drop, q225 outer eviction, q226/q227 stream-static probes,
-    // q228 sketch state, q230 O(1) running state.)
-    "q228_stream_hll" -> ((s, d) => {
-      val dir = tempDir("graft_q228_")
-      val perBatch = streamReplay(s, d, dir,
-        in => {
-          import s.implicits._
-          graft.streaming.StreamingJobs.hllStream(
-            in.as[graft.streaming.StreamingJobs.Event]).toDF()
-        },
-        "update", tagBatch = true)
-      perBatch.groupBy("event_type")
-        .agg(max(struct(col("__batch"), col("used"), col("reg_sum")))
-          .as("m"))
-        .select(col("event_type"), col("m.used").as("used"),
-          col("m.reg_sum").as("reg_sum"))
-        .orderBy("event_type")
-    }),
-
-    // Incremental SCD2 maintenance graded through the engine:
-    // scd2Stream's per-user open-interval state crosses micro-batches
-    // (a change in batch k closes an interval opened in batch k-1),
-    // interval bounds carry FULL microsecond precision (the ms-grain
-    // state this round's grading caught would truncate ~every bound
-    // on this fixture). Accumulated append-mode emissions == the
-    // batch SCD2 history's CLOSED rows under the ordered replay.
-    "q229_stream_scd2" -> ((s, d) => {
-      val dir = tempDir("graft_q229_")
-      streamReplay(s, d, dir,
-        in => {
-          import s.implicits._
-          graft.streaming.StreamingJobs.scd2Stream(
-            in.as[graft.streaming.StreamingJobs.Event]).toDF()
-        },
-        "append")
-        .select(col("user_id"), col("attr").as("event_type"),
-          col("valid_from"), col("valid_to"), col("version"))
-        .orderBy("user_id", "version")
-    }),
-
-    // Streaming EWMA graded through the engine: ewmaStream's O(1)
-    // per-user state (count, smoothed value) folds each micro-batch
-    // through the integer recurrence; the LAST update-mode emission
-    // per user == the batch ewmaFinal fold (q122's oracle verbatim).
-    "q230_stream_ewma" -> ((s, d) => {
-      val dir = tempDir("graft_q230_")
-      val perBatch = streamReplay(s, d, dir,
-        in => {
-          import s.implicits._
-          graft.streaming.StreamingJobs.ewmaStream(
-            in.as[graft.streaming.StreamingJobs.Event],
-            aNum = 1, aDen = 5).toDF()
-        },
-        "update", tagBatch = true)
-      perBatch.groupBy("user_id")
-        .agg(max(struct(col("__batch"), col("n"), col("ewma6"))).as("m"))
-        .select(col("user_id"), col("m.n").as("n"),
-          col("m.ewma6").as("ewma6"))
-        .orderBy("user_id")
-    }),
-
-    // Streaming rolling-window anomaly detection graded through the
-    // engine: anomalyStream's per-type trailing-20 ring crosses
-    // micro-batches (a spike in batch k tests against a window filled
-    // in batch k-1); accumulated append-mode flags == the batch
-    // windowed z-test (q112's oracle verbatim) under the ordered
-    // replay's cross-batch event-time contract.
-    "q231_stream_anomaly" -> ((s, d) => {
-      val dir = tempDir("graft_q231_")
-      streamReplay(s, d, dir,
-        in => {
-          import s.implicits._
-          graft.streaming.StreamingJobs.anomalyStream(
-            in.as[graft.streaming.StreamingJobs.Event],
-            n = 20, k = 3).toDF()
-        },
-        "append")
-        .orderBy("event_id")
-    }),
-
-    // Pairwise FD discovery (TANE level 1) on a 4-column customer
-    // profile: every ordered column pair with its exact g3 error —
-    // the key column holds against everything, nothing else does.
-    "q196_fd_discover" -> ((s, d) => {
-      val bucketed = customer(s, d).withColumn("acct_bucket",
-        expr("(cast(round(c_acctbal * 100, 0) AS bigint) + 100000L)" +
-          " div 100000L"))
-      graft.ext.Quality.fdDiscover(bucketed,
-        Seq("c_custkey", "c_nationkey", "c_mktsegment", "acct_bucket"))
-        .orderBy("lhs", "rhs")
-    }),
-
-    // t-closeness audit (Li et al. '07), ordered form: per nation, the
-    // exact-rational 1-D EMD between the nation's account-balance
-    // bucket distribution and the global one. Decimal internals cast
-    // to bigint at the graded surface (q168 lesson).
-    "q189_tcloseness" -> ((s, d) => {
-      val bucketed = customer(s, d).withColumn("acct_bucket",
-        expr("(cast(round(c_acctbal * 100, 0) AS bigint) + 100000L)" +
-          " div 100000L"))
-      graft.ext.Quality.tCloseness(bucketed, Seq("c_nationkey"),
-        col("acct_bucket"), ordered = true)
-        .select(col("c_nationkey"), col("class_size"),
-          col("emd_num").cast("long").as("emd_num"),
-          col("emd_den").cast("long").as("emd_den"), col("t_ppm"))
-        .orderBy("c_nationkey")
-    }),
-
-    // t-closeness, categorical form (variational distance) on the
-    // market-segment sensitive attribute — the skewness-attack check
-    // l-diversity (q158) cannot express.
-    "q190_tcloseness_cat" -> ((s, d) => {
-      graft.ext.Quality.tCloseness(customer(s, d), Seq("c_nationkey"),
-        col("c_mktsegment"), ordered = false)
-        .select(col("c_nationkey"), col("class_size"),
-          col("emd_num").cast("long").as("emd_num"),
-          col("emd_den").cast("long").as("emd_den"), col("t_ppm"))
-        .orderBy("c_nationkey")
-    }),
-
-    // Containment near-dups (asymmetric overlap — quote/subset
-    // detection): same portable band join as q36, exact
-    // |A∩B|/min(|A|,|B|) >= 2/3 verify in pure integers.
-    "q159_containment" -> ((s, d) => {
-      Dedup.containmentPairs(documents(s, d), "doc_id", "text",
-        n = 3, k = 8, bands = 4, tauNum = 2, tauDen = 3,
-        portable = true)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // Leave-one-out target encoding of order price by priority class:
-    // integer-exact (sum-own) div (n-1), category stats broadcast back,
-    // fact side never shuffled.
-    "q160_target_encode" -> ((s, d) =>
-      graft.ext.Features.targetEncodeLoo(orders(s, d), "o_orderkey",
-        "o_orderpriority", round(col("o_totalprice") * 100).cast("long"))
-        .orderBy("o_orderkey")),
-
-    // Hashing-trick feature vectorization (no vocabulary table): each
-    // column=value pair maps to an md5 bucket in [0,64); pure per-row
-    // projection. Graded output serializes the bucket list to a CSV
-    // string — array-typed columns crash the driver compare's pandas
-    // sort.
-    "q161_feature_hash" -> ((s, d) =>
-      graft.ext.Features.featureHash(customer(s, d), "c_custkey",
-        Seq("c_mktsegment", "c_nationkey"), dim = 64)
-        .select(col("c_custkey"),
-          array_join(col("features").cast("array<string>"), ",")
-            .as("features"))
-        .orderBy("c_custkey")),
-
-    // Trailing-7-day distinct users per event type as a mergeable HLL
-    // register merge — the sketch answer to q135's exact Expand: a
-    // day's state is <= 256 registers regardless of member count, and
-    // windows merge by per-bucket MAX. Exact dyadic finalize (q150).
-    "q162_sliding_hll" -> ((s, d) =>
-      Sketches.hllSlidingDistinct(events(s, d), "event_type",
-        expr("unix_micros(ts) div 86400000000"), col("user_id"),
-        windowDays = 7)
-        .orderBy("event_type", "day")),
-
-    // Priority sampling (DLT '07): weighted without-replacement top-n
-    // by integer priority w*2^32 div (md5_u32+1), with the unbiased
-    // max(w, tau) subset-sum estimator. One top-(n+1), no global sort.
-    "q164_priority_sample" -> ((s, d) =>
-      graft.ext.Sampling.priorityTake(
-        orders(s, d).select(col("o_orderkey"),
-          round(col("o_totalprice") * 100).cast("long").as("weight")),
-        "o_orderkey", "weight", n = 300)
-        .orderBy("o_orderkey")),
-
-    // Count-min sketch over document tokens (depth 4 x width 256,
-    // portable md5 rows), point estimates for three probe words next
-    // to their exact counts — est >= exact always, merge = cell sum.
-    "q165_cm_sketch" -> ((s, d) => {
-      val toks = documents(s, d)
-        .select(explode(TextStats.tokens(col("text"))).as("tok"))
-        .filter(length(col("tok")) > 0)
-      val sk = Sketches.cmSketch(toks, col("tok"), depth = 4, width = 256)
-      val est = Sketches.cmEstimate(sk, Seq("dup", "merge", "spark"),
-        depth = 4, width = 256)
-      val exact = toks.filter(col("tok").isin("dup", "merge", "spark"))
-        .groupBy(col("tok").as("term"))
-        .agg(count(lit(1)).as("exact"))
-      est.join(exact, Seq("term"), "left")
-        .withColumn("exact", coalesce(col("exact"), lit(0L)))
-        .orderBy("term")
-    }),
-
-    // Embedding-space benchmark decontamination: for every train
-    // vector the best benchmark match with cosine >= 0.25, via the
-    // 4-bit sign-RP bucket prefilter — the paraphrase-robust companion
-    // to q63's 13-gram scan. Bucket-equi join between the sets, exact
-    // fold-cosine verify, deterministic per-train argmax.
-    "q166_semantic_contamination" -> ((s, d) => {
-      val emb = embeddings(s, d)
-      Similarity.contaminationFlags(
-        emb.filter(col("vec_id") >= 100L),
-        emb.filter(col("vec_id") < 100L),
-        "vec_id", "embedding", threshold = 0.25, nBits = 4)
-        .orderBy("train_id")
-    }),
-
-    // At-rest count-min lifecycle: base matrix write + delta APPEND
-    // (writers never read the base — cell sums are associative) +
-    // sum-on-read, probed like q165. The maintain cycle must answer
-    // exactly like the never-reorganized full-corpus sketch.
-    "q167_cm_maintain" -> ((s, d) => {
-      // Per-invocation unique dir: a dataset-keyed fixed path would let
-      // two concurrent runs (bench + verify) race the write/append
-      // cycle and double-count or drop the delta matrix.
-      val path = tempDir("graft_q167_") + "/cm"
-      val toks = documents(s, d)
-        .select(col("doc_id"),
-          explode(TextStats.tokens(col("text"))).as("tok"))
-        .filter(length(col("tok")) > 0)
-      Sketches.cmWrite(toks.filter(col("doc_id") % 2 === 0),
-        col("tok"), 4, 256, path)
-      Sketches.cmAppend(toks.filter(col("doc_id") % 2 === 1),
-        col("tok"), 4, 256, path)
-      val est = Sketches.cmEstimate(Sketches.cmRead(s, path),
-        Seq("dup", "merge", "spark"), depth = 4, width = 256)
-      val exact = toks.filter(col("tok").isin("dup", "merge", "spark"))
-        .groupBy(col("tok").as("term"))
-        .agg(count(lit(1)).as("exact"))
-      est.join(exact, Seq("term"), "left")
-        .withColumn("exact", coalesce(col("exact"), lit(0L)))
-        .orderBy("term")
-    }),
-
-    // Contrastive pair mining for an ER model: band-join candidates →
-    // label 1 at Jaccard >= 1/2, hard negatives (< 1/5) kept at 10%
-    // by a deterministic pair-key md5 coordinate; ambiguous middle
-    // emitted to neither class.
-    "q169_pair_mining" -> ((s, d) =>
-      Dedup.trainingPairs(documents(s, d), "doc_id", "text",
-        n = 3, k = 8, bands = 4, posNum = 1, posDen = 2,
-        negNum = 1, negDen = 5, negKeepPct = 10, portable = true)
-        .orderBy(col("label").desc, col("id_a"), col("id_b"))),
-
-    // Deterministic A/B bucketing (md5(experiment|unit) % 2) + exact
-    // integer SRM chi-square per experiment — experiment = event type,
-    // unit = user.
-    "q170_ab_srm" -> ((s, d) =>
-      graft.ext.Sampling.abSrmAudit(events(s, d), "event_type", "user_id")
-        .orderBy("experiment")),
-
-    // Table-valued mixture weights (q96's unbounded-strata variant):
-    // weights DERIVED FROM DATA (per-source count % 7 + 1), global
-    // positions via exact long virtual-time keys + distributed
-    // range-sort/zipWithIndex — zero per-strata driver state, no LCM.
-    "q171_mix_by_table" -> ((s, d) => {
-      val docs = documents(s, d)
-      val w = docs.groupBy("source")
-        .agg((count(lit(1)) % 7 + 1).cast("long").as("weight"))
-      graft.ext.Sampling.mixOrderByTable(docs, "doc_id", "source", w)
-        .orderBy("global_pos")
-    }),
-
-    // Epoch-cycling schedule with table-valued weights (q101's
-    // unbounded-strata variant): per-source counts, weight totals, and
-    // epoch bounds are all columns — first 500 slots of the merged
-    // cyclic timeline, weights derived from the source NAME.
-    "q172_epoch_mix_table" -> ((s, d) => {
-      val docs = documents(s, d)
-      val w = docs.select("source").distinct()
-        .withColumn("weight",
-          (ascii(substring(col("source"), 4, 1)) % 5 + 1).cast("long"))
-      graft.ext.Sampling.epochMixOrderByTable(docs, "doc_id", "source",
-        w, total = 500L)
-        .orderBy("global_pos")
-    }),
-
-    // Moore-Lewis intelligent selection (ACL '10): per-token µ-bit
-    // cross-entropy difference between the lang='en' in-domain unigram
-    // LM and the all-corpus LM, add-one smoothed — scored with the
-    // exact-integer Log2Mu so the domain-relevance filter is
-    // hash-gradeable (libm log would differ in last-ulp).
-    "q173_moore_lewis" -> ((s, d) =>
-      graft.ext.TextStats.mooreLewisScore(documents(s, d), "doc_id",
-        "text", col("lang") === "en")
-        .orderBy("doc_id")),
-
-    // MMR diversified retrieval (Carbonell-Goldstein SIGIR '98): the
-    // 30 most query-similar embeddings re-ranked greedily so picks
-    // stay mutually dissimilar (λ=1/2) — integer µ-cosine scores keep
-    // every argmax engine-exact.
-    "q174_mmr_rerank" -> ((s, d) =>
-      graft.ext.Similarity.mmrTopK(embeddings(s, d), "vec_id",
-        "embedding", queryId = 0L, k = 8, poolSize = 30)
-        .orderBy("rank")),
-
-    // Temperature-scaled mixture resampling (α=1/2, the mBERT/XLM
-    // multilingual rebalancing rule): keep-rate √(n_min/n_s) per
-    // language — exact-isqrt integer rates, md5 µ-coordinate thinning,
-    // smallest stratum keeps everything.
-    "q175_temperature_sample" -> ((s, d) =>
-      graft.ext.Sampling.temperatureSample(documents(s, d), "doc_id",
-        "lang")
-        .select(col("doc_id"), col("lang"), col("n_s"), col("rate_ppm"))
-        .orderBy("doc_id")),
-
-    // Quantile-sample sketch at rest: two disjoint shards written
-    // append-only (the second never reads the first), merged on read
-    // by exact count addition + min-k re-take — must equal the q97
-    // single-pass sample over the union (min-k is mergeable).
-    "q176_sample_at_rest" -> ((s, d) => {
-      val docs = documents(s, d)
-      // Per-invocation unique dir (q167 pattern): a dataset-keyed fixed
-      // path would let two concurrent runs (bench + verify) interleave
-      // the write/append cycle and double-count or drop a shard.
-      val path = tempDir("graft_q176_") + "/qsk"
-      val qs = Seq("p25" -> (1, 4), "p50" -> (1, 2), "p75" -> (3, 4))
-      Sketches.sampleWrite(docs.filter(col("doc_id") % 2 === 0), "lang",
-        "doc_id", col("n_chars"), k = 256, path)
-      Sketches.sampleAppend(docs.filter(col("doc_id") % 2 =!= 0), "lang",
-        "doc_id", col("n_chars"), k = 256, path)
-      Sketches.sampleRead(s, path, "lang", k = 256, qs)
-        .orderBy("lang")
-    }),
-
-    // CCNet-style LM quality filter (Wenzek '20): per-doc mean bigram
-    // surprisal in exact µ-bits (Log2Mu) under the add-one in-corpus
-    // LM — the log-perplexity statistic CCNet thresholds on; the
-    // log-space twin of q107's linear mean probability.
-    "q177_lm_perplexity" -> ((s, d) =>
-      graft.ext.TextStats.bigramSurprisal(documents(s, d), "doc_id",
-        "text")
-        .orderBy("doc_id")),
-
-    // Time travel: two snapshot commits, then read-as-of version 1 —
-    // the later commit must be invisible to the older snapshot
-    // (Delta/Iceberg contract in plain parquet: immutable v=N dirs,
-    // committed = _SUCCESS, latest = one listing).
-    "q178_time_travel" -> ((s, d) => {
-      // Per-invocation unique dir (q167 pattern): no shared fixed path,
-      // so concurrent bench + verify runs can't race the two commits.
-      val dir = tempDir("graft_q178_") + "/tbl"
-      val v1 = orders(s, d).select(col("o_orderkey"),
-        col("o_totalprice"))
-      graft.etl.Warehouse.commitVersion(s, v1, dir, "snap")
-      graft.etl.Warehouse.commitVersion(s,
-        v1.withColumn("o_totalprice", col("o_totalprice") + 1),
-        dir, "snap")
-      graft.etl.Warehouse.readVersion(s, dir, "snap", 1L)
-        .orderBy("o_orderkey")
-    }),
-
-    // Priority-sample sketch at rest: two disjoint shards append
-    // their top-(n+1) priority rows, the read re-takes n+1 and
-    // finalizes — must equal q164's direct DLT draw over the union
-    // (top-(n+1) is mergeable, τ included).
-    "q179_priority_at_rest" -> ((s, d) => {
-      val ord = orders(s, d).select(col("o_orderkey"),
-        round(col("o_totalprice") * 100).cast("long").as("weight"))
-      // Per-invocation unique dir (q167 pattern): fixed shared paths
-      // race under concurrent bench + verify runs.
-      val path = tempDir("graft_q179_") + "/psk"
-      graft.ext.Sampling.prioritySampleWrite(
-        ord.filter(col("o_orderkey") % 2 === 0), "o_orderkey", "weight",
-        n = 300, path)
-      graft.ext.Sampling.prioritySampleAppend(
-        ord.filter(col("o_orderkey") % 2 =!= 0), "o_orderkey", "weight",
-        n = 300, path)
-      graft.ext.Sampling.prioritySampleRead(s, path, "o_orderkey",
-        "weight", n = 300)
-        .orderBy("o_orderkey")
-    }),
-
-    // Token-budget corpus selection: the q23 quality score ranks docs,
-    // budgetTake keeps the greedy prefix whose token total fits 10k —
-    // distributed cumulative sum (per-partition sums + broadcast
-    // prefix offsets), no single-task window.
-    "q180_budget_select" -> ((s, d) => {
-      val scored = documents(s, d).select(col("doc_id"),
-        size(TextStats.tokens(col("text"))).cast("long").as("tokens"),
-        TextStats.qualityScore(col("text")).as("quality"))
-      graft.ext.Sampling.budgetTake(scored, "doc_id", "tokens",
-        "quality", budget = 10000L)
-        .orderBy("doc_id")
-    }),
-
-    // Dataset card: the per-language corpus summary a data release
-    // ships — doc/token/char counts, exact-dup doc count (md5 text
-    // hash seen >= 2 anywhere in the corpus), and mean quality in ppm
-    // (per-doc floor to integer BEFORE the sum, so the mean is
-    // order-independent — a bare avg(double) is not).
-    "q181_dataset_card" -> ((s, d) => {
-      val base = documents(s, d).select(col("doc_id"), col("lang"),
-        size(TextStats.tokens(col("text"))).cast("long").as("toks"),
-        col("n_chars"),
-        // empty/whitespace-only text makes qualityScore NaN (0/0
-        // ratios); pin it to 0 so Spark's silent NaN->0 cast and the
-        // oracle's CASE agree instead of diverging
-        when(length(trim(col("text"))) === 0, lit(0L))
-          .otherwise(floor(TextStats.qualityScore(col("text")) * 1e6)
-            .cast("long")).as("q6"),
-        md5(col("text")).as("h"))
-      val dupKeys = base.groupBy("h").agg(count(lit(1)).as("c"))
-        .filter(col("c") >= 2)
-        .select(col("h"), lit(1L).as("isdup"))
-      base.join(dupKeys, Seq("h"), "left")
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("toks")).as("total_tokens"),
-          sum(col("n_chars")).as("total_chars"),
-          sum(coalesce(col("isdup"), lit(0L))).as("dup_docs"),
-          sum(col("q6")).as("__q"))
-        .select(col("lang"), col("n_docs"), col("total_tokens"),
-          col("total_chars"), col("dup_docs"),
-          expr("__q div n_docs").as("mean_quality_ppm"))
-        .orderBy("lang")
-    }),
-
-    // At-rest LSH index APPEND: write the >=100 corpus, append the
-    // 50..99 batch without touching existing files, probe the <50
-    // batch — must equal probing a full rebuild over >=50 (q69's
-    // graded scenario, q69's oracle).
-    "q183_index_append" -> ((s, d) => {
-      val docs = documents(s, d)
-      // Per-invocation unique dir (q167 pattern): fresh dir per run, so
-      // there is no stale state to delete and no write/append race
-      // between concurrent bench + verify invocations.
-      val path = tempDir("graft_q183_") + "/idx"
-      Dedup.writeLshIndex(docs.filter(col("doc_id") >= 100), "doc_id",
-        "text", n = 3, k = 8, bands = 4, portable = true, path = path)
-      Dedup.appendLshIndex(
-        docs.filter(col("doc_id") >= 50 && col("doc_id") < 100),
-        "doc_id", "text", n = 3, k = 8, bands = 4, portable = true,
-        path = path)
-      Dedup.incrementalNearDups(s, path, docs.filter(col("doc_id") < 50),
-        "doc_id", "text", n = 3, k = 8, bands = 4, threshold = 0.5,
-        portable = true)
-        .orderBy("batch_id", "corpus_id")
-    }),
-
-    // Padding-efficiency audit: length-sorted vs arrival-order batches
-    // of 32 — how many pad tokens each layout burns, exact ppm.
-    "q186_padding_audit" -> ((s, d) =>
-      graft.ext.Sampling.paddingAudit(
-        documents(s, d).select(col("doc_id"),
-          size(TextStats.tokens(col("text"))).cast("long").as("toks")),
-        "doc_id", "toks", b = 32)
-        .orderBy("ordering")),
-
-    // LSH-banding recall audit: brute Jaccard ground truth on the
-    // doc_id<300 sample vs the banding's candidates — the dedup-side
-    // twin of q182's ANN recall, one summary row.
-    "q185_lsh_recall" -> ((s, d) =>
-      Dedup.lshRecallAudit(documents(s, d), "doc_id", "text",
-        maxId = 300L, n = 3, k = 8, bands = 4, threshold = 0.5,
-        portable = true)
-        .orderBy("n_true")),
-
-    // Embedding-centroid drift: integer fixed-point centroids per
-    // vec_id bucket of 50, cosine between consecutive buckets — the
-    // "did the encoder or data shift" gauge, engine-exact.
-    "q184_embedding_drift" -> ((s, d) =>
-      graft.ext.Similarity.centroidDrift(embeddings(s, d), "embedding",
-        expr("vec_id div 50"))
-        .orderBy("bucket")),
-
-    // ANN recall audit: recall@10 of the 8-bit/hamming-2 multi-probe
-    // search (q30's parameters) vs exact brute force for ten query
-    // vectors — the index-parameter measurement, exact integer ppm.
-    "q182_ann_recall" -> ((s, d) =>
-      graft.ext.Similarity.annRecallAudit(embeddings(s, d), "vec_id",
-        "embedding", queryIds = (0L until 10L).toSeq, k = 10)
-        .orderBy("qid")),
-
-    // Join-explosion pre-audit: exact per-key output contribution of
-    // the (customer x supplier ON nationkey) many-to-many join — two
-    // key-count profiles joined on distinct keys, never fact rows;
-    // top contributors are where the blow-up hides.
-    // Graded surface casts contrib decimal(38,0)->bigint: the library
-    // keeps decimal for the 3e9-row overflow case, but at sf0.01 the max
-    // contribution is ~10^6 and the driver's hash compare only handles
-    // scalar bigint/string — decimal here cost the round-7 green.
-    "q168_join_explosion" -> ((s, d) =>
-      graft.ext.Skew.joinExplosionAudit(
-        customer(s, d), "c_nationkey", supplier(s, d), "s_nationkey",
-        k = 10)
-        .withColumn("contrib", col("contrib").cast("bigint"))
-        .orderBy(col("contrib").desc, col("key").asc)),
-
-    // Market-basket co-occurrence over supplier nations per order:
-    // locally-emitted basket pairs (never a fact-table self-join) +
-    // integer-ppm association confidence.
-    "q126_copurchase" -> ((s, d) => {
-      val bi = lineitem(s, d)
-        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
-        .select(col("l_orderkey").as("basket"),
-          col("s_nationkey").as("item"))
-      graft.ext.Stats.coOccurrence(bi, "basket", "item", minCount = 5)
-        .orderBy("item_a", "item_b")
-    }),
-
-    // Zone-map lifecycle: base write + delta append (delta-sized stats
-    // maintenance) + overlap-driven compaction, then a pruned range
-    // read. The oracle filters the full fact set — equality proves the
-    // whole maintain-then-read cycle loses and duplicates nothing.
-    "q125_zone_maintain" -> ((s, d) => {
-      val path = tempDir("graft_q125_") + "/orders_zoned"
-      val o = orders(s, d)
-      graft.ext.Layout.zoneWrite(
-        o.filter(col("o_orderdate") < lit("1997-01-01")),
-        "o_totalprice", 12, path)
-      graft.ext.Layout.zoneAppend(
-        o.filter(col("o_orderdate") >= lit("1997-01-01")),
-        "o_totalprice", 4, path)
-      graft.ext.Layout.zoneCompact(s, path, "o_totalprice",
-        rowsPerFile = 2000L)
-      graft.ext.Layout.zoneRead(s, path, "o_totalprice",
-        lit(100000.0), lit(150000.0))
-        .select("o_orderkey", "o_totalprice")
-        .orderBy("o_orderkey")
-    }),
-
-    // Co-located at-rest join: customer and orders bucketed on their
-    // join keys (8 buckets each) as catalog tables; the join then runs
-    // with ZERO exchange and zero sort on either side (plan-asserted
-    // in PlanAuditSpec) — the write pays the shuffle once, every later
-    // join rides the layout.
-    "q124_bucketed_join" -> ((s, d) => {
-      val tmp = tempDir("graft_q124_")
-      graft.ext.Layout.bucketTableWrite(customer(s, d), "c_custkey", 8,
-        "graft_q124_cust", s"$tmp/cust")
-      graft.ext.Layout.bucketTableWrite(orders(s, d), "o_custkey", 8,
-        "graft_q124_ord", s"$tmp/ord")
-      graft.ext.Layout.bucketedJoin(s, "graft_q124_cust", "c_custkey",
-        "graft_q124_ord", "o_custkey")
-        .groupBy("c_custkey", "c_name")
-        .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double").as("total"))
-        .orderBy("c_custkey")
-    }),
-
-    // Incremental aggregate-view maintenance: per-customer order stats
-    // built from a pre-1997 base, then two year-batches folded in via
-    // mergeAggState — state-sized merges, base never rescanned. The
-    // oracle recomputes the view from ALL facts; equality proves the
-    // incremental path is exact (decimal sums make it order-safe).
-    "q121_agg_view_merge" -> ((s, d) => {
-      import graft.etl.Warehouse
-      val o = orders(s, d)
-      val v = col("o_totalprice")
-      val keys = Seq("o_custkey")
-      val base = o.filter(col("o_orderdate") < lit("1997-01-01"))
-      val d1 = o.filter(col("o_orderdate") >= lit("1997-01-01") &&
-        col("o_orderdate") < lit("1998-01-01"))
-      val d2 = o.filter(col("o_orderdate") >= lit("1998-01-01"))
-      val merged = Warehouse.mergeAggState(
-        Warehouse.mergeAggState(Warehouse.aggState(base, keys, v),
-          d1, keys, v),
-        d2, keys, v)
-      merged.select(col("o_custkey"), col("n"),
-        col("s").cast("double").as("s"), col("mn"), col("mx"))
-        .orderBy("o_custkey")
-    }),
-
-    // EWMA (alpha = 1/5) of event values per user — ordered integer
-    // fold over each user's history; final smoothed state per key.
-    "q122_ewma" -> ((s, d) =>
-      EventsOps.ewmaFinal(events(s, d), "user_id", aNum = 1, aDen = 5)
-        .orderBy("user_id")),
-
-    // Functional-dependency audit: does o_custkey -> o_orderpriority
-    // hold on orders? (It does not — the violating groups ARE the
-    // answer; an empty result would certify the FD.)
-    "q123_fd_audit" -> ((s, d) =>
-      graft.ext.Quality.fdViolations(orders(s, d), Seq("o_custkey"),
-        "o_orderpriority")
-        .orderBy("o_custkey")),
-
-    // Zone-mapped range read: orders range-clustered on o_totalprice
-    // into 16 files + a per-file (min,max,rows) sidecar; the read
-    // prunes files via the sidecar BEFORE touching data (file-level
-    // data skipping — the result is identical to the plain filter,
-    // which is exactly what the oracle checks).
-    "q120_zonemap_read" -> ((s, d) => {
-      val path = tempDir("graft_q120_") + "/orders_zoned"
-      graft.ext.Layout.zoneWrite(orders(s, d), "o_totalprice", 16, path)
-      graft.ext.Layout.zoneRead(s, path, "o_totalprice",
-        lit(50000.0), lit(100000.0))
-        .select("o_orderkey", "o_totalprice")
-        .orderBy("o_orderkey")
-    }),
-
-    // k-core of the bipartite customer–supplier trade graph (even /
-    // odd node ids keep the two key spaces disjoint): peel until every
-    // survivor keeps >= 25 distinct counterparties. 8 synchronous
-    // rounds, semantics identical whether or not the fixpoint landed.
-    "q119_kcore" -> ((s, d) => {
-      val e = lineitem(s, d)
-        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-      graft.ext.Graph.kcore(e, "src", "dst", k = 25, rounds = 8)
-        .orderBy("node")
-    }),
-
-    // Content-defined chunking dedup: md5-window boundaries (~64-char
-    // mean chunks), cross-doc chunk identity — the shift-robust
-    // storage dedup stat per document.
-    "q116_cdc_chunks" -> ((s, d) =>
-      Dedup.cdcDupStats(documents(s, d), "doc_id", "text")
-        .orderBy("doc_id")),
-
-    // Exact-phrase contamination probe AT REST: positional postings
-    // bucket-partitioned by term hash; the probe reads only the phrase
-    // terms' bucket dirs (PartitionFilters IN-list). Same result rows
-    // as q114 — the layout changes where postings live, not answers.
-    "q115_phrase_at_rest" -> ((s, d) => {
-      val path = tempDir("graft_q115_") + "/postings"
-      graft.ext.Index.writePositionalPostings(documents(s, d), "doc_id",
-        "text", path)
-      graft.ext.Index.phraseAtRest(s, path, Seq("spark", "join"))
-        .orderBy("doc_id")
-    }),
-
-    // Token-weighted median document length per language — exact
-    // integer weighted median (cross-multiplied half test, no FP).
-    "q113_weighted_median" -> ((s, d) =>
-      graft.ext.Stats.weightedMedianByGroup(
-        documents(s, d), "lang", col("n_chars"),
-        TextStats.tokenCount(col("text")))
-        .orderBy("lang")),
-
-    // Rolling z-score anomaly detection per event type: trailing-20
-    // window, 3-sigma cross-multiplied integer test (no sqrt, no FP).
-    "q112_anomaly" -> ((s, d) =>
-      EventsOps.anomalies(events(s, d), "event_type", n = 20, k = 3)
-        .orderBy("event_id")),
-
-    // Distribution-drift audit: language shares of the full corpus vs
-    // a deterministic subset, as exact ppm-share deltas (the
-    // train-vs-serve skew monitor; integer TV-family, no libm).
-    "q111_drift" -> ((s, d) => {
-      val docs = documents(s, d)
-      graft.ext.Stats.categoryDrift(docs,
-        docs.filter(col("doc_id") % 3 =!= 0), "lang")
-        .orderBy("lang")
-    }),
-
-    // Deequ-style constraint audit over a deterministically dirtied
-    // orders snapshot: four row-local rules share ONE scan; unique and
-    // FK add one agg / one anti-join. Violation counts are the grade.
-    "q110_quality_audit" -> ((s, d) => {
-      import graft.ext.Quality
-      val base = orders(s, d)
-      val k = col("o_orderkey")
-      val dirty0 = base.select(k.as("o_orderkey"),
-        when(k % 97 === 0, lit(null))
-          .when(k % 107 === 0, col("o_custkey") + 1000000L)
-          .otherwise(col("o_custkey")).as("o_custkey"),
-        when(k % 103 === 0, "X").otherwise(col("o_orderstatus"))
-          .as("o_orderstatus"),
-        when(k % 101 === 0, -1.0d).otherwise(col("o_totalprice"))
-          .as("o_totalprice"),
-        when(k % 109 === 0, "bogus").otherwise(col("o_orderpriority"))
-          .as("o_orderpriority"))
-      val dirty = dirty0.unionByName(dirty0.filter(k % 1000 === 0))
-      Quality.audit(dirty, Seq(
-        Quality.NotNull("o_custkey"),
-        Quality.InRange("o_totalprice", lit(1.0d), lit(600000.0d)),
-        Quality.InSet("o_orderstatus", Seq("O", "F", "P")),
-        Quality.MatchesRegex("o_orderpriority", "^[1-5]-[A-Z ]+$"),
-        Quality.Unique(Seq("o_orderkey")),
-        Quality.ForeignKey("o_custkey", customer(s, d), "c_custkey",
-          "customer")))
-        .orderBy("rule")
-    }),
-
-    // Train-then-encode BPE end-to-end: learn 6 merges from the corpus
-    // (q89's trainer), apply them back to every document, count BPE
-    // tokens per doc. The merge table is driver-side literals; the
-    // encode pass is a pure codegen'd projection.
-    "q102_bpe_encode" -> ((s, d) => {
-      val docs = documents(s, d)
-      val merges = TextStats.bpeMerges(docs, "text", 6)
-        .orderBy("round").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      TextStats.bpeEncode(docs, "doc_id", "text", merges)
-        .orderBy("doc_id")
-    }),
-
-    // Epoch-aware mixture schedule: the first 400 slots of the merged
-    // cyclic timeline — small sources REPEAT (epochs) so the 5:3:2:1
-    // weight ratio holds for the whole budget; closed-form ranks, no
-    // global sort, volume = the schedule itself.
-    "q101_epoch_mix" -> ((s, d) =>
-      graft.ext.Sampling.epochMixOrder(documents(s, d), "doc_id",
-        "source", Seq("src0" -> 5L, "src1" -> 3L, "src2" -> 2L,
-          "src3" -> 1L), total = 400L)
-        .orderBy("global_pos")),
-
-    // Leakage-safe train/val/test split: near-dup CLUSTERS are the
-    // split unit, not documents — the assignment hashes the cluster
-    // representative, so every member of a near-dup family lands in the
-    // same split and no eval document has a training-set twin (the
-    // decontamination rule every corpus team enforces). Composes the
-    // graded pieces end-to-end: LSH near-dup pairs → connected
-    // components → singleton backfill → hash split on the cluster key.
-    "q100_leakage_safe_split" -> ((s, d) => {
-      val docs = documents(s, d)
-      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
-        n = 3, k = 8, bands = 4, threshold = 0.5, portable = true)
-      val clusters = Dedup.dedupClusters(pairs.select("id_a", "id_b"))
-      val withCluster = docs.select(col("doc_id"))
-        .join(clusters, docs("doc_id") === clusters("id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("cluster"), col("doc_id")).as("cluster"))
-      graft.ext.Sampling.withHashSplit(withCluster, "cluster",
-        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
-        .select("doc_id", "cluster", "split")
-        .orderBy("doc_id")
-    }),
-
-    // Point-in-time-correct dimension lookup (the feature-store /
-    // SCD2-fact-join primitive): build the SCD2 history of each user's
-    // value band, then attach to every purchase the band that was
-    // CURRENT at its timestamp — an as-of join against the change rows
-    // (valid intervals chain contiguously, so latest-change-at-or-
-    // before IS interval containment). Simultaneous changes collapse to
-    // their final state before the join, keeping the lookup
-    // deterministic.
-    "q99_scd2_lookup" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val e = events(s, d)
-      val banded = e.withColumn("band",
-        when(col("value") < 1.0, "low")
-          .when(col("value") < 3.0, "mid").otherwise("high"))
-      val byState = Window.partitionBy("user_id", "valid_from")
-        .orderBy(col("version").desc)
-      val dim = EventsOps.scd2(banded, "band")
-        .withColumn("__rn", row_number().over(byState))
-        .filter(col("__rn") === 1).drop("__rn")
-      val facts = e.filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts")
-      EventsOps.asofJoin(facts, dim, "user_id", "ts", "valid_from",
-        "band")
-        .select(col("event_id"), col("user_id"), col("ts"),
-          col("asof_band").as("band_at_purchase"))
-        .orderBy("event_id")
-    }),
-
-    // Per-group sampled quantiles in ONE aggregation pass: mergeable
-    // md5-keyed min-k sample (bounded typed-Aggregator buffers,
-    // map-side combine) + rational rank reads — the 100 TB alternative
-    // to q61's exact full-sort percentile. Oracle replays the sample
-    // itself, so the grade holds at any scale factor.
-    "q97_sample_quantiles" -> ((s, d) =>
-      Sketches.sampleQuantiles(documents(s, d), "lang", "doc_id",
-        col("n_chars"), k = 256,
-        Seq("p25" -> (1, 4), "p50" -> (1, 2), "p75" -> (3, 4)))
-        .orderBy("lang")),
-
-    // Segmented (LSM) incremental index maintenance: corpus postings as
-    // seg=0, a new batch appended as seg=1 WITHOUT touching the corpus
-    // segment, lookup merges segments with bucket pruning inside each +
-    // manifest liveness. Graded: the merged lookup equals a one-shot
-    // recount over the whole corpus.
-    "q98_postings_segments" -> ((s, d) => {
-      val docs = documents(s, d)
-      // per-invocation unique dir (q167 pattern): fresh dir, no stale
-      // state to delete, no cross-run segment-write race
-      val path = tempDir("graft_q98_") + "/segidx"
-      graft.ext.Index.writeSegment(docs.filter(col("doc_id") >= 50),
-        "doc_id", "text", path, seg = 0)
-      graft.ext.Index.writeSegment(docs.filter(col("doc_id") < 50),
-        "doc_id", "text", path, seg = 1)
-      graft.ext.Index.termLookupSegments(s, path,
-        Seq("merge", "scan", "filter"), k = 5)
-        .orderBy("term", "rank")
-    }),
-
-    // At-rest inverted index: build term-bucketed posting lists (one
-    // corpus pass, paid once), then answer probe-term lookups reading
-    // only the hashed bucket directories (PartitionFilters IN-list —
-    // the text twin of q53/q77's vector layouts).
-    "q94_postings_at_rest" -> ((s, d) => {
-      val path = tempDir("graft_q94_") + "/postings"
-      graft.ext.Index.writePostings(documents(s, d), "doc_id", "text",
-        path)
-      graft.ext.Index.termLookupAtRest(s, path,
-        Seq("join", "hash", "scan", "batch", "row"), k = 5)
-        .orderBy("term", "rank")
-    }),
-  )
-
-  private val dotSql = (v: String, q: String) =>
-    s"""list_reduce(list_prepend(0.0, list_transform(range(len($v)),
-       |  i -> cast($v[i+1] AS double) * cast($q[i+1] AS double))),
-       |  (a, b) -> a + b)""".stripMargin
-
-  private val cosineSql = (v: String, q: String) =>
-    s"(${dotSql(v, q)}) / (sqrt(${dotSql(v, v)}) * sqrt(${dotSql(q, q)}))"
-
-  /** q174's greedy MMR unrolled to `k` step CTEs (the fixed-round
-    * unroll discipline of the kcore/BFS/LPA oracles): each step picks
-    * the integer-µ-cosine argmax of lamNum·rel − (lamDen−lamNum)·
-    * max-sim-to-picked, ties by id.
-    */
-  private def mmrOracleSql(k: Int, pool: Int, lamNum: Int,
-      lamDen: Int): String = {
-    val lamC = lamDen - lamNum
-    val steps = (2 to k).map { i =>
-      val selUnion = (1 until i).map(j => s"SELECT cid FROM pick$j")
-        .mkString(" UNION ALL ")
-      s"""sel${i - 1} AS MATERIALIZED ($selUnion),
-         |s$i AS MATERIALIZED (
-         |  SELECT c.cid, $lamNum * c.rel_u - $lamC * m.mx AS sc
-         |  FROM cand c
-         |  JOIN (SELECT a AS cid, max(sim_u) AS mx FROM p
-         |        WHERE b IN (SELECT cid FROM sel${i - 1}) GROUP BY a) m
-         |    ON m.cid = c.cid
-         |  WHERE c.cid NOT IN (SELECT cid FROM sel${i - 1})
-         |  ORDER BY sc DESC, c.cid LIMIT 1),
-         |pick$i AS MATERIALIZED (SELECT cid, $i AS rank, sc FROM s$i)""".stripMargin
-    }.mkString(",\n")
-    val unionAll = (1 to k).map(i => s"SELECT * FROM pick$i")
-      .mkString(" UNION ALL ")
-    s"""WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
-       |cand AS MATERIALIZED (
-       |  SELECT vec_id AS cid, embedding AS cvec,
-       |    cast(floor((${cosineSql("embedding", "q_vec")}) * 1000000)
-       |      AS bigint) AS rel_u
-       |  FROM embeddings, q WHERE vec_id <> 0
-       |  ORDER BY rel_u DESC, vec_id LIMIT $pool),
-       |p AS MATERIALIZED (
-       |  SELECT ca.cid AS a, cb.cid AS b,
-       |    cast(floor((${cosineSql("ca.cvec", "cb.cvec")}) * 1000000)
-       |      AS bigint) AS sim_u
-       |  FROM cand ca JOIN cand cb ON ca.cid <> cb.cid),
-       |s1 AS (SELECT cid, $lamNum * rel_u AS sc FROM cand
-       |       ORDER BY sc DESC, cid LIMIT 1),
-       |pick1 AS MATERIALIZED (SELECT cid, 1 AS rank, sc FROM s1),
-       |$steps
-       |SELECT cast(rank AS bigint) AS rank, cid AS vec_id,
-       |  cast(sc AS bigint) AS mmr_u
-       |FROM ($unionAll) ORDER BY rank""".stripMargin
-  }
-
-  /** DLT priority sample replay — shared by q164 (direct) and q179
-    * (at-rest sharded): top-(n+1) is mergeable, so both grade against
-    * one replay.
-    */
-  private val prioritySampleReplaySql: String = {
-    val h = md5u32Sql("cast(o_orderkey AS varchar)")
-    s"""WITH t AS (
-       |  SELECT o_orderkey,
-       |    cast(round(o_totalprice * 100) AS bigint) AS weight,
-       |    cast($h AS bigint) AS h
-       |  FROM orders),
-       |p AS (
-       |  SELECT o_orderkey, weight,
-       |    (weight * 4294967296) // (h + 1) AS priority
-       |  FROM t),
-       |top AS (
-       |  SELECT * FROM p ORDER BY priority DESC, o_orderkey LIMIT 301),
-       |x AS (
-       |  SELECT o_orderkey, weight, priority,
-       |    row_number() OVER (ORDER BY priority DESC, o_orderkey) AS rn,
-       |    count(*) OVER () AS c, min(priority) OVER () AS mn
-       |  FROM top)
-       |SELECT o_orderkey, weight, cast(priority AS bigint) AS priority,
-       |  cast(greatest(weight,
-       |    CASE WHEN c = 301 THEN mn ELSE 0 END) AS bigint)
-       |    AS est_weight
-       |FROM x WHERE rn <= 300 ORDER BY o_orderkey""".stripMargin
-  }
-
-  /** md5 min-k sample + rational rank reads — replays
-    * `Sketches.sampleQuantiles` exactly. Shared by q97 (direct) and
-    * q176 (at-rest sharded): the shard merge is provably the same
-    * sample, so both grade against one replay.
-    */
-  private val sampleQuantilesReplaySql: String = {
-    val h32 = (0 until 8).map(i =>
-      s"(strpos('0123456789abcdef', substr(hh, ${i + 1}, 1)) - 1) * ${math.pow(16, 7 - i).toLong}")
-      .mkString("(", " + ", ")")
-    s"""WITH h AS (
-       |  SELECT lang, n_chars, md5(cast(doc_id AS varchar)) AS hh
-       |  FROM documents),
-       |hv AS (SELECT lang, n_chars, cast($h32 AS bigint) AS h FROM h),
-       |r AS (SELECT lang, n_chars,
-       |    row_number() OVER (PARTITION BY lang ORDER BY h, n_chars)
-       |      AS rn,
-       |    count(*) OVER (PARTITION BY lang) AS n
-       |  FROM hv),
-       |s AS (SELECT lang, n_chars, n FROM r WHERE rn <= 256),
-       |v AS (SELECT lang, n_chars, n,
-       |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS vr,
-       |    count(*) OVER (PARTITION BY lang) AS m
-       |  FROM s)
-       |SELECT lang, max(n) AS n, max(m) AS m,
-       |  max(CASE WHEN vr = (1 * m + 3) // 4 THEN n_chars END) AS p25,
-       |  max(CASE WHEN vr = (1 * m + 1) // 2 THEN n_chars END) AS p50,
-       |  max(CASE WHEN vr = (3 * m + 3) // 4 THEN n_chars END) AS p75
-       |FROM v GROUP BY lang ORDER BY lang""".stripMargin
-  }
-
-  /** Squared-L2 in the exact left-associated shape the Spark side
-    * computes (`Similarity.sqDist` / the driver twin) — shared by the
-    * IVF/PQ oracles so assignment replays bit-for-bit.
-    */
-  private val d2Sql = (v: String, c: String) =>
-    s"(${dotSql(v, v)}) - 2.0 * (${dotSql(v, c)}) + (${dotSql(c, c)})"
-
-  /** `c`: the 16 seeded centroids (smallest-id embeddings) with their
-    * index — the single source for IVF cells (q65/q73) and PQ codebook
-    * blocks (q72/q73).
-    */
-  private lazy val ivfSeedCte: String =
-    """c AS (
-      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_idx,
-      |    embedding AS c_vec
-      |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16))"""
-      .stripMargin
-
-  /** `c` with the cell count DERIVED from the corpus — the scaled twin
-    * of [[ivfSeedCte]] for q84_knn_scaled: nCells = greatest(3,
-    * n div 100), the same rule the Spark side computes, so the oracle
-    * follows the scaling contract rather than replaying a constant.
-    */
-  private lazy val ivfSeedCteScaled: String =
-    """c AS (
-      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_idx,
-      |    embedding AS c_vec
-      |  FROM embeddings
-      |  QUALIFY row_number() OVER (ORDER BY vec_id) <=
-      |    greatest(3, (SELECT count(*) FROM embeddings) // 100))"""
-      .stripMargin
-
-  /** Full-vector IVF assignment + query probes (a, cell, q, probes) —
-    * needs `c`; shared by q65 and q73.
-    */
-  private lazy val ivfProbeCtes: String =
-    s"""a AS (
-       |  SELECT e.vec_id, c.c_idx,
-       |    row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY (${d2Sql("e.embedding", "c.c_vec")}) ASC,
-       |        c.c_idx ASC) AS rn
-       |  FROM embeddings e CROSS JOIN c),
-       |cell AS (SELECT vec_id, c_idx AS cell FROM a WHERE rn = 1),
-       |q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
-       |probes AS (
-       |  SELECT c_idx FROM c, q
-       |  ORDER BY (${d2Sql("q_vec", "c_vec")}) ASC, c_idx ASC LIMIT 3)"""
-      .stripMargin
-
-  /** PQ encode/reconstruct over 8 blocks x the 16 seeds (blocks, cb,
-    * sv, asn, enc with codes + reconstruction) — needs `c`; shared by
-    * q72 and q73.
-    */
-  private lazy val pqCtes: String =
-    s"""blocks AS (SELECT unnest(range(8)) AS j),
-       |cb AS (
-       |  SELECT j, c_idx, c_vec[j*8+1 : j*8+8] AS csub
-       |  FROM c, blocks),
-       |sv AS (
-       |  SELECT vec_id, j, embedding[j*8+1 : j*8+8] AS vsub
-       |  FROM embeddings, blocks),
-       |asn AS (
-       |  SELECT vec_id, j, c_idx, csub,
-       |    row_number() OVER (PARTITION BY vec_id, j
-       |      ORDER BY (${d2Sql("vsub", "csub")}) ASC, c_idx ASC) AS rn
-       |  FROM sv JOIN cb USING (j)),
-       |enc AS (
-       |  SELECT vec_id,
-       |    array_to_string(list(c_idx ORDER BY j), ',') AS codes,
-       |    flatten(list(csub ORDER BY j)) AS recon
-       |  FROM asn WHERE rn = 1 GROUP BY vec_id)""".stripMargin
-
-  /** DuckDB replay of `Dedup.shingles` for word n-grams over the token
-    * list `w` (same short-text fallback).
-    */
-  private def shinglesSqlN(n: Int): String = {
-    val gram = (1 to n).map(i => s"w[i+$i]").mkString(" || ' ' || ")
-    s"""CASE WHEN len(w) >= $n THEN
-       |  list_transform(range(len(w) - ${n - 1}), i -> $gram)
-       |ELSE [array_to_string(w, ' ')] END""".stripMargin
-  }
-
-  private val shinglesSql = shinglesSqlN(3)
-
-  /** DuckDB replay of `Clustering.kmeansLattice` (k=8, iters=2,
-    * scaleBits=10): lattice quantization, seeded centroids, one
-    * floor-div-mean Lloyd update, final argmin — all int64, terminal
-    * CTE `ka2(vec_id, cluster, d2)`. Shared by the q81 and q82 oracles.
-    * The explicit `(s - ((s%n)+n)%n) / n` numerator keeps the floor
-    * division engine-agnostic (mirrors Spark-side `Math.floorDiv`).
-    */
-  private lazy val kmeansCtes: String =
-    """kq AS (
-      |  SELECT vec_id,
-      |    list_transform(embedding,
-      |      x -> cast(floor(cast(x AS double) * 1024.0) AS bigint)) AS qv
-      |  FROM embeddings),
-      |kseeds AS (
-      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
-      |  FROM (SELECT * FROM kq ORDER BY vec_id LIMIT 8)),
-      |kdims AS (
-      |  SELECT unnest(generate_series(0,
-      |    (SELECT max(len(qv)) FROM kq) - 1)) AS dim),
-      |ksx AS (SELECT cid, dim, cv[dim + 1] AS cd FROM kseeds, kdims),
-      |kd1 AS (
-      |  SELECT q.vec_id, s.cid,
-      |    cast(sum((q.qv[s.dim + 1] - s.cd) * (q.qv[s.dim + 1] - s.cd))
-      |      AS bigint) AS d2
-      |  FROM kq q, ksx s GROUP BY 1, 2),
-      |ka1 AS (
-      |  SELECT vec_id, cid AS cluster FROM (
-      |    SELECT vec_id, cid,
-      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-      |    FROM kd1) WHERE rn = 1),
-      |kcs AS (
-      |  SELECT a.cluster AS cid, k.dim,
-      |    cast(sum(q.qv[k.dim + 1]) AS bigint) AS s, count(*) AS n
-      |  FROM ka1 a JOIN kq q USING (vec_id), kdims k
-      |  GROUP BY 1, 2),
-      |kc1 AS (
-      |  SELECT ksx.cid, ksx.dim,
-      |    CASE WHEN kcs.n IS NULL THEN ksx.cd
-      |         ELSE cast((kcs.s - ((kcs.s % kcs.n) + kcs.n) % kcs.n)
-      |                / kcs.n AS bigint)
-      |    END AS cd
-      |  FROM ksx LEFT JOIN kcs ON ksx.cid = kcs.cid AND ksx.dim = kcs.dim),
-      |kd2 AS (
-      |  SELECT q.vec_id, c.cid,
-      |    cast(sum((q.qv[c.dim + 1] - c.cd) * (q.qv[c.dim + 1] - c.cd))
-      |      AS bigint) AS d2
-      |  FROM kq q, kc1 c GROUP BY 1, 2),
-      |ka2 AS (
-      |  SELECT vec_id, cid AS cluster, d2 FROM (
-      |    SELECT vec_id, cid, d2,
-      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-      |    FROM kd2) WHERE rn = 1)""".stripMargin
-
-  /** CTE chain replaying the portable fuzzy-dedup pipeline end-to-end
-    * (q36 semantics: shingle → sliced-md5 minhash → literal band keys →
-    * Jaccard >= 0.5); terminal CTE `pairs(id_a, id_b, jaccard)`. Shared
-    * by the q36 and q49 oracles.
-    */
-  /** Shared shingle→minhash→band CTEs (t, sh, sig, banded, dsh) for
-    * every fuzzy-dedup oracle; callers append their own cand/pairs.
-    */
-  /** q69's replay — shared with q183 (append == rebuild, so the
-    * at-rest append grades against the same probe).
-    */
-  private def incrementalDedupReplaySql: String =
-    s"""WITH $fuzzyBaseCtes,
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
-       |  FROM banded a JOIN banded b ON a.bkey = b.bkey
-       |  WHERE a.doc_id < 50 AND b.doc_id >= 50),
-       |pairs AS (SELECT * FROM (
-       |  SELECT c.batch_id, c.corpus_id,
-       |    cast(len(list_intersect(a.s, b.s)) AS double)
-       |      / cast(len(list_distinct(list_concat(a.s, b.s))) AS double)
-       |      AS jaccard
-       |  FROM cand c
-       |  JOIN dsh a ON a.doc_id = c.batch_id
-       |  JOIN dsh b ON b.doc_id = c.corpus_id)
-       |  WHERE jaccard >= 0.5)
-       |SELECT batch_id, corpus_id, jaccard FROM pairs
-       |ORDER BY batch_id, corpus_id""".stripMargin
-
-  /** q227's replay: the refreshing stream's visibility boundary — the
-    * first arrival bucket (docs < 25) probes only the initial index
-    * (>= 50 minus the 200-299 window), the second (25-49) also sees
-    * the 200-299 docs appended after bucket 0. Everything else is
-    * q69's pipeline verbatim.
-    */
-  /** q122's replay — shared with q230 (the streaming fold's final
-    * per-user state is the same ordered integer recurrence).
-    */
-  private lazy val ewmaReplaySql: String =
-    """WITH e AS (SELECT user_id, event_id,
-        |    cast(ts AS timestamp) AS ts,
-        |    cast(round(value * 100) AS bigint) * 1000000 AS x
-        |  FROM events),
-        |l AS (SELECT user_id, count(*) AS n,
-        |    list(x ORDER BY ts, event_id) AS xs
-        |  FROM e GROUP BY user_id)
-        |SELECT user_id, n,
-        |  CASE WHEN len(xs) = 1 THEN xs[1]
-        |    ELSE list_reduce(xs, (acc, v) -> (1 * v + 4 * acc) // 5)
-        |  END AS ewma6
-        |FROM l ORDER BY user_id""".stripMargin
-
-  /** q112's replay — shared with q231 (the streaming trailing-ring's
-    * accumulated flags are the same windowed z-test).
-    */
-  private lazy val anomalyReplaySql: String =
-    """WITH e AS (
-        |  SELECT event_id, cast(ts AS timestamp) AS ts, event_type,
-        |    cast(round(value * 100) AS bigint) AS x
-        |  FROM events),
-        |r AS (
-        |  SELECT event_id, event_type, x,
-        |    count(*) OVER w AS cnt,
-        |    sum(x) OVER w AS s1,
-        |    sum(x * x) OVER w AS s2
-        |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
-        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
-        |SELECT event_id, event_type, x AS x_cents,
-        |  cast((20 * x - s1) * (20 * x - s1) AS bigint) AS dev2,
-        |  cast(9 * (20 * s2 - s1 * s1) AS bigint) AS bound2
-        |FROM r
-        |WHERE cnt = 20
-        |  AND (20 * x - s1) * (20 * x - s1) > 9 * (20 * s2 - s1 * s1)
-        |ORDER BY event_id""".stripMargin
-
-  private def refreshingDedupReplaySql: String =
-    s"""WITH $fuzzyBaseCtes,
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
-       |  FROM banded a JOIN banded b ON a.bkey = b.bkey
-       |  WHERE (a.doc_id < 25 AND b.doc_id >= 50
-       |          AND b.doc_id NOT BETWEEN 200 AND 299)
-       |     OR (a.doc_id >= 25 AND a.doc_id < 50 AND b.doc_id >= 50)),
-       |pairs AS (SELECT * FROM (
-       |  SELECT c.batch_id, c.corpus_id,
-       |    cast(len(list_intersect(a.s, b.s)) AS double)
-       |      / cast(len(list_distinct(list_concat(a.s, b.s))) AS double)
-       |      AS jaccard
-       |  FROM cand c
-       |  JOIN dsh a ON a.doc_id = c.batch_id
-       |  JOIN dsh b ON b.doc_id = c.corpus_id)
-       |  WHERE jaccard >= 0.5)
-       |SELECT batch_id, corpus_id, jaccard FROM pairs
-       |ORDER BY batch_id, corpus_id""".stripMargin
-
-  private lazy val fuzzyBaseCtes: String = {
-    val mh = (0 until 8).map(i =>
-      s"list_min(list_transform(shingles, s -> " +
-        s"${Dedup.portableSliceSql("s", i)})) AS mh$i").mkString(",\n  ")
-    val bandRows = (0 until 4).map(b =>
-      s"SELECT doc_id, '$b|' || mh${2 * b} || '|' || mh${2 * b + 1} AS bkey FROM sig")
-      .mkString("\n  UNION ALL\n  ")
-    s"""t AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-       |  FROM documents),
-       |sh AS (SELECT doc_id, ($shinglesSql) AS shingles FROM t),
-       |sig AS (SELECT doc_id,
-       |  $mh
-       |  FROM sh),
-       |banded AS (
-       |  $bandRows),
-       |dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh)""".stripMargin
-  }
-
-  /** First 8 md5 hex digits of `e` as an unsigned 32-bit bigint —
-    * DuckDB replay of Spark's `conv(substring(md5(e),1,8),16,10)`
-    * (the portable hash coordinate family).
-    */
-  private def md5u32Sql(e: String): String = (0 until 8).map(i =>
-    s"(strpos('0123456789abcdef', substr(md5($e), ${i + 1}, 1)) - 1)" +
-      s" * ${1L << (4 * (7 - i))}")
-    .mkString("(", "\n      + ", ")")
-
-  /** Count-min probe replay shared by q165 (direct sketch) and q167
-    * (at-rest write+append+sum-on-read lifecycle): both must equal the
-    * full-corpus matrix probed for the three terms, with exact counts
-    * alongside.
-    */
-  private lazy val cmProbeOracle: String = {
-    val cell = md5u32Sql("cast(r AS varchar) || '|' || t")
-    val probe = md5u32Sql("cast(r AS varchar) || '|' || term")
-    s"""WITH tk AS (
-       |  SELECT t FROM (
-       |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
-       |    FROM documents)
-       |  WHERE len(t) > 0),
-       |cells AS (
-       |  SELECT r, ($cell) % 256 AS bucket, count(*) AS cnt
-       |  FROM tk, (SELECT unnest([0, 1, 2, 3]) AS r)
-       |  GROUP BY 1, 2),
-       |probes AS (
-       |  SELECT term, r, ($probe) % 256 AS bucket
-       |  FROM (SELECT unnest(['dup', 'merge', 'spark']) AS term),
-       |    (SELECT unnest([0, 1, 2, 3]) AS r)),
-       |est AS (
-       |  SELECT term, cast(min(coalesce(cnt, 0)) AS bigint) AS est
-       |  FROM probes LEFT JOIN cells USING (r, bucket)
-       |  GROUP BY term),
-       |ex AS (
-       |  SELECT t AS term, cast(count(*) AS bigint) AS exact
-       |  FROM tk WHERE t IN ('dup', 'merge', 'spark') GROUP BY 1)
-       |SELECT term, est, coalesce(exact, 0) AS exact
-       |FROM est LEFT JOIN ex USING (term)
-       |ORDER BY term""".stripMargin
-  }
-
-  private lazy val fuzzyPairsCtes: String =
-    s"""$fuzzyBaseCtes,
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM banded a JOIN banded b ON a.bkey = b.bkey
-       |  WHERE a.doc_id < b.doc_id),
-       |pairs AS (SELECT * FROM (
-       |  SELECT c.id_a, c.id_b,
-       |    cast(len(list_intersect(a.s, b.s)) AS double)
-       |      / cast(len(list_distinct(list_concat(a.s, b.s))) AS double)
-       |      AS jaccard
-       |  FROM cand c
-       |  JOIN dsh a ON a.doc_id = c.id_a
-       |  JOIN dsh b ON b.doc_id = c.id_b)
-       |  WHERE jaccard >= 0.5)""".stripMargin
-
-  /** Recursive-closure replay of cluster assignment: transitive
-    * reachability over the (tiny, verified) pair graph, cluster = min
-    * reachable id — the declarative fixpoint BOTH iterative Spark
-    * implementations (min-label propagation q49, star contraction q54)
-    * converge to.
-    */
-  /** Shared BPE-training CTE chain (q89/q102): word counts → char-spaced
-    * vocab forms → `rounds` chained (pair count, best pair `b{r}`,
-    * merged vocab `w{r}`) rounds.
-    */
-  private def bpeTrainCtes(rounds: Int): String = {
-    def roundCtes(r: Int) =
-      s"""t$r AS (SELECT cnt, string_split(trim(s), '  ') AS t
-         |  FROM w${r - 1}),
-         |i$r AS (SELECT cnt, t, unnest(generate_series(1, len(t) - 1)) AS i
-         |  FROM t$r WHERE len(t) >= 2),
-         |p$r AS (SELECT t[i] AS l, t[i + 1] AS r,
-         |    cast(sum(cnt) AS bigint) AS c
-         |  FROM i$r GROUP BY 1, 2),
-         |b$r AS (SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),
-         |w$r AS (SELECT regexp_replace(w.s,
-         |    ' ' || b.l || '  ' || b.r || ' ',
-         |    ' ' || b.l || b.r || ' ', 'g') AS s, w.cnt
-         |  FROM w${r - 1} w, b$r b)""".stripMargin
-    s"""wc AS (
-       |  SELECT w, count(*) AS cnt FROM (
-       |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
-       |    FROM documents) GROUP BY w),
-       |w0 AS (
-       |  SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' '
-       |    AS s, cnt FROM wc),
-       |${(1 to rounds).map(roundCtes).mkString(",\n")}""".stripMargin
-  }
-
-  /** Shared closure CTEs: fuzzy pairs → symmetric edges → transitive
-    * reachability → per-node min-reachable cluster label (`cl`).
-    */
-  private lazy val clusterCtes: String =
-    s"""$fuzzyPairsCtes,
-       |edges AS (
-       |  SELECT id_a AS a, id_b AS b FROM pairs
-       |  UNION SELECT id_b, id_a FROM pairs),
-       |reach(a, b) AS (
-       |  SELECT a, b FROM edges
-       |  UNION
-       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-       |nodes AS (SELECT DISTINCT a AS id FROM edges),
-       |cl AS (
-       |  SELECT n.id, least(n.id, min(r.b)) AS cluster
-       |  FROM nodes n JOIN reach r ON r.a = n.id
-       |  GROUP BY n.id)""".stripMargin
-
-  private lazy val dedupClustersOracle: String =
-    s"""WITH RECURSIVE $clusterCtes
-       |SELECT id, cluster FROM cl ORDER BY id""".stripMargin
-
-  private def markerSql(words: Seq[String]): String = {
-    val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
-    s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> list_contains($arr, t)))"
-  }
-
-  private def rpDotSqlFor(v: String, j: Int): String = {
-    // the (stride, phase) pair is computed HERE so the SQL literal
-    // matches Similarity.rpDot's family exactly
-    val (a, b) = (1 + j % 3, (j / 3) % 7)
-    s"""list_reduce(list_prepend(0.0, list_transform(range(len($v)),
-       |  i -> cast($v[i+1] AS double) * (((i*$a + $b) % 7) - 3))),
-       |  (a, b) -> a + b)""".stripMargin
-  }
-
-  private def bucketSqlFor(v: String): String =
-    (0 until 8).map(j =>
-      s"(CASE WHEN (${rpDotSqlFor(v, j)}) > 0 THEN ${1L << j} ELSE 0 END)")
-      .mkString(" + ")
-
-  private val bucketSql: String = bucketSqlFor("embedding")
-
-  /** DuckDB replay of `Multimodal.DecodeKernel.frameFeature`: the exact
-    * integer correlation of a frame's byte window with the fixed filter
-    * bank w(i,t) = ((t mod 64)·31 + i·17) mod 7 − 3, bytes parsed from
-    * a hex(encode(text)) column `hx` in scope (uppercase digits).
-    * `off`/`cnt` are SQL expressions for the window start/length; the
-    * sum round-trips through REAL to mirror the kernel's float cast
-    * (identity below 2^24 — the cast is belt-and-braces).
-    */
-  private def mediaFeatureSqlFor(off: String, cnt: String): String =
-    s"""list_transform(range(8), i ->
-       |  cast(cast(coalesce(list_sum(list_transform(range($cnt), t ->
-       |    ((((t % 64) * 31 + i * 17) % 7) - 3) *
-       |    ((strpos('0123456789ABCDEF',
-       |        substr(hx, cast(2*(($off)+t)+1 AS int), 1)) - 1) * 16
-       |      + (strpos('0123456789ABCDEF',
-       |        substr(hx, cast(2*(($off)+t)+2 AS int), 1)) - 1)))), 0)
-       |    AS real) AS double))""".stripMargin
-
-  val oracles: Map[String, String] = Map(
-    "q21_dedup_exact" ->
-      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
-        |  count(*) AS n_copies
-        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
-
-    "q22_text_tokens" ->
-      """SELECT doc_id,
-        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-        |  len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]')) AS n_bpeish,
-        |  cast(length(text) - (len(string_split_regex(trim(text), '\s+')) - 1) AS double)
-        |    / cast(len(string_split_regex(trim(text), '\s+')) AS double) AS mean_token_len
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "q23_text_quality" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    cast(len(string_split_regex(trim(text), '\s+')) AS double) AS n,
-        |    cast(length(text) AS double) AS len,
-        |    cast(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS double) AS n_alpha,
-        |    cast(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS double) AS n_uniq
-        |  FROM documents)
-        |SELECT doc_id,
-        |  least(n / 100.0, 1.0) * 0.25
-        |  + (CASE WHEN ((len - (n - 1)) / n) BETWEEN 3.0 AND 10.0
-        |          THEN 1.0 ELSE 0.5 END) * 0.25
-        |  + (n_alpha / len) * 0.25
-        |  + (n_uniq / n) * 0.25 AS quality
-        |FROM t ORDER BY doc_id""".stripMargin,
-
-    "q24_lang_id" -> {
-      val de = markerSql(TextStats.stopwords("de"))
-      val en = markerSql(TextStats.stopwords("en"))
-      val es = markerSql(TextStats.stopwords("es"))
-      val fr = markerSql(TextStats.stopwords("fr"))
-      s"""WITH scored AS (
-         |  SELECT lang,
-         |    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
-         |    length(text) AS len,
-         |    $de AS s_de, $en AS s_en, $es AS s_es, $fr AS s_fr
-         |  FROM documents),
-         |guessed AS (
-         |  SELECT lang, CASE
-         |    WHEN cjk * 2 > len THEN 'zh'
-         |    WHEN s_de = greatest(s_de, s_en, s_es, s_fr)
-         |      AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'de'
-         |    WHEN s_en = greatest(s_de, s_en, s_es, s_fr)
-         |      AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'en'
-         |    WHEN s_es = greatest(s_de, s_en, s_es, s_fr)
-         |      AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'es'
-         |    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr)
-         |      AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'fr'
-         |    ELSE 'und' END AS guess
-         |  FROM scored)
-         |SELECT guess, lang, count(*) AS n FROM guessed
-         |GROUP BY guess, lang ORDER BY guess, lang""".stripMargin
-    },
-
-    "q25_fingerprint" ->
-      """SELECT doc_id,
-        |  list_reduce(list_prepend(cast(0 AS bigint),
-        |    list_transform(string_split_regex(trim(text), '\s+'),
-        |      w -> cast(ascii(w) * 31 + length(w) AS bigint))),
-        |    (acc, x) -> (acc * 131 + x) % 1000000007) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "q26_minhash_sig" -> {
-      val mh = (0 until 4).map(i =>
-        s"list_min(list_transform(shingles, s -> " +
-          s"${Dedup.portableSliceSql("s", i)})) AS mh$i").mkString(",\n  ")
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-         |  FROM documents),
-         |sh AS (SELECT doc_id, ($shinglesSql) AS shingles FROM t)
-         |SELECT doc_id,
-         |  $mh
-         |FROM sh ORDER BY doc_id""".stripMargin
-    },
-
-    "q27_minhash_bands" -> {
-      val mh = (0 until 4).map(i =>
-        s"list_min(list_transform(shingles, s -> " +
-          s"${Dedup.portableSliceSql("s", i)})) AS mh$i").mkString(",\n  ")
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-         |  FROM documents),
-         |sh AS (SELECT doc_id, ($shinglesSql) AS shingles FROM t),
-         |sig AS (SELECT doc_id,
-         |  $mh
-         |  FROM sh),
-         |banded AS (
-         |  SELECT doc_id, mh0 AS k1, mh1 AS k2 FROM sig
-         |  UNION ALL
-         |  SELECT doc_id, mh2 AS k1, mh3 AS k2 FROM sig)
-         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |FROM banded a JOIN banded b ON a.k1 = b.k1 AND a.k2 = b.k2
-         |WHERE a.doc_id < b.doc_id
-         |ORDER BY id_a, id_b""".stripMargin
-    },
-
-    "q28_cosine_topk" ->
-      s"""WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0)
-         |SELECT vec_id,
-         |  floor((${cosineSql("embedding", "q_vec")}) * 1000000) / 1000000
-         |    AS score
-         |FROM embeddings, q
-         |WHERE vec_id <> 0
-         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
-
-    "q29_rp_bucket" ->
-      s"""SELECT vec_id, cast($bucketSql AS bigint) AS bucket
-         |FROM embeddings ORDER BY vec_id""".stripMargin,
-
-    "q30_ann_topk" ->
-      s"""WITH b AS (
-         |  SELECT vec_id, embedding, cast($bucketSql AS bigint) AS bucket
-         |  FROM embeddings),
-         |q AS (SELECT embedding AS q_vec, bucket AS q_bucket FROM b
-         |      WHERE vec_id = 0)
-         |SELECT vec_id,
-         |  floor((${cosineSql("embedding", "q_vec")}) * 1000000) / 1000000
-         |    AS score
-         |FROM b, q
-         |WHERE vec_id <> 0 AND bit_count(xor(bucket, q_bucket)) <= 2
-         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
-
-    // q53 probes exactly the hamming<=2 bucket set q30 filters to, so
-    // the partition-pruned at-rest result must equal q30's.
-    "q53_ann_at_rest" ->
-      s"""WITH b AS (
-         |  SELECT vec_id, embedding, cast($bucketSql AS bigint) AS bucket
-         |  FROM embeddings),
-         |q AS (SELECT embedding AS q_vec, bucket AS q_bucket FROM b
-         |      WHERE vec_id = 0)
-         |SELECT vec_id,
-         |  floor((${cosineSql("embedding", "q_vec")}) * 1000000) / 1000000
-         |    AS score
-         |FROM b, q
-         |WHERE vec_id <> 0 AND bit_count(xor(bucket, q_bucket)) <= 2
-         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
-
-    // Full replay of the IVF pipeline: seeded centroids (16 smallest
-    // ids), squared-L2 assignment in the exact `v·v - 2.0·(v·c) + c·c`
-    // expression shape (bit-identical to the Spark side's fused-fold
-    // kernels), probe = 3 nearest cells to the query, cosine rerank.
-    "q65_ivf_ann" ->
-      s"""WITH $ivfSeedCte,
-         |$ivfProbeCtes
-         |SELECT e.vec_id,
-         |  floor((${cosineSql("e.embedding", "q_vec")}) * 1000000) / 1000000
-         |    AS score
-         |FROM embeddings e JOIN cell ON e.vec_id = cell.vec_id, q
-         |WHERE cell.cell IN (SELECT c_idx FROM probes) AND e.vec_id <> 0
-         |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin,
-
-    // The bloom filter is semantically invisible (FPs die at the exact
-    // join), so the oracle is the plain join + rollup.
-    "q74_bloom_join" ->
-      """SELECT o.o_orderpriority, count(*) AS cnt,
-        |  cast(sum(cast(o.o_totalprice AS decimal(18,2))) AS double) AS total
-        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        |WHERE c.c_mktsegment = 'BUILDING'
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // MG guarantee + exact recount ⇒ exactly the HAVING clause
-    // (threshold = floor(n/32) + 1, pure integer arithmetic).
-    "q75_heavy_hitters" ->
-      """WITH tok AS (
-        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
-        |  FROM documents),
-        |n AS (SELECT count(*) AS total FROM tok)
-        |SELECT term, count(*) AS cnt FROM tok, n
-        |GROUP BY term, total HAVING count(*) >= total // 32 + 1
-        |ORDER BY term""".stripMargin,
-
-    // Bigram/unigram replay; the lift keeps the Spark side's exact
-    // association order ((cnt*nu)*nu) / ((nb*cx)*cy) — IEEE-identical.
-    "q76_collocations" ->
-      """WITH t AS (
-        |  SELECT string_split_regex(trim(text), '\s+') AS w FROM documents),
-        |iw AS (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM t),
-        |bg AS (SELECT w[i] AS w1, w[i + 1] AS w2 FROM iw),
-        |bc AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2),
-        |u AS (SELECT unnest(w) AS term FROM t),
-        |uc AS (SELECT term, count(*) AS c FROM u GROUP BY 1),
-        |tot AS (SELECT (SELECT count(*) FROM u) AS nu,
-        |               (SELECT count(*) FROM bg) AS nb)
-        |SELECT bc.w1, bc.w2, bc.cnt,
-        |  floor(cast(bc.cnt AS double) * nu * nu /
-        |    (cast(nb AS double) * ux.c * uy.c) * 1000000) / 1000000 AS lift6
-        |FROM bc, tot, uc ux, uc uy
-        |WHERE ux.term = bc.w1 AND uy.term = bc.w2 AND bc.cnt >= 2
-        |ORDER BY lift6 DESC, w1, w2 LIMIT 50""".stripMargin,
-
-    // Same parameters as q65 ⇒ same result set: the at-rest layout
-    // changes WHERE the bytes live, not what the search returns.
-    "q77_ivf_at_rest" ->
-      s"""WITH $ivfSeedCte,
-         |$ivfProbeCtes
-         |SELECT e.vec_id,
-         |  floor((${cosineSql("e.embedding", "q_vec")}) * 1000000) / 1000000
-         |    AS score
-         |FROM embeddings e JOIN cell ON e.vec_id = cell.vec_id, q
-         |WHERE cell.cell IN (SELECT c_idx FROM probes) AND e.vec_id <> 0
-         |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin,
-
-    // Full replay of the IVF-blocked kNN graph: per-vector cell (rn=1),
-    // per-query probe cells (rn<=3), cell-equal candidate pairs, exact
-    // cosine, rank per query. Reuses q65's assignment CTEs.
-    "q84_knn_join" ->
-      s"""WITH $ivfSeedCte,
-         |$ivfProbeCtes,
-         |cand AS (
-         |  SELECT pa.vec_id AS q_id, ce.vec_id AS n_id
-         |  FROM a pa JOIN cell ce ON pa.c_idx = ce.cell
-         |  WHERE pa.rn <= 3 AND ce.vec_id <> pa.vec_id),
-         |sc AS (
-         |  SELECT cand.q_id, cand.n_id,
-         |    floor((${cosineSql("eq.embedding", "en.embedding")}) * 1000000)
-         |      / 1000000 AS score
-         |  FROM cand
-         |  JOIN embeddings eq ON eq.vec_id = cand.q_id
-         |  JOIN embeddings en ON en.vec_id = cand.n_id),
-         |rk AS (
-         |  SELECT q_id, n_id, score,
-         |    row_number() OVER (PARTITION BY q_id
-         |      ORDER BY score DESC, n_id ASC) AS rank
-         |  FROM sc)
-         |SELECT q_id, rank, n_id, score FROM rk
-         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
-
-    // q84 under the derived-nCells scaling contract: identical
-    // assignment/probe/score/rank replay, with the seed CTE computing
-    // nCells from the corpus row count.
-    "q84_knn_scaled" ->
-      s"""WITH $ivfSeedCteScaled,
-         |$ivfProbeCtes,
-         |cand AS (
-         |  SELECT pa.vec_id AS q_id, ce.vec_id AS n_id
-         |  FROM a pa JOIN cell ce ON pa.c_idx = ce.cell
-         |  WHERE pa.rn <= 3 AND ce.vec_id <> pa.vec_id),
-         |sc AS (
-         |  SELECT cand.q_id, cand.n_id,
-         |    floor((${cosineSql("eq.embedding", "en.embedding")}) * 1000000)
-         |      / 1000000 AS score
-         |  FROM cand
-         |  JOIN embeddings eq ON eq.vec_id = cand.q_id
-         |  JOIN embeddings en ON en.vec_id = cand.n_id),
-         |rk AS (
-         |  SELECT q_id, n_id, score,
-         |    row_number() OVER (PARTITION BY q_id
-         |      ORDER BY score DESC, n_id ASC) AS rank
-         |  FROM sc)
-         |SELECT q_id, rank, n_id, score FROM rk
-         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
-
-    // The same chained min(CASE) windows over one user partition; step
-    // counts are filtered distinct-user counts.
-    "q85_funnel" ->
-      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
-        |w0 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
-        |  OVER (PARTITION BY user_id) AS t0 FROM e),
-        |w1 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t0
-        |  THEN ts END) OVER (PARTITION BY user_id) AS t1 FROM w0),
-        |w2 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t1
-        |  THEN ts END) OVER (PARTITION BY user_id) AS t2 FROM w1),
-        |c AS (SELECT
-        |  count(DISTINCT CASE WHEN t0 IS NOT NULL THEN user_id END) AS c0,
-        |  count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS c1,
-        |  count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS c2
-        |  FROM w2)
-        |SELECT 0 AS step, 'view' AS event_type, c0 AS users FROM c
-        |UNION ALL SELECT 1, 'click', c1 FROM c
-        |UNION ALL SELECT 2, 'purchase', c2 FROM c
-        |ORDER BY step""".stripMargin,
-
-    // Epoch-week arithmetic replays exactly: floor((s + frac)/604800) ==
-    // floor(floor(s)/604800) because the week length dwarfs the
-    // sub-second part.
-    "q86_retention" ->
-      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
-        |wk AS (SELECT user_id,
-        |    cast(floor(epoch(ts) / 604800) AS bigint) AS week FROM e),
-        |ch AS (SELECT *, min(week) OVER (PARTITION BY user_id)
-        |    AS cohort_week FROM wk)
-        |SELECT cohort_week, week - cohort_week AS week_offset,
-        |  count(DISTINCT user_id) AS users
-        |FROM ch GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
-
-    // md5 first-8-hex-digits parsed digit-by-digit (the q55 trick), mod
-    // 8 for the shard; position ranks the full md5 string.
-    "q87_shard_shuffle" -> {
-      val h32 = (0 until 8).map(i =>
-        s"(strpos('0123456789abcdef', substr(hh, ${i + 1}, 1)) - 1) * ${math.pow(16, 7 - i).toLong}")
-        .mkString("(", " + ", ")")
-      s"""WITH h AS (
-         |  SELECT doc_id, md5(cast(doc_id AS varchar)) AS hh FROM documents),
-         |s AS (
-         |  SELECT doc_id, hh, cast($h32 % 8 AS int) AS shard FROM h)
-         |SELECT doc_id, shard,
-         |  row_number() OVER (PARTITION BY shard ORDER BY hh ASC, doc_id ASC)
-         |    AS pos
-         |FROM s ORDER BY doc_id""".stripMargin
-    },
-
-    // 6 BPE rounds unrolled as chained CTEs: per round, adjacent-pair
-    // counts over the vocab (overlaps included, like the Spark side),
-    // best pair by (count desc, pair asc), merge via leftmost
-    // non-overlapping replace-all on the double-space token strings.
-    // sum() must cast back to bigint (DuckDB widens to hugeint).
-    "q89_bpe_merges" -> {
-      val rounds = 6
-      s"""WITH ${bpeTrainCtes(rounds)}
-         |SELECT * FROM (
-         |${(1 to rounds)
-            .map(r => s"SELECT $r AS round, l AS lhs, r AS rhs, c AS cnt FROM b$r")
-            .mkString("\nUNION ALL\n")})
-         |ORDER BY round""".stripMargin
-    },
-
-    // The diff classes are definable straight from the synthesis rules.
-    "q103_table_diff" ->
-      """WITH base AS (
-        |  SELECT o_orderkey FROM orders)
-        |SELECT o_orderkey, change_type FROM (
-        |  SELECT o_orderkey, 'removed' AS change_type FROM base
-        |  WHERE o_orderkey % 7 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey, 'changed' FROM base
-        |  WHERE o_orderkey % 7 <> 0 AND o_orderkey % 2 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey + 10000000, 'added' FROM base
-        |  WHERE o_orderkey % 11 = 0)
-        |ORDER BY o_orderkey""".stripMargin,
-
-    // Same floor-div bucketing (epoch_us avoids DuckDB's fractional
-    // epoch()); per-key generate_series densifies the empty buckets.
-    "q104_gapfill" ->
-      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
-        |c AS (SELECT event_type,
-        |    epoch_us(ts) // 1000000 // 3600 AS bucket, count(*) AS n
-        |  FROM e GROUP BY 1, 2),
-        |s AS (SELECT event_type,
-        |    unnest(generate_series(min(bucket), max(bucket))) AS bucket
-        |  FROM c GROUP BY event_type)
-        |SELECT s.event_type, s.bucket,
-        |  cast(to_timestamp(s.bucket * 3600) AS timestamp) AS bucket_start,
-        |  cast(coalesce(n, 0) AS bigint) AS n
-        |FROM s LEFT JOIN c USING (event_type, bucket)
-        |ORDER BY event_type, bucket""".stripMargin,
-
-    // Exact hugeint sums; the closed form runs in double with the same
-    // operation order as the Spark expression (floor-truncated 6 dp).
-    "q105_corr" ->
-      """WITH t AS (
-        |  SELECT lang, n_chars AS x,
-        |    len(string_split_regex(trim(text), '\s+')) AS y
-        |  FROM documents),
-        |a AS (SELECT lang, count(*) AS n,
-        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
-        |    sum(x * x) AS sxx, sum(y * y) AS syy
-        |  FROM t GROUP BY lang)
-        |SELECT lang, n,
-        |  floor(cast(n * sxy - sx * sy AS double) /
-        |    (sqrt(cast(n * sxx - sx * sx AS double)) *
-        |     sqrt(cast(n * syy - sy * sy AS double))) * 1000000)
-        |    / 1000000 AS r6
-        |FROM a ORDER BY lang""".stripMargin,
-
-    // Brute-force quadratic replay: DuckDB cross-joins and verifies the
-    // full pair space, so any blocking false negative would show as a
-    // missing row.
-    "q106_editdist_join" ->
-      """WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer)
-        |SELECT a.id AS id_a, b.id AS id_b,
-        |  cast(levenshtein(a.s, b.s) AS int) AS dist
-        |FROM c a JOIN c b ON a.id < b.id
-        |WHERE levenshtein(a.s, b.s) <= 1
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    // Full LM replay: train the same smoothed bigram table, score with
-    // the same integer floor-divisions (parallel unnest zips the
-    // adjacent-token lists; hugeint sums cast back at the end).
-    "q107_bigram_lm" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-        |  FROM documents),
-        |b AS (
-        |  SELECT doc_id, unnest(w[1:len(w)-1]) AS w1,
-        |    unnest(w[2:len(w)]) AS w2
-        |  FROM t),
-        |bc AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
-        |ug AS (SELECT unnest(w) AS w1 FROM t),
-        |u AS (SELECT w1, count(*) AS c1 FROM ug GROUP BY 1),
-        |v AS (SELECT count(DISTINCT w1) AS nv FROM ug),
-        |sc AS (
-        |  SELECT b.doc_id, count(*) AS n_bigrams,
-        |    sum(((c12 + 1) * 1000000000) // (c1 + nv)) AS sp
-        |  FROM b JOIN bc USING (w1, w2) JOIN u USING (w1) CROSS JOIN v
-        |  GROUP BY b.doc_id)
-        |SELECT d.doc_id, cast(coalesce(n_bigrams, 0) AS bigint) AS n_bigrams,
-        |  cast(sp // n_bigrams AS bigint) AS mean_p9
-        |FROM documents d LEFT JOIN sc USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
-
-    // Position grams by md5 digest, >=2-distinct-doc keys, and the same
-    // lag-window interval merge (gap <= g joins spans).
-    "q108_dup_spans" ->
-      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
-        |g AS (SELECT doc_id, unnest(generate_series(0, n - 40)) AS p, text
-        |  FROM d WHERE n >= 40),
-        |g2 AS (SELECT doc_id, p, md5(substr(text, p + 1, 40)) AS k FROM g),
-        |dup AS (SELECT k FROM g2 GROUP BY k
-        |  HAVING count(DISTINCT doc_id) >= 2),
-        |pos AS (SELECT doc_id, p FROM g2 JOIN dup USING (k)),
-        |m AS (SELECT doc_id, p,
-        |    CASE WHEN lag(p) OVER w IS NULL
-        |      OR p - lag(p) OVER w > 40 THEN 1 ELSE 0 END AS flag
-        |  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
-        |gg AS (SELECT doc_id, p,
-        |    sum(flag) OVER (PARTITION BY doc_id ORDER BY p) AS gid
-        |  FROM m),
-        |spans AS (SELECT doc_id, gid, min(p) AS s, max(p) + 40 AS e
-        |  FROM gg GROUP BY doc_id, gid),
-        |per AS (SELECT doc_id, count(*) AS n_spans, sum(e - s) AS dup_chars
-        |  FROM spans GROUP BY doc_id)
-        |SELECT d.doc_id, cast(coalesce(n_spans, 0) AS bigint) AS n_spans,
-        |  cast(coalesce(dup_chars, 0) AS bigint) AS dup_chars
-        |FROM documents d LEFT JOIN per USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
-
-    // Winnowing replay: same gram pass as q108's, then the
-    // rightmost-min selection in two steps (window min, then a
-    // join-back picking the max position attaining it — SQL's way of
-    // expressing the struct-min) — identical selections to
-    // Dedup.winnowFingerprints' min(struct(hash, −pos)).
-    "q193_winnowing" ->
-      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
-        |gr AS (SELECT doc_id, unnest(generate_series(0, n - 20)) AS p,
-        |    text, n
-        |  FROM d WHERE n >= 27),
-        |g2 AS (SELECT doc_id, p, n - 20 AS maxp,
-        |  md5(substr(text, p + 1, 20)) AS k FROM gr),
-        |wm AS (SELECT * FROM (
-        |  SELECT doc_id, p, maxp, min(k) OVER win AS wmin
-        |  FROM g2 WINDOW win AS (PARTITION BY doc_id ORDER BY p
-        |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING))
-        |  WHERE p <= maxp - 7),
-        |sel AS (SELECT w.doc_id, w.wmin AS fp, max(g2.p) AS fp_pos
-        |  FROM wm w JOIN g2 ON g2.doc_id = w.doc_id
-        |    AND g2.p BETWEEN w.p AND w.p + 7 AND g2.k = w.wmin
-        |  GROUP BY w.doc_id, w.p, w.wmin),
-        |fps AS (SELECT DISTINCT doc_id, fp, fp_pos FROM sel),
-        |per AS (SELECT doc_id, count(DISTINCT fp) AS n_fp,
-        |    count(*) AS n_sel
-        |  FROM fps GROUP BY doc_id)
-        |SELECT d.doc_id,
-        |  cast(CASE WHEN n >= 27 THEN n - 26 ELSE 0 END AS bigint)
-        |    AS n_windows,
-        |  cast(coalesce(n_fp, 0) AS bigint) AS n_fp,
-        |  cast(coalesce(n_sel, 0) AS bigint) AS n_sel
-        |FROM d LEFT JOIN per USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
-
-    // Match ranking replay: distinct (doc, fp) selections self-joined
-    // on the fingerprint hash. fp_pos is irrelevant to matching, so
-    // the two-step rightmost pick is unnecessary here — distinct
-    // window minima ARE the fingerprint hash set.
-    "q194_winnow_matches" ->
-      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
-        |gr AS (SELECT doc_id, unnest(generate_series(0, n - 20)) AS p,
-        |    text, n
-        |  FROM d WHERE n >= 27),
-        |g2 AS (SELECT doc_id, p, n - 20 AS maxp,
-        |  md5(substr(text, p + 1, 20)) AS k FROM gr),
-        |wm AS (SELECT * FROM (
-        |  SELECT doc_id, p, maxp, min(k) OVER win AS wmin
-        |  FROM g2 WINDOW win AS (PARTITION BY doc_id ORDER BY p
-        |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING))
-        |  WHERE p <= maxp - 7),
-        |fp AS (SELECT DISTINCT doc_id, wmin AS fp FROM wm)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  cast(count(*) AS bigint) AS shared
-        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING count(*) >= 2
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    // The at-rest plumbing (decomposition + sidecar prune) cannot
-    // change the ANSWER, only the files touched — so the replay is
-    // the definitional box filter.
-    "q195_hilbert_at_rest" ->
-      """SELECT doc_id, cast(doc_id % 256 AS bigint) AS hx,
-        |  cast(n_chars % 256 AS bigint) AS hy
-        |FROM documents
-        |WHERE doc_id % 256 BETWEEN 32 AND 95
-        |  AND n_chars % 256 BETWEEN 100 AND 199
-        |ORDER BY doc_id""".stripMargin,
-
-    // Quadratic dominance replay — any false frontier row or omission
-    // diverges from the definitional NOT EXISTS form.
-    "q109_skyline" ->
-      """SELECT p_partkey, p_size, p_retailprice FROM part a
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM part b
-        |  WHERE b.p_size >= a.p_size
-        |    AND b.p_retailprice >= a.p_retailprice
-        |    AND (b.p_size > a.p_size OR b.p_retailprice > a.p_retailprice))
-        |ORDER BY p_partkey""".stripMargin,
-
-    // Same lead-window path build, same (count desc, path) total order.
-    "q117_top_paths" ->
-      """WITH e AS (SELECT event_id, cast(ts AS timestamp) AS ts,
-        |    user_id, event_type FROM events),
-        |s AS (SELECT event_type AS s0,
-        |    lead(event_type, 1) OVER w AS s1,
-        |    lead(event_type, 2) OVER w AS s2
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-        |SELECT s0 || '>' || s1 || '>' || s2 AS path, count(*) AS n
-        |FROM s WHERE s2 IS NOT NULL
-        |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 25""".stripMargin,
-
-    // Same ceil-rank lower-quantile reads off the cumulative window.
-    "q127_winsorize" ->
-      """WITH o AS (SELECT o_orderkey, o_orderpriority AS g,
-        |    cast(round(o_totalprice * 100) AS bigint) AS cents
-        |  FROM orders),
-        |c AS (SELECT g, cents AS v, count(*) AS w FROM o GROUP BY 1, 2),
-        |r AS (SELECT g, v,
-        |    sum(w) OVER (PARTITION BY g ORDER BY v) AS cum,
-        |    sum(w) OVER (PARTITION BY g) AS tot FROM c),
-        |q AS (SELECT g,
-        |    min(CASE WHEN cum * 20 >= 1 * tot THEN v END) AS qlo,
-        |    min(CASE WHEN cum * 20 >= 19 * tot THEN v END) AS qhi
-        |  FROM r GROUP BY g)
-        |SELECT o_orderkey, g, cents, qlo, qhi,
-        |  greatest(qlo, least(cents, qhi)) AS clipped
-        |FROM o JOIN q USING (g) ORDER BY o_orderkey""".stripMargin,
-
-    // Two chained exact-median stages, same lower-median convention.
-    "q128_robust_outliers" ->
-      """WITH e AS (SELECT event_id, event_type AS g,
-        |    cast(round(value * 100) AS bigint) AS x FROM events),
-        |c AS (SELECT g, x AS v, count(*) AS w FROM e GROUP BY 1, 2),
-        |r AS (SELECT g, v,
-        |    sum(w) OVER (PARTITION BY g ORDER BY v) AS cum,
-        |    sum(w) OVER (PARTITION BY g) AS tot FROM c),
-        |m AS (SELECT g, min(CASE WHEN cum * 2 >= tot THEN v END) AS med
-        |  FROM r GROUP BY g),
-        |d AS (SELECT e.event_id, e.g, e.x, m.med,
-        |    abs(e.x - m.med) AS dev FROM e JOIN m USING (g)),
-        |c2 AS (SELECT g, dev AS v, count(*) AS w FROM d GROUP BY 1, 2),
-        |r2 AS (SELECT g, v,
-        |    sum(w) OVER (PARTITION BY g ORDER BY v) AS cum,
-        |    sum(w) OVER (PARTITION BY g) AS tot FROM c2),
-        |m2 AS (SELECT g, min(CASE WHEN cum * 2 >= tot THEN v END) AS mad
-        |  FROM r2 GROUP BY g)
-        |SELECT event_id, g AS event_type, x, med, mad
-        |FROM d JOIN m2 USING (g) WHERE dev > 5 * mad
-        |ORDER BY event_id""".stripMargin,
-
-    // Same in-bucket winner (row_number DESC) + carry-forward via
-    // last_value IGNORE NULLS over the densified buckets.
-    "q129_locf" ->
-      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
-        |b AS (SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS bucket,
-        |    ts, event_id, cast(round(value * 100) AS bigint) AS cents FROM e),
-        |w AS (SELECT event_type, bucket, cents, row_number() OVER
-        |    (PARTITION BY event_type, bucket ORDER BY ts DESC, event_id DESC)
-        |    AS rn FROM b),
-        |o AS (SELECT event_type, bucket, cents FROM w WHERE rn = 1),
-        |s AS (SELECT event_type,
-        |    unnest(generate_series(min(bucket), max(bucket))) AS bucket
-        |  FROM o GROUP BY event_type)
-        |SELECT s.event_type, s.bucket,
-        |  cast(to_timestamp(s.bucket * 3600) AS timestamp) AS bucket_start,
-        |  o.cents AS observed,
-        |  last_value(o.cents IGNORE NULLS) OVER
-        |    (PARTITION BY s.event_type ORDER BY s.bucket) AS filled
-        |FROM s LEFT JOIN o USING (event_type, bucket)
-        |ORDER BY event_type, bucket""".stripMargin,
-
-    // Contingency counts from one agg + global margins; the flag is
-    // the identical cross-multiplied inequality in HUGEINT.
-    "q130_chi_assoc" ->
-      """WITH c AS (SELECT o_orderpriority AS cat, count(*) AS ncat,
-        |    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n11
-        |  FROM orders GROUP BY 1),
-        |t AS (SELECT sum(ncat) AS n, sum(n11) AS pos FROM c),
-        |x AS (SELECT cat, n11::HUGEINT AS n11, (ncat - n11)::HUGEINT AS n10,
-        |    (pos - n11)::HUGEINT AS n01,
-        |    (n - ncat - pos + n11)::HUGEINT AS n00, n::HUGEINT AS n
-        |  FROM c, t),
-        |y AS (SELECT cat, n11, n10, n01, n00, n,
-        |    n11 * n00 - n10 * n01 AS det FROM x)
-        |SELECT cat, n11::bigint AS n11, n10::bigint AS n10,
-        |  n01::bigint AS n01, n00::bigint AS n00,
-        |  (CASE WHEN det > 0 THEN 1 WHEN det < 0 THEN -1 ELSE 0 END)::int
-        |    AS assoc,
-        |  n * det * det * 100 >
-        |    384 * ((n11 + n10) * (n01 + n00) * (n11 + n01) * (n10 + n00))
-        |    AS sig
-        |FROM y ORDER BY cat""".stripMargin,
-
-    // Frontier BFS unrolled: each round discovers neighbors of the
-    // previous frontier that are not yet in the distance table.
-    "q131_bfs" -> {
-      def round(i: Int) =
-        s"""f$i AS (SELECT DISTINCT e.v AS node FROM e
-           |  JOIN f${i - 1} ON e.u = f${i - 1}.node
-           |  WHERE e.v NOT IN (SELECT node FROM d${i - 1})),
-           |d$i AS (SELECT * FROM d${i - 1}
-           |  UNION ALL SELECT node, cast($i AS bigint) FROM f$i)""".stripMargin
-      s"""WITH p AS (
-         |  SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
-         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-         |e AS (SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
-         |d0 AS (SELECT DISTINCT s_suppkey * 2 + 1 AS node,
-         |    cast(0 AS bigint) AS dist FROM supplier WHERE s_suppkey <= 2),
-         |f0 AS (SELECT node FROM d0),
-         |${(1 to 4).map(round).mkString(",\n")}
-         |SELECT node, dist FROM d4 ORDER BY node""".stripMargin
-    },
-
-    // Identical md5 hash coordinate, min-k per group via row_number,
-    // union top-k per pair, membership probes against each sketch.
-    "q132_kmv_jaccard" -> {
-      val u = (0 until 8).map(i =>
-        s"(strpos('0123456789abcdef', substr(md5(tok), ${i + 1}, 1)) - 1) * ${math.pow(16, 7 - i).toLong}")
-        .mkString("(", " + ", ")") + " / 4294967296.0"
-      s"""WITH t AS (SELECT lang,
-         |    unnest(string_split_regex(trim(text), '\\s+')) AS tok
-         |  FROM documents),
-         |h AS (SELECT DISTINCT lang AS g, $u AS h FROM t WHERE len(tok) > 0),
-         |r AS (SELECT g, h,
-         |    row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM h),
-         |sk AS (SELECT g, h FROM r WHERE rn <= 16),
-         |gs AS (SELECT DISTINCT g FROM sk),
-         |pr AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
-         |m AS (SELECT DISTINCT pr.ga, pr.gb, s.h
-         |  FROM pr JOIN sk s ON s.g IN (pr.ga, pr.gb)),
-         |uw AS (SELECT ga, gb, h,
-         |    row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn FROM m),
-         |uk AS (SELECT ga, gb, h FROM uw WHERE rn <= 16)
-         |SELECT uk.ga, uk.gb, count(*) AS k_union,
-         |  cast(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
-         |      THEN 1 ELSE 0 END) AS bigint) AS k_both,
-         |  cast((sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
-         |      THEN 1 ELSE 0 END) * 1000000) // count(*) AS bigint)
-         |    AS jaccard_ppm
-         |FROM uk
-         |LEFT JOIN sk a ON a.g = uk.ga AND a.h = uk.h
-         |LEFT JOIN sk b ON b.g = uk.gb AND b.h = uk.h
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    },
-
-    // Ten ceil-rank reads off one cumulative window, as in q127.
-    "q133_deciles" -> {
-      val reads = (1 to 10).map(i =>
-        s"min(CASE WHEN cum * 10 >= $i * tot THEN v END) AS b$i")
-        .mkString(",\n|    ")
-      s"""WITH o AS (SELECT l_returnflag AS g,
-         |    cast(round(l_extendedprice * 100) AS bigint) AS cents
-         |  FROM lineitem),
-         |c AS (SELECT g, cents AS v, count(*) AS w FROM o GROUP BY 1, 2),
-         |r AS (SELECT g, v,
-         |    sum(w) OVER (PARTITION BY g ORDER BY v) AS cum,
-         |    sum(w) OVER (PARTITION BY g) AS tot FROM c)
-         |SELECT g,
-         |    $reads
-         |FROM r GROUP BY g ORDER BY g""".stripMargin
-    },
-
-    // First/last row per bucket by the identical (ts, event_id) total
-    // order, read off two row_number windows.
-    "q134_ohlc" ->
-      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
-        |b AS (SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS bucket,
-        |    cast(round(value * 100) AS bigint) AS cents, ts, event_id FROM e),
-        |w AS (SELECT event_type, bucket, cents,
-        |    row_number() OVER (PARTITION BY event_type, bucket
-        |      ORDER BY ts ASC, event_id ASC) AS rna,
-        |    row_number() OVER (PARTITION BY event_type, bucket
-        |      ORDER BY ts DESC, event_id DESC) AS rnd FROM b)
-        |SELECT event_type, bucket, count(*) AS n,
-        |  min(CASE WHEN rna = 1 THEN cents END) AS open,
-        |  max(cents) AS high, min(cents) AS low,
-        |  min(CASE WHEN rnd = 1 THEN cents END) AS close
-        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // Same bounded membership expansion + distinct agg.
-    "q135_sliding_dau" ->
-      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
-        |a AS (SELECT DISTINCT event_type, user_id,
-        |    epoch_us(ts) // 1000000 // 86400 AS day FROM e),
-        |s AS (SELECT event_type, max(day) AS hi FROM a GROUP BY 1),
-        |x AS (SELECT event_type, user_id,
-        |    unnest(generate_series(day, day + 6)) AS endday FROM a)
-        |SELECT x.event_type, x.endday AS day,
-        |  cast(to_timestamp(x.endday * 86400) AS timestamp) AS day_start,
-        |  count(DISTINCT x.user_id) AS n_active
-        |FROM x JOIN s USING (event_type) WHERE x.endday <= s.hi
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // Unrolled synchronous sweeps: grouped neighbor-label counts +
-    // the identical (count DESC, label ASC) tie order.
-    "q136_lpa" -> {
-      def round(i: Int) =
-        s"""l$i AS (SELECT node, label FROM (
-           |  SELECT e.v AS node, l${i - 1}.label AS label, count(*) AS c,
-           |    row_number() OVER (PARTITION BY e.v
-           |      ORDER BY count(*) DESC, l${i - 1}.label ASC) AS rn
-           |  FROM e JOIN l${i - 1} ON e.u = l${i - 1}.node
-           |  GROUP BY e.v, l${i - 1}.label) WHERE rn = 1)""".stripMargin
-      s"""WITH p AS (
-         |  SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
-         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-         |e AS (SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
-         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM e),
-         |${(1 to 4).map(round).mkString(",\n")}
-         |SELECT node, label FROM l4 ORDER BY node""".stripMargin
-    },
-
-    // One UNION ALL branch per profiled column, same native min/max.
-    "q137_profile" -> {
-      val branches = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-        "o_orderdate", "o_orderpriority").map(c =>
-        s"""SELECT '$c' AS col_name, count(*) - count($c) AS n_nulls,
-           |  count(DISTINCT $c) AS n_distinct,
-           |  cast(min($c) AS varchar) AS vmin,
-           |  cast(max($c) AS varchar) AS vmax FROM orders""".stripMargin)
-      branches.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
-    },
-
-    // Same lead-window durations, HUGEINT integral, floor divide.
-    "q138_twa" ->
-      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
-        |b AS (SELECT event_type, ts, event_id,
-        |    epoch_us(ts) // 1000000 AS s,
-        |    cast(round(value * 100) AS bigint) AS cents FROM e),
-        |w AS (SELECT event_type, cents,
-        |    lead(s) OVER (PARTITION BY event_type ORDER BY ts, event_id)
-        |      - s AS dur FROM b),
-        |f AS (SELECT * FROM w WHERE dur IS NOT NULL)
-        |SELECT event_type, count(*) AS n_held,
-        |  cast(sum(dur) AS bigint) AS held_s,
-        |  cast(sum(cents::HUGEINT * dur) // sum(dur) AS bigint)
-        |    AS twa_cents
-        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Exact HUGEINT sums; identical fixed-order closed form + floor
-    // truncation (q105's convention).
-    "q139_trend" ->
-      """WITH t AS (SELECT event_type,
-        |    (epoch_us(cast(ts AS timestamp)) // 1000000)::HUGEINT AS x,
-        |    cast(round(value * 100) AS bigint)::HUGEINT AS y FROM events),
-        |a AS (SELECT event_type, count(*) AS n,
-        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
-        |    sum(x * x) AS sxx
-        |  FROM t GROUP BY event_type)
-        |SELECT event_type, n,
-        |  CASE WHEN cast(n * sxx - sx * sx AS double) <> 0 THEN
-        |    floor(cast(n * sxy - sx * sy AS double) /
-        |      cast(n * sxx - sx * sx AS double) * 1000000) / 1000000
-        |  END AS slope6
-        |FROM a ORDER BY event_type""".stripMargin,
-
-    // UNION ALL delta replay + the same pre-agg then running sum.
-    "q140_concurrency" ->
-      """WITH s AS (SELECT o_orderpriority AS g, o_orderkey,
-        |    min(o_orderdate) AS st, max(l_shipdate) AS en
-        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-        |  GROUP BY 1, 2),
-        |d AS (SELECT g, st AS t, 1 AS d FROM s
-        |  UNION ALL SELECT g, en AS t, -1 AS d FROM s),
-        |a AS (SELECT g, t, sum(d) AS ds FROM d GROUP BY 1, 2)
-        |SELECT g, t,
-        |  cast(sum(ds) OVER (PARTITION BY g ORDER BY t) AS bigint)
-        |    AS active
-        |FROM a ORDER BY g, t""".stripMargin,
-
-    // Definitional inequality join replay + identical integer credit.
-    "q141_attribution" ->
-      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
-        |p AS (SELECT user_id, event_id, ts FROM e
-        |  WHERE event_type = 'purchase'),
-        |t AS (SELECT user_id, ts, event_type FROM e
-        |  WHERE event_type IN ('click', 'view')),
-        |j AS (SELECT p.event_id, t.event_type AS touch_type
-        |  FROM p JOIN t ON p.user_id = t.user_id
-        |  AND t.ts BETWEEN p.ts - INTERVAL 3600 SECOND AND p.ts),
-        |c AS (SELECT event_id, touch_type,
-        |    count(*) OVER (PARTITION BY event_id) AS n FROM j)
-        |SELECT touch_type, count(*) AS touches,
-        |  cast(sum(1000000 // n) AS bigint) AS credit_ppm
-        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Same lag-adjacency gate and integer lift, replayed directly.
-    "q142_trending" ->
-      """WITH c AS (SELECT l_partkey AS item,
-        |    cast(year(l_shipdate) * 12 + month(l_shipdate) AS bigint)
-        |      AS bucket, count(*) AS n
-        |  FROM lineitem GROUP BY 1, 2),
-        |w AS (SELECT item, bucket, n,
-        |    lag(bucket) OVER (PARTITION BY item ORDER BY bucket) AS pb,
-        |    lag(n) OVER (PARTITION BY item ORDER BY bucket) AS prev_n
-        |  FROM c),
-        |f AS (SELECT item, bucket, prev_n, n FROM w
-        |  WHERE pb = bucket - 1 AND prev_n >= 2 AND n >= 2)
-        |SELECT item, bucket, cast(prev_n AS bigint) AS prev_n,
-        |  cast(n AS bigint) AS n,
-        |  cast(n * 1000000 // prev_n AS bigint) AS lift_ppm
-        |FROM f ORDER BY lift_ppm DESC, bucket ASC, item ASC
-        |LIMIT 25""".stripMargin,
-
-    // Value-ordered dense codes (row_number on the distinct table) and
-    // the same encode → aggregate → decode roundtrip.
-    "q143_dict" ->
-      """WITH dict AS (SELECT value,
-        |    cast(row_number() OVER (ORDER BY value) AS bigint) AS code
-        |  FROM (SELECT DISTINCT o_orderpriority AS value FROM orders
-        |        WHERE o_orderpriority IS NOT NULL)),
-        |e AS (SELECT d.code FROM orders o
-        |  JOIN dict d ON o.o_orderpriority = d.value)
-        |SELECT d.value, d.code, count(*) AS n
-        |FROM e JOIN dict d ON e.code = d.code
-        |GROUP BY d.value, d.code ORDER BY d.code""".stripMargin,
-
-    // rank() ties + the identical integer ppm mapping.
-    "q144_percentile_rank" ->
-      """WITH o AS (SELECT o_orderkey, o_orderpriority AS g,
-        |    cast(round(o_totalprice * 100) AS bigint) AS cents
-        |  FROM orders),
-        |r AS (SELECT o_orderkey, g, cents AS x,
-        |    rank() OVER (PARTITION BY g ORDER BY cents) AS rk,
-        |    count(*) OVER (PARTITION BY g) AS n FROM o)
-        |SELECT o_orderkey, g, x,
-        |  CASE WHEN n > 1
-        |    THEN cast((rk - 1) * 1000000 // (n - 1) AS bigint)
-        |    ELSE 0 END AS pr_ppm
-        |FROM r ORDER BY o_orderkey""".stripMargin,
-
-    // Ascending row_number ranks (tie order immaterial for sum(i*x)),
-    // HUGEINT cross-multiplied floor.
-    "q145_gini" ->
-      """WITH rev AS (SELECT s_nationkey AS g, s_suppkey,
-        |    sum(cast(round(l_extendedprice * 100) AS bigint)) AS cents
-        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |  GROUP BY 1, 2),
-        |r AS (SELECT g, cents::HUGEINT AS x,
-        |    row_number() OVER (PARTITION BY g ORDER BY cents)::HUGEINT
-        |      AS i FROM rev),
-        |a AS (SELECT g, count(*) AS n, sum(x) AS sx, sum(i * x) AS six
-        |  FROM r GROUP BY g)
-        |SELECT g, n,
-        |  CASE WHEN sx > 0 THEN cast(
-        |    ((2 * six - (n + 1) * sx) * 1000000) // (n * sx) AS bigint)
-        |  END AS gini_ppm
-        |FROM a ORDER BY g""".stripMargin,
-
-    // Unrolled min-relaxation rounds over the symmetric temporal edges.
-    "q146_temporal_reach" -> {
-      def round(i: Int) =
-        s"""a$i AS (SELECT node, min(arr) AS arr FROM (
-           |  SELECT node, arr FROM a${i - 1}
-           |  UNION ALL
-           |  SELECT e.v AS node, e.t AS arr FROM e
-           |  JOIN a${i - 1} ON e.u = a${i - 1}.node AND e.t >= a${i - 1}.arr
-           |) GROUP BY node)""".stripMargin
-      s"""WITH p AS (
-         |  SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v,
-         |    cast(date_diff('day', DATE '1970-01-01', l.l_shipdate)
-         |      AS bigint) AS t
-         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-         |  WHERE o.o_custkey * 2 <> l.l_suppkey * 2 + 1),
-         |e AS (SELECT u, v, t FROM p
-         |  UNION SELECT v AS u, u AS v, t FROM p),
-         |a0 AS (SELECT DISTINCT c_custkey * 2 AS node,
-         |    cast(0 AS bigint) AS arr FROM customer WHERE c_custkey <= 5),
-         |${(1 to 4).map(round).mkString(",\n")}
-         |SELECT node, arr FROM a4 ORDER BY node""".stripMargin
-    },
-
-    // Same merged-support CDF separation integral in HUGEINT.
-    "q147_numeric_drift" ->
-      """WITH o AS (SELECT o_orderstatus,
-        |    cast(round(o_totalprice * 100) AS bigint) AS v FROM orders),
-        |ca AS (SELECT v, count(*) AS na FROM o
-        |  WHERE o_orderstatus = 'F' GROUP BY v),
-        |cb AS (SELECT v, count(*) AS nb FROM o
-        |  WHERE o_orderstatus <> 'F' GROUP BY v),
-        |m AS (SELECT coalesce(ca.v, cb.v) AS v,
-        |    coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
-        |  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
-        |c AS (SELECT v,
-        |    sum(na) OVER (ORDER BY v)::HUGEINT AS cuma,
-        |    sum(nb) OVER (ORDER BY v)::HUGEINT AS cumb,
-        |    (sum(na) OVER ())::HUGEINT AS nat,
-        |    (sum(nb) OVER ())::HUGEINT AS nbt,
-        |    lead(v) OVER (ORDER BY v) - v AS gap
-        |  FROM m)
-        |SELECT cast(max(nat) AS bigint) AS n_a,
-        |  cast(max(nbt) AS bigint) AS n_b,
-        |  cast(sum(abs(cuma * nbt - cumb * nat) * gap)
-        |    // (max(nat) * max(nbt)) AS bigint) AS emd
-        |FROM c WHERE gap IS NOT NULL""".stripMargin,
-
-    // Change-log replay: same synthetic waves, latest sequence wins via
-    // row_number, winning deletes drop the key, upserts replace/insert.
-    "q148_cdc_apply" ->
-      """WITH base AS (
-        |  SELECT o_orderkey, o_custkey, o_orderstatus,
-        |    cast(round(o_totalprice * 100) AS bigint) AS price_cents
-        |  FROM orders),
-        |changes AS (
-        |  SELECT o_orderkey, o_custkey, o_orderstatus,
-        |    price_cents + 100 AS price_cents, 'U' AS op, 1 AS seq
-        |  FROM base WHERE o_orderkey % 7 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey, o_custkey, o_orderstatus,
-        |    price_cents + 200, 'U', 2 FROM base WHERE o_orderkey % 14 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey, o_custkey, o_orderstatus,
-        |    price_cents, 'D', 3 FROM base WHERE o_orderkey % 11 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
-        |    4200, 'I', 1 FROM base WHERE o_orderkey % 13 = 0),
-        |w AS (
-        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
-        |    ORDER BY seq DESC, op DESC) AS rn
-        |  FROM changes)
-        |SELECT o_orderkey, o_custkey, o_orderstatus, price_cents
-        |FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM w)
-        |UNION ALL
-        |SELECT o_orderkey, o_custkey, o_orderstatus, price_cents
-        |FROM w WHERE rn = 1 AND op <> 'D'
-        |ORDER BY o_orderkey""".stripMargin,
-
-    // Window replay of the systematic PPS draw: md5-ordered running
-    // weights, integer grid-crossing count (`//` floors; all operands
-    // non-negative, so Spark's truncating `div` agrees).
-    "q149_pps_sample" ->
-      """WITH t AS (
-        |  SELECT o_orderkey AS k,
-        |    cast(round(o_totalprice * 100) AS bigint) AS w,
-        |    md5(cast(o_orderkey AS varchar)) AS hh
-        |  FROM orders),
-        |s AS (
-        |  SELECT k, w,
-        |    cast(coalesce(sum(w) OVER (ORDER BY hh ASC, k ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS bigint) AS before,
-        |    cast(sum(w) OVER () AS bigint) AS total
-        |  FROM t),
-        |g AS (
-        |  SELECT k, w,
-        |    ((before + w) * 500 + total - 1) // total
-        |      - (before * 500 + total - 1) // total AS hits
-        |  FROM s)
-        |SELECT k AS o_orderkey, w AS weight, cast(hits AS bigint) AS n_hits
-        |FROM g WHERE hits > 0 ORDER BY o_orderkey""".stripMargin,
-
-    // Digit-by-digit md5 replay of the explicit HLL layout: 2-hex-digit
-    // bucket, 56-bit tail, rank via bin() length, per-bucket max, exact
-    // dyadic harmonic numerator (empties contribute 2^60 each) split at
-    // 2^30 into two bigints — never decimal/HUGEINT in graded output.
-    "q150_hll_distinct" -> {
-      val tail56 = (2 until 16).map(i =>
-        s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * ${1L << (4 * (15 - i))}")
-        .mkString("(", "\n      + ", ")")
-      s"""WITH v AS (
-         |  SELECT event_type, md5(cast(user_id AS varchar)) AS h
-         |  FROM events WHERE user_id IS NOT NULL),
-         |b AS (
-         |  SELECT event_type,
-         |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
-         |      + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
-         |    cast($tail56 AS bigint) AS tail
-         |  FROM v),
-         |r AS (
-         |  SELECT event_type, bucket,
-         |    max(CASE WHEN tail = 0 THEN 57
-         |        ELSE 57 - length(bin(tail)) END) AS m
-         |  FROM b GROUP BY event_type, bucket),
-         |f AS (
-         |  SELECT event_type,
-         |    cast(count(*) AS bigint) AS used,
-         |    cast(sum(m) AS bigint) AS reg_sum,
-         |    cast(sum((1::BIGINT << cast(60 - m AS int)) >> 30)
-         |      + (256 - count(*)) * (1::BIGINT << 30)
-         |      AS bigint) AS hi0,
-         |    cast(sum((1::BIGINT << cast(60 - m AS int))
-         |      % (1::BIGINT << 30)) AS bigint) AS lo0
-         |  FROM r GROUP BY event_type)
-         |SELECT event_type, used, reg_sum,
-         |  hi0 + lo0 // (1::BIGINT << 30) AS harm_hi,
-         |  lo0 % (1::BIGINT << 30) AS harm_lo
-         |FROM f ORDER BY event_type""".stripMargin
-    },
-
-    // Streaming HLL replay: the final per-type register state equals
-    // the batch registers (max-semilattice — q150's digit-by-digit md5
-    // replay, summarized to the graded used/reg_sum surface).
-    "q228_stream_hll" -> {
-      val tail56 = (2 until 16).map(i =>
-        s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * ${1L << (4 * (15 - i))}")
-        .mkString("(", "\n      + ", ")")
-      s"""WITH v AS (
-         |  SELECT event_type, md5(cast(user_id AS varchar)) AS h
-         |  FROM events WHERE user_id IS NOT NULL),
-         |b AS (
-         |  SELECT event_type,
-         |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
-         |      + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
-         |    cast($tail56 AS bigint) AS tail
-         |  FROM v),
-         |r AS (
-         |  SELECT event_type, bucket,
-         |    max(CASE WHEN tail = 0 THEN 57
-         |        ELSE 57 - length(bin(tail)) END) AS m
-         |  FROM b GROUP BY event_type, bucket)
-         |SELECT event_type, cast(count(*) AS bigint) AS used,
-         |  cast(sum(m) AS bigint) AS reg_sum
-         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
-    },
-
-    // Window self-join replay of the w=5 neighborhood: rank within
-    // (lang, n_chars-order), pair ranks differing by <= 4, exact
-    // token-set Jaccard >= 1/2 via list_intersect sizes.
-    "q151_sorted_neighborhood" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang, n_chars,
-        |    list_distinct(string_split_regex(trim(text), '\s+')) AS ts
-        |  FROM documents),
-        |r AS (
-        |  SELECT doc_id, lang, ts,
-        |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY n_chars, doc_id) AS rn
-        |  FROM t),
-        |p AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |    cast(len(list_intersect(a.ts, b.ts)) AS bigint) AS inter,
-        |    cast(len(a.ts) + len(b.ts)
-        |      - len(list_intersect(a.ts, b.ts)) AS bigint) AS uni
-        |  FROM r a JOIN r b
-        |    ON a.lang = b.lang AND b.rn BETWEEN a.rn + 1 AND a.rn + 4)
-        |SELECT a_id, b_id, inter, uni FROM p
-        |WHERE inter * 2 >= uni * 1
-        |ORDER BY a_id, b_id""".stripMargin,
-
-    // Exact KS replay: per-value counts of both samples, full-outer
-    // merge, running CDFs, max cross-multiplied gap; the only FP step
-    // is the final division both engines evaluate identically.
-    "q152_ks_drift" ->
-      """WITH ca AS (
-        |  SELECT value AS v, count(*) AS na FROM events
-        |  WHERE event_type = 'click' GROUP BY 1),
-        |cb AS (
-        |  SELECT value AS v, count(*) AS nb FROM events
-        |  WHERE event_type = 'view' GROUP BY 1),
-        |m AS (
-        |  SELECT coalesce(ca.v, cb.v) AS v,
-        |    coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
-        |  FROM ca FULL JOIN cb ON ca.v = cb.v),
-        |c AS (
-        |  SELECT sum(na) OVER (ORDER BY v) AS cca,
-        |    sum(nb) OVER (ORDER BY v) AS ccb,
-        |    sum(na) OVER () AS nat, sum(nb) OVER () AS nbt
-        |  FROM m)
-        |SELECT cast(max(nat) AS bigint) AS n_a,
-        |  cast(max(nbt) AS bigint) AS n_b,
-        |  cast(max(abs(cca * nbt - ccb * nat)) AS bigint) AS d_num,
-        |  cast(max(abs(cca * nbt - ccb * nat)) AS double)
-        |    / cast(max(nat) * max(nbt) AS double) AS ks
-        |FROM c""".stripMargin,
-
-    // RRF replay: the q80 BM25 scoring as one CTE, the q28 cosine
-    // scoring as another, both top-20 ranked with the same tie-breaks,
-    // then the fixed-order 1/(60+r) sum floored at 1e-9 grain.
-    "q153_rrf_fusion" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
-         |  FROM documents),
-         |ft AS (
-         |  SELECT doc_id, t, count(*) AS tf FROM tok
-         |  WHERE t IN ('dup', 'merge', 'spark') GROUP BY 1, 2),
-         |dfq AS (SELECT t, count(*) AS df FROM ft GROUP BY 1),
-         |tot AS (
-         |  SELECT count(*) AS n,
-         |    sum(len(string_split_regex(trim(text), '\\s+'))) AS tot
-         |  FROM documents),
-         |dl AS (
-         |  SELECT doc_id,
-         |    cast(len(string_split_regex(trim(text), '\\s+')) AS double) AS dl
-         |  FROM documents),
-         |sc AS (
-         |  SELECT f.doc_id, f.t,
-         |    (((cast(n AS double) - cast(df AS double)) + 0.5)
-         |       / (cast(df AS double) + 0.5))
-         |    * (cast(tf AS double) * 2.25)
-         |    / (cast(tf AS double)
-         |       + 1.25 * (0.25 + 0.75 * ((dl * cast(n AS double))
-         |                                 / cast(tot AS double)))) AS sc
-         |  FROM ft f JOIN dfq USING (t) JOIN dl USING (doc_id), tot),
-         |bm AS (
-         |  SELECT doc_id,
-         |    row_number() OVER (ORDER BY score6 DESC, doc_id) AS r_bm
-         |  FROM (
-         |    SELECT doc_id,
-         |      cast(floor((coalesce(max(CASE WHEN t = 'dup' THEN sc END), 0.0)
-         |        + coalesce(max(CASE WHEN t = 'merge' THEN sc END), 0.0)
-         |        + coalesce(max(CASE WHEN t = 'spark' THEN sc END), 0.0))
-         |        * 1000000.0) AS bigint) AS score6
-         |    FROM sc GROUP BY doc_id
-         |    ORDER BY score6 DESC, doc_id LIMIT 20)),
-         |qv AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
-         |cosr AS (
-         |  SELECT doc_id,
-         |    row_number() OVER (ORDER BY cs6 DESC, doc_id) AS r_cos
-         |  FROM (
-         |    SELECT vec_id AS doc_id,
-         |      cast(floor((${cosineSql("embedding", "q_vec")})
-         |        * 1000000.0) AS bigint) AS cs6
-         |    FROM embeddings, qv
-         |    WHERE vec_id <> 0
-         |    ORDER BY cs6 DESC, doc_id LIMIT 20))
-         |SELECT coalesce(bm.doc_id, cosr.doc_id) AS doc_id, r_bm, r_cos,
-         |  cast(floor((coalesce(1.0 / (60.0 + cast(r_bm AS double)), 0.0)
-         |    + coalesce(1.0 / (60.0 + cast(r_cos AS double)), 0.0))
-         |    * 1000000000.0) AS bigint) AS rrf9
-         |FROM bm FULL JOIN cosr ON bm.doc_id = cosr.doc_id
-         |ORDER BY rrf9 DESC, doc_id LIMIT 10""".stripMargin,
-
-    // Golden-record replay: same bag-of-words key, modes via count-desc
-    // value-asc row_number, max/min/count straight off the group.
-    "q154_survivorship" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang, source, n_chars,
-        |    md5(list_aggregate(
-        |      list_sort(list_distinct(string_split_regex(trim(text), '\s+'))),
-        |      'string_agg', ' ')) AS ck
-        |  FROM documents),
-        |b AS (
-        |  SELECT ck, min(doc_id) AS canonical_id,
-        |    cast(count(*) AS bigint) AS n_members,
-        |    max(n_chars) AS max_n_chars
-        |  FROM t GROUP BY ck),
-        |lm AS (
-        |  SELECT ck, lang AS mode_lang FROM (
-        |    SELECT ck, lang, row_number() OVER (PARTITION BY ck
-        |      ORDER BY count(*) DESC, lang ASC) AS rk
-        |    FROM t GROUP BY ck, lang) WHERE rk = 1),
-        |sm AS (
-        |  SELECT ck, source AS mode_source FROM (
-        |    SELECT ck, source, row_number() OVER (PARTITION BY ck
-        |      ORDER BY count(*) DESC, source ASC) AS rk
-        |    FROM t GROUP BY ck, source) WHERE rk = 1)
-        |SELECT canonical_id, n_members, max_n_chars, mode_lang, mode_source
-        |FROM b JOIN lm USING (ck) JOIN sm USING (ck)
-        |ORDER BY canonical_id""".stripMargin,
-
-    // Same guess CTE as q24, then per-class tp/fp/fn off two rollups
-    // of the confusion counts; ratios replayed as single divisions
-    // floored at 1e-6 grain (sums cast to bigint — hugeint hashes
-    // differently).
-    "q155_langid_eval" -> {
-      val de = markerSql(TextStats.stopwords("de"))
-      val en = markerSql(TextStats.stopwords("en"))
-      val es = markerSql(TextStats.stopwords("es"))
-      val fr = markerSql(TextStats.stopwords("fr"))
-      s"""WITH scored AS (
-         |  SELECT lang,
-         |    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
-         |    length(text) AS len,
-         |    $de AS s_de, $en AS s_en, $es AS s_es, $fr AS s_fr
-         |  FROM documents),
-         |guessed AS (
-         |  SELECT lang, CASE
-         |    WHEN cjk * 2 > len THEN 'zh'
-         |    WHEN s_de = greatest(s_de, s_en, s_es, s_fr)
-         |      AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'de'
-         |    WHEN s_en = greatest(s_de, s_en, s_es, s_fr)
-         |      AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'en'
-         |    WHEN s_es = greatest(s_de, s_en, s_es, s_fr)
-         |      AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'es'
-         |    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr)
-         |      AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'fr'
-         |    ELSE 'und' END AS guess
-         |  FROM scored),
-         |g AS (
-         |  SELECT guess AS cls, cast(count(*) AS bigint) AS npred,
-         |    cast(sum(CASE WHEN lang = guess THEN 1 ELSE 0 END) AS bigint)
-         |      AS tpg
-         |  FROM guessed GROUP BY 1),
-         |l AS (
-         |  SELECT lang AS cls, cast(count(*) AS bigint) AS ntrue
-         |  FROM guessed GROUP BY 1),
-         |f AS (
-         |  SELECT coalesce(g.cls, l.cls) AS cls,
-         |    coalesce(tpg, 0) AS tp,
-         |    coalesce(npred, 0) - coalesce(tpg, 0) AS fp,
-         |    coalesce(ntrue, 0) - coalesce(tpg, 0) AS fn
-         |  FROM g FULL JOIN l ON g.cls = l.cls)
-         |SELECT cls, tp, fp, fn,
-         |  CASE WHEN tp + fp > 0 THEN cast(floor(cast(tp AS double)
-         |    / cast(tp + fp AS double) * 1000000.0) AS bigint) END AS prec6,
-         |  CASE WHEN tp + fn > 0 THEN cast(floor(cast(tp AS double)
-         |    / cast(tp + fn AS double) * 1000000.0) AS bigint) END AS rec6,
-         |  CASE WHEN 2 * tp + fp + fn > 0 THEN cast(floor(
-         |    cast(2 * tp AS double) / cast(2 * tp + fp + fn AS double)
-         |    * 1000000.0) AS bigint) END AS f16
-         |FROM f ORDER BY cls""".stripMargin
-    },
-
-    // Integer bucket replay: same div arithmetic (all operands
-    // non-negative, so `//` floor = Spark's truncating div).
-    "q156_hist_equiwidth" ->
-      """WITH b AS (
-        |  SELECT lang, min(n_chars) AS mn, max(n_chars) AS mx
-        |  FROM documents GROUP BY lang),
-        |v AS (
-        |  SELECT d.lang, ((n_chars - mn) * 10) // (mx - mn + 1) AS bucket,
-        |    mn, mx
-        |  FROM documents d JOIN b USING (lang))
-        |SELECT lang, bucket, mn + (bucket * (mx - mn + 1)) // 10 AS lo,
-        |  cast(count(*) AS bigint) AS n, mn, mx
-        |FROM v GROUP BY lang, bucket, mn, mx
-        |ORDER BY lang, bucket""".stripMargin,
-
-    // Same lead-window neighborhood, same integer CASE weights — the
-    // whole FS pipeline replays declaratively.
-    "q157_linkage" ->
-      """WITH base AS (
-        |  SELECT p_partkey AS id, p_brand AS blk, p_retailprice AS ord,
-        |    p_type, p_size, string_split(p_name, ' ')[1] AS p_name_first
-        |  FROM part),
-        |nb AS (
-        |  SELECT id AS a_id,
-        |    lead(id, 1) OVER win AS l1, lead(id, 2) OVER win AS l2,
-        |    lead(id, 3) OVER win AS l3, lead(id, 4) OVER win AS l4
-        |  FROM base
-        |  WINDOW win AS (PARTITION BY blk ORDER BY ord, id)),
-        |pp AS (
-        |  SELECT a_id, b_id FROM (
-        |    SELECT a_id, unnest([l1, l2, l3, l4]) AS b_id FROM nb)
-        |  WHERE b_id IS NOT NULL),
-        |s AS (
-        |  SELECT pp.a_id, pp.b_id,
-        |    (CASE WHEN a.p_type IS NULL OR b.p_type IS NULL THEN 0
-        |          WHEN a.p_type = b.p_type THEN 4500 ELSE -800 END)
-        |    + (CASE WHEN a.p_size IS NULL OR b.p_size IS NULL THEN 0
-        |            WHEN a.p_size = b.p_size THEN 3200 ELSE -600 END)
-        |    + (CASE WHEN a.p_name_first IS NULL
-        |              OR b.p_name_first IS NULL THEN 0
-        |            WHEN a.p_name_first = b.p_name_first THEN 2600
-        |            ELSE -1500 END) AS weight_mb
-        |  FROM pp JOIN base a ON a.id = pp.a_id
-        |  JOIN base b ON b.id = pp.b_id)
-        |SELECT a_id, b_id, cast(weight_mb AS bigint) AS weight_mb,
-        |  CASE WHEN weight_mb >= 6000 THEN 'link'
-        |       WHEN weight_mb <= -2000 THEN 'non_link'
-        |       ELSE 'possible' END AS decision
-        |FROM s ORDER BY a_id, b_id""".stripMargin,
-
-    // Cents-exact bucket (shifted non-negative so `//` = Spark div),
-    // exact group count + distinct — the audit replays as one GROUP BY.
-    "q158_kanon" ->
-      """WITH b AS (
-        |  SELECT c_nationkey,
-        |    (cast(round(c_acctbal * 100, 0) AS bigint) + 100000)
-        |      // 100000 AS acct_bucket,
-        |    c_mktsegment
-        |  FROM customer),
-        |g AS (
-        |  SELECT c_nationkey, acct_bucket,
-        |    cast(count(*) AS bigint) AS class_size,
-        |    cast(count(DISTINCT c_mktsegment) AS bigint) AS n_sensitive
-        |  FROM b GROUP BY 1, 2)
-        |SELECT c_nationkey, acct_bucket, class_size, n_sensitive,
-        |  CASE WHEN class_size < 4 THEN 1 ELSE 0 END AS k_violation,
-        |  CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END AS l_violation
-        |FROM g
-        |WHERE class_size < 4 OR n_sensitive < 3
-        |ORDER BY c_nationkey, acct_bucket""".stripMargin,
-
-    // Digit spine replay with the same fixed ppm literals; hugeint
-    // through the squared term (obs·10⁶ squares past bigint at
-    // ~15k-row groups), one floor per digit term like the operator.
-    "q197_benford" ->
-      """WITH v AS (SELECT o_orderpriority AS g,
-        |    cast(round(o_totalprice * 100, 0) AS bigint) AS v
-        |  FROM orders),
-        |dg AS (SELECT g,
-        |    cast(substr(cast(v AS varchar), 1, 1) AS int) AS digit
-        |  FROM v WHERE v > 0),
-        |c AS (SELECT g, digit, cast(count(*) AS bigint) AS obs
-        |  FROM dg GROUP BY 1, 2),
-        |t AS (SELECT g, cast(sum(obs) AS bigint) AS n FROM c GROUP BY 1),
-        |p AS (SELECT * FROM (VALUES (1, 301030), (2, 176091),
-        |  (3, 124939), (4, 96910), (5, 79181), (6, 66947),
-        |  (7, 57992), (8, 51153), (9, 45757)) AS pp(digit, ppm)),
-        |sp AS (SELECT t.g, t.n, p.digit,
-        |    cast(p.ppm AS hugeint) AS ppm,
-        |    cast(coalesce(c.obs, 0) AS hugeint) AS obs
-        |  FROM t CROSS JOIN p
-        |  LEFT JOIN c ON c.g = t.g AND c.digit = p.digit)
-        |SELECT g AS o_orderpriority, max(n) AS n,
-        |  cast(sum(((obs * 1000000 - n * ppm)
-        |      * (obs * 1000000 - n * ppm))
-        |    // (n * ppm * 1000000)) AS bigint) AS chi2_scaled,
-        |  cast(sum(CASE WHEN obs > 0 THEN 1 ELSE 0 END) AS bigint)
-        |    AS digits_seen
-        |FROM sp GROUP BY g ORDER BY o_orderpriority""".stripMargin,
-
-    // Kappa replay: q155's langID guess CTE, then the exact count
-    // formula in hugeint. Sign split keeps the truncation direction
-    // engine-independent for negative kappa; all other operands are
-    // non-negative, so `//` floor = Spark's truncating div.
-    "q198_kappa" -> {
-      val de = markerSql(TextStats.stopwords("de"))
-      val en = markerSql(TextStats.stopwords("en"))
-      val es = markerSql(TextStats.stopwords("es"))
-      val fr = markerSql(TextStats.stopwords("fr"))
-      s"""WITH scored AS (
-         |  SELECT lang,
-         |    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
-         |    length(text) AS len,
-         |    $de AS s_de, $en AS s_en, $es AS s_es, $fr AS s_fr
-         |  FROM documents),
-         |guessed AS (
-         |  SELECT lang, CASE
-         |    WHEN cjk * 2 > len THEN 'zh'
-         |    WHEN s_de = greatest(s_de, s_en, s_es, s_fr)
-         |      AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'de'
-         |    WHEN s_en = greatest(s_de, s_en, s_es, s_fr)
-         |      AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'en'
-         |    WHEN s_es = greatest(s_de, s_en, s_es, s_fr)
-         |      AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'es'
-         |    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr)
-         |      AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'fr'
-         |    ELSE 'und' END AS guess
-         |  FROM scored),
-         |conf AS (SELECT guess AS a, lang AS b,
-         |    cast(count(*) AS bigint) AS n
-         |  FROM guessed GROUP BY 1, 2),
-         |ma AS (SELECT a AS cls, sum(n) AS na FROM conf GROUP BY 1),
-         |mb AS (SELECT b AS cls, sum(n) AS nb FROM conf GROUP BY 1),
-         |sS AS (SELECT cast(coalesce(sum(
-         |      cast(coalesce(na, 0) AS hugeint) * coalesce(nb, 0)), 0)
-         |    AS hugeint) AS s
-         |  FROM ma FULL JOIN mb ON ma.cls = mb.cls),
-         |t AS (SELECT cast(coalesce(sum(n), 0) AS bigint) AS n,
-         |    cast(coalesce(sum(CASE WHEN a IS NOT DISTINCT FROM b
-         |      THEN n ELSE 0 END), 0) AS bigint) AS agree
-         |  FROM conf)
-         |SELECT n, agree,
-         |  cast(CASE WHEN n > 0 THEN
-         |    (cast(agree AS hugeint) * 1000000) // n END AS bigint)
-         |    AS po_ppm,
-         |  cast(CASE WHEN n > 0 THEN
-         |    (s * 1000000) // (cast(n AS hugeint) * n) END AS bigint)
-         |    AS pe_ppm,
-         |  cast(CASE WHEN (cast(n AS hugeint) * n - s) > 0 THEN
-         |    (CASE WHEN (cast(agree AS hugeint) * n - s) < 0
-         |      THEN -1 ELSE 1 END) *
-         |    ((abs(cast(agree AS hugeint) * n - s) * 1000000)
-         |      // (cast(n AS hugeint) * n - s)) END AS bigint)
-         |    AS kappa_ppm
-         |FROM t, sS""".stripMargin
-    },
-
-    // AUC replay: per-(group, score) counts, strict-below negatives
-    // via a 1-PRECEDING cumulative window, then the same integer 2U
-    // formula in hugeint.
-    "q199_roc_auc" ->
-      """WITH v AS (SELECT o_orderpriority AS g,
-        |    cast(round(o_totalprice * 100, 0) AS bigint) AS s,
-        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS p
-        |  FROM orders),
-        |c AS (SELECT g, s, cast(sum(p) AS bigint) AS pos,
-        |    cast(count(*) - sum(p) AS bigint) AS neg
-        |  FROM v GROUP BY 1, 2),
-        |w AS (SELECT g, pos, neg,
-        |    cast(coalesce(sum(neg) OVER (PARTITION BY g ORDER BY s
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS hugeint) AS below
-        |  FROM c),
-        |a AS (SELECT g, cast(sum(pos) AS bigint) AS n_pos,
-        |    cast(sum(neg) AS bigint) AS n_neg,
-        |    sum(cast(pos AS hugeint) * (below * 2 + neg)) AS num2
-        |  FROM w GROUP BY g)
-        |SELECT g AS o_orderpriority, n_pos, n_neg,
-        |  cast(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
-        |    (num2 * 1000000) // (cast(n_pos AS hugeint) * n_neg * 2)
-        |    END AS bigint) AS auc_ppm
-        |FROM a ORDER BY o_orderpriority""".stripMargin,
-
-    // Spearman replay: doubled average ranks from rank() + a per-value
-    // tie count (2·avg = 2·rank_min + ties − 1), then q105's exact-sum
-    // Pearson formula with hugeint sums and the same one-double-
-    // division 6-dp floor.
-    "q200_spearman" ->
-      """WITH t AS (SELECT lang, cast(n_chars AS bigint) AS x,
-        |    cast(len(string_split_regex(trim(text), '\s+')) AS bigint)
-        |      AS y
-        |  FROM documents),
-        |r AS (SELECT lang,
-        |    2 * rank() OVER (PARTITION BY lang ORDER BY x)
-        |      + count(*) OVER (PARTITION BY lang, x) - 1 AS rx2,
-        |    2 * rank() OVER (PARTITION BY lang ORDER BY y)
-        |      + count(*) OVER (PARTITION BY lang, y) - 1 AS ry2
-        |  FROM t),
-        |a AS (SELECT lang, cast(count(*) AS bigint) AS n,
-        |    sum(cast(rx2 AS hugeint)) AS sx,
-        |    sum(cast(ry2 AS hugeint)) AS sy,
-        |    sum(cast(rx2 AS hugeint) * ry2) AS sxy,
-        |    sum(cast(rx2 AS hugeint) * rx2) AS sxx,
-        |    sum(cast(ry2 AS hugeint) * ry2) AS syy
-        |  FROM r GROUP BY lang)
-        |SELECT lang, n,
-        |  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
-        |    THEN floor(cast(n * sxy - sx * sy AS double) /
-        |      (sqrt(cast(n * sxx - sx * sx AS double)) *
-        |       sqrt(cast(n * syy - sy * sy AS double))) * 1000000)
-        |      / 1000000 END AS rho6
-        |FROM a ORDER BY lang""".stripMargin,
-
-    // Ring replay: md5-ordered dense rank over the pool, 15-hex-digit
-    // start offsets (digit-parsed, bigint-safe: < 2^60), slot unnest,
-    // self/positive exclusion, earliest-slot dedup, per-anchor
-    // row_number — step for step the operator's contract.
-    "q201_neg_sample" -> {
-      val h15 = (0 until 15).map(i =>
-        "(strpos('0123456789abcdef', substr(md5(cast(anchor AS varchar)" +
-          s" || '|neg'), ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
-        .mkString("(", " + ", ")")
-      s"""WITH ids AS (SELECT DISTINCT doc_id FROM documents),
-         |ring AS (SELECT doc_id AS neg_id,
-         |    row_number() OVER (ORDER BY md5(cast(doc_id AS varchar)),
-         |      doc_id) - 1 AS r
-         |  FROM ids),
-         |np AS (SELECT cast(count(*) AS bigint) AS p FROM ids),
-         |anch AS (SELECT doc_id AS anchor, lang FROM documents
-         |  WHERE doc_id % 97 = 0),
-         |st AS (SELECT anchor, $h15 % p AS s0 FROM anch, np),
-         |sl AS (SELECT anchor, s0, unnest(range(0, 30)) AS slot
-         |  FROM st),
-         |cand AS (SELECT anchor, slot, (s0 + slot) % p AS r
-         |  FROM sl, np),
-         |j AS (SELECT c.anchor, c.slot, ring.neg_id
-         |  FROM cand c JOIN ring USING (r)
-         |  WHERE ring.neg_id <> c.anchor),
-         |pos AS (SELECT a.anchor, d.doc_id AS pos_id
-         |  FROM anch a JOIN documents d ON d.lang = a.lang),
-         |ap AS (SELECT j.anchor, j.slot, j.neg_id FROM j
-         |  LEFT JOIN pos ON pos.anchor = j.anchor
-         |    AND pos.pos_id = j.neg_id
-         |  WHERE pos.anchor IS NULL),
-         |ded AS (SELECT anchor, neg_id, min(slot) AS slot
-         |  FROM ap GROUP BY 1, 2)
-         |SELECT anchor, rk, neg_id FROM (
-         |  SELECT anchor, neg_id, cast(row_number() OVER (
-         |    PARTITION BY anchor ORDER BY slot) AS int) AS rk
-         |  FROM ded)
-         |WHERE rk <= 5 ORDER BY anchor, rk""".stripMargin
-    },
-
-    // NDCG replay: both rankings as row_number windows with the same
-    // (score desc, orderkey) / (rel desc, orderkey) total tie-breaks,
-    // and the discount weights as the SAME integer literals the plan
-    // uses (generated from Stats.ndcgWeights — transcendental
-    // constants are exact once they're literals).
-    "q202_ranking_eval" -> {
-      val wVals = graft.ext.Stats.ndcgWeights(10).zipWithIndex
-        .map { case (wt, i) => s"(${i + 1}, $wt)" }.mkString(", ")
-      s"""WITH b AS (SELECT o_orderpriority AS g,
-         |    cast(round(o_totalprice * 100, 0) AS bigint) AS s,
-         |    o_orderkey AS tie,
-         |    CASE o_orderstatus WHEN 'F' THEN 2 WHEN 'P' THEN 1
-         |      ELSE 0 END AS rel
-         |  FROM orders),
-         |w AS (SELECT * FROM (VALUES $wVals) AS t(pos, wt)),
-         |act AS (SELECT g, rel,
-         |    row_number() OVER (PARTITION BY g ORDER BY s DESC, tie)
-         |      AS pos
-         |  FROM b),
-         |idl AS (SELECT g, rel,
-         |    row_number() OVER (PARTITION BY g ORDER BY rel DESC, tie)
-         |      AS pos
-         |  FROM b),
-         |a AS (SELECT g,
-         |    cast(sum(cast(rel AS hugeint) * wt) AS bigint) AS dcg,
-         |    min(CASE WHEN rel > 0 THEN act.pos END) AS frp
-         |  FROM act JOIN w ON act.pos = w.pos WHERE act.pos <= 10
-         |  GROUP BY g),
-         |i AS (SELECT g,
-         |    cast(sum(cast(rel AS hugeint) * wt) AS bigint) AS idcg
-         |  FROM idl JOIN w ON idl.pos = w.pos WHERE idl.pos <= 10
-         |  GROUP BY g),
-         |nn AS (SELECT g, cast(count(*) AS bigint) AS n
-         |  FROM b GROUP BY g)
-         |SELECT nn.g AS o_orderpriority, n, dcg AS dcg_scaled,
-         |  idcg AS idcg_scaled,
-         |  cast(CASE WHEN idcg > 0 THEN
-         |    (cast(dcg AS hugeint) * 1000000) // idcg END AS bigint)
-         |    AS ndcg_ppm,
-         |  cast(frp AS bigint) AS first_rel_pos,
-         |  cast(CASE WHEN frp IS NOT NULL THEN 1000000 // frp END
-         |    AS bigint) AS rr_ppm
-         |FROM nn JOIN a ON nn.g = a.g JOIN i ON nn.g = i.g
-         |ORDER BY o_orderpriority""".stripMargin
-    },
-
-    // Calibration replay: same pseudo-confidence, equal-width bins,
-    // per-bin integer deviations |10^6*pos - sumconf|, ONE floor at
-    // the end for ECE (sum of floors != floor of sum), per-bin floor
-    // max for MCE.
-    "q203_calibration" ->
-      """WITH v AS (SELECT
-        |    least(1000000, cast(round(o_totalprice * 100, 0) AS bigint)
-        |      // 55) AS c,
-        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS p
-        |  FROM orders),
-        |b AS (SELECT least(9, (c * 10) // 1000000) AS bin,
-        |    cast(count(*) AS bigint) AS n, cast(sum(p) AS bigint) AS pos,
-        |    sum(cast(c AS hugeint)) AS sumc
-        |  FROM v GROUP BY 1),
-        |d AS (SELECT *, abs(cast(pos AS hugeint) * 1000000 - sumc)
-        |    AS dev FROM b),
-        |t AS (SELECT sum(n) AS nn, sum(dev) AS devsum,
-        |    max(dev // n) AS mce FROM d)
-        |SELECT bin, n, pos,
-        |  cast(sumc // n AS bigint) AS avg_conf_ppm,
-        |  cast((pos * 1000000) // n AS bigint) AS acc_ppm,
-        |  cast((pos * 1000000) // n - sumc // n AS bigint) AS gap_ppm,
-        |  cast(devsum // nn AS bigint) AS ece_ppm,
-        |  cast(mce AS bigint) AS mce_ppm
-        |FROM d, t ORDER BY bin""".stripMargin,
-
-    // Fleiss replay: the same three threshold raters in SQL, then the
-    // closed form A=S2-Nn, B=Nn(n-1), C=sum T_c^2, D=(Nn)^2 in hugeint
-    // with the kappa sign split.
-    "q204_fleiss" ->
-      """WITH base AS (SELECT doc_id, cast(n_chars AS bigint) AS len,
-        |    cast(len(string_split_regex(trim(text), '\s+')) AS bigint)
-        |      AS tok
-        |  FROM documents),
-        |r AS (
-        |  SELECT doc_id, 'len' AS rater, CASE WHEN len < 220 THEN 'low'
-        |    WHEN len < 380 THEN 'mid' ELSE 'high' END AS cat FROM base
-        |  UNION ALL
-        |  SELECT doc_id, 'tok', CASE WHEN tok < 40 THEN 'low'
-        |    WHEN tok < 70 THEN 'mid' ELSE 'high' END FROM base
-        |  UNION ALL
-        |  SELECT doc_id, 'dens', CASE WHEN len // tok < 5 THEN 'low'
-        |    WHEN len // tok < 6 THEN 'mid' ELSE 'high' END FROM base),
-        |nic AS (SELECT doc_id, cat, cast(count(*) AS bigint) AS n
-        |  FROM r GROUP BY 1, 2),
-        |s AS (SELECT cast(count(DISTINCT doc_id) AS hugeint) AS ni,
-        |    sum(cast(n AS hugeint) * n) AS s2 FROM nic),
-        |t AS (SELECT sum(cast(tt AS hugeint) * tt) AS c FROM
-        |  (SELECT sum(n) AS tt FROM nic GROUP BY cat)),
-        |f AS (SELECT ni, s2 - ni * 3 AS a, ni * 3 * 2 AS b, c,
-        |    (ni * 3) * (ni * 3) AS d FROM s, t)
-        |SELECT cast(ni AS bigint) AS n_items,
-        |  cast(3 AS bigint) AS n_raters,
-        |  cast((a * 1000000) // b AS bigint) AS pbar_ppm,
-        |  cast((c * 1000000) // d AS bigint) AS pe_ppm,
-        |  cast(CASE WHEN b * (d - c) > 0 THEN
-        |    (CASE WHEN a * d - b * c < 0 THEN -1 ELSE 1 END) *
-        |    ((abs(a * d - b * c) * 1000000) // (b * (d - c)))
-        |    END AS bigint) AS kappa_ppm
-        |FROM f""".stripMargin,
-
-    // Gini replay: ascending row_number per group (tie order is
-    // provably irrelevant — equal values swap without changing the
-    // rank-weighted sum), hugeint rank-sum closed form, ppm floor.
-    "q205_gini" ->
-      """WITH v AS (SELECT o_orderpriority AS g,
-        |    cast(round(o_totalprice * 100, 0) AS bigint) AS x
-        |  FROM orders),
-        |r AS (SELECT g, x, row_number() OVER
-        |    (PARTITION BY g ORDER BY x) AS i FROM v),
-        |a AS (SELECT g, cast(count(*) AS bigint) AS n,
-        |    cast(sum(x) AS bigint) AS total,
-        |    sum(cast(i AS hugeint) * x) AS ix
-        |  FROM r GROUP BY g)
-        |SELECT g AS o_orderpriority, n, total,
-        |  cast(CASE WHEN total > 0 THEN
-        |    ((2 * ix - (cast(n AS hugeint) + 1) * total) * 1000000)
-        |      // (cast(n AS hugeint) * total) END AS bigint) AS gini_ppm
-        |FROM a ORDER BY o_orderpriority""".stripMargin,
-
-    // Exact-quantile replay: per-(group, value) support counts, a
-    // strict-below cumulative window, and the same lower-empirical
-    // rank r = (q*(n-1))//10^6 + 1 picked from the covering support
-    // row.
-    "q206_exact_quantiles" ->
-      """WITH v AS (SELECT o_orderpriority AS g,
-        |    cast(round(o_totalprice * 100, 0) AS bigint) AS x
-        |  FROM orders),
-        |sup AS (SELECT g, x, cast(count(*) AS bigint) AS c
-        |  FROM v GROUP BY 1, 2),
-        |cw AS (SELECT g, x, c, cast(coalesce(sum(c) OVER (
-        |      PARTITION BY g ORDER BY x
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |    AS hugeint) AS below
-        |  FROM sup),
-        |n AS (SELECT g, cast(sum(c) AS bigint) AS n FROM sup GROUP BY g),
-        |q AS (SELECT unnest([10000, 250000, 500000, 750000, 990000])
-        |    AS qv)
-        |SELECT cw.g AS o_orderpriority, cast(qv AS bigint) AS q_ppm,
-        |  n.n AS n, cw.x AS value
-        |FROM cw JOIN n ON cw.g = n.g CROSS JOIN q
-        |WHERE below < (cast(qv AS hugeint) * (n.n - 1)) // 1000000 + 1
-        |  AND (cast(qv AS hugeint) * (n.n - 1)) // 1000000 + 1
-        |    <= below + c
-        |ORDER BY o_orderpriority, q_ppm""".stripMargin,
-
-    // Association-rule replay: distinct (basket, item), basket-key
-    // self-join with item inequality, HAVING the support floor, then
-    // the conf/lift hugeint floors.
-    "q207_assoc_rules" ->
-      """WITH txn AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i
-        |    FROM lineitem JOIN part ON l_partkey = p_partkey),
-        |nb AS (SELECT cast(count(DISTINCT b) AS bigint) AS n FROM txn),
-        |pr AS (SELECT l.i AS antecedent, r.i AS consequent,
-        |    cast(count(*) AS bigint) AS sup_pair
-        |  FROM txn l JOIN txn r ON l.b = r.b AND l.i <> r.i
-        |  GROUP BY 1, 2 HAVING count(*) >= 10),
-        |sup AS (SELECT i, cast(count(*) AS bigint) AS n
-        |  FROM txn GROUP BY i)
-        |SELECT antecedent, consequent, nb.n AS n_baskets,
-        |  sa.n AS sup_ant, sc.n AS sup_cons, sup_pair,
-        |  cast((cast(sup_pair AS hugeint) * 1000000) // sa.n AS bigint)
-        |    AS conf_ppm,
-        |  cast((cast(sup_pair AS hugeint) * nb.n * 1000000) //
-        |    (cast(sa.n AS hugeint) * sc.n) AS bigint) AS lift_ppm
-        |FROM pr CROSS JOIN nb
-        |JOIN sup sa ON pr.antecedent = sa.i
-        |JOIN sup sc ON pr.consequent = sc.i
-        |ORDER BY antecedent, consequent""".stripMargin,
-
-    // Transition replay: lag over the same (ts, event_id) total order
-    // per user, pair counts, per-prev rollup, ppm floor.
-    "q208_transitions" ->
-      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts)
-        |  FROM events),
-        |p AS (SELECT lag(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS prev_type,
-        |    event_type AS next_type
-        |  FROM e),
-        |c AS (SELECT prev_type, next_type,
-        |    cast(count(*) AS bigint) AS n_pair
-        |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
-        |t AS (SELECT prev_type, cast(sum(n_pair) AS bigint) AS n_prev
-        |  FROM c GROUP BY 1)
-        |SELECT c.prev_type, next_type, n_pair, n_prev,
-        |  cast((cast(n_pair AS hugeint) * 1000000) // n_prev AS bigint)
-        |    AS prob_ppm
-        |FROM c JOIN t ON c.prev_type = t.prev_type
-        |ORDER BY c.prev_type, next_type""".stripMargin,
-
-    // Robust-profile replay: the r-th order statistic (same lower
-    // rank formula) via row_number for median and for the MAD over
-    // |x - median|, then the integer fence count.
-    "q209_robust_outliers" ->
-      """WITH v AS (SELECT o_orderpriority AS g,
-        |    cast(round(o_totalprice * 100, 0) AS bigint) AS x
-        |  FROM orders),
-        |n AS (SELECT g, cast(count(*) AS bigint) AS n
-        |  FROM v GROUP BY g),
-        |rv AS (SELECT g, x, row_number() OVER
-        |    (PARTITION BY g ORDER BY x) AS rn FROM v),
-        |med AS (SELECT rv.g, x AS median FROM rv JOIN n ON rv.g = n.g
-        |  WHERE rn = (500000 * (n - 1)) // 1000000 + 1),
-        |dv AS (SELECT v.g, abs(x - median) AS d, median
-        |  FROM v JOIN med ON v.g = med.g),
-        |rd AS (SELECT g, d, row_number() OVER
-        |    (PARTITION BY g ORDER BY d) AS rn FROM dv),
-        |mad AS (SELECT rd.g, d AS mad FROM rd JOIN n ON rd.g = n.g
-        |  WHERE rn = (500000 * (n - 1)) // 1000000 + 1)
-        |SELECT dv.g AS o_orderpriority, n.n AS n,
-        |  min(dv.median) AS median, min(mad.mad) AS mad,
-        |  cast(sum(CASE WHEN cast(d AS hugeint) * 10000 >
-        |    cast(mad.mad AS hugeint) * 44478 THEN 1 ELSE 0 END)
-        |    AS bigint) AS n_outliers
-        |FROM dv JOIN mad ON dv.g = mad.g JOIN n ON dv.g = n.g
-        |GROUP BY dv.g, n.n ORDER BY o_orderpriority""".stripMargin,
-
-    // Heaps replay: per-token first occurrence, then one conditional
-    // sum per checkpoint over the first-occurrence table and the
-    // per-doc counts.
-    "q210_heaps" ->
-      """WITH base AS (SELECT doc_id AS o,
-        |    string_split_regex(trim(text), '\s+') AS w
-        |  FROM documents),
-        |fo AS (SELECT t, min(o) AS f FROM
-        |  (SELECT o, unnest(w) AS t FROM base) GROUP BY t),
-        |cp AS (SELECT unnest([50, 100, 200, 400, 800, 1600, 3200])
-        |    AS c),
-        |docs AS (SELECT c,
-        |    cast(sum(CASE WHEN o <= c THEN 1 ELSE 0 END) AS bigint)
-        |      AS n_docs,
-        |    cast(sum(CASE WHEN o <= c THEN len(w) ELSE 0 END)
-        |      AS bigint) AS n_tokens
-        |  FROM base CROSS JOIN cp GROUP BY c),
-        |voc AS (SELECT c,
-        |    cast(sum(CASE WHEN f <= c THEN 1 ELSE 0 END) AS bigint)
-        |      AS vocab
-        |  FROM fo CROSS JOIN cp GROUP BY c)
-        |SELECT cast(docs.c AS bigint) AS checkpoint, n_docs, n_tokens,
-        |  vocab
-        |FROM docs JOIN voc ON docs.c = voc.c
-        |ORDER BY checkpoint""".stripMargin,
-
-    // Distinct-2 replay on the shared shingle replay (same short-text
-    // fallback), per-gram counts then the ppm floor.
-    "q211_distinct_n" -> {
-      val sh2 = shinglesSqlN(2)
-      s"""WITH t AS (SELECT lang,
-         |    string_split_regex(trim(text), '\\s+') AS w
-         |  FROM documents),
-         |sh AS (SELECT lang, ($sh2) AS shingles FROM t),
-         |g AS (SELECT lang, unnest(shingles) AS gm FROM sh),
-         |per AS (SELECT lang, gm, count(*) AS c FROM g GROUP BY 1, 2),
-         |a AS (SELECT lang, cast(sum(c) AS bigint) AS n_grams,
-         |    cast(count(*) AS bigint) AS n_unique
-         |  FROM per GROUP BY lang)
-         |SELECT lang, n_grams, n_unique,
-         |  cast((cast(n_unique AS hugeint) * 1000000) // n_grams
-         |    AS bigint) AS distinct_ppm
-         |FROM a ORDER BY lang""".stripMargin
-    },
-
-    // Chi-square replay: observed cells + marginals, the same
-    // per-cell hugeint floors of 10^6*n*o^2/(ra*cb), the same
-    // greatest(0, sum - 10^6*n) clamp.
-    "q212_chi2_indep" ->
-      """WITH cells AS (SELECT lang AS a, source AS b,
-        |    cast(count(*) AS bigint) AS o
-        |  FROM documents GROUP BY 1, 2),
-        |ra AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a),
-        |cb AS (SELECT b, sum(o) AS cb FROM cells GROUP BY b),
-        |tot AS (SELECT cast(coalesce(sum(o), 0) AS bigint) AS n,
-        |    cast(count(DISTINCT a) AS bigint) AS ka,
-        |    cast(count(DISTINCT b) AS bigint) AS kb
-        |  FROM cells),
-        |t AS (SELECT (cast(n AS hugeint) * 1000000 * o * o) //
-        |    (cast(ra AS hugeint) * cb) AS term
-        |  FROM cells JOIN ra USING (a) JOIN cb USING (b)
-        |  CROSS JOIN tot),
-        |s AS (SELECT cast(count(*) AS bigint) AS n_cells,
-        |    sum(term) AS s FROM t)
-        |SELECT n, (ka - 1) * (kb - 1) AS dof, n_cells,
-        |  cast(CASE WHEN n > 1 AND ka > 1 AND kb > 1 THEN
-        |    greatest(0, s - cast(n AS hugeint) * 1000000)
-        |    END AS bigint) AS stat_ppm,
-        |  cast(CASE WHEN n > 1 AND ka > 1 AND kb > 1 THEN
-        |    greatest(0, s - cast(n AS hugeint) * 1000000) //
-        |    (cast(n AS hugeint) * (least(ka, kb) - 1))
-        |    END AS bigint) AS v2_ppm
-        |FROM s, tot""".stripMargin,
-
-    // Percentile-rank replay: support counts, strict-below cumulative
-    // window, percent_rank = below/(n-1) and inclusive ECDF floors.
-    "q213_percentile_rank" ->
-      """WITH v AS (SELECT o_orderpriority AS g,
-        |    cast(round(o_totalprice * 100, 0) AS bigint) AS value
-        |  FROM orders),
-        |sup AS (SELECT g, value, cast(count(*) AS bigint) AS cnt
-        |  FROM v GROUP BY 1, 2),
-        |c AS (SELECT g, value, cnt, cast(coalesce(sum(cnt) OVER (
-        |      PARTITION BY g ORDER BY value
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |    AS hugeint) AS below
-        |  FROM sup),
-        |n AS (SELECT g, cast(sum(cnt) AS bigint) AS n
-        |  FROM sup GROUP BY g)
-        |SELECT c.g AS o_orderpriority, value, cnt, n.n AS n,
-        |  cast(CASE WHEN n.n > 1 THEN
-        |    (below * 1000000) // (n.n - 1) END AS bigint) AS pr_ppm,
-        |  cast(((below + cnt) * 1000000) // n.n AS bigint) AS cdf_ppm
-        |FROM c JOIN n ON c.g = n.g
-        |ORDER BY o_orderpriority, value""".stripMargin,
-
-    // KS replay: the same 8-hex md5 coordinate (digit-parsed), the
-    // two one-sided gap numerators at each ECDF jump over a shared
-    // n*2^32 denominator, one max, one ppm floor.
-    "q214_ks_uniform" -> {
-      val h8 = (0 until 8).map(i =>
-        "(strpos('0123456789abcdef', substr(md5(cast(o_orderkey" +
-          s" AS varchar)), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}")
-        .mkString("(", " + ", ")")
-      s"""WITH v AS (SELECT $h8 AS x FROM orders),
-         |sup AS (SELECT x, cast(count(*) AS bigint) AS c
-         |  FROM v GROUP BY x),
-         |cw AS (SELECT x, c, cast(coalesce(sum(c) OVER (ORDER BY x
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |    AS hugeint) AS below
-         |  FROM sup),
-         |n AS (SELECT cast(sum(c) AS bigint) AS n FROM sup)
-         |SELECT n.n AS n,
-         |  cast((max(greatest(
-         |      (below + c) * 4294967296 - cast(x AS hugeint) * n.n,
-         |      cast(x AS hugeint) * n.n - below * 4294967296))
-         |    * 1000000) // (cast(n.n AS hugeint) * 4294967296)
-         |    AS bigint) AS d_ppm
-         |FROM cw, n GROUP BY n.n""".stripMargin
-    },
-
-    // Krippendorff replay: same ragged raters; rater counts are
-    // {2,3} BY CONSTRUCTION, so A = S3/2 + S2 enters in doubled
-    // units (2A = S3 + 2*S2) and everything stays hugeint:
-    // alpha = (2D - (n..-1)*(S3 + 2*S2)) / (2D), sign-split floor.
-    "q215_krippendorff" ->
-      s"""WITH base AS (SELECT doc_id, cast(n_chars AS bigint) AS len,
-         |    cast(len(string_split_regex(trim(text), '\\s+')) AS bigint)
-         |      AS tok
-         |  FROM documents),
-         |r AS (
-         |  SELECT doc_id, 'len' AS rater, CASE WHEN len < 220 THEN 'low'
-         |    WHEN len < 380 THEN 'mid' ELSE 'high' END AS cat FROM base
-         |  UNION ALL
-         |  SELECT doc_id, 'tok', CASE WHEN tok < 40 THEN 'low'
-         |    WHEN tok < 70 THEN 'mid' ELSE 'high' END FROM base
-         |  UNION ALL
-         |  SELECT doc_id, 'dens', CASE WHEN len // tok < 5 THEN 'low'
-         |    WHEN len // tok < 6 THEN 'mid' ELSE 'high' END FROM base
-         |  WHERE doc_id % 2 = 0),
-         |nic AS (SELECT doc_id, cat, cast(count(*) AS bigint) AS n
-         |  FROM r GROUP BY 1, 2),
-         |per AS (SELECT doc_id, sum(n) AS m,
-         |    sum(cast(n AS hugeint) * n) AS s2
-         |  FROM nic GROUP BY doc_id),
-         |pair AS (SELECT * FROM per WHERE m >= 2),
-         |sm AS (SELECT
-         |    cast(coalesce(sum(CASE WHEN m = 3 THEN m * m - s2
-         |      ELSE 0 END), 0) AS hugeint) AS s3,
-         |    cast(coalesce(sum(CASE WHEN m = 2 THEN m * m - s2
-         |      ELSE 0 END), 0) AS hugeint) AS s2s,
-         |    cast(coalesce(sum(m), 0) AS hugeint) AS nn,
-         |    cast(count(*) AS bigint) AS ni
-         |  FROM pair),
-         |nc AS (SELECT cast(coalesce(sum(cast(t AS hugeint) * t), 0)
-         |    AS hugeint) AS sc2 FROM (
-         |  SELECT sum(n) AS t FROM nic JOIN pair USING (doc_id)
-         |  GROUP BY cat)),
-         |f AS (SELECT ni, nn, nn * nn - sc2 AS d,
-         |    s3 + 2 * s2s AS a2 FROM sm, nc)
-         |SELECT ni AS n_items, cast(nn AS bigint) AS n_values,
-         |  cast(CASE WHEN nn >= 2 AND d > 0 THEN
-         |    (CASE WHEN 2 * d - (nn - 1) * a2 < 0 THEN -1 ELSE 1 END) *
-         |    ((abs(2 * d - (nn - 1) * a2) * 1000000) // (2 * d))
-         |    END AS bigint) AS alpha_ppm
-         |FROM f""".stripMargin,
-
-    // Trimmed-mean replay: support + strict-below window, the same
-    // rank-band overlap per value, sign-split micro floor.
-    "q216_trimmed_mean" ->
-      """WITH v AS (SELECT o_orderpriority AS g,
-        |    cast(round(o_totalprice * 100, 0) AS bigint) AS x
-        |  FROM orders),
-        |sup AS (SELECT g, x, cast(count(*) AS bigint) AS c
-        |  FROM v GROUP BY 1, 2),
-        |cw AS (SELECT g, x, c, cast(coalesce(sum(c) OVER (
-        |      PARTITION BY g ORDER BY x
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |    AS hugeint) AS below
-        |  FROM sup),
-        |b AS (SELECT g, cast(sum(c) AS bigint) AS n,
-        |    cast((100000 * cast(sum(c) AS hugeint)) // 1000000
-        |      AS bigint) AS lo
-        |  FROM sup GROUP BY g),
-        |k AS (SELECT cw.g, b.n, b.lo, cw.x,
-        |    greatest(0, least(below + c, b.n - b.lo)
-        |      - greatest(below, b.lo)) AS kept
-        |  FROM cw JOIN b ON cw.g = b.g),
-        |a AS (SELECT g, min(n) AS n, min(lo) AS trimmed_each,
-        |    cast(sum(kept) AS bigint) AS n_kept,
-        |    sum(cast(x AS hugeint) * kept) AS s
-        |  FROM k GROUP BY g)
-        |SELECT g AS o_orderpriority, n, trimmed_each, n_kept,
-        |  cast(CASE WHEN n_kept > 0 THEN
-        |    (CASE WHEN s < 0 THEN -1 ELSE 1 END) *
-        |    ((abs(s) * 1000000) // n_kept) END AS bigint) AS tmean6
-        |FROM a ORDER BY o_orderpriority""".stripMargin,
-
-    // Degenerate Fleiss replay: the same closed form as q204 with
-    // n = 2 raters; p_o = p_e = 1 makes the kappa denominator 0, and
-    // the CASE's missing ELSE must yield NULL on both engines.
-    "q217_fleiss_degenerate" ->
-      """WITH items AS (SELECT DISTINCT o_orderkey % 37 AS doc_id
-        |    FROM orders),
-        |r AS (SELECT doc_id, 'r0' AS rater, 'only' AS cat FROM items
-        |  UNION ALL
-        |  SELECT doc_id, 'r1', 'only' FROM items),
-        |nic AS (SELECT doc_id, cat, cast(count(*) AS bigint) AS n
-        |  FROM r GROUP BY 1, 2),
-        |s AS (SELECT cast(count(DISTINCT doc_id) AS hugeint) AS ni,
-        |    sum(cast(n AS hugeint) * n) AS s2 FROM nic),
-        |t AS (SELECT sum(cast(tt AS hugeint) * tt) AS c FROM
-        |  (SELECT sum(n) AS tt FROM nic GROUP BY cat)),
-        |f AS (SELECT ni, s2 - ni * 2 AS a, ni * 2 AS b, c,
-        |    (ni * 2) * (ni * 2) AS d FROM s, t)
-        |SELECT cast(ni AS bigint) AS n_items,
-        |  cast(2 AS bigint) AS n_raters,
-        |  cast((a * 1000000) // b AS bigint) AS pbar_ppm,
-        |  cast((c * 1000000) // d AS bigint) AS pe_ppm,
-        |  cast(CASE WHEN b * (d - c) > 0 THEN
-        |    (CASE WHEN a * d - b * c < 0 THEN -1 ELSE 1 END) *
-        |    ((abs(a * d - b * c) * 1000000) // (b * (d - c)))
-        |    END AS bigint) AS kappa_ppm
-        |FROM f""".stripMargin,
-
-    // Streaming interval-join replay: the accumulated foreachBatch
-    // output of the watermarked stream-stream join equals the plain
-    // batch interval join (ordered event-time buckets mean nothing
-    // ever arrives below the watermark, so no drops).
-    "q218_stream_interval_join" ->
-      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
-        |p AS (SELECT user_id, ts AS p_ts, value AS p_value FROM e
-        |      WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id AS c_user, ts AS c_ts FROM e
-        |      WHERE event_type = 'click')
-        |SELECT user_id, p_ts, p_value, c_ts
-        |FROM p JOIN c ON user_id = c_user
-        |  AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts
-        |ORDER BY user_id, p_ts, c_ts""".stripMargin,
-
-    // Streaming DAU replay: the final per-day update-mode emission is
-    // exactly the batch daily distinct-user count.
-    "q219_stream_dau" ->
-      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events)
-        |SELECT make_timestamp((epoch(ts)::bigint // 86400) * 86400
-        |    * 1000000) AS day,
-        |  count(DISTINCT user_id) AS n_active
-        |FROM e GROUP BY 1 ORDER BY day""".stripMargin,
-
-    // Streaming transitions replay: accumulated append-mode emissions
-    // of the per-user last-type state machine equal the batch lead()
-    // pairs under the event-time-ordered replay.
-    "q220_stream_transitions" ->
-      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
-        |p AS (SELECT user_id, event_type AS prev_type,
-        |    lead(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS next_type
-        |  FROM e)
-        |SELECT user_id, prev_type, next_type
-        |FROM p WHERE next_type IS NOT NULL
-        |ORDER BY user_id, prev_type, next_type""".stripMargin,
-
-    // Outer-join replay: inner pairs plus one null row per unmatched
-    // purchase whose p_ts lies below the FINAL global watermark =
-    // min(max purchase ts, max click ts) − 1 hour (Spark's
-    // multipleWatermarkPolicy=min default; the no-data final
-    // micro-batch flushes evictable state). Unmatched purchases above
-    // the watermark are still in state at stream end → absent.
-    "q225_stream_outer_join" ->
-      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
-        |p AS (SELECT user_id, ts AS p_ts, value AS p_value FROM e
-        |      WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id AS c_user, ts AS c_ts FROM e
-        |      WHERE event_type = 'click'),
-        |wm AS (SELECT least((SELECT max(p_ts) FROM p),
-        |                    (SELECT max(c_ts) FROM c))
-        |         - INTERVAL 1 HOUR AS w),
-        |matched AS (
-        |  SELECT user_id, p_ts, p_value, c_ts
-        |  FROM p JOIN c ON user_id = c_user
-        |    AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts),
-        |unmatched AS (
-        |  SELECT p.user_id, p.p_ts, p.p_value,
-        |    cast(NULL AS timestamp) AS c_ts
-        |  FROM p, wm
-        |  WHERE p.p_ts < wm.w AND NOT EXISTS (
-        |    SELECT 1 FROM c WHERE c.c_user = p.user_id
-        |      AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
-        |      AND c.c_ts < p.p_ts))
-        |SELECT * FROM matched
-        |UNION ALL SELECT * FROM unmatched
-        |ORDER BY user_id, p_ts, c_ts NULLS FIRST""".stripMargin,
-
-    // Late-bucket replay: the streaming run's final per-window counts
-    // equal the batch tumbling counts WITHOUT bucket 3 — the bucket
-    // delivered below the watermark. Same 6-bucket formula as the
-    // replay: floor((us - lo) * 6 / (hi - lo + 1)).
-    "q224_stream_late_drop" ->
-      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
-        |b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
-        |      FROM e),
-        |f AS (SELECT e.* FROM e, b
-        |      WHERE ((epoch_us(ts) - lo) * 6) // (hi - lo + 1) <> 3)
-        |SELECT date_trunc('hour', ts) AS window_start, event_type,
-        |  count(*) AS n_events
-        |FROM f GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
-
-    // Per-pair g3 replay (max-per-lhs subtracted from group totals),
-    // one UNION ALL branch per ordered pair — count(*) over lhs
-    // groups (not count(DISTINCT)) so a null lhs group counts, as in
-    // the operator.
-    "q196_fd_discover" -> {
-      val cols = Seq("c_custkey", "c_nationkey", "c_mktsegment",
-        "acct_bucket")
-      val per = cols.flatMap(a => cols.filter(_ != a).map(b => (a, b)))
-        .map { case (a, b) =>
-          s"""SELECT '$a' AS lhs, '$b' AS rhs,
-             |  cast(count(*) AS bigint) AS n_lhs,
-             |  cast(sum(tot - mx) AS bigint) AS g3,
-             |  CASE WHEN sum(tot - mx) = 0 THEN 1 ELSE 0 END AS holds
-             |FROM (SELECT $a, max(n) AS mx, sum(n) AS tot
-             |  FROM (SELECT $a, $b, count(*) AS n FROM bkt
-             |    GROUP BY 1, 2) GROUP BY $a)""".stripMargin
-        }
-      s"""WITH bkt AS (
-         |  SELECT c_custkey, c_nationkey, c_mktsegment,
-         |    (cast(round(c_acctbal * 100, 0) AS bigint) + 100000)
-         |      // 100000 AS acct_bucket
-         |  FROM customer)
-         |${per.mkString("", "\nUNION ALL\n", "")}
-         |ORDER BY lhs, rhs""".stripMargin
-    },
-
-    // Independent replay of the ordered t-closeness EMD: the same
-    // exact-integer common-denominator form (P·N − G·ng over ng·N),
-    // cumsum over a zero-filled class×value spine, |prefix| sum over
-    // the first m−1 prefixes, normalized by m−1. All operands
-    // non-negative at the `//`, so DuckDB floor = Spark div.
-    "q189_tcloseness" ->
-      """WITH b AS (
-        |  SELECT c_nationkey,
-        |    (cast(round(c_acctbal * 100, 0) AS bigint) + 100000)
-        |      // 100000 AS v
-        |  FROM customer),
-        |g AS (SELECT v, cast(count(*) AS bigint) AS gc
-        |      FROM b GROUP BY 1),
-        |t AS (SELECT cast(sum(gc) AS bigint) AS n,
-        |             cast(count(*) AS bigint) AS m FROM g),
-        |grp AS (SELECT c_nationkey, cast(count(*) AS bigint) AS ng
-        |        FROM b GROUP BY 1),
-        |pg AS (SELECT c_nationkey, v, cast(count(*) AS bigint) AS p
-        |       FROM b GROUP BY 1, 2),
-        |sp AS (SELECT grp.c_nationkey, grp.ng, g.v, g.gc
-        |       FROM grp CROSS JOIN g),
-        |dd AS (SELECT sp.c_nationkey, sp.ng, sp.v,
-        |         coalesce(pg.p, 0) * t.n - sp.gc * sp.ng AS diff
-        |       FROM sp CROSS JOIN t LEFT JOIN pg
-        |         ON sp.c_nationkey = pg.c_nationkey AND sp.v = pg.v),
-        |c AS (SELECT c_nationkey, ng,
-        |        sum(diff) OVER (PARTITION BY c_nationkey
-        |          ORDER BY v) AS cum,
-        |        row_number() OVER (PARTITION BY c_nationkey
-        |          ORDER BY v) AS rn
-        |      FROM dd)
-        |SELECT c.c_nationkey, max(c.ng) AS class_size,
-        |  cast(coalesce(sum(abs(c.cum))
-        |    FILTER (WHERE c.rn < t.m), 0) AS bigint) AS emd_num,
-        |  cast(max(c.ng) * t.n * (t.m - 1) AS bigint) AS emd_den,
-        |  cast((coalesce(sum(abs(c.cum))
-        |      FILTER (WHERE c.rn < t.m), 0) * 1000000)
-        |    // (max(c.ng) * t.n * (t.m - 1)) AS bigint) AS t_ppm
-        |FROM c CROSS JOIN t
-        |GROUP BY c.c_nationkey, t.n, t.m
-        |ORDER BY c.c_nationkey""".stripMargin,
-
-    // Categorical t-closeness: variational distance ½Σ|p−q| with the
-    // ½ folded into the denominator — no cumsum, one spine pass.
-    "q190_tcloseness_cat" ->
-      """WITH b AS (
-        |  SELECT c_nationkey, c_mktsegment AS v FROM customer),
-        |g AS (SELECT v, cast(count(*) AS bigint) AS gc
-        |      FROM b GROUP BY 1),
-        |t AS (SELECT cast(sum(gc) AS bigint) AS n FROM g),
-        |grp AS (SELECT c_nationkey, cast(count(*) AS bigint) AS ng
-        |        FROM b GROUP BY 1),
-        |pg AS (SELECT c_nationkey, v, cast(count(*) AS bigint) AS p
-        |       FROM b GROUP BY 1, 2),
-        |sp AS (SELECT grp.c_nationkey, grp.ng, g.v, g.gc
-        |       FROM grp CROSS JOIN g),
-        |dd AS (SELECT sp.c_nationkey, sp.ng,
-        |         abs(coalesce(pg.p, 0) * t.n - sp.gc * sp.ng) AS ad
-        |       FROM sp CROSS JOIN t LEFT JOIN pg
-        |         ON sp.c_nationkey = pg.c_nationkey AND sp.v = pg.v)
-        |SELECT dd.c_nationkey, max(dd.ng) AS class_size,
-        |  cast(sum(dd.ad) AS bigint) AS emd_num,
-        |  cast(max(dd.ng) * t.n * 2 AS bigint) AS emd_den,
-        |  cast((sum(dd.ad) * 1000000)
-        |    // (max(dd.ng) * t.n * 2) AS bigint) AS t_ppm
-        |FROM dd CROSS JOIN t
-        |GROUP BY dd.c_nationkey, t.n
-        |ORDER BY dd.c_nationkey""".stripMargin,
-
-    // Same band join as q36's replay; containment verify in integers
-    // (all operands non-negative, so `//` = Spark's div).
-    "q159_containment" ->
-      s"""WITH $fuzzyBaseCtes,
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM banded a JOIN banded b ON a.bkey = b.bkey
-         |  WHERE a.doc_id < b.doc_id),
-         |sz AS (
-         |  SELECT c.id_a, c.id_b,
-         |    cast(len(a.s) AS bigint) AS size_a,
-         |    cast(len(b.s) AS bigint) AS size_b,
-         |    cast(len(list_intersect(a.s, b.s)) AS bigint) AS inter
-         |  FROM cand c
-         |  JOIN dsh a ON a.doc_id = c.id_a
-         |  JOIN dsh b ON b.doc_id = c.id_b)
-         |SELECT id_a, id_b, size_a, size_b, inter,
-         |  (inter * 1000000) // least(size_a, size_b) AS cont_ppm
-         |FROM sz
-         |WHERE inter * 3 >= least(size_a, size_b) * 2
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    // Category rollup + join-back replay; sums cast to bigint before
-    // the subtraction (hugeint hashes differently), `//` on positives.
-    "q160_target_encode" ->
-      """WITH t AS (
-        |  SELECT o_orderkey, o_orderpriority,
-        |    cast(round(o_totalprice * 100) AS bigint) AS c
-        |  FROM orders),
-        |g AS (
-        |  SELECT o_orderpriority, cast(sum(c) AS bigint) AS s,
-        |    cast(count(*) AS bigint) AS n
-        |  FROM t GROUP BY 1)
-        |SELECT o_orderkey, o_orderpriority,
-        |  CASE WHEN n > 1 THEN (s - c) // (n - 1) END AS loo
-        |FROM t JOIN g USING (o_orderpriority)
-        |ORDER BY o_orderkey""".stripMargin,
-
-    // Digit-parsed md5 coordinate (q55's family) mod dim, per column;
-    // null features filtered before the sort-distinct; list serialized
-    // to a CSV string to keep the graded column scalar-typed.
-    "q161_feature_hash" -> {
-      def md5u32(e: String) = (0 until 8).map(i =>
-        s"(strpos('0123456789abcdef', substr(md5($e), ${i + 1}, 1)) - 1)" +
-          s" * ${1L << (4 * (7 - i))}")
-        .mkString("(", "\n      + ", ")")
-      val b1 = md5u32("'c_mktsegment=' || c_mktsegment")
-      val b2 = md5u32("'c_nationkey=' || cast(c_nationkey AS varchar)")
-      s"""WITH b AS (
-         |  SELECT c_custkey,
-         |    CASE WHEN c_mktsegment IS NULL THEN NULL
-         |         ELSE $b1 % 64 END AS b1,
-         |    CASE WHEN c_nationkey IS NULL THEN NULL
-         |         ELSE $b2 % 64 END AS b2
-         |  FROM customer)
-         |SELECT c_custkey,
-         |  array_to_string(list_sort(list_distinct(list_filter([b1, b2],
-         |    x -> x IS NOT NULL))), ',') AS features
-         |FROM b ORDER BY c_custkey""".stripMargin
-    },
-
-    // q150's register replay keyed by epoch day, expanded to the 7
-    // trailing output days, per-bucket MAX merge, same exact dyadic
-    // finalize split into two bigints (harm_hi/harm_lo at 2^30).
-    "q162_sliding_hll" -> {
-      val tail56 = (2 until 16).map(i =>
-        s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * ${1L << (4 * (15 - i))}")
-        .mkString("(", "\n      + ", ")")
-      s"""WITH v AS (
-         |  SELECT event_type,
-         |    epoch_us(cast(ts AS timestamp)) // 86400000000 AS day,
-         |    md5(cast(user_id AS varchar)) AS h
-         |  FROM events WHERE user_id IS NOT NULL),
-         |b AS (
-         |  SELECT event_type, day,
-         |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
-         |      + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
-         |    cast($tail56 AS bigint) AS tail
-         |  FROM v),
-         |r AS (
-         |  SELECT event_type, day, bucket,
-         |    max(CASE WHEN tail = 0 THEN 57
-         |        ELSE 57 - length(bin(tail)) END) AS m
-         |  FROM b GROUP BY 1, 2, 3),
-         |x AS (
-         |  SELECT event_type, unnest(generate_series(day, day + 6)) AS day,
-         |    bucket, m
-         |  FROM r),
-         |w AS (
-         |  SELECT event_type, cast(day AS bigint) AS day, bucket,
-         |    max(m) AS m
-         |  FROM x GROUP BY 1, 2, 3),
-         |f AS (
-         |  SELECT event_type, day,
-         |    cast(count(*) AS bigint) AS used,
-         |    cast(sum(m) AS bigint) AS reg_sum,
-         |    cast(sum((1::BIGINT << cast(60 - m AS int)) >> 30)
-         |      + (256 - count(*)) * (1::BIGINT << 30)
-         |      AS bigint) AS hi0,
-         |    cast(sum((1::BIGINT << cast(60 - m AS int))
-         |      % (1::BIGINT << 30)) AS bigint) AS lo0
-         |  FROM w GROUP BY event_type, day)
-         |SELECT event_type, day, used, reg_sum,
-         |  hi0 + lo0 // (1::BIGINT << 30) AS harm_hi,
-         |  lo0 % (1::BIGINT << 30) AS harm_lo
-         |FROM f ORDER BY event_type, day""".stripMargin
-    },
-
-    // Digit-parsed md5 uniform, same integer priority and tau replay.
-    "q164_priority_sample" -> prioritySampleReplaySql,
-
-    // The at-rest union of shard top-(n+1)s must be indistinguishable
-    // from the direct DLT draw — same replay as q164.
-    "q179_priority_at_rest" -> prioritySampleReplaySql,
-
-    // Cell replay: row-salted md5 buckets, GROUP BY matrix, min-over-
-    // rows probe, exact counts joined alongside.
-    "q165_cm_sketch" -> cmProbeOracle,
-
-    // The at-rest write+append+sum-on-read cycle must answer exactly
-    // like the never-reorganized full-corpus sketch (cell sums are
-    // associative) — same replay as q165.
-    "q167_cm_maintain" -> cmProbeOracle,
-
-    // Same 4-bit integer-hyperplane buckets and fold cosine as q35's
-    // family, restricted to the cross-set join; floored ppm compare,
-    // per-train argmax by (cos6 desc, bench_id asc).
-    "q166_semantic_contamination" -> {
-      val bucket4 = (0 until 4).map(j =>
-        s"(CASE WHEN (${rpDotSqlFor("embedding", j)}) > 0 " +
-          s"THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-      s"""WITH bk AS (
-         |  SELECT vec_id, embedding, cast($bucket4 AS bigint) AS bucket
-         |  FROM embeddings),
-         |tr AS (SELECT * FROM bk WHERE vec_id >= 100),
-         |be AS (SELECT * FROM bk WHERE vec_id < 100),
-         |c AS (
-         |  SELECT t.vec_id AS train_id, b.vec_id AS bench_id,
-         |    cast(floor((${cosineSql("t.embedding", "b.embedding")})
-         |      * 1000000) AS bigint) AS cos6
-         |  FROM tr t JOIN be b ON t.bucket = b.bucket),
-         |f AS (SELECT * FROM c WHERE cos6 >= 250000)
-         |SELECT train_id, bench_id, cos6 FROM (
-         |  SELECT train_id, bench_id, cos6, row_number() OVER (
-         |    PARTITION BY train_id ORDER BY cos6 DESC, bench_id) AS rn
-         |  FROM f)
-         |WHERE rn = 1 ORDER BY train_id""".stripMargin
-    },
-
-    // Candidate scoring off the shared band CTEs; negatives thinned by
-    // the digit-parsed pair-key coordinate.
-    "q169_pair_mining" -> {
-      val u = md5u32Sql(
-        "cast(id_a AS varchar) || '|' || cast(id_b AS varchar)")
-      s"""WITH $fuzzyBaseCtes,
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM banded a JOIN banded b ON a.bkey = b.bkey
-         |  WHERE a.doc_id < b.doc_id),
-         |sc AS (
-         |  SELECT c.id_a, c.id_b,
-         |    cast(len(list_intersect(a.s, b.s)) AS bigint) AS inter,
-         |    cast(len(a.s) + len(b.s)
-         |      - len(list_intersect(a.s, b.s)) AS bigint) AS uni
-         |  FROM cand c
-         |  JOIN dsh a ON a.doc_id = c.id_a
-         |  JOIN dsh b ON b.doc_id = c.id_b),
-         |j AS (SELECT id_a, id_b, (inter * 1000000) // uni AS jacc6,
-         |  inter, uni FROM sc)
-         |SELECT id_a, id_b, jacc6, 1 AS label FROM j
-         |WHERE inter * 2 >= uni * 1
-         |UNION ALL
-         |SELECT id_a, id_b, jacc6, 0 AS label FROM j
-         |WHERE inter * 5 < uni * 1 AND ($u) % 100 < 10
-         |ORDER BY label DESC, id_a, id_b""".stripMargin
-    },
-
-    // Digit-parsed salted coordinate, distinct units, integer SRM.
-    "q170_ab_srm" -> {
-      val u = md5u32Sql("experiment || '|' || cast(user_id AS varchar)")
-      s"""WITH un AS (
-         |  SELECT DISTINCT event_type AS experiment, user_id
-         |  FROM events),
-         |a AS (
-         |  SELECT experiment, ($u) % 2 AS arm FROM un),
-         |g AS (
-         |  SELECT experiment,
-         |    cast(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS bigint)
-         |      AS n0,
-         |    cast(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS bigint)
-         |      AS n1
-         |  FROM a GROUP BY 1)
-         |SELECT experiment, n0, n1,
-         |  ((n0 - n1) * (n0 - n1) * 1000000) // (n0 + n1) AS srm6
-         |FROM g ORDER BY experiment""".stripMargin
-    },
-
-    // The oracle replays the virtual-time key exactly: integer part
-    // pos // w, fractional part ((pos % w) * 2^40) // w, global order by
-    // (vq, vf, source, pos) — all long arithmetic, both engines
-    // bit-identical.
-    "q171_mix_by_table" ->
-      """WITH w AS (
-        |  SELECT source, cast(count(*) % 7 + 1 AS bigint) AS wt
-        |  FROM documents GROUP BY source),
-        |d AS (
-        |  SELECT doc_id, source, md5(cast(doc_id AS varchar)) AS h
-        |  FROM documents),
-        |p AS (
-        |  SELECT doc_id, d.source, wt,
-        |    row_number() OVER (PARTITION BY d.source ORDER BY h, doc_id)
-        |      AS pos
-        |  FROM d JOIN w ON d.source = w.source),
-        |k AS (
-        |  SELECT doc_id, source, pos,
-        |    pos // wt AS vq,
-        |    ((pos % wt) * 1099511627776) // wt AS vf
-        |  FROM p)
-        |SELECT doc_id, source, cast(pos AS bigint) AS pos,
-        |  row_number() OVER (ORDER BY vq, vf, source, pos) AS global_pos
-        |FROM k ORDER BY global_pos""".stripMargin,
-
-    // Epoch replay with the same virtual-time key: blunt epoch
-    // over-generation (0..60 covers every SF), rank the merged cyclic
-    // timeline, keep the first 500.
-    "q172_epoch_mix_table" ->
-      """WITH w AS (
-        |  SELECT DISTINCT source,
-        |    cast(ascii(substr(source, 4, 1)) % 5 + 1 AS bigint) AS wt
-        |  FROM documents),
-        |d AS (
-        |  SELECT doc_id, d0.source, wt, md5(cast(doc_id AS varchar)) AS h
-        |  FROM documents d0 JOIN w ON d0.source = w.source),
-        |p AS (
-        |  SELECT doc_id, source, wt,
-        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
-        |      AS p0,
-        |    count(*) OVER (PARTITION BY source) AS n
-        |  FROM d),
-        |x AS (
-        |  SELECT doc_id, source, wt, p0, n,
-        |    unnest(generate_series(0, 60)) AS epoch
-        |  FROM p),
-        |v AS (
-        |  SELECT doc_id, source, epoch, epoch * n + p0 AS pos,
-        |    (epoch * n + p0) // wt AS vq,
-        |    (((epoch * n + p0) % wt) * 1099511627776) // wt AS vf
-        |  FROM x)
-        |SELECT row_number() OVER (ORDER BY vq, vf, source, pos)
-        |    AS global_pos,
-        |  source, doc_id, cast(epoch AS bigint) AS epoch,
-        |  cast(pos AS bigint) AS pos
-        |FROM v QUALIFY global_pos <= 500
-        |ORDER BY global_pos""".stripMargin,
-
-    // Moore-Lewis replay: same unigram counts, the log2µ integer
-    // recurrence via bin() + list_reduce over the (tiny) set of
-    // distinct log arguments, same truncating div.
-    "q173_moore_lewis" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang,
-        |    string_split_regex(trim(text), '\s+') AS w
-        |  FROM documents),
-        |tok AS (
-        |  SELECT doc_id, (lang = 'en') AS tgt, unnest(w) AS w FROM t),
-        |u AS (
-        |  SELECT w, cast(count(*) AS bigint) AS c_g,
-        |    cast(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS bigint) AS c_t
-        |  FROM tok GROUP BY w),
-        |tot AS (
-        |  SELECT cast(sum(c_g) AS bigint) AS t_g,
-        |    cast(sum(c_t) AS bigint) AS t_t,
-        |    cast(count(*) AS bigint) AS v FROM u),
-        |xs AS (
-        |  SELECT DISTINCT x FROM (
-        |    SELECT c_g + 1 AS x FROM u
-        |    UNION ALL SELECT c_t + 1 FROM u
-        |    UNION ALL SELECT t_g + v FROM tot
-        |    UNION ALL SELECT t_t + v FROM tot)),
-        |lg AS (
-        |  SELECT x, (length(bin(x)) - 1) * 1024 + list_reduce(
-        |      list_prepend(
-        |        [CASE WHEN length(bin(x)) - 1 <= 30
-        |           THEN x << (30 - (length(bin(x)) - 1))
-        |           ELSE x >> ((length(bin(x)) - 1) - 30) END,
-        |         cast(0 AS bigint)],
-        |        list_transform(range(10),
-        |          i -> [cast(0 AS bigint), cast(0 AS bigint)])),
-        |      (acc, e) -> CASE
-        |        WHEN ((acc[1] * acc[1]) >> 30) >= 2147483648
-        |          THEN [((acc[1] * acc[1]) >> 30) >> 1, acc[2] * 2 + 1]
-        |        ELSE [(acc[1] * acc[1]) >> 30, acc[2] * 2] END
-        |    )[2] AS mu
-        |  FROM xs),
-        |wt AS (
-        |  SELECT u.w, lt.mu - ltt.mu - lgg.mu + ltg.mu AS w_mu
-        |  FROM u CROSS JOIN tot
-        |  JOIN lg lt ON lt.x = u.c_t + 1
-        |  JOIN lg lgg ON lgg.x = u.c_g + 1
-        |  JOIN lg ltt ON ltt.x = tot.t_t + tot.v
-        |  JOIN lg ltg ON ltg.x = tot.t_g + tot.v),
-        |sc AS (
-        |  SELECT tok.doc_id, cast(count(*) AS bigint) AS n_tokens,
-        |    cast(sum(w_mu) AS bigint) AS s
-        |  FROM tok JOIN wt ON tok.w = wt.w GROUP BY 1)
-        |SELECT d.doc_id,
-        |  cast(coalesce(n_tokens, 0) AS bigint) AS n_tokens,
-        |  cast(s // n_tokens AS bigint) AS ml_mu
-        |FROM documents d LEFT JOIN sc USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
-
-    // Greedy MMR, k steps unrolled.
-    "q174_mmr_rerank" -> mmrOracleSql(k = 8, pool = 30, lamNum = 1,
-      lamDen = 2),
-
-    // q107's bigram counts + the q173 log2µ integer recurrence over
-    // the distinct log arguments; same truncating div.
-    "q177_lm_perplexity" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-        |  FROM documents),
-        |b AS (
-        |  SELECT doc_id, unnest(w[1:len(w)-1]) AS w1,
-        |    unnest(w[2:len(w)]) AS w2
-        |  FROM t),
-        |bc AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
-        |ug AS (SELECT unnest(w) AS w1 FROM t),
-        |u AS (SELECT w1, count(*) AS c1 FROM ug GROUP BY 1),
-        |v AS (SELECT count(DISTINCT w1) AS nv FROM ug),
-        |xs AS (
-        |  SELECT DISTINCT x FROM (
-        |    SELECT cast(c12 + 1 AS bigint) AS x FROM bc
-        |    UNION ALL
-        |    SELECT cast(c1 + nv AS bigint) FROM u CROSS JOIN v)),
-        |lg AS (
-        |  SELECT x, (length(bin(x)) - 1) * 1024 + list_reduce(
-        |      list_prepend(
-        |        [CASE WHEN length(bin(x)) - 1 <= 30
-        |           THEN x << (30 - (length(bin(x)) - 1))
-        |           ELSE x >> ((length(bin(x)) - 1) - 30) END,
-        |         cast(0 AS bigint)],
-        |        list_transform(range(10),
-        |          i -> [cast(0 AS bigint), cast(0 AS bigint)])),
-        |      (acc, e) -> CASE
-        |        WHEN ((acc[1] * acc[1]) >> 30) >= 2147483648
-        |          THEN [((acc[1] * acc[1]) >> 30) >> 1, acc[2] * 2 + 1]
-        |        ELSE [(acc[1] * acc[1]) >> 30, acc[2] * 2] END
-        |    )[2] AS mu
-        |  FROM xs),
-        |wt AS (
-        |  SELECT bc.w1, bc.w2, la.mu - lb.mu AS s_mu
-        |  FROM bc JOIN u USING (w1) CROSS JOIN v
-        |  JOIN lg la ON la.x = c1 + nv
-        |  JOIN lg lb ON lb.x = c12 + 1),
-        |sc AS (
-        |  SELECT b.doc_id, cast(count(*) AS bigint) AS n_bigrams,
-        |    cast(sum(s_mu) AS bigint) AS s
-        |  FROM b JOIN wt USING (w1, w2) GROUP BY 1)
-        |SELECT d.doc_id,
-        |  cast(coalesce(n_bigrams, 0) AS bigint) AS n_bigrams,
-        |  cast(s // n_bigrams AS bigint) AS ppl_mu
-        |FROM documents d LEFT JOIN sc USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
-
-    // The v1 snapshot must equal the source projection untouched by
-    // the second commit.
-    "q178_time_travel" ->
-      """SELECT o_orderkey, o_totalprice FROM orders
-        |ORDER BY o_orderkey""".stripMargin,
-
-    // Two window replays (length vs arrival rank), per-batch pad to
-    // max, exact ppm.
-    "q186_padding_audit" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    cast(len(string_split_regex(trim(text), '\s+')) AS bigint)
-        |      AS toks
-        |  FROM documents),
-        |l AS (
-        |  SELECT toks, (row_number() OVER (ORDER BY toks, doc_id) - 1)
-        |    // 32 AS batch FROM t),
-        |la AS (
-        |  SELECT count(*) AS c, max(toks) AS mx, sum(toks) AS s
-        |  FROM l GROUP BY batch),
-        |lr AS (
-        |  SELECT 'length' AS ordering,
-        |    cast(count(*) AS bigint) AS n_batches,
-        |    cast(sum(s) AS bigint) AS total_tokens,
-        |    cast(sum(mx * c) AS bigint) AS padded_tokens
-        |  FROM la),
-        |a AS (
-        |  SELECT toks, (row_number() OVER (ORDER BY doc_id) - 1) // 32
-        |    AS batch FROM t),
-        |aa AS (
-        |  SELECT count(*) AS c, max(toks) AS mx, sum(toks) AS s
-        |  FROM a GROUP BY batch),
-        |ar AS (
-        |  SELECT 'arrival' AS ordering,
-        |    cast(count(*) AS bigint) AS n_batches,
-        |    cast(sum(s) AS bigint) AS total_tokens,
-        |    cast(sum(mx * c) AS bigint) AS padded_tokens
-        |  FROM aa),
-        |u AS (SELECT * FROM lr UNION ALL SELECT * FROM ar)
-        |SELECT ordering, n_batches, total_tokens, padded_tokens,
-        |  cast((padded_tokens - total_tokens) * 1000000
-        |    // padded_tokens AS bigint) AS waste_ppm
-        |FROM u ORDER BY ordering""".stripMargin,
-
-    // Brute truth + band-candidate intersection off the shared fuzzy
-    // CTEs, integer ppm.
-    "q185_lsh_recall" ->
-      s"""WITH $fuzzyBaseCtes,
-         |tr AS (
-         |  SELECT a.doc_id AS ia, b.doc_id AS ib
-         |  FROM dsh a JOIN dsh b ON a.doc_id < b.doc_id
-         |  WHERE a.doc_id < 300 AND b.doc_id < 300
-         |    AND cast(len(list_intersect(a.s, b.s)) AS double)
-         |      / cast(len(list_distinct(list_concat(a.s, b.s)))
-         |          AS double) >= 0.5),
-         |fd AS (
-         |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-         |  FROM banded a JOIN banded b
-         |    ON a.bkey = b.bkey AND a.doc_id < b.doc_id
-         |  WHERE a.doc_id < 300 AND b.doc_id < 300),
-         |x AS (SELECT
-         |  (SELECT count(*) FROM tr) AS n_true,
-         |  (SELECT count(*) FROM tr JOIN fd USING (ia, ib)) AS n_found)
-         |SELECT cast(n_true AS bigint) AS n_true,
-         |  cast(n_found AS bigint) AS n_found,
-         |  CASE WHEN n_true = 0 THEN NULL
-         |    ELSE cast(n_found * 1000000 // n_true AS bigint) END
-         |    AS recall_ppm
-         |FROM x""".stripMargin,
-
-    // Fixed-point centroid replay: parallel unnest zips (v, dim),
-    // exact long sums, ordered list agg, lag window, long-fold dots,
-    // one IEEE sqrt+divide at the end.
-    "q184_embedding_drift" ->
-      """WITH e AS (
-        |  SELECT vec_id // 50 AS bucket,
-        |    unnest(embedding) AS v,
-        |    unnest(range(1, len(embedding) + 1)) AS dim
-        |  FROM embeddings),
-        |s AS (
-        |  SELECT bucket, dim, cast(count(*) AS bigint) AS n,
-        |    cast(sum(cast(floor(cast(v AS double) * 1048576.0)
-        |      AS bigint)) AS bigint) AS sm
-        |  FROM e GROUP BY bucket, dim),
-        |c AS (
-        |  SELECT bucket, cast(max(n) AS bigint) AS n,
-        |    list(sm // n ORDER BY dim) AS c
-        |  FROM s GROUP BY bucket),
-        |p AS (
-        |  SELECT bucket, n, c, lag(c) OVER (ORDER BY bucket) AS pv
-        |  FROM c),
-        |d AS (
-        |  SELECT bucket, n, pv,
-        |    list_reduce(list_prepend(cast(0 AS bigint),
-        |      list_transform(range(len(c)), i -> c[i+1] * pv[i+1])),
-        |      (a, x) -> a + x) AS ab,
-        |    list_reduce(list_prepend(cast(0 AS bigint),
-        |      list_transform(range(len(c)), i -> c[i+1] * c[i+1])),
-        |      (a, x) -> a + x) AS aa,
-        |    list_reduce(list_prepend(cast(0 AS bigint),
-        |      list_transform(range(len(c)), i -> pv[i+1] * pv[i+1])),
-        |      (a, x) -> a + x) AS bb
-        |  FROM p)
-        |SELECT bucket, n,
-        |  CASE WHEN pv IS NULL OR aa <= 0 OR bb <= 0 THEN NULL
-        |    ELSE cast(floor(cast(ab AS double) /
-        |      (sqrt(cast(aa AS double)) * sqrt(cast(bb AS double)))
-        |      * 1000000.0) AS bigint) END AS cos6
-        |FROM d ORDER BY bucket""".stripMargin,
-
-    // Both arms replayed off one scored CTE: q28's exact window and
-    // q30's bucket filter, intersect per query, integer ppm.
-    "q182_ann_recall" ->
-      s"""WITH b AS (
-         |  SELECT vec_id, embedding, cast($bucketSql AS bigint)
-         |    AS bucket
-         |  FROM embeddings),
-         |q AS (SELECT vec_id AS qid, embedding AS qv,
-         |        bucket AS qb FROM b WHERE vec_id < 10),
-         |s AS (
-         |  SELECT q.qid, c.vec_id AS cid, q.qb, c.bucket AS cb,
-         |    floor((${cosineSql("c.embedding", "qv")}) * 1000000)
-         |      / 1000000 AS score
-         |  FROM b c CROSS JOIN q WHERE c.vec_id <> q.qid),
-         |br AS (
-         |  SELECT qid, cid FROM (
-         |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
-         |      ORDER BY score DESC, cid) AS rn FROM s)
-         |  WHERE rn <= 10),
-         |an AS (
-         |  SELECT qid, cid FROM (
-         |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
-         |      ORDER BY score DESC, cid) AS rn
-         |    FROM s WHERE bit_count(xor(cb, qb)) <= 2)
-         |  WHERE rn <= 10),
-         |h AS (
-         |  SELECT qid, cast(count(*) AS bigint) AS hits
-         |  FROM br JOIN an USING (qid, cid) GROUP BY qid)
-         |SELECT q.qid, coalesce(hits, 0) AS hits,
-         |  cast(coalesce(hits, 0) * 1000000 // 10 AS bigint)
-         |    AS recall_ppm
-         |FROM q LEFT JOIN h USING (qid) ORDER BY qid""".stripMargin,
-
-    // q23 quality in ppm + md5 dup keys, all exact integers.
-    "q181_dataset_card" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang, n_chars, md5(text) AS h, text AS text_raw,
-        |    cast(len(string_split_regex(trim(text), '\s+')) AS bigint)
-        |      AS toks,
-        |    cast(len(string_split_regex(trim(text), '\s+')) AS double)
-        |      AS n,
-        |    cast(length(text) AS double) AS len,
-        |    cast(length(regexp_replace(text, '[^\p{L}]', '', 'g'))
-        |      AS double) AS n_alpha,
-        |    cast(len(list_distinct(string_split_regex(trim(text),
-        |      '\s+'))) AS double) AS n_uniq
-        |  FROM documents),
-        |q AS (
-        |  SELECT doc_id, lang, n_chars, h, toks,
-        |    CASE WHEN length(trim(text_raw)) = 0 THEN cast(0 AS bigint)
-        |    ELSE cast(floor((
-        |      least(n / 100.0, 1.0) * 0.25
-        |      + (CASE WHEN ((len - (n - 1)) / n) BETWEEN 3.0 AND 10.0
-        |              THEN 1.0 ELSE 0.5 END) * 0.25
-        |      + (n_alpha / len) * 0.25
-        |      + (n_uniq / n) * 0.25) * 1000000.0) AS bigint) END AS q6
-        |  FROM t),
-        |d AS (SELECT h FROM t GROUP BY h HAVING count(*) >= 2)
-        |SELECT lang, cast(count(*) AS bigint) AS n_docs,
-        |  cast(sum(toks) AS bigint) AS total_tokens,
-        |  cast(sum(n_chars) AS bigint) AS total_chars,
-        |  cast(sum(CASE WHEN q.h IN (SELECT h FROM d) THEN 1 ELSE 0
-        |    END) AS bigint) AS dup_docs,
-        |  cast(cast(sum(q6) AS bigint) // count(*) AS bigint)
-        |    AS mean_quality_ppm
-        |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
-
-    // q23 quality + running-sum window replay of the greedy prefix.
-    "q180_budget_select" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    cast(len(string_split_regex(trim(text), '\s+')) AS bigint)
-        |      AS tokens,
-        |    cast(len(string_split_regex(trim(text), '\s+')) AS double)
-        |      AS n,
-        |    cast(length(text) AS double) AS len,
-        |    cast(length(regexp_replace(text, '[^\p{L}]', '', 'g'))
-        |      AS double) AS n_alpha,
-        |    cast(len(list_distinct(string_split_regex(trim(text),
-        |      '\s+'))) AS double) AS n_uniq
-        |  FROM documents),
-        |q AS (
-        |  SELECT doc_id, tokens,
-        |    least(n / 100.0, 1.0) * 0.25
-        |    + (CASE WHEN ((len - (n - 1)) / n) BETWEEN 3.0 AND 10.0
-        |            THEN 1.0 ELSE 0.5 END) * 0.25
-        |    + (n_alpha / len) * 0.25
-        |    + (n_uniq / n) * 0.25 AS quality
-        |  FROM t),
-        |c AS (
-        |  SELECT doc_id, tokens, quality,
-        |    cast(sum(tokens) OVER (ORDER BY quality DESC, doc_id
-        |      ROWS UNBOUNDED PRECEDING) AS bigint) AS cum_tokens
-        |  FROM q)
-        |SELECT doc_id, tokens, quality, cum_tokens
-        |FROM c WHERE cum_tokens <= 10000
-        |ORDER BY doc_id""".stripMargin,
-
-    // Exact-isqrt temperature rates + md5 µ-coordinate replay.
-    "q175_temperature_sample" ->
-      s"""WITH c AS (
-         |  SELECT lang, cast(count(*) AS bigint) AS n_s
-         |  FROM documents GROUP BY lang),
-         |m AS (SELECT cast(min(n_s) AS bigint) AS n_min FROM c),
-         |iq AS (
-         |  SELECT lang, n_s,
-         |    s0 - CASE WHEN s0 * s0 > n_s THEN 1 ELSE 0 END
-         |       + CASE WHEN (s0 + 1) * (s0 + 1) <= n_s THEN 1 ELSE 0 END
-         |      AS sq
-         |  FROM (SELECT lang, n_s,
-         |          cast(floor(sqrt(cast(n_s AS double))) AS bigint) AS s0
-         |        FROM c)),
-         |im AS (
-         |  SELECT s0 - CASE WHEN s0 * s0 > n_min THEN 1 ELSE 0 END
-         |       + CASE WHEN (s0 + 1) * (s0 + 1) <= n_min THEN 1 ELSE 0
-         |         END AS sqm
-         |  FROM (SELECT n_min,
-         |          cast(floor(sqrt(cast(n_min AS double))) AS bigint)
-         |            AS s0
-         |        FROM m)),
-         |r AS (
-         |  SELECT lang, n_s, (1000000 * sqm) // sq AS rate_ppm
-         |  FROM iq, im)
-         |SELECT d.doc_id, d.lang, r.n_s, r.rate_ppm
-         |FROM documents d JOIN r USING (lang)
-         |WHERE (${md5u32Sql("cast(doc_id AS varchar)")}) % 1000000
-         |  < r.rate_ppm
-         |ORDER BY d.doc_id""".stripMargin,
-
-    // Profile-join replay of the explosion audit.
-    "q168_join_explosion" ->
-      """WITH ca AS (
-        |  SELECT c_nationkey AS key, cast(count(*) AS bigint) AS n_a
-        |  FROM customer GROUP BY 1),
-        |cb AS (
-        |  SELECT s_nationkey AS key, cast(count(*) AS bigint) AS n_b
-        |  FROM supplier GROUP BY 1)
-        |SELECT key, n_a, n_b,
-        |  cast(n_a * n_b AS bigint) AS contrib
-        |FROM ca JOIN cb USING (key)
-        |ORDER BY contrib DESC, key LIMIT 10""".stripMargin,
-
-    // Definitional basket self-join replay of the local pair emission.
-    "q126_copurchase" ->
-      """WITH bi AS (SELECT DISTINCT l.l_orderkey AS b, s.s_nationkey AS i
-        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
-        |p AS (SELECT x.b, x.i AS item_a, y.i AS item_b
-        |  FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i),
-        |pc AS (SELECT item_a, item_b, count(*) AS n_ab FROM p
-        |  GROUP BY 1, 2 HAVING count(*) >= 5),
-        |ia AS (SELECT i AS item_a, count(*) AS n_a FROM bi GROUP BY 1)
-        |SELECT item_a, item_b, n_ab, n_a,
-        |  (n_ab * 1000000) // n_a AS conf6
-        |FROM pc JOIN ia USING (item_a)
-        |ORDER BY item_a, item_b""".stripMargin,
-
-    // The lifecycle must answer exactly like the never-reorganized
-    // table.
-    "q125_zone_maintain" ->
-      """SELECT o_orderkey, o_totalprice FROM orders
-        |WHERE o_totalprice >= 100000.0 AND o_totalprice <= 150000.0
-        |ORDER BY o_orderkey""".stripMargin,
-
-    // The logical join — the bucketed layout must not change answers.
-    "q124_bucketed_join" ->
-
-      """SELECT c_custkey, c_name, count(*) AS n,
-        |  cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total
-        |FROM customer JOIN orders ON o_custkey = c_custkey
-        |GROUP BY 1, 2 ORDER BY c_custkey""".stripMargin,
-
-    // Full recompute over ALL facts — equality proves the incremental
-    // merge path exact.
-    "q121_agg_view_merge" ->
-      """SELECT o_custkey, count(*) AS n,
-        |  cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS s,
-        |  min(o_totalprice) AS mn, max(o_totalprice) AS mx
-        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
-
-    // Same ordered list + left fold; list_reduce's implicit seed is the
-    // first element, matching the operator's zero.
-    "q122_ewma" -> ewmaReplaySql,
-
-    // the streaming fold's final state is the same ordered integer
-    // recurrence
-    "q230_stream_ewma" -> ewmaReplaySql,
-
-    
-
-    // Count-distinct-per-group replay of the FD definition.
-    "q123_fd_audit" ->
-      """WITH c AS (SELECT o_custkey, o_orderpriority, count(*) AS c
-        |  FROM orders GROUP BY 1, 2)
-        |SELECT o_custkey, count(*) AS n_rhs, cast(sum(c) AS bigint) AS n_rows
-        |FROM c GROUP BY o_custkey HAVING count(*) > 1
-        |ORDER BY o_custkey""".stripMargin,
-
-    // The definitional filter — any row a pruned file wrongly dropped
-    // (or a survivor file duplicated) diverges.
-    "q120_zonemap_read" ->
-      """SELECT o_orderkey, o_totalprice FROM orders
-        |WHERE o_totalprice >= 50000.0 AND o_totalprice <= 100000.0
-        |ORDER BY o_orderkey""".stripMargin,
-
-    // Unrolled synchronous peeling: each CTE recomputes degrees within
-    // the previous survivor set; the final select re-derives the
-    // in-subgraph degree exactly like the operator does.
-    "q119_kcore" -> {
-      def round(i: Int) =
-        s"""a$i AS (
-           |  SELECT e.u AS node FROM e
-           |  JOIN a${i - 1} x ON e.u = x.node
-           |  JOIN a${i - 1} y ON e.v = y.node
-           |  GROUP BY e.u HAVING count(*) >= 25)""".stripMargin
-      s"""WITH p AS (
-         |  SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
-         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-         |e AS (SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
-         |a0 AS (SELECT DISTINCT u AS node FROM e),
-         |${(1 to 8).map(round).mkString(",\n")}
-         |SELECT e.u AS node, count(*) AS deg FROM e
-         |JOIN a8 x ON e.u = x.node JOIN a8 y ON e.v = y.node
-         |GROUP BY e.u ORDER BY node""".stripMargin
-    },
-
-    // Count-then-rank replay with the identical tie order.
-    "q118_mode" ->
-      """WITH c AS (SELECT user_id // 10 AS g, event_type AS v,
-        |    count(*) AS n
-        |  FROM events GROUP BY 1, 2),
-        |r AS (SELECT g, v, n, row_number() OVER
-        |    (PARTITION BY g ORDER BY n DESC, v ASC) AS rk FROM c)
-        |SELECT g, v AS mode, n FROM r WHERE rk = 1 ORDER BY g""".stripMargin,
-
-    // Same md5-window boundary rule, list-built edges, digest chunks.
-    "q116_cdc_chunks" ->
-      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
-        |b AS (SELECT doc_id, unnest(generate_series(8, n)) AS p, text
-        |  FROM d WHERE n >= 8),
-        |bf AS (SELECT doc_id, p FROM
-        |  (SELECT doc_id, p,
-        |     substr(md5(substr(text, p - 7, 8)), 1, 2) AS h FROM b)
-        |  WHERE h <= '03'),
-        |bl AS (SELECT doc_id, list_sort(list(p)) AS bs FROM bf
-        |  GROUP BY doc_id),
-        |e AS (SELECT d.doc_id, d.text,
-        |    list_concat(list_concat([0], coalesce(bs, [])), [d.n]) AS edges
-        |  FROM d LEFT JOIN bl USING (doc_id)),
-        |ck AS (SELECT doc_id, unnest(generate_series(1, len(edges) - 1))
-        |    AS i, edges, text FROM e),
-        |ch AS (SELECT doc_id, edges[i] AS s, edges[i + 1] AS e2,
-        |    md5(substr(text, edges[i] + 1, edges[i + 1] - edges[i])) AS k
-        |  FROM ck WHERE edges[i + 1] > edges[i]),
-        |dup AS (SELECT k FROM ch GROUP BY k
-        |  HAVING count(DISTINCT doc_id) >= 2),
-        |per AS (SELECT ch.doc_id, count(*) AS n_chunks,
-        |    sum(CASE WHEN dup.k IS NOT NULL THEN 1 ELSE 0 END)
-        |      AS dup_chunks,
-        |    sum(CASE WHEN dup.k IS NOT NULL THEN e2 - s ELSE 0 END)
-        |      AS dup_chars
-        |  FROM ch LEFT JOIN dup ON ch.k = dup.k GROUP BY ch.doc_id)
-        |SELECT d.doc_id,
-        |  cast(coalesce(n_chunks, 0) AS bigint) AS n_chunks,
-        |  cast(coalesce(dup_chunks, 0) AS bigint) AS dup_chunks,
-        |  cast(coalesce(dup_chars, 0) AS bigint) AS dup_chars
-        |FROM d LEFT JOIN per USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
-
-    // Recount straight from the corpus — the at-rest layout changes
-    // where the postings live, not what a phrase probe returns.
-    "q115_phrase_at_rest" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-        |  FROM documents),
-        |p AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS pos, w
-        |  FROM t),
-        |q AS (SELECT doc_id, pos, w[pos] AS term FROM p)
-        |SELECT a.doc_id, cast(count(*) AS bigint) AS n_matches
-        |FROM q a JOIN q b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-        |WHERE a.term = 'spark' AND b.term = 'join'
-        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
-
-    // Definitional adjacent-position join replay.
-    "q114_phrase_search" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-        |  FROM documents),
-        |p AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS pos, w
-        |  FROM t),
-        |q AS (SELECT doc_id, pos, w[pos] AS term FROM p)
-        |SELECT a.doc_id, cast(count(*) AS bigint) AS n_matches
-        |FROM q a JOIN q b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-        |WHERE a.term = 'spark' AND b.term = 'join'
-        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
-
-    // Distinct-value cumulative replay with the same half test.
-    "q113_weighted_median" ->
-      """WITH t AS (
-        |  SELECT lang, n_chars AS v,
-        |    len(string_split_regex(trim(text), '\s+')) AS w
-        |  FROM documents),
-        |bv AS (SELECT lang, v, sum(w) AS wv FROM t GROUP BY 1, 2),
-        |c AS (SELECT lang, v,
-        |    sum(wv) OVER (PARTITION BY lang ORDER BY v
-        |      ROWS UNBOUNDED PRECEDING) AS cum,
-        |    sum(wv) OVER (PARTITION BY lang) AS tot
-        |  FROM bv)
-        |SELECT lang, cast(min(v) AS bigint) AS wmedian,
-        |  cast(max(tot) AS bigint) AS total_w
-        |FROM c WHERE cum * 2 >= tot
-        |GROUP BY lang ORDER BY lang""".stripMargin,
-
-    // Same trailing-window integer z-test; ts cast like every events
-    // oracle, (ts, event_id) frame order.
-    "q112_anomaly" -> anomalyReplaySql,
-
-    // the streaming ring's accumulated flags are the same windowed
-    // z-test
-    "q231_stream_anomaly" -> anomalyReplaySql,
-
-    
-
-    // Integer ppm-share replay over the same subset rule.
-    "q111_drift" ->
-      """WITH a AS (SELECT lang, count(*) AS ca FROM documents GROUP BY lang),
-        |b AS (SELECT lang, count(*) AS cb FROM documents
-        |  WHERE doc_id % 3 <> 0 GROUP BY lang),
-        |na AS (SELECT count(*) AS n FROM documents),
-        |nb AS (SELECT count(*) AS n FROM documents WHERE doc_id % 3 <> 0)
-        |SELECT lang, cast(coalesce(ca, 0) AS bigint) AS ca,
-        |  cast(coalesce(cb, 0) AS bigint) AS cb,
-        |  cast(abs((coalesce(ca, 0) * 1000000) // na.n -
-        |           (coalesce(cb, 0) * 1000000) // nb.n) AS bigint) AS d6
-        |FROM a FULL OUTER JOIN b USING (lang)
-        |CROSS JOIN na CROSS JOIN nb
-        |ORDER BY lang""".stripMargin,
-
-    // Same dirtying CTE, each rule as a definitional count.
-    "q110_quality_audit" ->
-      """WITH dirty0 AS (
-        |  SELECT o_orderkey,
-        |    CASE WHEN o_orderkey % 97 = 0 THEN NULL
-        |         WHEN o_orderkey % 107 = 0 THEN o_custkey + 1000000
-        |         ELSE o_custkey END AS o_custkey,
-        |    CASE WHEN o_orderkey % 103 = 0 THEN 'X'
-        |         ELSE o_orderstatus END AS o_orderstatus,
-        |    CASE WHEN o_orderkey % 101 = 0 THEN -1.0
-        |         ELSE o_totalprice END AS o_totalprice,
-        |    CASE WHEN o_orderkey % 109 = 0 THEN 'bogus'
-        |         ELSE o_orderpriority END AS o_orderpriority
-        |  FROM orders),
-        |dirty AS (SELECT * FROM dirty0
-        |  UNION ALL SELECT * FROM dirty0 WHERE o_orderkey % 1000 = 0)
-        |SELECT rule, violations FROM (
-        |  SELECT 'fk(o_custkey->customer)' AS rule, count(*) AS violations
-        |  FROM dirty d WHERE o_custkey IS NOT NULL AND NOT EXISTS
-        |    (SELECT 1 FROM customer c WHERE c.c_custkey = d.o_custkey)
-        |  UNION ALL
-        |  SELECT 'in_range(o_totalprice)', count(*) FROM dirty
-        |  WHERE o_totalprice IS NULL
-        |    OR NOT (o_totalprice BETWEEN 1.0 AND 600000.0)
-        |  UNION ALL
-        |  SELECT 'in_set(o_orderstatus)', count(*) FROM dirty
-        |  WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P')
-        |  UNION ALL
-        |  SELECT 'matches(o_orderpriority)', count(*) FROM dirty
-        |  WHERE o_orderpriority IS NULL
-        |    OR NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
-        |  UNION ALL
-        |  SELECT 'not_null(o_custkey)', count(*) FROM dirty
-        |  WHERE o_custkey IS NULL
-        |  UNION ALL
-        |  SELECT 'unique(o_orderkey)',
-        |    cast(coalesce(sum(c - 1), 0) AS bigint)
-        |  FROM (SELECT count(*) AS c FROM dirty GROUP BY o_orderkey)
-        |  WHERE c > 1)
-        |ORDER BY rule""".stripMargin,
-
-    // Learn the same 6 merges, then APPLY them to every document's
-    // words (the same chained replace-all, scalar-subquery merge
-    // literals) and count the resulting BPE tokens — training and
-    // encoding must agree end-to-end.
-    "q102_bpe_encode" -> {
-      val rounds = 6
-      def applyCtes(r: Int) =
-        s"""e$r AS (SELECT doc_id, regexp_replace(e.s,
-           |    ' ' || (SELECT l FROM b$r) || '  ' || (SELECT r FROM b$r) || ' ',
-           |    ' ' || (SELECT l FROM b$r) || (SELECT r FROM b$r) || ' ',
-           |    'g') AS s
-           |  FROM e${r - 1} e)""".stripMargin
-      s"""WITH ${bpeTrainCtes(rounds)},
-         |docw AS (
-         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+'))
-         |    AS w
-         |  FROM documents),
-         |e0 AS (SELECT doc_id,
-         |    ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS s
-         |  FROM docw),
-         |${(1 to rounds).map(applyCtes).mkString(",\n")}
-         |SELECT doc_id, cast(count(*) AS bigint) AS n_words,
-         |  cast(sum(len(string_split(trim(s), '  '))) AS bigint)
-         |    AS n_bpe_tokens
-         |FROM e$rounds GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
-
-    // Merge semantics replay: batch rows win on their keys, untouched
-    // base rows survive.
-    "q78_merge_at_rest" ->
-      """WITH sel AS (
-        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-        |    o_orderpriority
-        |  FROM orders)
-        |SELECT o_orderkey, o_custkey, o_orderstatus,
-        |  o_totalprice * 2 AS o_totalprice, o_orderpriority
-        |FROM sel WHERE o_orderkey % 2 = 0
-        |UNION ALL
-        |SELECT * FROM sel WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 <> 0
-        |ORDER BY o_orderkey""".stripMargin,
-
-    // Salting is semantically invisible: plain exact distinct count.
-    "q79_skew_distinct" ->
-      """SELECT event_type, count(DISTINCT user_id) AS users
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // BM25 with linear idf and dyadic k1=1.25, b=0.75 — the score
-    // expression mirrors the Spark side's association order exactly:
-    // idf = ((N - df) + 0.5)/(df + 0.5); tf-part numerator tf·2.25;
-    // denominator tf + 1.25·(0.25 + 0.75·((dl·N)/TOT)); per-doc
-    // combine coalesce(dup)+coalesce(merge)+coalesce(spark).
-    "q80_bm25" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
-        |  FROM documents),
-        |ft AS (
-        |  SELECT doc_id, t, count(*) AS tf FROM tok
-        |  WHERE t IN ('dup', 'merge', 'spark') GROUP BY 1, 2),
-        |dfq AS (SELECT t, count(*) AS df FROM ft GROUP BY 1),
-        |tot AS (
-        |  SELECT count(*) AS n,
-        |    sum(len(string_split_regex(trim(text), '\s+'))) AS tot
-        |  FROM documents),
-        |dl AS (
-        |  SELECT doc_id,
-        |    cast(len(string_split_regex(trim(text), '\s+')) AS double) AS dl
-        |  FROM documents),
-        |s AS (
-        |  SELECT f.doc_id, f.t,
-        |    (((cast(n AS double) - cast(df AS double)) + 0.5)
-        |       / (cast(df AS double) + 0.5))
-        |    * (cast(tf AS double) * 2.25)
-        |    / (cast(tf AS double)
-        |       + 1.25 * (0.25 + 0.75 * ((dl * cast(n AS double))
-        |                                 / cast(tot AS double)))) AS sc
-        |  FROM ft f JOIN dfq USING (t) JOIN dl USING (doc_id), tot)
-        |SELECT doc_id,
-        |  cast(floor((coalesce(max(CASE WHEN t = 'dup' THEN sc END), 0.0)
-        |    + coalesce(max(CASE WHEN t = 'merge' THEN sc END), 0.0)
-        |    + coalesce(max(CASE WHEN t = 'spark' THEN sc END), 0.0))
-        |    * 1000000.0) AS bigint) AS score6
-        |FROM s GROUP BY doc_id
-        |ORDER BY score6 DESC, doc_id LIMIT 20""".stripMargin,
-
-    // Int64 Lloyd replay: assignments AND distances are exact.
-    "q81_kmeans" ->
-      s"""WITH $kmeansCtes
-         |SELECT vec_id, cluster, d2 FROM ka2 ORDER BY vec_id""".stripMargin,
-
-    // Same clusters, then the SemDeDup drop rule: a vector with any
-    // lower-id cluster-mate at cosine >= 0.3 is a duplicate. The
-    // cosine replay is the shared sequential-fold recipe.
-    "q82_semantic_dedup" ->
-      s"""WITH $kmeansCtes,
-         |sp AS (
-         |  SELECT a.vec_id AS ia, b.vec_id AS ib
-         |  FROM ka2 a JOIN ka2 b
-         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
-         |pc AS (
-         |  SELECT sp.ia, sp.ib,
-         |    (${cosineSql("e1.embedding", "e2.embedding")}) AS cos
-         |  FROM sp JOIN embeddings e1 ON sp.ia = e1.vec_id
-         |          JOIN embeddings e2 ON sp.ib = e2.vec_id)
-         |SELECT ib AS vec_id, min(ia) AS keep_of, count(*) AS n_dups,
-         |  max(cast(floor(cos * 1000000.0) AS bigint)) AS cos6
-         |FROM pc WHERE cos >= 0.3
-         |GROUP BY ib ORDER BY vec_id""".stripMargin,
-
-    // The prefix filter is recall-lossless, so the oracle is the naive
-    // quadratic exact-Jaccard join over distinct 3-gram shingle sets.
-    "q83_setsim_join" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-         |  FROM documents),
-         |sh AS (SELECT doc_id, ($shinglesSql) AS shingles FROM t),
-         |dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
-         |pr AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    cast(len(list_intersect(a.s, b.s)) AS bigint) AS inter,
-         |    cast(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
-         |      AS bigint) AS uni
-         |  FROM dsh a JOIN dsh b ON a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, inter, uni,
-         |  cast(floor(cast(inter * 1000000 AS double) / uni) AS bigint)
-         |    AS jac6
-         |FROM pr WHERE inter * 2 >= uni * 1
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    "q31_events_tumbling" ->
-      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events)
-        |SELECT date_trunc('hour', ts) AS window_start, event_type,
-        |  count(*) AS n_events,
-        |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
-        |FROM e GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
-
-    "q32_events_sliding" ->
-      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events)
-        |SELECT ws AS window_start, event_type, count(*) AS n_events
-        |FROM (
-        |  SELECT event_type,
-        |    make_timestamp(cast(floor(epoch(ts)/1800)*1800 AS bigint) * 1000000
-        |      - k * 1800000000) AS ws
-        |  FROM e, (SELECT unnest([0, 1]) AS k))
-        |GROUP BY ws, event_type ORDER BY window_start, event_type""".stripMargin,
-
-    "q33_watermark_dedup" ->
-      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events)
-        |SELECT user_id, event_type,
-        |  make_timestamp(cast(floor(epoch(ts)/600)*600 AS bigint) * 1000000)
-        |    AS bucket_start,
-        |  min(event_id) AS keep_event_id, count(*) AS n_dups
-        |FROM e GROUP BY 1, 2, 3
-        |ORDER BY user_id, event_type, bucket_start""".stripMargin,
-
-    "q34_events_session" ->
-      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
-        |l AS (
-        |  SELECT user_id, ts, value,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
-        |  FROM e),
-        |g AS (
-        |  SELECT user_id, ts, value,
-        |    sum(CASE WHEN p IS NULL
-        |             OR epoch_us(ts) - epoch_us(p) >= 1800000000
-        |             THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY user_id ORDER BY ts
-        |            ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM l)
-        |SELECT user_id, min(ts) AS session_start,
-        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
-        |  count(*) AS n_events,
-        |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
-        |FROM g GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin,
-
-    "q35_embedding_neardup" ->
-      s"""WITH bk AS (
-         |  SELECT vec_id, embedding, cast($bucketSql AS bigint) AS bucket
-         |  FROM embeddings)
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  floor((${cosineSql("a.embedding", "b.embedding")}) * 1000000)
-         |    / 1000000 AS cos6
-         |FROM bk a JOIN bk b
-         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE (${cosineSql("a.embedding", "b.embedding")}) >= 0.35
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    "q36_minhash_neardup" ->
-      s"""WITH $fuzzyPairsCtes
-         |SELECT id_a, id_b, jaccard FROM pairs
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    // Recursive-closure replay of the cluster assignment: transitive
-    // reachability over the (tiny, verified) pair graph, cluster = min
-    // reachable id — the declarative fixpoint the iterative Spark
-    // propagation converges to.
-    "q49_dedup_clusters" -> dedupClustersOracle,
-    "q54_dedup_clusters_star" -> dedupClustersOracle,
-
-    // Independent definition: generate enough epochs per source, rank
-    // the merged timeline by (k, listing idx) with one ORDER BY, keep
-    // the first 400 — must equal the engine's closed-form arithmetic.
-    "q101_epoch_mix" ->
-      """WITH d AS (
-        |  SELECT doc_id, source, md5(cast(doc_id AS varchar)) AS h
-        |  FROM documents
-        |  WHERE source IN ('src0', 'src1', 'src2', 'src3')),
-        |p AS (SELECT doc_id, source,
-        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
-        |      AS p0,
-        |    count(*) OVER (PARTITION BY source) AS n
-        |  FROM d),
-        |x AS (SELECT doc_id, source, p0, n,
-        |    unnest(generate_series(0, 50)) AS epoch
-        |  FROM p),
-        |k AS (SELECT doc_id, source, epoch,
-        |    epoch * n + p0 AS pos,
-        |    (epoch * n + p0) * (CASE source WHEN 'src0' THEN 6
-        |      WHEN 'src1' THEN 10 WHEN 'src2' THEN 15 ELSE 30 END) AS k,
-        |    (CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 1
-        |      WHEN 'src2' THEN 2 ELSE 3 END) AS oi
-        |  FROM x)
-        |SELECT row_number() OVER (ORDER BY k, oi) AS global_pos,
-        |  source, doc_id, cast(epoch AS bigint) AS epoch,
-        |  cast(pos AS bigint) AS pos
-        |FROM k QUALIFY global_pos <= 400
-        |ORDER BY global_pos""".stripMargin,
-
-    // Same closure + singleton backfill; the split hashes the CLUSTER
-    // key with the q55 digit-parsed md5 coordinate.
-    "q100_leakage_safe_split" -> {
-      val u = (0 until 8).map(i =>
-        s"(strpos('0123456789abcdef', substr(md5(cast(cluster AS varchar)), ${i + 1}, 1)) - 1) * ${math.pow(16, 7 - i).toLong}")
-        .mkString("(", " + ", ")") + " / 4294967296.0"
-      s"""WITH RECURSIVE $clusterCtes,
-         |alldocs AS (
-         |  SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster
-         |  FROM documents d LEFT JOIN cl ON cl.id = d.doc_id)
-         |SELECT doc_id, cluster,
-         |  CASE WHEN $u < 0.8 THEN 'train'
-         |       WHEN $u < 0.9 THEN 'val'
-         |       ELSE 'test' END AS split
-         |FROM alldocs ORDER BY doc_id""".stripMargin
-    },
-
-    "q55_hash_split" -> {
-      // hash coordinate: first 8 md5 hex digits as a 32-bit int / 2^32,
-      // parsed digit-by-digit (no hex-cast dependence)
-      val u = (0 until 8).map(i =>
-        s"(strpos('0123456789abcdef', substr(md5(cast(doc_id AS varchar)), ${i + 1}, 1)) - 1) * ${math.pow(16, 7 - i).toLong}")
-        .mkString("(", " + ", ")") + " / 4294967296.0"
-      s"""WITH s AS (
-         |  SELECT n_chars,
-         |    CASE WHEN $u < 0.8 THEN 'train'
-         |         WHEN $u < 0.9 THEN 'val'
-         |         ELSE 'test' END AS split
-         |  FROM documents)
-         |SELECT split, count(*) AS n, cast(sum(n_chars) AS bigint) AS chars
-         |FROM s GROUP BY split ORDER BY split""".stripMargin
-    },
-
-    "q56_quota_sample" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang,
-        |    cast(len(string_split_regex(trim(text), '\s+')) AS double) AS n,
-        |    cast(length(text) AS double) AS len,
-        |    cast(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS double) AS n_alpha,
-        |    cast(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS double) AS n_uniq
-        |  FROM documents),
-        |q AS (
-        |  SELECT doc_id, lang,
-        |    least(n / 100.0, 1.0) * 0.25
-        |    + (CASE WHEN ((len - (n - 1)) / n) BETWEEN 3.0 AND 10.0
-        |            THEN 1.0 ELSE 0.5 END) * 0.25
-        |    + (n_alpha / len) * 0.25
-        |    + (n_uniq / n) * 0.25 AS quality
-        |  FROM t),
-        |r AS (
-        |  SELECT doc_id, lang, quality,
-        |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY quality DESC, doc_id ASC) AS rk
-        |  FROM q)
-        |SELECT doc_id, lang, quality FROM r WHERE rk <= 3
-        |ORDER BY lang, doc_id""".stripMargin,
-
-    "q51_tfidf_terms" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    unnest(string_split_regex(trim(text), '\s+')) AS t
-        |  FROM documents),
-        |tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |df AS (SELECT t, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
-        |n AS (SELECT count(*) AS n_docs FROM documents),
-        |scored AS (
-        |  SELECT tf.doc_id, tf.t,
-        |    cast(tf.tf * n.n_docs AS double) / df.df AS w
-        |  FROM tf JOIN df ON tf.t = df.t, n),
-        |ranked AS (
-        |  SELECT doc_id, t, w,
-        |    row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY w DESC, t ASC) AS rank
-        |  FROM scored)
-        |SELECT doc_id, rank, t AS term,
-        |  floor(w * 1000000) / 1000000 AS weight
-        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
-
-    "q50_embedding_quant" ->
-      """WITH t AS (
-        |  SELECT vec_id, embedding,
-        |    list_max(list_transform(embedding, x -> abs(cast(x AS double))))
-        |      AS mx
-        |  FROM embeddings),
-        |s AS (SELECT vec_id, embedding,
-        |    CASE WHEN mx > 0 THEN mx / 127.0 ELSE 1.0 END AS scale FROM t),
-        |q AS (SELECT vec_id, embedding, scale,
-        |    list_transform(embedding, x ->
-        |      cast(floor(cast(x AS double) / scale + 0.5) AS bigint)) AS qv
-        |  FROM s)
-        |SELECT vec_id, scale,
-        |  list_reduce(list_prepend(cast(0 AS bigint), qv), (a, b) -> a + b)
-        |    AS q_sum,
-        |  list_max(list_transform(range(len(qv)), i ->
-        |    abs(cast(cast(qv[i+1] * scale AS float) AS double)
-        |        - cast(embedding[i+1] AS double)))) AS max_err
-        |FROM q ORDER BY vec_id""".stripMargin,
-
-    "q64_stratified_sample" -> {
-      val u = (0 until 8).map(i =>
-        s"(strpos('0123456789abcdef', substr(md5(cast(doc_id AS varchar)), ${i + 1}, 1)) - 1) * ${math.pow(16, 7 - i).toLong}")
-        .mkString("(", " + ", ")") + " / 4294967296.0"
-      s"""SELECT lang, count(*) AS n_kept,
-         |  cast(sum(n_chars) AS bigint) AS chars_kept
-         |FROM documents
-         |WHERE $u < (CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25
-         |            WHEN 'zh' THEN 1.0 ELSE 1.0 END)
-         |GROUP BY lang ORDER BY lang""".stripMargin
-    },
-
-    // KMV replay: distinct md5 coordinates per source, k-th smallest via
-    // row_number, (k-1)/h_k when the group has >= k distinct hashes.
-    "q66_kmv_distinct" -> {
-      val u = (0 until 8).map(i =>
-        s"(strpos('0123456789abcdef', substr(md5(text), ${i + 1}, 1)) - 1) * ${math.pow(16, 7 - i).toLong}")
-        .mkString("(", " + ", ")") + " / 4294967296.0"
-      s"""WITH h AS (SELECT DISTINCT source, $u AS h FROM documents),
-         |r AS (
-         |  SELECT source, h,
-         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
-         |    count(*) OVER (PARTITION BY source) AS nd
-         |  FROM h)
-         |SELECT source,
-         |  CASE WHEN max(nd) < 16 THEN cast(max(nd) AS double)
-         |       ELSE 15.0 / max(CASE WHEN rn = 16 THEN h END) END
-         |    AS est_distinct
-         |FROM r GROUP BY source ORDER BY source""".stripMargin
-    },
-
-    // IVF-PQ replay = the shared cell/probe CTEs + the shared PQ
-    // code/reconstruction CTEs + asymmetric scoring (unquantized q_vec
-    // vs reconstruction).
-    "q73_ivfpq_ann" ->
-      s"""WITH $ivfSeedCte,
-         |$ivfProbeCtes,
-         |$pqCtes
-         |SELECT e.vec_id,
-         |  floor((${cosineSql("enc.recon", "q_vec")}) * 1000000) / 1000000
-         |    AS score
-         |FROM embeddings e
-         |JOIN cell ON e.vec_id = cell.vec_id
-         |JOIN enc ON e.vec_id = enc.vec_id, q
-         |WHERE cell.cell IN (SELECT c_idx FROM probes) AND e.vec_id <> 0
-         |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin,
-
-    // PQ replay: codebooks = block slices of the 16 smallest-id
-    // vectors (the shared `c`/PQ CTEs); per (vector, block) assignment
-    // by the same v.v - 2.0*(v.c) + c.c fold; reconstruction =
-    // flattened chosen entries; fidelity = truncated cosine.
-    "q72_pq_codes" ->
-      s"""WITH $ivfSeedCte,
-         |$pqCtes
-         |SELECT e.vec_id, enc.codes,
-         |  floor((${cosineSql("e.embedding", "enc.recon")}) * 1000000)
-         |    / 1000000 AS recon_cos6
-         |FROM embeddings e JOIN enc ON e.vec_id = enc.vec_id
-         |ORDER BY e.vec_id""".stripMargin,
-
-    // Survivors = everything minus non-canonical cluster members, with
-    // cluster assignment replayed as the recursive transitive closure
-    // (same fixpoint as the q49/q54 oracles).
-    "q71_fuzzy_curation" ->
-      s"""WITH RECURSIVE $fuzzyPairsCtes,
-         |edges AS (
-         |  SELECT id_a AS a, id_b AS b FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM edges
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         |nodes AS (SELECT DISTINCT a AS id FROM edges),
-         |assign AS (
-         |  SELECT n.id, least(n.id, min(r.b)) AS cluster
-         |  FROM nodes n JOIN reach r ON r.a = n.id GROUP BY n.id)
-         |SELECT doc_id, lang, source FROM documents
-         |WHERE doc_id NOT IN (SELECT id FROM assign WHERE id <> cluster)
-         |ORDER BY doc_id""".stripMargin,
-
-    // Chunk replay: same start sequence (0, stride, ... <= len-1;
-    // DuckDB range stop is exclusive, hence len-1+1), 1-based inclusive
-    // list slice = Spark's slice(w, s+1, width).
-    "q70_chunk" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id,
-        |    list_transform(
-        |      list_filter(range(0, greatest(len(w) - 1, 0) + 1, 20),
-        |        s -> s = 0 OR s + 10 < len(w)),
-        |      s -> array_to_string(w[s+1:s+30], ' ')) AS chunks
-        |  FROM t),
-        |u AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(range(len(chunks)),
-        |      i -> {'chunk_idx': i, 'chunk': chunks[i+1]})) AS e
-        |  FROM c)
-        |SELECT doc_id, e.chunk_idx AS chunk_idx, e.chunk AS chunk,
-        |  len(string_split_regex(trim(e.chunk), '\s+')) AS n_tok
-        |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
-
-    // Same shingle/minhash/band replay as q36, with the candidate set
-    // restricted to batch (doc_id < 50) x corpus (doc_id >= 50) — the
-    // at-rest index holds exactly the corpus band rows, so the
-    // incremental probe must equal this slice of the full recompute.
-    "q69_incremental_dedup" -> incrementalDedupReplaySql,
-
-    // the streaming probe accumulates exactly the batch incremental
-    // probe's pairs under the ordered replay
-    "q226_stream_neardup" -> incrementalDedupReplaySql,
-
-    // the refreshing stream's per-bucket index-visibility boundary
-    "q227_stream_neardup_refresh" -> refreshingDedupReplaySql,
-
-    // Probing after write(>=100) + append(50..99) must be
-    // indistinguishable from probing a full rebuild over >= 50 — the
-    // appended index content is exactly the rebuild's (band keys and
-    // shingles are per-doc functions), so the replay is q69's.
-    "q183_index_append" -> incrementalDedupReplaySql,
-
-    "q68_zorder" -> {
-      val terms = (0 until 10).flatMap(i => Seq(
-        s"((((doc_id % 1024) >> $i) & 1) << ${2 * i})",
-        s"((((n_chars % 1024) >> $i) & 1) << ${2 * i + 1})"))
-      s"""SELECT doc_id, (${terms.mkString(" | ")}) AS z
-         |FROM documents ORDER BY doc_id""".stripMargin
-    },
-
-    // Hilbert xy2d replayed as chained per-level CTEs — each level
-    // consumes bit i, adds the gray-coded quadrant offset, masks to
-    // the low i bits and applies the reflect+swap; identical integer
-    // math to Layout.withHilbert (all operands non-negative).
-    "q192_hilbert" -> {
-      def level(i: Int) = {
-        val s = 1L << i
-        val rx = s"((x >> $i) & 1)"; val ry = s"((y >> $i) & 1)"
-        val xm = s"(x & ${s - 1})"; val ym = s"(y & ${s - 1})"
-        s"""hl$i AS (SELECT doc_id,
-           |  CASE WHEN $ry = 0 THEN
-           |    CASE WHEN $rx = 1 THEN ${s - 1} - $ym ELSE $ym END
-           |  ELSE $xm END AS x,
-           |  CASE WHEN $ry = 0 THEN
-           |    CASE WHEN $rx = 1 THEN ${s - 1} - $xm ELSE $xm END
-           |  ELSE $ym END AS y,
-           |  d + ${s * s} * (CASE WHEN $rx = 1 AND $ry = 1 THEN 2
-           |    WHEN $rx = 1 THEN 3 WHEN $ry = 1 THEN 1
-           |    ELSE 0 END) AS d
-           |FROM hl${i + 1})""".stripMargin
-      }
-      s"""WITH hl8 AS (SELECT doc_id,
-         |  cast(doc_id % 256 AS bigint) AS x,
-         |  cast(n_chars % 256 AS bigint) AS y,
-         |  cast(0 AS bigint) AS d
-         |FROM documents),
-         |${(7 to 0 by -1).map(level).mkString(",\n")}
-         |SELECT doc_id, d AS h FROM hl0 ORDER BY doc_id""".stripMargin
-    },
-
-    "q63_contamination" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-         |  FROM documents),
-         |sh AS (SELECT doc_id,
-         |  list_distinct(${shinglesSqlN(13)}) AS s FROM t),
-         |bench AS (
-         |  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 20),
-         |train AS (
-         |  SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 20)
-         |SELECT doc_id, count(*) AS n_contaminated_grams
-         |FROM train JOIN bench USING (g)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "q62_frame_neardup" ->
-      s"""WITH v AS (
-         |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
-         |    octet_length(encode(text)) AS nb,
-         |    greatest(1, least(16, (n_chars * 100) // 1000)) AS n_frames
-         |  FROM documents WHERE doc_id % 3 = 2),
-         |fr AS (
-         |  SELECT media_id, hx, nb, n_frames, unnest(range(n_frames)) AS f
-         |  FROM v),
-         |feat AS (
-         |  SELECT media_id * 100 + f AS fid,
-         |    (${mediaFeatureSqlFor("(f * nb) // n_frames",
-              "((f+1) * nb) // n_frames - (f * nb) // n_frames")}) AS feature
-         |  FROM fr),
-         |bk AS (
-         |  SELECT fid, feature,
-         |    cast(${bucketSqlFor("feature")} AS bigint) AS bucket
-         |  FROM feat),
-         |p AS (
-         |  SELECT a.fid // 100 AS media_a, b.fid // 100 AS media_b,
-         |    (${cosineSql("a.feature", "b.feature")}) AS cosine
-         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.fid < b.fid
-         |  WHERE (${cosineSql("a.feature", "b.feature")}) >= 0.98)
-         |SELECT media_a, media_b, count(*) AS n_frame_pairs,
-         |  floor(max(cosine) * 1000000) / 1000000 AS max_cos6
-         |FROM p WHERE media_a <> media_b
-         |GROUP BY media_a, media_b ORDER BY media_a, media_b""".stripMargin,
-
-    "q61_length_quantiles" ->
-      """SELECT lang, count(*) AS n,
-        |  quantile_cont(n_chars, 0.25) AS p25,
-        |  quantile_cont(n_chars, 0.5) AS p50,
-        |  quantile_cont(n_chars, 0.75) AS p75,
-        |  quantile_cont(n_chars, 0.95) AS p95
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
-
-    "q60_curation_pipeline" -> {
-      val u = (0 until 8).map(i =>
-        s"(strpos('0123456789abcdef', substr(md5(cast(doc_id AS varchar)), ${i + 1}, 1)) - 1) * ${math.pow(16, 7 - i).toLong}")
-        .mkString("(", " + ", ")") + " / 4294967296.0"
-      s"""WITH keep AS (
-         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-         |t AS (
-         |  SELECT doc_id, lang, text,
-         |    cast(len(string_split_regex(trim(text), '\\s+')) AS double) AS n,
-         |    cast(length(text) AS double) AS len,
-         |    cast(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS double) AS n_alpha,
-         |    cast(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS double) AS n_uniq
-         |  FROM documents WHERE doc_id IN (SELECT doc_id FROM keep)),
-         |g AS (
-         |  SELECT doc_id, lang, text FROM t
-         |  WHERE least(n / 100.0, 1.0) * 0.25
-         |    + (CASE WHEN ((len - (n - 1)) / n) BETWEEN 3.0 AND 10.0
-         |            THEN 1.0 ELSE 0.5 END) * 0.25
-         |    + (n_alpha / len) * 0.25
-         |    + (n_uniq / n) * 0.25 >= 0.5)
-         |SELECT doc_id, lang,
-         |  CASE WHEN $u < 0.9 THEN 'train' ELSE 'val' END AS split,
-         |  regexp_replace(
-         |    regexp_replace(
-         |      regexp_replace(text,
-         |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-         |      'https?://[^\\s]+', '<URL>', 'g'),
-         |    '[0-9][0-9 ()+.-]{5,}[0-9]', '<NUM>', 'g') AS clean,
-         |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens
-         |FROM g ORDER BY doc_id""".stripMargin
-    },
-
-    "q58_pack" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    cast(len(string_split_regex(trim(text), '\s+')) AS bigint)
-        |      AS n_tok,
-        |    doc_id % 8 AS shard
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id, shard,
-        |    cast(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint)
-        |      AS before
-        |  FROM t)
-        |SELECT doc_id, shard, before // 512 AS bin, before % 512 AS offset
-        |FROM s ORDER BY doc_id""".stripMargin,
-
-    "q57_redact" ->
-      """SELECT doc_id,
-        |  regexp_replace(
-        |    regexp_replace(
-        |      regexp_replace(text,
-        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |      'https?://[^\s]+', '<URL>', 'g'),
-        |    '[0-9][0-9 ()+.-]{5,}[0-9]', '<NUM>', 'g') AS clean
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "q48_repetition" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-         |  FROM documents),
-         |sh AS (SELECT doc_id, (${shinglesSqlN(2)}) AS s2,
-         |              (${shinglesSqlN(3)}) AS s3 FROM t)
-         |SELECT doc_id,
-         |  cast(len(s2) - len(list_distinct(s2)) AS double)
-         |    / cast(len(s2) AS double) AS rep2,
-         |  cast(len(s3) - len(list_distinct(s3)) AS double)
-         |    / cast(len(s3) AS double) AS rep3
-         |FROM sh ORDER BY doc_id""".stripMargin,
-
-    // Brute-force replay of the portable SimHash semantics: per-bit
-    // majority over md5 hex-digit bits, signature as two 32-bit halves,
-    // exact hamming filter. Valid as the oracle for the blocked-LSH
-    // implementation because the 2-of-(m+2) pigeonhole is lossless.
-    "q37_simhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS t
-        |  FROM documents),
-        |h AS (SELECT doc_id, md5(t) AS m FROM toks),
-        |sigbits AS (
-        |  SELECT doc_id, b,
-        |    CASE WHEN 2 * sum(((strpos('0123456789abcdef',
-        |        substr(m, cast(b // 4 AS int) + 1, 1)) - 1) >> (b % 4)) & 1)
-        |      > count(*) THEN 1 ELSE 0 END AS bit
-        |  FROM h, (SELECT unnest(range(64)) AS b) bs
-        |  GROUP BY doc_id, b),
-        |sig AS (
-        |  SELECT doc_id,
-        |    sum(CASE WHEN b < 32 THEN bit * (1::BIGINT << b) ELSE 0 END) AS lo,
-        |    sum(CASE WHEN b >= 32 THEN bit * (1::BIGINT << (b - 32)) ELSE 0 END) AS hi
-        |  FROM sigbits GROUP BY doc_id)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming
-        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    // Same signature replay; groups = min-id/count per exact signature.
-    "q187_simhash_groups" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS t
-        |  FROM documents),
-        |h AS (SELECT doc_id, md5(t) AS m FROM toks),
-        |sigbits AS (
-        |  SELECT doc_id, b,
-        |    CASE WHEN 2 * sum(((strpos('0123456789abcdef',
-        |        substr(m, cast(b // 4 AS int) + 1, 1)) - 1) >> (b % 4)) & 1)
-        |      > count(*) THEN 1 ELSE 0 END AS bit
-        |  FROM h, (SELECT unnest(range(64)) AS b) bs
-        |  GROUP BY doc_id, b),
-        |sig AS (
-        |  SELECT doc_id,
-        |    sum(CASE WHEN b < 32 THEN bit * (1::BIGINT << b) ELSE 0 END) AS lo,
-        |    sum(CASE WHEN b >= 32 THEN bit * (1::BIGINT << (b - 32)) ELSE 0 END) AS hi
-        |  FROM sigbits GROUP BY doc_id),
-        |g AS (
-        |  SELECT doc_id,
-        |    min(doc_id) OVER (PARTITION BY lo, hi) AS group_id,
-        |    count(*) OVER (PARTITION BY lo, hi) AS group_size
-        |  FROM sig)
-        |SELECT d.doc_id,
-        |  coalesce(g.group_id, d.doc_id) AS group_id,
-        |  coalesce(g.group_size, 1::BIGINT) AS group_size
-        |FROM documents d LEFT JOIN g USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
-
-    // Same signature replay; brute pairwise over the DISTINCT-signature
-    // reps (tiny at sf0.01) — the engine's block join must agree.
-    "q188_simhash_group_edges" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS t
-        |  FROM documents),
-        |h AS (SELECT doc_id, md5(t) AS m FROM toks),
-        |sigbits AS (
-        |  SELECT doc_id, b,
-        |    CASE WHEN 2 * sum(((strpos('0123456789abcdef',
-        |        substr(m, cast(b // 4 AS int) + 1, 1)) - 1) >> (b % 4)) & 1)
-        |      > count(*) THEN 1 ELSE 0 END AS bit
-        |  FROM h, (SELECT unnest(range(64)) AS b) bs
-        |  GROUP BY doc_id, b),
-        |sig AS (
-        |  SELECT doc_id,
-        |    sum(CASE WHEN b < 32 THEN bit * (1::BIGINT << b) ELSE 0 END) AS lo,
-        |    sum(CASE WHEN b >= 32 THEN bit * (1::BIGINT << (b - 32)) ELSE 0 END) AS hi
-        |  FROM sigbits GROUP BY doc_id),
-        |reps AS (SELECT lo, hi, min(doc_id) AS rep FROM sig GROUP BY lo, hi)
-        |SELECT rep_a, rep_b, hamming FROM (
-        |  SELECT a.rep AS rep_a, b.rep AS rep_b,
-        |    bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming
-        |  FROM reps a JOIN reps b ON a.rep < b.rep)
-        |WHERE hamming <= 3 ORDER BY rep_a, rep_b""".stripMargin,
-
-    "q39_media_neardup" ->
-      s"""WITH r AS (
-         |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
-         |    octet_length(encode(text)) AS nb,
-         |    CASE WHEN doc_id % 3 = 2
-         |      THEN greatest(1, least(16, (n_chars * 100) // 1000))
-         |      ELSE 1 END AS n_frames
-         |  FROM documents),
-         |f AS (
-         |  SELECT media_id,
-         |    (${mediaFeatureSqlFor("0", "nb // n_frames")}) AS feature
-         |  FROM r),
-         |bk AS (
-         |  SELECT media_id, feature,
-         |    cast(${bucketSqlFor("feature")} AS bigint) AS bucket
-         |  FROM f)
-         |SELECT a.media_id AS id_a, b.media_id AS id_b,
-         |  floor((${cosineSql("a.feature", "b.feature")}) * 1000000)
-         |    / 1000000 AS cos6
-         |FROM bk a JOIN bk b
-         |  ON a.bucket = b.bucket AND a.media_id < b.media_id
-         |WHERE (${cosineSql("a.feature", "b.feature")}) >= 0.9
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    // Representative assignment replay: same feature/bucket CTEs as
-    // q39, then min-id rep per bucket, ONE cosine per item.
-    "q221_media_dedup_groups" ->
-      s"""WITH r AS (
-         |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
-         |    octet_length(encode(text)) AS nb,
-         |    CASE WHEN doc_id % 3 = 2
-         |      THEN greatest(1, least(16, (n_chars * 100) // 1000))
-         |      ELSE 1 END AS n_frames
-         |  FROM documents),
-         |f AS (
-         |  SELECT media_id,
-         |    (${mediaFeatureSqlFor("0", "nb // n_frames")}) AS feature
-         |  FROM r),
-         |bk AS (
-         |  SELECT media_id, feature,
-         |    cast(${bucketSqlFor("feature")} AS bigint) AS bucket
-         |  FROM f),
-         |rp AS (SELECT bucket, min(media_id) AS rep_id
-         |       FROM bk GROUP BY bucket),
-         |j AS (
-         |  SELECT m.media_id, m.feature, rb.feature AS rep_f, rp.rep_id
-         |  FROM bk m JOIN rp USING (bucket)
-         |  JOIN bk rb ON rb.media_id = rp.rep_id),
-         |c AS (
-         |  SELECT media_id, rep_id,
-         |    CASE WHEN (${dotSql("feature", "feature")}) > 0
-         |      AND (${dotSql("rep_f", "rep_f")}) > 0
-         |    THEN cast(floor((${cosineSql("feature", "rep_f")}) * 1000000)
-         |      AS bigint) END AS cos6
-         |  FROM j)
-         |SELECT media_id,
-         |  CASE WHEN cos6 >= 900000 THEN rep_id ELSE media_id END
-         |    AS group_rep,
-         |  cos6
-         |FROM c ORDER BY media_id""".stripMargin,
-
-    // q62's feature CTEs, then per-frame rep assignment and the
-    // per-video min-group rollup.
-    "q222_frame_dedup_groups" ->
-      s"""WITH v AS (
-         |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
-         |    octet_length(encode(text)) AS nb,
-         |    greatest(1, least(16, (n_chars * 100) // 1000)) AS n_frames
-         |  FROM documents WHERE doc_id % 3 = 2),
-         |fr AS (
-         |  SELECT media_id, hx, nb, n_frames, unnest(range(n_frames)) AS f
-         |  FROM v),
-         |feat AS (
-         |  SELECT media_id * 100 + f AS fid,
-         |    (${mediaFeatureSqlFor("(f * nb) // n_frames",
-              "((f+1) * nb) // n_frames - (f * nb) // n_frames")}) AS feature
-         |  FROM fr),
-         |bk AS (
-         |  SELECT fid, feature,
-         |    cast(${bucketSqlFor("feature")} AS bigint) AS bucket
-         |  FROM feat),
-         |rp AS (SELECT bucket, min(fid) AS rep_id FROM bk GROUP BY bucket),
-         |j AS (
-         |  SELECT m.fid, m.feature, rb.feature AS rep_f, rp.rep_id
-         |  FROM bk m JOIN rp USING (bucket)
-         |  JOIN bk rb ON rb.fid = rp.rep_id),
-         |g AS (
-         |  SELECT fid,
-         |    CASE WHEN (${dotSql("feature", "feature")}) > 0
-         |        AND (${dotSql("rep_f", "rep_f")}) > 0
-         |        AND cast(floor((${cosineSql("feature", "rep_f")}) * 1000000)
-         |          AS bigint) >= 980000
-         |      THEN rep_id ELSE fid END AS group_rep
-         |  FROM j)
-         |SELECT fid // 100 AS media_id, min(group_rep // 100) AS media_rep,
-         |  count(*) AS n_frames
-         |FROM g GROUP BY 1 ORDER BY media_id""".stripMargin,
-
-    "q223_embedding_dedup_groups" ->
-      s"""WITH bk AS (
-         |  SELECT vec_id AS id, embedding AS v,
-         |    cast(${bucketSqlFor("embedding")} AS bigint) AS bucket
-         |  FROM embeddings),
-         |rp AS (SELECT bucket, min(id) AS rep_id FROM bk GROUP BY bucket),
-         |j AS (
-         |  SELECT m.id, m.v, rb.v AS rep_v, rp.rep_id
-         |  FROM bk m JOIN rp USING (bucket)
-         |  JOIN bk rb ON rb.id = rp.rep_id),
-         |c AS (
-         |  SELECT id, rep_id,
-         |    CASE WHEN (${dotSql("v", "v")}) > 0
-         |      AND (${dotSql("rep_v", "rep_v")}) > 0
-         |    THEN cast(floor((${cosineSql("v", "rep_v")}) * 1000000)
-         |      AS bigint) END AS cos6
-         |  FROM j)
-         |SELECT id AS vec_id,
-         |  CASE WHEN cos6 >= 350000 THEN rep_id ELSE id END AS group_rep,
-         |  cos6
-         |FROM c ORDER BY vec_id""".stripMargin,
-    "q38_media_features" ->
-      """SELECT doc_id AS media_id,
-        |  CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'image'
-        |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |  CASE WHEN doc_id % 3 = 2
-        |    THEN greatest(1, least(16, (n_chars * 100) // 1000))
-        |    ELSE 1 END AS n_frames,
-        |  cast(length(text) AS bigint) AS byte_len
-        |FROM documents ORDER BY media_id""".stripMargin,
-    "q46_topk_udaf" ->
-      s"""WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
-         |scored AS (
-         |  SELECT label, vec_id,
-         |    floor((${cosineSql("embedding", "q_vec")}) * 1000000) / 1000000
-         |      AS score
-         |  FROM embeddings, q WHERE vec_id <> 0),
-         |ranked AS (
-         |  SELECT label, vec_id, score,
-         |    row_number() OVER (PARTITION BY label
-         |      ORDER BY score DESC, vec_id ASC) AS rank
-         |  FROM scored)
-         |SELECT label, rank, vec_id, score FROM ranked
-         |WHERE rank <= 3 ORDER BY label, rank""".stripMargin,
-
-    // The bucketing is lossless (exact range re-filter), so the oracle
-    // is the plain inequality join.
-    "q67_interval_join" ->
-      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
-        |l AS (SELECT user_id, event_id, ts FROM e
-        |      WHERE event_type = 'click'),
-        |r AS (SELECT user_id, event_id, ts FROM e
-        |      WHERE event_type = 'purchase')
-        |SELECT l.user_id, l.event_id AS l_event, r.event_id AS r_event,
-        |  epoch_us(r.ts) - epoch_us(l.ts) AS delta_us
-        |FROM l JOIN r ON l.user_id = r.user_id
-        |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
-        |ORDER BY l_event, r_event""".stripMargin,
-
-    "q45_events_asof" ->
-      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
-        |p AS (SELECT user_id, ts, event_id FROM e
-        |      WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id, ts, value FROM e WHERE event_type = 'click')
-        |SELECT p.user_id, p.event_id,
-        |  (SELECT max(c.ts) FROM c
-        |   WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS last_click_ts,
-        |  (SELECT max(c.value) FROM c
-        |   WHERE c.user_id = p.user_id AND c.ts =
-        |     (SELECT max(c2.ts) FROM c c2
-        |      WHERE c2.user_id = p.user_id AND c2.ts <= p.ts))
-        |    AS last_click_value
-        |FROM p ORDER BY user_id, event_id""".stripMargin,
-
-    "q52_moving_avg" ->
-      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events)
-        |SELECT user_id, event_id,
-        |  cast(sum(cast(value AS decimal(18,2))) OVER w AS double)
-        |    / (count(*) OVER w) AS mavg3
-        |FROM e
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-        |ORDER BY user_id, event_id""".stripMargin,
-
-    "q40_props_json" ->
-      """SELECT cast(json_extract(props, '$.k') AS int) % 10 AS k_bucket,
-        |  count(*) AS n,
-        |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
-        |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
-
-    // Same change-detection lag + interval-closing lead/row_number over
-    // the (ts, event_id) order — the tiebreak keeps the chain
-    // deterministic when one user has equal timestamps.
-    "q90_scd2" ->
-      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
-        |c AS (SELECT user_id, event_type, ts, event_id,
-        |    lag(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS prev
-        |  FROM e),
-        |f AS (SELECT user_id, event_type, ts, event_id FROM c
-        |  WHERE prev IS NULL OR prev <> event_type)
-        |SELECT user_id, event_type, ts AS valid_from,
-        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |    AS valid_to,
-        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |    AS version,
-        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |    IS NULL AS is_current
-        |FROM f ORDER BY user_id, version""".stripMargin,
-
-    // Streaming SCD2 replay: the accumulated closed intervals are
-    // q90's history minus each user's open (is_current) row — full
-    // microsecond bounds.
-    "q229_stream_scd2" ->
-      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
-        |c AS (SELECT user_id, event_type, ts, event_id,
-        |    lag(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS prev
-        |  FROM e),
-        |f AS (SELECT user_id, event_type, ts, event_id FROM c
-        |  WHERE prev IS NULL OR prev <> event_type),
-        |g AS (SELECT user_id, event_type, ts AS valid_from,
-        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |      AS valid_to,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS version
-        |  FROM f)
-        |SELECT user_id, event_type, valid_from, valid_to, version
-        |FROM g WHERE valid_to IS NOT NULL
-        |ORDER BY user_id, version""".stripMargin,
-
-    // Window digests + doc frequency via a window count; the fraction
-    // replays Spark's exact long `div` then /1e6 double step.
-    "q91_dup_windows" -> {
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-         |  FROM documents),
-         |sh AS (SELECT doc_id, (${shinglesSqlN(8)}) AS shingles FROM t),
-         |u AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-         |wc AS (SELECT doc_id, md5(s) AS wh, count(*) AS c
-         |  FROM u GROUP BY 1, 2),
-         |nd AS (SELECT doc_id, c,
-         |    count(*) OVER (PARTITION BY wh) AS docs FROM wc),
-         |agg AS (
-         |  SELECT doc_id, cast(sum(c) AS bigint) AS n_windows,
-         |    cast(coalesce(sum(CASE WHEN docs >= 2 THEN c END), 0)
-         |      AS bigint) AS n_dup_windows,
-         |    (cast(coalesce(sum(CASE WHEN docs >= 2 THEN c END), 0)
-         |      AS bigint)
-         |      * 1000000 // cast(sum(c) AS bigint)) / 1000000.0
-         |      AS dup_frac
-         |  FROM nd GROUP BY doc_id)
-         |SELECT d.doc_id,
-         |  coalesce(a.n_windows, 0) AS n_windows,
-         |  coalesce(a.n_dup_windows, 0) AS n_dup_windows,
-         |  coalesce(a.dup_frac, 0.0) AS dup_frac
-         |FROM documents d LEFT JOIN agg a USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
-    },
-
-    // Token bucket via the q55 md5-digit assembly; integer weight sum,
-    // /128.0 exact-dyadic logit.
-    "q92_quality_logit" -> {
-      val h32 = (0 until 8).map(i =>
-        s"(strpos('0123456789abcdef', substr(hh, ${i + 1}, 1)) - 1) * ${math.pow(16, 7 - i).toLong}")
-        .mkString("(", " + ", ")")
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
-         |  FROM documents),
-         |h AS (SELECT doc_id, substr(md5(t), 1, 8) AS hh FROM tok),
-         |b AS (SELECT doc_id, cast($h32 % 1024 AS bigint) AS b FROM h),
-         |w AS (SELECT doc_id, (b * 37) % 201 - 100 AS wn FROM b)
-         |SELECT doc_id, cast(count(*) AS bigint) AS n_tokens,
-         |  cast(sum(wn) AS bigint) / 128.0 AS logit,
-         |  cast(sum(wn) AS bigint) > 0 AS keep
-         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
-
-    // Unrolled 8 PageRank rounds (chained CTEs like q89/q49's replay
-    // style): per round, inflow = sum(r*p // 1e6) grouped by dst, rank =
-    // base + (17*inflow) // 20 — pure integer floor division, identical
-    // to Graph.pageRank's long arithmetic (DuckDB's hugeint widening is
-    // value-identical; the final cast lands back on bigint).
-    "q93_pagerank" -> {
-      def round(k: Int) =
-        s"""pr$k AS (
-           |  SELECT n.node, base + (17 * coalesce(f.s, 0)) // 20 AS r
-           |  FROM nodes n
-           |  LEFT JOIN (
-           |    SELECT e.dst AS node, sum((p.r * e.p) // 1000000) AS s
-           |    FROM pr${k - 1} p JOIN edges e ON e.src = p.node
-           |    GROUP BY e.dst) f USING (node), bb)""".stripMargin
-      s"""WITH e0 AS (
-         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
-         |    count(*) AS w
-         |  FROM lineitem l
-         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
-         |  JOIN customer c ON o.o_custkey = c.c_custkey
-         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-         |  GROUP BY 1, 2),
-         |ow AS (SELECT src, cast(sum(w) AS bigint) AS outw
-         |  FROM e0 GROUP BY 1),
-         |edges AS (SELECT e0.src, e0.dst, (w * 1000000) // outw AS p
-         |  FROM e0 JOIN ow ON e0.src = ow.src),
-         |nodes AS (SELECT src AS node FROM e0
-         |  UNION SELECT dst FROM e0),
-         |nn AS (SELECT count(*) AS n FROM nodes),
-         |bb AS (SELECT 150000000 // n AS base, 1000000000 // n AS rinit
-         |  FROM nn),
-         |pr0 AS (SELECT node, rinit AS r FROM nodes, bb),
-         |${(1 to 8).map(round).mkString(",\n")}
-         |SELECT node, cast(r AS bigint) AS pagerank
-         |FROM pr8 ORDER BY node""".stripMargin
-    },
-
-    // HITS replay: same unrolled-CTE discipline as q93 — per round,
-    // two weighted join+sum steps and two scalar-subquery max
-    // normalizations; all operands non-negative so `//` = Spark div.
-    // Every round CTE is AS MATERIALIZED: each raw table feeds two
-    // consumers (its max and its normalized select), and DuckDB
-    // INLINES plain CTEs per reference — un-materialized, the replay
-    // re-expands the base join 4^rounds times (the engine-side twin
-    // of the lineage-doubling Graph.hits pins away).
-    "q191_hits" -> {
-      def round(k: Int) =
-        s"""ra$k AS MATERIALIZED (
-           |  SELECT e.dst AS node, sum(e.w * h.h) AS raw
-           |  FROM h${k - 1} h JOIN edges e ON e.src = h.node
-           |  GROUP BY 1),
-           |a$k AS MATERIALIZED (SELECT node,
-           |  (raw * 1000000) // (SELECT max(raw) FROM ra$k) AS a
-           |  FROM ra$k),
-           |rh$k AS MATERIALIZED (
-           |  SELECT e.src AS node, sum(e.w * a.a) AS raw
-           |  FROM a$k a JOIN edges e ON e.dst = a.node
-           |  GROUP BY 1),
-           |h$k AS MATERIALIZED (SELECT node,
-           |  (raw * 1000000) // (SELECT max(raw) FROM rh$k) AS h
-           |  FROM rh$k)""".stripMargin
-      s"""WITH e0 AS (
-         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
-         |    count(*) AS w
-         |  FROM lineitem l
-         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
-         |  JOIN customer c ON o.o_custkey = c.c_custkey
-         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-         |  GROUP BY 1, 2),
-         |edges AS MATERIALIZED (SELECT src, dst,
-         |  cast(w AS hugeint) AS w FROM e0 WHERE w > 0),
-         |nodes AS MATERIALIZED (SELECT src AS node FROM edges
-         |  UNION SELECT dst FROM edges),
-         |h0 AS (SELECT node, cast(1000000 AS hugeint) AS h FROM nodes),
-         |${(1 to 4).map(round).mkString(",\n")}
-         |SELECT n.node,
-         |  cast(coalesce(a4.a, 0) AS bigint) AS auth,
-         |  cast(coalesce(h4.h, 0) AS bigint) AS hub
-         |FROM nodes n
-         |LEFT JOIN a4 ON n.node = a4.node
-         |LEFT JOIN h4 ON n.node = h4.node
-         |ORDER BY n.node""".stripMargin
-    },
-
-    // Same unrolled fixed-point replay as q93, with the restart mass
-    // and initial rank on the seed set only.
-    "q163_ppr" -> {
-      def round(k: Int) =
-        s"""pr$k AS (
-           |  SELECT n.node,
-           |    (CASE WHEN n.seed = 1 THEN base ELSE 0 END)
-           |      + (17 * coalesce(f.s, 0)) // 20 AS r
-           |  FROM fnodes n
-           |  LEFT JOIN (
-           |    SELECT e.dst AS node, sum((p.r * e.p) // 1000000) AS s
-           |    FROM pr${k - 1} p JOIN edges e ON e.src = p.node
-           |    GROUP BY e.dst) f USING (node), bb)""".stripMargin
-      s"""WITH e0 AS (
-         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
-         |    count(*) AS w
-         |  FROM lineitem l
-         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
-         |  JOIN customer c ON o.o_custkey = c.c_custkey
-         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-         |  GROUP BY 1, 2),
-         |ow AS (SELECT src, cast(sum(w) AS bigint) AS outw
-         |  FROM e0 GROUP BY 1),
-         |edges AS (SELECT e0.src, e0.dst, (w * 1000000) // outw AS p
-         |  FROM e0 JOIN ow ON e0.src = ow.src),
-         |nodes AS (SELECT src AS node FROM e0
-         |  UNION SELECT dst FROM e0),
-         |fnodes AS (
-         |  SELECT node, CASE WHEN node IN (
-         |    SELECT n_nationkey FROM nation WHERE n_nationkey <= 2)
-         |    THEN 1 ELSE 0 END AS seed
-         |  FROM nodes),
-         |ns AS (SELECT cast(sum(seed) AS bigint) AS n FROM fnodes),
-         |bb AS (SELECT 150000000 // n AS base, 1000000000 // n AS rinit
-         |  FROM ns),
-         |pr0 AS (SELECT node, CASE WHEN seed = 1 THEN rinit ELSE 0 END
-         |  AS r FROM fnodes, bb),
-         |${(1 to 8).map(round).mkString(",\n")}
-         |SELECT node, cast(r AS bigint) AS ppr
-         |FROM pr8 ORDER BY node""".stripMargin
-    },
-
-    // Same degree-ordered orientation and wedge/closure joins; the
-    // apex-unique production means a plain per-corner recount.
-    "q95_triangles" ->
-      """WITH e0 AS (
-        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
-        |    count(*) AS w
-        |  FROM lineitem l
-        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |  JOIN customer c ON o.o_custkey = c.c_custkey
-        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        |  GROUP BY 1, 2),
-        |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-        |  FROM e0 WHERE src <> dst),
-        |deg AS (SELECT node, count(*) AS deg FROM (
-        |  SELECT u AS node FROM und UNION ALL SELECT v FROM und)
-        |  GROUP BY 1),
-        |o AS (SELECT
-        |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
-        |      THEN u ELSE v END AS lo,
-        |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
-        |      THEN v ELSE u END AS hi
-        |  FROM und JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
-        |wg AS (SELECT e1.lo AS apex, e1.hi AS b1, e2.hi AS b2
-        |  FROM o e1 JOIN o e2 ON e1.lo = e2.lo AND e1.hi < e2.hi),
-        |cl AS (SELECT least(lo, hi) AS b1, greatest(lo, hi) AS b2 FROM o),
-        |t AS (SELECT apex, b1, b2 FROM wg JOIN cl USING (b1, b2)),
-        |n AS (SELECT unnest([apex, b1, b2]) AS node FROM t)
-        |SELECT node, cast(count(*) AS bigint) AS n_triangles
-        |FROM n GROUP BY 1 ORDER BY node""".stripMargin,
-
-    // The oracle defines the permutation the straightforward way — a
-    // global ORDER BY (k, oi) row_number — and must agree with the
-    // engine's closed-form arithmetic. LCM(5,3,2,1)=30 → m = 6/10/15/30.
-    "q96_mix_order" ->
-      """WITH d AS (
-        |  SELECT doc_id, source, md5(cast(doc_id AS varchar)) AS h
-        |  FROM documents
-        |  WHERE source IN ('src0', 'src1', 'src2', 'src3')),
-        |p AS (SELECT doc_id, source,
-        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
-        |      AS pos
-        |  FROM d),
-        |k AS (SELECT doc_id, source, pos,
-        |    pos * (CASE source WHEN 'src0' THEN 6 WHEN 'src1' THEN 10
-        |      WHEN 'src2' THEN 15 ELSE 30 END) AS k,
-        |    (CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 1
-        |      WHEN 'src2' THEN 2 ELSE 3 END) AS oi
-        |  FROM p)
-        |SELECT doc_id, source, cast(pos AS bigint) AS pos,
-        |  row_number() OVER (ORDER BY k, oi) AS global_pos
-        |FROM k ORDER BY global_pos""".stripMargin,
-
-    // Same banding, change detection, simultaneous-change collapse, and
-    // latest-change-at-or-before lookup (correlated max-subquery — the
-    // q45 as-of idiom).
-    "q99_scd2_lookup" ->
-      """WITH e AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events),
-        |b AS (SELECT user_id, event_id, ts,
-        |    CASE WHEN value < 1.0 THEN 'low'
-        |      WHEN value < 3.0 THEN 'mid' ELSE 'high' END AS band
-        |  FROM e),
-        |c AS (SELECT user_id, band, ts, event_id,
-        |    lag(band) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |      AS prev
-        |  FROM b),
-        |f AS (SELECT user_id, band, ts, event_id FROM c
-        |  WHERE prev IS NULL OR prev <> band),
-        |dim AS (SELECT user_id, band, ts FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY user_id, ts
-        |      ORDER BY event_id DESC) AS rn
-        |  FROM f) WHERE rn = 1),
-        |p AS (SELECT event_id, user_id, ts FROM e
-        |  WHERE event_type = 'purchase')
-        |SELECT p.event_id, p.user_id, p.ts,
-        |  (SELECT d.band FROM dim d
-        |   WHERE d.user_id = p.user_id AND d.ts =
-        |     (SELECT max(d2.ts) FROM dim d2
-        |      WHERE d2.user_id = p.user_id AND d2.ts <= p.ts))
-        |    AS band_at_purchase
-        |FROM p ORDER BY event_id""".stripMargin,
-
-    // Replays the SAMPLE, not the exact quantile: min-k rows per group
-    // by (md5 coordinate, value), then the same rational rank reads
-    // over the value-sorted sample — exact agreement at any sf.
-    "q97_sample_quantiles" -> sampleQuantilesReplaySql,
-
-    // The at-rest sharded sample must be indistinguishable from the
-    // single-pass sample over the union — same replay as q97.
-    "q176_sample_at_rest" -> sampleQuantilesReplaySql,
-
-    // One-shot recount over the whole corpus — the segmented read with
-    // manifest liveness must be indistinguishable from it.
-    "q98_postings_segments" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
-        |    AS term
-        |  FROM documents),
-        |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
-        |  WHERE term IN ('merge', 'scan', 'filter')
-        |  GROUP BY 1, 2),
-        |r AS (SELECT term, doc_id, tf,
-        |    count(*) OVER (PARTITION BY term) AS df,
-        |    row_number() OVER (PARTITION BY term
-        |      ORDER BY tf DESC, doc_id ASC) AS rank
-        |  FROM tf)
-        |SELECT term, df, doc_id, tf, rank FROM r
-        |WHERE rank <= 5 ORDER BY term, rank""".stripMargin,
-
-    // Recount straight from the corpus: the at-rest layout changes
-    // WHERE the postings live, not what a term lookup returns.
-    "q94_postings_at_rest" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
-        |    AS term
-        |  FROM documents),
-        |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
-        |  WHERE term IN ('join', 'hash', 'scan', 'batch', 'row')
-        |  GROUP BY 1, 2),
-        |r AS (SELECT term, doc_id, tf,
-        |    count(*) OVER (PARTITION BY term) AS df,
-        |    row_number() OVER (PARTITION BY term
-        |      ORDER BY tf DESC, doc_id ASC) AS rank
-        |  FROM tf)
-        |SELECT term, df, doc_id, tf, rank FROM r
-        |WHERE rank <= 5 ORDER BY term, rank""".stripMargin,
-    // q36/q37: xxhash64 fast paths — not oracle-expressible; driver
-    // records rows-only, semantics covered by specs.
-  )
+  val defs: Map[String, ExtHarness.Q] =
+    ExtStreamQueries.defs ++
+      ExtDedupQueries.defs ++
+      ExtAnnQueries.defs ++
+      ExtTextQueries.defs ++
+      ExtStatsQueries.defs ++
+      ExtInfraQueries.defs
+
+  val oracles: Map[String, String] =
+    ExtStreamQueries.oracles ++
+      ExtDedupQueries.oracles ++
+      ExtAnnQueries.oracles ++
+      ExtTextQueries.oracles ++
+      ExtStatsQueries.oracles ++
+      ExtInfraQueries.oracles
+
+  require(defs.size == 208 && oracles.size == defs.size,
+    s"ExtQueries: domain slices overlap or dropped entries: " +
+      s"defs=${defs.size} oracles=${oracles.size}")
 }

@@ -1,0 +1,130 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+/** Round-14 pins: the embeddingDedupGroups reuse path evaluates an
+  * expensive upstream exactly once (and is bit-equal to the direct
+  * form), the direct form's documented double-scan is real (the
+  * contrast that justifies the reuse path), and sessionizeEventTime's
+  * closure predicate is the engine's strict `timeout < watermark`
+  * eviction — pinned on a 1 ms boundary fixture.
+  */
+class Round14Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def randVecs(n: Int, dim: Int, seed: Int)
+      : Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(k =>
+      (k.toLong, Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+  }
+
+  // ---- embeddingDedupGroups reuse path (r13 verdict item 5) ----
+
+  test("dedupGroupFeatures write + embeddingDedupGroupsOf evaluates " +
+      "the upstream exactly once and matches the direct form") {
+    val rows = randVecs(40, 8, 141)
+    val acc = spark.sparkContext.longAccumulator("upstream_evals")
+    val up = rows.toDF("id", "vec").as[(Long, Array[Float])]
+      .map { r => acc.add(1); r }.toDF("id", "vec")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_r14_feats").toString + "/feats"
+    graft.ext.Dedup.dedupGroupFeatures(up, "id", "vec", nBits = 8)
+      .write.parquet(path)
+    val viaReuse = graft.ext.Dedup
+      .embeddingDedupGroupsOf(spark.read.parquet(path), 0.9, nBits = 8)
+      .orderBy("id").collect().toSeq
+    assert(acc.value == 40L,
+      s"upstream evaluated ${acc.value} times for 40 rows — the " +
+        "write-once reuse path must evaluate it exactly once")
+    val direct = graft.ext.Dedup
+      .embeddingDedupGroups(rows.toDF("id", "vec"), "id", "vec", 0.9,
+        nBits = 8)
+      .orderBy("id").collect().toSeq
+    assert(viaReuse == direct)
+  }
+
+  test("the direct form's documented double-scan is real (the reuse " +
+      "path's reason to exist)") {
+    val rows = randVecs(40, 8, 142)
+    val acc = spark.sparkContext.longAccumulator("upstream_evals2")
+    val up = rows.toDF("id", "vec").as[(Long, Array[Float])]
+      .map { r => acc.add(1); r }.toDF("id", "vec")
+    // plain collect, no orderBy: a range-partitioned sort SAMPLES its
+    // child first, which would add a third upstream evaluation that
+    // belongs to the sort, not to the operator under test
+    graft.ext.Dedup.embeddingDedupGroups(up, "id", "vec", 0.9, nBits = 8)
+      .collect()
+    // rep aggregation scan + join-probe scan = exactly 2 evaluations.
+    // If this ever reads 40, Spark started reusing exchanges across
+    // self-join sides and the reuse path can be retired.
+    assert(acc.value == 80L,
+      s"expected the documented 2 scans (80 evals), got ${acc.value}")
+  }
+
+  // ---- sessionizeEventTime closure boundary (r13 verdict item 8) ----
+
+  private def tsMs(base: String, plusMs: Long): Timestamp = {
+    val t = Timestamp.valueOf(base)
+    new Timestamp(t.getTime + plusMs)
+  }
+
+  test("sessionizeEventTime closes strictly below the final watermark " +
+      "(timeout < wm), holds the boundary and later sessions open") {
+    import graft.streaming.StreamingJobs
+    import graft.streaming.StreamingJobs.Event
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_r14_sess").toString
+    // stamp each drop's files with strictly increasing mtimes — the
+    // FileStreamSource schedule is oldest-first, and this test's
+    // watermark boundary is only meaningful if batch order is pinned
+    val t0 = (System.currentTimeMillis() / 60000L) * 60000L - 600000L
+    def drop(i: Int, rows: Seq[Event]): Unit = {
+      rows.toDF().withColumn("props", lit("{}"))
+        .select("event_id", "ts", "user_id", "event_type", "value",
+          "props")
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+      new java.io.File(s"$dir/in").listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.lastModified() > t0 + 10000L)
+        .foreach(f => assert(f.setLastModified(t0 + i * 1000L)))
+    }
+    // gap = 10 min, watermark delay = 0 s. Batch 2's single event pins
+    // the final watermark at 10:10:00.001. user 1's timeout is
+    // 10:10:00.000 (< wm: closes); user 2's is 10:10:00.001 (== wm:
+    // strict predicate must hold it open); user 99 is far above.
+    drop(0, Seq(
+      Event(1L, tsMs("2024-01-01 10:00:00", 0L), 1L, "a", 1.0),
+      Event(2L, tsMs("2024-01-01 10:00:00", 1L), 2L, "a", 2.0)))
+    drop(1, Seq(
+      Event(3L, tsMs("2024-01-01 10:10:00", 1L), 99L, "a", 3.0)))
+    val prevNoData =
+      spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      "true")
+    try {
+      val in = spark.readStream.schema(StreamingJobs.eventSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+        .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+        .withWatermark("ts", "0 seconds")
+        .as[Event]
+      val q = StreamingJobs.sessionizeEventTime(in, gapMs = 600000L)
+        .toDF()
+        .writeStream.format("memory").queryName("r14_sess")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "stream did not finish")
+      val got = spark.table("r14_sess")
+        .select($"user_id", $"n_events", $"total_value")
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(got == Seq((1L, 1L, 1.0)),
+        s"expected only user 1's session to close, got $got")
+    } finally {
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+        prevNoData)
+    }
+  }
+}

@@ -17,11 +17,22 @@ import org.apache.spark.sql.functions._
   * 20-char grams across replicas — the m× invariant rides in the
   * measurement as a correctness check.
   *
-  * `Test/runMain graft.WinnowProbe [multipliers...]` (default 1 3 10).
+  * `Test/runMain graft.WinnowProbe [width=N]... [multipliers...]`
+  * (default widths 32, mults 1 3 10). `width=N` args add shuffle-
+  * partition widths to A/B — the r13 verdict's open question is
+  * whether the 60× index-stage excess (57 s vs ~33 linear) is the
+  * 32-partition spill region (a deployment width knob) or a real
+  * algorithmic term; each (width, mult) cell re-times the stages
+  * under `spark.sql.shuffle.partitions = width`.
   */
 object WinnowProbe {
   def main(args: Array[String]): Unit = {
-    val mults = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 3, 10)
+    val (widthArgs, multArgs) = args.partition(_.startsWith("width="))
+    val widths =
+      if (widthArgs.nonEmpty) widthArgs.map(_.drop(6).toInt).toSeq
+      else Seq(32)
+    val mults =
+      if (multArgs.nonEmpty) multArgs.map(_.toInt).toSeq else Seq(1, 3, 10)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
@@ -53,11 +64,14 @@ object WinnowProbe {
       (a, (System.nanoTime() - t0) / 1e9)
     }
 
-    println("| mult | docs | grams | fingerprints | reduction | " +
+    println("| width | mult | docs | grams | fingerprints | reduction | " +
       "pairs | sec_index | sec_match |")
-    println("|---|---|---|---|---|---|---|---|")
-    mults.foreach { m =>
-      val docs = spark.read.parquet(replicateDocs(m))
+    println("|---|---|---|---|---|---|---|---|---|")
+    val docPaths = scala.collection.mutable.Map.empty[Int, String]
+    for (m <- mults; wd <- widths) {
+      spark.conf.set("spark.sql.shuffle.partitions", wd.toString)
+      val docs = spark.read.parquet(
+        docPaths.getOrElseUpdate(m, replicateDocs(m)))
       val nDocs = docs.count()
       // gram volume = what dupSpans would shuffle
       val grams = docs
@@ -78,7 +92,7 @@ object WinnowProbe {
         .winnowMatches(docs, "doc_id", "text", g, w, minShared = 2L)
         .filter(expr("id_a div 10000000L") =!= expr("id_b div 10000000L"))
         .count()
-      println(f"| ${m}x | $nDocs | $grams | $nFp | " +
+      println(f"| $wd | ${m}x | $nDocs | $grams | $nFp | " +
         f"${grams.toDouble / nFp}%.1fx | $nPairs | $cross cross | " +
         f"$sIdx%.2f | $sMatch%.2f |")
     }
