@@ -708,6 +708,73 @@ object Similarity {
       .select(col(idCol), col("score"))
   }
 
+  /** TWO-LEVEL (hier) IVF index at rest — the at-rest twin of the
+    * hier quantizer (q232/q233): cells are assigned by `cellHier`
+    * (top-2-super argmin, the O(√nlist)/row path) and the layout nests
+    * the OWNING SUPER above the cell (`sup=<j>/cell=<c>/part-*`), so a
+    * search prunes by super first and then by cell — at production
+    * nlist (~10⁶ cells for 100 TB of vectors) a flat cell directory
+    * listing is itself a metadata scan, and the ~√nlist super level
+    * keeps planning-time listing proportional to the probed supers,
+    * the same reason the assignment is two-level. The `sup` column is
+    * a driver-built literal lookup over the kernel's membership table
+    * (≤ nlist ints), never a per-row second argmin.
+    */
+  def writeIvfHier(df: DataFrame, idCol: String, vecCol: String,
+      path: String, centroids: Seq[Array[Float]]): Unit = {
+    val kern = graft.functions.IvfFunctions.kernel(centroids)
+    // cellOf(hier = true) prepares the two-level tables driver-side
+    val cell = graft.functions.IvfFunctions.cellOf(col(vecCol), kern,
+      hier = true)
+    val supOfCell = kern.cellSupers
+    df.withColumn("cell", cell)
+      .withColumn("sup", element_at(lit(supOfCell), col("cell") + 1))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("sup", "cell").parquet(path)
+  }
+
+  /** Hier ANN top-k over a [[writeIvfHier]] table: the probe cells come
+    * from the KERNEL's own `probesHier` on the query vector (driver-
+    * side — zero drift from the plan-side hier path), their owning
+    * supers from the same membership table, and BOTH land in the
+    * scan's `PartitionFilters` (`sup IN (...) AND cell IN (...)`), so
+    * planning prunes to the probed supers' directories and then the
+    * probed cells — never listing the full cell fan-out. Exact cosine
+    * rerank inside the probed cells, `ivfTopKAtRest`'s contract
+    * otherwise.
+    */
+  def ivfHierTopKAtRest(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, vecCol: String, queryId: Long, k: Int,
+      centroids: Seq[Array[Float]], nProbe: Int,
+      queryVec: Option[Array[Float]] = None): DataFrame = {
+    val all = spark.read.parquet(path)
+    val qVec = queryVec.getOrElse(
+      all.filter(col(idCol) === queryId).select(col(vecCol))
+        .head().getSeq[Float](0).toArray)
+    val kern = graft.functions.IvfFunctions.kernel(centroids)
+    // probesHier self-prepares the two-level tables on first use —
+    // driver-side here, so nothing unprepared can ship to a task
+    val probesAd = kern.probesHier(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(qVec),
+      nProbe)
+    val probes = (0 until probesAd.numElements()).map(probesAd.getInt)
+    val supOfCell = kern.cellSupers
+    val sups = probes.map(c => supOfCell(c).toLong).distinct
+    val supLits = AtRest.partitionLits("ivfHierTopKAtRest", "sup",
+      all.schema("sup").dataType, sups)
+    val probeLits = AtRest.partitionLits("ivfHierTopKAtRest", "cell",
+      all.schema("cell").dataType, probes.map(_.toLong))
+    val qNrm = math.sqrt(seqDot(qVec, qVec))
+    all.filter(col("sup").isin(supLits: _*))
+      .filter(col("cell").isin(probeLits: _*))
+      .filter(col(idCol) =!= queryId)
+      .withColumn("score", trunc(
+        dot(col(vecCol), lit(qVec)) / (l2norm(col(vecCol)) * lit(qNrm)), 6))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+
   /** Product-quantization codebooks (Jégou et al., TPAMI'11): split the
     * vector into `m` subvectors and give each its own `k`-entry
     * codebook. Like `seedCentroids`, the codebooks here are the

@@ -226,6 +226,23 @@ final class IvfKernel(val matrix: Array[Array[Float]])
     */
   private[graft] def hierPrepared: Boolean = membersV != null
 
+  /** Owning super index per cell — the inverse of the membership
+    * table, for the at-rest hier layout (`sup=<j>/cell=<c>` partition
+    * dirs) and its search-side super pruning. Driver-side use only.
+    */
+  private[graft] def cellSupers: Array[Int] = {
+    if (membersV == null) prepareHier()
+    val out = new Array[Int](nCells)
+    var j = 0
+    while (j < membersV.length) {
+      val mem = membersV(j)
+      var i = 0
+      while (i < mem.length) { out(mem(i)) = j; i += 1 }
+      j += 1
+    }
+    out
+  }
+
   /** Super j is centroid j·step — a deterministic spread of the list. */
   private def superIds: Array[Int] = {
     if (membersV == null) prepareHier()

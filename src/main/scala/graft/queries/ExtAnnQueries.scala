@@ -87,6 +87,21 @@ private[queries] object ExtAnnQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // The hier path's AT-REST twin (q77's analog): the clustered
+    // fixture lands in a two-level layout (sup=<j>/cell=<c> partition
+    // dirs, cells from cellHier), and the search prunes by super THEN
+    // cell — both IN-lists in PartitionFilters (PlanAuditSpec asserts
+    // it). Probes come from the kernel's own probesHier on the query
+    // vector, so the result — and the oracle — replay exactly the
+    // q232/q233 two-level tables.
+    "q235_ivf_hier_at_rest" -> ((s, d) => {
+      val (mixed, centers) = clusteredFixture(s, d)
+      val path = tempDir("graft_q235_") + "/emb"
+      Similarity.writeIvfHier(mixed, "id", "v", path, centers)
+      Similarity.ivfHierTopKAtRest(s, path, "id", "v", 0L, 10, centers,
+        nProbe = 3)
+    }),
+
     // Exact brute-force cosine top-k against vec_id=0 (the ANN baseline).
     "q28_cosine_topk" -> ((s, d) => {
       Similarity.bruteTopK(embeddings(s, d), "vec_id", "embedding", 0L, 10)
@@ -390,6 +405,43 @@ private[queries] object ExtAnnQueries {
     "q232_ivf_hier_cells" ->
       s"""WITH $hierCtes
          |SELECT id, cell FROM hcell ORDER BY id""".stripMargin,
+
+    // q235: the single-query (id 0) restriction of q233's probe
+    // pipeline — pool from the top-m supers (m = 2 unless the top-2
+    // pool can't fill nProbe=3), the 3 (d², cid)-smallest pool cells,
+    // then exact cosine rerank inside the probed hier cells. The
+    // at-rest layout changes WHERE the bytes live, not what the
+    // search returns.
+    "q235_ivf_hier_at_rest" ->
+      s"""WITH $hierCtes,
+         |scnt AS (SELECT sj, count(*) AS msz FROM memb GROUP BY sj),
+         |q0 AS (SELECT v FROM mix WHERE id = 0),
+         |vcum0 AS (
+         |  SELECT v.sj, v.srn,
+         |    sum(sc.msz) OVER (ORDER BY v.srn) AS cum
+         |  FROM vsup v JOIN scnt sc ON sc.sj = v.sj WHERE v.id = 0),
+         |m0 AS (
+         |  SELECT CASE WHEN max(CASE WHEN srn = 2 THEN cum END) >= 3
+         |      THEN 2
+         |      ELSE min(CASE WHEN cum >= 3 THEN srn END) END AS m
+         |  FROM vcum0),
+         |pool0 AS (
+         |  SELECT mb.cid, mb.cvec
+         |  FROM vcum0 v JOIN memb mb ON mb.sj = v.sj, m0
+         |  WHERE v.srn <= m0.m),
+         |prb0 AS (
+         |  SELECT cid FROM (
+         |    SELECT p.cid,
+         |      row_number() OVER (
+         |        ORDER BY (${d2Sql("q0.v", "p.cvec")}) ASC, p.cid ASC)
+         |        AS rn
+         |    FROM pool0 p, q0) WHERE rn <= 3)
+         |SELECT m.id,
+         |  floor((${cosineSql("m.v", "q0.v")}) * 1000000) / 1000000
+         |    AS score
+         |FROM hcell hc JOIN mix m ON m.id = hc.id, q0
+         |WHERE hc.cell IN (SELECT cid FROM prb0) AND m.id <> 0
+         |ORDER BY score DESC, m.id ASC LIMIT 10""".stripMargin,
 
     // Full hier knnJoin replay: probesHier's pool rule in general form
     // — pool = members of the top-2 supers, extended nearest-first by

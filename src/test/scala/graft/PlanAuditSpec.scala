@@ -97,6 +97,15 @@ class PlanAuditSpec extends SparkSpec {
       s"no cell PartitionFilters in:\n$p")
   }
 
+  test("q235 at-rest hier IVF scan prunes BOTH partition levels " +
+      "(sup, then cell) via planning-time IN-lists") {
+    val p = plan("q235_ivf_hier_at_rest")
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findAllIn(p).toSeq
+    assert(pf.exists(f => f.contains("sup") && f.contains("cell")),
+      s"expected sup AND cell in one scan's PartitionFilters, got " +
+        s"$pf in:\n$p")
+  }
+
   test("q07 RI filter is a semi-join, not a distinct+inner join") {
     val p = plan("q07_semi_join")
     assert(p.contains("LeftSemi"), s"no semi join in:\n$p")
