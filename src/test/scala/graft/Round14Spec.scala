@@ -64,6 +64,40 @@ class Round14Spec extends SparkSpec {
       s"expected the documented 2 scans (80 evals), got ${acc.value}")
   }
 
+  // ---- at-rest hier layout support (q235) ----
+
+  test("cellSupers is the exact inverse of the hier membership: every " +
+      "cell owned by exactly one super, and hier cells land under " +
+      "their owning super in the written layout") {
+    val rnd = new scala.util.Random(143)
+    val dim = 8
+    val centroids = (0 until 23).map(_ =>
+      Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    val kern = graft.functions.IvfFunctions.kernel(centroids)
+    val sup = kern.cellSupers
+    assert(sup.length == 23)
+    // 23 cells, step = ceil(sqrt(23)) = 5 -> supers at 0,5,10,15,20
+    assert(sup.forall(j => j >= 0 && j < 5))
+    // a super's own centroid is at distance 0 from itself: owned by
+    // itself (cell 5j -> super j)
+    (0 until 5).foreach(j => assert(sup(5 * j) == j,
+      s"super centroid ${5 * j} not self-owned: ${sup(5 * j)}"))
+    // layout: written rows' sup partition equals cellSupers(cell)
+    val df = (0 until 60).map(k =>
+      (k.toLong, Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("id", "vec")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_r14_hier").toString + "/idx"
+    graft.ext.Similarity.writeIvfHier(df, "id", "vec", path, centroids)
+    val back = spark.read.parquet(path)
+      .select($"sup".cast("int"), $"cell".cast("int"))
+      .as[(Int, Int)].collect()
+    assert(back.nonEmpty)
+    back.foreach { case (s, c) =>
+      assert(s == sup(c), s"row in sup=$s but cellSupers($c)=${sup(c)}")
+    }
+  }
+
   // ---- sessionizeEventTime closure boundary (r13 verdict item 8) ----
 
   private def tsMs(base: String, plusMs: Long): Timestamp = {
