@@ -87,38 +87,54 @@ final class IvfKernel(val matrix: Array[Array[Float]])
   }
 
   /** The `nProbe` nearest cell ids, (distance, index)-ordered — the
-    * argsort-of-structs shape of the expression tree it replaces,
-    * selected by `nProbe` boxing-free primitive scans (the same
-    * selection [[probesHier]] uses) instead of a full boxed sort of
-    * all nCells tuples per row: nProbe is small and nCells can be
-    * 65536, so the boxing constant of the sort — the cost that made
-    * the first hier cut slower than the flat scan — is the dominant
-    * term the selection removes. NOT allocation-free: it allocates
-    * the dists array plus one Boolean[nCells] mask per row (64 KB at
-    * nCells=65536), and selection is O(nProbe·nCells) — fine for the
-    * small nProbe (≤ ~10) every caller uses; a caller wanting large
-    * nProbe at large nCells should add a bounded max-heap variant
-    * rather than widen this one. Strict `<` keeps the FIRST (lowest)
-    * index on distance ties, exactly the (distance, index) sort order.
+    * argsort-of-structs shape of the expression tree it replaces.
+    *
+    * SINGLE-PASS BOUNDED SELECTION (r14 verdict item 2): each cell's
+    * distance is computed once (the exact [[dists]] fold shapes) and
+    * streamed through a size-`nProbe` sorted scratch kept ascending by
+    * (distance, index) under java.lang.Double.compare — a candidate
+    * enters only if it beats the current worst, shifting larger
+    * entries right. Cells are visited in increasing index, so a
+    * distance TIE against the scratch keeps the earlier (lower) index
+    * ahead, exactly the old repeated-scan selection's strict-`<`
+    * first-index rule (Round15Spec pins identity on randomized inputs
+    * including exact ties). Cost per row: one O(nCells·dim) distance
+    * pass — the irreducible term — plus O(nProbe) insertion work per
+    * improving cell; the old form's per-row `double[nCells]` +
+    * `Boolean[nCells]` allocations (~0.5 MB/row at the ~10⁶-cell
+    * nlist the at-rest layouts contemplate) and its O(nProbe·nCells)
+    * re-scans are gone. The scratch (nProbe doubles + ints) is reused
+    * via a thread-local, so the only per-row allocation is the
+    * returned int array.
     */
   def probes(v: ArrayData, nProbe: Int): ArrayData = {
-    val d = dists(v)
-    val n = math.min(nProbe, d.length)
-    val out = new Array[Int](n)
-    val taken = new Array[Boolean](d.length)
-    var r = 0
-    while (r < n) {
-      var bi = -1
-      var k = 0
-      while (k < d.length) {
-        if (!taken(k) &&
-            (bi < 0 || java.lang.Double.compare(d(k), d(bi)) < 0)) bi = k
-        k += 1
+    val n = math.min(nProbe, nCells)
+    val vv = vNorm(v)
+    val sc = IvfKernel.scratch(n)
+    val (hd, hi) = (sc.d, sc.i)
+    var size = 0
+    var c = 0
+    while (c < nCells) {
+      val d = distTo(v, vv, c)
+      if (size < n) {
+        // insert into the sorted prefix; equal distances keep the
+        // earlier index first (c is increasing, so append-at-tie)
+        var p = size
+        while (p > 0 && java.lang.Double.compare(hd(p - 1), d) > 0) {
+          hd(p) = hd(p - 1); hi(p) = hi(p - 1); p -= 1
+        }
+        hd(p) = d; hi(p) = c; size += 1
+      } else if (java.lang.Double.compare(d, hd(n - 1)) < 0) {
+        var p = n - 1
+        while (p > 0 && java.lang.Double.compare(hd(p - 1), d) > 0) {
+          hd(p) = hd(p - 1); hi(p) = hi(p - 1); p -= 1
+        }
+        hd(p) = d; hi(p) = c
       }
-      taken(bi) = true
-      out(r) = bi
-      r += 1
+      c += 1
     }
+    val out = new Array[Int](size)
+    System.arraycopy(hi, 0, out, 0, size)
     new GenericArrayData(out)
   }
 
@@ -375,6 +391,28 @@ final class IvfKernel(val matrix: Array[Array[Float]])
       r += 1
     }
     new GenericArrayData(out)
+  }
+}
+
+object IvfKernel {
+  /** Reusable per-thread selection scratch for [[IvfKernel.probes]] —
+    * nProbe doubles + ints, grown monotonically. Lives on the
+    * companion (never serialized with the kernel); each executor
+    * thread owns its own copy, so no synchronization and no sharing
+    * across concurrently evaluating tasks.
+    */
+  private[functions] final class Scratch(
+      var d: Array[Double], var i: Array[Int])
+  private val tlScratch = new ThreadLocal[Scratch] {
+    override def initialValue(): Scratch =
+      new Scratch(new Array[Double](16), new Array[Int](16))
+  }
+  private[functions] def scratch(n: Int): Scratch = {
+    val s = tlScratch.get()
+    if (s.d.length < n) {
+      s.d = new Array[Double](n); s.i = new Array[Int](n)
+    }
+    s
   }
 }
 
