@@ -394,6 +394,107 @@ final class IvfKernel(val matrix: Array[Array[Float]])
   }
 }
 
+/** Asymmetric-distance (ADC) scoring kernel for PQ codes (Jégou et
+  * al., TPAMI'11 §IV): given the (offline) codebooks and ONE query
+  * vector, precompute per-(block, code) partial-dot and partial-norm
+  * lookup tables DRIVER-side; per row the approximate cosine between
+  * the query and a candidate's PQ reconstruction is then `m` table
+  * lookups — the search never touches float vectors OR the `d`-float
+  * reconstruction. This is the scoring half of the at-rest IVF-PQ
+  * index (`Similarity.ivfPqTopKAtRest`): the scan reads m small ints
+  * per candidate and the kernel does O(m) work per row, vs the
+  * reconstruct-then-dot form's O(d) work over a literal-array
+  * expression tree that sits on the Janino 64 KB cliff at production
+  * k=256 codebooks.
+  *
+  * ARITHMETIC CONTRACT (the graded oracle replays it exactly): each
+  * LUT entry is a left-to-right double fold WITHIN its block from
+  * 0.0 (dotPart[j][c] = Σᵢ cb[j][c][i]·q[j·sd+i], normPart likewise
+  * over squares), and the row score folds the m partials in block
+  * order: (Σⱼ dotPart) / (sqrt(Σⱼ normPart) · ‖q‖). Note this
+  * BLOCK-GROUPED fold is not bit-identical to the flat 0..d fold the
+  * in-memory `ivfPqTopK` (q73) computes over the reconstruction —
+  * same real-arithmetic value, different float grouping — which is
+  * why the at-rest row carries its own oracle instead of reusing
+  * q73's verbatim.
+  */
+final class PqAdcKernel(codebooks: Array[Array[Array[Float]]],
+    qVec: Array[Float]) extends Serializable {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "PqAdcKernel: need at least one block with one code")
+  private val m = codebooks.length
+  private val dotPart: Array[Array[Double]] = Array.tabulate(m) { j =>
+    val cb = codebooks(j)
+    val sd = cb.head.length
+    Array.tabulate(cb.length) { c =>
+      var acc = 0.0
+      var i = 0
+      val n = math.min(sd, math.max(0, qVec.length - j * sd))
+      while (i < n) {
+        acc += cb(c)(i).toDouble * qVec(j * sd + i).toDouble; i += 1
+      }
+      acc
+    }
+  }
+  private val normPart: Array[Array[Double]] = Array.tabulate(m) { j =>
+    val cb = codebooks(j)
+    Array.tabulate(cb.length) { c =>
+      var acc = 0.0
+      var i = 0
+      while (i < cb(c).length) {
+        val x = cb(c)(i).toDouble; acc += x * x; i += 1
+      }
+      acc
+    }
+  }
+  private val qNrm: Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < qVec.length) {
+      val x = qVec(i).toDouble; acc += x * x; i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  /** Approximate cosine(query, reconstruction(codes)) — 2m lookups.
+    * An out-of-range code throws (index corruption must fail loudly,
+    * never score as garbage).
+    */
+  def score(codes: ArrayData): Double = {
+    var dacc = 0.0
+    var nacc = 0.0
+    var j = 0
+    while (j < m) {
+      val c = codes.getInt(j)
+      dacc += dotPart(j)(c)
+      nacc += normPart(j)(c)
+      j += 1
+    }
+    dacc / (math.sqrt(nacc) * qNrm)
+  }
+}
+
+/** ADC score of a PQ `codes` column against the kernel's query —
+  * O(1) generated code, O(m) row work (see [[PqAdcKernel]]).
+  */
+case class PqAdcExpr(child: Expression, kernel: PqAdcKernel)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(codes: Any): Any =
+    kernel.score(codes.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdcKernel", kernel,
+      classOf[PqAdcKernel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.score($c);")
+  }
+
+  override protected def withNewChildInternal(n: Expression): PqAdcExpr =
+    copy(child = n)
+}
+
 object IvfKernel {
   /** Reusable per-thread selection scratch for [[IvfKernel.probes]] —
     * nProbe doubles + ints, grown monotonically. Lives on the
@@ -487,4 +588,13 @@ object IvfFunctions {
     if (hier) k.prepareHier()
     Bridge.column(IvfProbesExpr(Bridge.expression(v), k, nProbe, hier))
   }
+
+  /** ADC score of a PQ `codes` column against one query vector — the
+    * LUTs build driver-side in the kernel constructor, so tasks ship
+    * (m·k + m·k) doubles and do 2m lookups per row.
+    */
+  def adcScoreOf(codes: Column, codebooks: Seq[Seq[Array[Float]]],
+      qVec: Array[Float]): Column =
+    Bridge.column(PqAdcExpr(Bridge.expression(codes),
+      new PqAdcKernel(codebooks.map(_.toArray).toArray, qVec)))
 }

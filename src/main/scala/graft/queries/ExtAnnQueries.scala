@@ -102,6 +102,32 @@ private[queries] object ExtAnnQueries {
         nProbe = 3)
     }),
 
+    // IVF-PQ index AT REST (the at-rest family's last member, and the
+    // production shape at 100 TB where raw vectors fit no scan
+    // budget): (id, codes) rows land under cell=<c> partition dirs —
+    // m small ints per row instead of d floats — the search prunes to
+    // the 3 probed cells at PLANNING time (PlanAuditSpec asserts the
+    // IN-list in PartitionFilters AND that the scan reads no vector
+    // column), and scores by ADC table lookups (PqAdcKernel: per-
+    // (block, code) partial dot/norm LUTs built driver-side from the
+    // codebooks and the query). The oracle replays the cell prune,
+    // the code assignment, and the LUT-grouped fold arithmetic
+    // exactly. The query vector comes from the SOURCE table by one
+    // driver-side row lookup — the index has no raw vectors to look
+    // up, which is the point.
+    "q236_ivfpq_at_rest" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 16)
+      val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        m = 8, k = 16)
+      val path = tempDir("graft_q236_") + "/emb"
+      Similarity.writeIvfPq(emb, "vec_id", "embedding", path, cents, cbs)
+      val qVec = emb.filter(col("vec_id") === 0L).select("embedding")
+        .head().getSeq[Float](0).toArray
+      Similarity.ivfPqTopKAtRest(s, path, "vec_id", 0L, qVec, 10, cents,
+        cbs, nProbe = 3)
+    }),
+
     // Exact brute-force cosine top-k against vec_id=0 (the ANN baseline).
     "q28_cosine_topk" -> ((s, d) => {
       Similarity.bruteTopK(embeddings(s, d), "vec_id", "embedding", 0L, 10)
@@ -824,6 +850,40 @@ private[queries] object ExtAnnQueries {
          |JOIN enc ON e.vec_id = enc.vec_id, q
          |WHERE cell.cell IN (SELECT c_idx FROM probes) AND e.vec_id <> 0
          |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    // IVF-PQ at rest: the shared cell/probe/PQ CTEs plus the ADC
+    // LUT replay — per (block, code) partial dot (vs the query's
+    // block slice) and partial squared norm, each a left fold within
+    // its block from 0.0; the row score folds the m partials in block
+    // order and divides by sqrt(nsum)·‖q‖ — exactly PqAdcKernel's
+    // grouping (NOT q73's flat reconstruct-then-dot fold; same real
+    // value, different float grouping, so this row replays its own).
+    "q236_ivfpq_at_rest" ->
+      s"""WITH $ivfSeedCte,
+         |$ivfProbeCtes,
+         |$pqCtes,
+         |lut AS (
+         |  SELECT cb.j, cb.c_idx,
+         |    list_reduce(list_prepend(0.0, list_transform(range(8), i ->
+         |      cast(cb.csub[i+1] AS double)
+         |        * cast(q_vec[cb.j*8+i+1] AS double))),
+         |      (x, y) -> x + y) AS dpart,
+         |    (${dotSql("cb.csub", "cb.csub")}) AS npart
+         |  FROM cb, q),
+         |adc AS (
+         |  SELECT s.vec_id,
+         |    list_reduce(list_prepend(0.0, list(l.dpart ORDER BY s.j)),
+         |      (x, y) -> x + y) AS dsum,
+         |    list_reduce(list_prepend(0.0, list(l.npart ORDER BY s.j)),
+         |      (x, y) -> x + y) AS nsum
+         |  FROM asn s JOIN lut l ON l.j = s.j AND l.c_idx = s.c_idx
+         |  WHERE s.rn = 1 GROUP BY s.vec_id)
+         |SELECT adc.vec_id,
+         |  floor((dsum / (sqrt(nsum) * sqrt(${dotSql("q_vec", "q_vec")})))
+         |    * 1000000) / 1000000 AS score
+         |FROM adc JOIN cell ON cell.vec_id = adc.vec_id, q
+         |WHERE cell.cell IN (SELECT c_idx FROM probes) AND adc.vec_id <> 0
+         |ORDER BY score DESC, adc.vec_id ASC LIMIT 10""".stripMargin,
 
     // PQ replay: codebooks = block slices of the 16 smallest-id
     // vectors (the shared `c`/PQ CTEs); per (vector, block) assignment

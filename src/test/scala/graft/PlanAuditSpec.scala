@@ -106,6 +106,18 @@ class PlanAuditSpec extends SparkSpec {
         s"$pf in:\n$p")
   }
 
+  test("q236 at-rest IVF-PQ scan prunes cell partitions AND reads " +
+      "only (id, codes) — never a float vector column") {
+    val p = plan("q236_ivfpq_at_rest")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"no cell PartitionFilters in:\n$p")
+    val reads = "ReadSchema: [^\\n]*".r.findAllIn(p).toSeq
+    assert(reads.exists(_.contains("codes")),
+      s"no codes column in any ReadSchema:\n$p")
+    assert(!reads.exists(_.contains("embedding")),
+      s"at-rest PQ search read a raw vector column:\n$p")
+  }
+
   test("q07 RI filter is a semi-join, not a distinct+inner join") {
     val p = plan("q07_semi_join")
     assert(p.contains("LeftSemi"), s"no semi join in:\n$p")

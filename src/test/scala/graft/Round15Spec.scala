@@ -93,6 +93,75 @@ class Round15Spec extends SparkSpec {
     assert(newProbes(kern, v, 5) == refProbes(kern, v, 5))
   }
 
+  // ---- IVF-PQ at rest (r14 verdict item 1) ----
+
+  test("PqAdcKernel LUT score equals the reconstruct-then-dot cosine " +
+      "to float-grouping tolerance, and is exact on dyadic inputs") {
+    val rnd = new scala.util.Random(1504)
+    val (m, kk, sd) = (4, 8, 4)
+    val cbs: Seq[Seq[Array[Float]]] = Seq.fill(m)(
+      Seq.fill(kk)(Array.fill(sd)(rnd.nextFloat() * 2f - 1f)))
+    val q = Array.fill(m * sd)(rnd.nextFloat() * 2f - 1f)
+    val kern = new graft.functions.PqAdcKernel(
+      cbs.map(_.toArray).toArray, q)
+    for (_ <- 0 until 100) {
+      val codes = Array.fill(m)(rnd.nextInt(kk))
+      val recon = codes.zipWithIndex.flatMap { case (c, j) => cbs(j)(c) }
+      def dotd(a: Array[Float], b: Array[Float]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+        acc
+      }
+      val flat = dotd(recon, q) /
+        (math.sqrt(dotd(recon, recon)) * math.sqrt(dotd(q, q)))
+      val lut = kern.score(new GenericArrayData(codes))
+      assert(math.abs(lut - flat) <= 1e-12 * math.max(1.0, math.abs(flat)),
+        s"ADC $lut vs flat $flat")
+    }
+    // dyadic inputs: every product/sum is exact, so the two groupings
+    // coincide bit-for-bit — any difference is an arithmetic bug, not
+    // rounding
+    val cbsD: Seq[Seq[Array[Float]]] = Seq.fill(m)(
+      Seq.tabulate(kk)(c => Array.fill(sd)((c % 4) * 0.25f - 0.5f)))
+    val qD = Array.tabulate(m * sd)(i => (i % 8) * 0.125f - 0.5f)
+    val kernD = new graft.functions.PqAdcKernel(
+      cbsD.map(_.toArray).toArray, qD)
+    val codesD = Array.tabulate(m)(j => j % kk)
+    val reconD = codesD.zipWithIndex.flatMap { case (c, j) => cbsD(j)(c) }
+    def dotd2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    assert(kernD.score(new GenericArrayData(codesD)) ==
+      dotd2(reconD, qD) /
+        (math.sqrt(dotd2(reconD, reconD)) * math.sqrt(dotd2(qD, qD))))
+  }
+
+  test("ivfPqTopKAtRest: exact-rerank over a corpus-sized pool " +
+      "returns the brute-force exact top-k") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1505)
+    val rows = (0 until 60).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2f - 1f)))
+    val df = rows.toDF("id", "v")
+    val cents = graft.ext.Similarity.seedCentroids(df, "id", "v", 4)
+    val cbs = graft.ext.Similarity.pqCodebooks(df, "id", "v", m = 4, k = 8)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_r15_pq").toString + "/idx"
+    graft.ext.Similarity.writeIvfPq(df, "id", "v", path, cents, cbs)
+    val qVec = rows.head._2
+    // nProbe = all cells + rerank pool = corpus: the ADC stage can
+    // drop nothing, so the exact-rerank answer must be bruteTopK's
+    val got = graft.ext.Similarity.ivfPqTopKAtRest(spark, path, "id",
+      0L, qVec, k = 5, cents, cbs, nProbe = 4,
+      rerank = 60, rerankFrom = Some((df, "v")))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = graft.ext.Similarity.bruteTopK(df, "id", "v", 0L, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == brute)
+  }
+
   test("probes(): equals the lexicographic (distance, index) sort's " +
       "nProbe-prefix (the declared contract, independent of either " +
       "implementation)") {
