@@ -102,6 +102,29 @@ private[queries] object ExtAnnQueries {
         nProbe = 3)
     }),
 
+    // Hier-index APPEND lifecycle (q183's shape for the q235 layout):
+    // build the two-level index over the even-id half of the clustered
+    // fixture, append the odd-id half WITHOUT touching existing files
+    // (cell/super assignment is a pure function of (centroids, vector),
+    // so appended rows land in the existing sup=/cell= dirs), then
+    // search — the result must equal a full-build search, so the
+    // oracle IS q235's full-fixture replay. The query vector is passed
+    // EXPLICITLY (one driver-side lookup on the SOURCE fixture, the
+    // production contract) — q235 keeps the documented scan-fallback
+    // path, so both lookup modes stay graded.
+    "q237_ivf_hier_append" -> ((s, d) => {
+      val (mixed, centers) = clusteredFixture(s, d)
+      val path = tempDir("graft_q237_") + "/emb"
+      Similarity.writeIvfHier(mixed.filter(col("id") % 2 === 0), "id",
+        "v", path, centers)
+      Similarity.appendIvfHier(mixed.filter(col("id") % 2 === 1), "id",
+        "v", path, centers)
+      val qVec = mixed.filter(col("id") === 0L).select("v")
+        .head().getSeq[Float](0).toArray
+      Similarity.ivfHierTopKAtRest(s, path, "id", "v", 0L, 10, centers,
+        nProbe = 3, queryVec = Some(qVec))
+    }),
+
     // IVF-PQ index AT REST (the at-rest family's last member, and the
     // production shape at 100 TB where raw vectors fit no scan
     // budget): (id, codes) rows land under cell=<c> partition dirs —
@@ -439,6 +462,41 @@ private[queries] object ExtAnnQueries {
     // at-rest layout changes WHERE the bytes live, not what the
     // search returns.
     "q235_ivf_hier_at_rest" ->
+      s"""WITH $hierCtes,
+         |scnt AS (SELECT sj, count(*) AS msz FROM memb GROUP BY sj),
+         |q0 AS (SELECT v FROM mix WHERE id = 0),
+         |vcum0 AS (
+         |  SELECT v.sj, v.srn,
+         |    sum(sc.msz) OVER (ORDER BY v.srn) AS cum
+         |  FROM vsup v JOIN scnt sc ON sc.sj = v.sj WHERE v.id = 0),
+         |m0 AS (
+         |  SELECT CASE WHEN max(CASE WHEN srn = 2 THEN cum END) >= 3
+         |      THEN 2
+         |      ELSE min(CASE WHEN cum >= 3 THEN srn END) END AS m
+         |  FROM vcum0),
+         |pool0 AS (
+         |  SELECT mb.cid, mb.cvec
+         |  FROM vcum0 v JOIN memb mb ON mb.sj = v.sj, m0
+         |  WHERE v.srn <= m0.m),
+         |prb0 AS (
+         |  SELECT cid FROM (
+         |    SELECT p.cid,
+         |      row_number() OVER (
+         |        ORDER BY (${d2Sql("q0.v", "p.cvec")}) ASC, p.cid ASC)
+         |        AS rn
+         |    FROM pool0 p, q0) WHERE rn <= 3)
+         |SELECT m.id,
+         |  floor((${cosineSql("m.v", "q0.v")}) * 1000000) / 1000000
+         |    AS score
+         |FROM hcell hc JOIN mix m ON m.id = hc.id, q0
+         |WHERE hc.cell IN (SELECT cid FROM prb0) AND m.id <> 0
+         |ORDER BY score DESC, m.id ASC LIMIT 10""".stripMargin,
+
+    // q237: build-on-half + append-half must equal the full build —
+    // the oracle is q235's full-fixture replay verbatim (same query
+    // id, k, nProbe; the append lifecycle changes WHICH FILES hold
+    // the rows, never which rows exist).
+    "q237_ivf_hier_append" ->
       s"""WITH $hierCtes,
          |scnt AS (SELECT sj, count(*) AS msz FROM memb GROUP BY sj),
          |q0 AS (SELECT v FROM mix WHERE id = 0),

@@ -162,6 +162,32 @@ class Round15Spec extends SparkSpec {
     assert(got == brute)
   }
 
+  // ---- hier-index append lifecycle (r14 verdict item 4) ----
+
+  test("appendIvfHier: build+append index content equals a full " +
+      "rebuild row-for-row (same ids, same sup/cell directories)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1506)
+    val rows = (0 until 80).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2f - 1f)))
+    val df = rows.toDF("id", "v")
+    val cents = graft.ext.Similarity.seedCentroids(df, "id", "v", 9)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_r15_hier").toString
+    graft.ext.Similarity.writeIvfHier(
+      df.filter(col("id") < 40), "id", "v", s"$base/inc", cents)
+    graft.ext.Similarity.appendIvfHier(
+      df.filter(col("id") >= 40), "id", "v", s"$base/inc", cents)
+    graft.ext.Similarity.writeIvfHier(df, "id", "v", s"$base/full", cents)
+    def content(p: String): Seq[(Long, Long, Long)] =
+      spark.read.parquet(p)
+        .select(col("id"), col("sup").cast("long"),
+          col("cell").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+    assert(content(s"$base/inc") == content(s"$base/full"))
+  }
+
   test("probes(): equals the lexicographic (distance, index) sort's " +
       "nProbe-prefix (the declared contract, independent of either " +
       "implementation)") {
