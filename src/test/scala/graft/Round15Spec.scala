@@ -162,6 +162,47 @@ class Round15Spec extends SparkSpec {
     assert(got == brute)
   }
 
+  // ---- winnow width rule as code (r14 verdict item 3) ----
+
+  test("winnowWidthFor: reproduces the r14 A/B's 256-width regime at " +
+      "60x volume and leaves the graded sf0.1 config untouched") {
+    import graft.ext.Dedup
+    // 60x = 129.5 M grams (BUILD_NOTES r14 table): derived width must
+    // land in the measured in-memory regime (>= 256, ~0.5 M grams per
+    // partition), not the 32-width spill region (~4 M per partition)
+    val w60 = Dedup.winnowWidthFor(129500000L, 32)
+    assert(w60 >= 256 && 129500000L / w60 <= Dedup.WinnowGramBudget, s"$w60")
+    // graded sf0.1 volume (~2.2 M grams) derives the session width —
+    // the graded plan stays byte-identical to the pre-parameter form
+    assert(Dedup.winnowWidthFor(2200000L, 32) == 32)
+    assert(Dedup.winnowWidthFor(0L, 32) == 32)
+  }
+
+  test("winnowFingerprints/winnowMatches: explicit width is " +
+      "result-invariant (a partition-count knob, never semantics)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1507)
+    val docs = (0 until 30).map { i =>
+      val base = Seq.fill(12)(rnd.alphanumeric.take(8).mkString).mkString(" ")
+      (i.toLong, if (i % 3 == 0) base + " shared tail of doc" else base)
+    }.toDF("doc_id", "text")
+    val d1 = graft.ext.Dedup
+      .winnowFingerprints(docs, "doc_id", "text", g = 8, w = 4)
+      .orderBy("doc_id", "fp", "fp_pos").collect().toSeq
+    val d2 = graft.ext.Dedup
+      .winnowFingerprints(docs, "doc_id", "text", g = 8, w = 4, width = 7)
+      .orderBy("doc_id", "fp", "fp_pos").collect().toSeq
+    assert(d1 == d2)
+    val m1 = graft.ext.Dedup
+      .winnowMatches(docs, "doc_id", "text", g = 8, w = 4, minShared = 1L)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val m2 = graft.ext.Dedup
+      .winnowMatches(docs, "doc_id", "text", g = 8, w = 4, minShared = 1L,
+        width = 11)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(m1 == m2)
+  }
+
   // ---- hier-index append lifecycle (r14 verdict item 4) ----
 
   test("appendIvfHier: build+append index content equals a full " +

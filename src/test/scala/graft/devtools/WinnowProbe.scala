@@ -78,10 +78,19 @@ object WinnowProbe {
         .select(greatest(length(col("text")) - (g - 1), lit(0))
           .cast("long").as("ng"))
         .agg(sum("ng")).collect()(0).getLong(0)
+      // r15: width is now an operator parameter (volume-derived by
+      // default) — each A/B cell pins it EXPLICITLY so the cell
+      // measures width=wd, not whatever the default would derive.
+      // The default itself must reproduce the measured 256-width
+      // in-memory regime at the r14 A/B's 60× volume:
+      require(graft.ext.Dedup.winnowWidthFor(129500000L, 32) >= 256,
+        "winnowWidthFor default fell out of the measured 60x regime")
       val (nFp, sIdx) = time(graft.ext.Dedup
-        .winnowFingerprints(docs, "doc_id", "text", g, w).count())
+        .winnowFingerprints(docs, "doc_id", "text", g, w, width = wd)
+        .count())
       val (nPairs, sMatch) = time(graft.ext.Dedup
-        .winnowMatches(docs, "doc_id", "text", g, w, minShared = 2L)
+        .winnowMatches(docs, "doc_id", "text", g, w, minShared = 2L,
+          width = wd)
         .count())
       // cross-replica pairs = corpus-construction contamination (the
       // "_i" suffixes are not prefix-free: "_1" is a prefix of "_1x",
@@ -89,7 +98,8 @@ object WinnowProbe {
       // attribute them so the operator's own within-replica linearity
       // is readable
       val cross = graft.ext.Dedup
-        .winnowMatches(docs, "doc_id", "text", g, w, minShared = 2L)
+        .winnowMatches(docs, "doc_id", "text", g, w, minShared = 2L,
+          width = wd)
         .filter(expr("id_a div 10000000L") =!= expr("id_b div 10000000L"))
         .count()
       println(f"| $wd | ${m}x | $nDocs | $grams | $nFp | " +
