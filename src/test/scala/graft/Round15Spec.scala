@@ -162,6 +162,73 @@ class Round15Spec extends SparkSpec {
     assert(got == brute)
   }
 
+  // ---- knnJoin quantizer auto-selection (r14 verdict item 5) ----
+
+  test("hierRecommended: picks hier on a clustered corpus at " +
+      "nlist >= 400 and flat on a near-orthogonal one (and always " +
+      "flat below the measured nlist crossover)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1508)
+    val nlist = 400
+    val dim = 16
+    val centers = Seq.fill(nlist)(
+      Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    // clustered: center + small noise — the q232/q233 fixture shape
+    val clustered = (0 until 600).map { i =>
+      val c = centers(i % nlist)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f))
+    }.toDF("id", "v")
+    assert(graft.ext.Similarity
+      .hierRecommended(clustered, "id", "v", centers, sampleN = 64))
+    val ratioC = graft.ext.Similarity
+      .clusterAffinityRatio(clustered, "id", "v", centers, sampleN = 64)
+    assert(ratioC < 0.1, s"clustered ratio $ratioC not << threshold")
+    // near-orthogonal: i.i.d. vectors, seeded centroids = smallest ids
+    // (the shipped-embeddings regime where hier's balance skews)
+    val ortho = (0 until 600).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("id", "v")
+    val seedCents = graft.ext.Similarity
+      .seedCentroids(ortho, "id", "v", nlist)
+    assert(!graft.ext.Similarity
+      .hierRecommended(ortho, "id", "v", seedCents, sampleN = 64))
+    val ratioO = graft.ext.Similarity
+      .clusterAffinityRatio(ortho, "id", "v", seedCents, sampleN = 64)
+    assert(ratioO > graft.ext.Similarity.HierAffinityThreshold,
+      s"near-orthogonal ratio $ratioO under threshold")
+    // below the measured crossover, clustered or not -> flat
+    assert(!graft.ext.Similarity
+      .hierRecommended(clustered, "id", "v", centers.take(64),
+        sampleN = 64))
+  }
+
+  test("knnJoinAuto: equals the explicit-hier call on a clustered " +
+      "corpus and the explicit-flat call on a near-orthogonal one") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1509)
+    val nlist = 400
+    val centers = Seq.fill(nlist)(Array.fill(8)(rnd.nextFloat()))
+    val clustered = (0 until 450).map { i =>
+      val c = centers(i % nlist)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f))
+    }.toDF("id", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rank").collect().toSeq
+    assert(rows(graft.ext.Similarity.knnJoinAuto(clustered, "id", "v",
+        k = 2, centers, nProbe = 2)) ==
+      rows(graft.ext.Similarity.knnJoin(clustered, "id", "v",
+        k = 2, centers, nProbe = 2, hier = true)))
+    val ortho = (0 until 200).map(i =>
+      (i.toLong, Array.fill(32)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("id", "v")
+    val seedCents = graft.ext.Similarity
+      .seedCentroids(ortho, "id", "v", 16)
+    assert(rows(graft.ext.Similarity.knnJoinAuto(ortho, "id", "v",
+        k = 2, seedCents, nProbe = 2)) ==
+      rows(graft.ext.Similarity.knnJoin(ortho, "id", "v",
+        k = 2, seedCents, nProbe = 2, hier = false)))
+  }
+
   // ---- winnow width rule as code (r14 verdict item 3) ----
 
   test("winnowWidthFor: reproduces the r14 A/B's 256-width regime at " +
