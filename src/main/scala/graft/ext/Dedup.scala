@@ -1214,8 +1214,12 @@ object Dedup {
     * memory form) before the group logic's two scans; `df` fed
     * straight to [[embeddingDedupGroups]] is otherwise evaluated
     * twice (rep aggregation + join probe — Spark does not reuse
-    * exchanges across self-join sides). Same `nBits` must be passed
-    * to both halves (both apply the [[Similarity.MaxRpBits]] clamp).
+    * exchanges across self-join sides). Pass the same `nBits` to both
+    * halves; note the asymmetry (ADVICE r14): bucket GEOMETRY is
+    * baked into this frame, so in [[embeddingDedupGroupsOf]] `nBits`
+    * only sizes the broadcast-vs-shuffle heuristic — a mismatch there
+    * picks a possibly-wrong join strategy (perf only), it cannot
+    * change results or fail.
     */
   def dedupGroupFeatures(df: DataFrame, idCol: String, vecCol: String,
       nBits: Int = 8): DataFrame = {
@@ -1230,7 +1234,11 @@ object Dedup {
 
   /** [[embeddingDedupGroups]] over a pre-projected
     * [[dedupGroupFeatures]] frame — the reuse path for expensive
-    * upstreams (see there).
+    * upstreams (see there). `nBits` here is PERF-ONLY: the frame
+    * already carries its buckets, so this parameter only decides
+    * whether the ≤ 2^bits rep rows broadcast or shuffle — a value
+    * that disagrees with the frame's build-side nBits can pick a
+    * suboptimal join strategy but never a different result.
     */
   def embeddingDedupGroupsOf(base: DataFrame, threshold: Double,
       nBits: Int = 8): DataFrame = {
