@@ -151,6 +151,27 @@ private[queries] object ExtAnnQueries {
         cbs, nProbe = 3)
     }),
 
+    // The IVF-PQ search with the production exact-rerank tail: the
+    // ADC stage (q236's — codes-only I/O, cell-pruned) picks the
+    // 30-candidate pool, then the pool's ids join back to the SOURCE
+    // table's raw vectors (a 30-row broadcast join, never a corpus
+    // scan) and the answer is exact cosine top-10. ADC ordering
+    // decides the POOL; exact cosine decides the ANSWER — so PQ
+    // quantization error can demote a candidate out of the pool but
+    // never mis-rank the final list.
+    "q238_ivfpq_rerank" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 16)
+      val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        m = 8, k = 16)
+      val path = tempDir("graft_q238_") + "/emb"
+      Similarity.writeIvfPq(emb, "vec_id", "embedding", path, cents, cbs)
+      val qVec = emb.filter(col("vec_id") === 0L).select("embedding")
+        .head().getSeq[Float](0).toArray
+      Similarity.ivfPqTopKAtRest(s, path, "vec_id", 0L, qVec, 10, cents,
+        cbs, nProbe = 3, rerank = 30, rerankFrom = Some((emb, "embedding")))
+    }),
+
     // Exact brute-force cosine top-k against vec_id=0 (the ANN baseline).
     "q28_cosine_topk" -> ((s, d) => {
       Similarity.bruteTopK(embeddings(s, d), "vec_id", "embedding", 0L, 10)
@@ -447,6 +468,39 @@ private[queries] object ExtAnnQueries {
        |    JOIN vsup ON vsup.id = m.id AND vsup.srn <= 2
        |    JOIN memb mb ON mb.sj = vsup.sj) WHERE rn = 1)"""
       .stripMargin
+
+  /** ADC-scoring CTE chain shared by q236/q238 (needs the `c`-seed,
+    * probe and PQ CTEs): `lut` — per (block, code) partial dot against
+    * the query's block slice and partial squared norm, each a left
+    * fold within its block from 0.0 (exactly [[graft.functions
+    * .PqAdcKernel]]'s driver-built tables); `adcscore` — per probed
+    * candidate, the m partials folded in block order, divided by
+    * sqrt(nsum)·‖q‖, floor-truncated at 1e-6.
+    */
+  private lazy val adcCtes: String =
+    s"""lut AS (
+       |  SELECT cb.j, cb.c_idx,
+       |    list_reduce(list_prepend(0.0, list_transform(range(8), i ->
+       |      cast(cb.csub[i+1] AS double)
+       |        * cast(q_vec[cb.j*8+i+1] AS double))),
+       |      (x, y) -> x + y) AS dpart,
+       |    (${dotSql("cb.csub", "cb.csub")}) AS npart
+       |  FROM cb, q),
+       |adc AS (
+       |  SELECT s.vec_id,
+       |    list_reduce(list_prepend(0.0, list(l.dpart ORDER BY s.j)),
+       |      (x, y) -> x + y) AS dsum,
+       |    list_reduce(list_prepend(0.0, list(l.npart ORDER BY s.j)),
+       |      (x, y) -> x + y) AS nsum
+       |  FROM asn s JOIN lut l ON l.j = s.j AND l.c_idx = s.c_idx
+       |  WHERE s.rn = 1 GROUP BY s.vec_id),
+       |adcscore AS (
+       |  SELECT adc.vec_id,
+       |    floor((dsum / (sqrt(nsum) * sqrt(${dotSql("q_vec", "q_vec")})))
+       |      * 1000000) / 1000000 AS score
+       |  FROM adc JOIN cell ON cell.vec_id = adc.vec_id, q
+       |  WHERE cell.cell IN (SELECT c_idx FROM probes)
+       |    AND adc.vec_id <> 0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -920,28 +974,28 @@ private[queries] object ExtAnnQueries {
       s"""WITH $ivfSeedCte,
          |$ivfProbeCtes,
          |$pqCtes,
-         |lut AS (
-         |  SELECT cb.j, cb.c_idx,
-         |    list_reduce(list_prepend(0.0, list_transform(range(8), i ->
-         |      cast(cb.csub[i+1] AS double)
-         |        * cast(q_vec[cb.j*8+i+1] AS double))),
-         |      (x, y) -> x + y) AS dpart,
-         |    (${dotSql("cb.csub", "cb.csub")}) AS npart
-         |  FROM cb, q),
-         |adc AS (
-         |  SELECT s.vec_id,
-         |    list_reduce(list_prepend(0.0, list(l.dpart ORDER BY s.j)),
-         |      (x, y) -> x + y) AS dsum,
-         |    list_reduce(list_prepend(0.0, list(l.npart ORDER BY s.j)),
-         |      (x, y) -> x + y) AS nsum
-         |  FROM asn s JOIN lut l ON l.j = s.j AND l.c_idx = s.c_idx
-         |  WHERE s.rn = 1 GROUP BY s.vec_id)
-         |SELECT adc.vec_id,
-         |  floor((dsum / (sqrt(nsum) * sqrt(${dotSql("q_vec", "q_vec")})))
-         |    * 1000000) / 1000000 AS score
-         |FROM adc JOIN cell ON cell.vec_id = adc.vec_id, q
-         |WHERE cell.cell IN (SELECT c_idx FROM probes) AND adc.vec_id <> 0
-         |ORDER BY score DESC, adc.vec_id ASC LIMIT 10""".stripMargin,
+         |$adcCtes
+         |SELECT sc.vec_id, sc.score
+         |FROM adcscore sc
+         |ORDER BY score DESC, sc.vec_id ASC LIMIT 10""".stripMargin,
+
+    // q238: q236's ADC stage selects the 30-candidate pool (same
+    // truncated-score + id order), then the answer is EXACT cosine
+    // over the pool's raw source vectors — the standard production
+    // search tail (ADC decides the pool, exact decides the answer).
+    "q238_ivfpq_rerank" ->
+      s"""WITH $ivfSeedCte,
+         |$ivfProbeCtes,
+         |$pqCtes,
+         |$adcCtes,
+         |pool AS (
+         |  SELECT sc.vec_id FROM adcscore sc
+         |  ORDER BY sc.score DESC, sc.vec_id ASC LIMIT 30)
+         |SELECT e.vec_id,
+         |  floor((${cosineSql("e.embedding", "q_vec")}) * 1000000)
+         |    / 1000000 AS score
+         |FROM embeddings e JOIN pool ON pool.vec_id = e.vec_id, q
+         |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin,
 
     // PQ replay: codebooks = block slices of the 16 smallest-id
     // vectors (the shared `c`/PQ CTEs); per (vector, block) assignment

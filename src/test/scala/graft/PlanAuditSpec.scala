@@ -118,6 +118,15 @@ class PlanAuditSpec extends SparkSpec {
       s"at-rest PQ search read a raw vector column:\n$p")
   }
 
+  test("q238 rerank tail broadcasts the ADC pool to the source " +
+      "vectors — the cell-pruned code scan stays, no corpus shuffle") {
+    val p = plan("q238_ivfpq_rerank")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"no cell PartitionFilters in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rerank pool not broadcast in:\n$p")
+  }
+
   test("q07 RI filter is a semi-join, not a distinct+inner join") {
     val p = plan("q07_semi_join")
     assert(p.contains("LeftSemi"), s"no semi join in:\n$p")
