@@ -1011,11 +1011,38 @@ object Similarity {
   def writeIvfPq(df: DataFrame, idCol: String, vecCol: String,
       path: String, centroids: Seq[Array[Float]],
       codebooks: Seq[Seq[Array[Float]]]): Unit =
+    writeIvfPqAs(df, idCol, vecCol, path, centroids, codebooks,
+      org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** The ONE copy of the PQ-layout contract (code projection, cell
+    * partitioning, pre-write repartition) — write and append differ
+    * only in SaveMode (the q183/q237 `writeIndexAs` discipline).
+    */
+  private def writeIvfPqAs(df: DataFrame, idCol: String, vecCol: String,
+      path: String, centroids: Seq[Array[Float]],
+      codebooks: Seq[Seq[Array[Float]]],
+      mode: org.apache.spark.sql.SaveMode): Unit =
     df.withColumn("codes", pqEncode(col(vecCol), codebooks))
       .withColumn("cell", ivfCell(col(vecCol), centroids))
       .select(col(idCol), col("codes"), col("cell"))
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+      .write.mode(mode).partitionBy("cell").parquet(path)
+
+  /** Append a new vector shard INTO an existing [[writeIvfPq]] index
+    * — [[appendIvfHier]]'s contract for the PQ layout: codes and cell
+    * are pure per-row functions of (codebooks, centroids, vector), so
+    * appended rows land in the existing `cell=` directories and the
+    * index equals a full rebuild over corpus ∪ shard row-for-row
+    * (q239 grades the search over build+append against the
+    * full-build oracle). Same disjoint-ids PRECONDITION as the other
+    * append paths — the gate belongs upstream where the id set is
+    * already known.
+    */
+  def appendIvfPq(df: DataFrame, idCol: String, vecCol: String,
+      path: String, centroids: Seq[Array[Float]],
+      codebooks: Seq[Seq[Array[Float]]]): Unit =
+    writeIvfPqAs(df, idCol, vecCol, path, centroids, codebooks,
+      org.apache.spark.sql.SaveMode.Append)
 
   /** IVF-PQ ANN top-k over a [[writeIvfPq]] table: probe selection is
     * driver-side over the literal centroids (the `cell IN (probes)`
@@ -1081,6 +1108,64 @@ object Similarity {
         .limit(k)
         .select(col(idCol), col("score"))
     }
+  }
+
+  /** The at-rest family's apex: TWO-LEVEL directories holding PQ
+    * CODES — [[writeIvfHier]]'s `sup=<j>/cell=<c>` nesting (planning-
+    * time listing proportional to probed supers at production nlist)
+    * with [[writeIvfPq]]'s payload (m small ints per row, ~17×
+    * smaller files measured at 8×16/64-dim). This is the 100 TB
+    * production shape in full: a million-cell index whose directory
+    * metadata AND row payload both stay inside scan budgets.
+    */
+  def writeIvfPqHier(df: DataFrame, idCol: String, vecCol: String,
+      path: String, centroids: Seq[Array[Float]],
+      codebooks: Seq[Seq[Array[Float]]]): Unit = {
+    val kern = graft.functions.IvfFunctions.kernel(centroids)
+    val cell = graft.functions.IvfFunctions.cellOf(col(vecCol), kern,
+      hier = true)
+    val supOfCell = kern.cellSupers
+    df.withColumn("codes", pqEncode(col(vecCol), codebooks))
+      .withColumn("cell", cell)
+      .withColumn("sup", element_at(lit(supOfCell), col("cell") + 1))
+      .select(col(idCol), col("codes"), col("sup"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("sup", "cell").parquet(path)
+  }
+
+  /** ADC search over a [[writeIvfPqHier]] table: probe cells from the
+    * kernel's own `probesHier` on the query vector (driver-side, zero
+    * drift from the plan-side hier path), their owning supers from
+    * the membership table, BOTH IN-lists in the scan's
+    * `PartitionFilters`, and [[graft.functions.PqAdcKernel]] scoring
+    * over the code column — `ivfHierTopKAtRest`'s pruning with
+    * `ivfPqTopKAtRest`'s I/O and scoring. `queryVec` is mandatory for
+    * the same reason as there: the index holds no vectors.
+    */
+  def ivfPqHierTopKAtRest(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, queryId: Long, queryVec: Array[Float],
+      k: Int, centroids: Seq[Array[Float]],
+      codebooks: Seq[Seq[Array[Float]]], nProbe: Int): DataFrame = {
+    val all = spark.read.parquet(path)
+    val kern = graft.functions.IvfFunctions.kernel(centroids)
+    val probesAd = kern.probesHier(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(queryVec),
+      nProbe)
+    val probes = (0 until probesAd.numElements()).map(probesAd.getInt)
+    val supOfCell = kern.cellSupers
+    val sups = probes.map(c => supOfCell(c).toLong).distinct
+    val supLits = AtRest.partitionLits("ivfPqHierTopKAtRest", "sup",
+      all.schema("sup").dataType, sups)
+    val probeLits = AtRest.partitionLits("ivfPqHierTopKAtRest", "cell",
+      all.schema("cell").dataType, probes.map(_.toLong))
+    all.filter(col("sup").isin(supLits: _*))
+      .filter(col("cell").isin(probeLits: _*))
+      .filter(col(idCol) =!= queryId)
+      .withColumn("score", trunc(graft.functions.IvfFunctions
+        .adcScoreOf(col("codes"), codebooks, queryVec), 6))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("score"))
   }
 
   /** ANN top-k: restrict to buckets within hamming distance

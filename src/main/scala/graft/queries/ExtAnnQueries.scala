@@ -172,6 +172,46 @@ private[queries] object ExtAnnQueries {
         cbs, nProbe = 3, rerank = 30, rerankFrom = Some((emb, "embedding")))
     }),
 
+    // The at-rest apex — hier + PQ in one layout: the clustered
+    // fixture's codes (8x16 codebooks seeded from its own 16
+    // smallest-id vectors) land under sup=<j>/cell=<c> two-level
+    // dirs (cells from cellHier), and the search prunes BOTH levels
+    // at planning time and ADC-scores the code column — q235's
+    // pruning with q236's I/O and scoring, composed. At production
+    // nlist this is the only shape whose directory metadata AND row
+    // payload both fit scan budgets.
+    "q240_ivfpq_hier_at_rest" -> ((s, d) => {
+      val (mixed, centers) = clusteredFixture(s, d)
+      val cbs = Similarity.pqCodebooks(mixed, "id", "v", m = 8, k = 16)
+      val path = tempDir("graft_q240_") + "/emb"
+      Similarity.writeIvfPqHier(mixed, "id", "v", path, centers, cbs)
+      val qVec = mixed.filter(col("id") === 0L).select("v")
+        .head().getSeq[Float](0).toArray
+      Similarity.ivfPqHierTopKAtRest(s, path, "id", 0L, qVec, 10,
+        centers, cbs, nProbe = 3)
+    }),
+
+    // PQ-index APPEND lifecycle (q237's shape for the q236 layout):
+    // build the code index over even vec_ids, append the odd shard
+    // (same deterministic codebooks/centroids -> same codes, same
+    // cell dirs), search — must equal the full build, so the oracle
+    // IS q236's.
+    "q239_ivfpq_append" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 16)
+      val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        m = 8, k = 16)
+      val path = tempDir("graft_q239_") + "/emb"
+      Similarity.writeIvfPq(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", path, cents, cbs)
+      Similarity.appendIvfPq(emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", path, cents, cbs)
+      val qVec = emb.filter(col("vec_id") === 0L).select("embedding")
+        .head().getSeq[Float](0).toArray
+      Similarity.ivfPqTopKAtRest(s, path, "vec_id", 0L, qVec, 10, cents,
+        cbs, nProbe = 3)
+    }),
+
     // Exact brute-force cosine top-k against vec_id=0 (the ANN baseline).
     "q28_cosine_topk" -> ((s, d) => {
       Similarity.bruteTopK(embeddings(s, d), "vec_id", "embedding", 0L, 10)
@@ -632,6 +672,73 @@ private[queries] object ExtAnnQueries {
          |  FROM sc) WHERE rank <= 3
          |ORDER BY q_id, rank""".stripMargin,
 
+    // q240: q235's two-level probe replay (vcum0/m0/pool0/prb0 over
+    // the clustered fixture) composed with q236's ADC replay
+    // re-seeded on the FIXTURE (codebooks = block slices of the 16
+    // smallest-id mix vectors; per-(block, code) LUT folds against
+    // the query's block slices; block-ordered partial sums).
+    "q240_ivfpq_hier_at_rest" ->
+      s"""WITH $hierCtes,
+         |scnt AS (SELECT sj, count(*) AS msz FROM memb GROUP BY sj),
+         |q0 AS (SELECT v FROM mix WHERE id = 0),
+         |vcum0 AS (
+         |  SELECT v.sj, v.srn,
+         |    sum(sc.msz) OVER (ORDER BY v.srn) AS cum
+         |  FROM vsup v JOIN scnt sc ON sc.sj = v.sj WHERE v.id = 0),
+         |m0 AS (
+         |  SELECT CASE WHEN max(CASE WHEN srn = 2 THEN cum END) >= 3
+         |      THEN 2
+         |      ELSE min(CASE WHEN cum >= 3 THEN srn END) END AS m
+         |  FROM vcum0),
+         |pool0 AS (
+         |  SELECT mb.cid, mb.cvec
+         |  FROM vcum0 v JOIN memb mb ON mb.sj = v.sj, m0
+         |  WHERE v.srn <= m0.m),
+         |prb0 AS (
+         |  SELECT cid FROM (
+         |    SELECT p.cid,
+         |      row_number() OVER (
+         |        ORDER BY (${d2Sql("q0.v", "p.cvec")}) ASC, p.cid ASC)
+         |        AS rn
+         |    FROM pool0 p, q0) WHERE rn <= 3),
+         |c2 AS (
+         |  SELECT row_number() OVER (ORDER BY id) - 1 AS c_idx,
+         |    v AS c_vec
+         |  FROM (SELECT * FROM mix ORDER BY id LIMIT 16)),
+         |blocks2 AS (SELECT unnest(range(8)) AS j),
+         |cb2 AS (
+         |  SELECT j, c_idx, c_vec[j*8+1 : j*8+8] AS csub
+         |  FROM c2, blocks2),
+         |sv2 AS (
+         |  SELECT id, j, v[j*8+1 : j*8+8] AS vsub FROM mix, blocks2),
+         |asn2 AS (
+         |  SELECT id, j, c_idx, csub,
+         |    row_number() OVER (PARTITION BY id, j
+         |      ORDER BY (${d2Sql("vsub", "csub")}) ASC, c_idx ASC) AS rn
+         |  FROM sv2 JOIN cb2 USING (j)),
+         |lut2 AS (
+         |  SELECT cb2.j, cb2.c_idx,
+         |    list_reduce(list_prepend(0.0, list_transform(range(8), i ->
+         |      cast(cb2.csub[i+1] AS double)
+         |        * cast(q0.v[cb2.j*8+i+1] AS double))),
+         |      (x, y) -> x + y) AS dpart,
+         |    (${dotSql("cb2.csub", "cb2.csub")}) AS npart
+         |  FROM cb2, q0),
+         |adc2 AS (
+         |  SELECT s.id,
+         |    list_reduce(list_prepend(0.0, list(l.dpart ORDER BY s.j)),
+         |      (x, y) -> x + y) AS dsum,
+         |    list_reduce(list_prepend(0.0, list(l.npart ORDER BY s.j)),
+         |      (x, y) -> x + y) AS nsum
+         |  FROM asn2 s JOIN lut2 l ON l.j = s.j AND l.c_idx = s.c_idx
+         |  WHERE s.rn = 1 GROUP BY s.id)
+         |SELECT a.id,
+         |  floor((dsum / (sqrt(nsum) * sqrt(${dotSql("q0.v", "q0.v")})))
+         |    * 1000000) / 1000000 AS score
+         |FROM adc2 a JOIN hcell hc ON hc.id = a.id, q0
+         |WHERE hc.cell IN (SELECT cid FROM prb0) AND a.id <> 0
+         |ORDER BY score DESC, a.id ASC LIMIT 10""".stripMargin,
+
     "q28_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id,
@@ -971,6 +1078,18 @@ private[queries] object ExtAnnQueries {
     // grouping (NOT q73's flat reconstruct-then-dot fold; same real
     // value, different float grouping, so this row replays its own).
     "q236_ivfpq_at_rest" ->
+      s"""WITH $ivfSeedCte,
+         |$ivfProbeCtes,
+         |$pqCtes,
+         |$adcCtes
+         |SELECT sc.vec_id, sc.score
+         |FROM adcscore sc
+         |ORDER BY score DESC, sc.vec_id ASC LIMIT 10""".stripMargin,
+
+    // q239: append == rebuild for the PQ layout — q236's replay
+    // verbatim (the lifecycle changes which files hold the codes,
+    // never which codes exist).
+    "q239_ivfpq_append" ->
       s"""WITH $ivfSeedCte,
          |$ivfProbeCtes,
          |$pqCtes,

@@ -31,7 +31,7 @@ object ExtQueries {
       ExtStatsQueries.oracles ++
       ExtInfraQueries.oracles
 
-  require(defs.size == 212 && oracles.size == defs.size,
+  require(defs.size == 214 && oracles.size == defs.size,
     s"ExtQueries: domain slices overlap or dropped entries: " +
       s"defs=${defs.size} oracles=${oracles.size}")
 }

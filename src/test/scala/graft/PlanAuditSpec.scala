@@ -127,6 +127,20 @@ class PlanAuditSpec extends SparkSpec {
       s"rerank pool not broadcast in:\n$p")
   }
 
+  test("q240 hier+PQ at rest prunes BOTH partition levels AND reads " +
+      "only the code column") {
+    val p = plan("q240_ivfpq_hier_at_rest")
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findAllIn(p).toSeq
+    assert(pf.exists(f => f.contains("sup") && f.contains("cell")),
+      s"expected sup AND cell in one scan's PartitionFilters, got " +
+        s"$pf in:\n$p")
+    val reads = "ReadSchema: [^\\n]*".r.findAllIn(p).toSeq
+    assert(reads.exists(_.contains("codes")),
+      s"no codes column in any ReadSchema:\n$p")
+    assert(!reads.exists(r => r.contains("\"v\"") || r.contains("embedding")),
+      s"hier+PQ search read a raw vector column:\n$p")
+  }
+
   test("q07 RI filter is a semi-join, not a distinct+inner join") {
     val p = plan("q07_semi_join")
     assert(p.contains("LeftSemi"), s"no semi join in:\n$p")
