@@ -296,6 +296,62 @@ class Round15Spec extends SparkSpec {
     assert(content(s"$base/inc") == content(s"$base/full"))
   }
 
+  test("appendIvfPq: build+append code-index content equals a full " +
+      "rebuild row-for-row") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1510)
+    val rows = (0 until 70).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2f - 1f)))
+    val df = rows.toDF("id", "v")
+    val cents = graft.ext.Similarity.seedCentroids(df, "id", "v", 4)
+    val cbs = graft.ext.Similarity.pqCodebooks(df, "id", "v", m = 4, k = 8)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_r15_pqapp").toString
+    graft.ext.Similarity.writeIvfPq(
+      df.filter(col("id") < 35), "id", "v", s"$base/inc", cents, cbs)
+    graft.ext.Similarity.appendIvfPq(
+      df.filter(col("id") >= 35), "id", "v", s"$base/inc", cents, cbs)
+    graft.ext.Similarity.writeIvfPq(df, "id", "v", s"$base/full",
+      cents, cbs)
+    def content(p: String): Seq[(Long, Seq[Int], Long)] =
+      spark.read.parquet(p)
+        .select(col("id"), col("codes"), col("cell").cast("long"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2)))
+        .toSeq.sortBy(t => (t._1, t._3))
+    assert(content(s"$base/inc") == content(s"$base/full"))
+  }
+
+  test("ivfPqHierTopKAtRest equals ivfPqTopKAtRest when the flat and " +
+      "hier quantizers agree on the probed cells (sanity composition)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1511)
+    // few, well-separated centroids: flat and hier assignment agree,
+    // so the two layouts must return identical answers
+    val cents = Seq.tabulate(4)(c =>
+      Array.tabulate(16)(i => if (i == c) 10f else 0f))
+    val rows = (0 until 60).map { i =>
+      val c = cents(i % 4)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f))
+    }
+    val df = rows.toDF("id", "v")
+    val cbs = graft.ext.Similarity.pqCodebooks(df, "id", "v", m = 4, k = 8)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_r15_pqhier").toString
+    graft.ext.Similarity.writeIvfPq(df, "id", "v", s"$base/flat",
+      cents, cbs)
+    graft.ext.Similarity.writeIvfPqHier(df, "id", "v", s"$base/hier",
+      cents, cbs)
+    val qVec = rows.head._2
+    def rowsOf(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val flat = rowsOf(graft.ext.Similarity.ivfPqTopKAtRest(spark,
+      s"$base/flat", "id", 0L, qVec, 5, cents, cbs, nProbe = 4))
+    val hier = rowsOf(graft.ext.Similarity.ivfPqHierTopKAtRest(spark,
+      s"$base/hier", "id", 0L, qVec, 5, cents, cbs, nProbe = 4))
+    assert(flat == hier)
+  }
+
   test("probes(): equals the lexicographic (distance, index) sort's " +
       "nProbe-prefix (the declared contract, independent of either " +
       "implementation)") {
