@@ -1440,12 +1440,18 @@ object Dedup {
     val p = q * d + c
     // ---- gram paths: rare-gram prefix blocking ----------------------
     val long = base.filter(col("len") >= minLen)
+    // NOT pinned (r15 A/B): the gram explode feeds both the df count
+    // and the df join-back, but pinning it measured flat (2.71 s both
+    // ways at sf0.1 — the ranked build is dominated by the
+    // collect_list+sort_array agg, not the explode) and a MEMORY_ONLY
+    // gram cache is corpus-scale at 100 TB. The double-planned explode
+    // is the cheaper tax.
     val grams = long.select(col("id"),
       explode(array_distinct(transform(
         sequence(lit(1), col("len") - (q - 1)),
         i => col("s").substr(i, lit(q))))).as("g"))
     val gdf = grams.groupBy("g").agg(count(lit(1)).as("dfc"))
-    // persisted: feeds both sides of the tuple self-join plus the two
+    // persisted: feeds the tuple-key bucket pass plus the two
     // single-gram families, and Spark re-plans an aliased subplan per
     // consumer (same no-cross-alias-reuse reality as setSimJoin's
     // ranked — unpersisted this whole build ran 4x). The bench's
@@ -1467,6 +1473,15 @@ object Dedup {
         element_at(col("pg"), i + 1).as(s"g$slot") }: _*)): _*)
     val rich = ranked.filter(col("np") === p)
       .select(col("id"), explode(comboArr).as("key"))
+    // Deliberately a key-equi SELF-JOIN, not the collect_list +
+    // bucketPairs shape q194 uses (r15 A/B: the bucket form ran
+    // 2.7x SLOWER here): tuple keys can be hot (a corpus-wide shared
+    // rare-gram triple), and collect_list materializes a hot bucket's
+    // full pair ARRAY in one row before exploding — hundreds of MB in
+    // one task on the measured 13M-pair candidate stream — where the
+    // join emits the same pairs streaming through codegen. Both sides
+    // read the pinned `ranked` cache, so the explode is cheap to plan
+    // twice.
     val richCand = rich
       .select(col("key"), col("id").as("ia"))
       .join(rich.select(col("key"), col("id").as("ib")), "key")
@@ -1705,17 +1720,31 @@ object Dedup {
   def winnowMatches(df: DataFrame, idCol: String, textCol: String,
       g: Int, w: Int, minShared: Long,
       maxDf: Long = Long.MaxValue, width: Int = 0): DataFrame = {
+    // Single-pass pair generation (lshCandidatePairs' shape): ONE
+    // fingerprint pass feeding one fp-keyed exchange that collects
+    // each fingerprint's holder list and emits its pairs locally.
+    // The previous fp-keyed SELF-JOIN planned the md5 position-gram
+    // explode + window min-selection — the dominant cost of the whole
+    // operator — once PER SIDE (Spark re-plans an aliased subplan per
+    // consumer; ReuseCheck): r15 plan audit showed 2 scans / 2 Windows
+    // / 2 gram exchanges, and the maxDf cap cost a further df-count
+    // join. This form computes the fingerprints once with no cache,
+    // reads the collected array's size for the maxDf cap (no join),
+    // and the per-bucket pair volume is IDENTICAL to the join's —
+    // degenerate hot fingerprints are capped by maxDf in both shapes.
+    // Pair counts are order-insensitive, so results are unchanged
+    // (oracle-checked; Round15Spec pins join-shape equality).
     val fp = winnowFingerprints(df, idCol, textCol, g, w, width)
       .select(col(idCol), col("fp")).distinct()
+    val buckets = fp.groupBy("fp")
+      .agg(collect_list(col(idCol)).as("__ids"))
     val kept =
-      if (maxDf == Long.MaxValue) fp
-      else fp.join(
-        fp.groupBy("fp").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxDf).select("fp"),
-        "fp")
-    kept.select(col(idCol).as("id_a"), col("fp"))
-      .join(kept.select(col(idCol).as("id_b"), col("fp")), "fp")
-      .filter(col("id_a") < col("id_b"))
+      if (maxDf == Long.MaxValue) buckets
+      else buckets.filter(size(col("__ids")) <= maxDf)
+    kept
+      .select(explode(bucketPairs(col("__ids"),
+        df.schema(idCol).dataType)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }

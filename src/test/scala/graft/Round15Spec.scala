@@ -373,4 +373,50 @@ class Round15Spec extends SparkSpec {
         assert(newProbes(kern, v, nProbe) == sorted.take(nProbe))
     }
   }
+
+  // ---- r15 OPTIMIZATION pin: winnowMatches single-pass bucket shape --
+
+  test("winnowMatches bucket shape equals the fp-keyed self-join " +
+      "reference (incl. maxDf cap) on a randomized near-dup corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1515)
+    val vocab = "abcdefgh".toSeq
+    def txt(n: Int): String =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString
+    // near-dup-dense corpus: a few base strings, mutated copies
+    val bases = Seq.fill(6)(txt(60))
+    val docs = (0 until 80).map { i =>
+      val b = bases(rnd.nextInt(bases.length))
+      val mut = if (rnd.nextBoolean()) b
+        else b.updated(rnd.nextInt(b.length),
+          vocab(rnd.nextInt(vocab.length)))
+      (i.toLong, mut)
+    }.toDF("doc_id", "text")
+    val (g, w) = (5, 3)
+    // the pre-r15 join shape, verbatim, as the reference
+    def joinShape(maxDf: Long): Seq[(Long, Long, Long)] = {
+      val fp = graft.ext.Dedup
+        .winnowFingerprints(docs, "doc_id", "text", g, w)
+        .select(col("doc_id"), col("fp")).distinct()
+      val kept =
+        if (maxDf == Long.MaxValue) fp
+        else fp.join(
+          fp.groupBy("fp").agg(count(lit(1)).as("__df"))
+            .filter(col("__df") <= maxDf).select("fp"), "fp")
+      kept.select(col("doc_id").as("id_a"), col("fp"))
+        .join(kept.select(col("doc_id").as("id_b"), col("fp")), "fp")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+    }
+    def bucketShape(maxDf: Long): Seq[(Long, Long, Long)] =
+      graft.ext.Dedup.winnowMatches(docs, "doc_id", "text", g, w,
+        minShared = 1L, maxDf = maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+    assert(bucketShape(Long.MaxValue) == joinShape(Long.MaxValue))
+    assert(bucketShape(3L) == joinShape(3L))
+    assert(bucketShape(Long.MaxValue).nonEmpty) // non-vacuous
+  }
 }
