@@ -1256,6 +1256,19 @@ object Stats {
       .groupBy(col(groupCol), col("__v"))
       .agg(count(lit(1)).as("__c"))
       .transform(OpCaches.pin)
+    quantilesFromSupport(support, groupCol, qPpm, maxSingleTask)
+  }
+
+  /** The support-input half of [[exactQuantilesByGroup]]: quantiles
+    * from an already-built (group, __v, __c) distinct-value support —
+    * callers that ALREADY hold a support (robustProfile's deviation
+    * pass) read their quantiles without a second corpus pass. The
+    * input should be pinned by the caller (it is consumed by the rank
+    * table and the cumulative pass).
+    */
+  private[graft] def quantilesFromSupport(support: DataFrame,
+      groupCol: String, qPpm: Seq[Long],
+      maxSingleTask: Long): DataFrame = {
     // rank table: |groups|·|qs| rows — the decimal rank arithmetic
     // runs HERE, once per (group, q), so the per-support-row work
     // below is a join probe + two long compares (measured 2×+ win
@@ -1366,32 +1379,48 @@ object Stats {
     * textbook caveat, documented rather than papered over. Values
     * must be integer-valued; nulls drop.
     *
-    * Plan: two support-agg + quantile-read passes (the second over
-    * the |x−med| deviations) and two per-group equi-joins; one final
-    * count-agg. Everything map-side combined or support-sized.
+    * Plan (r15, support-first): ONE corpus pass builds the (group, x)
+    * distinct-value support; the median reads from it, the deviation
+    * support derives from it by pure arithmetic on (value, count)
+    * rows — |x−med| groups with summed counts ≡ the deviation
+    * multiset — and the final stats aggregate the deviation support.
+    * The previous shape fed corpus ROWS to both quantile passes and
+    * the final agg, and because none of the intermediates were
+    * pinned, Spark re-planned the corpus subtree per consumer — the
+    * r15 plan audit counted the source scanned 20× (2.05 s at sf0.1;
+    * 1.6 s after — the rest is stage count, not data volume).
+    * Everything after the one pass is support-sized.
     */
   def robustProfile(df: DataFrame, groupCol: String, x: Column,
       kNum: Long, kDen: Long,
       maxSingleTask: Long = TwoPhase.defaultMaxSingleTask): DataFrame = {
     require(kNum >= 0 && kDen > 0,
       s"robustProfile: need kNum >= 0, kDen > 0 (got $kNum/$kDen)")
-    val rows = df.select(col(groupCol), x.cast("long").as("__x"))
-      .filter(col("__x").isNotNull)
-    val med = exactQuantilesByGroup(rows, groupCol, col("__x"),
-        Seq(500000L), maxSingleTask)
-      .select(col(groupCol), col("value").as("median"))
-    val dev = rows.join(med, groupCol)
-      .withColumn("__d", abs(col("__x") - col("median")))
-    val mad = exactQuantilesByGroup(dev, groupCol, col("__d"),
-        Seq(500000L), maxSingleTask)
+    val support = df.select(col(groupCol), x.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col(groupCol), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .transform(OpCaches.pin)
+    val med = OpCaches.pin( // |groups| rows; consumed twice
+      quantilesFromSupport(support, groupCol, Seq(500000L),
+        maxSingleTask)
+        .select(col(groupCol), col("value").as("median")))
+    val devSupport = OpCaches.pin(
+      support.join(med, groupCol)
+        .select(col(groupCol),
+          abs(col("__v") - col("median")).as("__v"), col("__c"))
+        .groupBy(col(groupCol), col("__v"))
+        .agg(sum(col("__c")).as("__c")))
+    val mad = quantilesFromSupport(devSupport, groupCol, Seq(500000L),
+        maxSingleTask)
       .select(col(groupCol), col("value").as("mad"))
-    dev.join(mad, groupCol)
+    devSupport.join(mad, groupCol).join(med, groupCol)
       .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n"), min(col("median")).as("median"),
+      .agg(sum(col("__c")).as("n"), min(col("median")).as("median"),
         min(col("mad")).as("mad"), // constant per group: min = the value
-        sum(when(col("__d").cast("decimal(38,0)") * kDen >
-          col("mad").cast("decimal(38,0)") * kNum, 1L).otherwise(0L))
-          .as("n_outliers"))
+        sum(when(col("__v").cast("decimal(38,0)") * kDen >
+          col("mad").cast("decimal(38,0)") * kNum, col("__c"))
+          .otherwise(0L)).as("n_outliers"))
   }
 
   /** Exact per-group trimmed mean — the robust location estimator
