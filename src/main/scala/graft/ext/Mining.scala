@@ -18,15 +18,22 @@ object Mining {
     * either column drop.
     *
     * Scale: pair volume is Σ_b s_b·(s_b−1) — quadratic in BASKET SIZE,
-    * never in basket count, so the join is corpus-linear for bounded
-    * baskets. `maxBasketSize` makes that a CHECKED contract (one
-    * bounded agg job, loud failure — the kmvJaccard discipline): one
-    * pathological billion-item basket would otherwise detonate the
-    * self-join silently. Plan: distinct (basket, item) (persisted
-    * MEMORY_ONLY — read three times: guard, pairs, supports) → one
-    * self-equi-join ON THE BASKET KEY → (a, b) count-agg with map-side
-    * combine → two |items|-sized support joins. No cross join, no
-    * window, no driver-side data.
+    * never in basket count, so pair generation is corpus-linear for
+    * bounded baskets. `maxBasketSize` makes that a CHECKED contract
+    * (one bounded agg job, loud failure — the kmvJaccard discipline):
+    * one pathological billion-item basket would otherwise detonate the
+    * pair volume silently. Plan (r15, grouped-set shape — the
+    * winnowMatches/lshCandidatePairs reshape): ONE basket-keyed
+    * collect_set (dedup and grouping share the exchange; persisted
+    * MEMORY_ONLY — read three times: guard, pairs, supports) → ordered
+    * pairs emitted LOCALLY by a double explode over each basket's set
+    * → (a, b) count-agg with map-side combine → two |items|-sized
+    * support joins (supports explode from the same cached sets). The
+    * previous shape distinct-ed (basket, item) and self-equi-joined on
+    * the basket key: same pair volume, but a sort-merge self-join of
+    * the whole transaction table (2 more exchanges + 2 sorts, 36
+    * Exchange nodes total vs 10 now). No cross join, no window, no
+    * driver-side data.
     */
   def assocRules(df: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long, maxBasketSize: Int = 1000): DataFrame = {
@@ -34,29 +41,30 @@ object Mining {
       s"assocRules: minSupport must be >= 1 (got $minSupport)")
     require(maxBasketSize >= 2,
       s"assocRules: maxBasketSize must be >= 2 (got $maxBasketSize)")
-    val txns = df
+    val sets = df
       .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .filter(col("__b").isNotNull && col("__i").isNotNull)
-      .distinct()
+      .groupBy(col("__b")).agg(collect_set(col("__i")).as("__is"))
       .transform(OpCaches.pin)
-    val stats = txns.groupBy(col("__b"))
-      .agg(count(lit(1)).as("__s"))
-      .agg(max(col("__s")).as("__mx"), count(lit(1)).as("__nb"))
+    val stats = sets
+      .agg(max(size(col("__is"))).as("__mx"), count(lit(1)).as("__nb"))
       .collect().head
-    require(stats.isNullAt(0) || stats.getLong(0) <= maxBasketSize,
-      s"assocRules: largest basket has ${stats.getLong(0)} items " +
+    require(stats.isNullAt(0) || stats.getInt(0) <= maxBasketSize,
+      s"assocRules: largest basket has ${stats.getInt(0)} items " +
         s"(> maxBasketSize=$maxBasketSize) — pair volume is quadratic " +
         "in basket size; split or cap the basket, or raise the bound " +
         "deliberately")
     val nBaskets = stats.getLong(1)
-    val pairs = txns.as("l")
-      .join(txns.as("r"),
-        col("l.__b") === col("r.__b") && col("l.__i") =!= col("r.__i"))
-      .groupBy(col("l.__i").as("antecedent"),
-        col("r.__i").as("consequent"))
+    val pairs = sets
+      .select(explode(col("__is")).as("__a"), col("__is"))
+      .select(col("__a"), explode(col("__is")).as("__c"))
+      .filter(col("__a") =!= col("__c"))
+      .groupBy(col("__a").as("antecedent"),
+        col("__c").as("consequent"))
       .agg(count(lit(1)).as("sup_pair"))
       .filter(col("sup_pair") >= minSupport)
-    val sup = txns.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+    val sup = sets.select(explode(col("__is")).as("__i"))
+      .groupBy(col("__i")).agg(count(lit(1)).as("__n"))
     pairs
       .join(sup.select(col("__i").as("antecedent"),
         col("__n").as("sup_ant")), "antecedent")

@@ -419,4 +419,70 @@ class Round15Spec extends SparkSpec {
     assert(bucketShape(3L) == joinShape(3L))
     assert(bucketShape(Long.MaxValue).nonEmpty) // non-vacuous
   }
+
+  // ---- assocRules grouped-set reshape (r15 optimization) ----
+
+  test("assocRules grouped-set shape equals the self-join reference " +
+      "(rows, supports, metrics) on randomized baskets with dups/nulls") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1516)
+    val items = ('A' to 'J').map(_.toString)
+    val rows = (0 until 1200).map { _ =>
+      val b: java.lang.Long =
+        if (rnd.nextInt(50) == 0) null
+        else java.lang.Long.valueOf(rnd.nextInt(120).toLong)
+      val i: String =
+        if (rnd.nextInt(60) == 0) null
+        else items(rnd.nextInt(items.length))
+      (b, i)
+    } // duplicates guaranteed at this density: set semantics exercised
+    val df = rows.toDF("basket", "item")
+    // the pre-r15 self-join shape, verbatim, as the reference
+    val txns = df.select(col("basket").as("__b"), col("item").as("__i"))
+      .filter(col("__b").isNotNull && col("__i").isNotNull)
+      .distinct()
+    val st = txns.groupBy("__b").agg(count(lit(1)).as("__s"))
+      .agg(max(col("__s")), count(lit(1))).collect().head
+    val nB = st.getLong(1)
+    val refPairs = txns.as("l")
+      .join(txns.as("r"),
+        col("l.__b") === col("r.__b") && col("l.__i") =!= col("r.__i"))
+      .groupBy(col("l.__i").as("antecedent"),
+        col("r.__i").as("consequent"))
+      .agg(count(lit(1)).as("sup_pair"))
+      .filter(col("sup_pair") >= 3)
+    val sup = txns.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+    val ref = refPairs
+      .join(sup.select(col("__i").as("antecedent"),
+        col("__n").as("sup_ant")), "antecedent")
+      .join(sup.select(col("__i").as("consequent"),
+        col("__n").as("sup_cons")), "consequent")
+      .withColumn("n_baskets", lit(nB))
+      .select(col("antecedent"), col("consequent"), col("n_baskets"),
+        col("sup_ant"), col("sup_cons"), col("sup_pair"),
+        expr("cast((cast(sup_pair AS decimal(38,0)) * 1000000)" +
+          " div sup_ant AS long)").as("conf_ppm"),
+        expr("cast((cast(sup_pair AS decimal(38,0)) * n_baskets" +
+          " * 1000000) div (cast(sup_ant AS decimal(38,0))" +
+          " * sup_cons) AS long)").as("lift_ppm"))
+      .collect().map(_.toSeq).toSeq
+      .sortBy(_.take(2).mkString("|"))
+    val got = graft.ext.Mining.assocRules(df, "basket", "item",
+        minSupport = 3)
+      .collect().map(_.toSeq).toSeq
+      .sortBy(_.take(2).mkString("|"))
+    assert(got == ref)
+    assert(got.nonEmpty) // non-vacuous
+  }
+
+  test("assocRules maxBasketSize guard still fails loudly on an " +
+      "oversized basket") {
+    import spark.implicits._
+    val df = (0 until 10).map(i => (1L, s"i$i")).toDF("b", "i")
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Mining.assocRules(df, "b", "i", minSupport = 1,
+        maxBasketSize = 5)
+    }
+    assert(e.getMessage.contains("largest basket has 10 items"))
+  }
 }
