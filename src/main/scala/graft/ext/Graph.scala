@@ -397,6 +397,20 @@ object Graph {
     * ways (symmetrized with the same timestamp). Per round: one
     * equi-join + one min-agg with map-side combine; the arrival table
     * is pinned per round.
+    *
+    * Relaxation is FRONTIER-ONLY (r15, guide §1.2 "the distributed
+    * algorithm"): each round expands only the nodes whose arrival
+    * IMPROVED last round, not every arrived node. Result-identical to
+    * full re-relaxation by min-idempotence — a node whose arr is
+    * unchanged since it was last expanded regenerates exactly the
+    * candidates an earlier round already folded into the min — and
+    * Round15Spec pins the equality round-for-round on randomized
+    * temporal graphs. The work bound drops from rounds·(arrived-node
+    * edge volume) to Σ frontier degrees, the classic BFS bound ([[
+    * bfsHops]] already had it); at 100 TB the late rounds of the old
+    * shape re-aggregated nearly the whole relaxed edge set each round.
+    * The frontier itself derives from two pinned tables and is
+    * consumed once, so it needs no pin of its own.
     */
   def earliestArrival(edges: DataFrame, srcCol: String, dstCol: String,
       tCol: String, sources: DataFrame, rounds: Int = 4): DataFrame = {
@@ -408,14 +422,21 @@ object Graph {
       .distinct().transform(Pin(_))
     var arr = sources.select(col(sources.columns.head).as("node"))
       .distinct().withColumn("arr", lit(0L)).transform(Pin(_))
+    var frontier = arr
     for (_ <- 1 to rounds) {
       val cand = sym
-        .join(arr.withColumnRenamed("node", "u"), "u")
-        .filter(col("t") >= col("arr"))
+        .join(frontier.withColumnRenamed("node", "u")
+          .withColumnRenamed("arr", "__farr"), "u")
+        .filter(col("t") >= col("__farr"))
         .select(col("v").as("node"), col("t").as("arr"))
-      arr = arr.union(cand)
+      val next = arr.union(cand)
         .groupBy("node").agg(min(col("arr")).as("arr"))
         .transform(Pin(_))
+      frontier = next
+        .join(arr.withColumnRenamed("arr", "__prev"), Seq("node"), "left")
+        .filter(col("__prev").isNull || col("arr") < col("__prev"))
+        .select("node", "arr")
+      arr = next
     }
     arr
   }

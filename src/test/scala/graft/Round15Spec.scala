@@ -475,6 +475,51 @@ class Round15Spec extends SparkSpec {
     assert(got.nonEmpty) // non-vacuous
   }
 
+  // ---- earliestArrival frontier-only relaxation (r15 optimization) ----
+
+  test("earliestArrival frontier-only relaxation equals full " +
+      "re-relaxation round-for-round on randomized temporal graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1517)
+    // the pre-r15 full-relaxation shape, verbatim, as the reference
+    def fullRelax(edges: org.apache.spark.sql.DataFrame,
+        sources: org.apache.spark.sql.DataFrame,
+        rounds: Int): Seq[(Long, Long)] = {
+      val dir = edges.filter(col("s") =!= col("d"))
+        .select(col("s").as("u"), col("d").as("v"),
+          col("t").cast("long").as("t"))
+      val sym = dir.union(dir.select(col("v"), col("u"), col("t")))
+        .distinct().localCheckpoint()
+      var arr = sources.select(col("node")).distinct()
+        .withColumn("arr", lit(0L)).localCheckpoint()
+      for (_ <- 1 to rounds) {
+        val cand = sym
+          .join(arr.withColumnRenamed("node", "u"), "u")
+          .filter(col("t") >= col("arr"))
+          .select(col("v").as("node"), col("t").as("arr"))
+        arr = arr.union(cand)
+          .groupBy("node").agg(min(col("arr")).as("arr"))
+          .localCheckpoint()
+      }
+      arr.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    }
+    for (trial <- 0 until 3) {
+      val nNodes = 30 + rnd.nextInt(40)
+      val edges = Seq.fill(300)((rnd.nextInt(nNodes).toLong,
+        rnd.nextInt(nNodes).toLong, rnd.nextInt(20).toLong))
+        .toDF("s", "d", "t")
+      val sources = Seq.fill(3)(rnd.nextInt(nNodes).toLong).toDF("node")
+      for (rounds <- Seq(1, 2, 4)) {
+        val got = graft.ext.Graph
+          .earliestArrival(edges, "s", "d", "t", sources, rounds)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+        val ref = fullRelax(edges, sources, rounds)
+        assert(got == ref, s"trial $trial rounds=$rounds")
+        assert(got.size > 3, s"trial $trial non-vacuous") // reaches past sources
+      }
+    }
+  }
+
   test("assocRules maxBasketSize guard still fails loudly on an " +
       "oversized basket") {
     import spark.implicits._
