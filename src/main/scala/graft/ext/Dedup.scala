@@ -339,15 +339,19 @@ object Dedup {
   private def writeIndexAs(df: DataFrame, idCol: String,
       textCol: String, n: Int, k: Int, bands: Int, portable: Boolean,
       path: String, nDirs: Int,
-      mode: org.apache.spark.sql.SaveMode): Unit = {
-    bandRows(df, idCol, textCol, n, k, bands, portable)
-      .withColumn("pdir", pmod(hash(col("bkey")), lit(nDirs)))
-      .repartition(col("pdir"))
-      .write.mode(mode).partitionBy("pdir").parquet(s"$path/bands")
-    df.select(col(idCol),
-        array_distinct(shingles(col(textCol), n)).as("sh"))
-      .write.mode(mode).parquet(s"$path/shingles")
-  }
+      mode: org.apache.spark.sql.SaveMode): Unit =
+    // the two table writes are independent (distinct dirs, both pure
+    // functions of df) — overlapped per guide §2.6 so the shingle
+    // write back-fills the band write's shuffle/commit tail (r15:
+    // corpus write 2.40 -> ~1.6 s at sf0.1, content byte-identical)
+    ParJobs(
+      () => bandRows(df, idCol, textCol, n, k, bands, portable)
+        .withColumn("pdir", pmod(hash(col("bkey")), lit(nDirs)))
+        .repartition(col("pdir"))
+        .write.mode(mode).partitionBy("pdir").parquet(s"$path/bands"),
+      () => df.select(col(idCol),
+          array_distinct(shingles(col(textCol), n)).as("sh"))
+        .write.mode(mode).parquet(s"$path/shingles"))
 
   /** LSH-banding recall audit: on a BOUNDED id-range sample, compare
     * the banding's candidate pairs against brute-force ground truth

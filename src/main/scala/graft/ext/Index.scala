@@ -181,15 +181,20 @@ object Index {
     * `docs/seg=N`. One pass over the batch; the corpus is not touched.
     */
   def writeSegment(df: DataFrame, idCol: String, textCol: String,
-      path: String, seg: Int, nBuckets: Int = 16): Unit = {
-    postingsOf(df, idCol, textCol, nBuckets)
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/postings/seg=$seg")
-    df.select(col(idCol).as("doc_id")).distinct()
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/docs/seg=$seg")
-  }
+      path: String, seg: Int, nBuckets: Int = 16): Unit =
+    // postings and manifest are independent writes to distinct dirs,
+    // both pure functions of the batch — overlapped (guide §2.6, the
+    // writeIndexAs pattern). Note this is WITHIN one segment: the
+    // compaction path's postings+manifest RENAME pair stays sequential
+    // (that one is a single logical commit).
+    ParJobs(
+      () => postingsOf(df, idCol, textCol, nBuckets)
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/postings/seg=$seg"),
+      () => df.select(col(idCol).as("doc_id")).distinct()
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/docs/seg=$seg"))
 
   /** Term lookup over a segmented index: bucket pruning applies inside
     * EVERY segment (`seg`/`bucket` are both partition directories, the

@@ -475,6 +475,50 @@ class Round15Spec extends SparkSpec {
     assert(got.nonEmpty) // non-vacuous
   }
 
+  // ---- overlapped independent index writes (r15 optimization) ----
+
+  test("writeLshIndex with overlapped band/shingle writes lands " +
+      "exactly the rows the two pipelines define") {
+    import spark.implicits._
+    val docs = (0 until 40)
+      .map(i => (i.toLong, s"alpha beta gamma delta tok$i epsilon zeta"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_r15_paridx").toString + "/idx"
+    graft.ext.Dedup.writeLshIndex(docs, "doc_id", "text", n = 3, k = 8,
+      bands = 4, portable = true, path = path)
+    val bandsGot = spark.read.parquet(s"$path/bands")
+      .select("pdir", "band", "bkey", "doc_id")
+      .collect().map(_.toSeq).toSet
+    val bandsWant = graft.ext.Dedup
+      .bandRows(docs, "doc_id", "text", 3, 8, 4, portable = true)
+      .withColumn("pdir", pmod(hash(col("bkey")), lit(64)))
+      .select("pdir", "band", "bkey", "doc_id")
+      .collect().map(_.toSeq).toSet
+    assert(bandsGot == bandsWant)
+    assert(bandsGot.nonEmpty)
+    val shGot = spark.read.parquet(s"$path/shingles")
+      .selectExpr("doc_id", "array_join(sh, '~')")
+      .collect().map(_.toSeq).toSet
+    val shWant = docs.select(col("doc_id"), array_distinct(
+        graft.ext.Dedup.shingles(col("text"), 3)).as("sh"))
+      .selectExpr("doc_id", "array_join(sh, '~')")
+      .collect().map(_.toSeq).toSet
+    assert(shGot == shWant)
+  }
+
+  test("ParJobs rethrows the original failure from a concurrent " +
+      "action after all actions settle") {
+    val hit = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val e = intercept[IllegalStateException] {
+      graft.ext.ParJobs(
+        () => { Thread.sleep(50); hit.set(true) },
+        () => throw new IllegalStateException("boom"))
+    }
+    assert(e.getMessage == "boom")
+    assert(hit.get(), "the healthy action must still complete")
+  }
+
   // ---- earliestArrival frontier-only relaxation (r15 optimization) ----
 
   test("earliestArrival frontier-only relaxation equals full " +
