@@ -500,15 +500,35 @@ object TextStats {
     * for a total order. Returns (round, lhs, rhs, cnt) — `lhs`/`rhs`
     * because left/right collide with SQL keywords in oracle replays.
     */
-  def bpeMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+  /** `localVocabThreshold`: word-frequency tables at or below this many
+    * DISTINCT words collect to the driver and the merge rounds run as a
+    * local loop — BPE iterates over the |vocab| table, not the corpus,
+    * and a distributed round is 3 scheduler round-trips for what is
+    * microseconds of string work on any real vocabulary (the
+    * dedupClusters localEdgeThreshold discipline; r15: q89 isolated
+    * 1.67 -> ~0.5 s with 6 rounds on the 30-word fixture vocab, and the
+    * gap grows linearly in nMerges — real tokenizers run thousands of
+    * rounds). Larger vocabularies run the distributed loop; 0 forces it
+    * (the specs do, to pin the two paths equal). The local loop
+    * replicates the distributed semantics EXACTLY: same pair counting
+    * over split("  ") of the trimmed form, best pair by (count desc,
+    * l asc, r asc) under UTF8-BINARY string order (Spark's), same
+    * leftmost-non-overlapping java.util.regex replace-all.
+    */
+  def bpeMerges(df: DataFrame, textCol: String, nMerges: Int,
+      localVocabThreshold: Int = 1000000): DataFrame = {
     require(nMerges > 0, "bpeMerges: nMerges must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    var words = df.select(explode(tokens(col(textCol))).as("w"))
+    val vocab = df.select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(concat(lit(" "), array_join(split(col("w"), ""), "  "),
         lit(" ")).as("s"), col("cnt"))
-      .persist()
+    val localRows = vocab.limit(localVocabThreshold + 1).collect()
+    if (localRows.length <= localVocabThreshold)
+      return localBpeMerges(spark,
+        localRows.map(r => (r.getString(0), r.getLong(1))), nMerges)
+    var words = vocab.persist()
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
     var r = 1
     var done = false
@@ -539,6 +559,82 @@ object TextStats {
       r += 1
     }
     words.unpersist()
+    merges.toSeq.toDF("round", "lhs", "rhs", "cnt")
+  }
+
+  /** The driver-side merge loop behind [[bpeMerges]]'s size gate —
+    * bit-identical semantics to the distributed rounds (Round15Spec
+    * pins the two paths equal at threshold 0 vs default).
+    */
+  private def localBpeMerges(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[(String, Long)], nMerges: Int): DataFrame = {
+    import spark.implicits._
+    // Spark string order is UTF8 BINARY — byte-wise unsigned — which
+    // differs from java.lang.String's UTF-16 order on supplementary
+    // code points; replicate it exactly
+    def u8cmp(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      x.length - y.length
+    }
+    // Spark trim() strips 0x20 ONLY (java.lang.String.trim strips all
+    // control chars <= 0x20); split(s, "  ") is regex with limit -1
+    def stripSpaces(s: String): String = {
+      var lo = 0
+      var hi = s.length
+      while (lo < hi && s.charAt(lo) == ' ') lo += 1
+      while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+      s.substring(lo, hi)
+    }
+    val twoSpaces = java.util.regex.Pattern.compile("  ")
+    var words = rows
+    val merges = scala.collection.mutable.ListBuffer
+      .empty[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      words.foreach { case (s, cnt) =>
+        val t = twoSpaces.split(stripSpaces(s), -1)
+        if (t.length >= 2) {
+          var i = 0
+          while (i < t.length - 1) {
+            val k = (t(i), t(i + 1))
+            counts.put(k, counts.getOrDefault(k, 0L) + cnt)
+            i += 1
+          }
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.forEach { (k, c) =>
+          if (best == null || c > best._2 ||
+              (c == best._2 && {
+                val dl = u8cmp(k._1, best._1._1)
+                dl < 0 || (dl == 0 && u8cmp(k._2, best._1._2) < 0)
+              }))
+            best = (k, c)
+        }
+        val ((l, rr), c) = best
+        merges += ((r, l, rr, c))
+        val pat = java.util.regex.Pattern.compile(
+          " " + java.util.regex.Pattern.quote(l) + "  " +
+            java.util.regex.Pattern.quote(rr) + " ")
+        val rep = java.util.regex.Matcher.quoteReplacement(s" $l$rr ")
+        words = words.map { case (s, cnt) =>
+          (pat.matcher(s).replaceAll(rep), cnt)
+        }
+      }
+      r += 1
+    }
     merges.toSeq.toDF("round", "lhs", "rhs", "cnt")
   }
 

@@ -475,6 +475,42 @@ class Round15Spec extends SparkSpec {
     assert(got.nonEmpty) // non-vacuous
   }
 
+  // ---- size-gated local BPE merge loop (r15 optimization) ----
+
+  test("bpeMerges local loop equals the distributed rounds " +
+      "(threshold 0 forces distributed) incl. count ties and " +
+      "early exhaustion") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1518)
+    val vocabChars = "abcde"
+    // dense tiny alphabet -> heavy pair-count ties, exercising the
+    // (count desc, l asc, r asc) tie order on both paths
+    val docs = (0 until 60).map { i =>
+      val words = Seq.fill(3 + rnd.nextInt(5))(
+        Seq.fill(1 + rnd.nextInt(4))(
+          vocabChars(rnd.nextInt(vocabChars.length))).mkString)
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    def both(df: org.apache.spark.sql.DataFrame, nMerges: Int)
+        : (Seq[Seq[Any]], Seq[Seq[Any]]) = (
+      graft.ext.TextStats.bpeMerges(df, "text", nMerges)
+        .orderBy("round").collect().map(_.toSeq).toSeq,
+      graft.ext.TextStats.bpeMerges(df, "text", nMerges,
+          localVocabThreshold = 0)
+        .orderBy("round").collect().map(_.toSeq).toSeq)
+    for (nMerges <- Seq(1, 4, 8)) {
+      val (local, dist) = both(docs, nMerges)
+      assert(local == dist, s"nMerges=$nMerges")
+      assert(local.nonEmpty, s"nMerges=$nMerges non-vacuous")
+    }
+    // early exhaustion: a 2-word vocab runs out of mergeable pairs
+    // well before the round budget on BOTH paths
+    val tiny = Seq((1L, "ab ab b"), (2L, "ab b")).toDF("doc_id", "text")
+    val (tl, td) = both(tiny, 10)
+    assert(tl == td)
+    assert(tl.size < 10 && tl.nonEmpty)
+  }
+
   // ---- overlapped independent index writes (r15 optimization) ----
 
   test("writeLshIndex with overlapped band/shingle writes lands " +
