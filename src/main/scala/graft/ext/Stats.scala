@@ -572,9 +572,14 @@ object Stats {
     */
   def coOccurrence(df: DataFrame, basketCol: String, itemCol: String,
       minCount: Long): DataFrame = {
+    // pinned: pairs AND the item supports both derive from the basket
+    // sets (r15 — the support arm used to re-scan the base and pay its
+    // own (basket, item) distinct exchange; exploding the cached sets
+    // is the same distinct-basket count with zero extra base work)
     val baskets = df.filter(col(itemCol).isNotNull)
       .groupBy(col(basketCol))
       .agg(sort_array(collect_set(col(itemCol))).as("__items"))
+      .transform(OpCaches.pin)
     val pairs = baskets
       .select(explode(expr(
         """flatten(transform(__items, (a, i) ->
@@ -583,8 +588,8 @@ object Stats {
       .groupBy(col("p.a").as("item_a"), col("p.b").as("item_b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minCount)
-    val itemSupport = df.filter(col(itemCol).isNotNull)
-      .select(col(basketCol), col(itemCol).as("item_a")).distinct()
+    val itemSupport = baskets
+      .select(explode(col("__items")).as("item_a"))
       .groupBy("item_a").agg(count(lit(1)).as("n_a"))
     pairs.join(itemSupport, "item_a")
       .withColumn("conf6", expr("n_ab * 1000000L div n_a"))
